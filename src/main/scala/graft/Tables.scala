@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.{functions => F}
+import org.apache.spark.sql.Column
+
+/** Loaders for the driver testdata tables (/root/repo/TESTDATA.md).
+  *
+  * Every query reads through here so that the scan is a plain columnar
+  * parquet scan: Catalyst prunes columns and pushes predicates into the
+  * parquet reader (verify with `.explain("formatted")` → `PushedFilters`,
+  * `ReadSchema`). At cluster scale the same loaders work unchanged on a
+  * directory of many files.
+  */
+object Tables {
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame = table(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
+  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
+    * rejects. Read it as raw nanos (legacy conf) and truncate to micros —
+    * exactly what DuckDB does when it casts ns→µs — so oracle parity holds.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(s, d, "events")
+      .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+  }
+  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /** Money arithmetic done in exact decimal, surfaced as double.
+    *
+    * Summing doubles is order-dependent, and Spark's shuffle order differs
+    * from DuckDB's scan order; casting to DECIMAL(18,2) first makes the sum
+    * exact and therefore bit-identical in both engines regardless of
+    * partitioning — this is also the right call at 100 TB, where partial
+    * aggregation order is nondeterministic by design.
+    */
+  val Money: DecimalType = DecimalType(18, 2)
+  def money(c: Column): Column = c.cast(Money)
+  def asDouble(c: Column): Column = c.cast("double")
+}

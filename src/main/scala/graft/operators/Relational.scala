@@ -1,0 +1,357 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import graft.Tables.{asDouble, money}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Core relational operator inventory (SURVEY.md §2.3–§2.5, §2.7–§2.9).
+  *
+  * Design notes for 100 TB posture:
+  *  - Every query is a declarative DataFrame plan: filters/projections reach
+  *    the parquet scan (predicate pushdown + column pruning), aggregations
+  *    run partial+final (map-side combine), and joins pick
+  *    broadcast/sort-merge via Catalyst + AQE.
+  *  - Small dimension tables (region/nation/supplier, and the derived query
+  *    vectors) are explicitly `broadcast()` so no shuffle of the fact side
+  *    is wasted on a tiny build side.
+  *  - Money sums use exact DECIMAL(18,2) arithmetic (see [[graft.Tables]])
+  *    so results are partition-order independent — both an oracle-parity and
+  *    a determinism-at-scale requirement.
+  */
+object Relational {
+
+  /** Reference's one real query: per-partition-key count
+    * (fhir_import_export.py:263-274 — ES `size=0` count of patients in a
+    * project). Here: customers per nation key.
+    */
+  val countByProject: Q = Q(
+    "count_by_project",
+    """SELECT c_nationkey AS project_key, count(*) AS patient_count
+      |FROM customer GROUP BY c_nationkey ORDER BY project_key""".stripMargin
+  ) { (s, d) =>
+    Tables.customer(s, d)
+      .groupBy(col("c_nationkey").as("project_key"))
+      .agg(count(lit(1)).as("patient_count"))
+      .orderBy("project_key")
+  }
+
+  /** Comparison / boolean / between predicates (SURVEY §2.4) — all pushed
+    * into the parquet scan. */
+  val filterPred: Q = Q(
+    "filter_pred",
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+      |FROM lineitem
+      |WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+      |  AND l_quantity BETWEEN 5 AND 20
+      |  AND (l_returnflag = 'A' OR l_linestatus = 'O')
+      |  AND l_discount < 0.05
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+  ) { (s, d) =>
+    Tables.lineitem(s, d)
+      .filter(
+        col("l_shipdate").between(lit("1996-01-01").cast("timestamp"),
+                                  lit("1997-12-31").cast("timestamp")) &&
+        col("l_quantity").between(5, 20) &&
+        (col("l_returnflag") === "A" || col("l_linestatus") === "O") &&
+        col("l_discount") < 0.05)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  /** TPC-H Q1-shaped hash aggregation: partial+final HashAggregate with
+    * exact decimal money arithmetic. */
+  val aggGroupBy: Q = Q(
+    "agg_groupby",
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+      |  count(*) AS count_order
+      |FROM lineitem
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+  ) { (s, d) =>
+    val disc1 = lit(1).cast(Tables.Money) - money(col("l_discount"))
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        asDouble(sum(money(col("l_quantity")))).as("sum_qty"),
+        asDouble(sum(money(col("l_extendedprice")))).as("sum_base_price"),
+        asDouble(sum(money(col("l_extendedprice")) * disc1)).as("sum_disc_price"),
+        (asDouble(sum(money(col("l_quantity")))) / count(lit(1))).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** Exact distinct aggregation (expand + two-phase agg under the hood). */
+  val aggDistinct: Q = Q(
+    "agg_distinct",
+    """SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_cust,
+      |       count(DISTINCT o_orderpriority) AS n_prio, count(*) AS n_orders
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+  ) { (s, d) =>
+    Tables.orders(s, d)
+      .groupBy("o_orderstatus")
+      .agg(
+        countDistinct(col("o_custkey")).as("n_cust"),
+        countDistinct(col("o_orderpriority")).as("n_prio"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** ROLLUP grouping sets. NULLS FIRST is explicit in the oracle because
+    * DuckDB defaults to NULLS LAST while Spark defaults to NULLS FIRST. */
+  val aggRollup: Q = Q(
+    "agg_rollup",
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  count(*) AS n
+      |FROM lineitem
+      |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+  ) { (s, d) =>
+    Tables.lineitem(s, d)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(asDouble(sum(money(col("l_quantity")))).as("sum_qty"),
+           count(lit(1)).as("n"))
+      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+  }
+
+  /** Global top-k → Catalyst TakeOrderedAndProject (no full sort at scale:
+    * per-partition top-k then merge on the driver/final stage). */
+  val topk: Q = Q(
+    "topk",
+    """SELECT o_orderkey, o_custkey, o_totalprice
+      |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin
+  ) { (s, d) =>
+    Tables.orders(s, d)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      .limit(10)
+  }
+
+  /** Equi inner join; nation is a dimension → broadcast (no shuffle of the
+    * customer side). */
+  val joinInner: Q = Q(
+    "join_inner",
+    """SELECT c_custkey, c_name, n_name
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |ORDER BY c_custkey""".stripMargin
+  ) { (s, d) =>
+    val c = Tables.customer(s, d)
+    val n = Tables.nation(s, d)
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .select("c_custkey", "c_name", "n_name")
+      .orderBy("c_custkey")
+  }
+
+  /** TPC-H Q3-shaped 3-way join + agg + top-k. customer is the small side
+    * after its filter → broadcast hint; orders⋈lineitem is the big
+    * sort-merge/shuffled-hash join on the shared key. */
+  val joinMultiway: Q = Q(
+    "join_multiway",
+    """SELECT l_orderkey,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+      |  o_orderdate, o_orderpriority
+      |FROM customer JOIN orders ON c_custkey = o_custkey
+      |              JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01'
+      |  AND l_shipdate > TIMESTAMP '1996-06-30'
+      |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue DESC, l_orderkey LIMIT 20""".stripMargin
+  ) { (s, d) =>
+    val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables.orders(s, d)
+      .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    val l = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") > lit("1996-06-30").cast("timestamp"))
+    val disc1 = lit(1).cast(Tables.Money) - money(col("l_discount"))
+    broadcast(c)
+      .join(o, c("c_custkey") === o("o_custkey"))
+      .join(l, o("o_orderkey") === l("l_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(asDouble(sum(money(col("l_extendedprice")) * disc1)).as("revenue"))
+      .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+      .orderBy(desc("revenue"), asc("l_orderkey"))
+      .limit(20)
+  }
+
+  /** Left-semi / left-anti joins (EXISTS / NOT EXISTS). */
+  val semiAnti: Q = Q(
+    "semi_anti",
+    """SELECT 'no_orders' AS kind, count(*) AS n FROM customer
+      |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+      |UNION ALL
+      |SELECT 'with_orders' AS kind, count(*) AS n FROM customer
+      |WHERE c_custkey IN (SELECT o_custkey FROM orders)
+      |ORDER BY kind""".stripMargin
+  ) { (s, d) =>
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d).select(col("o_custkey").as("c_custkey"))
+    val withO = c.join(o, Seq("c_custkey"), "left_semi")
+      .agg(count(lit(1)).as("n")).select(lit("with_orders").as("kind"), col("n"))
+    val noO = c.join(o, Seq("c_custkey"), "left_anti")
+      .agg(count(lit(1)).as("n")).select(lit("no_orders").as("kind"), col("n"))
+    noO.unionByName(withO).orderBy("kind")
+  }
+
+  /** UNION / INTERSECT / EXCEPT set algebra on key sets. */
+  val setOps: Q = Q(
+    "setops",
+    """WITH a AS (SELECT DISTINCT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'),
+      |     b AS (SELECT DISTINCT o_custkey AS k FROM orders WHERE o_orderstatus = 'F')
+      |SELECT 'except' AS op, count(*) AS n FROM (SELECT k FROM a EXCEPT SELECT k FROM b)
+      |UNION ALL
+      |SELECT 'intersect' AS op, count(*) AS n FROM (SELECT k FROM a INTERSECT SELECT k FROM b)
+      |UNION ALL
+      |SELECT 'union' AS op, count(*) AS n FROM (SELECT k FROM a UNION SELECT k FROM b)
+      |ORDER BY op""".stripMargin
+  ) { (s, d) =>
+    val a = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey").as("k")).distinct()
+    val b = Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+      .select(col("o_custkey").as("k")).distinct()
+    def cnt(df: DataFrame, tag: String) =
+      df.agg(count(lit(1)).as("n")).select(lit(tag).as("op"), col("n"))
+    cnt(a.except(b), "except")
+      .unionByName(cnt(a.intersect(b), "intersect"))
+      .unionByName(cnt(a.union(b).distinct(), "union"))
+      .orderBy("op")
+  }
+
+  /** Scalar string/date function family (SURVEY §2.9): split/concat/case
+    * conversion + year/quarter/trunc/datediff — the reference's
+    * project_id.split('-') and %Y%m%d formatting generalized. */
+  val scalarStringDate: Q = Q(
+    "scalar_string_date",
+    """SELECT o_orderkey,
+      |  CAST(year(o_orderdate) AS INT) AS o_year,
+      |  CAST(quarter(o_orderdate) AS INT) AS o_quarter,
+      |  CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS o_month_start,
+      |  CAST(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS INT) AS days_since_epoch95,
+      |  lower(o_orderpriority) AS prio_lower,
+      |  string_split(o_orderpriority, '-')[1] AS prio_code,
+      |  concat_ws('#', o_orderstatus, o_orderpriority) AS status_prio,
+      |  CAST(length(o_orderpriority) AS INT) AS prio_len,
+      |  strftime(o_orderdate, '%Y%m%d-%H%M%S') AS snapshot_ts
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+  ) { (s, d) =>
+    Tables.orders(s, d).select(
+      col("o_orderkey"),
+      year(col("o_orderdate")).as("o_year"),
+      quarter(col("o_orderdate")).as("o_quarter"),
+      date_trunc("month", col("o_orderdate")).as("o_month_start"),
+      datediff(col("o_orderdate"), lit("1995-01-01").cast("date"))
+        .as("days_since_epoch95"),
+      lower(col("o_orderpriority")).as("prio_lower"),
+      split(col("o_orderpriority"), "-").getItem(0).as("prio_code"),
+      concat_ws("#", col("o_orderstatus"), col("o_orderpriority"))
+        .as("status_prio"),
+      length(col("o_orderpriority")).as("prio_len"),
+      date_format(col("o_orderdate"), "yyyyMMdd-HHmmss").as("snapshot_ts")
+    ).orderBy("o_orderkey")
+  }
+
+  /** JSON envelope extraction (reference json.loads of INPUT_DATA /
+    * study_meta, fhir_import_export.py:52,287) over events.props. */
+  val jsonExtract: Q = Q(
+    "json_extract",
+    """SELECT event_type,
+      |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+      |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+      |  count(*) AS n
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+  ) { (s, d) =>
+    val k = get_json_object(col("props"), "$.k").cast("long")
+    Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(sum(k).as("sum_k"), max(k).as("max_k"), count(lit(1)).as("n"))
+      .orderBy("event_type")
+  }
+
+  /** Array ops + higher-order functions over the embedding column
+    * (SURVEY §2.9 / north-star multimodal column). No float arithmetic in
+    * the output — element extraction and counts only, so parity is exact. */
+  val arrayOps: Q = Q(
+    "array_ops",
+    """SELECT vec_id,
+      |  CAST(len(embedding) AS INT) AS dim,
+      |  CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_pos,
+      |  CAST(embedding[1] AS DOUBLE) AS first_val,
+      |  CAST(embedding[64] AS DOUBLE) AS last_val,
+      |  label
+      |FROM embeddings ORDER BY vec_id""".stripMargin
+  ) { (s, d) =>
+    Tables.embeddings(s, d).select(
+      col("vec_id"),
+      size(col("embedding")).as("dim"),
+      size(filter(col("embedding"), x => x > 0)).as("n_pos"),
+      element_at(col("embedding"), 1).cast("double").as("first_val"),
+      element_at(col("embedding"), 64).cast("double").as("last_val"),
+      col("label")
+    ).orderBy("vec_id")
+  }
+
+  /** Range (interval) join: event pairs per user within 60s. Equi on
+    * user_id + range predicate → shuffle join on user_id, range filter
+    * post-join; at scale the equi key bounds the join fan-out. */
+  val joinRange: Q = Q(
+    "join_range",
+    """SELECT a.user_id AS user_id, count(*) AS n_pairs
+      |FROM events a JOIN events b
+      |  ON a.user_id = b.user_id AND b.ts > a.ts
+      | AND b.ts <= a.ts + INTERVAL 60 SECOND
+      |GROUP BY a.user_id ORDER BY user_id""".stripMargin
+  ) { (s, d) =>
+    val a = Tables.events(s, d).select(col("user_id"), col("ts").as("ts_a"))
+    val b = Tables.events(s, d).select(col("user_id"), col("ts").as("ts_b"))
+    a.join(b, Seq("user_id"))
+      .filter(col("ts_b") > col("ts_a") &&
+              col("ts_b") <= col("ts_a") + expr("INTERVAL 60 SECONDS"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("user_id")
+  }
+
+  /** As-of join (nearest signup at-or-before each purchase, per user).
+    * Spark lacks a native ASOF join; implemented as the classic
+    * union + last(ignoreNulls) over an ordered window — one shuffle by
+    * user_id, no N×M blow-up (contrast a range self-join), which is the
+    * scalable formulation. Oracle: DuckDB's native ASOF LEFT JOIN.
+    */
+  val joinAsof: Q = Q(
+    "join_asof",
+    """SELECT p.event_id AS event_id, p.user_id AS user_id,
+      |       p.ts AS purchase_ts, s.ts AS signup_ts
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+      |  ON p.user_id = s.user_id AND p.ts >= s.ts
+      |ORDER BY event_id""".stripMargin
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, d)
+    val tagged = ev
+      .filter(col("event_type").isin("purchase", "signup"))
+      .select(
+        col("event_id"), col("user_id"), col("ts"), col("event_type"),
+        when(col("event_type") === "signup", col("ts")).as("sig_ts"),
+        // signup sorts before purchase at equal ts so p.ts >= s.ts matches
+        when(col("event_type") === "signup", lit(0)).otherwise(lit(1)).as("tag"))
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("signup_ts", last(col("sig_ts"), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts").as("purchase_ts"),
+              col("signup_ts"))
+      .orderBy("event_id")
+  }
+
+  val all: Seq[Q] = Seq(
+    countByProject, filterPred, aggGroupBy, aggDistinct, aggRollup, topk,
+    joinInner, joinMultiway, semiAnti, setOps, scalarStringDate, jsonExtract,
+    arrayOps, joinRange, joinAsof)
+}

@@ -1,0 +1,92 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import graft.Tables.asDouble
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Window-function operators (SURVEY.md §2.6) and the custom UDAF
+  * (§2.5/§2.11).
+  *
+  * Scale note: every window here partitions by a high-cardinality key
+  * (customer / supplier), so the single shuffle it costs distributes evenly;
+  * no global-order window (which would single-task) is ever used.
+  */
+object Windows {
+
+  /** Top-N per group via row_number — the distributed top-k-per-key pattern
+    * (shuffle by key, sort within partition, early filter). */
+  val windowRank: Q = Q(
+    "window_rank",
+    """SELECT * FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    CAST(row_number() OVER (PARTITION BY o_custkey
+      |         ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn,
+      |    CAST(rank() OVER (PARTITION BY o_custkey
+      |         ORDER BY o_orderstatus) AS INT) AS status_rank
+      |  FROM orders) t
+      |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin
+  ) { (s, d) =>
+    val byPrice = Window.partitionBy("o_custkey")
+      .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+    val byStatus = Window.partitionBy("o_custkey").orderBy("o_orderstatus")
+    Tables.orders(s, d)
+      .select(
+        col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        row_number().over(byPrice).as("rn"),
+        rank().over(byStatus).as("status_rank"))
+      .filter(col("rn") <= 3)
+      .orderBy("o_custkey", "rn")
+  }
+
+  /** Running aggregates + lag/lead over an ordered per-key frame.
+    * l_quantity values are integral doubles, so the running sum is exact in
+    * any accumulation order. */
+  val windowRunning: Q = Q(
+    "window_running",
+    """SELECT l_suppkey, l_orderkey, l_linenumber,
+      |  CAST(sum(l_quantity) OVER w AS DOUBLE) AS running_qty,
+      |  CAST(count(*) OVER w AS BIGINT) AS running_n,
+      |  lag(l_quantity) OVER w2 AS prev_qty,
+      |  lead(l_quantity) OVER w2 AS next_qty
+      |FROM lineitem
+      |WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      |       w2 AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber)
+      |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin
+  ) { (s, d) =>
+    val order = Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+    val w = Window.partitionBy("l_suppkey").orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val w2 = Window.partitionBy("l_suppkey").orderBy(order: _*)
+    Tables.lineitem(s, d)
+      .select(
+        col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        sum(col("l_quantity")).over(w).cast("double").as("running_qty"),
+        count(lit(1)).over(w).as("running_n"),
+        lag(col("l_quantity"), 1).over(w2).as("prev_qty"),
+        lead(col("l_quantity"), 1).over(w2).as("next_qty"))
+      .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+  }
+
+  /** Custom typed UDAF (Aggregator): weighted mean of l_linenumber weighted
+    * by l_quantity. Inputs are integral so sums are exact and the final
+    * division is deterministic. See [[graft.functions.WeightedMean]]. */
+  val udafWeighted: Q = Q(
+    "udaf_weighted",
+    """SELECT l_returnflag,
+      |  sum(l_linenumber * l_quantity) / sum(l_quantity) AS w_mean,
+      |  count(*) AS n
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+  ) { (s, d) =>
+    val wm = graft.functions.WeightedMean.column(col("l_linenumber"),
+                                                 col("l_quantity"))
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(wm.as("w_mean"), count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+  }
+
+  val all: Seq[Q] = Seq(windowRank, windowRunning, udafWeighted)
+}
