@@ -14,7 +14,8 @@ object SparkEntry {
   /** All operator modules, in SURVEY §7.2 build order. */
   private def modules: Seq[Q] =
     operators.Relational.all ++
-    operators.Windows.all
+    operators.Windows.all ++
+    operators.Pipeline.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * TPC-H Q3-shaped multiway join + agg + top-k (SURVEY §7.2 step 1). */

@@ -1,0 +1,182 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import graft.Tables.{asDouble, money}
+import graft.plans.SchemaFlattener
+import org.apache.spark.sql.functions._
+
+/** Reference-shaped ETL pipeline operators (SURVEY.md §2.1–§2.3, §7.2 step
+  * 3), re-expressed over the driver testdata so the DuckDB oracle applies.
+  * The mapping (SURVEY §1.4): nation = "project", customer = "patient",
+  * orders = related resources.
+  *
+  * Scale notes:
+  *  - `simplify_flatten` is a pure projection (zero shuffles, stays in
+  *    whole-stage codegen) — see [[graft.plans.SchemaFlattener]].
+  *  - `denormalize_patient` pre-aggregates the fact side BEFORE the join
+  *    (partial agg on orders, then join on the customer key), so the join
+  *    input is one row per key instead of one per order — the shuffle moves
+  *    the aggregate, not the raw facts.
+  *  - `graph_edges` resolves edges against vertices with two equi-joins on
+  *    the vertex id — the standard distributed property-graph traversal
+  *    (shuffle on vid; no driver-side adjacency).
+  */
+object Pipeline {
+
+  /** Recursive flatten of nested documents — the engine's
+    * `simplify_directory` (fhir_import_export.py:218-222). Builds a nested
+    * struct in-plan, then [[SchemaFlattener.flatten]] turns it back into
+    * dotted flat columns; the oracle is the equivalent direct projection,
+    * proving flatten(nest(x)) == x on real data. */
+  val simplifyFlatten: Q = Q(
+    "simplify_flatten",
+    """SELECT c_custkey,
+      |  c_name AS object_meta_name,
+      |  c_mktsegment AS object_meta_segment,
+      |  c_acctbal AS object_acctbal
+      |FROM customer ORDER BY c_custkey""".stripMargin
+  ) { (s, d) =>
+    val nested = Tables.customer(s, d).select(
+      col("c_custkey"),
+      struct(
+        struct(col("c_name").as("name"),
+               col("c_mktsegment").as("segment")).as("meta"),
+        col("c_acctbal").as("acctbal")).as("object"))
+    SchemaFlattener.flatten(nested).orderBy("c_custkey")
+  }
+
+  /** Denormalization join — `denormalize_patient`
+    * (fhir_import_export.py:228-233): embed related-resource aggregates so
+    * the flat row is self-contained. Aggregate-then-join keeps the shuffle
+    * small; empty groups surface as 0 / empty array, not null (the
+    * reference's "/dev/null" empty-load semantics). */
+  val denormalizePatient: Q = Q(
+    "denormalize_patient",
+    """SELECT c.c_custkey, c.c_name,
+      |  COALESCE(s.n_orders, 0) AS n_orders,
+      |  COALESCE(s.sum_spend, 0.0) AS sum_spend,
+      |  s.last_order,
+      |  COALESCE(s.priorities, []) AS priorities
+      |FROM customer c LEFT JOIN (
+      |  SELECT o_custkey, count(*) AS n_orders,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_spend,
+      |    max(o_orderdate) AS last_order,
+      |    list_sort(list(DISTINCT o_orderpriority)) AS priorities
+      |  FROM orders GROUP BY o_custkey) s ON c.c_custkey = s.o_custkey
+      |ORDER BY c.c_custkey""".stripMargin
+  ) { (s, d) =>
+    val stats = Tables.orders(s, d)
+      .groupBy(col("o_custkey").as("c_custkey"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        asDouble(sum(money(col("o_totalprice")))).as("sum_spend"),
+        max(col("o_orderdate")).as("last_order"),
+        array_sort(collect_set(col("o_orderpriority"))).as("priorities"))
+    Tables.customer(s, d)
+      .join(stats, Seq("c_custkey"), "left")
+      .select(
+        col("c_custkey"), col("c_name"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        coalesce(col("sum_spend"), lit(0.0)).as("sum_spend"),
+        col("last_order"),
+        coalesce(col("priorities"), typedLit(Seq.empty[String]))
+          .as("priorities"))
+      .orderBy("c_custkey")
+  }
+
+  /** Graph edge resolution — `meta_upload`'s node/edge load
+    * (fhir_import_export.py:224-226; `relations` field :282). Vertices =
+    * customer ∪ nation nodes; edges = customer→nation `member_of`; resolve
+    * both endpoints by joining edges to the vertex table twice, then count
+    * edges per destination node. */
+  val graphEdges: Q = Q(
+    "graph_edges",
+    """WITH v AS (
+      |  SELECT 'c:' || c_custkey AS vid, 'customer' AS vlabel, c_name AS vname FROM customer
+      |  UNION ALL
+      |  SELECT 'n:' || n_nationkey AS vid, 'nation' AS vlabel, n_name AS vname FROM nation),
+      |e AS (
+      |  SELECT 'c:' || c_custkey AS src, 'n:' || c_nationkey AS dst FROM customer)
+      |SELECT dv.vname AS dst_name, dv.vlabel AS dst_label, count(*) AS n_edges
+      |FROM e JOIN v sv ON e.src = sv.vid JOIN v dv ON e.dst = dv.vid
+      |GROUP BY dv.vname, dv.vlabel ORDER BY dst_name""".stripMargin
+  ) { (s, d) =>
+    val c = Tables.customer(s, d)
+    val n = Tables.nation(s, d)
+    val v = c.select(concat(lit("c:"), col("c_custkey")).as("vid"),
+                     lit("customer").as("vlabel"), col("c_name").as("vname"))
+      .unionByName(
+        n.select(concat(lit("n:"), col("n_nationkey")).as("vid"),
+                 lit("nation").as("vlabel"), col("n_name").as("vname")))
+    val e = c.select(concat(lit("c:"), col("c_custkey")).as("src"),
+                     concat(lit("n:"), col("c_nationkey")).as("dst"))
+    e.join(v.as("sv"), col("src") === col("sv.vid"))
+      .join(v.as("dv"), col("dst") === col("dv.vid"))
+      .groupBy(col("dv.vname").as("dst_name"), col("dv.vlabel").as("dst_label"))
+      .agg(count(lit(1)).as("n_edges"))
+      .orderBy("dst_name")
+  }
+
+  /** Discovery summary — the per-project materialized view
+    * (fhir_import_export.py:263-289: project_id, patient count,
+    * description, identifier codings). nation = project; broadcast the
+    * dimension so the fact side never shuffles for the join. */
+  val discoverySummary: Q = Q(
+    "discovery_summary",
+    """SELECT n_name AS project_id, count(*) AS patient_count,
+      |  min(c_name) AS description,
+      |  list_sort(list(DISTINCT c_mktsegment)) AS identifier_coding
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY n_name ORDER BY project_id""".stripMargin
+  ) { (s, d) =>
+    val c = Tables.customer(s, d)
+    val n = Tables.nation(s, d)
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(col("n_name").as("project_id"))
+      .agg(count(lit(1)).as("patient_count"),
+           min(col("c_name")).as("description"),
+           array_sort(collect_set(col("c_mktsegment"))).as("identifier_coding"))
+      .orderBy("project_id")
+  }
+
+  /** NDJSON ingest path in-plan — serialize each row to a JSON line, parse
+    * it back through an external schema, flatten (the reference's
+    * download→parse→simplify chain, fhir_import_export.py:210-222, minus
+    * the filesystem). The oracle is the identity projection: a lossless
+    * round-trip. File-based NDJSON reads (incl. the missing-file "/dev/null"
+    * fallback, :234-258) are covered by [[graft.sources.Ndjson]] unit tests. */
+  val ingestNdjson: Q = Q(
+    "ingest_ndjson",
+    """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+      |FROM customer ORDER BY c_custkey""".stripMargin
+  ) { (s, d) =>
+    val c = Tables.customer(s, d)
+    val lines = c.select(to_json(struct(col("*"))).as("line"))
+    lines
+      .select(from_json(col("line"), c.schema).as("object"))
+      .select(col("object.*"))
+      .orderBy("c_custkey")
+  }
+
+  /** Snapshot export — `fhir_get` + zip (fhir_import_export.py:317-357):
+    * one project's partition serialized to full-fidelity JSON documents.
+    * Partition filter prunes at the scan; JSON rendering is a projection. */
+  val snapshotExport: Q = Q(
+    "snapshot_export",
+    """SELECT c_custkey AS id,
+      |  to_json(struct_pack(c_custkey := c_custkey, c_name := c_name,
+      |                      c_mktsegment := c_mktsegment))::VARCHAR AS resource_json
+      |FROM customer WHERE c_nationkey = 1 ORDER BY id""".stripMargin
+  ) { (s, d) =>
+    Tables.customer(s, d)
+      .filter(col("c_nationkey") === 1)
+      .select(
+        col("c_custkey").as("id"),
+        to_json(struct(col("c_custkey"), col("c_name"), col("c_mktsegment")))
+          .as("resource_json"))
+      .orderBy("id")
+  }
+
+  val all: Seq[Q] = Seq(simplifyFlatten, denormalizePatient, graphEdges,
+    discoverySummary, ingestNdjson, snapshotExport)
+}

@@ -1,0 +1,57 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.col
+
+/** Project-partitioned parquet store — the engine's replacement for the
+  * reference's four stores (SURVEY.md §1.4, §2.12). The reference loads a
+  * graph DB + three Elasticsearch indices + an ES `fhir` index per project
+  * (fhir_import_export.py:224-293) and deletes per project
+  * (:372-385, `empty_project` / `meta_flat_delete` / `fhir_delete`).
+  *
+  * Here every store is one parquet table partitioned by `project_id`
+  * (optionally sub-partitioned, e.g. `resource_type` for the fhir_raw
+  * table). At 100 TB this gives:
+  *  - dynamic partition pruning for every per-project read (the reference's
+  *    ES `match: project_id` filter becomes a directory prune, zero I/O for
+  *    other projects);
+  *  - per-project delete/reload as an O(1) metadata partition overwrite —
+  *    no row-level rewrite (`partitionOverwriteMode=dynamic` replaces only
+  *    the partitions present in the written frame);
+  *  - idempotent re-import (the reference wipes and reloads a project per
+  *    commit, :451-470): overwriting the same partition twice converges.
+  */
+final class Store(root: String, partitionCols: Seq[String] = Seq("project_id")) {
+
+  /** Append-or-overwrite the partitions present in `df` (put verb). */
+  def put(df: DataFrame): Unit =
+    df.write
+      .mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCols: _*)
+      .parquet(root)
+
+  /** Read the whole table; partition filters prune directories. */
+  def read(spark: SparkSession): DataFrame = spark.read.parquet(root)
+
+  /** Read one project's partition (get verb) — a directory prune, not a
+    * scan-and-filter. */
+  def readProject(spark: SparkSession, projectId: String): DataFrame =
+    read(spark).filter(col(partitionCols.head) === projectId)
+
+  /** Delete one project (delete verb): rewrite the table without the
+    * project's partitions. On plain parquet this is a partition drop via
+    * overwrite of nothing — implemented as an overwrite of the remaining
+    * partition list is wrong at scale, so instead we delete the partition
+    * directories directly (the parquet-table equivalent of the reference's
+    * per-project ES delete-by-query, fhir_import_export.py:375-376).
+    */
+  def deleteProject(spark: SparkSession, projectId: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val base = new org.apache.hadoop.fs.Path(root)
+    val fs = base.getFileSystem(conf)
+    val dir = new org.apache.hadoop.fs.Path(
+      base, s"${partitionCols.head}=$projectId")
+    if (fs.exists(dir)) { fs.delete(dir, true); () }
+  }
+}

@@ -1,0 +1,58 @@
+package graft
+
+import graft.plans.SchemaFlattener
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+class PlansSpec extends SparkSpec {
+
+  private val nestedSchema = StructType(Seq(
+    StructField("id", StringType),
+    StructField("object", StructType(Seq(
+      StructField("status", StringType),
+      StructField("meta", StructType(Seq(
+        StructField("version", IntegerType)))),
+      StructField("identifier", ArrayType(StringType))))),
+    StructField("relations", ArrayType(StructType(Seq(
+      StructField("dst_id", StringType)))))))
+
+  private def nestedDf = spark.createDataFrame(
+    java.util.List.of(
+      Row("a", Row("active", Row(1), Seq("x#y")), Seq(Row("d1"))),
+      Row("b", Row("draft", Row(2), Seq.empty[String]), Seq.empty[Row])),
+    nestedSchema)
+
+  test("flatten turns nested structs into dotted columns, keeps arrays") {
+    val flat = SchemaFlattener.flatten(nestedDf)
+    assert(flat.columns.toSeq === Seq(
+      "id", "object_status", "object_meta_version", "object_identifier",
+      "relations"))
+    val rows = flat.orderBy("id").collect()
+    assert(rows(0).getString(1) === "active")
+    assert(rows(0).getInt(2) === 1)
+    assert(rows(0).getSeq[String](3) === Seq("x#y"))
+  }
+
+  test("flatten is row-preserving and idempotent on flat schemas") {
+    val flat = SchemaFlattener.flatten(nestedDf)
+    assert(flat.count() === nestedDf.count())
+    val again = SchemaFlattener.flatten(flat)
+    assert(again.columns.toSeq === flat.columns.toSeq)
+  }
+
+  test("hasNestedStructArrays detects arrays of structs") {
+    assert(SchemaFlattener.hasNestedStructArrays(nestedSchema))
+    assert(!SchemaFlattener.hasNestedStructArrays(
+      StructType(Seq(StructField("a", ArrayType(StringType))))))
+  }
+
+  test("flatten quotes field names containing dots") {
+    val df = spark.createDataFrame(
+      java.util.List.of(Row(Row("v"))),
+      StructType(Seq(StructField("outer", StructType(Seq(
+        StructField("inner.dotted", StringType)))))))
+    val flat = SchemaFlattener.flatten(df)
+    assert(flat.columns.toSeq === Seq("outer_inner.dotted"))
+    assert(flat.collect()(0).getString(0) === "v")
+  }
+}

@@ -1,0 +1,33 @@
+package graft
+
+import graft.sources.Ndjson
+import org.apache.spark.sql.types._
+import java.nio.file.Files
+
+class SourcesSpec extends SparkSpec {
+
+  private val patientSchema = StructType(Seq(
+    StructField("project_id", StringType),
+    StructField("id", StringType),
+    StructField("gender", StringType)))
+
+  test("readOrEmpty reads an ndjson file with the supplied schema") {
+    val dir = Files.createTempDirectory("ndjson").toString
+    Files.writeString(java.nio.file.Paths.get(dir, "Patient.ndjson"),
+      """{"project_id":"aced-test","id":"p1","gender":"female"}
+        |{"project_id":"aced-test","id":"p2","gender":"male"}
+        |""".stripMargin)
+    val df = Ndjson.readOrEmpty(spark, dir, "Patient", patientSchema)
+    assert(df.schema === patientSchema)
+    assert(df.count() === 2)
+    assert(df.filter("id = 'p1'").select("gender").collect()(0).getString(0)
+      === "female")
+  }
+
+  test("missing file yields empty-but-schema'd frame (/dev/null semantics)") {
+    val dir = Files.createTempDirectory("ndjson-empty").toString
+    val df = Ndjson.readOrEmpty(spark, dir, "Observation", patientSchema)
+    assert(df.schema === patientSchema)
+    assert(df.count() === 0)
+  }
+}
