@@ -15,7 +15,10 @@ object SparkEntry {
   private def modules: Seq[Q] =
     operators.Relational.all ++
     operators.Windows.all ++
-    operators.Pipeline.all
+    operators.Pipeline.all ++
+    operators.TextAnalysis.all ++
+    operators.Dedup.all ++
+    operators.Vectors.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * TPC-H Q3-shaped multiway join + agg + top-k (SURVEY §7.2 step 1). */

@@ -1,0 +1,193 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators over `documents` / `embeddings` — exact,
+  * n-gram-Jaccard, MinHash+LSH, SimHash, and embedding-cosine near-dup
+  * (builder prompt north-star; SURVEY.md §2.8, §7.2 step 5).
+  *
+  * Scale posture, per variant:
+  *  - exact: hash groupBy on a content digest — one shuffle keyed by
+  *    digest, perfectly distributed.
+  *  - ngram (exact Jaccard): inverted-index self-join on shingles. The
+  *    candidate fan-out is bounded by shingle selectivity; at 100 TB the
+  *    hot path is the same plan with a frequent-shingle stop-list (any
+  *    shingle shared by >F docs contributes F² candidate pairs — drop
+  *    them like stopwords). This is the *verifier*; LSH below is the
+  *    *candidate generator* at scale.
+  *  - minhash LSH: signatures are a projection (no shuffle); banding turns
+  *    the all-pairs problem into an equi-join on (band, bandHash) — the
+  *    textbook sub-quadratic near-dup plan.
+  *  - simhash: same banding idea on 16-bit chunks of a 64-bit signature.
+  *  - cosine: all-pairs above a threshold; kept as the exact baseline —
+  *    the ANN path is [[Vectors.vectorAnnLsh]].
+  */
+object Dedup {
+
+  /** Distinct 3-token shingles per document. size(toks)-2 shingles — the
+    * testdata guarantees ≥10 tokens/doc. */
+  private[operators] def shingled(s: SparkSession, d: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      array_distinct(transform(
+        sequence(lit(0), size(toks) - 3),
+        i => concat_ws(" ", slice(toks, i + 1, lit(3))))).as("shingles"))
+  }
+
+  /** Exact dedup: group by content digest, keep the min doc_id (the
+    * deterministic survivor), count copies. */
+  val dedupExact: Q = Q(
+    "dedup_exact",
+    """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
+      |       count(*) AS n_copies
+      |FROM documents GROUP BY md5(text) ORDER BY content_hash""".stripMargin
+  ) { (s, d) =>
+    Tables.documents(s, d)
+      .groupBy(md5(col("text").cast("binary")).as("content_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .orderBy("content_hash")
+  }
+
+  /** Exact n-gram (3-shingle) Jaccard near-dup pairs at τ=0.5 via the
+    * inverted-index join. Testdata has a clean margin: planted dups sit at
+    * J≥0.8, everything else below 0.2. */
+  val dedupNgram: Q = Q(
+    "dedup_ngram",
+    """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+      |sh AS (SELECT doc_id,
+      |  list_distinct([array_to_string(toks[i:i+2],' ') FOR i IN range(1, len(toks)-1)]) AS shingles
+      |  FROM t),
+      |ex AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      |  FROM (SELECT doc_id, unnest(shingles) AS sgl FROM sh) a
+      |  JOIN (SELECT doc_id, unnest(shingles) AS sgl FROM sh) b
+      |    ON a.sgl = b.sgl AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |sz AS (SELECT doc_id, len(shingles) AS n FROM sh)
+      |SELECT doc_a, doc_b,
+      |  CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
+      |FROM ex JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
+      |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5
+      |ORDER BY doc_a, doc_b""".stripMargin
+  ) { (s, d) =>
+    val sh = shingled(s, d)
+    val ex = sh.select(col("doc_id"), explode(col("shingles")).as("sgl"))
+    val pairs = ex.as("a").join(ex.as("b"),
+        col("a.sgl") === col("b.sgl") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    val sz = sh.select(col("doc_id"), size(col("shingles")).as("n"))
+    val jac = col("inter").cast("double") /
+      (col("sa.n") + col("sb.n") - col("inter"))
+    pairs
+      .join(sz.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sz.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"), jac.as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  private val MinhashK = 32 // signature length
+  private val Bands = 8     // bands of r = 4 rows each
+
+  /** MinHash signature array: sig[j] = min over shingles of
+    * xxhash64(j, shingle). A pure projection — 32 hashes per shingle,
+    * no shuffle, fully codegen'd (xxhash64 is a native expression). */
+  private[operators] def minhashSignatures(sh: DataFrame): DataFrame =
+    sh.select(col("doc_id"), col("shingles"),
+      array((0 until MinhashK).map(j =>
+        array_min(transform(col("shingles"),
+          sgl => xxhash64(lit(j), sgl)))): _*).as("sig"))
+
+  /** MinHash + LSH banding near-dup: candidates from an equi-join on
+    * (band index, hash of 4 signature slots), then exact-Jaccard verify at
+    * τ=0.8 on the shingle sets. No DuckDB oracle (xxhash64 is
+    * Spark-specific); the driver records rows-only and
+    * [[graft.DedupSpec]] asserts precision/recall vs the exact pairs. */
+  val dedupMinhash: Q = Q.noOracle("dedup_minhash") { (s, d) =>
+    val sig = minhashSignatures(shingled(s, d))
+    val bands = sig.select(col("doc_id"), col("shingles"),
+      explode(array((0 until Bands).map(k =>
+        struct(lit(k).as("band"),
+          xxhash64((0 until 4).map(r => col("sig")(k * 4 + r)): _*)
+            .as("bhash"))): _*)).as("bk"))
+      .select(col("doc_id"), col("shingles"),
+              col("bk.band").as("band"), col("bk.bhash").as("bhash"))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bhash") === col("b.bhash") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+              col("a.shingles").as("sh_a"), col("b.shingles").as("sh_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    val jac = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+      size(array_union(col("sh_a"), col("sh_b")))
+    cand.select(col("doc_a"), col("doc_b"), jac.as("jaccard"))
+      .filter(col("jaccard") >= 0.8)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** 64-bit SimHash per document (token-hash bit voting), then candidate
+    * pairs via 4×16-bit band join with Hamming distance ≤ 3. Bit votes are
+    * a single groupBy(doc_id) with 64 conditional sums — partial+final
+    * aggregation, one shuffle keyed by doc_id. (Shared-vocabulary corpora
+    * correlate simhashes, so the Hamming cut is deliberately tight.) */
+  val dedupSimhash: Q = Q.noOracle("dedup_simhash") { (s, d) =>
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .select(col("doc_id"), xxhash64(col("token")).as("h"))
+    val voteCols = (0 until 64).map(j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1)
+        .otherwise(-1)).as(s"b$j"))
+    val votes = tok.groupBy("doc_id").agg(voteCols.head, voteCols.tail: _*)
+    val simhash = (0 until 64).map(j =>
+        when(col(s"b$j") > 0, lit(1L << j)).otherwise(0L))
+      .reduce(_.bitwiseOR(_))
+    val sh = votes.select(col("doc_id"), simhash.as("simhash"))
+    val bands = sh.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map(k => struct(lit(k).as("band"),
+        shiftright(col("simhash"), k * 16).bitwiseAND(0xFFFFL)
+          .as("chunk"))): _*)).as("bk"))
+      .select(col("doc_id"), col("simhash"),
+              col("bk.band").as("band"), col("bk.chunk").as("chunk"))
+    bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
+          .as("hamming"))
+      .dropDuplicates("doc_a", "doc_b")
+      .filter(col("hamming") <= 3)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Embedding-cosine near-dup pairs at τ=0.45 (testdata margin: no pair
+    * within ±5e-4 of τ). Exact all-pairs baseline; the double-precision
+    * left-to-right fold matches DuckDB's list arithmetic bit-for-bit. */
+  val dedupCosine: Q = Q(
+    "dedup_cosine",
+    """WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v FROM embeddings),
+      |n AS (SELECT vec_id, v, sqrt(list_sum([x*x FOR x IN v])) AS nrm FROM e),
+      |p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      |        list_sum([a.v[i]*b.v[i] FOR i IN range(1, len(a.v)+1)]) / (a.nrm*b.nrm) AS cosine
+      |      FROM n a JOIN n b ON a.vec_id < b.vec_id)
+      |SELECT vec_a, vec_b, cosine FROM p WHERE cosine >= 0.45
+      |ORDER BY vec_a, vec_b""".stripMargin
+  ) { (s, d) =>
+    val e = Tables.embeddings(s, d).select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+    val n = e.select(col("vec_id"), col("v"),
+      sqrt(aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x)).as("nrm"))
+    val cos = aggregate(zip_with(col("a.v"), col("b.v"), (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x) / (col("a.nrm") * col("b.nrm"))
+    n.as("a").join(n.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+              cos.as("cosine"))
+      .filter(col("cosine") >= 0.45)
+      .orderBy("vec_a", "vec_b")
+  }
+
+  val all: Seq[Q] = Seq(dedupExact, dedupNgram, dedupMinhash, dedupSimhash,
+    dedupCosine)
+}

@@ -1,0 +1,119 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over the `documents` table — the north-star
+  * training-data-pipeline family (builder prompt; SURVEY.md §7.2 step 5):
+  * token counting, quality scoring, language-ID, fingerprinting.
+  *
+  * Scale posture: every query here is split/explode/groupBy — the
+  * inverted-index shape. Token explode multiplies rows ~50× but carries
+  * only (doc_id, token); the groupBy is a partial+final hash aggregate on
+  * the token key, which distributes by vocabulary and never collects a
+  * document to the driver.
+  */
+object TextAnalysis {
+
+  private val stopwords = Seq("the", "a", "of", "and", "is")
+
+  /** Term/document frequency — whitespace tokenization + explode + two-level
+    * count (token counting over 100 TB is exactly this plan). */
+  val textTokens: Q = Q(
+    "text_tokens",
+    """SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
+      |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents) t
+      |GROUP BY token ORDER BY tf DESC, token LIMIT 50""".stripMargin
+  ) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+      .orderBy(desc("tf"), asc("token"))
+      .limit(50)
+  }
+
+  /** Per-document quality metrics: token counts (whitespace + regex),
+    * type-token ratio inputs, average token length, stopword ratio. All
+    * ratios are double divisions of exact ints — bit-identical across
+    * engines. Pure projection: no shuffle at all. */
+  val textQuality: Q = Q(
+    "text_quality",
+    s"""SELECT doc_id, n_chars,
+      |  CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+      |  CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_uniq,
+      |  CAST(len(regexp_extract_all(text, '[a-z]+')) AS INT) AS n_alpha_tokens,
+      |  CAST(len(replace(text, ' ', '')) AS DOUBLE) / len(string_split(text, ' ')) AS avg_token_len,
+      |  CAST(len(list_filter(string_split(text, ' '),
+      |       t -> t IN (${stopwords.map("'" + _ + "'").mkString(",")}))) AS DOUBLE)
+      |    / len(string_split(text, ' ')) AS stopword_ratio
+      |FROM documents ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    val toks = split(col("text"), " ")
+    Tables.documents(s, d).select(
+      col("doc_id"), col("n_chars"),
+      size(toks).as("n_tokens"),
+      size(array_distinct(toks)).as("n_uniq"),
+      size(expr("regexp_extract_all(text, '[a-z]+', 0)")).as("n_alpha_tokens"),
+      (length(regexp_replace(col("text"), " ", "")).cast("double") / size(toks))
+        .as("avg_token_len"),
+      (size(filter(toks, t => t.isin(stopwords: _*))).cast("double") / size(toks))
+        .as("stopword_ratio")
+    ).orderBy("doc_id")
+  }
+
+  /** Language-ID by marker-token scoring (the n-gram-heuristic family):
+    * score = marker hits per language, predict argmax with a deterministic
+    * tie-break order, 'und' when no evidence. The `lang` column is kept as
+    * ground truth for accuracy measurement downstream. */
+  val langId: Q = Q(
+    "lang_id",
+    """WITH s AS (SELECT doc_id, lang,
+      |  len(list_filter(string_split(text,' '), t -> t IN ('the','a','of'))) AS s_en,
+      |  len(list_filter(string_split(text,' '), t -> t IN ('der','die','und'))) AS s_de,
+      |  len(list_filter(string_split(text,' '), t -> t IN ('el','los','una'))) AS s_es
+      |FROM documents)
+      |SELECT doc_id, lang AS actual,
+      |  CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en > 0 THEN 'en'
+      |       WHEN s_de >= s_es AND s_de > 0 THEN 'de'
+      |       WHEN s_es > 0 THEN 'es'
+      |       ELSE 'und' END AS predicted,
+      |  CAST(s_en AS INT) AS s_en, CAST(s_de AS INT) AS s_de, CAST(s_es AS INT) AS s_es
+      |FROM s ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    val toks = split(col("text"), " ")
+    def score(markers: String*) = size(filter(toks, t => t.isin(markers: _*)))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang").as("actual"),
+        score("the", "a", "of").as("s_en"),
+        score("der", "die", "und").as("s_de"),
+        score("el", "los", "una").as("s_es"))
+      .select(col("doc_id"), col("actual"),
+        when(col("s_en") >= col("s_de") && col("s_en") >= col("s_es") &&
+             col("s_en") > 0, "en")
+          .when(col("s_de") >= col("s_es") && col("s_de") > 0, "de")
+          .when(col("s_es") > 0, "es")
+          .otherwise("und").as("predicted"),
+        col("s_en"), col("s_de"), col("s_es"))
+      .orderBy("doc_id")
+  }
+
+  /** Content fingerprint: md5 over the sorted distinct token set — a
+    * bag-of-words fingerprint that is stable under token reordering (the
+    * canonical cheap document fingerprint; a rolling/shingle hash variant
+    * lives in [[graft.functions.TextFns.rollingHash]]). */
+  val textFingerprint: Q = Q(
+    "text_fingerprint",
+    """SELECT doc_id,
+      |  md5(array_to_string(list_sort(list_distinct(string_split(text,' '))),' ')) AS fingerprint
+      |FROM documents ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      md5(concat_ws(" ", array_sort(array_distinct(split(col("text"), " "))))
+        .cast("binary")).as("fingerprint"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(textTokens, textQuality, langId, textFingerprint)
+}

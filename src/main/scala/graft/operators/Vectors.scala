@@ -1,0 +1,94 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import graft.functions.VectorOps._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (builder prompt
+  * north-star; SURVEY.md §2.11): brute-force cosine top-k as the exact
+  * baseline, and a random-hyperplane LSH bucketed variant as the scale
+  * path.
+  *
+  * Scale posture:
+  *  - brute force: one broadcast of the (single-row) query vector, a
+  *    narrow per-row cosine projection, then `orderBy(..).limit(k)` which
+  *    Catalyst plans as TakeOrderedAndProject — per-partition top-k merged
+  *    at the driver; no global sort, no all-to-all shuffle.
+  *  - LSH: each vector hashes to a 16-bit bucket via sign(v·hⱼ) against 16
+  *    fixed hyperplanes; the query probes its own bucket plus all
+  *    Hamming-1 neighbors (multiprobe). At 100 TB the bucket column is a
+  *    partition/cluster key, so a probe reads 17/65536 of the data instead
+  *    of all of it.
+  */
+object Vectors {
+
+  private val Dim = 64
+  private val NPlanes = 8
+
+  /** Fixed pseudo-random hyperplanes (seeded — deterministic across runs,
+    * the "trained" part of the index). */
+  private[operators] lazy val planes: Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(42)
+    Seq.fill(NPlanes)(Seq.fill(Dim)(rnd.nextGaussian()))
+  }
+
+  /** Exact brute-force cosine top-20 against the vec_id=0 query vector. */
+  val vectorTopk: Q = Q(
+    "vector_topk",
+    """WITH q AS (SELECT [CAST(x AS DOUBLE) FOR x IN embedding] AS qv
+      |           FROM embeddings WHERE vec_id = 0),
+      |e AS (SELECT vec_id, label, [CAST(x AS DOUBLE) FOR x IN embedding] AS v
+      |      FROM embeddings WHERE vec_id <> 0)
+      |SELECT vec_id, label,
+      |  list_sum([v[i]*qv[i] FOR i IN range(1, len(v)+1)]) /
+      |  (sqrt(list_sum([x*x FOR x IN v])) * sqrt(list_sum([x*x FOR x IN qv]))) AS cosine
+      |FROM e, q
+      |ORDER BY cosine DESC, vec_id LIMIT 20""".stripMargin
+  ) { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    val q = emb.filter(col("vec_id") === 0)
+      .select(toDouble(col("embedding")).as("qv"))
+    emb.filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), col("label"), toDouble(col("embedding")).as("v"))
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("label"), cosine(col("v"), col("qv")).as("cosine"))
+      .orderBy(desc("cosine"), asc("vec_id"))
+      .limit(20)
+  }
+
+  /** 8-bit LSH bucket signature for a (double) vector column. */
+  private[operators] def bucketOf(v: org.apache.spark.sql.Column) =
+    (0 until NPlanes).map { j =>
+      val h = typedlit(planes(j))
+      when(dot(v, h) > 0, 1 << j).otherwise(0)
+    }.reduce(_ + _)
+
+  /** LSH-bucketed approximate top-20 for the same query: probe the query's
+    * bucket and all buckets within Hamming distance 2 (1+8+28 = 37 of the
+    * 256 buckets ≈ 14% of the corpus — sub-linear, tunable via probe
+    * radius), exact cosine within the probed set. No SQL oracle (the
+    * hyperplanes live here); VectorsSpec measures recall vs
+    * [[vectorTopk]]. */
+  val vectorAnnLsh: Q = Q.noOracle("vector_ann_lsh") { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    val e = emb.filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), col("label"), toDouble(col("embedding")).as("v"))
+      .withColumn("bucket", bucketOf(col("v")))
+    val probeOffsets: Seq[Int] = 0 +:
+      (0 until NPlanes).map(1 << _) ++:
+      (for { i <- 0 until NPlanes; j <- (i + 1) until NPlanes }
+        yield (1 << i) | (1 << j))
+    val q = emb.filter(col("vec_id") === 0)
+      .select(toDouble(col("embedding")).as("qv"))
+      .withColumn("qbucket", bucketOf(col("qv")))
+      .select(col("qv"), explode(array(probeOffsets.map(m =>
+        col("qbucket").bitwiseXOR(lit(m))): _*)).as("bucket"))
+    e.join(broadcast(q), Seq("bucket"))
+      .select(col("vec_id"), col("label"), cosine(col("v"), col("qv")).as("cosine"))
+      .orderBy(desc("cosine"), asc("vec_id"))
+      .limit(20)
+  }
+
+  val all: Seq[Q] = Seq(vectorTopk, vectorAnnLsh)
+}
