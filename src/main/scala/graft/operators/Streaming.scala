@@ -1,0 +1,66 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import graft.streaming.Streams
+import org.apache.spark.sql.functions._
+
+/** Batch-parity streaming queries (SURVEY.md §2.10): the same transforms
+  * [[graft.streaming.Streams]] runs under Structured Streaming, executed
+  * in batch mode over `events` so the DuckDB oracle applies. Streaming
+  * execution (MemoryStream + watermark/late-data) is exercised in
+  * StreamingSpec.
+  */
+object Streaming {
+
+  /** Tumbling window aggregation. Spark's window origin and DuckDB's
+    * time_bucket origin both align 10-minute buckets on the epoch grid. */
+  val streamTumbling: Q = Q(
+    "stream_tumbling",
+    """SELECT time_bucket(INTERVAL '10 minutes', ts) AS window_start,
+      |  event_type, count(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  ) { (s, d) =>
+    Streams.tumbling(Tables.events(s, d))
+      .orderBy("window_start", "event_type")
+  }
+
+  /** Hopping (sliding) windows, width 10 / slide 5: every event belongs to
+    * the bucket it falls in and the one starting 5 minutes earlier. */
+  val streamHopping: Q = Q(
+    "stream_hopping",
+    """WITH b AS (SELECT event_type,
+      |    time_bucket(INTERVAL '5 minutes', ts) AS b5 FROM events),
+      |x AS (SELECT event_type, b5 AS wstart FROM b
+      |      UNION ALL
+      |      SELECT event_type, b5 - INTERVAL 5 MINUTE AS wstart FROM b)
+      |SELECT wstart AS window_start, event_type, count(*) AS n
+      |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  ) { (s, d) =>
+    Streams.hopping(Tables.events(s, d))
+      .orderBy("window_start", "event_type")
+  }
+
+  /** Session windows (5-minute gap) via gaps-and-islands in the oracle:
+    * a new session starts when the gap from the previous event is >= the
+    * gap duration (Spark sessions are half-open [start, last+gap)). */
+  val streamSession: Q = Q(
+    "stream_session",
+    """WITH x AS (SELECT user_id, ts, value,
+      |  CASE WHEN lag(ts) OVER w IS NULL
+      |         OR ts - lag(ts) OVER w >= INTERVAL 5 MINUTE THEN 1 ELSE 0 END AS brk
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      |y AS (SELECT user_id, ts, value,
+      |  sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+      |                 ROWS UNBOUNDED PRECEDING) AS sess FROM x)
+      |SELECT min(ts) AS session_start, max(ts) + INTERVAL 5 MINUTE AS session_end,
+      |  user_id, count(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM y GROUP BY user_id, sess ORDER BY user_id, session_start""".stripMargin
+  ) { (s, d) =>
+    Streams.session(Tables.events(s, d))
+      .orderBy("user_id", "session_start")
+  }
+
+  val all: Seq[Q] = Seq(streamTumbling, streamHopping, streamSession)
+}

@@ -1,0 +1,107 @@
+package graft
+
+import graft.streaming.Streams
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+/** Structured Streaming execution of the shared transforms: MemoryStream →
+  * transform → memory sink, asserted equal to the batch run of the same
+  * transform on the same rows (SURVEY.md §5 item 4), plus a
+  * watermark/late-data case.
+  */
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+              event_type: String, value: Double, props: String)
+
+class StreamingSpec extends SparkSpec {
+
+  private def ts(min: Int, sec: Int = 0): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$min%02d:$sec%02d")
+
+  private val rows = Seq(
+    Ev(1, ts(0), 1, "click", 1.0, "{}"),
+    Ev(2, ts(1), 1, "click", 2.0, "{}"),
+    Ev(3, ts(11), 1, "click", 3.0, "{}"),   // next tumbling window
+    Ev(4, ts(2), 2, "buy", 10.0, "{}"),
+    Ev(5, ts(8), 2, "buy", 20.0, "{}"),     // 6-min gap: new session for u2
+    Ev(6, ts(12, 30), 2, "buy", 30.0, "{}"))
+
+  private def runStream(transform: DataFrame => DataFrame,
+                        outputMode: String = "complete",
+                        data: Seq[Ev] = rows): Array[org.apache.spark.sql.Row] = {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    mem.addData(data)
+    val name = s"sink_${System.nanoTime()}"
+    val q = transform(mem.toDF()).writeStream
+      .format("memory").queryName(name).outputMode(outputMode).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name).collect()
+  }
+
+  private def sorted(rows: Array[org.apache.spark.sql.Row]) =
+    rows.map(_.toString).sorted.toSeq
+
+  test("tumbling windows: streaming == batch on the same data") {
+    val spark2 = spark
+    import spark2.implicits._
+    val batch = Streams.tumbling(rows.toDF()).collect()
+    val stream = runStream(Streams.tumbling)
+    assert(sorted(stream) === sorted(batch))
+    // window contents sanity: first u1 window has 2 clicks
+    assert(batch.exists(r => r.getAs[Long]("n") == 2 &&
+      r.getAs[String]("event_type") == "click"))
+  }
+
+  test("hopping windows: streaming == batch, each event in two windows") {
+    val spark2 = spark
+    import spark2.implicits._
+    val batch = Streams.hopping(rows.toDF()).collect()
+    val stream = runStream(Streams.hopping)
+    assert(sorted(stream) === sorted(batch))
+    assert(batch.map(_.getAs[Long]("n")).sum === 2L * rows.size)
+  }
+
+  test("session windows: streaming == batch; 6-min gap splits the session") {
+    val spark2 = spark
+    import spark2.implicits._
+    val batch = Streams.session(rows.toDF()).collect()
+    val stream = runStream(Streams.session)
+    assert(sorted(stream) === sorted(batch))
+    val u2 = batch.filter(_.getAs[Long]("user_id") == 2)
+    assert(u2.length === 2, s"expected 2 sessions for user 2, got ${u2.toSeq}")
+  }
+
+  test("watermark drops events later than the threshold (append mode)") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val agg = (df: DataFrame) => df
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "10 minutes")).agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("ws"), col("n"))
+    val name = s"late_${System.nanoTime()}"
+    val q = agg(mem.toDF()).writeStream
+      .format("memory").queryName(name).outputMode("append").start()
+    try {
+      mem.addData(Seq(Ev(1, ts(0), 1, "a", 1.0, "{}"),
+                      Ev(2, ts(5), 1, "a", 1.0, "{}")))
+      q.processAllAvailable()
+      // advance watermark far past the first window
+      mem.addData(Seq(Ev(3, Timestamp.valueOf("2024-01-01 11:00:00"), 1, "a", 1.0, "{}")))
+      q.processAllAvailable()
+      // late arrival into the long-closed first window: must be dropped
+      mem.addData(Seq(Ev(4, ts(1), 1, "a", 1.0, "{}")))
+      q.processAllAvailable()
+      val out = spark.table(name).collect()
+      val first = out.filter(_.getAs[Timestamp]("ws") ==
+        Timestamp.valueOf("2024-01-01 10:00:00"))
+      assert(first.length === 1 && first(0).getAs[Long]("n") === 2,
+        s"late row leaked into closed window: ${out.toSeq}")
+    } finally q.stop()
+  }
+}
