@@ -3,11 +3,12 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
-/** Vector kernels over `array<double>` columns, composed from codegen'd
-  * higher-order functions (SURVEY.md §2.11, §4 custom piece 1). The HOF
-  * composition keeps the whole computation inside Catalyst (no UDF
-  * serialization boundary); a native `Expression` with `doGenCode` is the
-  * next escalation if these show up hot in the bench.
+/** Vector kernels over `array<double>` columns (SURVEY.md §2.11, §4 custom
+  * piece 1). The hot path ([[cosine]]) is the native codegen'd
+  * [[graft.functions.expressions.CosineSimilarity]] expression; the HOF
+  * compositions are kept as the pure-built-ins fallback (identical results
+  * — same accumulation order — ~20× slower on all-pairs workloads because
+  * higher-order functions are interpreted per element).
   */
 object VectorOps {
 
@@ -19,7 +20,15 @@ object VectorOps {
   def norm(a: Column): Column =
     sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Native single-pass cosine (whole-stage codegen). */
+  def cosine(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graft.Bridge
+    Bridge.column(graft.functions.expressions.CosineSimilarity(
+      Bridge.expression(a), Bridge.expression(b)))
+  }
+
+  /** HOF fallback — bit-identical to [[cosine]], no custom expression. */
+  def cosineHof(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
   /** Cast an array<float> embedding to array<double> once, up front —
     * all downstream arithmetic then runs in double precision. */

