@@ -1,0 +1,67 @@
+package graft
+
+import graft.operators.{Dedup, Pipeline, Relational, Vectors}
+
+/** Physical-plan audits (builder prompt: ".explain the plan and iterate
+  * until it's the plan you'd want"). These lock in the scale-critical plan
+  * shapes so a refactor that silently loses pushdown / broadcast / top-k /
+  * partial aggregation fails CI, not the 100 TB run.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private def plan(q: Q): String =
+    q.fn(spark, sf0001).queryExecution.executedPlan.toString
+
+  test("filter_pred pushes predicates into the parquet scan") {
+    val p = plan(Relational.filterPred)
+    assert(p.contains("PushedFilters:"), p.take(400))
+    assert(p.contains("GreaterThanOrEqual(l_quantity") ||
+           p.contains("LessThan(l_discount"),
+      "expected lineitem predicates in PushedFilters")
+  }
+
+  test("join_inner broadcasts the nation dimension") {
+    assert(plan(Relational.joinInner).contains("BroadcastHashJoin"))
+  }
+
+  test("join_multiway broadcasts filtered customer, shuffles the fact join") {
+    val p = plan(Relational.joinMultiway)
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
+  test("topk compiles to TakeOrderedAndProject (no global sort)") {
+    assert(plan(Relational.topk).contains("TakeOrderedAndProject"))
+  }
+
+  test("vector_topk is a TakeOrderedAndProject over the cosine projection") {
+    val p = plan(Vectors.vectorTopk)
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(p.contains("cosine_sim"), "native expression should be in the plan")
+  }
+
+  test("agg_groupby runs partial+final hash aggregation") {
+    val p = plan(Relational.aggGroupBy)
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "expected map-side partial + final HashAggregate")
+  }
+
+  test("simplify_flatten prunes unread columns at the scan") {
+    val p = plan(Pipeline.simplifyFlatten)
+    assert(!p.contains("c_nationkey"),
+      "flatten projection must not read unused columns")
+  }
+
+  test("dedup_cosine evaluates the native cosine, threshold pushed into join") {
+    val p = plan(Dedup.dedupCosine)
+    assert(p.contains("cosine_sim"))
+    // Catalyst pushes `cosine >= τ` into the nested-loop join condition,
+    // so pairs below threshold never materialize a row
+    assert(p.contains("BroadcastNestedLoopJoin") &&
+           p.contains("cosine_sim(v"))
+  }
+
+  test("count_by_project aggregates with partial combine before shuffle") {
+    val p = plan(Relational.countByProject)
+    assert("HashAggregate".r.findAllIn(p).size >= 2)
+  }
+}
