@@ -350,8 +350,41 @@ object Relational {
       .orderBy("event_id")
   }
 
+  /** Map-typed column ops (SURVEY §2.9): JSON envelope → map<string,string>,
+    * key extraction and key-set introspection. The oracle reads the same
+    * facts through DuckDB's JSON functions. */
+  val mapOps: Q = Q(
+    "map_ops",
+    """SELECT event_id,
+      |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+      |  list_sort(json_keys(props)) AS keys,
+      |  CAST(len(json_keys(props)) AS INT) AS n_keys
+      |FROM events ORDER BY event_id""".stripMargin
+  ) { (s, d) =>
+    import org.apache.spark.sql.types.{MapType, StringType}
+    val m = from_json(col("props"), MapType(StringType, StringType))
+    Tables.events(s, d).select(
+      col("event_id"),
+      element_at(m, "k").cast("long").as("k_val"),
+      array_sort(map_keys(m)).as("keys"),
+      size(map_keys(m)).as("n_keys")
+    ).orderBy("event_id")
+  }
+
+  /** HyperLogLog++ approximate distinct (SURVEY §2.5) next to the exact
+    * count. No oracle — DuckDB's approx sketch differs by construction;
+    * RelationalSpec bounds the relative error instead. */
+  val aggApproxDistinct: Q = Q.noOracle("agg_approx_distinct") { (s, d) =>
+    Tables.orders(s, d)
+      .groupBy("o_orderstatus")
+      .agg(
+        approx_count_distinct(col("o_custkey")).as("approx_cust"),
+        countDistinct(col("o_custkey")).as("exact_cust"))
+      .orderBy("o_orderstatus")
+  }
+
   val all: Seq[Q] = Seq(
     countByProject, filterPred, aggGroupBy, aggDistinct, aggRollup, topk,
     joinInner, joinMultiway, semiAnti, setOps, scalarStringDate, jsonExtract,
-    arrayOps, joinRange, joinAsof)
+    arrayOps, joinRange, joinAsof, mapOps, aggApproxDistinct)
 }

@@ -23,16 +23,36 @@ import org.apache.spark.sql.functions.col
   */
 final class Store(root: String, partitionCols: Seq[String] = Seq("project_id")) {
 
-  /** Append-or-overwrite the partitions present in `df` (put verb). */
-  def put(df: DataFrame): Unit =
+  /** Append-or-overwrite the partitions present in `df` (put verb). Also
+    * persists the schema as a `_schema.ddl` sidecar (underscore-prefixed →
+    * invisible to Spark's file listing) so an empty table — the
+    * reference's "/dev/null" empty-load, which writes zero partition
+    * directories — still reads back as an empty-but-schema'd frame. */
+  def put(df: DataFrame): Unit = {
     df.write
       .mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(partitionCols: _*)
       .parquet(root)
+    val fs = path.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    val out = fs.create(schemaPath, true)
+    try out.write(df.schema.toDDL.getBytes("UTF-8")) finally out.close()
+  }
 
   /** Read the whole table; partition filters prune directories. */
-  def read(spark: SparkSession): DataFrame = spark.read.parquet(root)
+  def read(spark: SparkSession): DataFrame = {
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(schemaPath)) {
+      val in = fs.open(schemaPath)
+      val ddl = try new String(
+        in.readAllBytes(), "UTF-8") finally in.close()
+      spark.read.schema(
+        org.apache.spark.sql.types.StructType.fromDDL(ddl)).parquet(root)
+    } else spark.read.parquet(root)
+  }
+
+  private def path = new org.apache.hadoop.fs.Path(root)
+  private def schemaPath = new org.apache.hadoop.fs.Path(root, "_schema.ddl")
 
   /** Read one project's partition (get verb) — a directory prune, not a
     * scan-and-filter. */
