@@ -350,6 +350,44 @@ object Relational {
       .orderBy("event_id")
   }
 
+  /** CUBE grouping sets (all 4 combinations of the two keys). */
+  val aggCube: Q = Q(
+    "agg_cube",
+    """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM orders
+      |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+      |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
+  ) { (s, d) =>
+    Tables.orders(s, d)
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+           asDouble(sum(money(col("o_totalprice")))).as("sum_price"))
+      .orderBy(asc_nulls_first("o_orderstatus"),
+               asc_nulls_first("o_orderpriority"))
+  }
+
+  /** Full-outer join (completes the equi-join family: inner/left via
+    * denormalize, semi/anti, full here) — orders-per-day vs lineitems
+    * shipped-per-day keyed by date, unmatched sides surface as nulls. */
+  val joinOuter: Q = Q(
+    "join_outer",
+    """SELECT COALESCE(o.d, l.d) AS day, o.n_orders, l.n_ship
+      |FROM (SELECT o_orderdate AS d, count(*) AS n_orders FROM orders GROUP BY 1) o
+      |FULL JOIN (SELECT l_shipdate AS d, count(*) AS n_ship FROM lineitem GROUP BY 1) l
+      |  ON o.d = l.d
+      |ORDER BY day""".stripMargin
+  ) { (s, d) =>
+    val o = Tables.orders(s, d).groupBy(col("o_orderdate").as("d"))
+      .agg(count(lit(1)).as("n_orders"))
+    val l = Tables.lineitem(s, d).groupBy(col("l_shipdate").as("d"))
+      .agg(count(lit(1)).as("n_ship"))
+    o.as("o").join(l.as("l"), col("o.d") === col("l.d"), "full")
+      .select(coalesce(col("o.d"), col("l.d")).as("day"),
+              col("n_orders"), col("n_ship"))
+      .orderBy("day")
+  }
+
   /** Map-typed column ops (SURVEY §2.9): JSON envelope → map<string,string>,
     * key extraction and key-set introspection. The oracle reads the same
     * facts through DuckDB's JSON functions. */
@@ -386,5 +424,6 @@ object Relational {
   val all: Seq[Q] = Seq(
     countByProject, filterPred, aggGroupBy, aggDistinct, aggRollup, topk,
     joinInner, joinMultiway, semiAnti, setOps, scalarStringDate, jsonExtract,
-    arrayOps, joinRange, joinAsof, mapOps, aggApproxDistinct)
+    arrayOps, joinRange, joinAsof, mapOps, aggApproxDistinct, aggCube,
+    joinOuter)
 }

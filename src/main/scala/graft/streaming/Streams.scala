@@ -1,8 +1,13 @@
 package graft.streaming
 
 import graft.Tables.{asDouble, money}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Input/output records for the stateful per-user accumulator. */
+case class UserEvent(user_id: Long, value: Double)
+case class UserTotal(user_id: Long, n_events: Long, total: Double)
 
 /** Time-window transforms shared by batch queries and Structured Streaming
   * (SURVEY.md §2.10). Each takes any frame with the `events` schema —
@@ -31,6 +36,25 @@ object Streams {
       .groupBy(window(col("ts"), "10 minutes", "5 minutes"), col("event_type"))
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("window_start"), col("event_type"), col("n"))
+
+  /** Custom state machine (SURVEY §2.10 "stateful"): per-user running
+    * totals via `flatMapGroupsWithState` — state survives across
+    * micro-batches (asserted in StreamingSpec), emitting the updated
+    * total on every batch that touches the user. State is one small
+    * record per key; at scale the state store shards by the group key
+    * like any keyed shuffle. */
+  def runningTotals(ds: Dataset[UserEvent]): Dataset[UserTotal] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[UserEvent], state: GroupState[UserTotal]) =>
+          val prev = state.getOption.getOrElse(UserTotal(uid, 0L, 0.0))
+          val next = rows.foldLeft(prev)((a, e) =>
+            UserTotal(uid, a.n_events + 1, a.total + e.value))
+          state.update(next)
+          Iterator(next)
+      }
+  }
 
   /** Session windows per user with a 5-minute inactivity gap. Spark's
     * session end = last event + gap (half-open [start, end)). */

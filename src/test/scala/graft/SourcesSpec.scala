@@ -24,6 +24,19 @@ class SourcesSpec extends SparkSpec {
       === "female")
   }
 
+  test("input_file_name provides the commit-file manifest") {
+    // the reference globs the unzipped commit dir into output['files']
+    // (fhir_import_export.py:463-465); in-plan the file list comes free
+    // from the scan
+    val dir = Files.createTempDirectory("manifest").toString
+    Files.writeString(java.nio.file.Paths.get(dir, "Patient.ndjson"),
+      """{"project_id":"p","id":"x","gender":"other"}""" + "\n")
+    val df = Ndjson.readOrEmpty(spark, dir, "Patient", patientSchema)
+      .withColumn("_source_file", org.apache.spark.sql.functions.input_file_name())
+    val files = df.select("_source_file").distinct().collect().map(_.getString(0))
+    assert(files.length === 1 && files(0).endsWith("Patient.ndjson"))
+  }
+
   test("missing file yields empty-but-schema'd frame (/dev/null semantics)") {
     val dir = Files.createTempDirectory("ndjson-empty").toString
     val df = Ndjson.readOrEmpty(spark, dir, "Observation", patientSchema)

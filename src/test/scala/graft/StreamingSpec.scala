@@ -75,6 +75,27 @@ class StreamingSpec extends SparkSpec {
     assert(u2.length === 2, s"expected 2 sessions for user 2, got ${u2.toSeq}")
   }
 
+  test("flatMapGroupsWithState accumulates across micro-batches") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.{Streams, UserEvent, UserTotal}
+    val mem = MemoryStream[UserEvent]
+    val name = s"state_${System.nanoTime()}"
+    val q = Streams.runningTotals(mem.toDS()).writeStream
+      .format("memory").queryName(name).outputMode("update").start()
+    try {
+      mem.addData(Seq(UserEvent(1, 10.0), UserEvent(1, 5.0), UserEvent(2, 1.0)))
+      q.processAllAvailable()
+      mem.addData(Seq(UserEvent(1, 2.5)))
+      q.processAllAvailable()
+      val byBatchLast = spark.table(name).as[UserTotal].collect()
+        .groupBy(_.user_id).map { case (k, v) => k -> v.maxBy(_.n_events) }
+      assert(byBatchLast(1L) === UserTotal(1, 3, 17.5)) // state carried over
+      assert(byBatchLast(2L) === UserTotal(2, 1, 1.0))
+    } finally q.stop()
+  }
+
   test("watermark drops events later than the threshold (append mode)") {
     val spark2 = spark
     import spark2.implicits._
