@@ -90,5 +90,36 @@ object Vectors {
       .limit(20)
   }
 
-  val all: Seq[Q] = Seq(vectorTopk, vectorAnnLsh)
+  /** IVF (inverted-file) ANN: coarse-quantize every vector to its
+    * nearest centroid cell, probe only the query's `NProbe` nearest cells.
+    * Centroids here are a deterministic sample of the corpus (every 31st
+    * vector — the stand-in for a k-means "training" step, which would be
+    * a separate job at scale). Plan shape at 100 TB: the n×k assignment
+    * is a broadcast of k centroids over one narrow pass; `cell` becomes a
+    * partition/cluster key so a probe reads NProbe/k of the data. */
+  val vectorAnnIvf: Q = Q.noOracle("vector_ann_ivf") { (s, d) =>
+    val NProbe = 3
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"), toDouble(col("embedding")).as("v"))
+    val centroids = emb.filter(col("vec_id") % 31 === 0)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    def assign(df: org.apache.spark.sql.DataFrame) = df
+      .crossJoin(broadcast(centroids))
+      .select(df.columns.map(col) :+ col("cid") :+
+              cosine(col("v"), col("cv")).as("csim"): _*)
+    val cells = assign(emb.filter(col("vec_id") =!= 0))
+      .groupBy("vec_id")
+      .agg(max_by(col("cid"), col("csim")).as("cell"),
+           first(col("label")).as("label"), first(col("v")).as("v"))
+    val qCells = assign(emb.filter(col("vec_id") === 0))
+      .orderBy(desc("csim")).limit(NProbe)
+      .select(col("cid").as("cell"), col("v").as("qv"))
+    cells.join(broadcast(qCells), Seq("cell"))
+      .select(col("vec_id"), col("label"),
+              cosine(col("v"), col("qv")).as("cosine"))
+      .orderBy(desc("cosine"), asc("vec_id"))
+      .limit(20)
+  }
+
+  val all: Seq[Q] = Seq(vectorTopk, vectorAnnLsh, vectorAnnIvf)
 }

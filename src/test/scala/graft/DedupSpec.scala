@@ -36,6 +36,21 @@ class DedupSpec extends SparkSpec {
       s"simhash recall ${recalled.size}/${exact.size}")
   }
 
+  test("ann-ivf probes nearest cells and returns true cosines") {
+    val ivf = Vectors.vectorAnnIvf.fn(spark, sf0001)
+      .select("vec_id", "cosine").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val brute = Vectors.vectorTopk.fn(spark, sf0001)
+      .select("vec_id", "cosine").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(ivf.nonEmpty)
+    ivf.keySet.intersect(brute.keySet).foreach { id =>
+      assert(math.abs(ivf(id) - brute(id)) < 1e-12)
+    }
+    assert(ivf.keySet.intersect(brute.keySet).nonEmpty,
+      "IVF should recover part of the true top-20")
+  }
+
   test("ann-lsh results are true vectors with correct cosines (precision)") {
     val ann = Vectors.vectorAnnLsh.fn(spark, sf0001)
       .select("vec_id", "cosine").collect()
