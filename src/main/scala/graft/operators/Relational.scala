@@ -421,9 +421,89 @@ object Relational {
       .orderBy("o_orderstatus")
   }
 
+  /** Pivot (wide conditional aggregation): returnflag columns per
+    * linestatus. The oracle is the equivalent CASE-WHEN expansion — which
+    * is also exactly how Catalyst executes `pivot` (one pass, no join). */
+  val aggPivot: Q = Q(
+    "agg_pivot",
+    """SELECT l_linestatus,
+      |  CAST(SUM(CASE WHEN l_returnflag='A' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_A,
+      |  CAST(SUM(CASE WHEN l_returnflag='N' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_N,
+      |  CAST(SUM(CASE WHEN l_returnflag='R' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_R
+      |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
+  ) { (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy("l_linestatus")
+      .pivot("l_returnflag", Seq("A", "N", "R"))
+      .agg(asDouble(sum(money(col("l_quantity")))))
+      .withColumnsRenamed(Map("A" -> "qty_A", "N" -> "qty_N", "R" -> "qty_R"))
+      .orderBy("l_linestatus")
+  }
+
+  /** Moment statistics with deterministic results: variance/stddev derived
+    * from EXACT decimal sums (Σx, Σx² as DECIMAL, combine in double) —
+    * partition-order independent, unlike the streaming stddev aggregate,
+    * and therefore both oracle-stable and reproducible at 100 TB. */
+  val aggStats: Q = Q(
+    "agg_stats",
+    """SELECT l_returnflag, count(*) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS mean_qty,
+      |  (CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+      |   - CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+      |     * CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*))
+      |  / (count(*) - 1) AS var_qty,
+      |  min(l_quantity) AS min_qty, max(l_quantity) AS max_qty
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+  ) { (s, d) =>
+    val q = money(col("l_quantity"))
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+           asDouble(sum(q)).as("s1"), asDouble(sum(q * q)).as("s2"),
+           min(col("l_quantity")).as("min_qty"),
+           max(col("l_quantity")).as("max_qty"))
+      .select(col("l_returnflag"), col("n"),
+        (col("s1") / col("n")).as("mean_qty"),
+        ((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1))
+          .as("var_qty"),
+        col("min_qty"), col("max_qty"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Generator / UDTF surface (SURVEY §2.11): posexplode over the token
+    * array — one output row per (element, ordinal). */
+  val generatorPosexplode: Q = Q(
+    "generator_posexplode",
+    """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents
+      |           WHERE doc_id < 50),
+      |u AS (SELECT doc_id,
+      |        unnest([{'pos': i-1, 'tok': toks[i]} FOR i IN range(1, len(toks)+1)]) AS e
+      |      FROM t)
+      |SELECT doc_id, CAST(e.pos AS INT) AS pos, e.tok AS token
+      |FROM u ORDER BY doc_id, pos""".stripMargin
+  ) { (s, d) =>
+    Tables.documents(s, d)
+      .filter(col("doc_id") < 50)
+      .select(col("doc_id"),
+              posexplode(split(col("text"), " ")).as(Seq("pos", "token")))
+      .orderBy("doc_id", "pos")
+  }
+
+  /** Stratified sampling (training-data pipeline staple): per-stratum
+    * fractions with a fixed seed. Deterministic for a given seed +
+    * partitioning but engine-specific → no SQL oracle; RelationalSpec
+    * bounds the per-stratum proportions. */
+  val sampleStratified: Q = Q.noOracle("sample_stratified") { (s, d) =>
+    Tables.orders(s, d)
+      .stat.sampleBy("o_orderstatus",
+        Map("F" -> 0.1, "O" -> 0.5, "P" -> 1.0), seed = 42L)
+      .groupBy("o_orderstatus").agg(count(lit(1)).as("n_sampled"))
+      .orderBy("o_orderstatus")
+  }
+
   val all: Seq[Q] = Seq(
     countByProject, filterPred, aggGroupBy, aggDistinct, aggRollup, topk,
     joinInner, joinMultiway, semiAnti, setOps, scalarStringDate, jsonExtract,
     arrayOps, joinRange, joinAsof, mapOps, aggApproxDistinct, aggCube,
-    joinOuter)
+    joinOuter, aggPivot, aggStats, generatorPosexplode, sampleStratified)
 }

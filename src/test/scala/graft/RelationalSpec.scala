@@ -15,6 +15,23 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("stratified sample respects per-stratum fractions (seeded)") {
+    val totals = Tables.orders(spark, sf0001)
+      .groupBy("o_orderstatus").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sampled = Relational.sampleStratified.fn(spark, sf0001).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val fracs = Map("F" -> 0.1, "O" -> 0.5, "P" -> 1.0)
+    fracs.foreach { case (k, f) =>
+      val expected = totals(k) * f
+      val got = sampled.getOrElse(k, 0L).toDouble
+      assert(math.abs(got - expected) <= math.max(10, 0.5 * expected),
+        s"stratum $k: got $got expected ~$expected")
+    }
+    // fraction 1.0 stratum must be complete
+    assert(sampled("P") === totals("P"))
+  }
+
   test("entry (flagship) returns top-20 revenue rows on sf0.001") {
     val rows = SparkEntry.entry(spark).collect()
     assert(rows.length === 20)
