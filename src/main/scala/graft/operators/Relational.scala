@@ -489,6 +489,27 @@ object Relational {
       .orderBy("doc_id", "pos")
   }
 
+  /** Skew-safe salted aggregation (SURVEY §4 / salting note): two-phase
+    * groupBy over (key, salt) then key — result-identical to the plain
+    * GROUP BY, which IS the oracle. The pattern for a 100 TB aggregation
+    * where one key holds half the rows. */
+  val aggSalted: Q = Q(
+    "agg_salted",
+    """SELECT l_returnflag AS k,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total,
+      |  count(*) AS n
+      |FROM lineitem GROUP BY l_returnflag ORDER BY k""".stripMargin
+  ) { (s, d) =>
+    graft.functions.SkewOps.saltedSumCount(
+        Tables.lineitem(s, d),
+        key = col("l_returnflag"),
+        value = money(col("l_quantity")),
+        n = 16,
+        saltSource = col("l_orderkey"), col("l_linenumber"))
+      .select(col("k"), asDouble(col("total")).as("total"), col("n"))
+      .orderBy("k")
+  }
+
   /** Stratified sampling (training-data pipeline staple): per-stratum
     * fractions with a fixed seed. Deterministic for a given seed +
     * partitioning but engine-specific → no SQL oracle; RelationalSpec
@@ -505,5 +526,6 @@ object Relational {
     countByProject, filterPred, aggGroupBy, aggDistinct, aggRollup, topk,
     joinInner, joinMultiway, semiAnti, setOps, scalarStringDate, jsonExtract,
     arrayOps, joinRange, joinAsof, mapOps, aggApproxDistinct, aggCube,
-    joinOuter, aggPivot, aggStats, generatorPosexplode, sampleStratified)
+    joinOuter, aggPivot, aggStats, generatorPosexplode, sampleStratified,
+    aggSalted)
 }

@@ -2,7 +2,7 @@ package graft.pipeline
 
 import graft.plans.SchemaFlattener
 import graft.sources.Ndjson
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -112,11 +112,25 @@ final class Etl(root: String) {
   def delete(spark: SparkSession, projectId: String): Unit =
     stores.foreach(_.deleteProject(spark, projectId))
 
+  /** Typed view of the denormalized patient table. */
+  def patients(spark: SparkSession, projectId: String): Dataset[FlatPatient] = {
+    import spark.implicits._
+    flatPatient.readProject(spark, projectId).as[FlatPatient]
+  }
+
   private def read(spark: SparkSession, dir: String, name: String,
                    schema: StructType, projectId: String): DataFrame =
     Ndjson.readOrEmpty(spark, dir, name, schema)
       .withColumn("project_id", lit(projectId))
 }
+
+/** Typed row of the denormalized patient table — `Dataset[T]` surface for
+  * the core resource types (SURVEY §1.4: case-class Datasets where a fixed
+  * schema pays; everything else stays DataFrame). */
+case class FlatPatient(project_id: String, id: String, gender: String,
+                       birthDate: java.sql.Date, identifier: Seq[String],
+                       observation_count: Long, avg_value: Option[Double],
+                       file_count: Long, total_bytes: Long)
 
 object Etl {
   /** Post-simplify flat schemas (FIXTURES.md §A.2). */

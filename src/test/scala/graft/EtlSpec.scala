@@ -71,6 +71,24 @@ class EtlSpec extends SparkSpec {
     etl.delete(spark, "aced-demo") // idempotent
   }
 
+  test("typed Dataset[FlatPatient] view + partition pruning on readProject") {
+    val etl = new graft.pipeline.Etl(Files.createTempDirectory("etl3").toString)
+    etl.put(spark, "aced-demo", commitDir())
+    etl.put(spark, "aced-other", commitDir())
+    val ds = etl.patients(spark, "aced-demo")
+    // typed ops through the encoder
+    val spark2 = spark
+    import spark2.implicits._
+    val names = ds.filter(_.observation_count > 0).map(_.id).collect().sorted
+    assert(names.toSeq === Seq("p1"))
+    // per-project read prunes partitions at the scan, not post-filter
+    val plan = etl.flatPatient.readProject(spark, "aced-demo")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters:") &&
+           plan.contains("project_id#") && plan.contains("aced-demo"),
+      s"expected partition prune in:\n${plan.take(800)}")
+  }
+
   test("zip-of-ndjson source decompresses in executors") {
     val zdir = Files.createTempDirectory("zips")
     val zip = zdir.resolve("commit1.zip")
