@@ -75,6 +75,35 @@ class StreamingSpec extends SparkSpec {
     assert(u2.length === 2, s"expected 2 sessions for user 2, got ${u2.toSeq}")
   }
 
+  test("writeStream parquet file sink with watermarked append aggregation") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val out = java.nio.file.Files.createTempDirectory("sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("ckpt").toString
+    val q = mem.toDF()
+      .withWatermark("ts", "1 minute")
+      .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("ws"), col("event_type"), col("n"))
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try {
+      mem.addData(rows)
+      q.processAllAvailable()
+      // advance watermark so all earlier windows close and flush to files
+      mem.addData(Seq(Ev(99, Timestamp.valueOf("2024-01-01 12:00:00"), 9, "x", 0.0, "{}")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val persisted = spark.read.parquet(out)
+    assert(persisted.count() >= 3, "closed windows should be flushed")
+    val clicks = persisted.filter("event_type = 'click'")
+      .agg(sum("n")).collect()(0).getLong(0)
+    assert(clicks === 3L)
+  }
+
   test("flatMapGroupsWithState accumulates across micro-batches") {
     val spark2 = spark
     import spark2.implicits._
