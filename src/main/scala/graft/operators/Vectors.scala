@@ -105,7 +105,7 @@ object Vectors {
       .select(col("vec_id").as("cid"), col("v").as("cv"))
     def assign(df: org.apache.spark.sql.DataFrame) = df
       .crossJoin(broadcast(centroids))
-      .select(df.columns.map(col) :+ col("cid") :+
+      .select(df.columns.toIndexedSeq.map(col) :+ col("cid") :+
               cosine(col("v"), col("cv")).as("csim"): _*)
     val cells = assign(emb.filter(col("vec_id") =!= 0))
       .groupBy("vec_id")

@@ -54,7 +54,8 @@ final class Etl(root: String) {
     // full-fidelity store (the ES `fhir` index, :291-293)
     fhirRaw.put(typed.map { case (t, df) =>
       df.select(col("project_id"), lit(t).as("resource_type"), col("id"),
-                to_json(struct(df.columns.map(col): _*)).as("resource_json"))
+                to_json(struct(df.columns.toIndexedSeq.map(col): _*))
+                  .as("resource_json"))
     }.reduce(_ unionByName _))
 
     // graph store (meta_upload, :224-226): one vertex per resource, edges
