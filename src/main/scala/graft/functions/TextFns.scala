@@ -7,12 +7,16 @@ import org.apache.spark.sql.functions._
 object TextFns {
 
   /** Polynomial rolling hash over the token stream:
-    * h = Σ xxhash64(tokᵢ)·31^(n-1-i) (mod 2⁶⁴, via Long overflow).
+    * h = Σ hash(tokᵢ)·31^(n-1-i) mod M, with M = 2³¹−1 so every
+    * intermediate stays far below Long range (ANSI mode — the default in
+    * Spark 4 — turns silent Long wrap-around into a runtime error).
     * Order-sensitive — complements the order-insensitive bag-of-words
     * md5 fingerprint in `text_fingerprint`. Pure fold, no shuffle.
     */
+  private val M = 2147483647L // 2^31 - 1 (Mersenne prime)
   def rollingHash(tokens: Column): Column =
-    aggregate(tokens, lit(0L), (acc, t) => acc * 31L + xxhash64(t))
+    aggregate(tokens, lit(0L),
+      (acc, t) => pmod(acc * 31L + pmod(xxhash64(t), lit(M)), lit(M)))
 
   /** Whitespace tokens. */
   def tokens(text: Column): Column = split(text, " ")
