@@ -289,8 +289,10 @@ object Relational {
       col("vec_id"),
       size(col("embedding")).as("dim"),
       size(filter(col("embedding"), x => x > 0)).as("n_pos"),
-      element_at(col("embedding"), 1).cast("double").as("first_val"),
-      element_at(col("embedding"), 64).cast("double").as("last_val"),
+      // try_element_at: ANSI mode makes element_at THROW out-of-bounds,
+      // while the DuckDB oracle returns NULL — try_ matches the oracle
+      try_element_at(col("embedding"), lit(1)).cast("double").as("first_val"),
+      try_element_at(col("embedding"), lit(64)).cast("double").as("last_val"),
       col("label")
     ).orderBy("vec_id")
   }
@@ -403,7 +405,9 @@ object Relational {
     val m = from_json(col("props"), MapType(StringType, StringType))
     Tables.events(s, d).select(
       col("event_id"),
-      element_at(m, "k").cast("long").as("k_val"),
+      // try_element_at: ANSI element_at throws on a missing map key;
+      // DuckDB's json_extract_string yields NULL — try_ matches
+      try_element_at(m, lit("k")).cast("long").as("k_val"),
       array_sort(map_keys(m)).as("keys"),
       size(map_keys(m)).as("n_keys")
     ).orderBy("event_id")
