@@ -117,6 +117,30 @@ object Pipeline {
       .orderBy("dst_name")
   }
 
+  /** Two-hop graph traversal: customer —member_of→ nation —in_region→
+    * region, resolved purely by joins (the distributed property-graph
+    * pattern — each hop is one equi-join on the vertex key; no adjacency
+    * structure on the driver). Dimension hops broadcast. */
+  val graphTwohop: Q = Q(
+    "graph_twohop",
+    """SELECT r_name AS region_name, count(*) AS n_customers,
+      |  count(DISTINCT n_name) AS n_nations
+      |FROM customer
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name ORDER BY region_name""".stripMargin
+  ) { (s, d) =>
+    val c = Tables.customer(s, d)
+    val n = Tables.nation(s, d)
+    val r = Tables.region(s, d)
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name").as("region_name"))
+      .agg(count(lit(1)).as("n_customers"),
+           countDistinct(col("n_name")).as("n_nations"))
+      .orderBy("region_name")
+  }
+
   /** Discovery summary — the per-project materialized view
     * (fhir_import_export.py:263-289: project_id, patient count,
     * description, identifier codings). nation = project; broadcast the
@@ -178,5 +202,5 @@ object Pipeline {
   }
 
   val all: Seq[Q] = Seq(simplifyFlatten, denormalizePatient, graphEdges,
-    discoverySummary, ingestNdjson, snapshotExport)
+    graphTwohop, discoverySummary, ingestNdjson, snapshotExport)
 }

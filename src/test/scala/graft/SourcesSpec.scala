@@ -24,6 +24,24 @@ class SourcesSpec extends SparkSpec {
       === "female")
   }
 
+  test("corrupt NDJSON lines land in _corrupt_record, good lines survive") {
+    val dir = Files.createTempDirectory("ndjson-corrupt").toString
+    Files.writeString(java.nio.file.Paths.get(dir, "Patient.ndjson"),
+      """{"project_id":"p","id":"ok1","gender":"female"}
+        |{not valid json at all
+        |{"project_id":"p","id":"ok2","gender":"male"}
+        |""".stripMargin)
+    val schema = org.apache.spark.sql.types.StructType(
+      patientSchema.fields :+ org.apache.spark.sql.types.StructField(
+        "_corrupt_record", org.apache.spark.sql.types.StringType))
+    val df = Ndjson.readOrEmpty(spark, dir, "Patient", schema).cache()
+    assert(df.filter("_corrupt_record IS NULL").count() === 2)
+    val bad = df.filter("_corrupt_record IS NOT NULL").collect()
+    assert(bad.length === 1 && bad(0).getAs[String]("_corrupt_record")
+      .startsWith("{not valid"))
+    df.unpersist()
+  }
+
   test("input_file_name provides the commit-file manifest") {
     // the reference globs the unzipped commit dir into output['files']
     // (fhir_import_export.py:463-465); in-plan the file list comes free
