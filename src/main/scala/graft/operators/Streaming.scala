@@ -62,17 +62,17 @@ object Streaming {
       .orderBy("user_id", "session_start")
   }
 
-  /** Resample + gap-fill: per-user 10-minute grid from first to last
+  /** Resample + gap-fill: per-user hourly grid from first to last
     * event, zero-filled where no events fall — the dense-time-series
     * shape model training wants. Grid generation is `sequence` + explode
     * per user (rows ∝ user activity span, never a global calendar). */
   val resampleGapfill: Q = Q(
     "resample_gapfill",
-    """WITH c AS (SELECT user_id, time_bucket(INTERVAL '10 minutes', ts) AS bkt,
+    """WITH c AS (SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS bkt,
       |             count(*) AS n
       |           FROM events GROUP BY 1, 2),
       |b AS (SELECT user_id AS uid, min(bkt) AS lo, max(bkt) AS hi FROM c GROUP BY 1),
-      |g AS (SELECT uid AS user_id, unnest(generate_series(lo, hi, INTERVAL '10 minutes')) AS bkt
+      |g AS (SELECT uid AS user_id, unnest(generate_series(lo, hi, INTERVAL '1 hour')) AS bkt
       |      FROM b)
       |SELECT g.user_id, g.bkt AS bucket, COALESCE(c.n, 0) AS n
       |FROM g LEFT JOIN c ON g.user_id = c.user_id AND g.bkt = c.bkt
@@ -80,13 +80,13 @@ object Streaming {
   ) { (s, d) =>
     val cnt = Tables.events(s, d)
       .groupBy(col("user_id"),
-               window(col("ts"), "10 minutes")("start").as("bkt"))
+               window(col("ts"), "1 hour")("start").as("bkt"))
       .agg(count(lit(1)).as("n"))
     val grid = cnt.groupBy("user_id")
       .agg(min(col("bkt")).as("lo"), max(col("bkt")).as("hi"))
       .select(col("user_id"),
         explode(sequence(col("lo"), col("hi"),
-          expr("INTERVAL 10 MINUTES"))).as("bkt"))
+          expr("INTERVAL 1 HOUR"))).as("bkt"))
     grid.join(cnt, Seq("user_id", "bkt"), "left")
       .select(col("user_id"), col("bkt").as("bucket"),
               coalesce(col("n"), lit(0L)).as("n"))
