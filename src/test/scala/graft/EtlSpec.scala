@@ -89,6 +89,26 @@ class EtlSpec extends SparkSpec {
       s"expected partition prune in:\n${plan.take(800)}")
   }
 
+  test("export -> re-import round-trip preserves the project (durability)") {
+    val etl1 = new Etl(Files.createTempDirectory("etl-rt1").toString)
+    etl1.put(spark, "aced-demo", commitDir())
+    val out = Files.createTempDirectory("rt-export").toString
+    etl1.get(spark, "aced-demo", out)
+    // the exported dir has <Type>.ndjson entries (as directories of JSON
+    // lines) — re-importable as a commit dir
+    val etl2 = new Etl(Files.createTempDirectory("etl-rt2").toString)
+    etl2.put(spark, "aced-demo", out)
+    assert(etl2.flatPatient.readProject(spark, "aced-demo").count() ===
+           etl1.flatPatient.readProject(spark, "aced-demo").count())
+    assert(etl2.flatObservation.readProject(spark, "aced-demo").count() ===
+           etl1.flatObservation.readProject(spark, "aced-demo").count())
+    val ids1 = etl1.flatPatient.readProject(spark, "aced-demo")
+      .select("id").collect().map(_.getString(0)).sorted.toSeq
+    val ids2 = etl2.flatPatient.readProject(spark, "aced-demo")
+      .select("id").collect().map(_.getString(0)).sorted.toSeq
+    assert(ids1 === ids2)
+  }
+
   test("zip-of-ndjson source decompresses in executors") {
     val zdir = Files.createTempDirectory("zips")
     val zip = zdir.resolve("commit1.zip")
