@@ -493,6 +493,27 @@ object Relational {
       .orderBy("doc_id", "pos")
   }
 
+  /** Exact continuous quantiles (median/p90) — Spark `percentile` and
+    * DuckDB `quantile_cont` share the linear-interpolation definition, so
+    * results match bit-for-bit. (The approximate sketch variant for
+    * 100 TB is `percentile_approx`; exact needs a per-group sort.) */
+  val aggQuantile: Q = Q(
+    "agg_quantile",
+    """SELECT l_returnflag,
+      |  CAST(quantile_cont(l_quantity, 0.5) AS DOUBLE) AS median_qty,
+      |  CAST(quantile_cont(l_quantity, 0.9) AS DOUBLE) AS p90_qty,
+      |  CAST(quantile_cont(l_extendedprice, 0.5) AS DOUBLE) AS median_price
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+  ) { (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        expr("percentile(l_quantity, 0.5)").as("median_qty"),
+        expr("percentile(l_quantity, 0.9)").as("p90_qty"),
+        expr("percentile(l_extendedprice, 0.5)").as("median_price"))
+      .orderBy("l_returnflag")
+  }
+
   /** Skew-safe salted aggregation (SURVEY §4 / salting note): two-phase
     * groupBy over (key, salt) then key — result-identical to the plain
     * GROUP BY, which IS the oracle. The pattern for a 100 TB aggregation
@@ -531,5 +552,5 @@ object Relational {
     joinInner, joinMultiway, semiAnti, setOps, scalarStringDate, jsonExtract,
     arrayOps, joinRange, joinAsof, mapOps, aggApproxDistinct, aggCube,
     joinOuter, aggPivot, aggStats, generatorPosexplode, sampleStratified,
-    aggSalted)
+    aggSalted, aggQuantile)
 }
