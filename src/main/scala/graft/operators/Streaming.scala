@@ -93,6 +93,38 @@ object Streaming {
       .orderBy("user_id", "bucket")
   }
 
+  /** Conversion funnel: per user, did a purchase follow a signup within
+    * 24 hours? Built as min-signup vs min-qualifying-purchase per user —
+    * two partial aggregations and one join by user key (no event-level
+    * self-join blow-up). */
+  val funnel: Q = Q(
+    "funnel",
+    """WITH s AS (SELECT user_id, min(ts) AS signup_ts FROM events
+      |           WHERE event_type = 'signup' GROUP BY 1),
+      |p AS (SELECT e.user_id, min(e.ts) AS purchase_ts
+      |      FROM events e JOIN s ON e.user_id = s.user_id
+      |      WHERE e.event_type = 'purchase' AND e.ts >= s.signup_ts
+      |        AND e.ts <= s.signup_ts + INTERVAL 24 HOURS
+      |      GROUP BY 1)
+      |SELECT s.user_id, s.signup_ts, p.purchase_ts,
+      |  p.user_id IS NOT NULL AS converted
+      |FROM s LEFT JOIN p ON s.user_id = p.user_id
+      |ORDER BY s.user_id""".stripMargin
+  ) { (s, d) =>
+    val ev = Tables.events(s, d)
+    val signup = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min(col("ts")).as("signup_ts"))
+    val purchase = ev.filter(col("event_type") === "purchase")
+      .join(signup, Seq("user_id"))
+      .filter(col("ts") >= col("signup_ts") &&
+              col("ts") <= col("signup_ts") + expr("INTERVAL 24 HOURS"))
+      .groupBy("user_id").agg(min(col("ts")).as("purchase_ts"))
+    signup.join(purchase, Seq("user_id"), "left")
+      .select(col("user_id"), col("signup_ts"), col("purchase_ts"),
+              col("purchase_ts").isNotNull.as("converted"))
+      .orderBy("user_id")
+  }
+
   val all: Seq[Q] = Seq(streamTumbling, streamHopping, streamSession,
-    resampleGapfill)
+    resampleGapfill, funnel)
 }

@@ -115,5 +115,37 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(textTokens, textQuality, langId, textFingerprint)
+  /** TF-IDF-style term weighting, log-free for exact cross-engine parity:
+    * weight = tf · N/df (all-integer inputs, one double division — the
+    * log() variant differs in the last ulp between libm and the JVM).
+    * Top-20 weighted terms corpus-wide with deterministic tie-breaks. */
+  val textTfidf: Q = Q(
+    "text_tfidf",
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS token FROM documents),
+      |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+      |df AS (SELECT token, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+      |n AS (SELECT count(*) AS n_docs FROM documents)
+      |SELECT tf.doc_id, tf.token,
+      |  CAST(tf.tf AS INT) AS tf, CAST(df.df AS INT) AS df,
+      |  tf.tf * (CAST(n.n_docs AS DOUBLE) / df.df) AS weight
+      |FROM tf JOIN df ON tf.token = df.token CROSS JOIN n
+      |ORDER BY weight DESC, tf.doc_id, tf.token LIMIT 20""".stripMargin
+  ) { (s, d) =>
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+    val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val df = tok.groupBy("token").agg(countDistinct(col("doc_id")).as("df"))
+    val n = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+    tf.join(df, Seq("token"))
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("token"), col("tf").cast("int").as("tf"),
+        col("df").cast("int").as("df"),
+        (col("tf") * (col("n_docs").cast("double") / col("df")))
+          .as("weight"))
+      .orderBy(desc("weight"), asc("doc_id"), asc("token"))
+      .limit(20)
+  }
+
+  val all: Seq[Q] = Seq(textTokens, textQuality, langId, textFingerprint,
+    textTfidf)
 }

@@ -51,6 +51,15 @@ final class Store(root: String, partitionCols: Seq[String] = Seq("project_id")) 
     } else spark.read.parquet(root)
   }
 
+  /** Compact one project's partition to `nFiles` files — the maintenance
+    * op that keeps long-lived stores healthy (every re-import/append
+    * cycle leaves task-count-many files; small files dominate scan
+    * overhead at scale). Rewrite-in-place via dynamic overwrite of just
+    * this partition. */
+  def compactProject(spark: SparkSession, projectId: String,
+                     nFiles: Int = 1): Unit =
+    put(readProject(spark, projectId).coalesce(nFiles))
+
   private def path = new org.apache.hadoop.fs.Path(root)
   private def schemaPath = new org.apache.hadoop.fs.Path(root, "_schema.ddl")
 

@@ -46,6 +46,21 @@ class StoreSpec extends SparkSpec {
     assert(all.filter(col("project_id") === "aced-b").count() === 1)
   }
 
+  test("compactProject rewrites one partition to fewer files, same rows") {
+    val root = Files.createTempDirectory("store-compact").toString
+    val store = new Store(root)
+    // many-file partition: repartition before put
+    import spark.implicits._
+    store.put((1 to 100).map(i => ("aced-a", "Patient", s"p$i"))
+      .toDF("project_id", "resource_type", "id").repartition(8))
+    def files(p: String) = new java.io.File(s"$root/project_id=$p")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(files("aced-a") > 1)
+    store.compactProject(spark, "aced-a")
+    assert(files("aced-a") === 1)
+    assert(store.readProject(spark, "aced-a").count() === 100)
+  }
+
   test("deleteProject drops exactly one project (empty_project semantics)") {
     val root = Files.createTempDirectory("store-del").toString
     val store = new Store(root)
