@@ -88,5 +88,37 @@ object Windows {
       .orderBy("l_returnflag")
   }
 
-  val all: Seq[Q] = Seq(windowRank, windowRunning, udafWeighted)
+  /** Distribution window functions: ntile / percent_rank / cume_dist /
+    * first & last value over per-customer frames. percent_rank and
+    * cume_dist are exact integer ratios — bit-identical cross-engine. */
+  val windowDistribution: Q = Q(
+    "window_distribution",
+    """SELECT o_custkey, o_orderkey,
+      |  CAST(ntile(4) OVER w AS INT) AS price_quartile,
+      |  percent_rank() OVER w AS pr,
+      |  cume_dist() OVER w AS cd,
+      |  first_value(o_orderkey) OVER w AS cheapest_order,
+      |  last_value(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS priciest_order
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+  ) { (s, d) =>
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    val wFull = w.rowsBetween(Window.unboundedPreceding,
+                              Window.unboundedFollowing)
+    Tables.orders(s, d)
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        ntile(4).over(w).as("price_quartile"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"),
+        first(col("o_orderkey")).over(w).as("cheapest_order"),
+        last(col("o_orderkey")).over(wFull).as("priciest_order"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  val all: Seq[Q] = Seq(windowRank, windowRunning, udafWeighted,
+    windowDistribution)
 }

@@ -37,6 +37,17 @@ class VectorExprSpec extends SparkSpec {
         assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-15))
   }
 
+  test("cosine edge cases: null inputs -> null, zero vector -> NaN") {
+    GraftExtensions.register(spark)
+    val rows = spark.sql(
+      """SELECT cosine_sim(CAST(NULL AS ARRAY<DOUBLE>), array(1.0d)) AS null_left,
+        |       cosine_sim(array(1.0d), CAST(NULL AS ARRAY<DOUBLE>)) AS null_right,
+        |       cosine_sim(array(0.0d, 0.0d), array(1.0d, 2.0d)) AS zero_vec
+        |""".stripMargin).collect()(0)
+    assert(rows.isNullAt(0) && rows.isNullAt(1))
+    assert(rows.getDouble(2).isNaN)
+  }
+
   test("cosine_sim is callable from SQL after extension registration") {
     GraftExtensions.register(spark)
     val one = spark.sql(
