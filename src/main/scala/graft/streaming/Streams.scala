@@ -8,6 +8,15 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 /** Input/output records for the stateful per-user accumulator. */
 case class UserEvent(user_id: Long, value: Double)
 case class UserTotal(user_id: Long, n_events: Long, total: Double)
+/** Timestamped input for event-time stateful sessionization. */
+case class UserEvent2(user_id: Long, ts: java.sql.Timestamp)
+/** Emitted closed session. */
+case class SessionOut(user_id: Long, start: java.sql.Timestamp,
+                      end: java.sql.Timestamp, n_events: Long,
+                      closed_by_timeout: Boolean)
+/** Internal per-user session state (top-level: nested case classes break
+  * the state-row codegen in janino). */
+case class SessionState(startMs: Long, lastMs: Long, count: Long)
 
 /** Time-window transforms shared by batch queries and Structured Streaming
   * (SURVEY.md §2.10). Each takes any frame with the `events` schema —
@@ -53,6 +62,60 @@ object Streams {
             UserTotal(uid, a.n_events + 1, a.total + e.value))
           state.update(next)
           Iterator(next)
+      }
+  }
+
+  /** Streaming exact dedup: first occurrence of each key wins; the
+    * watermark bounds how long seen-keys state is retained (keys older
+    * than the watermark horizon are forgotten — the standard
+    * bounded-state streaming dedup). Works identically in batch. */
+  def dedupStream(events: DataFrame, keyCols: Seq[String]): DataFrame =
+    events.withWatermark("ts", "10 minutes")
+      .dropDuplicates(keyCols :+ "ts")
+
+  /** Custom sessionization with EVENT-TIME TIMEOUT: state closes and the
+    * final session row is emitted when the watermark passes last event +
+    * gap — the full custom-state machine (the built-in `session_window`
+    * can't emit on timeout with custom logic). Gap = 5 minutes. */
+  def sessionizeStateful(ds: Dataset[UserEvent2]): Dataset[SessionOut] = {
+    import ds.sparkSession.implicits._
+    val gapMs = 5 * 60 * 1000L
+    ds.withWatermark("ts", "0 seconds")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+                              GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, rows: Iterator[UserEvent2],
+         state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionOut(uid, new java.sql.Timestamp(s.startMs),
+              new java.sql.Timestamp(s.lastMs + gapMs), s.count,
+              closed_by_timeout = true))
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var cur = state.getOption
+            val closed = Seq.newBuilder[SessionOut]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t < s.lastMs + gapMs =>
+                  cur = Some(s.copy(lastMs = math.max(s.lastMs, t),
+                                    count = s.count + 1))
+                case Some(s) => // gap exceeded within the batch
+                  closed += SessionOut(uid, new java.sql.Timestamp(s.startMs),
+                    new java.sql.Timestamp(s.lastMs + gapMs), s.count,
+                    closed_by_timeout = false)
+                  cur = Some(SessionState(t, t, 1))
+                case None => cur = Some(SessionState(t, t, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastMs + gapMs)
+            }
+            closed.result().iterator
+          }
       }
   }
 

@@ -125,6 +125,55 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup keeps the first occurrence per key") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val name = s"dedup_${System.nanoTime()}"
+    val q = graft.streaming.Streams.dedupStream(mem.toDF(), Seq("event_id"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      mem.addData(Seq(rows(0), rows(0), rows(1))) // duplicate in-batch
+      q.processAllAvailable()
+      mem.addData(Seq(rows(0), rows(2))) // duplicate across batches
+      q.processAllAvailable()
+      val got = spark.table(name).select("event_id").collect()
+        .map(_.getLong(0)).sorted.toSeq
+      assert(got === Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
+  test("stateful sessionization closes sessions on event-time timeout") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.{Streams, UserEvent2}
+    val mem = MemoryStream[UserEvent2]
+    val name = s"sess_${System.nanoTime()}"
+    val q = Streams.sessionizeStateful(mem.toDS())
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      mem.addData(Seq(UserEvent2(1, ts(0)), UserEvent2(1, ts(1))))
+      q.processAllAvailable()
+      // nothing closed yet — session still open
+      assert(spark.table(name).count() === 0)
+      // watermark jumps far past last+gap -> timeout fires, session emits
+      mem.addData(Seq(UserEvent2(2, Timestamp.valueOf("2024-01-01 11:00:00"))))
+      q.processAllAvailable()
+      mem.addData(Seq(UserEvent2(2, Timestamp.valueOf("2024-01-01 11:00:01"))))
+      q.processAllAvailable()
+      val out = spark.table(name)
+        .as[graft.streaming.SessionOut].collect()
+      val u1 = out.filter(_.user_id == 1)
+      assert(u1.length === 1, s"expected user 1's session closed: ${out.toSeq}")
+      assert(u1(0).n_events === 2 && u1(0).closed_by_timeout)
+      assert(u1(0).start === ts(0) && u1(0).end === ts(6)) // last(10:01)+5min
+    } finally q.stop()
+  }
+
   test("watermark drops events later than the threshold (append mode)") {
     val spark2 = spark
     import spark2.implicits._
