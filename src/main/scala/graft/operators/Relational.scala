@@ -222,6 +222,47 @@ object Relational {
       .orderBy("op")
   }
 
+  /** Multiset (ALL) set operations — intersectAll / exceptAll / unionAll
+    * keep duplicate multiplicities, unlike the distinct variants in
+    * [[setOps]]. */
+  val setopsAll: Q = Q(
+    "setops_all",
+    """WITH a AS (SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'),
+      |     b AS (SELECT o_custkey AS k FROM orders WHERE o_orderpriority = '1-URGENT')
+      |SELECT 'except_all' AS op, count(*) AS n FROM (SELECT k FROM a EXCEPT ALL SELECT k FROM b) t1
+      |UNION ALL
+      |SELECT 'intersect_all' AS op, count(*) AS n FROM (SELECT k FROM a INTERSECT ALL SELECT k FROM b) t2
+      |UNION ALL
+      |SELECT 'union_all' AS op, count(*) AS n FROM (SELECT k FROM a UNION ALL SELECT k FROM b) t3
+      |ORDER BY op""".stripMargin
+  ) { (s, d) =>
+    val o = Tables.orders(s, d)
+    val a = o.filter(col("o_orderstatus") === "F").select(col("o_custkey").as("k"))
+    val b = o.filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey").as("k"))
+    def cnt(df: DataFrame, tag: String) =
+      df.agg(count(lit(1)).as("n")).select(lit(tag).as("op"), col("n"))
+    cnt(a.exceptAll(b), "except_all")
+      .unionByName(cnt(a.intersectAll(b), "intersect_all"))
+      .unionByName(cnt(a.unionAll(b), "union_all"))
+      .orderBy("op")
+  }
+
+  /** Pagination: ORDER BY … OFFSET … LIMIT — the portal-style page fetch.
+    * Catalyst still plans the offset+limit as a single global top-(o+k). */
+  val topkPaged: Q = Q(
+    "topk_paged",
+    """SELECT o_orderkey, o_totalprice
+      |FROM orders ORDER BY o_totalprice DESC, o_orderkey
+      |LIMIT 10 OFFSET 10""".stripMargin
+  ) { (s, d) =>
+    Tables.orders(s, d)
+      .select("o_orderkey", "o_totalprice")
+      .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      .offset(10)
+      .limit(10)
+  }
+
   /** Scalar string/date function family (SURVEY §2.9): split/concat/case
     * conversion + year/quarter/trunc/datediff — the reference's
     * project_id.split('-') and %Y%m%d formatting generalized. */
@@ -552,5 +593,5 @@ object Relational {
     joinInner, joinMultiway, semiAnti, setOps, scalarStringDate, jsonExtract,
     arrayOps, joinRange, joinAsof, mapOps, aggApproxDistinct, aggCube,
     joinOuter, aggPivot, aggStats, generatorPosexplode, sampleStratified,
-    aggSalted, aggQuantile)
+    aggSalted, aggQuantile, setopsAll, topkPaged)
 }
