@@ -146,6 +146,30 @@ object TextAnalysis {
       .limit(20)
   }
 
+  /** Normalization pipeline: lowercase → strip non-alphanumerics →
+    * collapse whitespace → trim; plus before/after token counts. The
+    * regex classes used exist with identical semantics in Java regex and
+    * RE2 (DuckDB), so parity is exact. */
+  val textNormalize: Q = Q(
+    "text_normalize",
+    """SELECT doc_id,
+      |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+      |       ' +', ' ', 'g')) AS norm_text,
+      |  CAST(len(string_split(text, ' ')) AS INT) AS n_tokens_raw,
+      |  CAST(len(string_split(trim(regexp_replace(regexp_replace(lower(text),
+      |       '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')), ' ')) AS INT) AS n_tokens_norm
+      |FROM documents ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      norm.as("norm_text"),
+      size(split(col("text"), " ")).as("n_tokens_raw"),
+      size(split(norm, " ")).as("n_tokens_norm")
+    ).orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(textTokens, textQuality, langId, textFingerprint,
-    textTfidf)
+    textTfidf, textNormalize)
 }

@@ -73,6 +73,26 @@ object Streams {
     events.withWatermark("ts", "10 minutes")
       .dropDuplicates(keyCols :+ "ts")
 
+  /** Stream-stream interval join: purchases matched to the signup of the
+    * same user within [signup, signup + 24 h]. Both sides carry
+    * watermarks so the join state is bounded (Spark drops buffered rows
+    * once the watermark passes the interval bound) — the streaming
+    * analogue of the `funnel` batch query. */
+  def signupPurchaseJoin(events: DataFrame): DataFrame = {
+    val signups = events.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("ts").as("signup_ts"))
+      .withWatermark("signup_ts", "1 hour")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"), col("ts").as("purchase_ts"),
+              col("value"))
+      .withWatermark("purchase_ts", "1 hour")
+    signups.join(purchases,
+      col("user_id") === col("p_user_id") &&
+      col("purchase_ts") >= col("signup_ts") &&
+      col("purchase_ts") <= col("signup_ts") + expr("INTERVAL 24 HOURS"))
+      .select(col("user_id"), col("signup_ts"), col("purchase_ts"), col("value"))
+  }
+
   /** Custom sessionization with EVENT-TIME TIMEOUT: state closes and the
     * final session row is emitted when the watermark passes last event +
     * gap — the full custom-state machine (the built-in `session_window`

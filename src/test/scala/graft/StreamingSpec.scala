@@ -125,6 +125,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches purchases to signups") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val name = s"ssj_${System.nanoTime()}"
+    val q = graft.streaming.Streams.signupPurchaseJoin(mem.toDF())
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      mem.addData(Seq(
+        Ev(1, ts(0), 1, "signup", 0.0, "{}"),
+        Ev(2, ts(5), 1, "purchase", 9.99, "{}"),      // within 24h -> match
+        Ev(3, ts(2), 2, "purchase", 5.0, "{}"),        // no signup -> no match
+        Ev(4, Timestamp.valueOf("2024-01-03 10:00:00"), 1, "purchase", 1.0, "{}")))
+      q.processAllAvailable()
+      // streaming == the batch run of the same transform
+      val stream = spark.table(name).collect().map(_.toString).sorted.toSeq
+      val batch = graft.streaming.Streams.signupPurchaseJoin(
+        Seq(Ev(1, ts(0), 1, "signup", 0.0, "{}"),
+            Ev(2, ts(5), 1, "purchase", 9.99, "{}"),
+            Ev(3, ts(2), 2, "purchase", 5.0, "{}"),
+            Ev(4, Timestamp.valueOf("2024-01-03 10:00:00"), 1, "purchase", 1.0, "{}"))
+          .toDF()).collect().map(_.toString).sorted.toSeq
+      assert(stream === batch)
+      assert(stream.length === 1) // only the within-24h purchase of user 1
+    } finally q.stop()
+  }
+
   test("streaming dedup keeps the first occurrence per key") {
     val spark2 = spark
     import spark2.implicits._
