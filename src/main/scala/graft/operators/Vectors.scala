@@ -57,11 +57,14 @@ object Vectors {
       .limit(20)
   }
 
-  /** 8-bit LSH bucket signature for a (double) vector column. */
+  /** 8-bit LSH bucket signature for a (double) vector column. Uses the
+    * native cosine expression for the sign test (sign(cos) ≡ sign(dot),
+    * norms being positive) so bucket assignment stays in codegen instead
+    * of 8 interpreted HOF folds per row. */
   private[operators] def bucketOf(v: org.apache.spark.sql.Column) =
     (0 until NPlanes).map { j =>
       val h = typedlit(planes(j))
-      when(dot(v, h) > 0, 1 << j).otherwise(0)
+      when(cosine(v, h) > 0, 1 << j).otherwise(0)
     }.reduce(_ + _)
 
   /** LSH-bucketed approximate top-20 for the same query: probe the query's

@@ -68,6 +68,25 @@ class PropertiesSpec extends SparkSpec {
     }, n = 5)
   }
 
+  test("salted aggregation equals plain groupBy on random data") {
+    val spark2 = spark
+    import spark2.implicits._
+    import org.apache.spark.sql.functions._
+    val gen = Gen.nonEmptyListOf(
+      Gen.zip(Gen.chooseNum(1, 4), Gen.chooseNum(-1000, 1000)))
+    check(Prop.forAll(gen) { rows =>
+      val df = rows.zipWithIndex
+        .map { case ((k, v), i) => (s"k$k", v.toLong, i.toLong) }
+        .toDF("key", "v", "rid")
+      val salted = graft.functions.SkewOps
+        .saltedSumCount(df, col("key"), col("v"), 4, col("rid"))
+        .select(col("k"), col("total"), col("n"))
+      val plain = df.groupBy(col("key").as("k"))
+        .agg(sum("v").as("total"), count(lit(1)).as("n"))
+      salted.except(plain).count() == 0 && plain.except(salted).count() == 0
+    }, n = 5)
+  }
+
   test("window running sum's last value equals the group sum") {
     val spark2 = spark
     import spark2.implicits._
