@@ -515,6 +515,32 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** Pearson correlation & covariance from EXACT decimal sums (same
+    * determinism argument as [[aggStats]]: Σx, Σy, Σxy, Σx², Σy² are
+    * exact decimals, the final combine is a handful of double ops —
+    * partition-order independent, unlike the streaming corr aggregate). */
+  val aggCorr: Q = Q(
+    "agg_corr",
+    """SELECT l_returnflag, count(*) AS n,
+      |  (CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+      |   - CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+      |     * CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*))
+      |  / (count(*) - 1) AS covar_qty_price
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+  ) { (s, d) =>
+    val x = money(col("l_quantity"))
+    val y = money(col("l_extendedprice"))
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+           asDouble(sum(x * y)).as("sxy"),
+           asDouble(sum(x)).as("sx"), asDouble(sum(y)).as("sy"))
+      .select(col("l_returnflag"), col("n"),
+        ((col("sxy") - col("sx") * col("sy") / col("n")) / (col("n") - 1))
+          .as("covar_qty_price"))
+      .orderBy("l_returnflag")
+  }
+
   /** Generator / UDTF surface (SURVEY §2.11): posexplode over the token
     * array — one output row per (element, ordinal). */
   val generatorPosexplode: Q = Q(
@@ -593,5 +619,5 @@ object Relational {
     joinInner, joinMultiway, semiAnti, setOps, scalarStringDate, jsonExtract,
     arrayOps, joinRange, joinAsof, mapOps, aggApproxDistinct, aggCube,
     joinOuter, aggPivot, aggStats, generatorPosexplode, sampleStratified,
-    aggSalted, aggQuantile, setopsAll, topkPaged)
+    aggSalted, aggQuantile, setopsAll, topkPaged, aggCorr)
 }

@@ -64,4 +64,24 @@ class PlanAuditSpec extends SparkSpec {
     val p = plan(Relational.countByProject)
     assert("HashAggregate".r.findAllIn(p).size >= 2)
   }
+
+  test("join_asof is one keyed window, not an N x M join") {
+    val p = plan(Relational.joinAsof)
+    assert(p.contains("Window") || p.contains("WindowGroupLimit"),
+      "asof should be window-based")
+    assert(!p.contains("NestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"asof must not fall back to a product join:\n${p.take(600)}")
+  }
+
+  test("text_tokens explode feeds a partial+final aggregate") {
+    val p = plan(graft.operators.TextAnalysis.textTokens)
+    assert(p.contains("Generate explode"))
+    assert("HashAggregate".r.findAllIn(p).size >= 2)
+  }
+
+  test("dedup_ngram has no cartesian/nested-loop join anywhere") {
+    val p = plan(Dedup.dedupNgram)
+    assert(!p.contains("NestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"posting-list plan regressed to a product join:\n${p.take(800)}")
+  }
 }
