@@ -11,15 +11,16 @@ import org.apache.spark.sql.functions._
   * Scale posture, per variant:
   *  - exact: hash groupBy on a content digest — one shuffle keyed by
   *    digest, perfectly distributed.
-  *  - ngram (exact Jaccard): inverted-index self-join on shingles. The
-  *    candidate fan-out is bounded by shingle selectivity; at 100 TB the
-  *    hot path is the same plan with a frequent-shingle stop-list (any
-  *    shingle shared by >F docs contributes F² candidate pairs — drop
-  *    them like stopwords). This is the *verifier*; LSH below is the
-  *    *candidate generator* at scale.
-  *  - minhash LSH: signatures are a projection (no shuffle); banding turns
-  *    the all-pairs problem into an equi-join on (band, bandHash) — the
-  *    textbook sub-quadratic near-dup plan.
+  *  - ngram (exact Jaccard): inverted-index posting lists keyed by
+  *    shingle. Candidate fan-out is bounded by shingle selectivity plus
+  *    the PostingCap stop-list (any shingle shared by >F docs would
+  *    contribute F² near-zero-Jaccard pairs — dropped like stopwords).
+  *    This is the *verifier*; LSH below is the *candidate generator* at
+  *    scale.
+  *  - minhash LSH: signatures are one partial+final aggregation over the
+  *    exploded shingles; banding turns the all-pairs problem into an
+  *    equi-join on (band, bandHash) — the textbook sub-quadratic
+  *    near-dup plan.
   *  - simhash: same banding idea on 16-bit chunks of a 64-bit signature.
   *  - cosine: all-pairs above a threshold; kept as the exact baseline —
   *    the ANN path is [[Vectors.vectorAnnLsh]].
