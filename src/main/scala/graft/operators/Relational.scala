@@ -515,6 +515,40 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** Numeric histogram: explicit floor bucketing (identical arithmetic in
+    * both engines; DuckDB has no width_bucket). Bucket width 50k over
+    * [0, 600k). */
+  val aggHistogram: Q = Q(
+    "agg_histogram",
+    """SELECT CAST(floor(o_totalprice / 50000) AS INT) AS bucket,
+      |  count(*) AS n,
+      |  CAST(min(o_totalprice) AS DOUBLE) AS lo,
+      |  CAST(max(o_totalprice) AS DOUBLE) AS hi
+      |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin
+  ) { (s, d) =>
+    Tables.orders(s, d)
+      .groupBy(floor(col("o_totalprice") / 50000).cast("int").as("bucket"))
+      .agg(count(lit(1)).as("n"),
+           min(col("o_totalprice")).cast("double").as("lo"),
+           max(col("o_totalprice")).cast("double").as("hi"))
+      .orderBy("bucket")
+  }
+
+  /** Ordered string aggregation (listagg family): sorted distinct values
+    * joined with a delimiter — deterministic regardless of partitioning. */
+  val aggStringagg: Q = Q(
+    "agg_stringagg",
+    """SELECT o_orderstatus,
+      |  array_to_string(list_sort(list(DISTINCT o_orderpriority)), '|') AS priorities
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+  ) { (s, d) =>
+    Tables.orders(s, d)
+      .groupBy("o_orderstatus")
+      .agg(array_join(array_sort(collect_set(col("o_orderpriority"))), "|")
+        .as("priorities"))
+      .orderBy("o_orderstatus")
+  }
+
   /** Pearson correlation & covariance from EXACT decimal sums (same
     * determinism argument as [[aggStats]]: Σx, Σy, Σxy, Σx², Σy² are
     * exact decimals, the final combine is a handful of double ops —
@@ -619,5 +653,6 @@ object Relational {
     joinInner, joinMultiway, semiAnti, setOps, scalarStringDate, jsonExtract,
     arrayOps, joinRange, joinAsof, mapOps, aggApproxDistinct, aggCube,
     joinOuter, aggPivot, aggStats, generatorPosexplode, sampleStratified,
-    aggSalted, aggQuantile, setopsAll, topkPaged, aggCorr)
+    aggSalted, aggQuantile, setopsAll, topkPaged, aggCorr, aggHistogram,
+    aggStringagg)
 }

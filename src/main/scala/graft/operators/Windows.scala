@@ -42,7 +42,11 @@ object Windows {
 
   /** Running aggregates + lag/lead over an ordered per-key frame.
     * l_quantity values are integral doubles, so the running sum is exact in
-    * any accumulation order. */
+    * any accumulation order. The ORDER BY chain must be a TOTAL order —
+    * (l_orderkey, l_linenumber) is NOT unique in the testdata (456k
+    * distinct of 600k rows at sf0.1), and any tie makes lag/lead
+    * engine-order-dependent; partkey+quantity+extendedprice complete the
+    * key. */
   val windowRunning: Q = Q(
     "window_running",
     """SELECT l_suppkey, l_orderkey, l_linenumber,
@@ -51,12 +55,18 @@ object Windows {
       |  lag(l_quantity) OVER w2 AS prev_qty,
       |  lead(l_quantity) OVER w2 AS next_qty
       |FROM lineitem
-      |WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+      |WINDOW w AS (PARTITION BY l_suppkey
+      |             ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey,
+      |                      l_quantity, l_extendedprice
       |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
-      |       w2 AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber)
-      |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin
+      |       w2 AS (PARTITION BY l_suppkey
+      |              ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey,
+      |                       l_quantity, l_extendedprice)
+      |ORDER BY l_suppkey, l_orderkey, l_linenumber, l_partkey, l_quantity,
+      |         l_extendedprice""".stripMargin
   ) { (s, d) =>
-    val order = Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+    val order = Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+                    col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
     val w = Window.partitionBy("l_suppkey").orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val w2 = Window.partitionBy("l_suppkey").orderBy(order: _*)
@@ -67,7 +77,8 @@ object Windows {
         count(lit(1)).over(w).as("running_n"),
         lag(col("l_quantity"), 1).over(w2).as("prev_qty"),
         lead(col("l_quantity"), 1).over(w2).as("next_qty"))
-      .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+      .orderBy("l_suppkey", "l_orderkey", "l_linenumber", "l_partkey",
+               "l_quantity", "l_extendedprice")
   }
 
   /** Custom typed UDAF (Aggregator): weighted mean of l_linenumber weighted
