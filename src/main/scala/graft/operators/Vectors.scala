@@ -124,5 +124,40 @@ object Vectors {
       .limit(20)
   }
 
-  val all: Seq[Q] = Seq(vectorTopk, vectorAnnLsh, vectorAnnIvf)
+  /** Batched exact top-3 neighbors for a SET of query vectors (vec_id <
+    * 5) — the realistic ANN serving shape (queries arrive in batches, not
+    * one at a time). Plan: broadcast the query batch, one narrow cosine
+    * pass, per-query top-k via ranked window (shuffle keyed by query id). */
+  val vectorTopkBatch: Q = Q(
+    "vector_topk_batch",
+    """WITH q AS (SELECT vec_id AS q_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS qv
+      |           FROM embeddings WHERE vec_id < 5),
+      |e AS (SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v
+      |      FROM embeddings WHERE vec_id >= 5),
+      |s AS (SELECT q.q_id, e.vec_id,
+      |        list_sum([v[i]*qv[i] FOR i IN range(1, len(v)+1)]) /
+      |        (sqrt(list_sum([x*x FOR x IN v])) * sqrt(list_sum([x*x FOR x IN qv]))) AS cosine
+      |      FROM e, q),
+      |r AS (SELECT q_id, vec_id, cosine,
+      |        row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rn
+      |      FROM s)
+      |SELECT q_id, vec_id, cosine, CAST(rn AS INT) AS rn
+      |FROM r WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(s, d)
+    val q = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), toDouble(col("embedding")).as("qv"))
+    val e = emb.filter(col("vec_id") >= 5)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    val w = Window.partitionBy("q_id").orderBy(desc("cosine"), asc("vec_id"))
+    e.crossJoin(broadcast(q))
+      .select(col("q_id"), col("vec_id"), cosine(col("v"), col("qv")).as("cosine"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .orderBy("q_id", "rn")
+  }
+
+  val all: Seq[Q] = Seq(vectorTopk, vectorAnnLsh, vectorAnnIvf,
+    vectorTopkBatch)
 }
