@@ -23,7 +23,13 @@ import org.apache.spark.sql.types._
   * different projects touch disjoint partitions and parallelize
   * trivially; no operation ever scans another project's data.
   */
-final class Etl(root: String) {
+final class Etl(root: String,
+                schemas: Map[String, StructType] = null) {
+
+  /** Resource schemas: externally supplied dictionary (the reference's
+    * DICTIONARY_URL design, see [[Dictionary]]) or the built-in default. */
+  private val dict: Map[String, StructType] =
+    Option(schemas).getOrElse(Dictionary.default)
 
   val fhirRaw = new Store(s"$root/fhir_raw", Seq("project_id", "resource_type"))
   val vertices = new Store(s"$root/vertices")
@@ -43,10 +49,10 @@ final class Etl(root: String) {
     * files load as empty-but-schema'd frames (the reference's "/dev/null"
     * fallback — indices must exist even with zero rows). */
   def put(spark: SparkSession, projectId: String, commitDir: String): Unit = {
-    val study = read(spark, commitDir, "ResearchStudy", studySchema, projectId)
-    val patient = read(spark, commitDir, "Patient", patientSchema, projectId)
-    val obs = read(spark, commitDir, "Observation", observationSchema, projectId)
-    val docRef = read(spark, commitDir, "DocumentReference", docRefSchema, projectId)
+    val study = read(spark, commitDir, "ResearchStudy", dict("ResearchStudy"), projectId)
+    val patient = read(spark, commitDir, "Patient", dict("Patient"), projectId)
+    val obs = read(spark, commitDir, "Observation", dict("Observation"), projectId)
+    val docRef = read(spark, commitDir, "DocumentReference", dict("DocumentReference"), projectId)
 
     val typed = Seq("ResearchStudy" -> study, "Patient" -> patient,
                     "Observation" -> obs, "DocumentReference" -> docRef)
