@@ -15,11 +15,12 @@ import org.apache.spark.sql.functions._
   *    narrow per-row cosine projection, then `orderBy(..).limit(k)` which
   *    Catalyst plans as TakeOrderedAndProject — per-partition top-k merged
   *    at the driver; no global sort, no all-to-all shuffle.
-  *  - LSH: each vector hashes to a 16-bit bucket via sign(v·hⱼ) against 16
-  *    fixed hyperplanes; the query probes its own bucket plus all
-  *    Hamming-1 neighbors (multiprobe). At 100 TB the bucket column is a
-  *    partition/cluster key, so a probe reads 17/65536 of the data instead
-  *    of all of it.
+  *  - LSH: each vector hashes to an 8-bit bucket via sign(v·hⱼ) against 8
+  *    fixed hyperplanes; the query probes its own bucket plus all buckets
+  *    within Hamming distance 2 (multiprobe, 37/256). At 100 TB the
+  *    bucket column is a partition/cluster key, so a probe reads ~14% of
+  *    the data instead of all of it; more planes shrink that fraction.
+  *  - IVF: data-dependent cells (nearest centroid) with NProbe-cell reads.
   */
 object Vectors {
 
