@@ -22,6 +22,30 @@ class TaskMetricsSpec extends SparkSpec {
     assert(proj.inputRecords > 0)
   }
 
+  test("aggregate-then-join shuffles less than join-then-aggregate") {
+    // the denormalize_patient design claim, measured: pre-aggregating
+    // orders to one row per customer before the join moves less data
+    // than joining raw orders and aggregating after
+    val c = Tables.customer(spark, sf0001)
+    val o = Tables.orders(spark, sf0001)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val (_, good) = TaskMetrics.measure(spark) {
+        val stats = o.groupBy(col("o_custkey").as("c_custkey"))
+          .agg(count(lit(1)).as("n"), sum("o_totalprice").as("s"))
+        runNoop(c.join(stats, Seq("c_custkey"), "left"))
+      }
+      val (_, naive) = TaskMetrics.measure(spark) {
+        runNoop(c.join(o, c("c_custkey") === o("o_custkey"), "left")
+          .groupBy("c_custkey")
+          .agg(count(col("o_orderkey")).as("n"), sum("o_totalprice").as("s")))
+      }
+      assert(good.shuffleWriteBytes < naive.shuffleWriteBytes,
+        s"pre-agg should move less: $good vs $naive")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("co-bucketed join reads zero shuffle bytes (quantitative proof)") {
     Tables.orders(spark, sf0001).write.mode("overwrite")
       .bucketBy(8, "o_custkey").sortBy("o_custkey").saveAsTable("orders_m")
