@@ -62,7 +62,7 @@ object Vectors {
     * native cosine expression for the sign test (sign(cos) ≡ sign(dot),
     * norms being positive) so bucket assignment stays in codegen instead
     * of 8 interpreted HOF folds per row. */
-  private[operators] def bucketOf(v: org.apache.spark.sql.Column) =
+  private[graft] def bucketOf(v: org.apache.spark.sql.Column) =
     (0 until NPlanes).map { j =>
       val h = typedlit(planes(j))
       when(cosine(v, h) > 0, 1 << j).otherwise(0)

@@ -51,6 +51,25 @@ class DedupSpec extends SparkSpec {
       "IVF should recover part of the true top-20")
   }
 
+  test("persisted LSH index: bucket probe is a partition prune") {
+    import org.apache.spark.sql.functions._
+    val idxDir = java.nio.file.Files.createTempDirectory("lshidx").toString
+    // build + persist the index partitioned by bucket (the 100 TB layout)
+    Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("label"),
+        graft.functions.VectorOps.toDouble(col("embedding")).as("v"))
+      .withColumn("bucket", graft.operators.Vectors.bucketOf(col("v")))
+      .write.mode("overwrite").partitionBy("bucket").parquet(idxDir)
+    val idx = spark.read.parquet(idxDir)
+    val someBucket = idx.select("bucket").limit(1).collect()(0).getInt(0)
+    val probe = idx.filter(col("bucket") === someBucket)
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters:") &&
+           plan.contains(s"(bucket"),
+      s"bucket probe should prune partitions:\n${plan.take(600)}")
+    assert(probe.count() > 0)
+  }
+
   test("ann-lsh results are true vectors with correct cosines (precision)") {
     val ann = Vectors.vectorAnnLsh.fn(spark, sf0001)
       .select("vec_id", "cosine").collect()
