@@ -28,7 +28,14 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // sbt wraps stdout in [info] prefixes, which broke the driver's JSON
+    // recovery in round 1 ("parsed": null) — also persist to a file so the
+    // perf gate has a machine-readable artifact regardless of log framing
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), line + "\n")
     spark.stop()
   }
 }

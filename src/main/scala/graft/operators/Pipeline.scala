@@ -56,7 +56,7 @@ object Pipeline {
       |  COALESCE(s.n_orders, 0) AS n_orders,
       |  COALESCE(s.sum_spend, 0.0) AS sum_spend,
       |  s.last_order,
-      |  COALESCE(s.priorities, []) AS priorities
+      |  COALESCE(array_to_string(s.priorities, '|'), '') AS priorities
       |FROM customer c LEFT JOIN (
       |  SELECT o_custkey, count(*) AS n_orders,
       |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_spend,
@@ -79,7 +79,9 @@ object Pipeline {
         coalesce(col("n_orders"), lit(0L)).as("n_orders"),
         coalesce(col("sum_spend"), lit(0.0)).as("sum_spend"),
         col("last_order"),
-        coalesce(col("priorities"), typedLit(Seq.empty[String]))
+        // stringified (agg_stringagg pattern): array-typed output columns
+        // crash the driver's pandas sort in the oracle compare
+        array_join(coalesce(col("priorities"), typedLit(Seq.empty[String])), "|")
           .as("priorities"))
       .orderBy("c_custkey")
   }
@@ -149,7 +151,7 @@ object Pipeline {
     "discovery_summary",
     """SELECT n_name AS project_id, count(*) AS patient_count,
       |  min(c_name) AS description,
-      |  list_sort(list(DISTINCT c_mktsegment)) AS identifier_coding
+      |  array_to_string(list_sort(list(DISTINCT c_mktsegment)), '|') AS identifier_coding
       |FROM customer JOIN nation ON c_nationkey = n_nationkey
       |GROUP BY n_name ORDER BY project_id""".stripMargin
   ) { (s, d) =>
@@ -159,7 +161,8 @@ object Pipeline {
       .groupBy(col("n_name").as("project_id"))
       .agg(count(lit(1)).as("patient_count"),
            min(col("c_name")).as("description"),
-           array_sort(collect_set(col("c_mktsegment"))).as("identifier_coding"))
+           array_join(array_sort(collect_set(col("c_mktsegment"))), "|")
+             .as("identifier_coding"))
       .orderBy("project_id")
   }
 

@@ -301,7 +301,7 @@ object Relational {
   val jsonExtract: Q = Q(
     "json_extract",
     """SELECT event_type,
-      |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+      |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
       |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
       |  count(*) AS n
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
@@ -438,7 +438,7 @@ object Relational {
     "map_ops",
     """SELECT event_id,
       |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
-      |  list_sort(json_keys(props)) AS keys,
+      |  array_to_string(list_sort(json_keys(props)), '|') AS keys,
       |  CAST(len(json_keys(props)) AS INT) AS n_keys
       |FROM events ORDER BY event_id""".stripMargin
   ) { (s, d) =>
@@ -449,7 +449,7 @@ object Relational {
       // try_element_at: ANSI element_at throws on a missing map key;
       // DuckDB's json_extract_string yields NULL — try_ matches
       try_element_at(m, lit("k")).cast("long").as("k_val"),
-      array_sort(map_keys(m)).as("keys"),
+      array_join(array_sort(map_keys(m)), "|").as("keys"),
       size(map_keys(m)).as("n_keys")
     ).orderBy("event_id")
   }
