@@ -38,6 +38,35 @@ object Dictionary {
   def load(path: String): Map[String, StructType] =
     parse(java.nio.file.Files.readString(java.nio.file.Paths.get(path)))
 
+  /** Fetch raw dictionary text: http(s) URLs via the JVM URL stack,
+    * anything else as a local file path. Pluggable so offline tests (and
+    * sandboxes with no egress) can substitute a fake. */
+  def defaultFetch(urlOrPath: String): String =
+    if (urlOrPath.startsWith("http://") || urlOrPath.startsWith("https://"))
+      scala.io.Source.fromURL(urlOrPath)(scala.io.Codec.UTF8).mkString
+    else
+      java.nio.file.Files.readString(java.nio.file.Paths.get(urlOrPath))
+
+  /** The reference's runtime dictionary resolution
+    * (fhir_import_export.py:411-414): DICTIONARY_URL if set, else the
+    * bundled default with a log line; a failing fetch also falls back to
+    * the default rather than killing the job. */
+  def resolve(urlOrPath: Option[String],
+              fetch: String => String = defaultFetch,
+              logs: scala.collection.mutable.Buffer[String] =
+                scala.collection.mutable.Buffer.empty): Map[String, StructType] =
+    urlOrPath match {
+      case None =>
+        logs += "DICTIONARY_URL not found in environment using bundled default"
+        default
+      case Some(u) =>
+        try parse(fetch(u))
+        catch { case e: Exception =>
+          logs += s"dictionary fetch failed for $u (${e.getMessage}); using bundled default"
+          default
+        }
+    }
+
   /** The built-in dictionary matching FIXTURES.md §A.2 — used when no
     * external dictionary is supplied (the reference's bundled default). */
   val default: Map[String, StructType] = Map(

@@ -48,11 +48,29 @@ final class Etl(root: String,
   /** Import one unzipped commit directory for a project. Missing resource
     * files load as empty-but-schema'd frames (the reference's "/dev/null"
     * fallback — indices must exist even with zero rows). */
-  def put(spark: SparkSession, projectId: String, commitDir: String): Unit = {
-    val study = read(spark, commitDir, "ResearchStudy", dict("ResearchStudy"), projectId)
-    val patient = read(spark, commitDir, "Patient", dict("Patient"), projectId)
-    val obs = read(spark, commitDir, "Observation", dict("Observation"), projectId)
-    val docRef = read(spark, commitDir, "DocumentReference", dict("DocumentReference"), projectId)
+  def put(spark: SparkSession, projectId: String, commitDir: String): Unit =
+    put(spark, projectId, Seq(commitDir), None)
+
+  /** Import a project from one or more commit directories in ONE load —
+    * the reference loads every commit of a push cumulatively
+    * (fhir_import_export.py:455-470), so per-commit dynamic-partition
+    * overwrites would keep only the last commit. The project is wiped
+    * first ("wipe and reload", :360-390 `_empty_project` semantics), so a
+    * re-import where a resource file disappeared leaves no stale partition
+    * behind. `limit` caps rows per flat table (`load_flat(limit=...)`,
+    * :231-258). */
+  def put(spark: SparkSession, projectId: String, commitDirs: Seq[String],
+          limit: Option[Int]): Unit = {
+    require(commitDirs.nonEmpty, "at least one commit dir required")
+    delete(spark, projectId)
+    def readAll(name: String): DataFrame =
+      commitDirs.map(read(spark, _, name, dict(name), projectId))
+        .reduce(_ unionByName _)
+    val study = readAll("ResearchStudy")
+    val patient = readAll("Patient")
+    val obs = readAll("Observation")
+    val docRef = readAll("DocumentReference")
+    def capped(df: DataFrame): DataFrame = limit.map(df.limit).getOrElse(df)
 
     val typed = Seq("ResearchStudy" -> study, "Patient" -> patient,
                     "Observation" -> obs, "DocumentReference" -> docRef)
@@ -84,16 +102,17 @@ final class Etl(root: String,
            avg(col("value_numeric")).as("avg_value"))
     val docStats = docRef.groupBy(col("patient_id").as("id"))
       .agg(count(lit(1)).as("file_count"), sum(col("content_size")).as("total_bytes"))
-    flatPatient.put(SchemaFlattener.flatten(patient)
+    flatPatient.put(capped(SchemaFlattener.flatten(patient)
       .join(obsStats, Seq("id"), "left")
       .join(docStats, Seq("id"), "left")
-      .na.fill(0, Seq("observation_count", "file_count", "total_bytes")))
-    flatObservation.put(SchemaFlattener.flatten(obs))
-    flatFile.put(SchemaFlattener.flatten(docRef))
+      .na.fill(0, Seq("observation_count", "file_count", "total_bytes"))))
+    flatObservation.put(capped(SchemaFlattener.flatten(obs)))
+    flatFile.put(capped(SchemaFlattener.flatten(docRef)))
 
-    // discovery summary (:261-289): one row per project
+    // discovery summary (:261-289): one row per project; orderBy before
+    // limit(1) so the chosen study row is partition-order independent
     val pc = patient.count()
-    discovery.put(study.limit(1).select(
+    discovery.put(study.orderBy("id").limit(1).select(
       col("project_id"),
       lit(pc).as("patient_count"),
       col("description"),

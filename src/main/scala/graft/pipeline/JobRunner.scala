@@ -12,7 +12,8 @@ import scala.jdk.CollectionConverters._
   * (etl-job/fhir_import_export.py:393-436), run the verb, and return the
   * result object that the reference prints as the last `[out]` stdout
   * line (:401-403,435-436). A user of the reference can hand this the
-  * same envelope they submit to sower today.
+  * same envelope they submit today; [[JobRunner.main]] is the executable
+  * contract (env `INPUT_DATA` in, final `[out]` JSON line out).
   *
   * Envelope (FIXTURES.md §A.3):
   * {"method":"put","project_id":"<program>-<project>",
@@ -24,52 +25,65 @@ final class JobRunner(etl: Etl, clock: () => String =
 
   private val mapper = new ObjectMapper()
 
-  /** Run one job; returns the `[out]` result map. `authz` is the caller's
-    * resource->grants profile (reference fetches it from arborist,
-    * :44-46). */
+  /** Run one job; returns the `[out]` result map, shaped like the
+    * reference's `output` dict (:401 `{'user','files','logs'}`, plus
+    * `snapshot: {object_id}` after put :421-423 / `object_id` after get
+    * :427-429). `user` is the caller's arborist-style profile (the
+    * reference fetches it from the authz service, :44-46). */
   def run(spark: SparkSession, inputData: String,
-          authz: Authz.UserAuthz, exportDir: String): Map[String, Any] = {
+          user: Authz.UserProfile, exportDir: String): Map[String, Any] = {
     val env: JsonNode = mapper.readTree(inputData)
-    val method = env.path("method").asText()
+    val method = env.path("method").asText().toLowerCase
     val projectId = env.path("project_id").asText()
     val (program, project) = Authz.splitProjectId(projectId)
     val logs = scala.collection.mutable.ArrayBuffer[String]()
 
-    method match {
+    val result: Map[String, Any] = method match {
       case "put" =>
-        require(Authz.canCreate(authz, program, project),
-          s"no create access on $projectId")
+        val canCreate = Authz.canCreate(user, program, project, logs)
+        logs += s"CAN CREATE: $canCreate"
+        require(canCreate, s"No create permissions on $program")
         val commits = env.path("push").path("commits").elements().asScala.toSeq
-        val files = commits.flatMap { c =>
+        val dirs = commits.map { c =>
           val dir = c.path("meta_path").asText()
-          etl.put(spark, projectId, dir)
-          logs += s"loaded commit ${c.path("commit_id").asText()} from $dir"
-          new File(dir).listFiles().map(_.getName).sorted.toSeq
+          logs += s"loading commit ${c.path("commit_id").asText()} from $dir"
+          dir
         }
+        // all commits of the push load as ONE cumulative import
+        // (reference :455-470) — per-commit writes would overwrite
+        etl.put(spark, projectId, dirs, limit = None)
+        val files = dirs.flatMap(d =>
+          new File(d).listFiles().map(_.getName).sorted.toSeq)
         // reference auto-snapshots after put (:421-423)
-        val snap = snapshot(spark, projectId, program, project, authz, exportDir)
-        Map("files" -> files, "snapshot" -> snap, "logs" -> logs.toSeq)
+        val snap = snapshot(spark, projectId, program, project, user,
+                            exportDir, logs)
+        Map("files" -> files, "snapshot" -> Map("object_id" -> snap))
       case "get" =>
-        Map("snapshot" ->
-          snapshot(spark, projectId, program, project, authz, exportDir),
-          "logs" -> logs.toSeq)
+        Map("object_id" ->
+          snapshot(spark, projectId, program, project, user, exportDir, logs))
       case "delete" =>
-        require(Authz.canCreate(authz, program, project),
-          s"no create access on $projectId")
+        val canCreate = Authz.canCreate(user, program, project, logs)
+        logs += s"CAN CREATE: $canCreate"
+        require(canCreate, s"No create permissions on $program")
         etl.delete(spark, projectId)
-        Map("logs" -> (logs += s"emptied $projectId").toSeq)
+        logs += s"EMPTIED FHIR STORE for $projectId"
+        Map.empty
       case other =>
         // reference raises on unknown methods (:433)
         throw new IllegalArgumentException(s"unknown method $other")
     }
+    Map("user" -> user.email, "files" -> Nil, "logs" -> Nil) ++
+      result + ("logs" -> logs.toSeq)
   }
 
   /** Export + zip: `{project_id}_{ts}_SNAPSHOT.zip` (:340-355). */
   private def snapshot(spark: SparkSession, projectId: String,
                        program: String, project: String,
-                       authz: Authz.UserAuthz, exportDir: String): String = {
-    require(Authz.canRead(authz, program, project),
-      s"no read-storage access on $projectId")
+                       user: Authz.UserProfile, exportDir: String,
+                       logs: scala.collection.mutable.Buffer[String]): String = {
+    val canRead = Authz.canRead(user, program, project, logs)
+    logs += s"CAN READ: $canRead"
+    require(canRead, s"no read-storage access on $projectId")
     val stage = Files.createTempDirectory("export").toString
     etl.get(spark, projectId, stage)
     val zipName = s"${projectId}_${clock()}_SNAPSHOT.zip"
@@ -90,5 +104,58 @@ final class JobRunner(etl: Etl, clock: () => String =
         }
     } finally zout.close()
     zipPath.toString
+  }
+}
+
+object JobRunner {
+
+  /** Render the result map as compact JSON (the reference uses
+    * `json.dumps(output, separators=(',',':'))`, :436). */
+  def toJson(result: Map[String, Any]): String = {
+    def toJava(v: Any): AnyRef = v match {
+      case m: Map[_, _] =>
+        val lm = new java.util.LinkedHashMap[String, AnyRef]()
+        m.foreach { case (k, x) => lm.put(k.toString, toJava(x)) }
+        lm
+      case s: Seq[_] => s.map(toJava).asJava
+      case other => other.asInstanceOf[AnyRef]
+    }
+    new ObjectMapper().writeValueAsString(toJava(result))
+  }
+
+  /** Env-driven single job: the testable core of [[main]]. Returns every
+    * `[out]` line; the LAST one is the caller-visible result (reference
+    * contract :408,435-436). */
+  def runFromEnv(spark: SparkSession, env: Map[String, String]): Seq[String] = {
+    val inputData = env.getOrElse("INPUT_DATA",
+      sys.error("INPUT_DATA not found in environment"))
+    val profile = Authz.parseProfile(
+      Files.readString(Paths.get(env.getOrElse("GRAFT_USER_PROFILE",
+        sys.error("GRAFT_USER_PROFILE not found in environment")))))
+    val logs = scala.collection.mutable.ArrayBuffer[String]()
+    // DICTIONARY_URL flow (:411-414): absent → bundled default, logged
+    val schemas = Dictionary.resolve(env.get("DICTIONARY_URL"), logs = logs)
+    val etl = new Etl(
+      env.getOrElse("GRAFT_STORE_DIR", "/tmp/graft/store"), schemas)
+    val exportDir = env.getOrElse("GRAFT_EXPORT_DIR", "/tmp/graft/export")
+    val first = s"[out] $inputData"
+    val result = new JobRunner(etl).run(spark, inputData, profile, exportDir)
+    val merged = result + ("logs" ->
+      (logs.toSeq ++ result("logs").asInstanceOf[Seq[String]]))
+    Seq(first, s"[out] ${toJson(merged)}")
+  }
+
+  /** Executable entry: mirrors the reference job's stdout contract — the
+    * last `[out]`-prefixed line is the result JSON. */
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try runFromEnv(spark, sys.env.toMap).foreach(println)
+    finally spark.stop()
   }
 }

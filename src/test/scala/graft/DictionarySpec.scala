@@ -47,4 +47,28 @@ class DictionarySpec extends SparkSpec {
   test("default dictionary matches the built-in schemas") {
     assert(Dictionary.default("Patient") === Etl.patientSchema)
   }
+
+  test("resolve: URL via pluggable fetcher, fallback + log on failure/absence") {
+    val logs = scala.collection.mutable.ArrayBuffer[String]()
+    // URL path goes through the fetcher
+    val fetched = Dictionary.resolve(
+      Some("https://example.org/dict.json"), fetch = _ => dictJson, logs)
+    assert(fetched("Patient")("birthDate").dataType === DateType)
+    assert(logs.isEmpty)
+    // failing fetch → bundled default, logged, job survives
+    val failed = Dictionary.resolve(
+      Some("https://example.org/missing.json"),
+      fetch = u => throw new RuntimeException("no egress"), logs)
+    assert(failed === Dictionary.default)
+    assert(logs.exists(_.contains("dictionary fetch failed")))
+    // absent URL → bundled default with the reference's log line
+    logs.clear()
+    assert(Dictionary.resolve(None, logs = logs) === Dictionary.default)
+    assert(logs.exists(_.contains("DICTIONARY_URL not found")))
+    // plain local path still works through defaultFetch
+    val f = Files.createTempFile("dict", ".json")
+    Files.writeString(f, dictJson)
+    assert(Dictionary.resolve(Some(f.toString))("Observation")("value_numeric")
+      .dataType === DoubleType)
+  }
 }

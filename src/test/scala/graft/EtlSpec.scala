@@ -109,6 +109,35 @@ class EtlSpec extends SparkSpec {
     assert(ids1 === ids2)
   }
 
+  test("re-import wipes stale partitions; limit caps flat loads; " +
+       "discovery is deterministic with >1 study") {
+    val etl = new Etl(Files.createTempDirectory("etl-wipe").toString)
+    etl.put(spark, "aced-demo", commitDir()) // has 2 observations
+    assert(etl.flatObservation.readProject(spark, "aced-demo").count() === 2)
+
+    // second import has NO Observation file → stale obs rows must go
+    val d2 = Files.createTempDirectory("commit2").toString
+    Files.writeString(Paths.get(d2, "Patient.ndjson"),
+      """{"id":"p3","gender":"male","birthDate":"1970-01-01","identifier":[]}""" + "\n")
+    // two studies, written s2-first: orderBy must still pick s1
+    Files.writeString(Paths.get(d2, "ResearchStudy.ndjson"),
+      """{"id":"s2","status":"active","description":"zzz","identifier_coding":[]}
+        |{"id":"s1","status":"active","description":"first","identifier_coding":[]}
+        |""".stripMargin)
+    etl.put(spark, "aced-demo", d2)
+    assert(etl.flatObservation.readProject(spark, "aced-demo").count() === 0)
+    assert(etl.flatPatient.readProject(spark, "aced-demo")
+      .select("id").collect().map(_.getString(0)).toSeq === Seq("p3"))
+    val disc = etl.discovery.readProject(spark, "aced-demo").collect()(0)
+    assert(disc.getAs[String]("description") === "first")
+
+    // load_flat(limit=...) parity: flat stores capped, raw store is not
+    val d3 = commitDir() // 2 patients, 2 observations
+    etl.put(spark, "aced-demo", Seq(d3), limit = Some(1))
+    assert(etl.flatPatient.readProject(spark, "aced-demo").count() === 1)
+    assert(etl.flatObservation.readProject(spark, "aced-demo").count() === 1)
+  }
+
   test("zip-of-ndjson source decompresses in executors") {
     val zdir = Files.createTempDirectory("zips")
     val zip = zdir.resolve("commit1.zip")
