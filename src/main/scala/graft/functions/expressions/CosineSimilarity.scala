@@ -35,11 +35,20 @@ case class CosineSimilarity(left: Expression, right: Expression)
   }
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_sim"
+  // null for non-null inputs too (zero-norm case), not just null-in-null-out
+  override def nullable: Boolean = true
 
+  /** Mismatched dimensions are malformed data — fail loudly rather than
+    * silently truncating to min(n) and returning a plausible-looking
+    * similarity. A zero-norm vector has no direction: cosine is
+    * undefined, so return null (not NaN/±Inf from dot/0). */
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements())
+      throw new IllegalArgumentException(
+        s"cosine_sim: vector dimensions differ ($n vs ${y.numElements()})")
     var dot = 0.0; var nx = 0.0; var ny = 0.0
     var i = 0
     while (i < n) {
@@ -47,7 +56,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
       dot += xi * yi; nx += xi * xi; ny += yi * yi
       i += 1
     }
-    dot / (math.sqrt(nx) * math.sqrt(ny))
+    if (nx == 0.0 || ny == 0.0) null
+    else dot / (math.sqrt(nx) * math.sqrt(ny))
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -60,14 +70,23 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val xi = ctx.freshName("xi")
       val yi = ctx.freshName("yi")
       s"""
-         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |int $n = $x.numElements();
+         |if ($n != $y.numElements()) {
+         |  throw new IllegalArgumentException(
+         |    "cosine_sim: vector dimensions differ (" + $n + " vs " +
+         |    $y.numElements() + ")");
+         |}
          |double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  double $xi = $x.getDouble($i);
          |  double $yi = $y.getDouble($i);
          |  $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
          |}
-         |${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
+         |if ($nx == 0.0 || $ny == 0.0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
+         |}
        """.stripMargin
     })
 

@@ -27,6 +27,33 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Spark conf key for the all-pairs row cap; set to -1 to disable the
+    * guard (an explicit, auditable opt-in). */
+  val AllPairsCapKey = "graft.allpairs.maxRows"
+
+  /** Default row cap for quadratic operators: 50k rows ≈ 1.25e9 candidate
+    * pairs, the outer edge of what a cluster should ever brute-force. */
+  val AllPairsDefaultCap = 50000L
+
+  /** Refuse to build an all-pairs (O(n²)) plan over more rows than the
+    * cap. The check scans at most cap+1 rows (`limit(cap+1).count()` is a
+    * CollectLimit with early exit — never a full count of a 100 TB
+    * input), so the guard itself is scale-safe. Production-size corpora
+    * must use the sub-quadratic paths (LSH/IVF banding); raising the cap
+    * is a deliberate act via the conf key, not an accident of input
+    * growth. */
+  private[operators] def requireAllPairsSafe(df: DataFrame, what: String): Unit = {
+    val cap = df.sparkSession.conf.getOption(AllPairsCapKey)
+      .map(_.toLong).getOrElse(AllPairsDefaultCap)
+    if (cap >= 0) {
+      val n = df.limit((cap + 1).min(Int.MaxValue - 1).toInt).count()
+      require(n <= cap,
+        s"$what is an all-pairs (quadratic) operator and its input exceeds " +
+        s"$cap rows; use the sub-quadratic variant (LSH/IVF) or explicitly " +
+        s"raise/disable spark conf $AllPairsCapKey")
+    }
+  }
+
   /** Distinct 3-token shingles per document as 64-bit hashes
     * xxhash64(tokᵢ, tokᵢ₊₁, tokᵢ₊₂): no per-shingle string allocation,
     * long join keys downstream; collisions are 2⁻⁶⁴ per shingle pair —
@@ -232,6 +259,7 @@ object Dedup {
     import graft.functions.VectorOps
     val e = Tables.embeddings(s, d).select(col("vec_id"),
       VectorOps.toDouble(col("embedding")).as("v"))
+    requireAllPairsSafe(e, "dedup_cosine")
     e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
               VectorOps.cosine(col("a.v"), col("b.v")).as("cosine"))

@@ -443,15 +443,19 @@ object Relational {
       |FROM events ORDER BY event_id""".stripMargin
   ) { (s, d) =>
     import org.apache.spark.sql.types.{MapType, StringType}
-    val m = from_json(col("props"), MapType(StringType, StringType))
-    Tables.events(s, d).select(
-      col("event_id"),
-      // try_element_at: ANSI element_at throws on a missing map key;
-      // DuckDB's json_extract_string yields NULL — try_ matches
-      try_element_at(m, lit("k")).cast("long").as("k_val"),
-      array_join(array_sort(map_keys(m)), "|").as("keys"),
-      size(map_keys(m)).as("n_keys")
-    ).orderBy("event_id")
+    // parse ONCE in a separate projection: the parsed map is referenced 3×
+    // below and from_json is non-cheap, so CollapseProject keeps the two
+    // Projects apart instead of re-inlining (and re-parsing) per output
+    Tables.events(s, d)
+      .withColumn("m", from_json(col("props"), MapType(StringType, StringType)))
+      .select(
+        col("event_id"),
+        // try_element_at: ANSI element_at throws on a missing map key;
+        // DuckDB's json_extract_string yields NULL — try_ matches
+        try_element_at(col("m"), lit("k")).cast("long").as("k_val"),
+        array_join(array_sort(map_keys(col("m"))), "|").as("keys"),
+        size(map_keys(col("m"))).as("n_keys")
+      ).orderBy("event_id")
   }
 
   /** HyperLogLog++ approximate distinct (SURVEY §2.5) next to the exact

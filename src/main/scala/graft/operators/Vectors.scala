@@ -94,31 +94,125 @@ object Vectors {
       .limit(20)
   }
 
+  private val IvfK = 16
+  private val IvfIters = 5
+  private val IvfSampleCap = 4096
+
+  /** Seeded spherical k-means (Lloyd's iterations over L2-normalized
+    * vectors, cosine ≡ dot): the IVF "training" step. Runs driver-side
+    * over a BOUNDED sample — that is the textbook shape (IVF indexes
+    * train on a sample; only the assignment pass touches the full
+    * corpus), so the collect is capped, not a scale leak. Deterministic:
+    * the sample order seeds the initial centroids and the iteration count
+    * is fixed, so the same corpus always yields the same index. */
+  private[graft] def trainCentroids(sample: Array[Array[Double]],
+                                    k: Int, iters: Int): Array[Array[Double]] = {
+    require(sample.nonEmpty, "k-means needs a non-empty sample")
+    def normalize(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0) v else v.map(_ / n)
+    }
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val xs = sample.map(normalize)
+    val kk = k.min(xs.length)
+    // deterministic farthest-first (maxmin) seeding: start from the first
+    // sample point, then repeatedly take the point least similar to any
+    // chosen seed — one seed per well-separated cluster, unlike take(k),
+    // which can drop several seeds into one cluster that Lloyd's never
+    // splits apart
+    val seeds = scala.collection.mutable.ArrayBuffer(xs(0))
+    val maxSim = xs.map(dot(_, xs(0))).toArray
+    while (seeds.length < kk) {
+      val next = maxSim.indices.minBy(maxSim(_))
+      seeds += xs(next)
+      var i = 0
+      while (i < xs.length) {
+        val s = dot(xs(i), xs(next))
+        if (s > maxSim(i)) maxSim(i) = s
+        i += 1
+      }
+    }
+    var cents = seeds.toArray
+    for (_ <- 0 until iters) {
+      val dim = xs(0).length
+      val sums = Array.fill(kk)(new Array[Double](dim))
+      val counts = new Array[Int](kk)
+      xs.foreach { x =>
+        var best = 0; var bestDot = Double.NegativeInfinity; var j = 0
+        while (j < kk) {
+          val dj = dot(x, cents(j))
+          if (dj > bestDot) { bestDot = dj; best = j }
+          j += 1
+        }
+        var i = 0
+        while (i < dim) { sums(best)(i) += x(i); i += 1 }
+        counts(best) += 1
+      }
+      cents = (0 until kk).map { j =>
+        if (counts(j) == 0) cents(j) else normalize(sums(j))
+      }.toArray
+    }
+    cents
+  }
+
+  /** Train IVF centroids for an embedding frame (`v` = array<double>).
+    * The sample is a deterministic hash filter (narrow predicate — no
+    * sort, no full scan materialized) capped at [[IvfSampleCap]] rows. */
+  private[graft] def ivfCentroids(emb: DataFrame,
+                                  k: Int = IvfK): DataFrame = {
+    val sample = emb.select(col("v"))
+      .filter(pmod(xxhash64(col("vec_id")), lit(7)) === 0)
+      .limit(IvfSampleCap)
+      .collect().map(_.getSeq[Double](0).toArray)
+    val cents = trainCentroids(
+      if (sample.nonEmpty) sample
+      else emb.select(col("v")).limit(IvfSampleCap)
+             .collect().map(_.getSeq[Double](0).toArray),
+      k, IvfIters)
+    val spark = emb.sparkSession
+    import spark.implicits._
+    cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cid", "cv")
+  }
+
+  /** Nearest-centroid cell per vector: broadcast the k centroids, one
+    * narrow pass, `max_by` picks the cell — the full-corpus assignment
+    * step of an IVF build. */
+  private[graft] def assignCells(emb: DataFrame, centroids: DataFrame): DataFrame =
+    emb.crossJoin(broadcast(centroids))
+      .groupBy("vec_id")
+      .agg(max_by(col("cid"), cosine(col("v"), col("cv"))).as("cell"),
+           first(col("label")).as("label"), first(col("v")).as("v"))
+
+  /** The query's `nProbe` nearest cells (+ the query vector itself). */
+  private[graft] def probeCells(q: DataFrame, centroids: DataFrame,
+                                nProbe: Int): DataFrame =
+    q.crossJoin(broadcast(centroids))
+      .select(col("qv"), col("cid"), cosine(col("qv"), col("cv")).as("csim"))
+      .orderBy(desc("csim")).limit(nProbe)
+      .select(col("cid").as("cell"), col("qv"))
+
   /** IVF (inverted-file) ANN: coarse-quantize every vector to its
-    * nearest centroid cell, probe only the query's `NProbe` nearest cells.
-    * Centroids here are a deterministic sample of the corpus (every 31st
-    * vector — the stand-in for a k-means "training" step, which would be
-    * a separate job at scale). Plan shape at 100 TB: the n×k assignment
-    * is a broadcast of k centroids over one narrow pass; `cell` becomes a
-    * partition/cluster key so a probe reads NProbe/k of the data. */
+    * nearest centroid cell, probe only the query's `NProbe` nearest
+    * cells. Centroids come from seeded spherical k-means over a bounded
+    * deterministic sample ([[trainCentroids]]) — data-adaptive, so cells
+    * track the corpus's cluster structure instead of a blind modulo
+    * sample. Plan shape at 100 TB: the n×k assignment is a broadcast of k
+    * centroids over one narrow pass; `cell` becomes a partition/cluster
+    * key so a probe reads NProbe/k of the data (VectorsSpec proves the
+    * partition prune on a persisted index). */
   val vectorAnnIvf: Q = Q.noOracle("vector_ann_ivf") { (s, d) =>
     val NProbe = 3
     val emb = Tables.embeddings(s, d)
       .select(col("vec_id"), col("label"), toDouble(col("embedding")).as("v"))
-    val centroids = emb.filter(col("vec_id") % 31 === 0)
-      .select(col("vec_id").as("cid"), col("v").as("cv"))
-    def assign(df: org.apache.spark.sql.DataFrame) = df
-      .crossJoin(broadcast(centroids))
-      .select(df.columns.toIndexedSeq.map(col) :+ col("cid") :+
-              cosine(col("v"), col("cv")).as("csim"): _*)
-    val cells = assign(emb.filter(col("vec_id") =!= 0))
-      .groupBy("vec_id")
-      .agg(max_by(col("cid"), col("csim")).as("cell"),
-           first(col("label")).as("label"), first(col("v")).as("v"))
-    val qCells = assign(emb.filter(col("vec_id") === 0))
-      .orderBy(desc("csim")).limit(NProbe)
-      .select(col("cid").as("cell"), col("v").as("qv"))
-    cells.join(broadcast(qCells), Seq("cell"))
+    val centroids = ivfCentroids(emb.filter(col("vec_id") =!= 0))
+    val cells = assignCells(emb.filter(col("vec_id") =!= 0), centroids)
+    val q = emb.filter(col("vec_id") === 0).select(col("v").as("qv"))
+    cells.join(broadcast(probeCells(q, centroids, NProbe)), Seq("cell"))
       .select(col("vec_id"), col("label"),
               cosine(col("v"), col("qv")).as("cosine"))
       .orderBy(desc("cosine"), asc("vec_id"))

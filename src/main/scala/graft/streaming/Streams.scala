@@ -65,13 +65,15 @@ object Streams {
       }
   }
 
-  /** Streaming exact dedup: first occurrence of each key wins; the
-    * watermark bounds how long seen-keys state is retained (keys older
-    * than the watermark horizon are forgotten — the standard
-    * bounded-state streaming dedup). Works identically in batch. */
+  /** Streaming exact dedup: first occurrence of each KEY wins — a
+    * re-delivered late duplicate with a different timestamp is dropped
+    * too (`dropDuplicates(key :+ ts)` would keep it).
+    * `dropDuplicatesWithinWatermark` keys state by `keyCols` alone and
+    * expires entries once the watermark passes their event time — the
+    * bounded-state streaming dedup. */
   def dedupStream(events: DataFrame, keyCols: Seq[String]): DataFrame =
     events.withWatermark("ts", "10 minutes")
-      .dropDuplicates(keyCols :+ "ts")
+      .dropDuplicatesWithinWatermark(keyCols)
 
   /** Stream-stream interval join: purchases matched to the signup of the
     * same user within [signup, signup + 24 h]. Both sides carry

@@ -25,6 +25,21 @@ class DedupSpec extends SparkSpec {
       s"LSH recall too low: ${lsh.size}/${exact.size}")
   }
 
+  test("all-pairs guard refuses dedup_cosine above the configured row cap") {
+    // tiny cap: the sf0.001 embeddings table exceeds it → refuse
+    spark.conf.set(Dedup.AllPairsCapKey, "10")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        Dedup.dedupCosine.fn(spark, sf0001).collect()
+      }
+      assert(e.getMessage.contains("all-pairs") &&
+             e.getMessage.contains(Dedup.AllPairsCapKey))
+      // -1 disables the guard explicitly — the documented escape hatch
+      spark.conf.set(Dedup.AllPairsCapKey, "-1")
+      assert(Dedup.dedupCosine.fn(spark, sf0001).limit(1).count() >= 0)
+    } finally spark.conf.unset(Dedup.AllPairsCapKey)
+  }
+
   test("simhash pairs include the planted exact-Jaccard near-dups' shape") {
     val sim = pairs(Dedup.dedupSimhash)
     val exact = Dedup.dedupNgram.fn(spark, sf0001)
@@ -68,6 +83,64 @@ class DedupSpec extends SparkSpec {
            plan.contains(s"(bucket"),
       s"bucket probe should prune partitions:\n${plan.take(600)}")
     assert(probe.count() > 0)
+  }
+
+  test("ivf k-means: clustered corpus -> high recall + persisted-index prune") {
+    import org.apache.spark.sql.functions._
+    val spark2 = spark
+    import spark2.implicits._
+    // deterministic clustered fixture: 8 well-separated centers in R^16,
+    // 50 points each with small noise
+    val rnd = new scala.util.Random(7)
+    val centers = Array.fill(8)(Array.fill(16)(rnd.nextGaussian() * 10))
+    val rows = for {
+      c <- centers.indices
+      i <- 0 until 50
+    } yield {
+      val v = centers(c).map(_ + rnd.nextGaussian() * 0.1)
+      ((c * 50 + i).toLong, s"cluster$c", v.toSeq)
+    }
+    val emb = rows.toDF("vec_id", "label", "v")
+
+    // train: every centroid should capture ~one true cluster
+    val centroids = Vectors.ivfCentroids(emb, k = 8)
+    assert(centroids.count() === 8)
+    val cells = Vectors.assignCells(emb, centroids).cache()
+    // a data-adaptive index puts each true cluster in ONE cell
+    val spread = cells.withColumn("truth", split(col("label"), "cluster")(1))
+      .groupBy("truth").agg(countDistinct("cell").as("n_cells"))
+      .agg(max("n_cells")).collect()(0).getLong(0)
+    assert(spread === 1L,
+      s"k-means cells should align with true clusters, got spread=$spread")
+
+    // recall: probe 1 cell for a query from cluster 3; all true top-10
+    // neighbors live in that cluster, so recall must be 1.0
+    val q = emb.filter(col("vec_id") === 160L).select(col("v").as("qv"))
+    val probed = cells.join(
+        broadcast(Vectors.probeCells(q, centroids, nProbe = 1)), Seq("cell"))
+      .filter(col("vec_id") =!= 160L)
+      .select(col("vec_id"),
+        graft.functions.VectorOps.cosine(col("v"), col("qv")).as("cosine"))
+      .orderBy(desc("cosine"), asc("vec_id")).limit(10)
+      .collect().map(_.getLong(0)).toSet
+    val brute = emb.filter(col("vec_id") =!= 160L).crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        graft.functions.VectorOps.cosine(col("v"), col("qv")).as("cosine"))
+      .orderBy(desc("cosine"), asc("vec_id")).limit(10)
+      .collect().map(_.getLong(0)).toSet
+    assert(probed === brute,
+      s"1-probe IVF recall should be total on a clustered corpus: " +
+      s"missing ${brute.diff(probed)}")
+
+    // persisted index partitioned by cell: a probe is a partition prune
+    val idxDir = java.nio.file.Files.createTempDirectory("ivfidx").toString
+    cells.write.mode("overwrite").partitionBy("cell").parquet(idxDir)
+    val idx = spark.read.parquet(idxDir)
+    val probe = idx.filter(col("cell") === 3)
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters:") && plan.contains("(cell"),
+      s"cell probe should prune partitions:\n${plan.take(600)}")
+    cells.unpersist()
   }
 
   test("ann-lsh results are true vectors with correct cosines (precision)") {

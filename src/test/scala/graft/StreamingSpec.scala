@@ -166,7 +166,9 @@ class StreamingSpec extends SparkSpec {
     try {
       mem.addData(Seq(rows(0), rows(0), rows(1))) // duplicate in-batch
       q.processAllAvailable()
-      mem.addData(Seq(rows(0), rows(2))) // duplicate across batches
+      // re-delivered duplicates: same key, exact ts AND a shifted ts (a
+      // late redelivery) — key-level dedup must drop both
+      mem.addData(Seq(rows(0), rows(0).copy(ts = ts(0, 30)), rows(2)))
       q.processAllAvailable()
       val got = spark.table(name).select("event_id").collect()
         .map(_.getLong(0)).sorted.toSeq

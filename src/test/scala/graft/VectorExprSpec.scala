@@ -37,7 +37,8 @@ class VectorExprSpec extends SparkSpec {
         assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-15))
   }
 
-  test("cosine edge cases: null inputs -> null, zero vector -> NaN") {
+  test("cosine edge cases: null inputs -> null, zero vector -> null, " +
+       "dimension mismatch -> error") {
     GraftExtensions.register(spark)
     val rows = spark.sql(
       """SELECT cosine_sim(CAST(NULL AS ARRAY<DOUBLE>), array(1.0d)) AS null_left,
@@ -45,7 +46,17 @@ class VectorExprSpec extends SparkSpec {
         |       cosine_sim(array(0.0d, 0.0d), array(1.0d, 2.0d)) AS zero_vec
         |""".stripMargin).collect()(0)
     assert(rows.isNullAt(0) && rows.isNullAt(1))
-    assert(rows.getDouble(2).isNaN)
+    // a zero-norm vector has no direction: null, not NaN/Inf
+    assert(rows.isNullAt(2))
+    // silently truncating mismatched dims would fabricate a similarity
+    val e = intercept[Exception] {
+      spark.sql("SELECT cosine_sim(array(1.0d), array(1.0d, 2.0d))").collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(_.getMessage != null) &&
+           causes(e).exists(c => Option(c.getMessage)
+             .exists(_.contains("dimensions differ"))))
   }
 
   test("cosine_sim is callable from SQL after extension registration") {
