@@ -267,6 +267,78 @@ object Dedup {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** Near-dup CLUSTER resolution: the step after pair generation that
+    * every dedup pipeline actually needs — near-duplication is transitive
+    * in effect (A~B, B~C ⇒ one cluster), so survivors must be picked per
+    * connected component of the pair graph, not per pair. Components via
+    * iterative min-label propagation (the standard distributed CC
+    * pattern): every doc starts labeled with its own id; each round,
+    * labels flow across edges and each doc keeps the min; fixed point =
+    * components. Near-dup components have tiny diameter (dup groups, not
+    * social graphs), so convergence takes 2-3 rounds; each round is one
+    * shuffle join + one groupBy. At 1000× scale the same loop holds —
+    * the edge list is the small output of the banded candidate join, and
+    * the alternating large-star/small-star optimization is the drop-in
+    * upgrade if components ever get deep. Oracle: DuckDB recursive-CTE
+    * transitive closure over the same pair graph.
+    *
+    * Output: every document with its cluster representative (min doc_id
+    * in component) — `cluster_id == doc_id` marks the survivor. */
+  val dedupCluster: Q = Q(
+    "dedup_cluster",
+    """WITH RECURSIVE
+      |t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+      |sh AS (SELECT doc_id,
+      |  list_distinct([array_to_string(toks[i:i+2],' ') FOR i IN range(1, len(toks)-1)]) AS shingles
+      |  FROM t),
+      |ex AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      |  FROM (SELECT doc_id, unnest(shingles) AS sgl FROM sh) a
+      |  JOIN (SELECT doc_id, unnest(shingles) AS sgl FROM sh) b
+      |    ON a.sgl = b.sgl AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |sz AS (SELECT doc_id, len(shingles) AS n FROM sh),
+      |pairs AS (
+      |  SELECT doc_a, doc_b
+      |  FROM ex JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
+      |  WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5),
+      |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+      |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+      |reach(doc_id, lbl) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON r.doc_id = e.src)
+      |SELECT doc_id, min(lbl) AS cluster_id
+      |FROM reach GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    // symmetrize in ONE pass over the pair subtree (a union of two
+    // selects would evaluate the whole ngram candidate join twice)
+    val edges = dedupNgram.fn(s, d).select("doc_a", "doc_b")
+      .select(explode(array(
+        struct(col("doc_a").as("src"), col("doc_b").as("dst")),
+        struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .cache() // reused every round; tiny (the near-dup pair list)
+    var labels = Tables.documents(s, d)
+      .select(col("doc_id"), col("doc_id").as("cluster_id"))
+    var converged = false
+    var round = 0
+    while (!converged && round < 10) {
+      val prop = labels.join(edges, col("doc_id") === col("src"))
+        .select(col("dst").as("doc_id"), col("cluster_id"))
+      val next = labels.unionByName(prop)
+        .groupBy("doc_id").agg(min(col("cluster_id")).as("cluster_id"))
+        .cache() // truncate lineage growth across rounds
+      val changed = next.as("n")
+        .join(labels.as("o"), Seq("doc_id"))
+        .filter(col("n.cluster_id") =!= col("o.cluster_id")).count()
+      labels = next
+      converged = changed == 0
+      round += 1
+    }
+    edges.unpersist()
+    labels.orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(dedupExact, dedupNgram, dedupMinhash, dedupSimhash,
-    dedupCosine)
+    dedupCosine, dedupCluster)
 }

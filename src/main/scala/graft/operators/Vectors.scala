@@ -253,6 +253,39 @@ object Vectors {
       .orderBy("q_id", "rn")
   }
 
+  /** Symmetric int8 quantization of the embedding column — the standard
+    * 4× storage/bandwidth shrink for a 100 TB vector corpus (serve int8,
+    * rescale on read): scale = max|v|/127, qᵢ = ⌊vᵢ/scale + ½⌋. Uses
+    * floor(x+0.5) rather than round() because round's half-up/half-even
+    * behavior is engine-specific while floor is exact in both engines.
+    * Narrow projection, zero shuffles; max_err is the per-vector
+    * dequantization error bound (≤ scale/2), computed in the same pass.
+    * Output stringifies the int8 array ('|' join — driver-compare
+    * limitation on array columns). */
+  val vectorQuantize: Q = Q(
+    "vector_quantize",
+    """WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v FROM embeddings),
+      |m AS (SELECT vec_id, v, list_max([abs(x) FOR x IN v]) / 127 AS scale FROM e),
+      |q AS (SELECT vec_id, v, scale,
+      |        [CAST(floor(x / scale + 0.5) AS INT) FOR x IN v] AS q8 FROM m)
+      |SELECT vec_id, scale,
+      |  array_to_string(q8, '|') AS q8,
+      |  list_max([abs(q8[i] * scale - v[i]) FOR i IN range(1, len(v)+1)]) AS max_err
+      |FROM q ORDER BY vec_id""".stripMargin
+  ) { (s, d) =>
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      .withColumn("scale", array_max(transform(col("v"), abs(_))) / 127)
+      .withColumn("q8", transform(col("v"),
+        x => floor(x / col("scale") + 0.5).cast("int")))
+    e.select(
+      col("vec_id"), col("scale"),
+      array_join(col("q8"), "|").as("q8"),
+      array_max(zip_with(col("q8"), col("v"),
+        (q, x) => abs(q * col("scale") - x))).as("max_err")
+    ).orderBy("vec_id")
+  }
+
   val all: Seq[Q] = Seq(vectorTopk, vectorAnnLsh, vectorAnnIvf,
-    vectorTopkBatch)
+    vectorTopkBatch, vectorQuantize)
 }

@@ -143,6 +143,29 @@ class DedupSpec extends SparkSpec {
     cells.unpersist()
   }
 
+  test("dedup_cluster: paired docs share a cluster, survivor is the min id") {
+    val labels = Dedup.dedupCluster.fn(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pairList = Dedup.dedupNgram.fn(spark, sf0001)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairList.nonEmpty)
+    // every near-dup pair landed in one component
+    pairList.foreach { case (a, b) =>
+      assert(labels(a) === labels(b), s"pair ($a,$b) split across clusters")
+    }
+    // the representative is a member of its own component and is minimal
+    labels.foreach { case (doc, cl) =>
+      assert(cl <= doc && labels(cl) === cl,
+        s"cluster id $cl of $doc is not a minimal self-representative")
+    }
+    // docs in no pair are singletons
+    val paired = pairList.flatMap(p => Seq(p._1, p._2)).toSet
+    labels.filterNot(kv => paired(kv._1)).foreach { case (doc, cl) =>
+      assert(cl === doc, s"unpaired doc $doc should be its own cluster")
+    }
+  }
+
   test("ann-lsh results are true vectors with correct cosines (precision)") {
     val ann = Vectors.vectorAnnLsh.fn(spark, sf0001)
       .select("vec_id", "cosine").collect()
