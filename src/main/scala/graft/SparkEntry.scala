@@ -18,6 +18,7 @@ object SparkEntry {
     operators.Pipeline.all ++
     operators.TextAnalysis.all ++
     operators.Dedup.all ++
+    operators.Corpus.all ++
     operators.Vectors.all ++
     operators.Streaming.all ++
     operators.Multimodal.all

@@ -1,0 +1,171 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+
+/** Corpus-preparation operators over `documents` — the last mile of a
+  * training-data pipeline (builder prompt north-star): deterministic
+  * train/val/test splitting, token-budget shard packing, and the composed
+  * select that actually produces a training corpus (quality × language ×
+  * dedup survivorship).
+  *
+  * Scale posture:
+  *  - `corpus_split`: pure projection + tiny groupBy — the split is a
+  *    hash of the id, so assignment is stable under re-runs, re-orders,
+  *    and incremental appends (the property a random() split lacks).
+  *  - `corpus_pack`: a global prefix sum done the distributed way — a
+  *    coarse bucket pre-aggregation, a window over the (small) bucket
+  *    totals, and a broadcast of per-bucket offsets back onto the rows.
+  *    No single-partition window over the full corpus ever exists, so
+  *    the plan survives 100 TB (the naive `Window.orderBy(id)` with no
+  *    partitionBy funnels everything through ONE task).
+  *  - `corpus_select`: narrow quality/lang projections, one digest
+  *    groupBy for survivorship, broadcast-friendly semi join.
+  */
+object Corpus {
+
+  /** Deterministic hash split ~80/10/10 by md5 of the doc id: the first
+    * two hex chars give 256 buckets; '00'-'cb' (204/256) → train,
+    * 'cc'-'e5' (26/256) → val, rest (26/256) → test. String comparison on
+    * hex is identical across engines, so no hex→int parsing is needed.
+    * Stable: a document's split never changes as the corpus grows. */
+  val corpusSplit: Q = Q(
+    "corpus_split",
+    """WITH s AS (SELECT doc_id,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |  substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS h
+      |FROM documents)
+      |SELECT CASE WHEN h < 'cc' THEN 'train'
+      |            WHEN h < 'e6' THEN 'val'
+      |            ELSE 'test' END AS split,
+      |  count(*) AS n_docs,
+      |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+      |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      |FROM s GROUP BY 1 ORDER BY split""".stripMargin
+  ) { (s, d) =>
+    val h = substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2)
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        when(h < "cc", "train").when(h < "e6", "val").otherwise("test")
+          .as("split"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_tokens")).as("sum_tokens"),
+           min(col("doc_id")).as("first_doc"),
+           max(col("doc_id")).as("last_doc"))
+      .orderBy("split")
+  }
+
+  /** Token-budget shard packing ("concat and chop", the pretraining
+    * stream layout): documents in doc_id order fill shards of
+    * `Capacity` tokens; a document starts in the shard where its
+    * preceding cumulative token count lands. The prefix sum is computed
+    * the distributed way: (1) coarse bucket per ~64 docs, (2) per-bucket
+    * token totals — a tiny frame, (3) running offset over buckets via a
+    * window THAT ONLY SEES BUCKET TOTALS, (4) broadcast the offsets back
+    * and finish with a per-bucket (bounded-size) window. The full corpus
+    * is never range-funneled through one task. Oracle: the naive global
+    * window in DuckDB — same math, different (non-scalable) plan. */
+  val corpusPack: Q = Q(
+    "corpus_pack",
+    """WITH t AS (SELECT doc_id,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |c AS (SELECT doc_id, n_tokens,
+      |  sum(n_tokens) OVER (ORDER BY doc_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS cum_before
+      |  FROM t)
+      |SELECT CAST(floor(CAST(cum_before AS DOUBLE) / 2048) AS BIGINT) AS shard_id,
+      |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+      |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      |FROM c GROUP BY 1 ORDER BY shard_id""".stripMargin
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val Capacity = 2048L
+    val t = Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        // coarse bucket: ~64 docs each — the distributed prefix-sum unit
+        floor(col("doc_id") / 64).as("bkt"))
+    // per-bucket totals: a frame with n/64 rows
+    val bucketTotals = t.groupBy("bkt")
+      .agg(sum(col("n_tokens")).as("bkt_tokens"))
+    // running offset across buckets: window over BUCKET TOTALS only —
+    // single task, but over n/64 tiny rows, not the corpus
+    val wB = Window.orderBy("bkt")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offsets = bucketTotals
+      .withColumn("bkt_offset",
+        sum(col("bkt_tokens")).over(wB) - col("bkt_tokens"))
+      .select(col("bkt"), col("bkt_offset"))
+    // finish inside each bucket (bounded partition) + broadcast offsets
+    val wD = Window.partitionBy("bkt").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t.join(broadcast(offsets), Seq("bkt"))
+      .withColumn("cum_before",
+        col("bkt_offset") + sum(col("n_tokens")).over(wD) - col("n_tokens"))
+      .groupBy(floor(col("cum_before").cast("double") / Capacity)
+        .cast("long").as("shard_id"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_tokens")).as("sum_tokens"),
+           min(col("doc_id")).as("first_doc"),
+           max(col("doc_id")).as("last_doc"))
+      .orderBy("shard_id")
+  }
+
+  /** The composed corpus select: exact-dedup survivors only, quality
+    * floor (≥ 5 tokens, stopword ratio < 0.5), confident language ID
+    * (not 'und') — per-language document and token counts of what would
+    * actually ship to training. Survivorship is a digest groupBy + semi
+    * join (broadcastable: survivors ≈ distinct contents); quality and
+    * language are narrow projections fused into the same scan. */
+  val corpusSelect: Q = Q(
+    "corpus_select",
+    """WITH surv AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+      |q AS (SELECT doc_id,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |  CAST(len(list_filter(string_split(text, ' '),
+      |       t -> t IN ('the','a','of','and','is'))) AS DOUBLE)
+      |    / len(string_split(text, ' ')) AS stopword_ratio,
+      |  len(list_filter(string_split(text,' '), t -> t IN ('the','a','of'))) AS s_en,
+      |  len(list_filter(string_split(text,' '), t -> t IN ('der','die','und'))) AS s_de,
+      |  len(list_filter(string_split(text,' '), t -> t IN ('el','los','una'))) AS s_es
+      |FROM documents),
+      |sel AS (SELECT doc_id, n_tokens,
+      |  CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en > 0 THEN 'en'
+      |       WHEN s_de >= s_es AND s_de > 0 THEN 'de'
+      |       WHEN s_es > 0 THEN 'es'
+      |       ELSE 'und' END AS predicted
+      |  FROM q
+      |  WHERE n_tokens >= 5 AND stopword_ratio < 0.5
+      |    AND doc_id IN (SELECT doc_id FROM surv))
+      |SELECT predicted AS lang, count(*) AS n_docs,
+      |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+      |FROM sel WHERE predicted <> 'und'
+      |GROUP BY predicted ORDER BY lang""".stripMargin
+  ) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val survivors = docs
+      .groupBy(md5(col("text").cast("binary")))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    val toks = split(col("text"), " ")
+    val stopRatio =
+      size(filter(toks, t => t.isin("the", "a", "of", "and", "is")))
+        .cast("double") / size(toks)
+    docs
+      .select(col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        stopRatio.as("stopword_ratio"),
+        TextAnalysis.predictLang(toks).as("predicted"))
+      .filter(col("n_tokens") >= 5 && col("stopword_ratio") < 0.5 &&
+              col("predicted") =!= "und")
+      .join(survivors, Seq("doc_id"), "left_semi")
+      .groupBy(col("predicted").as("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
+      .orderBy("lang")
+  }
+
+  val all: Seq[Q] = Seq(corpusSplit, corpusPack, corpusSelect)
+}

@@ -62,6 +62,26 @@ object TextAnalysis {
     ).orderBy("doc_id")
   }
 
+  /** Marker-score argmax as a reusable Column over a token array — shared
+    * by [[langId]] and the corpus-selection pipeline. */
+  private[operators] def predictLang(toks: org.apache.spark.sql.Column) = {
+    def score(markers: String*) = size(filter(toks, t => t.isin(markers: _*)))
+    val (sEn, sDe, sEs) =
+      (score("the", "a", "of"), score("der", "die", "und"),
+       score("el", "los", "una"))
+    when(sEn >= sDe && sEn >= sEs && sEn > 0, "en")
+      .when(sDe >= sEs && sDe > 0, "de")
+      .when(sEs > 0, "es")
+      .otherwise("und")
+  }
+
+  /** The same CASE expression in DuckDB SQL, inlined per use site. */
+  private[operators] val predictLangSql: String =
+    """CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en > 0 THEN 'en'
+      |     WHEN s_de >= s_es AND s_de > 0 THEN 'de'
+      |     WHEN s_es > 0 THEN 'es'
+      |     ELSE 'und' END""".stripMargin
+
   /** Language-ID by marker-token scoring (the n-gram-heuristic family):
     * score = marker hits per language, predict argmax with a deterministic
     * tie-break order, 'und' when no evidence. The `lang` column is kept as

@@ -84,4 +84,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("NestedLoopJoin") && !p.contains("CartesianProduct"),
       s"posting-list plan regressed to a product join:\n${p.take(800)}")
   }
+
+  test("corpus_pack: per-doc window is bucket-partitioned, offsets broadcast") {
+    val p = plan(graft.operators.Corpus.corpusPack)
+    // the full-corpus window must carry the bkt partition key; only the
+    // bucket-totals window (n/64 rows) may be unpartitioned
+    val windows = "Window \\[[^\\]]*\\], \\[([^\\]]*)\\]".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(windows.nonEmpty, s"expected window operators:\n${p.take(600)}")
+    assert(windows.exists(_.contains("bkt")),
+      s"per-doc prefix sum should partition by bkt, got specs: $windows")
+    assert(p.contains("BroadcastHashJoin"),
+      "bucket offsets should broadcast back onto the rows")
+  }
 }
