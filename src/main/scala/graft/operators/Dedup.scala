@@ -320,6 +320,7 @@ object Dedup {
       .cache() // reused every round; tiny (the near-dup pair list)
     var labels = Tables.documents(s, d)
       .select(col("doc_id"), col("doc_id").as("cluster_id"))
+    var cached: Option[org.apache.spark.sql.DataFrame] = None
     var converged = false
     var round = 0
     while (!converged && round < 10) {
@@ -331,11 +332,16 @@ object Dedup {
       val changed = next.as("n")
         .join(labels.as("o"), Seq("doc_id"))
         .filter(col("n.cluster_id") =!= col("o.cluster_id")).count()
+      // `next` is materialized by the count above, so the previous
+      // round's cache can go — without this, every round leaks a cached
+      // copy of the label table for the life of the session
+      cached.foreach(_.unpersist(blocking = false))
+      cached = Some(next)
       labels = next
       converged = changed == 0
       round += 1
     }
-    edges.unpersist()
+    edges.unpersist(blocking = false)
     labels.orderBy("doc_id")
   }
 
