@@ -619,6 +619,26 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** The 100 TB quantile path named in [[aggQuantile]]: GK-sketch
+    * `percentile_approx` — mergeable partial sketches, one partial+final
+    * aggregation, NO per-group sort. Deterministic for a given dataset
+    * (the sketch is order-insensitive on merge), but not reproducible in
+    * DuckDB (different sketch), so: no oracle; RelationalSpec bounds the
+    * error against the exact [[aggQuantile]] per group. Accuracy 10000 ≈
+    * max rank error 0.01%. */
+  val aggQuantileSketch: Q = Q.noOracle("agg_quantile_sketch") { (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        percentile_approx(col("l_quantity"), lit(0.5), lit(10000))
+          .as("median_qty"),
+        percentile_approx(col("l_quantity"), lit(0.9), lit(10000))
+          .as("p90_qty"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000))
+          .as("median_price"))
+      .orderBy("l_returnflag")
+  }
+
   /** Skew-safe salted aggregation (SURVEY §4 / salting note): two-phase
     * groupBy over (key, salt) then key — result-identical to the plain
     * GROUP BY, which IS the oracle. The pattern for a 100 TB aggregation
@@ -657,6 +677,6 @@ object Relational {
     joinInner, joinMultiway, semiAnti, setOps, scalarStringDate, jsonExtract,
     arrayOps, joinRange, joinAsof, mapOps, aggApproxDistinct, aggCube,
     joinOuter, aggPivot, aggStats, generatorPosexplode, sampleStratified,
-    aggSalted, aggQuantile, setopsAll, topkPaged, aggCorr, aggHistogram,
-    aggStringagg)
+    aggSalted, aggQuantile, aggQuantileSketch, setopsAll, topkPaged, aggCorr,
+    aggHistogram, aggStringagg)
 }

@@ -141,6 +141,27 @@ object Streams {
       }
   }
 
+  /** Incremental batch-drain: process everything currently available in
+    * a streaming source, then stop — the scheduled-ingest shape (a cron
+    * job that picks up only files that arrived since the last run, with
+    * the checkpoint carrying the high-water mark). `Trigger.AvailableNow`
+    * bounds the run; `foreachBatch` writes each micro-batch to its own
+    * `batch_id=N` partition with overwrite, so a retried batch lands
+    * idempotently (the file-sink exactly-once pattern without a custom
+    * commit protocol). At scale this is how 100 TB arrives: not one job,
+    * but checkpointed increments. */
+  def drainAvailableNow(transformed: DataFrame, outDir: String,
+                        checkpoint: String): Unit = {
+    val q = transformed.writeStream
+      .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        b.write.mode("overwrite").parquet(s"$outDir/batch_id=$id")
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Session windows per user with a 5-minute inactivity gap. Spark's
     * session end = last event + gap (half-open [start, end)). */
   def session(events: DataFrame): DataFrame =

@@ -15,6 +15,24 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("percentile_approx sketch tracks the exact quantiles per group") {
+    val exact = Relational.aggQuantile.fn(spark, sf0001).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val sketch = Relational.aggQuantileSketch.fn(spark, sf0001).collect()
+    assert(sketch.nonEmpty)
+    sketch.foreach { r =>
+      val e = exact(r.getString(0))
+      Seq("median_qty", "p90_qty", "median_price").foreach { c =>
+        val ev = e.getAs[Double](c)
+        val sv = r.getAs[Double](c)
+        // GK sketch bounds RANK error; on these distributions the value
+        // error at accuracy 10000 stays within 2%
+        assert(math.abs(sv - ev) <= 0.02 * math.abs(ev).max(1.0),
+          s"${r.getString(0)}.$c: sketch=$sv exact=$ev")
+      }
+    }
+  }
+
   test("stratified sample respects per-stratum fractions (seeded)") {
     val totals = Tables.orders(spark, sf0001)
       .groupBy("o_orderstatus").count().collect()

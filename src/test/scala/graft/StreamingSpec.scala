@@ -176,6 +176,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("AvailableNow + foreachBatch: checkpointed incremental file drain") {
+    val spark2 = spark
+    import spark2.implicits._
+    val srcDir = java.nio.file.Files.createTempDirectory("drain-src").toString
+    val outDir = java.nio.file.Files.createTempDirectory("drain-out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("drain-ckpt").toString
+    // first arrival: 2 docs
+    Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
+      .write.mode("append").parquet(srcDir)
+    def stream() = spark.readStream
+      .schema("doc_id LONG, text STRING").parquet(srcDir)
+      .select(col("doc_id"), upper(col("text")).as("text_up"))
+    Streams.drainAvailableNow(stream(), outDir, ckpt)
+    val first = spark.read.parquet(outDir)
+    assert(first.count() === 2)
+    // second arrival: 1 more file; same checkpoint → ONLY the new file
+    // is processed (the high-water mark survived the restart)
+    Seq((3L, "gamma")).toDF("doc_id", "text")
+      .write.mode("append").parquet(srcDir)
+    Streams.drainAvailableNow(stream(), outDir, ckpt)
+    val all = spark.read.parquet(outDir)
+    assert(all.count() === 3)
+    assert(all.filter("text_up = 'GAMMA'").count() === 1)
+    // the increment landed in a NEW batch_id partition (idempotent unit)
+    val batches = all.select("batch_id").distinct().collect()
+      .map(_.get(0).toString.toLong).sorted.toSeq
+    assert(batches.length >= 2, s"expected >=2 batch partitions: $batches")
+  }
+
   test("stateful sessionization closes sessions on event-time timeout") {
     val spark2 = spark
     import spark2.implicits._
