@@ -22,6 +22,49 @@ class SkewOpsSpec extends SparkSpec {
       .except(salted.select("key", "v", "name")).count() === 0)
   }
 
+  test("AQE splits a skewed shuffle-join partition at runtime") {
+    val spark2 = spark
+    import spark2.implicits._
+    // AQE is the conf-driven alternative to manual salting: same skewed
+    // shape, but the runtime re-plans the sort-merge join with the hot
+    // partition split into sub-partitions. Thresholds lowered so the
+    // ~90%-hot key trips the skew detector at test scale.
+    val prev = Seq(
+      "spark.sql.adaptive.enabled",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold"
+    ).map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "2KB")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1KB")
+      // force a shuffle join: AQE must not just broadcast the small side
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      // small side: ONE row per key — a many-to-many hot×hot join would
+      // explode quadratically and OOM the test JVM
+      val big = (1 to 20000).map(i =>
+        (if (i % 100 == 0) s"k$i" else "hot", i.toLong)).toDF("key", "v")
+      val small = ("hot" +: (1 to 20000).filter(_ % 100 == 0).map(i => s"k$i"))
+        .map(k => (k, s"n$k")).toDF("key", "name")
+      val joined = big.hint("merge").join(small, "key")
+      // materialize THIS QueryExecution (count() would spawn its own and
+      // leave joined's adaptive plan un-finalized)
+      assert(joined.collect().nonEmpty)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"expected AQE skew-join split in final plan:\n${plan.take(1200)}")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("salt is deterministic and within range") {
     val spark2 = spark
     import spark2.implicits._
