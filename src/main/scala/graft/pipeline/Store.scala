@@ -28,10 +28,15 @@ final class Store(root: String, partitionCols: Seq[String] = Seq("project_id")) 
     * invisible to Spark's file listing) so an empty table — the
     * reference's "/dev/null" empty-load, which writes zero partition
     * directories — still reads back as an empty-but-schema'd frame. */
-  def put(df: DataFrame): Unit = {
+  def put(df: DataFrame): Unit = put(df, Map.empty)
+
+  /** As [[put]], with extra parquet writer options (e.g. a small
+    * `parquet.block.size` in tests to force multiple row groups). */
+  def put(df: DataFrame, options: Map[String, String]): Unit = {
     df.write
       .mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
+      .options(options)
       .partitionBy(partitionCols: _*)
       .parquet(root)
     val fs = path.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
@@ -55,10 +60,27 @@ final class Store(root: String, partitionCols: Seq[String] = Seq("project_id")) 
     * op that keeps long-lived stores healthy (every re-import/append
     * cycle leaves task-count-many files; small files dominate scan
     * overhead at scale). Rewrite-in-place via dynamic overwrite of just
-    * this partition. */
+    * this partition.
+    *
+    * `clusterBy` additionally sorts rows within the rewritten files: a
+    * sorted file gives every parquet row group (and page) a NARROW,
+    * mutually disjoint min/max range on the cluster key, so a selective
+    * filter skips whole row groups at the footer — the data-skipping
+    * lever that turns a partition scan into a few-row-group read at
+    * 100 TB. StoreSpec proves the disjoint-ranges property from the
+    * actual parquet footers. */
   def compactProject(spark: SparkSession, projectId: String,
-                     nFiles: Int = 1): Unit =
-    put(readProject(spark, projectId).coalesce(nFiles))
+                     nFiles: Int = 1, clusterBy: Seq[String] = Nil,
+                     writerOptions: Map[String, String] = Map.empty): Unit = {
+    val part = readProject(spark, projectId).coalesce(nFiles)
+    val clustered =
+      if (clusterBy.isEmpty) part
+      // partition cols lead the sort: the partitioned-file writer demands
+      // rows ordered by partition columns and would inject its own
+      // (non-stable) sort otherwise, destroying the cluster order
+      else part.sortWithinPartitions((partitionCols ++ clusterBy).map(col): _*)
+    put(clustered, writerOptions)
+  }
 
   private def path = new org.apache.hadoop.fs.Path(root)
   private def schemaPath = new org.apache.hadoop.fs.Path(root, "_schema.ddl")

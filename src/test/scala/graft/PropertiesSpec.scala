@@ -87,6 +87,39 @@ class PropertiesSpec extends SparkSpec {
     }, n = 5)
   }
 
+  test("k-means centroids: unit norm, count = min(k, n), deterministic") {
+    import graft.operators.Vectors
+    val rnd = new scala.util.Random(5)
+    val sample = Array.fill(300)(Array.fill(16)(rnd.nextGaussian()))
+    val c1 = Vectors.trainCentroids(sample, 8, 5)
+    val c2 = Vectors.trainCentroids(sample.map(_.clone), 8, 5)
+    assert(c1.length === 8)
+    c1.foreach { c =>
+      val norm = math.sqrt(c.map(x => x * x).sum)
+      assert(math.abs(norm - 1.0) < 1e-9, s"centroid norm $norm")
+    }
+    // same sample → bit-identical index (the reproducibility contract)
+    c1.zip(c2).foreach { case (a, b) => assert(a.toSeq === b.toSeq) }
+    // fewer points than k degrades gracefully
+    assert(Vectors.trainCentroids(sample.take(3), 8, 5).length === 3)
+  }
+
+  test("int8 quantization: codes in [-127,127], error bounded by scale/2") {
+    val rows = graft.operators.Vectors.vectorQuantize.fn(spark, sf0001)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val scale = r.getAs[Double]("scale")
+      val codes = r.getAs[String]("q8").split('|').map(_.toInt)
+      assert(codes.forall(c => c >= -127 && c <= 127),
+        s"vec ${r.getLong(0)}: code out of range")
+      assert(codes.exists(c => math.abs(c) == 127),
+        s"vec ${r.getLong(0)}: max-magnitude element should hit ±127")
+      assert(r.getAs[Double]("max_err") <= scale / 2 + 1e-12,
+        s"vec ${r.getLong(0)}: dequantization error exceeds scale/2")
+    }
+  }
+
   test("window running sum's last value equals the group sum") {
     val spark2 = spark
     import spark2.implicits._

@@ -61,6 +61,54 @@ class StoreSpec extends SparkSpec {
     assert(store.readProject(spark, "aced-a").count() === 100)
   }
 
+  test("clustered compaction: row-group min/max ranges become disjoint") {
+    import scala.jdk.CollectionConverters._
+    val spark2 = spark
+    import spark2.implicits._
+    val root = Files.createTempDirectory("store-cluster").toString
+    val store = new Store(root)
+    // shuffled value column: every row group of the raw write overlaps
+    val rnd = new scala.util.Random(11)
+    val rows = rnd.shuffle((1 to 60000).toList)
+      .map(v => ("aced-a", v.toLong, "x" * 40))
+    store.put(rows.toDF("project_id", "v", "pad"),
+      Map("parquet.block.size" -> "262144")) // small groups for the test
+
+    def rowGroupRanges(): Seq[(Long, Long)] = {
+      val conf = spark.sparkContext.hadoopConfiguration
+      val dir = new java.io.File(s"$root/project_id=aced-a")
+      dir.listFiles().filter(_.getName.endsWith(".parquet")).toSeq
+        .sortBy(_.getName).flatMap { f =>
+          val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+              new org.apache.hadoop.fs.Path(f.getAbsolutePath), conf))
+          try rdr.getFooter.getBlocks.asScala.toSeq.map { g =>
+            val c = g.getColumns.asScala
+              .find(_.getPath.toDotString == "v").get.getStatistics
+            (c.genericGetMin.asInstanceOf[java.lang.Long].longValue,
+             c.genericGetMax.asInstanceOf[java.lang.Long].longValue)
+          } finally rdr.close()
+        }
+    }
+    def overlapping(rs: Seq[(Long, Long)]): Boolean = {
+      val sorted = rs.sortBy(_._1)
+      sorted.zip(sorted.tail).exists { case ((_, hi), (lo2, _)) => lo2 <= hi }
+    }
+    val raw = rowGroupRanges()
+    assert(raw.length > 2, s"need several row groups, got ${raw.length}")
+    assert(overlapping(raw), "shuffled write should have overlapping ranges")
+
+    // clustered rewrite: same rows, but every row group's [min,max] is
+    // narrow and disjoint — a range filter can skip all but one group
+    store.compactProject(spark, "aced-a", nFiles = 1, clusterBy = Seq("v"),
+      writerOptions = Map("parquet.block.size" -> "262144"))
+    val clustered = rowGroupRanges()
+    assert(clustered.length > 2)
+    assert(!overlapping(clustered),
+      s"clustered row groups must be disjoint: $clustered")
+    assert(store.readProject(spark, "aced-a").count() === 60000)
+  }
+
   test("deleteProject drops exactly one project (empty_project semantics)") {
     val root = Files.createTempDirectory("store-del").toString
     val store = new Store(root)
