@@ -639,6 +639,85 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** Data-profiling pass over `orders` ("ANALYZE TABLE" shape — the data
+    * quality gate every pipeline runs before training): row count,
+    * per-column null and distinct counts, value ranges — ONE aggregation,
+    * one scan, all partial+final combinable. */
+  val profileTable: Q = Q(
+    "profile_table",
+    """SELECT count(*) AS n_rows,
+      |  count(DISTINCT o_custkey) AS custkey_distinct,
+      |  count(DISTINCT o_orderstatus) AS status_distinct,
+      |  count(DISTINCT o_orderpriority) AS priority_distinct,
+      |  CAST(count(*) - count(o_custkey) AS BIGINT) AS custkey_nulls,
+      |  CAST(count(*) - count(o_orderpriority) AS BIGINT) AS priority_nulls,
+      |  min(o_orderdate) AS date_min, max(o_orderdate) AS date_max,
+      |  CAST(min(o_totalprice) AS DOUBLE) AS price_min,
+      |  CAST(max(o_totalprice) AS DOUBLE) AS price_max,
+      |  CAST(min(length(o_orderpriority)) AS INT) AS priority_len_min,
+      |  CAST(max(length(o_orderpriority)) AS INT) AS priority_len_max
+      |FROM orders""".stripMargin
+  ) { (s, d) =>
+    Tables.orders(s, d).agg(
+      count(lit(1)).as("n_rows"),
+      countDistinct(col("o_custkey")).as("custkey_distinct"),
+      countDistinct(col("o_orderstatus")).as("status_distinct"),
+      countDistinct(col("o_orderpriority")).as("priority_distinct"),
+      (count(lit(1)) - count(col("o_custkey"))).as("custkey_nulls"),
+      (count(lit(1)) - count(col("o_orderpriority"))).as("priority_nulls"),
+      min(col("o_orderdate")).as("date_min"),
+      max(col("o_orderdate")).as("date_max"),
+      min(col("o_totalprice")).cast("double").as("price_min"),
+      max(col("o_totalprice")).cast("double").as("price_max"),
+      min(length(col("o_orderpriority"))).as("priority_len_min"),
+      max(length(col("o_orderpriority"))).as("priority_len_max"))
+  }
+
+  /** Z-score outlier flagging per group — group mean/std derived from
+    * EXACT decimal sums (the [[aggStats]] determinism argument), then a
+    * broadcast of the per-group stats back onto the rows; |z| > 1.5
+    * rows counted per group. Two scans, no row ever leaves its
+    * partition for the stats join (broadcast).
+    *
+    * Oracle converts DECIMAL→DOUBLE via VARCHAR: at ≥17 significant
+    * digits DuckDB's direct decimal→double is off by an ulp (not
+    * correctly rounded) while Spark's BigDecimal.doubleValue is; strtod
+    * is correctly rounded in both (see docs/ORACLE_PARITY.md). */
+  val outlierZscore: Q = Q(
+    "outlier_zscore",
+    """WITH g AS (SELECT l_returnflag, count(*) AS n,
+      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sx,
+      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sxx
+      |  FROM lineitem GROUP BY l_returnflag),
+      |s AS (SELECT l_returnflag, n, sx / n AS mean,
+      |  sqrt((sxx - sx * sx / n) / (n - 1)) AS std FROM g)
+      |SELECT s.l_returnflag, CAST(s.n AS BIGINT) AS n,
+      |  CAST(sum(CASE WHEN abs((CAST(l.l_extendedprice AS DOUBLE) - s.mean) / s.std) > 1.5
+      |       THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+      |  max(abs((CAST(l.l_extendedprice AS DOUBLE) - s.mean) / s.std)) AS max_abs_z
+      |FROM lineitem l JOIN s ON l.l_returnflag = s.l_returnflag
+      |GROUP BY s.l_returnflag, s.n ORDER BY s.l_returnflag""".stripMargin
+  ) { (s, d) =>
+    val price = money(col("l_extendedprice"))
+    val stats = Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+           asDouble(sum(price)).as("sx"),
+           asDouble(sum(price * price)).as("sxx"))
+      .select(col("l_returnflag"), col("n"),
+        (col("sx") / col("n")).as("mean"),
+        sqrt((col("sxx") - col("sx") * col("sx") / col("n")) /
+             (col("n") - 1)).as("std"))
+    val z = abs((col("l_extendedprice").cast("double") - col("mean")) /
+                col("std"))
+    Tables.lineitem(s, d)
+      .join(broadcast(stats), Seq("l_returnflag"))
+      .groupBy(col("l_returnflag"), col("n"))
+      .agg(sum(when(z > 1.5, 1).otherwise(0)).as("n_outliers"),
+           max(z).as("max_abs_z"))
+      .orderBy("l_returnflag")
+  }
+
   /** Skew-safe salted aggregation (SURVEY §4 / salting note): two-phase
     * groupBy over (key, salt) then key — result-identical to the plain
     * GROUP BY, which IS the oracle. The pattern for a 100 TB aggregation
@@ -678,5 +757,5 @@ object Relational {
     arrayOps, joinRange, joinAsof, mapOps, aggApproxDistinct, aggCube,
     joinOuter, aggPivot, aggStats, generatorPosexplode, sampleStratified,
     aggSalted, aggQuantile, aggQuantileSketch, setopsAll, topkPaged, aggCorr,
-    aggHistogram, aggStringagg)
+    aggHistogram, aggStringagg, profileTable, outlierZscore)
 }

@@ -57,10 +57,11 @@ final class JobRunner(etl: Etl, clock: () => String =
         // reference auto-snapshots after put (:421-423)
         val snap = snapshot(spark, projectId, program, project, user,
                             exportDir, logs)
-        Map("files" -> files, "snapshot" -> Map("object_id" -> snap))
+        Map("files" -> files, "snapshot" -> Map("object_id" -> snap.orNull))
       case "get" =>
         Map("object_id" ->
-          snapshot(spark, projectId, program, project, user, exportDir, logs))
+          snapshot(spark, projectId, program, project, user, exportDir, logs)
+            .orNull)
       case "delete" =>
         val canCreate = Authz.canCreate(user, program, project, logs)
         logs += s"CAN CREATE: $canCreate"
@@ -76,14 +77,22 @@ final class JobRunner(etl: Etl, clock: () => String =
       result + ("logs" -> logs.toSeq)
   }
 
-  /** Export + zip: `{project_id}_{ts}_SNAPSHOT.zip` (:340-355). */
+  /** Export + zip: `{project_id}_{ts}_SNAPSHOT.zip` (:340-355). A denied
+    * read SOFT-fails — log + None, no exception — exactly like the
+    * reference's `_get` (:322-325 returns None), so a put by a
+    * create-only user still succeeds, just without the auto-snapshot. A
+    * `.meta.json` sidecar carries the reference's upload metadata map
+    * (:351-352). */
   private def snapshot(spark: SparkSession, projectId: String,
                        program: String, project: String,
                        user: Authz.UserProfile, exportDir: String,
-                       logs: scala.collection.mutable.Buffer[String]): String = {
+                       logs: scala.collection.mutable.Buffer[String])
+      : Option[String] = {
     val canRead = Authz.canRead(user, program, project, logs)
-    logs += s"CAN READ: $canRead"
-    require(canRead, s"no read-storage access on $projectId")
+    if (!canRead) {
+      logs += s"No read permissions on $projectId"
+      return None
+    }
     val stage = Files.createTempDirectory("export").toString
     etl.get(spark, projectId, stage)
     val zipName = s"${projectId}_${clock()}_SNAPSHOT.zip"
@@ -103,7 +112,9 @@ final class JobRunner(etl: Etl, clock: () => String =
           zout.closeEntry()
         }
     } finally zout.close()
-    zipPath.toString
+    Files.writeString(Paths.get(zipPath.toString + ".meta.json"),
+      """{"submitter":null,"metadata_version":"0.0.1","is_metadata":true,"is_snapshot":true}""")
+    Some(zipPath.toString)
   }
 }
 

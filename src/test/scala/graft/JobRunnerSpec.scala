@@ -39,6 +39,32 @@ class JobRunnerSpec extends SparkSpec {
       .asInstanceOf[String]
     assert(snap.endsWith("aced-demo_20260101-000000_SNAPSHOT.zip"))
     assert(Files.size(Paths.get(snap)) > 0)
+    // upload-metadata sidecar (reference's cp metadata map)
+    assert(Files.readString(Paths.get(snap + ".meta.json"))
+      .contains("\"is_snapshot\":true"))
+    assert(etl.flatPatient.readProject(spark, "aced-demo").count() === 1)
+  }
+
+  test("get without read-storage soft-fails: null object_id + log, no throw") {
+    val etl = new Etl(Files.createTempDirectory("jr-ro").toString)
+    val runner = new JobRunner(etl, clock = () => "20260101-000000")
+    val exp = Files.createTempDirectory("jr-ro-exp").toString
+    val createOnly = UserProfile(
+      "writer@example.org",
+      Set("/programs/aced", "/programs/aced/projects"),
+      Map("/programs/aced/projects/demo" -> Seq(Grant("create", "*"))))
+    runner.run(spark,
+      s"""{"method":"put","project_id":"aced-demo",
+         |"push":{"commits":[{"commit_id":"c1","meta_path":"${commitDir()}"}]}}"""
+        .stripMargin, createOnly, exp)
+    // reference's _get returns None on denied read (no exception): the
+    // create-only put above succeeded with a null snapshot, and an
+    // explicit get behaves the same
+    val out = runner.run(spark,
+      """{"method":"get","project_id":"aced-demo"}""", createOnly, exp)
+    assert(out("object_id") == null)
+    assert(out("logs").asInstanceOf[Seq[String]]
+      .exists(_.contains("No read permissions")))
     assert(etl.flatPatient.readProject(spark, "aced-demo").count() === 1)
   }
 
