@@ -35,22 +35,33 @@ object Dedup {
     * pairs, the outer edge of what a cluster should ever brute-force. */
   val AllPairsDefaultCap = 50000L
 
-  /** Refuse to build an all-pairs (O(n²)) plan over more rows than the
-    * cap. The check scans at most cap+1 rows (`limit(cap+1).count()` is a
-    * CollectLimit with early exit — never a full count of a 100 TB
-    * input), so the guard itself is scale-safe. Production-size corpora
-    * must use the sub-quadratic paths (LSH/IVF banding); raising the cap
-    * is a deliberate act via the conf key, not an accident of input
-    * growth. */
-  private[operators] def requireAllPairsSafe(df: DataFrame, what: String): Unit = {
+  /** Attach a LAZY all-pairs (O(n²)) guard to a plan: a one-row
+    * broadcast subquery counts at most cap+1 rows of the input at
+    * EXECUTION time (bounded scan — never a full count of a 100 TB
+    * input) and `raise_error`s if the cap is exceeded. Lazy matters:
+    * `Q.fn` is a plan builder throughout the codebase, and plan-only
+    * callers (audits, doc generators) must not trigger a Spark job.
+    * Production-size corpora must use the sub-quadratic paths (LSH/IVF
+    * banding); raising the cap is a deliberate act via the conf key, not
+    * an accident of input growth. */
+  private[operators] def guardAllPairs(df: DataFrame, what: String): DataFrame = {
     val cap = df.sparkSession.conf.getOption(AllPairsCapKey)
       .map(_.toLong).getOrElse(AllPairsDefaultCap)
-    if (cap >= 0) {
-      val n = df.limit((cap + 1).min(Int.MaxValue - 1).toInt).count()
-      require(n <= cap,
-        s"$what is an all-pairs (quadratic) operator and its input exceeds " +
-        s"$cap rows; use the sub-quadratic variant (LSH/IVF) or explicitly " +
-        s"raise/disable spark conf $AllPairsCapKey")
+    if (cap < 0) df
+    else {
+      val msg = s"$what is an all-pairs (quadratic) operator and its input " +
+        s"exceeds $cap rows; use the sub-quadratic variant (LSH/IVF) or " +
+        s"explicitly raise/disable spark conf $AllPairsCapKey"
+      // assert_true returns null when the predicate holds and throws
+      // otherwise; the filter REFERENCES the guard column, so column
+      // pruning cannot optimize the assertion away (a dropped column
+      // would take the raise with it)
+      val guard = df.limit((cap + 1).min(Int.MaxValue - 1).toInt)
+        .groupBy().count()
+        .select(assert_true(col("count") <= cap, lit(msg)).as("__guard"))
+      df.crossJoin(broadcast(guard))
+        .filter(col("__guard").isNull)
+        .drop("__guard")
     }
   }
 
@@ -257,9 +268,8 @@ object Dedup {
       |ORDER BY vec_a, vec_b""".stripMargin
   ) { (s, d) =>
     import graft.functions.VectorOps
-    val e = Tables.embeddings(s, d).select(col("vec_id"),
-      VectorOps.toDouble(col("embedding")).as("v"))
-    requireAllPairsSafe(e, "dedup_cosine")
+    val e = guardAllPairs(Tables.embeddings(s, d).select(col("vec_id"),
+      VectorOps.toDouble(col("embedding")).as("v")), "dedup_cosine")
     e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
               VectorOps.cosine(col("a.v"), col("b.v")).as("cosine"))
@@ -321,9 +331,15 @@ object Dedup {
     var labels = Tables.documents(s, d)
       .select(col("doc_id"), col("doc_id").as("cluster_id"))
     var cached: Option[org.apache.spark.sql.DataFrame] = None
+    // rounds needed = component diameter; near-dup groups are shallow,
+    // but a long incremental-edit chain can be deep — so the cap is
+    // generous and non-convergence FAILS LOUDLY below (silent partial
+    // propagation would return wrong survivors and diverge from the
+    // oracle's full transitive closure)
+    val MaxRounds = 50
     var converged = false
     var round = 0
-    while (!converged && round < 10) {
+    while (!converged && round < MaxRounds) {
       val prop = labels.join(edges, col("doc_id") === col("src"))
         .select(col("dst").as("doc_id"), col("cluster_id"))
       val next = labels.unionByName(prop)
@@ -342,6 +358,10 @@ object Dedup {
       round += 1
     }
     edges.unpersist(blocking = false)
+    require(converged,
+      s"label propagation did not converge in $MaxRounds rounds — " +
+      "component diameter exceeds the cap; raise MaxRounds or switch to " +
+      "the large-star/small-star formulation")
     labels.orderBy("doc_id")
   }
 

@@ -75,13 +75,6 @@ object TextAnalysis {
       .otherwise("und")
   }
 
-  /** The same CASE expression in DuckDB SQL, inlined per use site. */
-  private[operators] val predictLangSql: String =
-    """CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en > 0 THEN 'en'
-      |     WHEN s_de >= s_es AND s_de > 0 THEN 'de'
-      |     WHEN s_es > 0 THEN 'es'
-      |     ELSE 'und' END""".stripMargin
-
   /** Language-ID by marker-token scoring (the n-gram-heuristic family):
     * score = marker hits per language, predict argmax with a deterministic
     * tie-break order, 'und' when no evidence. The `lang` column is kept as
@@ -105,16 +98,12 @@ object TextAnalysis {
     def score(markers: String*) = size(filter(toks, t => t.isin(markers: _*)))
     Tables.documents(s, d)
       .select(col("doc_id"), col("lang").as("actual"),
+        // the shared heuristic — one definition for lang_id AND
+        // corpus_select, so the marker lists can't drift apart
+        predictLang(toks).as("predicted"),
         score("the", "a", "of").as("s_en"),
         score("der", "die", "und").as("s_de"),
         score("el", "los", "una").as("s_es"))
-      .select(col("doc_id"), col("actual"),
-        when(col("s_en") >= col("s_de") && col("s_en") >= col("s_es") &&
-             col("s_en") > 0, "en")
-          .when(col("s_de") >= col("s_es") && col("s_de") > 0, "de")
-          .when(col("s_es") > 0, "es")
-          .otherwise("und").as("predicted"),
-        col("s_en"), col("s_de"), col("s_es"))
       .orderBy("doc_id")
   }
 

@@ -267,7 +267,9 @@ object Vectors {
     """WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v FROM embeddings),
       |m AS (SELECT vec_id, v, list_max([abs(x) FOR x IN v]) / 127 AS scale FROM e),
       |q AS (SELECT vec_id, v, scale,
-      |        [CAST(floor(x / scale + 0.5) AS INT) FOR x IN v] AS q8 FROM m)
+      |        CASE WHEN scale = 0 THEN [CAST(0 AS INT) FOR x IN v]
+      |             ELSE [CAST(floor(x / scale + 0.5) AS INT) FOR x IN v]
+      |        END AS q8 FROM m)
       |SELECT vec_id, scale,
       |  array_to_string(q8, '|') AS q8,
       |  list_max([abs(q8[i] * scale - v[i]) FOR i IN range(1, len(v)+1)]) AS max_err
@@ -276,8 +278,14 @@ object Vectors {
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
       .withColumn("scale", array_max(transform(col("v"), abs(_))) / 127)
-      .withColumn("q8", transform(col("v"),
-        x => floor(x / col("scale") + 0.5).cast("int")))
+      // zero-vector guard: scale 0 would make x/scale NaN and the ANSI
+      // int cast abort the whole job for one degenerate row — emit
+      // all-zero codes instead (max_err is then trivially 0)
+      .withColumn("q8",
+        when(col("scale") === 0,
+          transform(col("v"), _ => lit(0)))
+        .otherwise(transform(col("v"),
+          x => floor(x / col("scale") + 0.5).cast("int"))))
     e.select(
       col("vec_id"), col("scale"),
       array_join(col("q8"), "|").as("q8"),

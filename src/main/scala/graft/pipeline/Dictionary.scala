@@ -42,9 +42,17 @@ object Dictionary {
     * anything else as a local file path. Pluggable so offline tests (and
     * sandboxes with no egress) can substitute a fake. */
   def defaultFetch(urlOrPath: String): String =
-    if (urlOrPath.startsWith("http://") || urlOrPath.startsWith("https://"))
-      scala.io.Source.fromURL(urlOrPath)(scala.io.Codec.UTF8).mkString
-    else
+    if (urlOrPath.startsWith("http://") || urlOrPath.startsWith("https://")) {
+      // bounded + closed: an unresponsive dictionary server must trip the
+      // resolve() fallback, not hang the job; the stream must not leak
+      val conn = java.net.URI.create(urlOrPath).toURL
+        .openConnection()
+      conn.setConnectTimeout(10000)
+      conn.setReadTimeout(30000)
+      val in = conn.getInputStream
+      try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    } else
       java.nio.file.Files.readString(java.nio.file.Paths.get(urlOrPath))
 
   /** The reference's runtime dictionary resolution

@@ -62,6 +62,13 @@ final class Etl(root: String,
   def put(spark: SparkSession, projectId: String, commitDirs: Seq[String],
           limit: Option[Int]): Unit = {
     require(commitDirs.nonEmpty, "at least one commit dir required")
+    // validate BEFORE the wipe: a typo'd meta_path must fail the job with
+    // the old data intact, not destroy the project and then load nothing
+    // (missing resource FILES inside an existing dir are still fine —
+    // that's the reference's "/dev/null" empty-load)
+    val missing = commitDirs.filterNot(d => new java.io.File(d).isDirectory)
+    require(missing.isEmpty,
+      s"commit dir(s) not found: ${missing.mkString(", ")}")
     delete(spark, projectId)
     def readAll(name: String): DataFrame =
       commitDirs.map(read(spark, _, name, dict(name), projectId))

@@ -50,10 +50,12 @@ final class JobRunner(etl: Etl, clock: () => String =
           dir
         }
         // all commits of the push load as ONE cumulative import
-        // (reference :455-470) — per-commit writes would overwrite
+        // (reference :455-470) — per-commit writes would overwrite;
+        // Etl.put validates every dir exists BEFORE wiping the project
         etl.put(spark, projectId, dirs, limit = None)
         val files = dirs.flatMap(d =>
-          new File(d).listFiles().map(_.getName).sorted.toSeq)
+          Option(new File(d).listFiles()).getOrElse(Array.empty)
+            .map(_.getName).sorted.toSeq)
         // reference auto-snapshots after put (:421-423)
         val snap = snapshot(spark, projectId, program, project, user,
                             exportDir, logs)

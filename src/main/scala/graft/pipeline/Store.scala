@@ -72,13 +72,19 @@ final class Store(root: String, partitionCols: Seq[String] = Seq("project_id")) 
   def compactProject(spark: SparkSession, projectId: String,
                      nFiles: Int = 1, clusterBy: Seq[String] = Nil,
                      writerOptions: Map[String, String] = Map.empty): Unit = {
-    val part = readProject(spark, projectId).coalesce(nFiles)
+    val part = readProject(spark, projectId)
     val clustered =
-      if (clusterBy.isEmpty) part
-      // partition cols lead the sort: the partitioned-file writer demands
-      // rows ordered by partition columns and would inject its own
-      // (non-stable) sort otherwise, destroying the cluster order
-      else part.sortWithinPartitions((partitionCols ++ clusterBy).map(col): _*)
+      if (clusterBy.isEmpty) part.coalesce(nFiles)
+      // range-partition on the cluster key FIRST so multiple output files
+      // get disjoint key ranges (coalesce would merge arbitrary inputs
+      // and every file would span the full range, defeating skipping);
+      // then partition cols lead the per-file sort: the partitioned-file
+      // writer demands rows ordered by partition columns and would
+      // inject its own (non-stable) sort otherwise, destroying the
+      // cluster order
+      else part
+        .repartitionByRange(nFiles, clusterBy.map(col): _*)
+        .sortWithinPartitions((partitionCols ++ clusterBy).map(col): _*)
     put(clustered, writerOptions)
   }
 

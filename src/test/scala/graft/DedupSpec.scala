@@ -29,11 +29,14 @@ class DedupSpec extends SparkSpec {
     // tiny cap: the sf0.001 embeddings table exceeds it → refuse
     spark.conf.set(Dedup.AllPairsCapKey, "10")
     try {
-      val e = intercept[IllegalArgumentException] {
-        Dedup.dedupCosine.fn(spark, sf0001).collect()
-      }
-      assert(e.getMessage.contains("all-pairs") &&
-             e.getMessage.contains(Dedup.AllPairsCapKey))
+      // the guard is LAZY: building the plan must not run a job or throw
+      val plan = Dedup.dedupCosine.fn(spark, sf0001)
+      val e = intercept[Exception] { plan.collect() }
+      def messages(t: Throwable): Seq[String] =
+        if (t == null) Nil
+        else Option(t.getMessage).toSeq ++ messages(t.getCause)
+      assert(messages(e).exists(m => m.contains("all-pairs") &&
+             m.contains(Dedup.AllPairsCapKey)), s"got: ${messages(e)}")
       // -1 disables the guard explicitly — the documented escape hatch
       spark.conf.set(Dedup.AllPairsCapKey, "-1")
       assert(Dedup.dedupCosine.fn(spark, sf0001).limit(1).count() >= 0)

@@ -107,6 +107,17 @@ class StoreSpec extends SparkSpec {
     assert(!overlapping(clustered),
       s"clustered row groups must be disjoint: $clustered")
     assert(store.readProject(spark, "aced-a").count() === 60000)
+
+    // multi-file clustering: range partitioning keeps ranges disjoint
+    // ACROSS files too (a coalesce would give every file the full range)
+    store.compactProject(spark, "aced-a", nFiles = 3, clusterBy = Seq("v"),
+      writerOptions = Map("parquet.block.size" -> "262144"))
+    val multi = rowGroupRanges()
+    assert(new java.io.File(s"$root/project_id=aced-a")
+      .listFiles().count(_.getName.endsWith(".parquet")) === 3)
+    assert(!overlapping(multi),
+      s"multi-file clustered row groups must be disjoint: $multi")
+    assert(store.readProject(spark, "aced-a").count() === 60000)
   }
 
   test("deleteProject drops exactly one project (empty_project semantics)") {
