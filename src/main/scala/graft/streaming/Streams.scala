@@ -80,7 +80,16 @@ object Streams {
     * watermarks so the join state is bounded (Spark drops buffered rows
     * once the watermark passes the interval bound) — the streaming
     * analogue of the `funnel` batch query. */
-  def signupPurchaseJoin(events: DataFrame): DataFrame = {
+  def signupPurchaseJoin(events: DataFrame): DataFrame =
+    signupPurchaseJoin(events, "inner")
+
+  /** `joinType = "left_outer"` additionally emits signups that saw NO
+    * purchase within the interval — the null-padded row surfaces only
+    * once the watermark passes `signup_ts + 24h` and Spark can PROVE no
+    * match can still arrive (state expiry, not timeout polling). That
+    * proof is exactly why both sides must carry watermarks and the join
+    * condition must bound event time on both ends. */
+  def signupPurchaseJoin(events: DataFrame, joinType: String): DataFrame = {
     val signups = events.filter(col("event_type") === "signup")
       .select(col("user_id"), col("ts").as("signup_ts"))
       .withWatermark("signup_ts", "1 hour")
@@ -91,7 +100,8 @@ object Streams {
     signups.join(purchases,
       col("user_id") === col("p_user_id") &&
       col("purchase_ts") >= col("signup_ts") &&
-      col("purchase_ts") <= col("signup_ts") + expr("INTERVAL 24 HOURS"))
+      col("purchase_ts") <= col("signup_ts") + expr("INTERVAL 24 HOURS"),
+      joinType)
       .select(col("user_id"), col("signup_ts"), col("purchase_ts"), col("value"))
   }
 

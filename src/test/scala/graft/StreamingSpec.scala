@@ -154,6 +154,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream LEFT OUTER join emits null row after state expiry") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val name = s"ssjo_${System.nanoTime()}"
+    val q = graft.streaming.Streams
+      .signupPurchaseJoin(mem.toDF(), "left_outer")
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      mem.addData(Seq(
+        Ev(1, ts(0), 1, "signup", 0.0, "{}"),
+        Ev(2, ts(5), 1, "purchase", 9.99, "{}"), // user 1: matched
+        Ev(3, ts(1), 2, "signup", 0.0, "{}")))   // user 2: never purchases
+      q.processAllAvailable()
+      // user 2's null row may NOT appear yet: a matching purchase could
+      // still arrive until the watermark passes signup_ts + 24h
+      val early = spark.table(name)
+        .filter(col("user_id") === 2).collect()
+      assert(early.isEmpty,
+        s"outer row emitted before state expiry: ${early.toSeq}")
+      // events far in the future on BOTH sides: the join's watermark is
+      // the MIN across inputs, so the purchase stream must advance too
+      // before Spark can prove no match can arrive and emit the null row
+      mem.addData(Seq(
+        Ev(9, Timestamp.valueOf("2024-01-05 10:00:00"), 9, "signup", 0.0, "{}"),
+        Ev(10, Timestamp.valueOf("2024-01-05 10:00:00"), 9, "purchase", 1.0, "{}")))
+      q.processAllAvailable()
+      val late = spark.table(name)
+        .filter(col("user_id") === 2).collect()
+      assert(late.length === 1)
+      assert(late(0).isNullAt(late(0).fieldIndex("purchase_ts")))
+      // the matched row for user 1 is present exactly once
+      assert(spark.table(name).filter(col("user_id") === 1).count() === 1)
+    } finally q.stop()
+  }
+
   test("streaming dedup keeps the first occurrence per key") {
     val spark2 = spark
     import spark2.implicits._
