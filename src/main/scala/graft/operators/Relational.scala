@@ -639,6 +639,77 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** Math + bitwise scalar family (SURVEY §2.9). Function picks are
+    * parity-exact by construction: abs/floor/ceil/sign are exact, sqrt
+    * is IEEE-correctly-rounded in both engines, integer powers avoid
+    * libm's pow (which differs in the last ulp), and bitwise ops are
+    * integer-exact. Pure projection — whole-stage codegen, no shuffle. */
+  val scalarMath: Q = Q(
+    "scalar_math",
+    """SELECT l_orderkey, l_linenumber,
+      |  abs(l_quantity - 25.0) AS dev_qty,
+      |  CAST(floor(l_extendedprice / 1000) AS BIGINT) AS price_k,
+      |  CAST(ceil(l_quantity / 10) AS BIGINT) AS qty_decile,
+      |  CAST(sign(l_discount - 0.05) AS DOUBLE) AS disc_side,
+      |  sqrt(l_extendedprice) AS price_sqrt,
+      |  l_quantity * l_quantity AS qty_sq,
+      |  CAST(l_orderkey % 97 AS BIGINT) AS key_mod,
+      |  greatest(l_quantity, l_discount * 100) AS g,
+      |  least(l_tax, l_discount) AS l,
+      |  CAST(xor(l_orderkey, l_partkey) AS BIGINT) AS key_xor,
+      |  CAST(l_orderkey & 255 AS BIGINT) AS key_and,
+      |  CAST(l_orderkey << 2 AS BIGINT) AS key_shl
+      |FROM lineitem ORDER BY l_orderkey, l_linenumber, l_partkey""".stripMargin
+  ) { (s, d) =>
+    Tables.lineitem(s, d).select(
+      col("l_orderkey"), col("l_linenumber"),
+      abs(col("l_quantity") - 25.0).as("dev_qty"),
+      floor(col("l_extendedprice") / 1000).as("price_k"),
+      ceil(col("l_quantity") / 10).as("qty_decile"),
+      signum(col("l_discount") - 0.05).as("disc_side"),
+      sqrt(col("l_extendedprice")).as("price_sqrt"),
+      (col("l_quantity") * col("l_quantity")).as("qty_sq"),
+      (col("l_orderkey") % 97).as("key_mod"),
+      greatest(col("l_quantity"), col("l_discount") * 100).as("g"),
+      least(col("l_tax"), col("l_discount")).as("l"),
+      col("l_orderkey").bitwiseXOR(col("l_partkey")).as("key_xor"),
+      col("l_orderkey").bitwiseAND(lit(255L)).as("key_and"),
+      shiftleft(col("l_orderkey"), 2).as("key_shl")
+    ).orderBy("l_orderkey", "l_linenumber", "l_partkey")
+  }
+
+  /** Extended datetime family (SURVEY §2.9): month arithmetic, calendar
+    * boundaries, ISO-week truncation, component extracts. Picks avoid
+    * the known cross-engine divergences: dayofweek numbering differs
+    * (DuckDB 0=Sun, Spark 1=Sun) so the oracle normalizes; both engines
+    * truncate weeks to Monday. */
+  val scalarDatetimeExt: Q = Q(
+    "scalar_datetime_ext",
+    """SELECT o_orderkey,
+      |  CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS plus3m,
+      |  last_day(CAST(o_orderdate AS DATE)) AS month_end,
+      |  CAST(date_trunc('week', o_orderdate) AS DATE) AS week_start,
+      |  CAST(extract(day FROM o_orderdate) AS INT) AS d,
+      |  CAST(extract(month FROM o_orderdate) AS INT) AS m,
+      |  CAST(extract(quarter FROM o_orderdate) AS INT) AS q,
+      |  CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow_sun1,
+      |  CAST(datediff('day', DATE '1995-06-01', o_orderdate) AS INT) AS days_since
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+  ) { (s, d) =>
+    Tables.orders(s, d).select(
+      col("o_orderkey"),
+      add_months(col("o_orderdate"), 3).as("plus3m"),
+      last_day(col("o_orderdate")).as("month_end"),
+      trunc(col("o_orderdate"), "week").as("week_start"),
+      dayofmonth(col("o_orderdate")).as("d"),
+      month(col("o_orderdate")).as("m"),
+      quarter(col("o_orderdate")).as("q"),
+      dayofweek(col("o_orderdate")).as("dow_sun1"),
+      datediff(col("o_orderdate"), lit("1995-06-01").cast("date"))
+        .as("days_since")
+    ).orderBy("o_orderkey")
+  }
+
   /** Data-profiling pass over `orders` ("ANALYZE TABLE" shape — the data
     * quality gate every pipeline runs before training): row count,
     * per-column null and distinct counts, value ranges — ONE aggregation,
@@ -757,5 +828,6 @@ object Relational {
     arrayOps, joinRange, joinAsof, mapOps, aggApproxDistinct, aggCube,
     joinOuter, aggPivot, aggStats, generatorPosexplode, sampleStratified,
     aggSalted, aggQuantile, aggQuantileSketch, setopsAll, topkPaged, aggCorr,
-    aggHistogram, aggStringagg, profileTable, outlierZscore)
+    aggHistogram, aggStringagg, profileTable, outlierZscore, scalarMath,
+    scalarDatetimeExt)
 }
