@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, concat_ws, transform}
 import org.apache.spark.sql.types.{ArrayType, StructField, StructType}
 
 /** Recursive schema-walk flattener — the engine's `simplify_directory`
@@ -20,20 +20,31 @@ import org.apache.spark.sql.types.{ArrayType, StructField, StructType}
   * `identifier` / `identifier_coding` pair at fhir_import_export.py:284-285):
   *  - struct field        → recurse; column name = path segments joined by `sep`
   *  - array of scalars    → kept as-is (string arrays survive simplification)
-  *  - array of structs    → kept as-is by default (relations are extracted by
-  *    the graph builder, not the flattener); `explodeArrays=true` callers can
-  *    pre-explode before flattening
+  *  - array of structs    → with `codingsToStrings` (default): each element's
+  *    leaf values joined with `#` → array<string>, the PFB coding dialect the
+  *    reference's simplified records show (`identifier:
+  *    ['synthea_delete#synthea-delete']`, fhir_import_export.py:283-285);
+  *    otherwise kept as-is (relations are extracted by the graph builder)
   *  - scalar              → kept
   */
 object SchemaFlattener {
 
   /** Build the flat projection list for a schema. */
-  def flatColumns(schema: StructType, sep: String = "_"): Seq[Column] = {
+  def flatColumns(schema: StructType, sep: String = "_",
+                  codingsToStrings: Boolean = true): Seq[Column] = {
     def walk(field: StructField, path: Seq[String]): Seq[Column] = {
       val fullPath = path :+ field.name
       field.dataType match {
         case st: StructType =>
           st.fields.toSeq.flatMap(walk(_, fullPath))
+        case ArrayType(st: StructType, _) if codingsToStrings =>
+          // coding dialect: {system, code} → "system#code" per element;
+          // one codegen'd pass, still row-preserving
+          val arr = col(fullPath.map(quote).mkString("."))
+          Seq(transform(arr, x =>
+            concat_ws("#", st.fields.toSeq
+              .map(f => x.getField(f.name).cast("string")): _*))
+            .as(fullPath.mkString(sep)))
         case _ =>
           val c = col(fullPath.map(quote).mkString("."))
           Seq(c.as(fullPath.mkString(sep)))
@@ -45,8 +56,9 @@ object SchemaFlattener {
   private def quote(name: String): String = s"`${name.replace("`", "``")}`"
 
   /** Flatten all nested structs of `df` into top-level columns. */
-  def flatten(df: DataFrame, sep: String = "_"): DataFrame =
-    df.select(flatColumns(df.schema, sep): _*)
+  def flatten(df: DataFrame, sep: String = "_",
+              codingsToStrings: Boolean = true): DataFrame =
+    df.select(flatColumns(df.schema, sep, codingsToStrings): _*)
 
   /** Arrays of structs can't be flattened in place; a caller that wants them
     * row-wise explodes first. Kept separate so the default flatten never

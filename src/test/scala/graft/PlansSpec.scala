@@ -31,6 +31,34 @@ class PlansSpec extends SparkSpec {
     assert(rows(0).getString(1) === "active")
     assert(rows(0).getInt(2) === 1)
     assert(rows(0).getSeq[String](3) === Seq("x#y"))
+    // array-of-struct → coding-dialect strings (leafs joined by '#')
+    assert(rows(0).getSeq[String](4) === Seq("d1"))
+  }
+
+  test("coding structs flatten to 'system#code' strings (PFB dialect)") {
+    val schema = StructType(Seq(
+      StructField("id", StringType),
+      StructField("identifier_coding", ArrayType(StructType(Seq(
+        StructField("system", StringType),
+        StructField("code", StringType)))))))
+    val df = spark.createDataFrame(
+      java.util.List.of(
+        Row("a", Seq(Row("https://aced-idp.org/s", "case-1"),
+                     Row("official", "x"))),
+        Row("b", Seq.empty[Row])),
+      schema)
+    val flat = SchemaFlattener.flatten(df)
+    assert(flat.schema("identifier_coding").dataType ===
+           ArrayType(StringType, containsNull = false))
+    val rows = flat.orderBy("id").collect()
+    assert(rows(0).getSeq[String](1) ===
+           Seq("https://aced-idp.org/s#case-1", "official#x"))
+    assert(rows(1).getSeq[String](1) === Seq.empty)
+    // opt-out keeps the raw struct array for graph extraction
+    val raw = SchemaFlattener.flatten(df, codingsToStrings = false)
+    assert(raw.schema("identifier_coding").dataType.isInstanceOf[ArrayType])
+    assert(raw.schema("identifier_coding").dataType
+      .asInstanceOf[ArrayType].elementType.isInstanceOf[StructType])
   }
 
   test("flatten is row-preserving and idempotent on flat schemas") {
