@@ -65,28 +65,25 @@ object Dedup {
     }
   }
 
-  /** Distinct 3-token shingles per document as 64-bit hashes
-    * xxhash64(tokᵢ, tokᵢ₊₁, tokᵢ₊₂): no per-shingle string allocation,
-    * long join keys downstream; collisions are 2⁻⁶⁴ per shingle pair —
-    * immaterial to Jaccard counts at any scale.
-    *
-    * Built with posexplode + window `lead` rather than a higher-order
-    * `transform` lambda: HOFs run interpreted (~70k rows/s measured),
-    * while generate + window + hash all stay in codegen — ~4× faster on
-    * the exploded path. One row per (doc_id, shingle). */
-  private[operators] def shingleHashes(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("doc_id").orderBy("pos")
-    Tables.documents(s, d)
-      .select(col("doc_id"),
-              posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
-      .select(col("doc_id"), col("tok"),
-              lead("tok", 1).over(w).as("t1"), lead("tok", 2).over(w).as("t2"))
-      .filter(col("t2").isNotNull)
-      .select(col("doc_id"),
-              xxhash64(col("tok"), col("t1"), col("t2")).as("sgl"))
-      .distinct()
+  /** Distinct 3-token shingles per document as 64-bit hashes, plus the
+    * document's distinct-shingle count `n_sgl`, via the native
+    * [[graft.functions.expressions.ShingleHashes]] Generator — a NARROW
+    * one-pass operator. The previous built-ins formulation (posexplode →
+    * window `lead` → hash → `distinct` → window count) needed two
+    * shuffles and a per-doc sort before the first real aggregation; the
+    * generator removes both, so the first exchange in every shingle
+    * query is the semantic one (posting-list groupBy / signature
+    * groupBy). One row per (doc_id, shingle). */
+  private[graft] def shingleHashesWithCount(s: SparkSession,
+                                                d: String): DataFrame = {
+    import org.apache.spark.sql.graft.Bridge
+    val gen = Bridge.column(graft.functions.expressions.ShingleHashes(
+      Bridge.expression(col("text")), 3))
+    Tables.documents(s, d).select(col("doc_id"), gen.as(Seq("sgl", "n_sgl")))
   }
+
+  private[operators] def shingleHashes(s: SparkSession, d: String): DataFrame =
+    shingleHashesWithCount(s, d).select("doc_id", "sgl")
 
   /** Shingle sets per document (array form, for exact-Jaccard verify). */
   private[operators] def shingled(s: SparkSession, d: String): DataFrame =
@@ -133,12 +130,12 @@ object Dedup {
     // the self-join but one join fewer; PostingCap bounds the worst-case
     // pair fan-out per shingle (a stop-list for shingles shared by huge
     // doc sets — at 100 TB such shingles are boilerplate, not signal).
-    // Doc sizes ride along inside the posting lists (window count before
-    // grouping), so the pair stage needs NO post-joins — joining a size
-    // table twice would recompute the whole shingle subtree per alias.
-    import org.apache.spark.sql.expressions.Window
-    val exN = shingleHashes(s, d)
-      .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
+    // Doc sizes ride along inside the posting lists (emitted by the
+    // shingle generator itself), so the pair stage needs NO post-joins —
+    // joining a size table twice would recompute the shingle subtree per
+    // alias.
+    val exN = shingleHashesWithCount(s, d)
+      .withColumnRenamed("n_sgl", "n")
     val posting = exN
       .groupBy("sgl")
       .agg(array_sort(collect_list(struct(col("doc_id"), col("n"))))

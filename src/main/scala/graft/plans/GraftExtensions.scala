@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.expressions.CosineSimilarity
+import graft.functions.expressions.{CosineSimilarity, ShingleHashes}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
@@ -8,15 +8,19 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType}
 
 /** SparkSessionExtensions entry point — registers the engine's native
   * expressions for SQL use:
-  * `spark.sql("SELECT cosine_sim(a.embedding, b.embedding) ...")`.
+  * `spark.sql("SELECT cosine_sim(a.embedding, b.embedding) ...")` and
+  * `spark.sql("SELECT doc_id, sgl FROM docs LATERAL VIEW
+  * shingle_hashes(text, 3) AS sgl, n_sgl")`.
   *
   * Wire up either at session build
   * (`.config("spark.sql.extensions", "graft.plans.GraftExtensions")`) or
   * post-hoc on an existing session via [[GraftExtensions.register]].
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.cosineDescriptor)
+    ext.injectFunction(GraftExtensions.shingleDescriptor)
+  }
 }
 
 object GraftExtensions {
@@ -29,8 +33,17 @@ object GraftExtensions {
       Cast(args(0), ArrayType(DoubleType)),
       Cast(args(1), ArrayType(DoubleType))))
 
+  private val shingleDescriptor = (
+    FunctionIdentifier("shingle_hashes"),
+    new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
+    (args: Seq[Expression]) => ShingleHashes(args(0),
+      // n must be a literal — it shapes the generator, not the data
+      args(1).eval().asInstanceOf[Int]))
+
   /** Idempotent registration on an already-built session. */
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.registerFunction(
-      cosineDescriptor._1, cosineDescriptor._2, cosineDescriptor._3)
+  def register(spark: SparkSession): Unit = {
+    Seq(cosineDescriptor, shingleDescriptor).foreach { d =>
+      spark.sessionState.functionRegistry.registerFunction(d._1, d._2, d._3)
+    }
+  }
 }

@@ -43,6 +43,30 @@ class DedupSpec extends SparkSpec {
     } finally spark.conf.unset(Dedup.AllPairsCapKey)
   }
 
+  test("shingle_hashes generator: distinct per doc, carries count, SQL-usable") {
+    import org.apache.spark.sql.functions._
+    val sh = Dedup.shingleHashesWithCount(spark, sf0001)
+    // per-doc distinctness and a consistent count on every row
+    val bad = sh.groupBy("doc_id")
+      .agg(count(lit(1)).as("rows"), countDistinct(col("sgl")).as("uniq"),
+           countDistinct(col("n_sgl")).as("ncounts"), first("n_sgl").as("n"))
+      .filter(col("rows") =!= col("uniq") || col("ncounts") =!= 1 ||
+              col("rows") =!= col("n"))
+    assert(bad.count() === 0)
+    // the plan is NARROW up to the first aggregation: no window exchange
+    val plan = sh.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"shingling must not need a window:\n${plan.take(600)}")
+    assert(plan.contains("Generate"), "expected the generator in the plan")
+    // SQL surface via LATERAL VIEW after extension registration
+    graft.plans.GraftExtensions.register(spark)
+    Tables.documents(spark, sf0001).limit(5).createOrReplaceTempView("sgl_docs")
+    val viaSql = spark.sql(
+      """SELECT doc_id, sgl, n_sgl FROM sgl_docs
+        |LATERAL VIEW shingle_hashes(text, 3) AS sgl, n_sgl""".stripMargin)
+    assert(viaSql.count() > 0)
+  }
+
   test("simhash pairs include the planted exact-Jaccard near-dups' shape") {
     val sim = pairs(Dedup.dedupSimhash)
     val exact = Dedup.dedupNgram.fn(spark, sf0001)
