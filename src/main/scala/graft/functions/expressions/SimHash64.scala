@@ -1,0 +1,57 @@
+package graft.functions.expressions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.unsafe.Platform
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native 64-bit SimHash of a whitespace-tokenized text column
+  * (SURVEY.md §2.11): per token occurrence, xxhash64(seed 42) votes ±1 on
+  * each of the 64 bit positions; the sign of each vote total becomes the
+  * bit. Identical algorithm (same hash, same seed) to the built-ins
+  * formulation it replaces — explode(tokens) → groupBy(doc) with 64
+  * conditional sums — but as ONE narrow projection: no row explosion
+  * (~50× on prose) and no shuffle at all before the band join. At 100 TB
+  * the signature step of simhash dedup becomes a map-only pass.
+  */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects a string column, got ${child.dataType.simpleString}")
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override def nullSafeEval(v: Any): Any = {
+    // -1 keeps empty tokens, matching split(text, ' ') semantics
+    val toks = v.asInstanceOf[UTF8String].toString.split(" ", -1)
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < toks.length) {
+      val bytes = toks(i).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val h = XXH64.hashUnsafeBytes(
+        bytes, Platform.BYTE_ARRAY_OFFSET, bytes.length, 42L)
+      var j = 0
+      while (j < 64) {
+        if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < 64) {
+      if (votes(j) > 0) sig |= (1L << j)
+      j += 1
+    }
+    sig
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): SimHash64 = copy(child = newChild)
+}

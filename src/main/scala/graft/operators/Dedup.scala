@@ -217,23 +217,18 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** 64-bit SimHash per document (token-hash bit voting), then candidate
-    * pairs via 4×16-bit band join with Hamming distance ≤ 3. Bit votes are
-    * a single groupBy(doc_id) with 64 conditional sums — partial+final
-    * aggregation, one shuffle keyed by doc_id. (Shared-vocabulary corpora
-    * correlate simhashes, so the Hamming cut is deliberately tight.) */
+  /** 64-bit SimHash per document via the native
+    * [[graft.functions.expressions.SimHash64]] expression (token-hash bit
+    * voting in ONE narrow pass — no token explode, no signature shuffle;
+    * the built-ins formulation needed a ~50× row explosion through a
+    * 64-sum aggregation), then candidate pairs via 4×16-bit band join
+    * with Hamming distance ≤ 3. (Shared-vocabulary corpora correlate
+    * simhashes, so the Hamming cut is deliberately tight.) */
   val dedupSimhash: Q = Q.noOracle("dedup_simhash") { (s, d) =>
-    val tok = Tables.documents(s, d)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
-      .select(col("doc_id"), xxhash64(col("token")).as("h"))
-    val voteCols = (0 until 64).map(j =>
-      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1)
-        .otherwise(-1)).as(s"b$j"))
-    val votes = tok.groupBy("doc_id").agg(voteCols.head, voteCols.tail: _*)
-    val simhash = (0 until 64).map(j =>
-        when(col(s"b$j") > 0, lit(1L << j)).otherwise(0L))
-      .reduce(_.bitwiseOR(_))
-    val sh = votes.select(col("doc_id"), simhash.as("simhash"))
+    import org.apache.spark.sql.graft.Bridge
+    val sh = Tables.documents(s, d).select(col("doc_id"),
+      Bridge.column(graft.functions.expressions.SimHash64(
+        Bridge.expression(col("text")))).as("simhash"))
     val bands = sh.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map(k => struct(lit(k).as("band"),
         shiftright(col("simhash"), k * 16).bitwiseAND(0xFFFFL)

@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.expressions.{CosineSimilarity, ShingleHashes}
+import graft.functions.expressions.{CosineSimilarity, ShingleHashes, SimHash64}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
@@ -20,6 +20,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.cosineDescriptor)
     ext.injectFunction(GraftExtensions.shingleDescriptor)
+    ext.injectFunction(GraftExtensions.simhashDescriptor)
   }
 }
 
@@ -40,9 +41,14 @@ object GraftExtensions {
       // n must be a literal — it shapes the generator, not the data
       args(1).eval().asInstanceOf[Int]))
 
+  private val simhashDescriptor = (
+    FunctionIdentifier("simhash64"),
+    new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+    (args: Seq[Expression]) => SimHash64(args(0)))
+
   /** Idempotent registration on an already-built session. */
   def register(spark: SparkSession): Unit = {
-    Seq(cosineDescriptor, shingleDescriptor).foreach { d =>
+    Seq(cosineDescriptor, shingleDescriptor, simhashDescriptor).foreach { d =>
       spark.sessionState.functionRegistry.registerFunction(d._1, d._2, d._3)
     }
   }

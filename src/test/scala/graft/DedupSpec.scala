@@ -67,6 +67,28 @@ class DedupSpec extends SparkSpec {
     assert(viaSql.count() > 0)
   }
 
+  test("simhash64: narrow no-shuffle plan, deterministic, SQL-usable") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.graft.Bridge
+    val sig = Tables.documents(spark, sf0001).select(col("doc_id"),
+      Bridge.column(graft.functions.expressions.SimHash64(
+        Bridge.expression(col("text")))).as("simhash"))
+    val plan = sig.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Generate"),
+      s"signature step must be a pure projection:\n${plan.take(600)}")
+    // deterministic across evaluations
+    assert(sig.collect().toSeq === sig.collect().toSeq)
+    // duplicate texts get identical signatures
+    val spark2 = spark
+    import spark2.implicits._
+    graft.plans.GraftExtensions.register(spark)
+    val two = Seq(("a b c d", 1), ("a b c d", 2)).toDF("text", "i")
+    two.createOrReplaceTempView("sim_docs")
+    val sigs = spark.sql("SELECT simhash64(text) AS s FROM sim_docs")
+      .collect().map(_.getLong(0))
+    assert(sigs(0) === sigs(1))
+  }
+
   test("simhash pairs include the planted exact-Jaccard near-dups' shape") {
     val sim = pairs(Dedup.dedupSimhash)
     val exact = Dedup.dedupNgram.fn(spark, sf0001)
