@@ -1,7 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{broadcast, col}
 
 /** Project-partitioned parquet store — the engine's replacement for the
   * reference's four stores (SURVEY.md §1.4, §2.12). The reference loads a
@@ -86,6 +86,35 @@ final class Store(root: String, partitionCols: Seq[String] = Seq("project_id")) 
         .repartitionByRange(nFiles, clusterBy.map(col): _*)
         .sortWithinPartitions((partitionCols ++ clusterBy).map(col): _*)
     put(clustered, writerOptions)
+  }
+
+  /** Keyed upsert into one project's partition — the MERGE INTO shape on
+    * plain parquet: rows of `updates` replace existing rows with the same
+    * `key`; unmatched updates insert. Implemented as a partition rewrite:
+    * anti-join the old partition against the (broadcastable) update keys,
+    * union, write to a STAGING root, then swap the partition directory
+    * in. Stage-then-swap matters twice over — the merged plan reads the
+    * very files the write replaces (overwriting in place would corrupt
+    * the input mid-scan), and the old partition stays intact until the
+    * staged write has fully committed. At scale the cost is one
+    * partition's rewrite, never a table scan, and nothing is ever
+    * collected to the driver. */
+  def upsertProject(spark: SparkSession, projectId: String,
+                    updates: DataFrame, key: String): Unit = {
+    val merged = readProject(spark, projectId)
+      .join(broadcast(updates.select(col(key))), Seq(key), "left_anti")
+      .unionByName(updates)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = path.getFileSystem(conf)
+    val tmpRoot = new org.apache.hadoop.fs.Path(root + "_upsert_staging")
+    merged.write.mode(SaveMode.Overwrite)
+      .partitionBy(partitionCols: _*).parquet(tmpRoot.toString)
+    val partName = s"${partitionCols.head}=$projectId"
+    deleteProject(spark, projectId)
+    fs.rename(new org.apache.hadoop.fs.Path(tmpRoot, partName),
+              new org.apache.hadoop.fs.Path(path, partName))
+    fs.delete(tmpRoot, true)
+    ()
   }
 
   private def path = new org.apache.hadoop.fs.Path(root)

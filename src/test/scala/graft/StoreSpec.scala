@@ -120,6 +120,30 @@ class StoreSpec extends SparkSpec {
     assert(store.readProject(spark, "aced-a").count() === 60000)
   }
 
+  test("upsertProject replaces matched keys, inserts new, leaves others alone") {
+    val spark2 = spark
+    import spark2.implicits._
+    val root = Files.createTempDirectory("store-upsert").toString
+    val store = new Store(root)
+    store.put(Seq(
+      ("aced-a", "k1", 1L), ("aced-a", "k2", 2L), ("aced-a", "k3", 3L),
+      ("aced-b", "k1", 99L)).toDF("project_id", "id", "v"))
+    // k2 updated, k4 inserted; k1/k3 untouched; project b untouched
+    store.upsertProject(spark, "aced-a",
+      Seq(("aced-a", "k2", 20L), ("aced-a", "k4", 4L))
+        .toDF("project_id", "id", "v"), key = "id")
+    val a = store.readProject(spark, "aced-a")
+      .collect().map(r => r.getAs[String]("id") -> r.getAs[Long]("v")).toMap
+    assert(a === Map("k1" -> 1L, "k2" -> 20L, "k3" -> 3L, "k4" -> 4L))
+    assert(store.readProject(spark, "aced-b").count() === 1)
+    // no staging residue
+    assert(!new java.io.File(root + "_upsert_staging").exists())
+    // idempotent re-apply
+    store.upsertProject(spark, "aced-a",
+      Seq(("aced-a", "k2", 20L)).toDF("project_id", "id", "v"), key = "id")
+    assert(store.readProject(spark, "aced-a").count() === 4)
+  }
+
   test("deleteProject drops exactly one project (empty_project semantics)") {
     val root = Files.createTempDirectory("store-del").toString
     val store = new Store(root)
