@@ -141,13 +141,17 @@ object Dedup {
       .agg(array_sort(collect_list(struct(col("doc_id"), col("n"))))
         .as("docs"))
       .filter(size(col("docs")).between(2, PostingCap))
-    val pairArr = flatten(transform(col("docs"), (a, i) =>
-      transform(slice(col("docs"), i + lit(2), size(col("docs"))),
-        b => struct(a.getField("doc_id").as("doc_a"), a.getField("n").as("na"),
-                    b.getField("doc_id").as("doc_b"), b.getField("n").as("nb")))))
-    val pairs = posting.select(explode(pairArr).as("p"))
-      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
-               col("p.na").as("na"), col("p.nb").as("nb"))
+    // native OrderedPairs generator STREAMS the k·(k-1)/2 pairs of each
+    // posting list (the HOF flatten/transform composition materialized
+    // them all per row first — quadratic per-row memory at the stop-cap)
+    val pairGen = {
+      import org.apache.spark.sql.graft.Bridge
+      Bridge.column(graft.functions.expressions.OrderedPairs(
+        Bridge.expression(col("docs"))))
+    }
+    val pairs = posting
+      .select(pairGen.as(Seq("doc_a", "na", "doc_b", "nb")))
+      .groupBy("doc_a", "doc_b", "na", "nb")
       .agg(count(lit(1)).as("inter"))
     val jac = col("inter").cast("double") /
       (col("na") + col("nb") - col("inter"))
