@@ -28,20 +28,29 @@ case class SimHash64(child: Expression)
   override def prettyName: String = "simhash64"
 
   override def nullSafeEval(v: Any): Any = {
-    // -1 keeps empty tokens, matching split(text, ' ') semantics
-    val toks = v.asInstanceOf[UTF8String].toString.split(" ", -1)
+    // zero-copy tokenization: scan the UTF-8 bytes for 0x20 (a space
+    // never occurs inside a multibyte sequence) and hash each token's
+    // byte range in place — split(text, ' ') semantics, empties kept
+    val u = v.asInstanceOf[UTF8String]
+    val base = u.getBaseObject
+    val off = u.getBaseOffset
+    val len = u.numBytes
     val votes = new Array[Int](64)
-    var i = 0
-    while (i < toks.length) {
-      val bytes = toks(i).getBytes(java.nio.charset.StandardCharsets.UTF_8)
-      val h = XXH64.hashUnsafeBytes(
-        bytes, Platform.BYTE_ARRAY_OFFSET, bytes.length, 42L)
-      var j = 0
-      while (j < 64) {
-        if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
-        j += 1
+    var tokStart = 0
+    var p = 0
+    while (p <= len) {
+      val atSep = p == len ||
+        Platform.getByte(base, off + p) == 0x20
+      if (atSep) {
+        val h = XXH64.hashUnsafeBytes(base, off + tokStart, p - tokStart, 42L)
+        var j = 0
+        while (j < 64) {
+          if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+          j += 1
+        }
+        tokStart = p + 1
       }
-      i += 1
+      p += 1
     }
     var sig = 0L
     var j = 0

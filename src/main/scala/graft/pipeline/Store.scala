@@ -101,20 +101,56 @@ final class Store(root: String, partitionCols: Seq[String] = Seq("project_id")) 
     * collected to the driver. */
   def upsertProject(spark: SparkSession, projectId: String,
                     updates: DataFrame, key: String): Unit = {
+    val pcol = partitionCols.head
+    // confine updates to the target partition BEFORE touching anything: a
+    // stray row with another (or null) partition value would delete its
+    // key here and then be silently discarded with the staging dir
+    val stray = updates
+      .filter(col(pcol).isNull || col(pcol) =!= projectId).limit(1).count()
+    require(stray == 0,
+      s"upsertProject($projectId): every update row must carry $pcol = $projectId")
     val merged = readProject(spark, projectId)
       .join(broadcast(updates.select(col(key))), Seq(key), "left_anti")
       .unionByName(updates)
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = path.getFileSystem(conf)
-    val tmpRoot = new org.apache.hadoop.fs.Path(root + "_upsert_staging")
+    // unique staging root: concurrent upserts (the per-project
+    // parallelism this store promises) must not share staging state
+    val tmpRoot = new org.apache.hadoop.fs.Path(
+      root + "_upsert_staging_" + java.util.UUID.randomUUID().toString)
     merged.write.mode(SaveMode.Overwrite)
       .partitionBy(partitionCols: _*).parquet(tmpRoot.toString)
-    val partName = s"${partitionCols.head}=$projectId"
-    deleteProject(spark, projectId)
-    fs.rename(new org.apache.hadoop.fs.Path(tmpRoot, partName),
-              new org.apache.hadoop.fs.Path(path, partName))
-    fs.delete(tmpRoot, true)
-    ()
+    def cleanup(): Unit = { fs.delete(tmpRoot, true); () }
+    // locate the staged partition by LISTING (Hive path-escapes special
+    // characters in partition values; recomputing the name would miss)
+    val staged = fs.listStatus(tmpRoot).map(_.getPath)
+      .filter(_.getName.startsWith(s"$pcol="))
+    if (staged.length != 1) {
+      cleanup()
+      throw new IllegalStateException(
+        s"expected exactly one staged $pcol partition, got " +
+        staged.map(_.getName).mkString("[", ", ", "]"))
+    }
+    val live = new org.apache.hadoop.fs.Path(path, staged.head.getName)
+    val backup = new org.apache.hadoop.fs.Path(
+      tmpRoot, "backup_" + staged.head.getName)
+    // backup-swap, checking EVERY rename (Hadoop reports most failures as
+    // a false return, not an exception): the old partition survives any
+    // failure, and a failed swap restores it. The staging root is only
+    // removed once the data is safe — in the swap-AND-restore-failed
+    // worst case it is deliberately LEFT for manual recovery.
+    if (fs.exists(live) && !fs.rename(live, backup)) {
+      cleanup()
+      throw new java.io.IOException(s"could not move $live aside")
+    }
+    if (!fs.rename(staged.head, live)) {
+      if (fs.exists(backup) && !fs.rename(backup, live))
+        throw new java.io.IOException(
+          s"swap AND restore failed for $live; old data kept at $backup")
+      cleanup()
+      throw new java.io.IOException(s"could not swap staged partition into $live")
+    }
+    cleanup()
   }
 
   private def path = new org.apache.hadoop.fs.Path(root)

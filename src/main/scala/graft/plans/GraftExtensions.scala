@@ -38,8 +38,16 @@ object GraftExtensions {
     FunctionIdentifier("shingle_hashes"),
     new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
     (args: Seq[Expression]) => ShingleHashes(args(0),
-      // n must be a literal — it shapes the generator, not the data
-      args(1).eval().asInstanceOf[Int]))
+      // n must be a foldable literal — it shapes the generator's output,
+      // not the data; accept any integral literal type
+      args(1).eval() match {
+        case i: Int => i
+        case l: Long => l.toInt
+        case s: Short => s.toInt
+        case b: Byte => b.toInt
+        case other => throw new IllegalArgumentException(
+          s"shingle_hashes(text, n): n must be an integer literal, got $other")
+      }))
 
   private val simhashDescriptor = (
     FunctionIdentifier("simhash64"),

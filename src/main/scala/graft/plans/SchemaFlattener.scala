@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.functions.{col, concat_ws, transform}
+import org.apache.spark.sql.functions.{coalesce, col, concat_ws, lit, transform}
 import org.apache.spark.sql.types.{ArrayType, StructField, StructType}
 
 /** Recursive schema-walk flattener — the engine's `simplify_directory`
@@ -37,13 +37,17 @@ object SchemaFlattener {
       field.dataType match {
         case st: StructType =>
           st.fields.toSeq.flatMap(walk(_, fullPath))
-        case ArrayType(st: StructType, _) if codingsToStrings =>
+        case ArrayType(st: StructType, _)
+            if codingsToStrings && isCodingShaped(st) =>
           // coding dialect: {system, code} → "system#code" per element;
-          // one codegen'd pass, still row-preserving
+          // one codegen'd pass, still row-preserving. Null fields render
+          // as empty segments (coalesce) — concat_ws alone would SKIP
+          // them and conflate {null,"x"} with {"x",null}.
           val arr = col(fullPath.map(quote).mkString("."))
           Seq(transform(arr, x =>
             concat_ws("#", st.fields.toSeq
-              .map(f => x.getField(f.name).cast("string")): _*))
+              .map(f => coalesce(x.getField(f.name).cast("string"),
+                                 lit(""))): _*))
             .as(fullPath.mkString(sep)))
         case _ =>
           val c = col(fullPath.map(quote).mkString("."))
@@ -52,6 +56,16 @@ object SchemaFlattener {
     }
     schema.fields.toSeq.flatMap(walk(_, Nil))
   }
+
+  /** Coding-shaped = every field is a scalar. Arrays of structs with
+    * nested structure (e.g. `relations` carrying edge payloads) are NOT
+    * codings and pass through untouched — a '#'-join of a nested struct
+    * would emit Spark's struct rendering, not leaf values. */
+  private def isCodingShaped(st: StructType): Boolean =
+    st.fields.forall(_.dataType match {
+      case _: StructType | _: ArrayType | _: org.apache.spark.sql.types.MapType => false
+      case _ => true
+    })
 
   private def quote(name: String): String = s"`${name.replace("`", "``")}`"
 

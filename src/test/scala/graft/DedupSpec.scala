@@ -65,6 +65,14 @@ class DedupSpec extends SparkSpec {
       """SELECT doc_id, sgl, n_sgl FROM sgl_docs
         |LATERAL VIEW shingle_hashes(text, 3) AS sgl, n_sgl""".stripMargin)
     assert(viaSql.count() > 0)
+    // n < 1 is an analysis error, not an executor crash; long literals ok
+    intercept[Exception] {
+      spark.sql("SELECT shingle_hashes(text, 0) FROM sgl_docs").collect()
+    }
+    assert(spark.sql(
+      """SELECT sgl FROM sgl_docs
+        |LATERAL VIEW shingle_hashes(text, CAST(2 AS BIGINT)) AS sgl, n_sgl"""
+        .stripMargin).count() > 0)
   }
 
   test("simhash64: narrow no-shuffle plan, deterministic, SQL-usable") {

@@ -59,6 +59,26 @@ class PlansSpec extends SparkSpec {
     assert(raw.schema("identifier_coding").dataType.isInstanceOf[ArrayType])
     assert(raw.schema("identifier_coding").dataType
       .asInstanceOf[ArrayType].elementType.isInstanceOf[StructType])
+
+    // null fields render as empty segments — {null,x} and {x,null} stay
+    // distinct (concat_ws alone would conflate them to "x")
+    val withNulls = spark.createDataFrame(
+      java.util.List.of(Row("a", Seq(Row(null, "x"), Row("x", null)))),
+      schema)
+    assert(SchemaFlattener.flatten(withNulls).collect()(0)
+      .getSeq[String](1) === Seq("#x", "x#"))
+
+    // NON-coding-shaped struct arrays (nested structure) pass through
+    val deep = spark.createDataFrame(
+      java.util.List.of(Row("a", Seq(Row("d1", Row("x"))))),
+      StructType(Seq(
+        StructField("id", StringType),
+        StructField("relations", ArrayType(StructType(Seq(
+          StructField("dst_id", StringType),
+          StructField("payload", StructType(Seq(
+            StructField("k", StringType)))))))))))
+    assert(SchemaFlattener.flatten(deep).schema("relations").dataType
+      .asInstanceOf[ArrayType].elementType.isInstanceOf[StructType])
   }
 
   test("flatten is row-preserving and idempotent on flat schemas") {

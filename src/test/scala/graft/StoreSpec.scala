@@ -142,6 +142,15 @@ class StoreSpec extends SparkSpec {
     store.upsertProject(spark, "aced-a",
       Seq(("aced-a", "k2", 20L)).toDF("project_id", "id", "v"), key = "id")
     assert(store.readProject(spark, "aced-a").count() === 4)
+
+    // stray partition values in the updates are rejected BEFORE any write
+    // (a mis-partitioned row would otherwise delete its key and vanish)
+    intercept[IllegalArgumentException] {
+      store.upsertProject(spark, "aced-a",
+        Seq(("aced-b", "k1", 0L)).toDF("project_id", "id", "v"), key = "id")
+    }
+    assert(store.readProject(spark, "aced-a").count() === 4)
+    assert(store.readProject(spark, "aced-b").count() === 1)
   }
 
   test("deleteProject drops exactly one project (empty_project semantics)") {
