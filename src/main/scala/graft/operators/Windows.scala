@@ -130,6 +130,38 @@ object Windows {
       .orderBy("o_custkey", "o_orderkey")
   }
 
+  /** Bounded moving frames + lag deltas per user (completes the frame
+    * family: running = unbounded-preceding, distribution = rank funcs,
+    * moving = bounded ROWS frame). ORDER BY is the provably-total
+    * (ts, event_id) chain — lag over a tied ORDER BY resolves
+    * engine-dependently (round-1 trap, docs/ORACLE_PARITY.md). Inter-event
+    * gaps in exact microseconds (`unix_micros`/`epoch_us`) because
+    * second-truncated arithmetic diverges when sub-second parts differ. */
+  val windowMoving: Q = Q(
+    "window_moving",
+    """SELECT event_id, user_id,
+      |  CAST(count(*) OVER w4 AS BIGINT) AS n_last4,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w4 AS DOUBLE) AS sum_last4,
+      |  CAST(min(value) OVER w4 AS DOUBLE) AS min_last4,
+      |  epoch_us(ts) - lag(epoch_us(ts)) OVER
+      |    (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+      |FROM events
+      |WINDOW w4 AS (PARTITION BY user_id ORDER BY ts, event_id
+      |              ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+      |ORDER BY event_id""".stripMargin
+  ) { (s, d) =>
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val w4 = w.rowsBetween(-3, Window.currentRow)
+    Tables.events(s, d).select(
+      col("event_id"), col("user_id"),
+      count(lit(1)).over(w4).as("n_last4"),
+      asDouble(sum(Tables.money(col("value"))).over(w4)).as("sum_last4"),
+      min(col("value")).over(w4).cast("double").as("min_last4"),
+      (unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+        .as("gap_us")
+    ).orderBy("event_id")
+  }
+
   val all: Seq[Q] = Seq(windowRank, windowRunning, udafWeighted,
-    windowDistribution)
+    windowDistribution, windowMoving)
 }
