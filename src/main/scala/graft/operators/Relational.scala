@@ -710,6 +710,42 @@ object Relational {
     ).orderBy("o_orderkey")
   }
 
+  /** Extended string family (SURVEY §2.9): regex group extraction, field
+    * split, padding, character translation, reversal, repetition, and
+    * edit distance (levenshtein — integer-exact in both engines; the
+    * fuzzy-match primitive entity-resolution pipelines key on). All
+    * projections; regex classes used are identical in Java regex and
+    * DuckDB's RE2. */
+  val scalarStringExt: Q = Q(
+    "scalar_string_ext",
+    """SELECT o_orderkey,
+      |  regexp_extract(o_orderpriority, '([0-9]+)-([A-Z]+)', 2) AS prio_word,
+      |  split_part(o_orderpriority, '-', 1) AS prio_num,
+      |  lpad(CAST(o_orderkey AS VARCHAR), 12, '0') AS key_padded,
+      |  rpad(o_orderstatus, 3, '.') AS status_padded,
+      |  translate(o_orderpriority, '-', '_') AS prio_snake,
+      |  reverse(o_orderstatus) AS status_rev,
+      |  repeat(o_orderstatus, 3) AS status_x3,
+      |  CAST(levenshtein(o_orderpriority, '1-URGENT') AS INT) AS dist_urgent,
+      |  CAST(strpos(o_orderpriority, '-') AS INT) AS dash_at
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+  ) { (s, d) =>
+    Tables.orders(s, d).select(
+      col("o_orderkey"),
+      regexp_extract(col("o_orderpriority"), "([0-9]+)-([A-Z]+)", 2)
+        .as("prio_word"),
+      // DuckDB split_part(s, d, n) ≡ Spark element_at(split(s, d), n)
+      element_at(split(col("o_orderpriority"), "-"), 1).as("prio_num"),
+      lpad(col("o_orderkey").cast("string"), 12, "0").as("key_padded"),
+      rpad(col("o_orderstatus"), 3, ".").as("status_padded"),
+      translate(col("o_orderpriority"), "-", "_").as("prio_snake"),
+      reverse(col("o_orderstatus")).as("status_rev"),
+      repeat(col("o_orderstatus"), 3).as("status_x3"),
+      levenshtein(col("o_orderpriority"), lit("1-URGENT")).as("dist_urgent"),
+      instr(col("o_orderpriority"), "-").as("dash_at")
+    ).orderBy("o_orderkey")
+  }
+
   /** Data-profiling pass over `orders` ("ANALYZE TABLE" shape — the data
     * quality gate every pipeline runs before training): row count,
     * per-column null and distinct counts, value ranges — ONE aggregation,
@@ -829,5 +865,5 @@ object Relational {
     joinOuter, aggPivot, aggStats, generatorPosexplode, sampleStratified,
     aggSalted, aggQuantile, aggQuantileSketch, setopsAll, topkPaged, aggCorr,
     aggHistogram, aggStringagg, profileTable, outlierZscore, scalarMath,
-    scalarDatetimeExt)
+    scalarDatetimeExt, scalarStringExt)
 }
