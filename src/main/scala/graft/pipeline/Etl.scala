@@ -145,6 +145,25 @@ final class Etl(root: String,
   def delete(spark: SparkSession, projectId: String): Unit =
     stores.foreach(_.deleteProject(spark, projectId))
 
+  // Granular per-store wipes so a caller can interleave the reference's
+  // progress log lines ("EMPTIED graph/flat/FHIR STORE",
+  // fhir_import_export.py:374-380) between stages.
+  def deleteGraph(spark: SparkSession, projectId: String): Unit =
+    Seq(vertices, edges).foreach(_.deleteProject(spark, projectId))
+  def deleteFlat(spark: SparkSession, projectId: String): Unit =
+    Seq(flatPatient, flatObservation, flatFile)
+      .foreach(_.deleteProject(spark, projectId))
+  def deleteFhir(spark: SparkSession, projectId: String): Unit =
+    fhirRaw.deleteProject(spark, projectId)
+  def deleteDiscovery(spark: SparkSession, projectId: String): Unit =
+    discovery.deleteProject(spark, projectId)
+
+  /** The project's discovery summary row as JSON, if present — the
+    * reference's `discovery_get` guard before `discovery_delete`
+    * (:382-385). One partition, one row. */
+  def discoveryStudy(spark: SparkSession, projectId: String): Option[String] =
+    discovery.readProject(spark, projectId).toJSON.take(1).headOption
+
   /** Typed view of the denormalized patient table. */
   def patients(spark: SparkSession, projectId: String): Dataset[FlatPatient] = {
     import spark.implicits._

@@ -65,11 +65,29 @@ final class JobRunner(etl: Etl, clock: () => String =
           snapshot(spark, projectId, program, project, user, exportDir, logs)
             .orNull)
       case "delete" =>
-        val canCreate = Authz.canCreate(user, program, project, logs)
-        logs += s"CAN CREATE: $canCreate"
-        require(canCreate, s"No create permissions on $program")
-        etl.delete(spark, projectId)
-        logs += s"EMPTIED FHIR STORE for $projectId"
+        // The reference's `_empty_project` (:360-390) wraps the permission
+        // check AND the emptying in try/except: a failed delete appends the
+        // exception (+ traceback) to the logs and the job still returns its
+        // output map — it never raises. Progress log lines mirror :374-385.
+        try {
+          val canCreate = Authz.canCreate(user, program, project, logs)
+          logs += s"CAN CREATE: $canCreate"
+          require(canCreate, s"No create permissions on $program")
+          etl.deleteGraph(spark, projectId)
+          logs += s"EMPTIED graph for $projectId"
+          etl.deleteFlat(spark, projectId)
+          logs += s"EMPTIED flat for $projectId"
+          etl.deleteFhir(spark, projectId)
+          logs += s"EMPTIED FHIR STORE for $projectId"
+          etl.discoveryStudy(spark, projectId).foreach { data =>
+            logs += s"Empty discovery study: $data"
+            etl.deleteDiscovery(spark, projectId)
+          }
+        } catch {
+          case e: Exception =>
+            logs += s"An Exception Occurred emptying project $projectId: ${e.getMessage}"
+            logs += e.getStackTrace.mkString("\n")
+        }
         Map.empty
       case other =>
         // reference raises on unknown methods (:433)
@@ -151,7 +169,11 @@ object JobRunner {
     val etl = new Etl(
       env.getOrElse("GRAFT_STORE_DIR", "/tmp/graft/store"), schemas)
     val exportDir = env.getOrElse("GRAFT_EXPORT_DIR", "/tmp/graft/export")
-    val first = s"[out] $inputData"
+    // the reference echoes the PARSED envelope re-serialized compact
+    // (json.dumps(input_data, separators=(',',':')), :408) — never the raw
+    // env string, which could be multi-line and break the [out] contract
+    val first = s"[out] ${new ObjectMapper().writeValueAsString(
+      new ObjectMapper().readTree(inputData))}"
     val result = new JobRunner(etl).run(spark, inputData, profile, exportDir)
     val merged = result + ("logs" ->
       (logs.toSeq ++ result("logs").asInstanceOf[Seq[String]]))

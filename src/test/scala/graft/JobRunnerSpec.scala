@@ -90,19 +90,27 @@ class JobRunnerSpec extends SparkSpec {
       s"""{"method":"put","project_id":"aced-demo",
          |"push":{"commits":[{"commit_id":"c1","meta_path":"${commitDir()}"}]}}"""
         .stripMargin, admin, exp)
-    runner.run(spark,
+    val delOut = runner.run(spark,
       """{"method":"delete","project_id":"aced-demo"}""", admin, exp)
     assert(etl.flatPatient.read(spark).count() === 0)
+    // per-store progress log lines mirror _empty_project (:374-385)
+    val delLogs = delOut("logs").asInstanceOf[Seq[String]]
+    assert(delLogs.exists(_.startsWith("EMPTIED graph")))
+    assert(delLogs.exists(_.startsWith("EMPTIED flat")))
+    assert(delLogs.exists(_.startsWith("EMPTIED FHIR STORE")))
+    assert(delLogs.exists(_.startsWith("Empty discovery study:")))
 
     intercept[IllegalArgumentException] {
       runner.run(spark,
         """{"method":"frobnicate","project_id":"aced-demo"}""", admin, exp)
     }
-    intercept[IllegalArgumentException] {
-      runner.run(spark,
-        """{"method":"delete","project_id":"aced-demo"}""",
-        UserProfile("nobody@example.org", Set.empty, Map.empty), exp)
-    }
+    // _empty_project wraps everything in try/except (:360-390): an
+    // unauthorized delete soft-fails — exception goes to logs, no throw
+    val denied = runner.run(spark,
+      """{"method":"delete","project_id":"aced-demo"}""",
+      UserProfile("nobody@example.org", Set.empty, Map.empty), exp)
+    assert(denied("logs").asInstanceOf[Seq[String]]
+      .exists(_.startsWith("An Exception Occurred emptying project")))
   }
 
   test("authz predicate semantics match the reference rules") {
