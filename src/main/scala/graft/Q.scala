@@ -6,11 +6,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * expressible) the equivalent ANSI SQL the driver runs in DuckDB over the
   * same parquet tables. Column names/aliases MUST match between the two —
   * the driver sorts columns by name before hashing values.
+  *
+  * `fn` is normally a pure PLAN BUILDER: constructing the DataFrame runs
+  * no Spark job, so plan-only callers (plan audits, doc generators,
+  * `.explain`) are free. Queries whose construction inherently requires
+  * execution (iterative convergence loops, index training) are flagged
+  * `eager = true`; plan-only tooling must skip those or accept the jobs.
   */
 final case class Q(
     name: String,
     fn: (SparkSession, String) => DataFrame,
-    oracle: Option[String]
+    oracle: Option[String],
+    eager: Boolean = false
 )
 
 object Q {

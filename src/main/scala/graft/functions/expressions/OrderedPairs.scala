@@ -45,17 +45,21 @@ case class OrderedPairs(child: Expression)
     val v = child.eval(input)
     if (v == null) return Nil
     val arr = v.asInstanceOf[ArrayData]
-    val k = arr.numElements()
-    if (k < 2) return Nil
     val nf = elemType.length
     val fields = elemType.fields
+    // null elements carry no pairable value — skip them (the input type
+    // allows containsNull=true, and getStruct returns null for a null
+    // element, which would NPE on field access below)
+    val idx = (0 until arr.numElements()).filter(!arr.isNullAt(_))
+    val k = idx.length
+    if (k < 2) return Nil
     new Iterator[InternalRow] {
       private var i = 0
       private var j = 1
       override def hasNext: Boolean = i < k - 1
       override def next(): InternalRow = {
-        val a = arr.getStruct(i, nf)
-        val b = arr.getStruct(j, nf)
+        val a = arr.getStruct(idx(i), nf)
+        val b = arr.getStruct(idx(j), nf)
         val out = new Array[Any](2 * nf)
         var f = 0
         while (f < nf) {

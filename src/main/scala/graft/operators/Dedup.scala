@@ -39,8 +39,9 @@ object Dedup {
     * broadcast subquery counts at most cap+1 rows of the input at
     * EXECUTION time (bounded scan — never a full count of a 100 TB
     * input) and `raise_error`s if the cap is exceeded. Lazy matters:
-    * `Q.fn` is a plan builder throughout the codebase, and plan-only
-    * callers (audits, doc generators) must not trigger a Spark job.
+    * `Q.fn` is a plan builder throughout the codebase (the exceptions —
+    * convergence loops, index training — are flagged `Q.eager`), and
+    * plan-only callers (audits, doc generators) must not trigger a job.
     * Production-size corpora must use the sub-quadratic paths (LSH/IVF
     * banding); raising the cap is a deliberate act via the conf key, not
     * an accident of input growth. */
@@ -358,8 +359,14 @@ object Dedup {
       s"label propagation did not converge in $MaxRounds rounds — " +
       "component diameter exceeds the cap; raise MaxRounds or switch to " +
       "the large-star/small-star formulation")
-    labels.orderBy("doc_id")
-  }
+    // the final round's cache would otherwise back the returned plan and
+    // leak for the session lifetime; localCheckpoint materializes the
+    // labels into GC-managed blocks (released when the plan is collected,
+    // unlike an explicit cache entry) so the loop cache can be dropped
+    val result = labels.localCheckpoint()
+    cached.foreach(_.unpersist(blocking = false))
+    result.orderBy("doc_id")
+  }.copy(eager = true) // convergence loop runs jobs at plan-build time
 
   val all: Seq[Q] = Seq(dedupExact, dedupNgram, dedupMinhash, dedupSimhash,
     dedupCosine, dedupCluster)

@@ -161,18 +161,31 @@ object Vectors {
 
   /** Train IVF centroids for an embedding frame (`v` = array<double>).
     * The sample is a deterministic hash filter (narrow predicate — no
-    * sort, no full scan materialized) capped at [[IvfSampleCap]] rows. */
-  private[graft] def ivfCentroids(emb: DataFrame,
-                                  k: Int = IvfK): DataFrame = {
-    val sample = emb.select(col("v"))
-      .filter(pmod(xxhash64(col("vec_id")), lit(7)) === 0)
-      .limit(IvfSampleCap)
-      .collect().map(_.getSeq[Double](0).toArray)
-    val cents = trainCentroids(
-      if (sample.nonEmpty) sample
-      else emb.select(col("v")).limit(IvfSampleCap)
-             .collect().map(_.getSeq[Double](0).toArray),
-      k, IvfIters)
+    * sort, no full scan materialized) capped at [[IvfSampleCap]] rows.
+    * EAGER: the collect runs Spark jobs at plan-build time — callers of
+    * [[vectorAnnIvf]] see `Q.eager = true`. Training is memoized per
+    * cache key (training is deterministic for a given corpus), so only
+    * the first build of an index pays. */
+  private val centroidCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Double]]]()
+
+  private[graft] def ivfCentroids(emb: DataFrame, k: Int = IvfK,
+                                  cacheKey: Option[String] = None): DataFrame = {
+    def train(): Array[Array[Double]] = {
+      val sample = emb.select(col("v"))
+        .filter(pmod(xxhash64(col("vec_id")), lit(7)) === 0)
+        .limit(IvfSampleCap)
+        .collect().map(_.getSeq[Double](0).toArray)
+      trainCentroids(
+        if (sample.nonEmpty) sample
+        else emb.select(col("v")).limit(IvfSampleCap)
+               .collect().map(_.getSeq[Double](0).toArray),
+        k, IvfIters)
+    }
+    val cents = cacheKey match {
+      case Some(key) => centroidCache.computeIfAbsent(s"$key#$k", _ => train())
+      case None => train()
+    }
     val spark = emb.sparkSession
     import spark.implicits._
     cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
@@ -209,7 +222,8 @@ object Vectors {
     val NProbe = 3
     val emb = Tables.embeddings(s, d)
       .select(col("vec_id"), col("label"), toDouble(col("embedding")).as("v"))
-    val centroids = ivfCentroids(emb.filter(col("vec_id") =!= 0))
+    val centroids = ivfCentroids(emb.filter(col("vec_id") =!= 0),
+                                 cacheKey = Some(d))
     val cells = assignCells(emb.filter(col("vec_id") =!= 0), centroids)
     val q = emb.filter(col("vec_id") === 0).select(col("v").as("qv"))
     cells.join(broadcast(probeCells(q, centroids, NProbe)), Seq("cell"))
@@ -217,7 +231,7 @@ object Vectors {
               cosine(col("v"), col("qv")).as("cosine"))
       .orderBy(desc("cosine"), asc("vec_id"))
       .limit(20)
-  }
+  }.copy(eager = true) // index training collects a sample at plan-build
 
   /** Batched exact top-3 neighbors for a SET of query vectors (vec_id <
     * 5) — the realistic ANN serving shape (queries arrive in batches, not

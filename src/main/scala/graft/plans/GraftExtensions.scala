@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.expressions.{CosineSimilarity, ShingleHashes, SimHash64}
+import graft.functions.expressions.{CosineSimilarity, OrderedPairs, ShingleHashes, SimHash64}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
@@ -21,6 +21,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.cosineDescriptor)
     ext.injectFunction(GraftExtensions.shingleDescriptor)
     ext.injectFunction(GraftExtensions.simhashDescriptor)
+    ext.injectFunction(GraftExtensions.orderedPairsDescriptor)
   }
 }
 
@@ -54,9 +55,15 @@ object GraftExtensions {
     new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
     (args: Seq[Expression]) => SimHash64(args(0)))
 
+  private val orderedPairsDescriptor = (
+    FunctionIdentifier("ordered_pairs"),
+    new ExpressionInfo(classOf[OrderedPairs].getName, "ordered_pairs"),
+    (args: Seq[Expression]) => OrderedPairs(args(0)))
+
   /** Idempotent registration on an already-built session. */
   def register(spark: SparkSession): Unit = {
-    Seq(cosineDescriptor, shingleDescriptor, simhashDescriptor).foreach { d =>
+    Seq(cosineDescriptor, shingleDescriptor, simhashDescriptor,
+        orderedPairsDescriptor).foreach { d =>
       spark.sessionState.functionRegistry.registerFunction(d._1, d._2, d._3)
     }
   }

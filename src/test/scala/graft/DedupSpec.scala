@@ -75,6 +75,26 @@ class DedupSpec extends SparkSpec {
         .stripMargin).count() > 0)
   }
 
+  test("ordered_pairs: streams i<j pairs, skips null elements, SQL-usable") {
+    graft.plans.GraftExtensions.register(spark)
+    // null elements in the array must be skipped, not NPE (the expression
+    // is generic over array<struct> with containsNull=true)
+    val rows = spark.sql(
+      """SELECT id_a, n_a, id_b, n_b FROM (SELECT array(
+        |  named_struct('id', 1L, 'n', 10L), CAST(NULL AS STRUCT<id: BIGINT, n: BIGINT>),
+        |  named_struct('id', 2L, 'n', 20L), named_struct('id', 3L, 'n', 30L)) AS xs)
+        |LATERAL VIEW ordered_pairs(xs) AS id_a, n_a, id_b, n_b""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.toSeq === Seq((1L, 10L, 2L, 20L), (1L, 10L, 3L, 30L),
+                              (2L, 20L, 3L, 30L)))
+    // all-null / single-element arrays yield no pairs
+    assert(spark.sql(
+      """SELECT id_a FROM (SELECT array(CAST(NULL AS STRUCT<id: BIGINT>),
+        |  named_struct('id', 1L)) AS xs)
+        |LATERAL VIEW ordered_pairs(xs) AS id_a, id_b""".stripMargin)
+      .count() === 0)
+  }
+
   test("simhash64: narrow no-shuffle plan, deterministic, SQL-usable") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.graft.Bridge
