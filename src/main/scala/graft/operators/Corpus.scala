@@ -167,5 +167,39 @@ object Corpus {
       .orderBy("lang")
   }
 
-  val all: Seq[Q] = Seq(corpusSplit, corpusPack, corpusSelect)
+  /** Fixed-window document chunking with overlap (the context-window
+    * prep step: 32-token chunks on a 24-token stride ⇒ 8 tokens of
+    * overlap, so no boundary-spanning context is lost). One generator
+    * per doc (`sequence` of chunk starts) + a narrow slice projection —
+    * no shuffle except the output sort; chunk count per doc is
+    * ⌈n/stride⌉, so the explode factor is bounded and proportional to
+    * corpus token count, never quadratic. */
+  val docChunk: Q = Q(
+    "doc_chunk",
+    """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+      |s AS (SELECT doc_id, toks, unnest(range(0, len(toks), 24)) AS start FROM t)
+      |SELECT doc_id, CAST(start // 24 AS INT) AS chunk_id,
+      |  CAST(len(toks[CAST(start + 1 AS INT):CAST(start + 32 AS INT)]) AS INT) AS n_chunk_tokens,
+      |  array_to_string(toks[CAST(start + 1 AS INT):CAST(start + 32 AS INT)], ' ') AS chunk_text
+      |FROM s ORDER BY doc_id, chunk_id""".stripMargin
+  ) { (s, d) =>
+    val ChunkSize = 32
+    val Stride = 24
+    val t = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    t.select(col("doc_id"), col("toks"),
+        // starts 0, 24, 48… strictly below the token count (sequence's
+        // inclusive end is size-1, so the last start always has tokens)
+        explode(sequence(lit(0), size(col("toks")) - 1, lit(Stride)))
+          .as("start"))
+      .select(col("doc_id"),
+        (col("start") / Stride).cast("int").as("chunk_id"),
+        size(slice(col("toks"), col("start") + 1, lit(ChunkSize)))
+          .as("n_chunk_tokens"),
+        concat_ws(" ", slice(col("toks"), col("start") + 1, lit(ChunkSize)))
+          .as("chunk_text"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  val all: Seq[Q] = Seq(corpusSplit, corpusPack, corpusSelect, docChunk)
 }

@@ -179,6 +179,117 @@ object TextAnalysis {
     ).orderBy("doc_id")
   }
 
+  /** Word-bigram array of a token-array column; empty for <2 tokens (the
+    * `when` guard matters: `sequence(0, -1)` would auto-pick step -1 and
+    * fabricate a descending range instead of an empty one). */
+  private def bigramsOf(toks: org.apache.spark.sql.Column) =
+    when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1),
+        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Repetition-based quality signals (the Gopher/C4 rule family): the
+    * fraction of bigram mass held by the single most repeated bigram, and
+    * the duplicate-token fraction. High values mark boilerplate/spam that
+    * a training-corpus filter drops. Plan: one explode + two keyed
+    * aggregations (doc_id, bigram) → (doc_id) — partial+final all the
+    * way; the token-level stats branch is a narrow projection joined back
+    * on doc_id. All ratios are int/int double divisions — exact parity. */
+  val textRepetition: Q = Q(
+    "text_repetition",
+    """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+      |bg AS (SELECT doc_id,
+      |  unnest([array_to_string(toks[i:i+1],' ') FOR i IN range(1, len(toks))]) AS bigram
+      |  FROM t WHERE len(toks) >= 2),
+      |bc AS (SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY 1, 2),
+      |rep AS (SELECT doc_id, CAST(max(c) AS INT) AS top_bigram_n,
+      |  CAST(sum(c) AS BIGINT) AS n_bigrams,
+      |  CAST(max(c) AS DOUBLE) / sum(c) AS top_bigram_frac
+      |  FROM bc GROUP BY 1),
+      |st AS (SELECT doc_id, len(toks) AS n_tokens,
+      |  len(list_distinct(toks)) AS n_uniq FROM t)
+      |SELECT st.doc_id, CAST(n_tokens AS INT) AS n_tokens,
+      |  rep.top_bigram_n, rep.n_bigrams, rep.top_bigram_frac,
+      |  1.0 - CAST(n_uniq AS DOUBLE) / n_tokens AS dup_token_frac
+      |FROM st LEFT JOIN rep ON st.doc_id = rep.doc_id
+      |ORDER BY st.doc_id""".stripMargin
+  ) { (s, d) =>
+    val toks = split(col("text"), " ")
+    val docs = Tables.documents(s, d)
+    val rep = docs
+      .select(col("doc_id"), explode(bigramsOf(toks)).as("bigram"))
+      .groupBy("doc_id", "bigram").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(max(col("c")).cast("int").as("top_bigram_n"),
+           sum(col("c")).as("n_bigrams"),
+           (max(col("c")).cast("double") / sum(col("c")))
+             .as("top_bigram_frac"))
+    docs
+      .select(col("doc_id"), size(toks).as("n_tokens"),
+              size(array_distinct(toks)).as("n_uniq"))
+      .join(rep, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_tokens"), col("top_bigram_n"),
+        col("n_bigrams"), col("top_bigram_frac"),
+        (lit(1.0) - col("n_uniq").cast("double") / col("n_tokens"))
+          .as("dup_token_frac"))
+      .orderBy("doc_id")
+  }
+
+  /** PII redaction: scrub email/phone patterns and count what was
+    * scrubbed (the pre-training privacy pass). The corpus is synthetic
+    * and clean, so deterministic PII is first APPENDED from the doc id —
+    * the redaction then has real matches to find. Regex classes are
+    * limited to ones with identical Java-regex/RE2 semantics. Pure
+    * projection: no shuffle, trivially 100 TB-safe. */
+  val piiRedact: Q = Q(
+    "pii_redact",
+    """WITH aug AS (SELECT doc_id,
+      |  text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+      |  '@mail.example or 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+      |  AS raw FROM documents)
+      |SELECT doc_id,
+      |  CAST(len(regexp_extract_all(raw, '[a-z0-9.]+@[a-z][a-z0-9.]+')) AS INT) AS n_emails,
+      |  CAST(len(regexp_extract_all(raw, '555-[0-9]{4}')) AS INT) AS n_phones,
+      |  regexp_replace(regexp_replace(raw, '[a-z0-9.]+@[a-z][a-z0-9.]+', '<EMAIL>', 'g'),
+      |                 '555-[0-9]{4}', '<PHONE>', 'g') AS redacted
+      |FROM aug ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    val raw = concat(col("text"), lit(" contact user"),
+      col("doc_id").cast("string"), lit("@mail.example or 555-"),
+      lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), raw.as("raw"))
+      .select(col("doc_id"),
+        size(expr("regexp_extract_all(raw, '[a-z0-9.]+@[a-z][a-z0-9.]+', 0)"))
+          .as("n_emails"),
+        size(expr("regexp_extract_all(raw, '555-[0-9]{4}', 0)")).as("n_phones"),
+        regexp_replace(
+          regexp_replace(col("raw"), "[a-z0-9.]+@[a-z][a-z0-9.]+", "<EMAIL>"),
+          "555-[0-9]{4}", "<PHONE>").as("redacted"))
+      .orderBy("doc_id")
+  }
+
+  /** Corpus-level bigram frequency top-30 (n-gram LM counting — the same
+    * explode + partial/final aggregate + TakeOrderedAndProject shape as
+    * [[textTokens]], one n up). */
+  val ngramFreq: Q = Q(
+    "ngram_freq",
+    """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+      |bg AS (SELECT doc_id,
+      |  unnest([array_to_string(toks[i:i+1],' ') FOR i IN range(1, len(toks))]) AS bigram
+      |  FROM t WHERE len(toks) >= 2)
+      |SELECT bigram, count(*) AS n, count(DISTINCT doc_id) AS df
+      |FROM bg GROUP BY bigram ORDER BY n DESC, bigram LIMIT 30""".stripMargin
+  ) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+              explode(bigramsOf(split(col("text"), " "))).as("bigram"))
+      .groupBy("bigram")
+      .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("df"))
+      .orderBy(desc("n"), asc("bigram"))
+      .limit(30)
+  }
+
   val all: Seq[Q] = Seq(textTokens, textQuality, langId, textFingerprint,
-    textTfidf, textNormalize)
+    textTfidf, textNormalize, textRepetition, piiRedact, ngramFreq)
 }

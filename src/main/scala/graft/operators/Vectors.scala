@@ -308,6 +308,41 @@ object Vectors {
     ).orderBy("vec_id")
   }
 
+  /** Per-label embedding centroid (class prototypes — the building block
+    * for centroid classification, cluster drift monitoring, and IVF
+    * seeding): mean of each dimension over the label's vectors.
+    * Plan: posexplode to (label, dim, x) rows — a 64× narrow fan-out —
+    * then one partial+final aggregation keyed by (label, dim); dim count
+    * is fixed, so group count = labels × 64 regardless of corpus size.
+    * Parity note: a plain `avg` sums floating point in partition order,
+    * which differs between engines in the last ulp; for the oracle gate
+    * the sum is a LEFT FOLD OVER THE SORTED VALUE LIST in both engines —
+    * bit-exact. At 100 TB swap the fold for `avg` (collect_list per
+    * group is the non-scalable part; production centroids don't need
+    * last-ulp determinism). */
+  val vectorCentroid: Q = Q(
+    "vector_centroid",
+    """WITH x AS (SELECT label, i,
+      |  CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS x
+      |  FROM embeddings CROSS JOIN range(1, 65) t(i))
+      |SELECT label, CAST(i AS INT) AS dim,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  list_reduce(list_prepend(CAST(0 AS DOUBLE), list_sort(list(x))),
+      |              (acc, v) -> acc + v) / count(*) AS m
+      |FROM x GROUP BY label, i ORDER BY label, dim""".stripMargin
+  ) { (s, d) =>
+    Tables.embeddings(s, d)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "xf")))
+      .select(col("label"), (col("pos") + 1).as("dim"),
+              col("xf").cast("double").as("x"))
+      .groupBy("label", "dim")
+      .agg(count(lit(1)).as("n"), sort_array(collect_list(col("x"))).as("xs"))
+      .select(col("label"), col("dim").cast("int").as("dim"), col("n"),
+        (aggregate(col("xs"), lit(0.0), (acc, v) => acc + v) / col("n"))
+          .as("m"))
+      .orderBy("label", "dim")
+  }
+
   val all: Seq[Q] = Seq(vectorTopk, vectorAnnLsh, vectorAnnIvf,
-    vectorTopkBatch, vectorQuantize)
+    vectorTopkBatch, vectorQuantize, vectorCentroid)
 }

@@ -85,6 +85,28 @@ class PlanAuditSpec extends SparkSpec {
       s"posting-list plan regressed to a product join:\n${p.take(800)}")
   }
 
+  test("ngram_freq is explode -> partial+final agg -> TakeOrderedAndProject") {
+    val p = plan(graft.operators.TextAnalysis.ngramFreq)
+    assert(p.contains("Generate explode"))
+    assert("HashAggregate".r.findAllIn(p).size >= 2)
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("doc_chunk shuffles only for the output sort") {
+    val p = plan(graft.operators.Corpus.docChunk)
+    assert(p.contains("Generate"), "expected the chunk-start generator")
+    // exactly one exchange: the ORDER BY range partition — chunking
+    // itself must be narrow
+    assert("Exchange".r.findAllIn(p).size <= 1,
+      s"chunking should not shuffle:\n${p.take(800)}")
+  }
+
+  test("text_repetition aggregates partial+final on both levels") {
+    val p = plan(graft.operators.TextAnalysis.textRepetition)
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      "expected partial+final at (doc,bigram) and (doc) levels")
+  }
+
   test("corpus_pack: per-doc window is bucket-partitioned, offsets broadcast") {
     val p = plan(graft.operators.Corpus.corpusPack)
     // the full-corpus window must carry the bkt partition key; only the
