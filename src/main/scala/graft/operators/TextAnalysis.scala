@@ -179,14 +179,19 @@ object TextAnalysis {
     ).orderBy("doc_id")
   }
 
-  /** Word-bigram array of a token-array column; empty for <2 tokens (the
-    * `when` guard matters: `sequence(0, -1)` would auto-pick step -1 and
-    * fabricate a descending range instead of an empty one). */
-  private def bigramsOf(toks: org.apache.spark.sql.Column) =
-    when(size(toks) >= 2,
-      transform(sequence(lit(1), size(toks) - 1),
-        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
-      .otherwise(array().cast("array<string>"))
+  /** One row per word bigram (with multiplicity) via the native
+    * [[graft.functions.expressions.NgramTokens]] generator — a streamed
+    * single byte-scan per document; the built-ins alternative
+    * (`transform(sequence(...), concat_ws(element_at...))` + explode) is
+    * an interpreted HOF that materializes the full bigram array per row
+    * and benched ~2× slower at sf0.1. Documents with <2 tokens emit
+    * nothing. */
+  private def bigramRows(s: org.apache.spark.sql.SparkSession, d: String) = {
+    import org.apache.spark.sql.graft.Bridge
+    Tables.documents(s, d).select(col("doc_id"),
+      Bridge.column(graft.functions.expressions.NgramTokens(
+        Bridge.expression(col("text")), 2)).as(Seq("bigram")))
+  }
 
   /** Repetition-based quality signals (the Gopher/C4 rule family): the
     * fraction of bigram mass held by the single most repeated bigram, and
@@ -216,8 +221,7 @@ object TextAnalysis {
   ) { (s, d) =>
     val toks = split(col("text"), " ")
     val docs = Tables.documents(s, d)
-    val rep = docs
-      .select(col("doc_id"), explode(bigramsOf(toks)).as("bigram"))
+    val rep = bigramRows(s, d)
       .groupBy("doc_id", "bigram").agg(count(lit(1)).as("c"))
       .groupBy("doc_id")
       .agg(max(col("c")).cast("int").as("top_bigram_n"),
@@ -281,9 +285,7 @@ object TextAnalysis {
       |SELECT bigram, count(*) AS n, count(DISTINCT doc_id) AS df
       |FROM bg GROUP BY bigram ORDER BY n DESC, bigram LIMIT 30""".stripMargin
   ) { (s, d) =>
-    Tables.documents(s, d)
-      .select(col("doc_id"),
-              explode(bigramsOf(split(col("text"), " "))).as("bigram"))
+    bigramRows(s, d)
       .groupBy("bigram")
       .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("df"))
       .orderBy(desc("n"), asc("bigram"))

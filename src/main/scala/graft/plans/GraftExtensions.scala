@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.expressions.{CosineSimilarity, OrderedPairs, ShingleHashes, SimHash64}
+import graft.functions.expressions.{CosineSimilarity, NgramTokens, OrderedPairs, ShingleHashes, SimHash64}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
@@ -22,6 +22,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.shingleDescriptor)
     ext.injectFunction(GraftExtensions.simhashDescriptor)
     ext.injectFunction(GraftExtensions.orderedPairsDescriptor)
+    ext.injectFunction(GraftExtensions.ngramTokensDescriptor)
   }
 }
 
@@ -60,10 +61,23 @@ object GraftExtensions {
     new ExpressionInfo(classOf[OrderedPairs].getName, "ordered_pairs"),
     (args: Seq[Expression]) => OrderedPairs(args(0)))
 
+  private val ngramTokensDescriptor = (
+    FunctionIdentifier("ngram_tokens"),
+    new ExpressionInfo(classOf[NgramTokens].getName, "ngram_tokens"),
+    (args: Seq[Expression]) => NgramTokens(args(0),
+      args(1).eval() match {
+        case i: Int => i
+        case l: Long => l.toInt
+        case s: Short => s.toInt
+        case b: Byte => b.toInt
+        case other => throw new IllegalArgumentException(
+          s"ngram_tokens(text, n): n must be an integer literal, got $other")
+      }))
+
   /** Idempotent registration on an already-built session. */
   def register(spark: SparkSession): Unit = {
     Seq(cosineDescriptor, shingleDescriptor, simhashDescriptor,
-        orderedPairsDescriptor).foreach { d =>
+        orderedPairsDescriptor, ngramTokensDescriptor).foreach { d =>
       spark.sessionState.functionRegistry.registerFunction(d._1, d._2, d._3)
     }
   }

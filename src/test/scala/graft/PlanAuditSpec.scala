@@ -87,7 +87,8 @@ class PlanAuditSpec extends SparkSpec {
 
   test("ngram_freq is explode -> partial+final agg -> TakeOrderedAndProject") {
     val p = plan(graft.operators.TextAnalysis.ngramFreq)
-    assert(p.contains("Generate explode"))
+    assert(p.contains("Generate ngram_tokens"),
+      "expected the native n-gram generator")
     assert("HashAggregate".r.findAllIn(p).size >= 2)
     assert(p.contains("TakeOrderedAndProject"))
   }
