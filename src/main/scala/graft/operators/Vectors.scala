@@ -68,21 +68,60 @@ object Vectors {
       when(cosine(v, h) > 0, 1 << j).otherwise(0)
     }.reduce(_ + _)
 
-  /** LSH-bucketed approximate top-20 for the same query: probe the query's
-    * bucket and all buckets within Hamming distance 2 (1+8+28 = 37 of the
-    * 256 buckets ≈ 14% of the corpus — sub-linear, tunable via probe
-    * radius), exact cosine within the probed set. No SQL oracle (the
-    * hyperplanes live here); VectorsSpec measures recall vs
-    * [[vectorTopk]]. */
-  val vectorAnnLsh: Q = Q.noOracle("vector_ann_lsh") { (s, d) =>
+  /** Query-side multiprobe offsets: the query's own bucket plus every
+    * bucket within Hamming distance 2 (1+8+28 = 37 of the 256 buckets ≈
+    * 14% of the corpus — sub-linear, tunable via probe radius). */
+  private val probeOffsets: Seq[Int] = 0 +:
+    (0 until NPlanes).map(1 << _) ++:
+    (for { i <- 0 until NPlanes; j <- (i + 1) until NPlanes }
+      yield (1 << i) | (1 << j))
+
+  /** The LSH oracle is full ANSI SQL: the seeded hyperplanes are a fixed
+    * trained artifact, so they inline as literals (Double.toString is the
+    * shortest round-trip form — DuckDB parses back the identical bits).
+    * Sign tests and cosines are the same left-fold float arithmetic on
+    * both sides, so the hash-compare is exact, like [[vectorTopk]]. */
+  private def lshOracleSql: String = {
+    val planeRows = planes.zipWithIndex.map { case (p, j) =>
+      s"($j, [${p.mkString(",")}])"
+    }.mkString(",\n    ")
+    s"""WITH planes AS (SELECT j, pv FROM (VALUES
+       |    $planeRows) p(j, pv)),
+       |e AS (SELECT vec_id, label, [CAST(x AS DOUBLE) FOR x IN embedding] AS v
+       |      FROM embeddings WHERE vec_id <> 0),
+       |q AS (SELECT [CAST(x AS DOUBLE) FOR x IN embedding] AS qv
+       |      FROM embeddings WHERE vec_id = 0),
+       |eb AS (SELECT vec_id, first(label) AS label, first(v) AS v,
+       |         CAST(sum(CASE WHEN dotp > 0 THEN (1 << j) ELSE 0 END) AS BIGINT) AS bucket
+       |       FROM (SELECT vec_id, label, v, j,
+       |               list_sum([v[i]*pv[i] FOR i IN range(1, len(v)+1)]) AS dotp
+       |             FROM e CROSS JOIN planes)
+       |       GROUP BY vec_id),
+       |qb AS (SELECT qv,
+       |         CAST(sum(CASE WHEN dotp > 0 THEN (1 << j) ELSE 0 END) AS BIGINT) AS qbucket
+       |       FROM (SELECT qv, j,
+       |               list_sum([qv[i]*pv[i] FOR i IN range(1, len(qv)+1)]) AS dotp
+       |             FROM q CROSS JOIN planes)
+       |       GROUP BY qv),
+       |probe AS (SELECT qv, xor(qbucket, m) AS bucket
+       |          FROM qb CROSS JOIN (SELECT unnest([${probeOffsets.mkString(",")}]) AS m))
+       |SELECT vec_id, label,
+       |  list_sum([v[i]*qv[i] FOR i IN range(1, len(v)+1)]) /
+       |  (sqrt(list_sum([x*x FOR x IN v])) * sqrt(list_sum([x*x FOR x IN qv]))) AS cosine
+       |FROM eb JOIN probe USING (bucket)
+       |ORDER BY cosine DESC, vec_id LIMIT 20""".stripMargin
+  }
+
+  /** LSH-bucketed approximate top-20 for the same query: probe the 37
+    * Hamming-≤2 buckets, exact cosine within the probed set. Oracle =
+    * the identical banding computation in DuckDB with the trained
+    * hyperplanes inlined ([[lshOracleSql]]); VectorsSpec additionally
+    * measures recall vs [[vectorTopk]]. */
+  val vectorAnnLsh: Q = Q("vector_ann_lsh", lshOracleSql) { (s, d) =>
     val emb = Tables.embeddings(s, d)
     val e = emb.filter(col("vec_id") =!= 0)
       .select(col("vec_id"), col("label"), toDouble(col("embedding")).as("v"))
       .withColumn("bucket", bucketOf(col("v")))
-    val probeOffsets: Seq[Int] = 0 +:
-      (0 until NPlanes).map(1 << _) ++:
-      (for { i <- 0 until NPlanes; j <- (i + 1) until NPlanes }
-        yield (1 << i) | (1 << j))
     val q = emb.filter(col("vec_id") === 0)
       .select(toDouble(col("embedding")).as("qv"))
       .withColumn("qbucket", bucketOf(col("qv")))
