@@ -368,6 +368,55 @@ object Dedup {
     result.orderBy("doc_id")
   }.copy(eager = true) // convergence loop runs jobs at plan-build time
 
+  /** Triangle census of the near-dup pair graph — the structural health
+    * check of a dedup run (dup groups are cliques, so a high
+    * triangle-per-edge ratio says the pair generator is finding coherent
+    * groups, not noise). Edges arrive canonically oriented (doc_a <
+    * doc_b), so each triangle is counted exactly once by the standard
+    * two-join pattern e1=(a,b) ⋈ e2=(b,c) ⋈ e3=(a,c) — joins are keyed
+    * by vertex, fan-out bounded by max degree (already capped upstream
+    * by the PostingCap stop-list; at web scale the further refinement is
+    * degree-ascending orientation). Identical pair subtrees collapse via
+    * exchange reuse. */
+  val graphTriangles: Q = Q(
+    "graph_triangles",
+    """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+      |sh AS (SELECT doc_id,
+      |  list_distinct([array_to_string(toks[i:i+2],' ') FOR i IN range(1, len(toks)-1)]) AS shingles
+      |  FROM t),
+      |ex AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      |  FROM (SELECT doc_id, unnest(shingles) AS sgl FROM sh) a
+      |  JOIN (SELECT doc_id, unnest(shingles) AS sgl FROM sh) b
+      |    ON a.sgl = b.sgl AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |sz AS (SELECT doc_id, len(shingles) AS n FROM sh),
+      |pairs AS (
+      |  SELECT doc_a, doc_b
+      |  FROM ex JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
+      |  WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5)
+      |SELECT
+      |  CAST((SELECT count(*) FROM pairs) AS BIGINT) AS n_edges,
+      |  CAST((SELECT count(DISTINCT d) FROM
+      |    (SELECT doc_a AS d FROM pairs UNION ALL SELECT doc_b FROM pairs))
+      |    AS BIGINT) AS n_nodes,
+      |  CAST((SELECT count(*) FROM pairs e1
+      |        JOIN pairs e2 ON e1.doc_b = e2.doc_a
+      |        JOIN pairs e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b)
+      |    AS BIGINT) AS n_triangles""".stripMargin
+  ) { (s, d) =>
+    val p = dedupNgram.fn(s, d).select("doc_a", "doc_b")
+    val nEdges = p.agg(count(lit(1)).as("n_edges"))
+    val nNodes = p
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("dd"))
+      .agg(countDistinct(col("dd")).as("n_nodes"))
+    val nTriangles = p.as("e1")
+      .join(p.as("e2"), col("e1.doc_b") === col("e2.doc_a"))
+      .join(p.as("e3"), col("e3.doc_a") === col("e1.doc_a") &&
+                        col("e3.doc_b") === col("e2.doc_b"))
+      .agg(count(lit(1)).as("n_triangles"))
+    nEdges.crossJoin(nNodes).crossJoin(nTriangles)
+  }
+
   val all: Seq[Q] = Seq(dedupExact, dedupNgram, dedupMinhash, dedupSimhash,
-    dedupCosine, dedupCluster)
+    dedupCosine, dedupCluster, graphTriangles)
 }

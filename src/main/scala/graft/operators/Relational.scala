@@ -519,6 +519,37 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** Mode (most frequent value) per group with a DETERMINISTIC tie-break
+    * (engine-native `mode()` breaks ties arbitrarily): count per (group,
+    * value), then rank by (count desc, value asc). The ranking window
+    * runs over the aggregated count rows — |groups|·|distinct values|,
+    * not the fact table — so the plan is partial+final agg plus a window
+    * over a tiny frame. */
+  val aggMode: Q = Q(
+    "agg_mode",
+    """WITH c AS (SELECT o_orderstatus, o_orderpriority, count(*) AS c
+      |           FROM orders GROUP BY 1, 2),
+      |r AS (SELECT o_orderstatus, o_orderpriority, c,
+      |        row_number() OVER (PARTITION BY o_orderstatus
+      |                           ORDER BY c DESC, o_orderpriority) AS rn
+      |      FROM c)
+      |SELECT o_orderstatus, o_orderpriority AS mode_priority,
+      |  CAST(c AS BIGINT) AS n
+      |FROM r WHERE rn = 1 ORDER BY o_orderstatus""".stripMargin
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_orderstatus")
+      .orderBy(desc("c"), asc("o_orderpriority"))
+    Tables.orders(s, d)
+      .groupBy("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("c"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("o_orderstatus"), col("o_orderpriority").as("mode_priority"),
+              col("c").as("n"))
+      .orderBy("o_orderstatus")
+  }
+
   /** Numeric histogram: explicit floor bucketing (identical arithmetic in
     * both engines; DuckDB has no width_bucket). Bucket width 50k over
     * [0, 600k). */
@@ -865,5 +896,5 @@ object Relational {
     joinOuter, aggPivot, aggStats, generatorPosexplode, sampleStratified,
     aggSalted, aggQuantile, aggQuantileSketch, setopsAll, topkPaged, aggCorr,
     aggHistogram, aggStringagg, profileTable, outlierZscore, scalarMath,
-    scalarDatetimeExt, scalarStringExt)
+    scalarDatetimeExt, scalarStringExt, aggMode)
 }
