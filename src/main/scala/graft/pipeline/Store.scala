@@ -88,6 +88,32 @@ final class Store(root: String, partitionCols: Seq[String] = Seq("project_id")) 
     put(clustered, writerOptions)
   }
 
+  /** Z-order variant of [[compactProject]]: cluster one project's
+    * partition on the Morton interleave of TWO dimensions
+    * ([[graft.functions.expressions.InterleaveBits]]), so row-group
+    * min/max pruning works for range predicates on either dimension — a
+    * linear cluster key only ever serves its leading column (a filter on
+    * the second column skips nothing). Same write path as linear
+    * clustering: range-partition on the z key for disjoint ranges across
+    * files, partition cols lead the per-file sort so the writer doesn't
+    * inject its own. ZOrderSpec quantifies the pruning from the actual
+    * parquet footers. */
+  def compactProjectZOrder(spark: SparkSession, projectId: String,
+                           nFiles: Int, zCols: (String, String),
+                           writerOptions: Map[String, String] = Map.empty): Unit = {
+    import org.apache.spark.sql.graft.Bridge
+    val part = readProject(spark, projectId)
+    val z = Bridge.column(graft.functions.expressions.InterleaveBits(
+      Bridge.expression(col(zCols._1).cast("int")),
+      Bridge.expression(col(zCols._2).cast("int"))))
+    val clustered = part
+      .withColumn("__z", z)
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions((partitionCols.map(col) :+ col("__z")): _*)
+      .drop("__z")
+    put(clustered, writerOptions)
+  }
+
   /** Keyed upsert into one project's partition — the MERGE INTO shape on
     * plain parquet: rows of `updates` replace existing rows with the same
     * `key`; unmatched updates insert. Implemented as a partition rewrite:

@@ -1,10 +1,10 @@
 package graft.plans
 
-import graft.functions.expressions.{CosineSimilarity, NgramTokens, OrderedPairs, ShingleHashes, SimHash64}
+import graft.functions.expressions.{CosineSimilarity, InterleaveBits, NgramTokens, OrderedPairs, ShingleHashes, SimHash64}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
-import org.apache.spark.sql.types.{ArrayType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType}
 
 /** SparkSessionExtensions entry point — registers the engine's native
   * expressions for SQL use:
@@ -23,6 +23,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.simhashDescriptor)
     ext.injectFunction(GraftExtensions.orderedPairsDescriptor)
     ext.injectFunction(GraftExtensions.ngramTokensDescriptor)
+    ext.injectFunction(GraftExtensions.interleaveBitsDescriptor)
   }
 }
 
@@ -74,10 +75,17 @@ object GraftExtensions {
           s"ngram_tokens(text, n): n must be an integer literal, got $other")
       }))
 
+  private val interleaveBitsDescriptor = (
+    FunctionIdentifier("interleave_bits"),
+    new ExpressionInfo(classOf[InterleaveBits].getName, "interleave_bits"),
+    (args: Seq[Expression]) => InterleaveBits(
+      Cast(args(0), IntegerType), Cast(args(1), IntegerType)))
+
   /** Idempotent registration on an already-built session. */
   def register(spark: SparkSession): Unit = {
     Seq(cosineDescriptor, shingleDescriptor, simhashDescriptor,
-        orderedPairsDescriptor, ngramTokensDescriptor).foreach { d =>
+        orderedPairsDescriptor, ngramTokensDescriptor,
+        interleaveBitsDescriptor).foreach { d =>
       spark.sessionState.functionRegistry.registerFunction(d._1, d._2, d._3)
     }
   }
