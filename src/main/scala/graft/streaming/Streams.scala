@@ -172,6 +172,18 @@ object Streams {
     q.awaitTermination()
   }
 
+  /** Stream-static enrichment: the event stream joined to a bounded
+    * dimension table (user → attributes). The static side is planned as
+    * a fresh batch scan inside EVERY micro-batch (so a dim table backed
+    * by files picks up updates between batches), and `broadcast` keeps
+    * the join map-side — no state store, no shuffle of the stream. This
+    * is the standard 100 TB enrichment shape: the stream never pays more
+    * than a hash probe per event. Left-outer so events with no dim row
+    * survive null-padded (dropping them silently is the classic
+    * enrichment bug). */
+  def enrich(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(broadcast(dim), Seq("user_id"), "left_outer")
+
   /** Session windows per user with a 5-minute inactivity gap. Spark's
     * session end = last event + gap (half-open [start, end)). */
   def session(events: DataFrame): DataFrame =

@@ -125,6 +125,25 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static broadcast join enriches events, keeps unmatched") {
+    val spark2 = spark
+    import spark2.implicits._
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    // user 3 has no dim row and must survive null-padded
+    val data = rows :+ Ev(7, ts(3), 3, "click", 5.0, "{}")
+    val out = runStream(Streams.enrich(_, dim), outputMode = "append",
+                        data = data)
+    assert(out.length === data.length)
+    assert(out.filter(_.getAs[Long]("user_id") == 1L)
+      .forall(_.getAs[String]("tier") == "gold"))
+    assert(out.filter(_.getAs[Long]("user_id") == 3L)
+      .forall(_.getAs[String]("tier") == null))
+    // the static side must be broadcast, not shuffled into the stream
+    val plan = Streams.enrich(rows.toDF(), dim)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(400))
+  }
+
   test("stream-stream interval join matches purchases to signups") {
     val spark2 = spark
     import spark2.implicits._
