@@ -11,7 +11,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SparkEntry {
 
-  /** All operator modules, in SURVEY §7.2 build order. */
+  /** All operator modules, in SURVEY §7.2 build order. Public as the
+    * catalog so tooling can read per-query metadata (e.g. `Q.eager` —
+    * plan-only tools must skip eager entries or accept the jobs). */
+  def catalog: Seq[Q] = modules
+
   private def modules: Seq[Q] =
     operators.Relational.all ++
     operators.Windows.all ++

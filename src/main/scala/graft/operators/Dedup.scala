@@ -105,12 +105,13 @@ object Dedup {
       .orderBy("content_hash")
   }
 
-  /** Exact n-gram (3-shingle) Jaccard near-dup pairs at τ=0.5 via the
-    * inverted-index join. Testdata has a clean margin: planted dups sit at
-    * J≥0.8, everything else below 0.2. */
-  val dedupNgram: Q = Q(
-    "dedup_ngram",
-    """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+  /** Shared DuckDB CTE chain producing the near-dup pair list (3-shingle
+    * exact Jaccard ≥ 0.5) — the oracle-side mirror of [[dedupNgram]]'s
+    * Spark plan, used by the ngram, cluster, and triangle oracles so a
+    * change to the pair definition edits ONE string (three drifting
+    * copies would silently decouple those oracles). */
+  private val pairsCteSql =
+    """t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
       |sh AS (SELECT doc_id,
       |  list_distinct([array_to_string(toks[i:i+2],' ') FOR i IN range(1, len(toks)-1)]) AS shingles
       |  FROM t),
@@ -119,11 +120,20 @@ object Dedup {
       |  JOIN (SELECT doc_id, unnest(shingles) AS sgl FROM sh) b
       |    ON a.sgl = b.sgl AND a.doc_id < b.doc_id
       |  GROUP BY 1, 2),
-      |sz AS (SELECT doc_id, len(shingles) AS n FROM sh)
-      |SELECT doc_a, doc_b,
-      |  CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
-      |FROM ex JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
-      |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5
+      |sz AS (SELECT doc_id, len(shingles) AS n FROM sh),
+      |pairs AS (
+      |  SELECT doc_a, doc_b,
+      |    CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
+      |  FROM ex JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
+      |  WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5)""".stripMargin
+
+  /** Exact n-gram (3-shingle) Jaccard near-dup pairs at τ=0.5 via the
+    * inverted-index join. Testdata has a clean margin: planted dups sit at
+    * J≥0.8, everything else below 0.2. */
+  val dedupNgram: Q = Q(
+    "dedup_ngram",
+    s"""WITH $pairsCteSql
+      |SELECT doc_a, doc_b, jaccard FROM pairs
       |ORDER BY doc_a, doc_b""".stripMargin
   ) { (s, d) =>
     // Posting-list formulation: group by shingle, emit ordered pairs from
@@ -293,21 +303,8 @@ object Dedup {
     * in component) — `cluster_id == doc_id` marks the survivor. */
   val dedupCluster: Q = Q(
     "dedup_cluster",
-    """WITH RECURSIVE
-      |t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
-      |sh AS (SELECT doc_id,
-      |  list_distinct([array_to_string(toks[i:i+2],' ') FOR i IN range(1, len(toks)-1)]) AS shingles
-      |  FROM t),
-      |ex AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-      |  FROM (SELECT doc_id, unnest(shingles) AS sgl FROM sh) a
-      |  JOIN (SELECT doc_id, unnest(shingles) AS sgl FROM sh) b
-      |    ON a.sgl = b.sgl AND a.doc_id < b.doc_id
-      |  GROUP BY 1, 2),
-      |sz AS (SELECT doc_id, len(shingles) AS n FROM sh),
-      |pairs AS (
-      |  SELECT doc_a, doc_b
-      |  FROM ex JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
-      |  WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5),
+    s"""WITH RECURSIVE
+      |$pairsCteSql,
       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
       |          UNION ALL SELECT doc_b, doc_a FROM pairs),
       |reach(doc_id, lbl) AS (
@@ -380,20 +377,7 @@ object Dedup {
     * exchange reuse. */
   val graphTriangles: Q = Q(
     "graph_triangles",
-    """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
-      |sh AS (SELECT doc_id,
-      |  list_distinct([array_to_string(toks[i:i+2],' ') FOR i IN range(1, len(toks)-1)]) AS shingles
-      |  FROM t),
-      |ex AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-      |  FROM (SELECT doc_id, unnest(shingles) AS sgl FROM sh) a
-      |  JOIN (SELECT doc_id, unnest(shingles) AS sgl FROM sh) b
-      |    ON a.sgl = b.sgl AND a.doc_id < b.doc_id
-      |  GROUP BY 1, 2),
-      |sz AS (SELECT doc_id, len(shingles) AS n FROM sh),
-      |pairs AS (
-      |  SELECT doc_a, doc_b
-      |  FROM ex JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
-      |  WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5)
+    s"""WITH $pairsCteSql
       |SELECT
       |  CAST((SELECT count(*) FROM pairs) AS BIGINT) AS n_edges,
       |  CAST((SELECT count(DISTINCT d) FROM

@@ -77,13 +77,17 @@ object Vectors {
       yield (1 << i) | (1 << j))
 
   /** The LSH oracle is full ANSI SQL: the seeded hyperplanes are a fixed
-    * trained artifact, so they inline as literals (Double.toString is the
-    * shortest round-trip form — DuckDB parses back the identical bits).
+    * trained artifact, so they inline as literals. Each literal routes
+    * through CAST('…' AS DOUBLE): DuckDB parses a bare ≥17-significant-
+    * digit numeric as DECIMAL first and its DECIMAL→DOUBLE conversion is
+    * off by an ulp (docs/ORACLE_PARITY.md), while the VARCHAR→DOUBLE
+    * path is correctly-rounded strtod — Double.toString being shortest
+    * round-trip, the bits then match Spark's `typedlit` planes exactly.
     * Sign tests and cosines are the same left-fold float arithmetic on
     * both sides, so the hash-compare is exact, like [[vectorTopk]]. */
   private def lshOracleSql: String = {
     val planeRows = planes.zipWithIndex.map { case (p, j) =>
-      s"($j, [${p.mkString(",")}])"
+      s"($j, [${p.map(x => s"CAST('$x' AS DOUBLE)").mkString(",")}])"
     }.mkString(",\n    ")
     s"""WITH planes AS (SELECT j, pv FROM (VALUES
        |    $planeRows) p(j, pv)),
@@ -208,6 +212,26 @@ object Vectors {
   private val centroidCache =
     new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Double]]]()
 
+  /** Cache key for a dataset dir that changes when the underlying
+    * embeddings files change (path alone would serve stale centroids if
+    * a fixture is regenerated in place within the JVM session): the
+    * (path, length, mtime) listing of the embeddings table, hashed. */
+  private[graft] def embeddingsFingerprint(s: SparkSession, dir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val listing =
+      if (!fs.exists(p)) "absent"
+      else {
+        val statuses =
+          if (fs.getFileStatus(p).isDirectory) fs.listStatus(p).toSeq
+          else Seq(fs.getFileStatus(p))
+        statuses.sortBy(_.getPath.toString)
+          .map(st => s"${st.getPath}:${st.getLen}:${st.getModificationTime}")
+          .mkString("|")
+      }
+    s"$dir@${listing.hashCode}"
+  }
+
   private[graft] def ivfCentroids(emb: DataFrame, k: Int = IvfK,
                                   cacheKey: Option[String] = None): DataFrame = {
     def train(): Array[Array[Double]] = {
@@ -262,7 +286,7 @@ object Vectors {
     val emb = Tables.embeddings(s, d)
       .select(col("vec_id"), col("label"), toDouble(col("embedding")).as("v"))
     val centroids = ivfCentroids(emb.filter(col("vec_id") =!= 0),
-                                 cacheKey = Some(d))
+                                 cacheKey = Some(embeddingsFingerprint(s, d)))
     val cells = assignCells(emb.filter(col("vec_id") =!= 0), centroids)
     val q = emb.filter(col("vec_id") === 0).select(col("v").as("qv"))
     cells.join(broadcast(probeCells(q, centroids, NProbe)), Seq("cell"))

@@ -160,9 +160,12 @@ final class Etl(root: String,
 
   /** The project's discovery summary row as JSON, if present — the
     * reference's `discovery_get` guard before `discovery_delete`
-    * (:382-385). One partition, one row. */
+    * (:382-385). One partition, one row. A never-written discovery store
+    * (fresh root, delete-before-first-put) is simply "no study", not an
+    * error. */
   def discoveryStudy(spark: SparkSession, projectId: String): Option[String] =
-    discovery.readProject(spark, projectId).toJSON.take(1).headOption
+    if (!discovery.isInitialized(spark)) None
+    else discovery.readProject(spark, projectId).toJSON.take(1).headOption
 
   /** Typed view of the denormalized patient table. */
   def patients(spark: SparkSession, projectId: String): Dataset[FlatPatient] = {

@@ -171,9 +171,11 @@ object JobRunner {
     val exportDir = env.getOrElse("GRAFT_EXPORT_DIR", "/tmp/graft/export")
     // the reference echoes the PARSED envelope re-serialized compact
     // (json.dumps(input_data, separators=(',',':')), :408) — never the raw
-    // env string, which could be multi-line and break the [out] contract
-    val first = s"[out] ${new ObjectMapper().writeValueAsString(
-      new ObjectMapper().readTree(inputData))}"
+    // env string, which could be multi-line and break the [out] contract.
+    // A malformed envelope throws before any [out] line, matching the
+    // reference (it parses at :52 before the first print).
+    val mapper = new ObjectMapper()
+    val first = s"[out] ${mapper.writeValueAsString(mapper.readTree(inputData))}"
     val result = new JobRunner(etl).run(spark, inputData, profile, exportDir)
     val merged = result + ("logs" ->
       (logs.toSeq ++ result("logs").asInstanceOf[Seq[String]]))

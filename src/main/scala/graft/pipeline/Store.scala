@@ -102,10 +102,31 @@ final class Store(root: String, partitionCols: Seq[String] = Seq("project_id")) 
                            nFiles: Int, zCols: (String, String),
                            writerOptions: Map[String, String] = Map.empty): Unit = {
     import org.apache.spark.sql.graft.Bridge
+    import org.apache.spark.sql.functions.{floor, least, lit, max, min}
     val part = readProject(spark, projectId)
+    // normalize each dimension onto the full signed-int range via its
+    // [min, max] (one tiny agg job — this is a maintenance op, already
+    // eager). A raw cast-to-int would abort on BIGINT epochs under ANSI
+    // or silently wrap without it, destroying the layout; the affine map
+    // preserves per-dimension order for any numeric range and spreads
+    // bit entropy even when the two dimensions' scales differ wildly.
+    val stats = part.agg(
+      min(col(zCols._1)).cast("double"), max(col(zCols._1)).cast("double"),
+      min(col(zCols._2)).cast("double"), max(col(zCols._2)).cast("double"))
+      .collect()(0)
+    def norm(c: String, loIdx: Int): org.apache.spark.sql.Column =
+      if (stats.isNullAt(loIdx) || stats.isNullAt(loIdx + 1) ||
+          stats.getDouble(loIdx + 1) <= stats.getDouble(loIdx)) lit(0)
+      else {
+        val (lo, hi) = (stats.getDouble(loIdx), stats.getDouble(loIdx + 1))
+        // [lo,hi] → [-(2³¹-1), 2³¹-1]; least() guards the v=hi edge
+        (least(floor((col(c).cast("double") - lit(lo)) / lit(hi - lo)
+            * lit(4294967294.0)), lit(4294967294.0)) - lit(2147483647L))
+          .cast("int")
+      }
     val z = Bridge.column(graft.functions.expressions.InterleaveBits(
-      Bridge.expression(col(zCols._1).cast("int")),
-      Bridge.expression(col(zCols._2).cast("int"))))
+      Bridge.expression(norm(zCols._1, 0)),
+      Bridge.expression(norm(zCols._2, 2))))
     val clustered = part
       .withColumn("__z", z)
       .repartitionByRange(nFiles, col("__z"))
@@ -181,6 +202,13 @@ final class Store(root: String, partitionCols: Seq[String] = Seq("project_id")) 
 
   private def path = new org.apache.hadoop.fs.Path(root)
   private def schemaPath = new org.apache.hadoop.fs.Path(root, "_schema.ddl")
+
+  /** Whether this store has ever been written — reading a never-written
+    * root throws (no files, no schema sidecar), so existence-sensitive
+    * callers (e.g. the delete verb's discovery guard) check first, like
+    * [[deleteProject]] does. */
+  def isInitialized(spark: SparkSession): Boolean =
+    path.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(path)
 
   /** Read one project's partition (get verb) — a directory prune, not a
     * scan-and-filter. */

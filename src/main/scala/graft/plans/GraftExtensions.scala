@@ -37,20 +37,30 @@ object GraftExtensions {
       Cast(args(0), ArrayType(DoubleType)),
       Cast(args(1), ArrayType(DoubleType))))
 
+  /** Extract the generators' `n` argument: must be a foldable integral
+    * literal — it shapes the generator's output schema, not the data.
+    * Checks arity and foldability up front so SQL misuse fails with the
+    * intended message, not an IndexOutOfBounds / unresolved-eval error. */
+  private def intLiteralArg(args: Seq[Expression], fn: String): Int = {
+    if (args.length != 2) throw new IllegalArgumentException(
+      s"$fn(text, n) expects 2 arguments, got ${args.length}")
+    if (!args(1).foldable) throw new IllegalArgumentException(
+      s"$fn(text, n): n must be an integer literal, got ${args(1).sql}")
+    args(1).eval() match {
+      case i: Int => i
+      case l: Long => l.toInt
+      case s: Short => s.toInt
+      case b: Byte => b.toInt
+      case other => throw new IllegalArgumentException(
+        s"$fn(text, n): n must be an integer literal, got $other")
+    }
+  }
+
   private val shingleDescriptor = (
     FunctionIdentifier("shingle_hashes"),
     new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
-    (args: Seq[Expression]) => ShingleHashes(args(0),
-      // n must be a foldable literal — it shapes the generator's output,
-      // not the data; accept any integral literal type
-      args(1).eval() match {
-        case i: Int => i
-        case l: Long => l.toInt
-        case s: Short => s.toInt
-        case b: Byte => b.toInt
-        case other => throw new IllegalArgumentException(
-          s"shingle_hashes(text, n): n must be an integer literal, got $other")
-      }))
+    (args: Seq[Expression]) =>
+      ShingleHashes(args(0), intLiteralArg(args, "shingle_hashes")))
 
   private val simhashDescriptor = (
     FunctionIdentifier("simhash64"),
@@ -65,15 +75,8 @@ object GraftExtensions {
   private val ngramTokensDescriptor = (
     FunctionIdentifier("ngram_tokens"),
     new ExpressionInfo(classOf[NgramTokens].getName, "ngram_tokens"),
-    (args: Seq[Expression]) => NgramTokens(args(0),
-      args(1).eval() match {
-        case i: Int => i
-        case l: Long => l.toInt
-        case s: Short => s.toInt
-        case b: Byte => b.toInt
-        case other => throw new IllegalArgumentException(
-          s"ngram_tokens(text, n): n must be an integer literal, got $other")
-      }))
+    (args: Seq[Expression]) =>
+      NgramTokens(args(0), intLiteralArg(args, "ngram_tokens")))
 
   private val interleaveBitsDescriptor = (
     FunctionIdentifier("interleave_bits"),

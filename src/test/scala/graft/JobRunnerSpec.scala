@@ -113,6 +113,17 @@ class JobRunnerSpec extends SparkSpec {
       .exists(_.startsWith("An Exception Occurred emptying project")))
   }
 
+  test("delete before any put is clean — no spurious exception in logs") {
+    val etl = new Etl(Files.createTempDirectory("jr-fresh").toString)
+    val runner = new JobRunner(etl, clock = () => "20260101-000000")
+    val out = runner.run(spark,
+      """{"method":"delete","project_id":"aced-demo"}""", admin,
+      Files.createTempDirectory("jr-fresh-exp").toString)
+    val logs = out("logs").asInstanceOf[Seq[String]]
+    assert(!logs.exists(_.startsWith("An Exception Occurred")), logs)
+    assert(logs.exists(_.startsWith("EMPTIED FHIR STORE")))
+  }
+
   test("authz predicate semantics match the reference rules") {
     val resources = Set("/programs/p1", "/programs/p1/projects")
     def profile(grants: Grant*): UserProfile =

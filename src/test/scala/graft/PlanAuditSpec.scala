@@ -9,8 +9,19 @@ import graft.operators.{Dedup, Pipeline, Relational, Vectors}
   */
 class PlanAuditSpec extends SparkSpec {
 
-  private def plan(q: Q): String =
+  private def plan(q: Q): String = {
+    // the Q.eager contract, enforced where plans are built for
+    // inspection: eager queries run Spark jobs at plan-build time and
+    // must not be audited through this plan-only helper
+    assert(!q.eager, s"${q.name} is eager — audit it with an explicit run")
     q.fn(spark, sf0001).queryExecution.executedPlan.toString
+  }
+
+  test("the eager set is exactly the declared convergence/training queries") {
+    assert(SparkEntry.catalog.filter(_.eager).map(_.name).toSet ===
+      Set("dedup_cluster", "vector_ann_ivf"),
+      "new Q entries that run jobs at plan-build time must set eager=true")
+  }
 
   test("filter_pred pushes predicates into the parquet scan") {
     val p = plan(Relational.filterPred)

@@ -94,4 +94,42 @@ class ZOrderSpec extends SparkSpec {
     // rows survive both rewrites
     assert(store.readProject(spark, "aced-a").count() === 60000)
   }
+
+  test("z-order handles BIGINT dimensions beyond int range (normalized)") {
+    val spark2 = spark
+    import spark2.implicits._
+    val root = Files.createTempDirectory("store-zorder-big").toString
+    val store = new Store(root)
+    val rnd = new scala.util.Random(17)
+    // epoch-millis-scale second dimension: a raw int cast would abort
+    // (ANSI) or wrap (non-ANSI); normalization must keep the layout
+    val rows = (1 to 30000).map(_ => ("aced-a", rnd.nextInt(1000),
+      1700000000000L + rnd.nextInt(1000) * 1000000L, "x" * 40))
+    store.put(rows.toDF("project_id", "x", "t", "pad"),
+      Map("parquet.block.size" -> "65536"))
+    store.compactProjectZOrder(spark, "aced-a", nFiles = 1, zCols = ("x", "t"),
+      writerOptions = Map("parquet.block.size" -> "65536"))
+    assert(store.readProject(spark, "aced-a").count() === 30000)
+    // pruning on the BIGINT dimension works through the normalization
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dir = new java.io.File(s"$root/project_id=aced-a")
+    import scala.jdk.CollectionConverters._
+    val ranges = dir.listFiles().filter(_.getName.endsWith(".parquet")).toSeq
+      .flatMap { f =>
+        val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(f.getAbsolutePath), conf))
+        try rdr.getFooter.getBlocks.asScala.toSeq.map { g =>
+          val c = g.getColumns.asScala
+            .find(_.getPath.toDotString == "t").get.getStatistics
+          (c.genericGetMin.asInstanceOf[java.lang.Long].longValue,
+           c.genericGetMax.asInstanceOf[java.lang.Long].longValue)
+        } finally rdr.close()
+      }
+    assert(ranges.length > 5, s"need several row groups, got ${ranges.length}")
+    val (qLo, qHi) = (1700100000000L, 1700150000000L) // k in [100, 150]
+    val touched = ranges.count { case (lo, hi) => lo <= qHi && hi >= qLo }
+    assert(touched <= (0.6 * ranges.length).toInt,
+      s"z-order should prune on the bigint dim: $touched of ${ranges.length}")
+  }
 }
