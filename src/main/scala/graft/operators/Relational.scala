@@ -777,6 +777,37 @@ object Relational {
     ).orderBy("o_orderkey")
   }
 
+  /** Null-semantics corner cases pinned down as a query: NULLIF-injected
+    * nulls, a NULLABLE GROUP KEY (both engines place all-null keys in one
+    * group), null-safe equality (`<=>` ≡ IS NOT DISTINCT FROM), count(*)
+    * vs count(col), and COALESCE fallback — the semantics a user silently
+    * relies on in every pipeline with optional fields. ORDER BY carries
+    * an explicit NULLS FIRST (engines disagree on the default). */
+  val scalarNullSemantics: Q = Q(
+    "scalar_null_semantics",
+    """WITH t AS (SELECT o_orderkey, nullif(o_orderstatus, 'O') AS st,
+      |  CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE o_orderpriority END AS pr
+      |  FROM orders)
+      |SELECT st, count(*) AS n_rows,
+      |  CAST(count(pr) AS BIGINT) AS n_pr,
+      |  CAST(sum(CASE WHEN st IS NOT DISTINCT FROM pr THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_nullsafe_eq,
+      |  coalesce(min(pr), 'none') AS first_pr
+      |FROM t GROUP BY st ORDER BY st NULLS FIRST""".stripMargin
+  ) { (s, d) =>
+    val t = Tables.orders(s, d).select(
+      col("o_orderkey"),
+      expr("nullif(o_orderstatus, 'O')").as("st"),
+      when(col("o_orderkey") % 3 === 0, lit(null))
+        .otherwise(col("o_orderpriority")).as("pr"))
+    t.groupBy("st")
+      .agg(count(lit(1)).as("n_rows"),
+           count(col("pr")).as("n_pr"),
+           sum(when(col("st") <=> col("pr"), 1).otherwise(0)).as("n_nullsafe_eq"),
+           coalesce(min(col("pr")), lit("none")).as("first_pr"))
+      .orderBy(col("st").asc_nulls_first)
+  }
+
   /** Data-profiling pass over `orders` ("ANALYZE TABLE" shape — the data
     * quality gate every pipeline runs before training): row count,
     * per-column null and distinct counts, value ranges — ONE aggregation,
@@ -896,5 +927,5 @@ object Relational {
     joinOuter, aggPivot, aggStats, generatorPosexplode, sampleStratified,
     aggSalted, aggQuantile, aggQuantileSketch, setopsAll, topkPaged, aggCorr,
     aggHistogram, aggStringagg, profileTable, outlierZscore, scalarMath,
-    scalarDatetimeExt, scalarStringExt, aggMode)
+    scalarDatetimeExt, scalarStringExt, aggMode, scalarNullSemantics)
 }
