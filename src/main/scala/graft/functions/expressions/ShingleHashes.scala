@@ -30,8 +30,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * all consumers aggregate, so order is immaterial. Shingle hash values
   * are engine-internal (the DuckDB oracle counts distinct shingle
   * strings — equal counts by injectivity up to 2⁻⁶⁴ collisions).
+  *
+  * `portable = true` switches the hash to [[PortableHash.hash60]] (MD5
+  * prefix, reproducible in any engine with `md5(text)`), which is what
+  * lets MinHash signatures built on this generator carry a full DuckDB
+  * value oracle. That mode pays one on-heap copy of the document and MD5
+  * cost per shingle; the default stays the zero-copy xxhash64 path.
   */
-case class ShingleHashes(child: Expression, n: Int)
+case class ShingleHashes(child: Expression, n: Int,
+                         portable: Boolean = false)
     extends UnaryExpression with Generator with CodegenFallback {
 
   override def checkInputDataTypes(): TypeCheckResult =
@@ -52,8 +59,15 @@ case class ShingleHashes(child: Expression, n: Int)
     val v = child.eval(input)
     if (v == null) return Nil
     val u = v.asInstanceOf[UTF8String]
-    val base = u.getBaseObject
-    val off = u.getBaseOffset
+    // portable mode hashes on-heap byte slices (MessageDigest needs a
+    // byte[]), so take the one copy up front; the default path stays
+    // zero-copy over the original buffer
+    val copied: Array[Byte] = if (portable) u.getBytes else null
+    val base: AnyRef =
+      if (portable) copied else u.getBaseObject
+    val off: Long =
+      if (portable) org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET
+      else u.getBaseOffset
     val len = u.numBytes
     // token start positions (byte offsets): position 0 plus one after
     // every space byte — identical to split-on-single-space with empties
@@ -78,7 +92,10 @@ case class ShingleHashes(child: Expression, n: Int)
       // the n-gram's space-joined form is the original byte slice up to
       // (not including) the space before token i+n
       val until = if (i + n < k) starts(i + n) - 1 else len
-      seen.add(XXH64.hashUnsafeBytes(base, off + from, until - from, 42L))
+      val h =
+        if (portable) PortableHash.hash60(copied, from, until - from)
+        else XXH64.hashUnsafeBytes(base, off + from, until - from, 42L)
+      seen.add(h)
       i += 1
     }
     val size = seen.size()

@@ -16,7 +16,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * (~50× on prose) and no shuffle at all before the band join. At 100 TB
   * the signature step of simhash dedup becomes a map-only pass.
   */
-case class SimHash64(child: Expression)
+case class SimHash64(child: Expression, portable: Boolean = false)
     extends UnaryExpression with CodegenFallback {
 
   override def checkInputDataTypes(): TypeCheckResult =
@@ -27,24 +27,34 @@ case class SimHash64(child: Expression)
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash64"
 
+  /** Signature width: 64 bits on the xxhash64 path, 60 on the portable
+    * path ([[PortableHash.hash60]] carries 60 hash bits). */
+  def bits: Int = if (portable) 60 else 64
+
   override def nullSafeEval(v: Any): Any = {
     // zero-copy tokenization: scan the UTF-8 bytes for 0x20 (a space
     // never occurs inside a multibyte sequence) and hash each token's
-    // byte range in place — split(text, ' ') semantics, empties kept
+    // byte range in place — split(text, ' ') semantics, empties kept.
+    // Portable mode takes one on-heap copy (MD5 needs a byte[]).
     val u = v.asInstanceOf[UTF8String]
-    val base = u.getBaseObject
-    val off = u.getBaseOffset
+    val copied: Array[Byte] = if (portable) u.getBytes else null
+    val base: AnyRef = if (portable) copied else u.getBaseObject
+    val off: Long =
+      if (portable) Platform.BYTE_ARRAY_OFFSET else u.getBaseOffset
     val len = u.numBytes
-    val votes = new Array[Int](64)
+    val nb = bits
+    val votes = new Array[Int](nb)
     var tokStart = 0
     var p = 0
     while (p <= len) {
       val atSep = p == len ||
         Platform.getByte(base, off + p) == 0x20
       if (atSep) {
-        val h = XXH64.hashUnsafeBytes(base, off + tokStart, p - tokStart, 42L)
+        val h =
+          if (portable) PortableHash.hash60(copied, tokStart, p - tokStart)
+          else XXH64.hashUnsafeBytes(base, off + tokStart, p - tokStart, 42L)
         var j = 0
-        while (j < 64) {
+        while (j < nb) {
           if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
           j += 1
         }
@@ -54,7 +64,7 @@ case class SimHash64(child: Expression)
     }
     var sig = 0L
     var j = 0
-    while (j < 64) {
+    while (j < nb) {
       if (votes(j) > 0) sig |= (1L << j)
       j += 1
     }

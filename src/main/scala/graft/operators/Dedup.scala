@@ -86,6 +86,19 @@ object Dedup {
   private[operators] def shingleHashes(s: SparkSession, d: String): DataFrame =
     shingleHashesWithCount(s, d).select("doc_id", "sgl")
 
+  /** Portable-hash variant (MD5-prefix 60-bit, [[graft.functions.expressions.PortableHash]]):
+    * same narrow one-pass generator, but the hash values are reproducible
+    * in DuckDB, so MinHash signatures built on these rows carry a full
+    * value oracle instead of a rows-only check. */
+  private[operators] def shingleHashesPortable(s: SparkSession,
+                                               d: String): DataFrame = {
+    import org.apache.spark.sql.graft.Bridge
+    val gen = Bridge.column(graft.functions.expressions.ShingleHashes(
+      Bridge.expression(col("text")), 3, portable = true))
+    Tables.documents(s, d).select(col("doc_id"), gen.as(Seq("sgl", "n_sgl")))
+      .select("doc_id", "sgl")
+  }
+
   /** Shingle sets per document (array form, for exact-Jaccard verify). */
   private[operators] def shingled(s: SparkSession, d: String): DataFrame =
     shingleHashes(s, d)
@@ -178,36 +191,99 @@ object Dedup {
     * parity is unaffected there. */
   private val PostingCap = 1024
 
-  private val MinhashK = 32 // signature length
-  private val Bands = 8     // bands of r = 4 rows each
+  private val MinhashK = 32          // signature length
+  private val Bands = 8              // bands of r = 4 rows each
+  private val MinhashP = 2147483647L // 2^31 - 1, prime modulus
 
-  /** MinHash signature array: sig[j] = min over shingles of
-    * xxhash64(j, shingle). Computed over the exploded (doc_id, sgl) rows
-    * as 32 codegen'd min aggregates (one partial+final HashAggregate)
-    * rather than 32 array-transform passes — higher-order functions are
-    * interpreted, min(xxhash64(..)) stays in whole-stage codegen. */
+  /** Deterministic affine hash family (a_j, b_j) for the 32 MinHash
+    * functions, drawn from a fixed-seed SplitMix-style generator. The
+    * constants inline as literals into the DuckDB oracle, making the
+    * family part of the query's public definition rather than hidden
+    * engine state. a ∈ [1, P-1], b ∈ [0, P-1]; a·x + b with x < P stays
+    * < 2⁶², so the arithmetic is overflow-free in any 64-bit engine. */
+  private[operators] val MinhashAB: IndexedSeq[(Long, Long)] = {
+    var s = 0x9E3779B97F4A7C15L
+    def next31(): Long = {
+      s = s * 6364136223846793005L + 1442695040888963407L
+      s >>> 33
+    }
+    (0 until MinhashK).map { _ =>
+      (next31() % (MinhashP - 1) + 1, next31() % MinhashP)
+    }
+  }
+
+  /** MinHash signature: m_j = min over shingles of (a_j·x + b_j) mod P,
+    * x = portable 60-bit shingle hash reduced mod P. Computed over the
+    * exploded (doc_id, sgl) rows as 32 codegen'd min aggregates (one
+    * partial+final HashAggregate) rather than 32 array-transform passes —
+    * higher-order functions are interpreted, min of an affine expression
+    * stays in whole-stage codegen. Emits columns m0..m31. */
   private[operators] def minhashSignatures(ex: DataFrame): DataFrame = {
-    val minCols = (0 until MinhashK).map(j =>
-      min(xxhash64(lit(j), col("sgl"))).as(s"m$j"))
-    ex.groupBy("doc_id")
-      .agg(minCols.head, minCols.tail: _*)
-      .select(col("doc_id"),
-        array((0 until MinhashK).map(j => col(s"m$j")): _*).as("sig"))
+    val x = col("sgl") % MinhashP
+    val minCols = (0 until MinhashK).map { j =>
+      val (a, b) = MinhashAB(j)
+      min((lit(a) * x + lit(b)) % MinhashP).as(s"m$j")
+    }
+    ex.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
+  }
+
+  /** DuckDB mirror of the full MinHash+LSH pipeline — portable shingle
+    * hashes, the same affine family (as literals), the same band hashing
+    * and exact-Jaccard verify — GENERATED from the constants above so
+    * the two sides cannot drift. */
+  private def minhashOracleSql: String = {
+    import graft.functions.expressions.PortableHash.{duckdbSql => ph}
+    val sigCols = (0 until MinhashK).map { j =>
+      val (a, b) = MinhashAB(j)
+      s"min(($a*(x%$MinhashP)+$b)%$MinhashP) AS m$j"
+    }.mkString(",\n  ")
+    val bandSelects = (0 until Bands).map { k =>
+      val slots = (0 until 4).map(r => s"m${k * 4 + r}").mkString("||','||")
+      s"SELECT doc_id, $k AS band, ${ph(slots)} AS bhash FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+       |sh AS (SELECT doc_id,
+       |  list_distinct([${ph("array_to_string(toks[i:i+2],' ')")}
+       |    FOR i IN range(1, len(toks)-1)]) AS sgl
+       |  FROM t WHERE len(toks) >= 3),
+       |ex AS (SELECT doc_id, unnest(sgl) AS x FROM sh),
+       |sig AS (SELECT doc_id,
+       |  $sigCols
+       |  FROM ex GROUP BY doc_id),
+       |bands AS (
+       |  $bandSelects),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bhash = b.bhash AND a.doc_id < b.doc_id),
+       |ver AS (SELECT doc_a, doc_b,
+       |    len(list_intersect(sa.sgl, sb.sgl)) AS i,
+       |    len(sa.sgl) AS na, len(sb.sgl) AS nb
+       |  FROM cand JOIN sh sa ON doc_a = sa.doc_id
+       |            JOIN sh sb ON doc_b = sb.doc_id)
+       |SELECT doc_a, doc_b, CAST(i AS DOUBLE)/(na+nb-i) AS jaccard
+       |FROM ver WHERE CAST(i AS DOUBLE)/(na+nb-i) >= 0.8
+       |ORDER BY doc_a, doc_b""".stripMargin
   }
 
   /** MinHash + LSH banding near-dup: candidates from an equi-join on
-    * (band index, hash of 4 signature slots), then exact-Jaccard verify at
-    * τ=0.8 on the shingle sets. No DuckDB oracle (xxhash64 is
-    * Spark-specific); the driver records rows-only and
-    * [[graft.DedupSpec]] asserts precision/recall vs the exact pairs. */
-  val dedupMinhash: Q = Q.noOracle("dedup_minhash") { (s, d) =>
-    val sh = shingled(s, d)
-    val sig = minhashSignatures(shingleHashes(s, d))
+    * (band index, hash of 4 signature slots), then exact-Jaccard verify
+    * at τ=0.8 on the shingle sets. Hashing is the portable MD5-prefix
+    * family throughout, so the ENTIRE sub-quadratic pipeline —
+    * signatures, banding, candidate join, verify — is value-checked
+    * against DuckDB (not rows-only); [[graft.DedupSpec]] additionally
+    * asserts precision/recall vs the exact pairs. */
+  val dedupMinhash: Q = Q("dedup_minhash", minhashOracleSql) { (s, d) =>
+    val shp = shingleHashesPortable(s, d)
+    val sh = shp.groupBy("doc_id").agg(collect_set(col("sgl")).as("shingles"))
+    val sig = minhashSignatures(shp)
     val bands = sig.select(col("doc_id"),
-      explode(array((0 until Bands).map(k =>
+      explode(array((0 until Bands).map { k =>
+        val slots = concat_ws(",",
+          (0 until 4).map(r => col(s"m${k * 4 + r}")): _*)
         struct(lit(k).as("band"),
-          xxhash64((0 until 4).map(r => col("sig")(k * 4 + r)): _*)
-            .as("bhash"))): _*)).as("bk"))
+          conv(substring(md5(slots.cast("binary")), 1, 15), 16, 10)
+            .cast("long").as("bhash"))
+      }: _*)).as("bk"))
       .select(col("doc_id"),
               col("bk.band").as("band"), col("bk.bhash").as("bhash"))
     val cand = bands.as("a").join(bands.as("b"),
@@ -232,21 +308,50 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** 64-bit SimHash per document via the native
+  /** SimHash per document via the native
     * [[graft.functions.expressions.SimHash64]] expression (token-hash bit
     * voting in ONE narrow pass — no token explode, no signature shuffle;
     * the built-ins formulation needed a ~50× row explosion through a
-    * 64-sum aggregation), then candidate pairs via 4×16-bit band join
-    * with Hamming distance ≤ 3. (Shared-vocabulary corpora correlate
-    * simhashes, so the Hamming cut is deliberately tight.) */
-  val dedupSimhash: Q = Q.noOracle("dedup_simhash") { (s, d) =>
+    * per-bit-sum aggregation), then candidate pairs via 4×15-bit band
+    * join with Hamming distance ≤ 3. (Shared-vocabulary corpora correlate
+    * simhashes, so the Hamming cut is deliberately tight.) Portable-hash
+    * mode (60-bit MD5-prefix token hashes) makes the whole pipeline
+    * value-checked against a generated DuckDB oracle. */
+  /** DuckDB mirror of the portable SimHash: per-token portable hashes,
+    * 60 per-bit vote sums, the same 4×15-bit banding and Hamming cut —
+    * generated so the bit width and band layout cannot drift from the
+    * JVM expression. */
+  private def simhashOracleSql: String = {
+    import graft.functions.expressions.PortableHash.{duckdbSql => ph}
+    val bitTerms = (0 until 60).map { j =>
+      s"(CASE WHEN sum(CASE WHEN ((h>>$j)&1)=1 THEN 1 ELSE -1 END)>0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString("\n  + ")
+    val bandSelects = (0 until 4).map { k =>
+      s"SELECT doc_id, simhash, $k AS band, (simhash>>${k * 15})&32767 AS chunk FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH t AS (SELECT doc_id, unnest(string_split(text,' ')) AS tok FROM documents),
+       |tok AS (SELECT doc_id, ${ph("tok")} AS h FROM t),
+       |sig AS (SELECT doc_id,
+       |  $bitTerms AS simhash
+       |  FROM tok GROUP BY doc_id),
+       |bands AS (
+       |  $bandSelects),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, hamming FROM cand WHERE hamming <= 3
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  val dedupSimhash: Q = Q("dedup_simhash", simhashOracleSql) { (s, d) =>
     import org.apache.spark.sql.graft.Bridge
     val sh = Tables.documents(s, d).select(col("doc_id"),
       Bridge.column(graft.functions.expressions.SimHash64(
-        Bridge.expression(col("text")))).as("simhash"))
+        Bridge.expression(col("text")), portable = true)).as("simhash"))
     val bands = sh.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map(k => struct(lit(k).as("band"),
-        shiftright(col("simhash"), k * 16).bitwiseAND(0xFFFFL)
+        shiftright(col("simhash"), k * 15).bitwiseAND(0x7FFFL)
           .as("chunk"))): _*)).as("bk"))
       .select(col("doc_id"), col("simhash"),
               col("bk.band").as("band"), col("bk.chunk").as("chunk"))

@@ -909,13 +909,30 @@ object Relational {
   }
 
   /** Stratified sampling (training-data pipeline staple): per-stratum
-    * fractions with a fixed seed. Deterministic for a given seed +
-    * partitioning but engine-specific → no SQL oracle; RelationalSpec
-    * bounds the per-stratum proportions. */
-  val sampleStratified: Q = Q.noOracle("sample_stratified") { (s, d) =>
+    * Bernoulli fractions (F→10%, O→50%, P→100%) decided by a salted
+    * portable hash of the row key, not an RNG. Hash-based sampling is
+    * the 100 TB-correct formulation: a row's inclusion is a pure
+    * function of (key, salt), so the sample is stable under
+    * repartitioning, task retries, AND incremental appends — the three
+    * things that silently reshuffle an RNG-based `sampleBy` sample. The
+    * salt string plays the seed's role. Fully portable, so unlike
+    * `sampleBy` it carries a complete DuckDB value oracle. */
+  val sampleStratified: Q = Q(
+    "sample_stratified",
+    """WITH s AS (SELECT o_orderstatus,
+      |  CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || ':s42'), 1, 7)) AS BIGINT) % 1000 AS slot
+      |FROM orders)
+      |SELECT o_orderstatus, count(*) AS n_sampled FROM s
+      |WHERE slot < CASE o_orderstatus WHEN 'F' THEN 100 WHEN 'O' THEN 500 ELSE 1000 END
+      |GROUP BY 1 ORDER BY o_orderstatus""".stripMargin
+  ) { (s, d) =>
+    val slot = conv(substring(md5(
+        concat(col("o_orderkey").cast("string"), lit(":s42")).cast("binary")),
+        1, 7), 16, 10).cast("long") % 1000
+    val keep = when(col("o_orderstatus") === "F", 100)
+      .when(col("o_orderstatus") === "O", 500).otherwise(1000)
     Tables.orders(s, d)
-      .stat.sampleBy("o_orderstatus",
-        Map("F" -> 0.1, "O" -> 0.5, "P" -> 1.0), seed = 42L)
+      .filter(slot < keep)
       .groupBy("o_orderstatus").agg(count(lit(1)).as("n_sampled"))
       .orderBy("o_orderstatus")
   }

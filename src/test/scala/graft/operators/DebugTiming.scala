@@ -42,7 +42,7 @@ object DebugTiming {
     val bands2 = sig2.select(col("doc_id"),
       explode(array((0 until 8).map(k =>
         struct(lit(k).as("band"),
-          xxhash64((0 until 4).map(r => col("sig")(k * 4 + r)): _*)
+          xxhash64((0 until 4).map(r => col(s"m${k * 4 + r}")): _*)
             .as("bhash"))): _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.bhash").as("bhash"))
     val cand2 = bands2.as("a").join(bands2.as("b"),
