@@ -88,15 +88,16 @@ object Dedup {
 
   /** Portable-hash variant (MD5-prefix 60-bit, [[graft.functions.expressions.PortableHash]]):
     * same narrow one-pass generator, but the hash values are reproducible
-    * in DuckDB, so MinHash signatures built on these rows carry a full
-    * value oracle instead of a rows-only check. */
+    * in DuckDB, so MinHash signatures and contamination counts built on
+    * these rows carry a full value oracle instead of a rows-only check.
+    * Emits (doc_id, sgl, n_sgl) — the doc's distinct-shingle count rides
+    * on every row, as in [[shingleHashesWithCount]]. */
   private[operators] def shingleHashesPortable(s: SparkSession,
                                                d: String): DataFrame = {
     import org.apache.spark.sql.graft.Bridge
     val gen = Bridge.column(graft.functions.expressions.ShingleHashes(
       Bridge.expression(col("text")), 3, portable = true))
     Tables.documents(s, d).select(col("doc_id"), gen.as(Seq("sgl", "n_sgl")))
-      .select("doc_id", "sgl")
   }
 
   /** Shingle sets per document (array form, for exact-Jaccard verify). */
@@ -389,6 +390,83 @@ object Dedup {
       .orderBy("vec_a", "vec_b")
   }
 
+  private val CosLshTables = 8        // OR: candidate if ANY table collides
+  private val CosLshPlanesPerTable = 6 // AND: 6 sign bits per table
+
+  /** Seeded hyperplanes for the multi-table cosine LSH: 8 independent
+    * tables × 6 planes × 64 dims. A fixed trained artifact (like
+    * [[Vectors.planes]]) that inlines into the DuckDB oracle. */
+  private[operators] lazy val cosLshPlanes: Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(7)
+    Seq.fill(CosLshTables * CosLshPlanesPerTable)(
+      Seq.fill(64)(rnd.nextGaussian()))
+  }
+
+  /** DuckDB mirror of [[dedupCosineLsh]]: identical seeded hyperplanes
+    * (as CAST('…' AS DOUBLE) literals — see the vector_ann_lsh oracle
+    * for why the string route), the same per-table sign signatures,
+    * any-table candidate join, and cosine verify; float arithmetic is
+    * the same left fold on both sides, so the hash-compare is exact. */
+  private def cosineLshOracleSql: String = {
+    val planeRows = cosLshPlanes.zipWithIndex.map { case (p, j) =>
+      s"($j, [${p.map(x => s"CAST('$x' AS DOUBLE)").mkString(",")}])"
+    }.mkString(",\n    ")
+    s"""WITH planes AS (SELECT j, pv FROM (VALUES
+       |    $planeRows) p(j, pv)),
+       |e AS (SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v FROM embeddings),
+       |sg AS (SELECT vec_id, first(v) AS v, j // $CosLshPlanesPerTable AS tbl,
+       |         CAST(sum(CASE WHEN dotp > 0
+       |           THEN (1 << (j % $CosLshPlanesPerTable)) ELSE 0 END) AS BIGINT) AS sig
+       |       FROM (SELECT vec_id, v, j,
+       |               list_sum([v[i]*pv[i] FOR i IN range(1, len(v)+1)]) AS dotp
+       |             FROM e CROSS JOIN planes)
+       |       GROUP BY vec_id, j // $CosLshPlanesPerTable),
+       |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |    list_sum([a.v[i]*b.v[i] FOR i IN range(1, len(a.v)+1)]) /
+       |    (sqrt(list_sum([x*x FOR x IN a.v])) * sqrt(list_sum([x*x FOR x IN b.v]))) AS cosine
+       |  FROM sg a JOIN sg b
+       |    ON a.tbl = b.tbl AND a.sig = b.sig AND a.vec_id < b.vec_id)
+       |SELECT vec_a, vec_b, cosine FROM cand WHERE cosine >= 0.45
+       |ORDER BY vec_a, vec_b""".stripMargin
+  }
+
+  /** The PRODUCTION-scale counterpart of [[dedupCosine]]: embedding
+    * near-dup pairs at the same τ=0.45, with candidates from a
+    * multi-table random-hyperplane LSH instead of an all-pairs cross
+    * join — the same OR-of-ANDs band structure as [[dedupMinhash]]
+    * (any of 8 tables; all 6 sign bits within a table). Cost is
+    * Σ_tables Σ_buckets |bucket|² ≈ 8·n²/64 pair checks before dedup —
+    * ~12% of the cross join here, and geometrically less with more
+    * planes per table, which is the 100 TB knob (planes/table up →
+    * fewer, cheaper collisions; tables up → recall). Pairs that
+    * disagree on ≥1 bit in EVERY table are the recall tradeoff
+    * (DedupSpec measures recall vs the exact baseline). Unlike
+    * [[dedupCosine]] this path needs no all-pairs guard — it is the
+    * path the guard's error message points users to. */
+  val dedupCosineLsh: Q = Q("dedup_cosine_lsh", cosineLshOracleSql) { (s, d) =>
+    import graft.functions.VectorOps._
+    val e = Tables.embeddings(s, d).select(col("vec_id"),
+      toDouble(col("embedding")).as("v"))
+    val bands = e.select(col("vec_id"), col("v"),
+      explode(array((0 until CosLshTables).map { t =>
+        val sig = (0 until CosLshPlanesPerTable).map { j =>
+          val h = typedlit(cosLshPlanes(t * CosLshPlanesPerTable + j))
+          when(cosine(col("v"), h) > 0, 1 << j).otherwise(0)
+        }.reduce(_ + _)
+        struct(lit(t).as("tbl"), sig.cast("long").as("sig"))
+      }: _*)).as("bk"))
+      .select(col("vec_id"), col("v"),
+              col("bk.tbl").as("tbl"), col("bk.sig").as("sig"))
+    bands.as("a").join(bands.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.sig") === col("b.sig") &&
+        col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+              cosine(col("a.v"), col("b.v")).as("cosine"))
+      .dropDuplicates("vec_a", "vec_b")
+      .filter(col("cosine") >= 0.45)
+      .orderBy("vec_a", "vec_b")
+  }
+
   /** Near-dup CLUSTER resolution: the step after pair generation that
     * every dedup pipeline actually needs — near-duplication is transitive
     * in effect (A~B, B~C ⇒ one cluster), so survivors must be picked per
@@ -507,5 +585,5 @@ object Dedup {
   }
 
   val all: Seq[Q] = Seq(dedupExact, dedupNgram, dedupMinhash, dedupSimhash,
-    dedupCosine, dedupCluster, graphTriangles)
+    dedupCosine, dedupCosineLsh, dedupCluster, graphTriangles)
 }

@@ -292,6 +292,52 @@ object TextAnalysis {
       .limit(30)
   }
 
+  /** Benchmark-contamination check (training-data hygiene staple): how
+    * much of each training document's 3-shingle set also appears in a
+    * held-out "benchmark" slice of the corpus (here doc_id % 97 == 0,
+    * ~1%). Any document with overlap is reported with its contaminated
+    * fraction — the decision input for decontamination filtering.
+    *
+    * Plan shape is the scale-correct one: the benchmark's distinct
+    * shingles are a tiny table (1% of docs) that BROADCASTS to the
+    * training side, so the check is one narrow generator pass plus a
+    * broadcast join — no shuffle of the 100 TB training corpus at all;
+    * the only exchange is the per-doc count aggregation. Per-doc totals
+    * ride on the generator rows ([[Dedup.shingleHashesPortable]]), so no
+    * second pass or re-join is needed. Portable hashes make the whole
+    * computation value-checked against DuckDB. */
+  val textContamination: Q = Q(
+    "text_contamination", {
+      val ph = graft.functions.expressions.PortableHash
+        .duckdbSql("array_to_string(toks[i:i+2],' ')")
+      s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+         |sh AS (SELECT doc_id,
+         |  list_distinct([$ph FOR i IN range(1, len(toks)-1)]) AS sgl
+         |  FROM t WHERE len(toks) >= 3),
+         |bench AS (SELECT DISTINCT unnest(sgl) AS sglv FROM sh WHERE doc_id % 97 = 0),
+         |train AS (SELECT doc_id, len(sgl) AS n_sgl, unnest(sgl) AS sglv
+         |          FROM sh WHERE doc_id % 97 <> 0),
+         |c AS (SELECT doc_id, n_sgl, count(*) AS n_cont
+         |      FROM train JOIN bench USING (sglv) GROUP BY 1, 2)
+         |SELECT doc_id, CAST(n_sgl AS INT) AS n_sgl,
+         |  CAST(n_cont AS BIGINT) AS n_cont,
+         |  CAST(n_cont AS DOUBLE) / n_sgl AS contamination
+         |FROM c ORDER BY doc_id""".stripMargin
+    }
+  ) { (s, d) =>
+    val sh = Dedup.shingleHashesPortable(s, d)
+    val bench = sh.filter(col("doc_id") % 97 === 0)
+      .select(col("sgl")).distinct()
+    val train = sh.filter(col("doc_id") % 97 =!= 0)
+    train.join(broadcast(bench), Seq("sgl"))
+      .groupBy("doc_id", "n_sgl")
+      .agg(count(lit(1)).as("n_cont"))
+      .select(col("doc_id"), col("n_sgl"), col("n_cont"),
+        (col("n_cont").cast("double") / col("n_sgl")).as("contamination"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(textTokens, textQuality, langId, textFingerprint,
-    textTfidf, textNormalize, textRepetition, piiRedact, ngramFreq)
+    textTfidf, textNormalize, textRepetition, piiRedact, ngramFreq,
+    textContamination)
 }

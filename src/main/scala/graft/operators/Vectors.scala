@@ -85,10 +85,16 @@ object Vectors {
     * round-trip, the bits then match Spark's `typedlit` planes exactly.
     * Sign tests and cosines are the same left-fold float arithmetic on
     * both sides, so the hash-compare is exact, like [[vectorTopk]]. */
-  private def lshOracleSql: String = {
-    val planeRows = planes.zipWithIndex.map { case (p, j) =>
+  /** The hyperplanes as DuckDB VALUES rows (each component routed
+    * through CAST('…' AS DOUBLE) — see [[lshOracleSql]] for why); shared
+    * with the LSH dedup oracle in [[Dedup]]. */
+  private[operators] def planesSqlRows: String =
+    planes.zipWithIndex.map { case (p, j) =>
       s"($j, [${p.map(x => s"CAST('$x' AS DOUBLE)").mkString(",")}])"
     }.mkString(",\n    ")
+
+  private def lshOracleSql: String = {
+    val planeRows = planesSqlRows
     s"""WITH planes AS (SELECT j, pv FROM (VALUES
        |    $planeRows) p(j, pv)),
        |e AS (SELECT vec_id, label, [CAST(x AS DOUBLE) FOR x IN embedding] AS v

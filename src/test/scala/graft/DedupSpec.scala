@@ -13,6 +13,24 @@ class DedupSpec extends SparkSpec {
     q.fn(spark, sf0001).select("doc_a", "doc_b").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
 
+  test("cosine-LSH dedup: precision 1.0 vs exact pairs, recall >= 0.5") {
+    val exact = Dedup.dedupCosine.fn(spark, sf0001)
+      .select("vec_a", "vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.dedupCosineLsh.fn(spark, sf0001)
+      .select("vec_a", "vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "testdata should contain cosine near-dups")
+    // precision 1.0 by construction: every emitted pair passed the exact
+    // cosine>=tau verify, so LSH can only be a subset of the exact pairs
+    assert(lsh.subsetOf(exact), s"non-dup pairs emitted: ${lsh.diff(exact)}")
+    // the testdata's planted pairs are all BORDERLINE (cosine 0.45-0.52,
+    // barely past tau=0.45), the worst case for sign-bit LSH; recall on
+    // them is the floor of the operator's profile, not its typical value
+    assert(lsh.size >= 0.5 * exact.size,
+      s"cosine-LSH recall too low: ${lsh.size}/${exact.size}")
+  }
+
   test("minhash-LSH candidates are a subset of exact J>=0.8 pairs, recall >= 0.8") {
     val exact = Dedup.dedupNgram.fn(spark, sf0001)
       .filter("jaccard >= 0.8").select("doc_a", "doc_b").collect()
