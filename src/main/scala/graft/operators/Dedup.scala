@@ -92,7 +92,7 @@ object Dedup {
     * these rows carry a full value oracle instead of a rows-only check.
     * Emits (doc_id, sgl, n_sgl) — the doc's distinct-shingle count rides
     * on every row, as in [[shingleHashesWithCount]]. */
-  private[operators] def shingleHashesPortable(s: SparkSession,
+  private[graft] def shingleHashesPortable(s: SparkSession,
                                                d: String): DataFrame = {
     import org.apache.spark.sql.graft.Bridge
     val gen = Bridge.column(graft.functions.expressions.ShingleHashes(
@@ -219,7 +219,7 @@ object Dedup {
     * partial+final HashAggregate) rather than 32 array-transform passes —
     * higher-order functions are interpreted, min of an affine expression
     * stays in whole-stage codegen. Emits columns m0..m31. */
-  private[operators] def minhashSignatures(ex: DataFrame): DataFrame = {
+  private[graft] def minhashSignatures(ex: DataFrame): DataFrame = {
     val x = col("sgl") % MinhashP
     val minCols = (0 until MinhashK).map { j =>
       val (a, b) = MinhashAB(j)
@@ -231,8 +231,9 @@ object Dedup {
   /** DuckDB mirror of the full MinHash+LSH pipeline — portable shingle
     * hashes, the same affine family (as literals), the same band hashing
     * and exact-Jaccard verify — GENERATED from the constants above so
-    * the two sides cannot drift. */
-  private def minhashOracleSql: String = {
+    * the two sides cannot drift. `candExtra` narrows the candidate join
+    * (used by the incremental variant). */
+  private def minhashOracleSql(candExtra: String = ""): String = {
     import graft.functions.expressions.PortableHash.{duckdbSql => ph}
     val sigCols = (0 until MinhashK).map { j =>
       val (a, b) = MinhashAB(j)
@@ -255,7 +256,7 @@ object Dedup {
        |  $bandSelects),
        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM bands a JOIN bands b
-       |    ON a.band = b.band AND a.bhash = b.bhash AND a.doc_id < b.doc_id),
+       |    ON a.band = b.band AND a.bhash = b.bhash AND a.doc_id < b.doc_id$candExtra),
        |ver AS (SELECT doc_a, doc_b,
        |    len(list_intersect(sa.sgl, sb.sgl)) AS i,
        |    len(sa.sgl) AS na, len(sb.sgl) AS nb
@@ -266,18 +267,12 @@ object Dedup {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
-  /** MinHash + LSH banding near-dup: candidates from an equi-join on
-    * (band index, hash of 4 signature slots), then exact-Jaccard verify
-    * at τ=0.8 on the shingle sets. Hashing is the portable MD5-prefix
-    * family throughout, so the ENTIRE sub-quadratic pipeline —
-    * signatures, banding, candidate join, verify — is value-checked
-    * against DuckDB (not rows-only); [[graft.DedupSpec]] additionally
-    * asserts precision/recall vs the exact pairs. */
-  val dedupMinhash: Q = Q("dedup_minhash", minhashOracleSql) { (s, d) =>
-    val shp = shingleHashesPortable(s, d)
-    val sh = shp.groupBy("doc_id").agg(collect_set(col("sgl")).as("shingles"))
-    val sig = minhashSignatures(shp)
-    val bands = sig.select(col("doc_id"),
+  /** LSH band rows (doc_id, band, bhash) from an m0..m31 signature
+    * frame: band k's key is the portable 60-bit hash of its 4
+    * comma-joined slots. Shared by [[dedupMinhash]], the incremental
+    * variant, and the persisted-index path in DedupSpec. */
+  private[graft] def minhashBands(sig: DataFrame): DataFrame =
+    sig.select(col("doc_id"),
       explode(array((0 until Bands).map { k =>
         val slots = concat_ws(",",
           (0 until 4).map(r => col(s"m${k * 4 + r}")): _*)
@@ -287,16 +282,13 @@ object Dedup {
       }: _*)).as("bk"))
       .select(col("doc_id"),
               col("bk.band").as("band"), col("bk.bhash").as("bhash"))
-    val cand = bands.as("a").join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.bhash") === col("b.bhash") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .dropDuplicates("doc_a", "doc_b")
-    // exact-Jaccard verification joins the (tiny) candidate set back to
-    // the shingle sets; broadcast both lookups — identical build subtrees
-    // collapse via ReuseExchange, so the shingle sets compute once. (At
-    // cluster scale with an unbroadcastable doc corpus these become two
-    // shuffle joins keyed by the candidate ids.)
+
+  /** Exact-Jaccard verify at τ=0.8: join candidate pairs back to the
+    * shingle sets. Broadcast both lookups — identical build subtrees
+    * collapse via ReuseExchange, so the shingle sets compute once. (At
+    * cluster scale with an unbroadcastable doc corpus these become two
+    * shuffle joins keyed by the candidate ids.) */
+  private[graft] def jaccardVerify(cand: DataFrame, sh: DataFrame): DataFrame = {
     val jac = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
       size(array_union(col("sh_a"), col("sh_b")))
     cand
@@ -307,6 +299,55 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), jac.as("jaccard"))
       .filter(col("jaccard") >= 0.8)
       .orderBy("doc_a", "doc_b")
+  }
+
+  /** MinHash + LSH banding near-dup: candidates from an equi-join on
+    * (band index, hash of 4 signature slots), then exact-Jaccard verify
+    * at τ=0.8 on the shingle sets. Hashing is the portable MD5-prefix
+    * family throughout, so the ENTIRE sub-quadratic pipeline —
+    * signatures, banding, candidate join, verify — is value-checked
+    * against DuckDB (not rows-only); [[graft.DedupSpec]] additionally
+    * asserts precision/recall vs the exact pairs. */
+  val dedupMinhash: Q = Q("dedup_minhash", minhashOracleSql()) { (s, d) =>
+    val shp = shingleHashesPortable(s, d)
+    val sh = shp.groupBy("doc_id").agg(collect_set(col("sgl")).as("shingles"))
+    val bands = minhashBands(minhashSignatures(shp))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bhash") === col("b.bhash") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    jaccardVerify(cand, sh)
+  }
+
+  /** INCREMENTAL near-dup — the shape a 100 TB pipeline actually runs
+    * day-to-day: a new BATCH of documents (here doc_id % 10 == 7, ~10%)
+    * is deduped against the standing corpus AND against itself, without
+    * ever joining corpus × corpus. Only the batch is shingled/signed
+    * fresh; the corpus side's band rows and shingle sets are exactly
+    * what [[dedupMinhash]] already computed once — in production they
+    * load from a persisted index (DedupSpec proves the persisted path
+    * gives identical results and prunes to the batch's band keys), so
+    * the standing corpus is never re-signed. The candidate join is
+    * batch-bands × all-bands: at 1000 executors the index side is
+    * bucketed by (band, bhash), making the per-batch join a shuffle of
+    * the BATCH only. Result = every near-dup pair involving at least
+    * one batch document, normalized a<b like the full variant. */
+  val dedupIncremental: Q = Q(
+    "dedup_incremental",
+    minhashOracleSql("\n    AND (a.doc_id % 10 = 7 OR b.doc_id % 10 = 7)")
+  ) { (s, d) =>
+    val shp = shingleHashesPortable(s, d)
+    val sh = shp.groupBy("doc_id").agg(collect_set(col("sgl")).as("shingles"))
+    val bands = minhashBands(minhashSignatures(shp))
+    val batchBands = bands.filter(col("doc_id") % 10 === 7)
+    val cand = batchBands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bhash") === col("b.bhash") &&
+        col("a.doc_id") =!= col("b.doc_id"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+              greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    jaccardVerify(cand, sh)
   }
 
   /** SimHash per document via the native
@@ -591,6 +632,7 @@ object Dedup {
     nEdges.crossJoin(nNodes).crossJoin(nTriangles)
   }
 
-  val all: Seq[Q] = Seq(dedupExact, dedupNgram, dedupMinhash, dedupSimhash,
-    dedupCosine, dedupCosineLsh, dedupCluster, graphTriangles)
+  val all: Seq[Q] = Seq(dedupExact, dedupNgram, dedupMinhash,
+    dedupIncremental, dedupSimhash, dedupCosine, dedupCosineLsh,
+    dedupCluster, graphTriangles)
 }

@@ -161,6 +161,48 @@ class DedupSpec extends SparkSpec {
       "IVF should recover part of the true top-20")
   }
 
+  test("incremental dedup via a persisted minhash index matches from-scratch") {
+    import org.apache.spark.sql.functions._
+    val idxDir = java.nio.file.Files.createTempDirectory("mhidx").toString
+    // standing corpus = everything outside the batch; persist its index
+    // (band rows partitioned by band, plus the shingle sets the verify
+    // step needs) — at 100 TB this is built once and appended to, never
+    // recomputed per batch
+    val shp = Dedup.shingleHashesPortable(spark, sf0001).select("doc_id", "sgl")
+    val corpusSh = shp.filter(col("doc_id") % 10 =!= 7)
+    Dedup.minhashBands(Dedup.minhashSignatures(corpusSh))
+      .write.mode("overwrite").partitionBy("band").parquet(s"$idxDir/bands")
+    corpusSh.groupBy("doc_id").agg(collect_set(col("sgl")).as("shingles"))
+      .write.mode("overwrite").parquet(s"$idxDir/shingles")
+    // the incremental pass shingles/signs ONLY the batch...
+    val batchSh = shp.filter(col("doc_id") % 10 === 7)
+    val batchBands = Dedup.minhashBands(Dedup.minhashSignatures(batchSh))
+    val batchShingles = batchSh.groupBy("doc_id")
+      .agg(collect_set(col("sgl")).as("shingles"))
+    // ...and joins it against the persisted index + itself
+    val allBands = spark.read.parquet(s"$idxDir/bands")
+      .select("doc_id", "band", "bhash").unionByName(batchBands)
+    val allShingles = spark.read.parquet(s"$idxDir/shingles")
+      .unionByName(batchShingles)
+    val cand = batchBands.as("a").join(allBands.as("b"),
+        col("a.band") === col("b.band") && col("a.bhash") === col("b.bhash") &&
+        col("a.doc_id") =!= col("b.doc_id"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+              greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    val viaIndex = Dedup.jaccardVerify(cand, allShingles)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fromScratch = Dedup.dedupIncremental.fn(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaIndex === fromScratch,
+      s"persisted-index result diverged: ${viaIndex.diff(fromScratch)} / ${fromScratch.diff(viaIndex)}")
+    // incremental output must be exactly the batch-involving subset of
+    // the full dedup
+    val full = pairs(Dedup.dedupMinhash)
+    val expected = full.filter { case (a, b) => a % 10 == 7 || b % 10 == 7 }
+    assert(fromScratch === expected)
+  }
+
   test("persisted LSH index: bucket probe is a partition prune") {
     import org.apache.spark.sql.functions._
     val idxDir = java.nio.file.Files.createTempDirectory("lshidx").toString
