@@ -267,6 +267,27 @@ object Dedup {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  /** Map-only MinHash signature column via the native
+    * [[graft.functions.expressions.MinHashSig]] expression — same values
+    * as [[minhashSignatures]] (DedupSpec asserts bit-equality) but with
+    * NO explode and NO shuffle: the signature rides the scan, so the
+    * first exchange of a dedup plan is the band join itself. NULL for
+    * docs with < 3 tokens (the aggregate path has no rows for them). */
+  private[graft] def minhashSigCol: Column = {
+    import org.apache.spark.sql.graft.Bridge
+    Bridge.column(graft.functions.expressions.MinHashSig(
+      Bridge.expression(col("text")), 3, MinhashAB, MinhashP))
+  }
+
+  /** (doc_id, m0..m31) via the map-only expression path. */
+  private[graft] def minhashSignaturesExpr(s: SparkSession,
+                                           d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), minhashSigCol.as("sig"))
+      .filter(col("sig").isNotNull)
+      .select(col("doc_id") +:
+        (0 until MinhashK).map(j => col("sig")(j).as(s"m$j")): _*)
+
   /** LSH band rows (doc_id, band, bhash) from an m0..m31 signature
     * frame: band k's key is the portable 60-bit hash of its 4
     * comma-joined slots. Shared by [[dedupMinhash]], the incremental
@@ -311,7 +332,7 @@ object Dedup {
   val dedupMinhash: Q = Q("dedup_minhash", minhashOracleSql()) { (s, d) =>
     val shp = shingleHashesPortable(s, d)
     val sh = shp.groupBy("doc_id").agg(collect_set(col("sgl")).as("shingles"))
-    val bands = minhashBands(minhashSignatures(shp))
+    val bands = minhashBands(minhashSignaturesExpr(s, d))
     val cand = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bhash") === col("b.bhash") &&
         col("a.doc_id") < col("b.doc_id"))
@@ -339,7 +360,7 @@ object Dedup {
   ) { (s, d) =>
     val shp = shingleHashesPortable(s, d)
     val sh = shp.groupBy("doc_id").agg(collect_set(col("sgl")).as("shingles"))
-    val bands = minhashBands(minhashSignatures(shp))
+    val bands = minhashBands(minhashSignaturesExpr(s, d))
     val batchBands = bands.filter(col("doc_id") % 10 === 7)
     val cand = batchBands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bhash") === col("b.bhash") &&

@@ -337,7 +337,36 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** BPE-style pre-tokenization counting (the token-budget estimate a
+    * training pipeline runs before the real tokenizer): a GPT-2-shaped
+    * pre-tokenizer regex — contraction suffixes, space-prefixed letter
+    * runs, digit runs, punctuation runs — counted per document next to
+    * the whitespace count, with fertility = bpe/ws (the "how many pieces
+    * per word" signal that flags code/URLs/non-English). Pure narrow
+    * projection, no shuffle; the regex is RE2-safe (non-capturing groups
+    * only) so Spark's Java regex and DuckDB's RE2 agree. */
+  val textTokenBpe: Q = {
+    val pat = "(?:'(?:s|t|re|ve|m|ll|d))|(?: ?[a-zA-Z]+)|(?: ?[0-9]+)|(?: ?[^a-zA-Z0-9 ]+)"
+    val sqlPat = pat.replace("'", "''") // SQL string-literal quoting
+    Q(
+      "text_token_bpe",
+      s"""SELECT doc_id,
+         |  CAST(len(string_split(text, ' ')) AS INT) AS n_ws,
+         |  CAST(len(regexp_extract_all(text, '$sqlPat')) AS INT) AS n_bpe,
+         |  CAST(len(regexp_extract_all(text, '$sqlPat')) AS DOUBLE)
+         |    / len(string_split(text, ' ')) AS fertility
+         |FROM documents ORDER BY doc_id""".stripMargin
+    ) { (s, d) =>
+      val bpe = size(regexp_extract_all(col("text"), lit(pat), lit(0)))
+      val ws = size(split(col("text"), " "))
+      Tables.documents(s, d).select(col("doc_id"),
+        ws.as("n_ws"), bpe.as("n_bpe"),
+        (bpe.cast("double") / ws).as("fertility"))
+        .orderBy("doc_id")
+    }
+  }
+
   val all: Seq[Q] = Seq(textTokens, textQuality, langId, textFingerprint,
     textTfidf, textNormalize, textRepetition, piiRedact, ngramFreq,
-    textContamination)
+    textContamination, textTokenBpe)
 }

@@ -18,6 +18,15 @@ case class SessionOut(user_id: Long, start: java.sql.Timestamp,
   * the state-row codegen in janino). */
 case class SessionState(startMs: Long, lastMs: Long, count: Long)
 
+/** A document arriving on a stream (near-dup candidate detection). */
+case class DocIn(doc_id: Long, text: String)
+/** An LSH band row of a streamed document. */
+case class BandRow(doc_id: Long, band: Int, bhash: Long)
+/** Emitted candidate pair, normalized doc_a < doc_b. */
+case class CandPair(doc_a: Long, doc_b: Long)
+/** Per-(band, bhash) bucket membership. */
+case class BucketState(ids: Seq[Long])
+
 /** Time-window transforms shared by batch queries and Structured Streaming
   * (SURVEY.md §2.10). Each takes any frame with the `events` schema —
   * batch (`spark.read`) or streaming (`spark.readStream`/MemoryStream) —
@@ -194,4 +203,54 @@ object Streams {
       .select(col("session_window.start").as("session_start"),
               col("session_window.end").as("session_end"),
               col("user_id"), col("n_events"), col("sum_value"))
+
+  /** STREAMING near-dup candidate detection — incremental MinHash dedup
+    * as documents arrive. Possible at all because the signature is the
+    * map-only native `minhash_sig` expression (an aggregation-based
+    * signature would be watermark-hostile mid-stream): each doc's 8 band
+    * rows ride the micro-batch, and a `flatMapGroupsWithState` keyed by
+    * (band, bhash) holds the bucket's member ids — when a new document
+    * lands in a known bucket, it emits one candidate pair per existing
+    * member, exactly the pairs the batch band join would produce
+    * (StreamingSpec asserts set-equality with the batch candidates, and
+    * that pairs arrive incrementally across micro-batches).
+    *
+    * The state IS the streaming form of the persisted minhash index
+    * (`dedup_incremental`'s corpus side): one Seq[id] per occupied
+    * bucket, sharded by the group key like any keyed state. At 100 TB
+    * the bucket membership that ages out of the hot window is compacted
+    * into the on-disk index and the stream join covers only the recent
+    * horizon — the same split every streaming-dedup deployment runs.
+    * A pair colliding in several bands is emitted once per band (the
+    * batch path pays a dropDuplicates for the same reason); downstream
+    * consumers dedupe or verify idempotently. */
+  def nearDupCandidates(docs: Dataset[DocIn]): Dataset[CandPair] = {
+    import docs.sparkSession.implicits._
+    import graft.operators.Dedup
+    val bands = Dedup.minhashBands(
+      docs.toDF()
+        .select(col("doc_id"), Dedup.minhashSigCol.as("sig"))
+        .filter(col("sig").isNotNull)
+        .select(col("doc_id") +:
+          (0 until 32).map(j => col("sig")(j).as(s"m$j")): _*))
+      .as[BandRow]
+    bands
+      .groupByKey(r => (r.band, r.bhash))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: (Int, Long), rows: Iterator[BandRow],
+         state: GroupState[BucketState]) =>
+          var members = state.getOption.map(_.ids).getOrElse(Seq.empty)
+          val out = Seq.newBuilder[CandPair]
+          rows.foreach { r =>
+            if (!members.contains(r.doc_id)) {
+              members.foreach { m =>
+                out += CandPair(math.min(m, r.doc_id), math.max(m, r.doc_id))
+              }
+              members = members :+ r.doc_id
+            }
+          }
+          state.update(BucketState(members))
+          out.result().iterator
+      }
+  }
 }

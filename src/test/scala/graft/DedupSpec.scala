@@ -161,6 +161,19 @@ class DedupSpec extends SparkSpec {
       "IVF should recover part of the true top-20")
   }
 
+  test("native minhash_sig expression equals the aggregate signature path") {
+    import org.apache.spark.sql.functions._
+    val viaExpr = Dedup.minhashSignaturesExpr(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    val viaAgg = Dedup.minhashSignatures(
+        Dedup.shingleHashesPortable(spark, sf0001).select("doc_id", "sgl"))
+      .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    assert(viaExpr.keySet === viaAgg.keySet)
+    viaExpr.foreach { case (id, sig) =>
+      assert(sig === viaAgg(id), s"signature mismatch for doc $id")
+    }
+  }
+
   test("incremental dedup via a persisted minhash index matches from-scratch") {
     import org.apache.spark.sql.functions._
     val idxDir = java.nio.file.Files.createTempDirectory("mhidx").toString

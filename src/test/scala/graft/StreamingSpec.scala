@@ -291,6 +291,46 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming near-dup candidates match batch banding, incrementally") {
+    import graft.streaming.{CandPair, DocIn, Streams}
+    import graft.operators.Dedup
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables.documents(spark, sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => DocIn(r.getLong(0), r.getString(1)))
+    // batch reference: the same band self-join the dedup queries run
+    val bands = Dedup.minhashBands(Dedup.minhashSignaturesExpr(spark, sf0001))
+    val expected = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bhash") === col("b.bhash") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(expected.nonEmpty, "testdata should produce candidate pairs")
+
+    val (half1, half2) = docs.splitAt(docs.length / 2)
+    val mem = MemoryStream[DocIn]
+    val name = s"sink_${System.nanoTime()}"
+    val q = Streams.nearDupCandidates(mem.toDS()).writeStream
+      .format("memory").queryName(name).outputMode("append").start()
+    try {
+      mem.addData(half1.toSeq)
+      q.processAllAvailable()
+      val afterFirst = spark.table(name).collect().length
+      mem.addData(half2.toSeq)
+      q.processAllAvailable()
+      val got = spark.table(name).as[CandPair].collect()
+        .map(p => (p.doc_a, p.doc_b)).toSet
+      assert(got === expected,
+        s"stream/batch diverge: +${got.diff(expected)} -${expected.diff(got)}")
+      // incrementality: the second micro-batch emitted pairs against
+      // state built by the first (not a re-run over everything)
+      assert(afterFirst > 0 && afterFirst < spark.table(name).count(),
+        "pairs should arrive across micro-batches")
+    } finally q.stop()
+  }
+
   test("watermark drops events later than the threshold (append mode)") {
     val spark2 = spark
     import spark2.implicits._
