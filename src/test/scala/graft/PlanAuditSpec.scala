@@ -131,4 +131,31 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"),
       "bucket offsets should broadcast back onto the rows")
   }
+
+  test("minhash signature step is map-only (no exchange before the bands)") {
+    val p = Dedup.minhashSignaturesExpr(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"),
+      s"signature step must not shuffle:\n${p.take(600)}")
+    assert(p.contains("minhash_sig"), "native expression should be in the plan")
+  }
+
+  test("dedup_cosine_lsh is equi-join banding, never a cartesian product") {
+    val p = plan(Dedup.dedupCosineLsh)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"LSH dedup must not degrade to all-pairs:\n${p.take(600)}")
+    assert(p.contains("cosine_sim"), "native cosine should verify candidates")
+  }
+
+  test("dedup_incremental joins batch bands against all bands, no cartesian") {
+    val p = plan(Dedup.dedupIncremental)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"incremental dedup must stay an equi-join:\n${p.take(600)}")
+  }
+
+  test("text_contamination broadcasts the benchmark shingle set") {
+    val p = plan(graft.operators.TextAnalysis.textContamination)
+    assert(p.contains("BroadcastHashJoin"),
+      s"benchmark side should broadcast:\n${p.take(600)}")
+  }
 }
