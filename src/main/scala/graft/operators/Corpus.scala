@@ -201,5 +201,82 @@ object Corpus {
       .orderBy("doc_id", "chunk_id")
   }
 
-  val all: Seq[Q] = Seq(corpusSplit, corpusPack, corpusSelect, docChunk)
+  /** The decontaminated corpus select — [[corpusSelect]]'s survivorship ×
+    * quality × language compose, restricted to the training slice
+    * (benchmark docs `doc_id % 97 == 0` held out entirely) and with
+    * contaminated documents (≥ 50% of distinct shingles appearing in the
+    * benchmark slice — see `text_contamination`) anti-joined away. This
+    * is the last gate before packing: per-language doc/token counts of
+    * what actually ships. Plan shape: the contamination check reuses the
+    * broadcast-benchmark join (no corpus shuffle); the anti-join keys on
+    * doc_id against a tiny contaminated set, so it broadcasts too. */
+  val corpusDecontaminate: Q = Q(
+    "corpus_decontaminate", {
+      val ph = graft.functions.expressions.PortableHash
+        .duckdbSql("array_to_string(toks[i:i+2],' ')")
+      s"""WITH tall AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+         |shs AS (SELECT doc_id,
+         |  list_distinct([$ph FOR i IN range(1, len(toks)-1)]) AS sgl
+         |  FROM tall WHERE len(toks) >= 3),
+         |bench AS (SELECT DISTINCT unnest(sgl) AS sglv FROM shs WHERE doc_id % 97 = 0),
+         |trainsh AS (SELECT doc_id, len(sgl) AS n_sgl, unnest(sgl) AS sglv
+         |            FROM shs WHERE doc_id % 97 <> 0),
+         |cont AS (SELECT doc_id FROM (
+         |    SELECT doc_id, n_sgl, count(*) AS n_cont
+         |    FROM trainsh JOIN bench USING (sglv) GROUP BY 1, 2)
+         |  WHERE CAST(n_cont AS DOUBLE) / n_sgl >= 0.5),
+         |surv AS (SELECT min(doc_id) AS doc_id FROM documents
+         |         WHERE doc_id % 97 <> 0 GROUP BY md5(text)),
+         |q AS (SELECT doc_id,
+         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |  CAST(len(list_filter(string_split(text, ' '),
+         |       t -> t IN ('the','a','of','and','is'))) AS DOUBLE)
+         |    / len(string_split(text, ' ')) AS stopword_ratio,
+         |  len(list_filter(string_split(text,' '), t -> t IN ('the','a','of'))) AS s_en,
+         |  len(list_filter(string_split(text,' '), t -> t IN ('der','die','und'))) AS s_de,
+         |  len(list_filter(string_split(text,' '), t -> t IN ('el','los','una'))) AS s_es
+         |FROM documents WHERE doc_id % 97 <> 0),
+         |sel AS (SELECT doc_id, n_tokens,
+         |  CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en > 0 THEN 'en'
+         |       WHEN s_de >= s_es AND s_de > 0 THEN 'de'
+         |       WHEN s_es > 0 THEN 'es'
+         |       ELSE 'und' END AS predicted
+         |  FROM q
+         |  WHERE n_tokens >= 5 AND stopword_ratio < 0.5
+         |    AND doc_id IN (SELECT doc_id FROM surv)
+         |    AND doc_id NOT IN (SELECT doc_id FROM cont))
+         |SELECT predicted AS lang, count(*) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+         |FROM sel WHERE predicted <> 'und'
+         |GROUP BY predicted ORDER BY lang""".stripMargin
+    }
+  ) { (s, d) =>
+    val train = Tables.documents(s, d).filter(col("doc_id") % 97 =!= 0)
+    val survivors = train
+      .groupBy(md5(col("text").cast("binary")))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    val contaminated = TextAnalysis.textContamination.fn(s, d)
+      .filter(col("contamination") >= 0.5)
+      .select("doc_id")
+    val toks = split(col("text"), " ")
+    val stopRatio =
+      size(filter(toks, t => t.isin("the", "a", "of", "and", "is")))
+        .cast("double") / size(toks)
+    train
+      .select(col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        stopRatio.as("stopword_ratio"),
+        TextAnalysis.predictLang(toks).as("predicted"))
+      .filter(col("n_tokens") >= 5 && col("stopword_ratio") < 0.5 &&
+              col("predicted") =!= "und")
+      .join(survivors, Seq("doc_id"), "left_semi")
+      .join(broadcast(contaminated), Seq("doc_id"), "left_anti")
+      .groupBy(col("predicted").as("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
+      .orderBy("lang")
+  }
+
+  val all: Seq[Q] = Seq(corpusSplit, corpusPack, corpusSelect, docChunk,
+    corpusDecontaminate)
 }

@@ -194,7 +194,7 @@ object Dedup {
 
   private val MinhashK = 32          // signature length
   private val Bands = 8              // bands of r = 4 rows each
-  private val MinhashP = 2147483647L // 2^31 - 1, prime modulus
+  private[graft] val MinhashP = 2147483647L // 2^31 - 1, prime modulus
 
   /** Deterministic affine hash family (a_j, b_j) for the 32 MinHash
     * functions, drawn from a fixed-seed SplitMix-style generator. The
@@ -202,7 +202,7 @@ object Dedup {
     * family part of the query's public definition rather than hidden
     * engine state. a ∈ [1, P-1], b ∈ [0, P-1]; a·x + b with x < P stays
     * < 2⁶², so the arithmetic is overflow-free in any 64-bit engine. */
-  private[operators] val MinhashAB: IndexedSeq[(Long, Long)] = {
+  private[graft] val MinhashAB: IndexedSeq[(Long, Long)] = {
     var s = 0x9E3779B97F4A7C15L
     def next31(): Long = {
       s = s * 6364136223846793005L + 1442695040888963407L

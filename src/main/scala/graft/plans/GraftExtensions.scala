@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.expressions.{CosineSimilarity, InterleaveBits, NgramTokens, OrderedPairs, ShingleHashes, SimHash64}
+import graft.functions.expressions.{CosineSimilarity, InterleaveBits, MinHashSig, NgramTokens, OrderedPairs, ShingleHashes, SimHash64}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
@@ -24,6 +24,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.orderedPairsDescriptor)
     ext.injectFunction(GraftExtensions.ngramTokensDescriptor)
     ext.injectFunction(GraftExtensions.interleaveBitsDescriptor)
+    ext.injectFunction(GraftExtensions.minhashSigDescriptor)
   }
 }
 
@@ -84,11 +85,21 @@ object GraftExtensions {
     (args: Seq[Expression]) => InterleaveBits(
       Cast(args(0), IntegerType), Cast(args(1), IntegerType)))
 
+  private val minhashSigDescriptor = (
+    FunctionIdentifier("minhash_sig"),
+    new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
+    // SQL form minhash_sig(text, n): the hash family is the engine's
+    // standard one (the same constants the dedup oracles inline), so SQL
+    // users get signatures join-compatible with every dedup query
+    (args: Seq[Expression]) => MinHashSig(
+      args(0), intLiteralArg(args, "minhash_sig"),
+      graft.operators.Dedup.MinhashAB, graft.operators.Dedup.MinhashP))
+
   /** Idempotent registration on an already-built session. */
   def register(spark: SparkSession): Unit = {
     Seq(cosineDescriptor, shingleDescriptor, simhashDescriptor,
         orderedPairsDescriptor, ngramTokensDescriptor,
-        interleaveBitsDescriptor).foreach { d =>
+        interleaveBitsDescriptor, minhashSigDescriptor).foreach { d =>
       spark.sessionState.functionRegistry.registerFunction(d._1, d._2, d._3)
     }
   }

@@ -161,6 +161,21 @@ class DedupSpec extends SparkSpec {
       "IVF should recover part of the true top-20")
   }
 
+  test("minhash_sig is SQL-registered and matches the DataFrame path") {
+    import org.apache.spark.sql.functions._
+    graft.plans.GraftExtensions.register(spark)
+    Tables.documents(spark, sf0001).createOrReplaceTempView("mh_docs")
+    val viaSql = spark.sql(
+        "SELECT doc_id, minhash_sig(text, 3) AS sig FROM mh_docs")
+      .filter(col("sig").isNotNull)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val viaDf = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), Dedup.minhashSigCol.as("sig"))
+      .filter(col("sig").isNotNull)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(viaSql === viaDf)
+  }
+
   test("native minhash_sig expression equals the aggregate signature path") {
     import org.apache.spark.sql.functions._
     val viaExpr = Dedup.minhashSignaturesExpr(spark, sf0001)
