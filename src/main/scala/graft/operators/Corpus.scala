@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{Q, Tables}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Corpus-preparation operators over `documents` — the last mile of a
@@ -114,42 +115,16 @@ object Corpus {
       .orderBy("shard_id")
   }
 
-  /** The composed corpus select: exact-dedup survivors only, quality
-    * floor (≥ 5 tokens, stopword ratio < 0.5), confident language ID
-    * (not 'und') — per-language document and token counts of what would
-    * actually ship to training. Survivorship is a digest groupBy + semi
-    * join (broadcastable: survivors ≈ distinct contents); quality and
-    * language are narrow projections fused into the same scan. */
-  val corpusSelect: Q = Q(
-    "corpus_select",
-    """WITH surv AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
-      |q AS (SELECT doc_id,
-      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-      |  CAST(len(list_filter(string_split(text, ' '),
-      |       t -> t IN ('the','a','of','and','is'))) AS DOUBLE)
-      |    / len(string_split(text, ' ')) AS stopword_ratio,
-      |  len(list_filter(string_split(text,' '), t -> t IN ('the','a','of'))) AS s_en,
-      |  len(list_filter(string_split(text,' '), t -> t IN ('der','die','und'))) AS s_de,
-      |  len(list_filter(string_split(text,' '), t -> t IN ('el','los','una'))) AS s_es
-      |FROM documents),
-      |sel AS (SELECT doc_id, n_tokens,
-      |  CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en > 0 THEN 'en'
-      |       WHEN s_de >= s_es AND s_de > 0 THEN 'de'
-      |       WHEN s_es > 0 THEN 'es'
-      |       ELSE 'und' END AS predicted
-      |  FROM q
-      |  WHERE n_tokens >= 5 AND stopword_ratio < 0.5
-      |    AND doc_id IN (SELECT doc_id FROM surv))
-      |SELECT predicted AS lang, count(*) AS n_docs,
-      |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
-      |FROM sel WHERE predicted <> 'und'
-      |GROUP BY predicted ORDER BY lang""".stripMargin
-  ) { (s, d) =>
-    val docs = Tables.documents(s, d)
-    val survivors = docs
-      .groupBy(md5(col("text").cast("binary")))
-      .agg(min(col("doc_id")).as("doc_id"))
-      .select("doc_id")
+  // ---- shared select pipeline (corpus_select / corpus_decontaminate) --
+  // ONE definition of "a document that ships": exact-dedup survivor +
+  // quality floor (>= 5 tokens, stopword ratio < 0.5) + confident
+  // language — in both the Spark plan and the oracle CTEs, so the
+  // decontaminated variant can never drift from the base select.
+
+  /** (doc_id, n_tokens, predicted) of quality-passing, confidently
+    * language-identified documents — narrow projections fused into the
+    * scan. */
+  private def qualityLang(docs: DataFrame): DataFrame = {
     val toks = split(col("text"), " ")
     val stopRatio =
       size(filter(toks, t => t.isin("the", "a", "of", "and", "is")))
@@ -161,10 +136,63 @@ object Corpus {
         TextAnalysis.predictLang(toks).as("predicted"))
       .filter(col("n_tokens") >= 5 && col("stopword_ratio") < 0.5 &&
               col("predicted") =!= "und")
-      .join(survivors, Seq("doc_id"), "left_semi")
-      .groupBy(col("predicted").as("lang"))
+  }
+
+  /** Exact-dedup survivor ids: min doc_id per content digest. */
+  private def survivorsOf(docs: DataFrame): DataFrame =
+    docs.groupBy(md5(col("text").cast("binary")))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+
+  /** Per-language doc/token rollup of a selected frame. */
+  private def langRollup(sel: DataFrame): DataFrame =
+    sel.groupBy(col("predicted").as("lang"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
       .orderBy("lang")
+
+  /** The surv/q/sel oracle CTEs over `documents` with an optional base
+    * WHERE (e.g. holding out the benchmark slice) and extra `sel`
+    * predicate (e.g. the decontamination NOT IN). */
+  private def selectCtesSql(baseWhere: String, selExtra: String): String =
+    s"""surv AS (SELECT min(doc_id) AS doc_id FROM documents $baseWhere GROUP BY md5(text)),
+       |q AS (SELECT doc_id,
+       |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |  CAST(len(list_filter(string_split(text, ' '),
+       |       t -> t IN ('the','a','of','and','is'))) AS DOUBLE)
+       |    / len(string_split(text, ' ')) AS stopword_ratio,
+       |  len(list_filter(string_split(text,' '), t -> t IN ('the','a','of'))) AS s_en,
+       |  len(list_filter(string_split(text,' '), t -> t IN ('der','die','und'))) AS s_de,
+       |  len(list_filter(string_split(text,' '), t -> t IN ('el','los','una'))) AS s_es
+       |FROM documents $baseWhere),
+       |sel AS (SELECT doc_id, n_tokens,
+       |  CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en > 0 THEN 'en'
+       |       WHEN s_de >= s_es AND s_de > 0 THEN 'de'
+       |       WHEN s_es > 0 THEN 'es'
+       |       ELSE 'und' END AS predicted
+       |  FROM q
+       |  WHERE n_tokens >= 5 AND stopword_ratio < 0.5
+       |    AND doc_id IN (SELECT doc_id FROM surv)$selExtra)""".stripMargin
+
+  private val langRollupSql =
+    """SELECT predicted AS lang, count(*) AS n_docs,
+      |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+      |FROM sel WHERE predicted <> 'und'
+      |GROUP BY predicted ORDER BY lang""".stripMargin
+
+  /** The composed corpus select: exact-dedup survivors only, quality
+    * floor (≥ 5 tokens, stopword ratio < 0.5), confident language ID
+    * (not 'und') — per-language document and token counts of what would
+    * actually ship to training. Survivorship is a digest groupBy + semi
+    * join (broadcastable: survivors ≈ distinct contents); quality and
+    * language are narrow projections fused into the same scan. */
+  val corpusSelect: Q = Q(
+    "corpus_select",
+    s"""WITH ${selectCtesSql("", "")}
+       |$langRollupSql""".stripMargin
+  ) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    langRollup(
+      qualityLang(docs).join(survivorsOf(docs), Seq("doc_id"), "left_semi"))
   }
 
   /** Fixed-window document chunking with overlap (the context-window
@@ -225,56 +253,19 @@ object Corpus {
          |    SELECT doc_id, n_sgl, count(*) AS n_cont
          |    FROM trainsh JOIN bench USING (sglv) GROUP BY 1, 2)
          |  WHERE CAST(n_cont AS DOUBLE) / n_sgl >= 0.5),
-         |surv AS (SELECT min(doc_id) AS doc_id FROM documents
-         |         WHERE doc_id % 97 <> 0 GROUP BY md5(text)),
-         |q AS (SELECT doc_id,
-         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-         |  CAST(len(list_filter(string_split(text, ' '),
-         |       t -> t IN ('the','a','of','and','is'))) AS DOUBLE)
-         |    / len(string_split(text, ' ')) AS stopword_ratio,
-         |  len(list_filter(string_split(text,' '), t -> t IN ('the','a','of'))) AS s_en,
-         |  len(list_filter(string_split(text,' '), t -> t IN ('der','die','und'))) AS s_de,
-         |  len(list_filter(string_split(text,' '), t -> t IN ('el','los','una'))) AS s_es
-         |FROM documents WHERE doc_id % 97 <> 0),
-         |sel AS (SELECT doc_id, n_tokens,
-         |  CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en > 0 THEN 'en'
-         |       WHEN s_de >= s_es AND s_de > 0 THEN 'de'
-         |       WHEN s_es > 0 THEN 'es'
-         |       ELSE 'und' END AS predicted
-         |  FROM q
-         |  WHERE n_tokens >= 5 AND stopword_ratio < 0.5
-         |    AND doc_id IN (SELECT doc_id FROM surv)
-         |    AND doc_id NOT IN (SELECT doc_id FROM cont))
-         |SELECT predicted AS lang, count(*) AS n_docs,
-         |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
-         |FROM sel WHERE predicted <> 'und'
-         |GROUP BY predicted ORDER BY lang""".stripMargin
+         |${selectCtesSql("WHERE doc_id % 97 <> 0",
+                          "\n    AND doc_id NOT IN (SELECT doc_id FROM cont)")}
+         |$langRollupSql""".stripMargin
     }
   ) { (s, d) =>
     val train = Tables.documents(s, d).filter(col("doc_id") % 97 =!= 0)
-    val survivors = train
-      .groupBy(md5(col("text").cast("binary")))
-      .agg(min(col("doc_id")).as("doc_id"))
-      .select("doc_id")
     val contaminated = TextAnalysis.textContamination.fn(s, d)
       .filter(col("contamination") >= 0.5)
       .select("doc_id")
-    val toks = split(col("text"), " ")
-    val stopRatio =
-      size(filter(toks, t => t.isin("the", "a", "of", "and", "is")))
-        .cast("double") / size(toks)
-    train
-      .select(col("doc_id"),
-        size(toks).cast("long").as("n_tokens"),
-        stopRatio.as("stopword_ratio"),
-        TextAnalysis.predictLang(toks).as("predicted"))
-      .filter(col("n_tokens") >= 5 && col("stopword_ratio") < 0.5 &&
-              col("predicted") =!= "und")
-      .join(survivors, Seq("doc_id"), "left_semi")
-      .join(broadcast(contaminated), Seq("doc_id"), "left_anti")
-      .groupBy(col("predicted").as("lang"))
-      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
-      .orderBy("lang")
+    langRollup(
+      qualityLang(train)
+        .join(survivorsOf(train), Seq("doc_id"), "left_semi")
+        .join(broadcast(contaminated), Seq("doc_id"), "left_anti"))
   }
 
   val all: Seq[Q] = Seq(corpusSplit, corpusPack, corpusSelect, docChunk,

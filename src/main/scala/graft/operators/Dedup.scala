@@ -280,13 +280,23 @@ object Dedup {
   }
 
   /** (doc_id, m0..m31) via the map-only expression path. */
-  private[graft] def minhashSignaturesExpr(s: SparkSession,
-                                           d: String): DataFrame =
-    Tables.documents(s, d)
+  /** (doc_id, m0..m31) via the map-only expression path, from any frame
+    * with (doc_id, text). The under-3-tokens exclusion is a CHEAP
+    * pre-filter on the token count (the exact condition under which the
+    * expression returns null) rather than `isNotNull` on the signature
+    * alias — the optimizer pushes an isNotNull filter below the project,
+    * which would evaluate the full MD5-per-shingle expression twice per
+    * row. Shared by the batch queries and the streaming path. */
+  private[graft] def minhashSignatureCols(docs: DataFrame): DataFrame =
+    docs
+      .filter(size(split(col("text"), " ")) >= 3)
       .select(col("doc_id"), minhashSigCol.as("sig"))
-      .filter(col("sig").isNotNull)
       .select(col("doc_id") +:
         (0 until MinhashK).map(j => col("sig")(j).as(s"m$j")): _*)
+
+  private[graft] def minhashSignaturesExpr(s: SparkSession,
+                                           d: String): DataFrame =
+    minhashSignatureCols(Tables.documents(s, d).select("doc_id", "text"))
 
   /** LSH band rows (doc_id, band, bhash) from an m0..m31 signature
     * frame: band k's key is the portable 60-bit hash of its 4
@@ -470,9 +480,7 @@ object Dedup {
     * any-table candidate join, and cosine verify; float arithmetic is
     * the same left fold on both sides, so the hash-compare is exact. */
   private def cosineLshOracleSql: String = {
-    val planeRows = cosLshPlanes.zipWithIndex.map { case (p, j) =>
-      s"($j, [${p.map(x => s"CAST('$x' AS DOUBLE)").mkString(",")}])"
-    }.mkString(",\n    ")
+    val planeRows = Vectors.planesSql(cosLshPlanes)
     s"""WITH planes AS (SELECT j, pv FROM (VALUES
        |    $planeRows) p(j, pv)),
        |e AS (SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v FROM embeddings),

@@ -85,16 +85,18 @@ object Vectors {
     * round-trip, the bits then match Spark's `typedlit` planes exactly.
     * Sign tests and cosines are the same left-fold float arithmetic on
     * both sides, so the hash-compare is exact, like [[vectorTopk]]. */
-  /** The hyperplanes as DuckDB VALUES rows (each component routed
-    * through CAST('…' AS DOUBLE) — see [[lshOracleSql]] for why); shared
-    * with the LSH dedup oracle in [[Dedup]]. */
-  private[operators] def planesSqlRows: String =
-    planes.zipWithIndex.map { case (p, j) =>
+  /** Render a hyperplane set as DuckDB VALUES rows (each component
+    * routed through CAST('…' AS DOUBLE) — see [[lshOracleSql]] for why).
+    * The ONE renderer for every plane-inlining oracle (vector_ann_lsh
+    * here, dedup_cosine_lsh in [[Dedup]]) — a drifting second copy would
+    * silently break one oracle's bit-exact hash compare. */
+  private[operators] def planesSql(ps: Seq[Seq[Double]]): String =
+    ps.zipWithIndex.map { case (p, j) =>
       s"($j, [${p.map(x => s"CAST('$x' AS DOUBLE)").mkString(",")}])"
     }.mkString(",\n    ")
 
   private def lshOracleSql: String = {
-    val planeRows = planesSqlRows
+    val planeRows = planesSql(planes)
     s"""WITH planes AS (SELECT j, pv FROM (VALUES
        |    $planeRows) p(j, pv)),
        |e AS (SELECT vec_id, label, [CAST(x AS DOUBLE) FOR x IN embedding] AS v

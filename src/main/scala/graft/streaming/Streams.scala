@@ -228,11 +228,7 @@ object Streams {
     import docs.sparkSession.implicits._
     import graft.operators.Dedup
     val bands = Dedup.minhashBands(
-      docs.toDF()
-        .select(col("doc_id"), Dedup.minhashSigCol.as("sig"))
-        .filter(col("sig").isNotNull)
-        .select(col("doc_id") +:
-          (0 until 32).map(j => col("sig")(j).as(s"m$j")): _*))
+      Dedup.minhashSignatureCols(docs.toDF().select("doc_id", "text")))
       .as[BandRow]
     bands
       .groupByKey(r => (r.band, r.bhash))

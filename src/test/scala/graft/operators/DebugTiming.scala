@@ -38,20 +38,20 @@ object DebugTiming {
       Dedup.dedupMinhash.fn(spark, d)))
     val shArr = Dedup.shingled(spark, d)
     time("shingled arrays")(noop(shArr))
-    val sig2 = Dedup.minhashSignatures(ex)
-    val bands2 = sig2.select(col("doc_id"),
-      explode(array((0 until 8).map(k =>
-        struct(lit(k).as("band"),
-          xxhash64((0 until 4).map(r => col(s"m${k * 4 + r}")): _*)
-            .as("bhash"))): _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bhash").as("bhash"))
+    // probe the PRODUCTION pipeline stages: portable hashes + the same
+    // band construction dedup_minhash runs (an xxhash64 stand-in would
+    // change both the arithmetic and the bucket distribution the probe
+    // exists to diagnose)
+    val bands2 = Dedup.minhashBands(Dedup.minhashSignaturesExpr(spark, d))
     val cand2 = bands2.as("a").join(bands2.as("b"),
         col("a.band") === col("b.band") && col("a.bhash") === col("b.bhash") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
     time("minhash candidates")(noop(cand2))
-    val sig = Dedup.minhashSignatures(ex)
-    time("minhash signatures")(noop(sig))
+    time("minhash signatures (expr)")(noop(
+      Dedup.minhashSignaturesExpr(spark, d)))
+    time("minhash signatures (agg)")(noop(Dedup.minhashSignatures(
+      Dedup.shingleHashesPortable(spark, d).select("doc_id", "sgl"))))
   }
 }
