@@ -937,6 +937,67 @@ object Relational {
       .orderBy("o_orderstatus")
   }
 
+  /** UNPIVOT (wide→long, the inverse of [[aggPivot]]): a per-status
+    * priority-bucket revenue matrix melted back to (status, priority,
+    * total) rows via `stack` — a generator projection, no shuffle beyond
+    * the aggregation that built the wide frame. Buckets with no orders
+    * stay as NULL totals (melting must not invent zeros). */
+  val unpivotStack: Q = Q(
+    "unpivot_stack",
+    """WITH w AS (SELECT o_orderstatus,
+      |  CAST(sum(CASE WHEN o_orderpriority = '1-URGENT'
+      |    THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS u,
+      |  CAST(sum(CASE WHEN o_orderpriority = '3-MEDIUM'
+      |    THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS m,
+      |  CAST(sum(CASE WHEN o_orderpriority = '5-LOW'
+      |    THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS l
+      |FROM orders GROUP BY 1)
+      |SELECT o_orderstatus, k AS priority, v AS total FROM (
+      |  SELECT o_orderstatus, '1-URGENT' AS k, u AS v FROM w
+      |  UNION ALL SELECT o_orderstatus, '3-MEDIUM', m FROM w
+      |  UNION ALL SELECT o_orderstatus, '5-LOW', l FROM w)
+      |ORDER BY o_orderstatus, priority""".stripMargin
+  ) { (s, d) =>
+    def bucket(p: String) =
+      asDouble(sum(when(col("o_orderpriority") === p,
+        money(col("o_totalprice")))))
+    Tables.orders(s, d)
+      .groupBy("o_orderstatus")
+      .agg(bucket("1-URGENT").as("u"), bucket("3-MEDIUM").as("m"),
+           bucket("5-LOW").as("l"))
+      .select(col("o_orderstatus"),
+        expr("stack(3, '1-URGENT', u, '3-MEDIUM', m, '5-LOW', l) " +
+             "AS (priority, total)"))
+      .orderBy("o_orderstatus", "priority")
+  }
+
+  /** Salted fact-fact JOIN as a driver-visible query: lineitem joined to
+    * orders through [[graft.functions.SkewOps.saltedJoin]] (key spread
+    * over 8 sub-keys, dimension replicated 8×), then rolled up per
+    * priority. The oracle is the PLAIN join+rollup — salting must be
+    * result-invariant, and the hash-compare proves it on real data, not
+    * just the SkewOpsSpec fixture. This is the manual fallback for hot
+    * keys AQE can't split (skew inside one aggregation input). */
+  val joinSalted: Q = Q(
+    "join_salted",
+    """SELECT o_orderpriority, count(*) AS n,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin
+  ) { (s, d) =>
+    import graft.functions.SkewOps
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("jk"), col("l_linenumber"),
+              col("l_extendedprice"))
+    val o = Tables.orders(s, d)
+      .select(col("o_orderkey").as("jk"), col("o_orderpriority"))
+    SkewOps.saltedJoin(li, o, "jk", 8, col("l_linenumber"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+           asDouble(sum(money(col("l_extendedprice")))).as("revenue"))
+      .orderBy("o_orderpriority")
+  }
+
   val all: Seq[Q] = Seq(
     countByProject, filterPred, aggGroupBy, aggDistinct, aggRollup, topk,
     joinInner, joinMultiway, semiAnti, setOps, scalarStringDate, jsonExtract,
@@ -944,5 +1005,5 @@ object Relational {
     joinOuter, aggPivot, aggStats, generatorPosexplode, sampleStratified,
     aggSalted, aggQuantile, aggQuantileSketch, setopsAll, topkPaged, aggCorr,
     aggHistogram, aggStringagg, profileTable, outlierZscore, scalarMath,
-    scalarDatetimeExt, scalarStringExt, aggMode, scalarNullSemantics)
+    scalarDatetimeExt, scalarStringExt, aggMode, scalarNullSemantics, unpivotStack, joinSalted)
 }

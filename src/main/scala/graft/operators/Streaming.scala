@@ -125,6 +125,38 @@ object Streaming {
       .orderBy("user_id")
   }
 
+  /** Cohort retention (product-analytics staple): users grouped by the
+    * day of their first activity; for each (cohort day, day offset ≤ 7)
+    * the number of cohort members active that day. Aggregate-then-join:
+    * activity reduces to DISTINCT (user, day) and cohorts to one row per
+    * user BEFORE the join, so the join input is bounded by users×days,
+    * never raw events; with distinct activity rows and one cohort per
+    * user, count(*) IS the distinct-user count — no second distinct
+    * shuffle. */
+  val retentionCohort: Q = Q(
+    "retention_cohort",
+    """WITH a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      |c AS (SELECT user_id, min(day) AS cohort_day FROM a GROUP BY user_id)
+      |SELECT cohort_day, CAST(datediff('day', cohort_day, day) AS INT) AS day_offset,
+      |  count(*) AS n_users
+      |FROM a JOIN c ON a.user_id = c.user_id
+      |WHERE datediff('day', cohort_day, day) <= 7
+      |GROUP BY 1, 2 ORDER BY cohort_day, day_offset""".stripMargin
+  ) { (s, d) =>
+    val activity = Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    val cohorts = activity.groupBy("user_id")
+      .agg(min(col("day")).as("cohort_day"))
+    activity.join(cohorts, Seq("user_id"))
+      .select(col("cohort_day"),
+              datediff(col("day"), col("cohort_day")).as("day_offset"))
+      .filter(col("day_offset") <= 7)
+      .groupBy("cohort_day", "day_offset")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
   val all: Seq[Q] = Seq(streamTumbling, streamHopping, streamSession,
-    resampleGapfill, funnel)
+    resampleGapfill, funnel, retentionCohort)
 }

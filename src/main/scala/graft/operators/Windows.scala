@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{Q, Tables}
-import graft.Tables.asDouble
+import graft.Tables.{asDouble, money}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -162,6 +162,36 @@ object Windows {
     ).orderBy("event_id")
   }
 
+  /** VALUE-based window frame (RANGE, not ROWS): per-customer trailing
+    * 30-day order total. The frame is defined by the day distance of the
+    * ORDER BY key — peers at the same day all enter the frame, and gaps
+    * in the calendar shrink it — semantics a row-count frame cannot
+    * express. The ordering key is an integer day number (days since
+    * epoch) on both engines, which sidesteps timezone/interval-type
+    * differences entirely. One shuffle on the high-cardinality customer
+    * key, like every window in the engine. */
+  val windowRangeFrame: Q = Q(
+    "window_range_frame",
+    """SELECT o_custkey, o_orderkey,
+      |  CAST(datediff('day', TIMESTAMP '1970-01-01', o_orderdate) AS INT) AS day_n,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+      |    PARTITION BY o_custkey
+      |    ORDER BY datediff('day', TIMESTAMP '1970-01-01', o_orderdate)
+      |    RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trailing_30d
+      |FROM orders ORDER BY o_custkey, day_n, o_orderkey""".stripMargin
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val dayN = datediff(col("o_orderdate"), lit("1970-01-01").cast("date"))
+    val w = Window.partitionBy("o_custkey").orderBy("day_n")
+      .rangeBetween(-30, Window.currentRow)
+    Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"), dayN.as("day_n"),
+              money(col("o_totalprice")).as("price"))
+      .select(col("o_custkey"), col("o_orderkey"), col("day_n"),
+              asDouble(sum(col("price")).over(w)).as("trailing_30d"))
+      .orderBy("o_custkey", "day_n", "o_orderkey")
+  }
+
   val all: Seq[Q] = Seq(windowRank, windowRunning, udafWeighted,
-    windowDistribution, windowMoving)
+    windowDistribution, windowMoving, windowRangeFrame)
 }
