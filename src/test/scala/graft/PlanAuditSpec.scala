@@ -158,4 +158,38 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"),
       s"benchmark side should broadcast:\n${p.take(600)}")
   }
+
+  test("unpivot_stack melts via a generator, no post-agg shuffle") {
+    val p = plan(Relational.unpivotStack)
+    assert(p.contains("Generate stack"),
+      s"expected the stack generator:\n${p.take(600)}")
+    // one exchange for the groupBy, one for the output sort — the melt
+    // itself must not add a third
+    assert("Exchange".r.findAllIn(p).size <= 2,
+      s"melt should be shuffle-free beyond agg+sort:\n${p.take(800)}")
+  }
+
+  test("join_salted joins on the composite (key, salt) so one hot key spreads") {
+    val p = plan(Relational.joinSalted)
+    // the invariant is the composite equi-join key — the physical join
+    // (broadcast at tiny SF, shuffle at scale) is AQE/size's choice
+    assert(p.contains("_salt"),
+      s"salt must be part of the join key:\n${p.take(600)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoopJoin"))
+  }
+
+  test("retention_cohort aggregates activity before the self-join") {
+    val p = plan(graft.operators.Streaming.retentionCohort)
+    // distinct (partial+final) and the min-cohort agg both precede the join
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      s"activity must reduce to distinct (user, day) pre-join:\n${p.take(800)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoopJoin"))
+  }
+
+  test("window_range_frame is a single keyed window, RANGE frame in the spec") {
+    val p = plan(graft.operators.Windows.windowRangeFrame)
+    assert(p.contains("RangeFrame, -30"),
+      s"expected the value-based frame:\n${p.take(800)}")
+    assert("Window".r.findAllIn(p).size >= 1)
+  }
 }
