@@ -25,7 +25,8 @@ object SparkEntry {
     operators.Corpus.all ++
     operators.Vectors.all ++
     operators.Streaming.all ++
-    operators.Multimodal.all
+    operators.Multimodal.all ++
+    operators.Bpe.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * TPC-H Q3-shaped multiway join + agg + top-k (SURVEY §7.2 step 1). */

@@ -36,6 +36,28 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 
+  /** Cache key for a table under a dataset dir that changes when the
+    * underlying files change (path alone would serve stale trained
+    * artifacts if a fixture is regenerated in place within the JVM
+    * session): the (path, length, mtime) listing of the table, hashed.
+    * Used to memoize trained index/tokenizer artifacts (IVF centroids in
+    * [[graft.operators.Vectors]], BPE merges in [[graft.operators.Bpe]]). */
+  def fingerprint(s: SparkSession, dir: String, name: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val listing =
+      if (!fs.exists(p)) "absent"
+      else {
+        val statuses =
+          if (fs.getFileStatus(p).isDirectory) fs.listStatus(p).toSeq
+          else Seq(fs.getFileStatus(p))
+        statuses.sortBy(_.getPath.toString)
+          .map(st => s"${st.getPath}:${st.getLen}:${st.getModificationTime}")
+          .mkString("|")
+      }
+    s"$dir/$name@${listing.hashCode}"
+  }
+
   /** Money arithmetic done in exact decimal, surfaced as double.
     *
     * Summing doubles is order-dependent, and Spark's shuffle order differs

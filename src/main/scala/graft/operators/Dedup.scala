@@ -474,14 +474,21 @@ object Dedup {
       Seq.fill(64)(rnd.nextGaussian()))
   }
 
-  /** DuckDB mirror of [[dedupCosineLsh]]: identical seeded hyperplanes
-    * (as CAST('…' AS DOUBLE) literals — see the vector_ann_lsh oracle
-    * for why the string route), the same per-table sign signatures,
-    * any-table candidate join, and cosine verify; float arithmetic is
-    * the same left fold on both sides, so the hash-compare is exact. */
-  private def cosineLshOracleSql: String = {
+  /** Shared WITH-clause core of every multi-table cosine-LSH oracle:
+    * identical seeded hyperplanes (as CAST('…' AS DOUBLE) literals — see
+    * the vector_ann_lsh oracle for why the string route), the same
+    * per-table sign signatures, and the candidate join with exact cosine;
+    * float arithmetic is the same left fold on both sides, so consuming
+    * oracles hash-compare exactly. `idPred` picks the pair orientation
+    * ("<" = each unordered pair once, "<>" = both directions) and
+    * `aAlias`/`bAlias` name the pair columns in `cand`. Consumers append
+    * their own final SELECT — [[dedupCosineLsh]] here, `knn_join_lsh` in
+    * [[Vectors]]; a drifting second copy of this core would silently
+    * break one oracle's bit-exact compare. */
+  private[operators] def cosLshCandSql(idPred: String, aAlias: String,
+                                       bAlias: String): String = {
     val planeRows = Vectors.planesSql(cosLshPlanes)
-    s"""WITH planes AS (SELECT j, pv FROM (VALUES
+    s"""planes AS (SELECT j, pv FROM (VALUES
        |    $planeRows) p(j, pv)),
        |e AS (SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v FROM embeddings),
        |sg AS (SELECT vec_id, first(v) AS v, j // $CosLshPlanesPerTable AS tbl,
@@ -491,14 +498,17 @@ object Dedup {
        |               list_sum([v[i]*pv[i] FOR i IN range(1, len(v)+1)]) AS dotp
        |             FROM e CROSS JOIN planes)
        |       GROUP BY vec_id, j // $CosLshPlanesPerTable),
-       |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |cand AS (SELECT DISTINCT a.vec_id AS $aAlias, b.vec_id AS $bAlias,
        |    list_sum([a.v[i]*b.v[i] FOR i IN range(1, len(a.v)+1)]) /
        |    (sqrt(list_sum([x*x FOR x IN a.v])) * sqrt(list_sum([x*x FOR x IN b.v]))) AS cosine
        |  FROM sg a JOIN sg b
-       |    ON a.tbl = b.tbl AND a.sig = b.sig AND a.vec_id < b.vec_id)
+       |    ON a.tbl = b.tbl AND a.sig = b.sig AND a.vec_id $idPred b.vec_id)""".stripMargin
+  }
+
+  private def cosineLshOracleSql: String =
+    s"""WITH ${cosLshCandSql("<", "vec_a", "vec_b")}
        |SELECT vec_a, vec_b, cosine FROM cand WHERE cosine >= 0.45
        |ORDER BY vec_a, vec_b""".stripMargin
-  }
 
   /** The PRODUCTION-scale counterpart of [[dedupCosine]]: embedding
     * near-dup pairs at the same τ=0.45, with candidates from a
@@ -513,11 +523,13 @@ object Dedup {
     * (DedupSpec measures recall vs the exact baseline). Unlike
     * [[dedupCosine]] this path needs no all-pairs guard — it is the
     * path the guard's error message points users to. */
-  val dedupCosineLsh: Q = Q("dedup_cosine_lsh", cosineLshOracleSql) { (s, d) =>
+  /** (vec_id, v, tbl, sig) band rows for the multi-table cosine LSH —
+    * one narrow codegen pass (8 tables × 6 native-cosine sign tests per
+    * row, exploded to 8 rows). Shared by [[dedupCosineLsh]] and
+    * `knn_join_lsh` in [[Vectors]]. Input must carry (vec_id, v). */
+  private[operators] def cosLshBands(e: DataFrame): DataFrame = {
     import graft.functions.VectorOps._
-    val e = Tables.embeddings(s, d).select(col("vec_id"),
-      toDouble(col("embedding")).as("v"))
-    val bands = e.select(col("vec_id"), col("v"),
+    e.select(col("vec_id"), col("v"),
       explode(array((0 until CosLshTables).map { t =>
         val sig = (0 until CosLshPlanesPerTable).map { j =>
           val h = typedlit(cosLshPlanes(t * CosLshPlanesPerTable + j))
@@ -527,6 +539,13 @@ object Dedup {
       }: _*)).as("bk"))
       .select(col("vec_id"), col("v"),
               col("bk.tbl").as("tbl"), col("bk.sig").as("sig"))
+  }
+
+  val dedupCosineLsh: Q = Q("dedup_cosine_lsh", cosineLshOracleSql) { (s, d) =>
+    import graft.functions.VectorOps._
+    val e = Tables.embeddings(s, d).select(col("vec_id"),
+      toDouble(col("embedding")).as("v"))
+    val bands = cosLshBands(e)
     bands.as("a").join(bands.as("b"),
         col("a.tbl") === col("b.tbl") && col("a.sig") === col("b.sig") &&
         col("a.vec_id") < col("b.vec_id"))

@@ -157,6 +157,73 @@ object Streaming {
       .orderBy("cohort_day", "day_offset")
   }
 
+  /** Markov transition census over the event stream: for every ordered
+    * per-user event pair, how often each `event_type → next` transition
+    * occurs and the mean gap between them (the input to next-action
+    * prediction and anomalous-flow detection). Plan: ONE shuffle keyed
+    * by user_id feeds the `lead` window, then a partial+final aggregate
+    * on the (type, next) pair — event rows never shuffle twice. Gap math
+    * is integer milliseconds summed as BIGINT (exact, order-independent);
+    * the mean is a single int/int double division. Ordering ties break on
+    * event_id so the transition sequence is deterministic under any
+    * partitioning. */
+  val eventTransitions: Q = Q(
+    "event_transitions",
+    """WITH o AS (SELECT user_id, event_type, epoch_ms(ts) AS ms,
+      |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type,
+      |    lead(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_ms
+      |  FROM events)
+      |SELECT event_type, next_type, count(*) AS n,
+      |  CAST(sum(next_ms - ms) AS BIGINT) AS sum_gap_ms,
+      |  CAST(sum(next_ms - ms) AS DOUBLE) / count(*) AS avg_gap_ms
+      |FROM o WHERE next_type IS NOT NULL
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  ) { (s, d) =>
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+              col("ts"), unix_millis(col("ts")).as("ms"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .withColumn("next_ms", lead(col("ms"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy("event_type", "next_type")
+      .agg(count(lit(1)).as("n"),
+           sum(col("next_ms") - col("ms")).as("sum_gap_ms"),
+           (sum(col("next_ms") - col("ms")).cast("double") / count(lit(1)))
+             .as("avg_gap_ms"))
+      .orderBy("event_type", "next_type")
+  }
+
+  /** OHLC bars (time-series downsampling staple): per (user, hour), the
+    * first/highest/lowest/last `value` plus row count and exact volume.
+    * Open/close are ordered picks — `min_by`/`max_by` keyed by event
+    * time, deterministic because (user_id, ts) is unique in `events`
+    * (enforced by the oracle's arg_min needing a total order). Plan: one
+    * hash aggregate, partial+final — the ordered picks fold map-side, so
+    * raw events cross the exchange only as per-group partial states.
+    * Volume sums as DECIMAL (exact, order-independent) then casts. */
+  val ohlcBars: Q = Q(
+    "ohlc_bars",
+    """SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS hour,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  arg_min(value, ts) AS open,
+      |  max(value) AS high, min(value) AS low,
+      |  arg_max(value, ts) AS close,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS volume
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  ) { (s, d) =>
+    Tables.events(s, d)
+      .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n"),
+           min_by(col("value"), col("ts")).as("open"),
+           max(col("value")).as("high"), min(col("value")).as("low"),
+           max_by(col("value"), col("ts")).as("close"),
+           sum(col("value").cast("decimal(18,2)")).cast("double")
+             .as("volume"))
+      .orderBy("user_id", "hour")
+  }
+
   val all: Seq[Q] = Seq(streamTumbling, streamHopping, streamSession,
-    resampleGapfill, funnel, retentionCohort)
+    resampleGapfill, funnel, retentionCohort, eventTransitions, ohlcBars)
 }

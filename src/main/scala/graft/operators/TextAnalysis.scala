@@ -366,7 +366,62 @@ object TextAnalysis {
     }
   }
 
+  /** Per-document bigram cross-entropy under the corpus's own bigram LM —
+    * the statistical-quality score a perplexity filter ranks documents by
+    * (high average cost = improbable word sequences = drop candidate).
+    *
+    * Portability is the design constraint: `ln` outputs are not
+    * bit-specified across engines, so each DISTINCT bigram's cost is
+    * quantized ONCE to integer millinats (`floor(-1000·ln(c₂/c₁))`) in the
+    * LM table; per-document totals are then BIGINT sums — exact and
+    * order-independent — and the mean is a single int/int division. A
+    * 1-ulp `ln` divergence only matters if a cost sits within ~1e-13 of
+    * an integer boundary, vanishingly unlikely over a vocabulary-bounded
+    * set of rational probabilities.
+    *
+    * Plan shape at 100 TB: the LM is two partial+final aggregates over
+    * the bigram explode (context counts c₁ aggregate the ALREADY-reduced
+    * c₂, never the raw stream twice); the LM table is vocabulary²-bounded,
+    * so scoring is a BROADCAST join onto the bigram stream followed by a
+    * per-doc aggregate — the corpus shuffles once (by bigram) to build
+    * the model and once (by doc) to score. */
+  val textPerplexity: Q = Q(
+    "text_perplexity",
+    """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+      |bg AS (SELECT doc_id,
+      |  unnest([array_to_string(toks[i:i+1],' ') FOR i IN range(1, len(toks))]) AS bigram
+      |  FROM t WHERE len(toks) >= 2),
+      |c2 AS (SELECT bigram, count(*) AS n2 FROM bg GROUP BY 1),
+      |c1 AS (SELECT string_split(bigram,' ')[1] AS w1, sum(n2) AS n1
+      |       FROM c2 GROUP BY 1),
+      |lm AS (SELECT bigram,
+      |         CAST(floor(-1000.0 * ln(CAST(n2 AS DOUBLE) / n1)) AS BIGINT)
+      |           AS cost_milli
+      |       FROM c2 JOIN c1 ON string_split(bigram,' ')[1] = c1.w1)
+      |SELECT doc_id, count(*) AS n_bigrams,
+      |  CAST(sum(cost_milli) AS BIGINT) AS nll_milli,
+      |  CAST(sum(cost_milli) AS DOUBLE) / count(*) AS avg_nll_milli
+      |FROM bg JOIN lm USING (bigram)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+  ) { (s, d) =>
+    val bg = bigramRows(s, d)
+    val c2 = bg.groupBy("bigram").agg(count(lit(1)).as("n2"))
+    val c1 = c2.groupBy(substring_index(col("bigram"), " ", 1).as("w1"))
+      .agg(sum(col("n2")).as("n1"))
+    val lm = c2.join(c1, substring_index(col("bigram"), " ", 1) === col("w1"))
+      .select(col("bigram"),
+        floor(lit(-1000.0) * log(col("n2").cast("double") / col("n1")))
+          .as("cost_milli"))
+    bg.join(broadcast(lm), Seq("bigram"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+           sum(col("cost_milli")).as("nll_milli"),
+           (sum(col("cost_milli")).cast("double") / count(lit(1)))
+             .as("avg_nll_milli"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(textTokens, textQuality, langId, textFingerprint,
     textTfidf, textNormalize, textRepetition, piiRedact, ngramFreq,
-    textContamination, textTokenBpe)
+    textContamination, textTokenBpe, textPerplexity)
 }

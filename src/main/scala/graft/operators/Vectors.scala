@@ -145,6 +145,55 @@ object Vectors {
       .limit(20)
   }
 
+  private def knnLshOracleSql: String =
+    s"""WITH ${Dedup.cosLshCandSql("<>", "vec_id", "nn_id")},
+       |r AS (SELECT vec_id, nn_id, cosine,
+       |        CAST(row_number() OVER (PARTITION BY vec_id
+       |          ORDER BY cosine DESC, nn_id) AS INT) AS nn_rank
+       |      FROM cand)
+       |SELECT vec_id, nn_rank, nn_id, cosine FROM r WHERE nn_rank <= 3
+       |ORDER BY vec_id, nn_rank""".stripMargin
+
+  /** kNN JOIN: every vector's top-3 nearest neighbors — the kNN-graph
+    * construction that embedding clustering, semantic dedup, and
+    * retrieval-index bootstrapping all start from. Both sides are the
+    * full corpus, so unlike [[vectorTopkBatch]] (broadcast query batch)
+    * nothing fits in a broadcast: candidates come from the same
+    * multi-table sign-LSH as [[Dedup.dedupCosineLsh]] (8 tables × 6
+    * bits, OR-of-ANDs), then a per-vector ranked window keeps the top 3.
+    *
+    * Plan shape at 100 TB: band rows are one narrow codegen pass; the
+    * candidate join shuffles keyed by (tbl, sig) with Σ|bucket|² bounded
+    * pair work; the rank window shuffles only surviving (id, id, cosine)
+    * rows keyed by vec_id. Planes-per-table is the cost knob, tables the
+    * recall knob. Vectors whose buckets collide with no one emit no rows
+    * (the LSH recall tradeoff — VectorsSpec measures neighbor recall vs
+    * the brute-force baseline); the exact-but-quadratic alternative is a
+    * guarded all-pairs join like [[Dedup.dedupCosine]]. Oracle: the
+    * shared LSH SQL core with both pair orientations + the same ranked
+    * window in DuckDB — bit-exact cosines, deterministic nn_id
+    * tie-break. */
+  val knnJoinLsh: Q = Q("knn_join_lsh", knnLshOracleSql) { (s, d) =>
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    val bands = Dedup.cosLshBands(e)
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.sig") === col("b.sig") &&
+        col("a.vec_id") =!= col("b.vec_id"))
+      // cosine BEFORE the pair dedup, as in dedupCosineLsh: multi-table
+      // re-collisions re-verify map-side, the exchange carries only
+      // (id, id, cosine)
+      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("nn_id"),
+              cosine(col("a.v"), col("b.v")).as("cosine"))
+      .dropDuplicates("vec_id", "nn_id")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(desc("cosine"), asc("nn_id"))
+    cand.withColumn("nn_rank", row_number().over(w))
+      .filter(col("nn_rank") <= 3)
+      .select(col("vec_id"), col("nn_rank"), col("nn_id"), col("cosine"))
+      .orderBy("vec_id", "nn_rank")
+  }
+
   private val IvfK = 16
   private val IvfIters = 5
   private val IvfSampleCap = 4096
@@ -220,25 +269,9 @@ object Vectors {
   private val centroidCache =
     new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Double]]]()
 
-  /** Cache key for a dataset dir that changes when the underlying
-    * embeddings files change (path alone would serve stale centroids if
-    * a fixture is regenerated in place within the JVM session): the
-    * (path, length, mtime) listing of the embeddings table, hashed. */
-  private[graft] def embeddingsFingerprint(s: SparkSession, dir: String): String = {
-    val p = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val listing =
-      if (!fs.exists(p)) "absent"
-      else {
-        val statuses =
-          if (fs.getFileStatus(p).isDirectory) fs.listStatus(p).toSeq
-          else Seq(fs.getFileStatus(p))
-        statuses.sortBy(_.getPath.toString)
-          .map(st => s"${st.getPath}:${st.getLen}:${st.getModificationTime}")
-          .mkString("|")
-      }
-    s"$dir@${listing.hashCode}"
-  }
+  /** See [[Tables.fingerprint]] — keyed to the embeddings table. */
+  private[graft] def embeddingsFingerprint(s: SparkSession, dir: String): String =
+    Tables.fingerprint(s, dir, "embeddings")
 
   private[graft] def ivfCentroids(emb: DataFrame, k: Int = IvfK,
                                   cacheKey: Option[String] = None): DataFrame = {
@@ -415,5 +448,5 @@ object Vectors {
   }
 
   val all: Seq[Q] = Seq(vectorTopk, vectorAnnLsh, vectorAnnIvf,
-    vectorTopkBatch, vectorQuantize, vectorCentroid)
+    vectorTopkBatch, vectorQuantize, vectorCentroid, knnJoinLsh)
 }

@@ -347,4 +347,47 @@ class DedupSpec extends SparkSpec {
     // require non-trivial overlap with the true top-20
     assert(ann.keySet.intersect(brute.keySet).nonEmpty)
   }
+
+  test("knn_join_lsh: exact cosines, ranked per vector, useful recall@1") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.VectorOps._
+    val knn = Vectors.knnJoinLsh.fn(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(knn.nonEmpty)
+    // per-vector ranks are 1..k, cosines non-increasing along the rank
+    knn.groupBy(_._1).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1 to sorted.length))
+      assert(sorted.sliding(2).forall {
+        case Array(a, b) => a._4 >= b._4
+        case _ => true
+      })
+    }
+    // recall@1 vs brute force, on the vectors where the true nearest
+    // neighbor is MEANINGFUL (cosine >= 0.4 — the planted pairs). For the
+    // random-noise remainder the "nearest" is an arbitrary cosine≈0
+    // vector and no sub-quadratic method (nor a user) cares which one
+    // comes back; including them would test noise, not the operator.
+    val e = graft.Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    val exact1 = e.as("a").join(e.as("b"),
+        col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("nn_id"),
+              cosine(col("a.v"), col("b.v")).as("cosine"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("vec_id")
+          .orderBy(desc("cosine"), asc("nn_id"))))
+      .filter(col("rk") === 1 && col("cosine") >= 0.4)
+      .select("vec_id", "nn_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(exact1.nonEmpty, "testdata should contain strong NN pairs")
+    val got1 = knn.filter(_._2 == 1).map(t => t._1 -> t._3).toMap
+    val hits = exact1.count { case (v, nn) => got1.get(v).contains(nn) }
+    // the planted pairs sit at cosine 0.45-0.52 — sign-LSH's worst case
+    // — and recall@1 is strictly harder than the dedup test's pair
+    // recall (the true NN must both collide and win the ranking); the
+    // deterministic measure on this fixture is 54/112 ≈ 0.48
+    assert(hits >= 0.45 * exact1.size,
+      s"recall@1 on strong pairs too low: $hits/${exact1.size}")
+  }
 }

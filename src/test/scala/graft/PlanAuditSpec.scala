@@ -19,7 +19,7 @@ class PlanAuditSpec extends SparkSpec {
 
   test("the eager set is exactly the declared convergence/training queries") {
     assert(SparkEntry.catalog.filter(_.eager).map(_.name).toSet ===
-      Set("dedup_cluster", "vector_ann_ivf"),
+      Set("dedup_cluster", "vector_ann_ivf", "bpe_train", "bpe_encode"),
       "new Q entries that run jobs at plan-build time must set eager=true")
   }
 
@@ -191,5 +191,41 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("RangeFrame, -30"),
       s"expected the value-based frame:\n${p.take(800)}")
     assert("Window".r.findAllIn(p).size >= 1)
+  }
+
+  test("event_transitions: events shuffle once (lead window), then reduce") {
+    val p = plan(graft.operators.Streaming.eventTransitions)
+    assert(p.contains("Window"), s"expected the lead window:\n${p.take(600)}")
+    // one exchange feeds the user-keyed window, one the pair aggregate,
+    // one the output sort — raw events must not shuffle a second time
+    assert("Exchange".r.findAllIn(p).size <= 3,
+      s"events should shuffle once before reduction:\n${p.take(800)}")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "transition counts must combine partially before the exchange")
+  }
+
+  test("ohlc_bars is one partial+final aggregate (ordered picks fold map-side)") {
+    val p = plan(graft.operators.Streaming.ohlcBars)
+    assert("HashAggregate|SortAggregate|ObjectHashAggregate".r
+             .findAllIn(p).size >= 2,
+      s"expected partial+final aggregation:\n${p.take(800)}")
+    // agg exchange + output sort only
+    assert("Exchange".r.findAllIn(p).size <= 2,
+      s"OHLC must be a single-shuffle aggregate:\n${p.take(800)}")
+  }
+
+  test("text_perplexity broadcasts the vocabulary-bounded LM table") {
+    val p = plan(graft.operators.TextAnalysis.textPerplexity)
+    assert(p.contains("BroadcastHashJoin"),
+      s"LM scoring join should broadcast the model:\n${p.take(800)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoopJoin"))
+  }
+
+  test("knn_join_lsh joins bands on (tbl, sig), never a cartesian product") {
+    val p = plan(Vectors.knnJoinLsh)
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoopJoin"),
+      s"kNN candidates must come from the band equi-join:\n${p.take(800)}")
+    assert(p.contains("Window"), "per-vector rank window expected")
+    assert(p.contains("cosine_sim"), "native cosine expected in the plan")
   }
 }
