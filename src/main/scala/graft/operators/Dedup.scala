@@ -604,6 +604,16 @@ object Dedup {
     var labels = Tables.documents(s, d)
       .select(col("doc_id"), col("doc_id").as("cluster_id"))
     var cached: Option[org.apache.spark.sql.DataFrame] = None
+    // convergence probe: labels are monotone NON-INCREASING per doc
+    // (each round takes min(current, propagated)), so the fixed point is
+    // reached exactly when the label-sum stops decreasing — ONE aggregate
+    // per round instead of a join+count (which added a whole shuffle
+    // join of the two label tables every round). DECIMAL sum so the
+    // probe can't overflow at any corpus size.
+    def labelSum(df: org.apache.spark.sql.DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("cluster_id").cast("decimal(38,0)")))
+        .first().getDecimal(0)
+    var prevSum = labelSum(labels)
     // rounds needed = component diameter; near-dup groups are shallow,
     // but a long incremental-edit chain can be deep — so the cap is
     // generous and non-convergence FAILS LOUDLY below (silent partial
@@ -618,16 +628,14 @@ object Dedup {
       val next = labels.unionByName(prop)
         .groupBy("doc_id").agg(min(col("cluster_id")).as("cluster_id"))
         .cache() // truncate lineage growth across rounds
-      val changed = next.as("n")
-        .join(labels.as("o"), Seq("doc_id"))
-        .filter(col("n.cluster_id") =!= col("o.cluster_id")).count()
-      // `next` is materialized by the count above, so the previous
-      // round's cache can go — without this, every round leaks a cached
-      // copy of the label table for the life of the session
+      val newSum = labelSum(next) // also materializes next's cache
+      // the previous round's cache can go — without this, every round
+      // leaks a cached copy of the label table for the session lifetime
       cached.foreach(_.unpersist(blocking = false))
       cached = Some(next)
       labels = next
-      converged = changed == 0
+      converged = newSum.compareTo(prevSum) == 0
+      prevSum = newSum
       round += 1
     }
     edges.unpersist(blocking = false)

@@ -177,18 +177,42 @@ object Vectors {
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
     val bands = Dedup.cosLshBands(e)
+    // each unordered pair joins and pays its cosine ONCE (a < b, as in
+    // dedupCosineLsh), then both directed edges emit from a one-pass
+    // explode — bit-exact vs the oracle's <> join because cosine is
+    // symmetric at the bit level (per-term products and the norm product
+    // commute). Halves the join output and the map-side cosine work
+    // relative to joining with =!= directly.
     val cand = bands.as("a").join(bands.as("b"),
         col("a.tbl") === col("b.tbl") && col("a.sig") === col("b.sig") &&
-        col("a.vec_id") =!= col("b.vec_id"))
+        col("a.vec_id") < col("b.vec_id"))
       // cosine BEFORE the pair dedup, as in dedupCosineLsh: multi-table
       // re-collisions re-verify map-side, the exchange carries only
       // (id, id, cosine)
-      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("nn_id"),
-              cosine(col("a.v"), col("b.v")).as("cosine"))
-      .dropDuplicates("vec_id", "nn_id")
+      .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
+              cosine(col("a.v"), col("b.v")).as("c"))
+      .select(explode(array(
+        struct(col("va").as("vec_id"), col("vb").as("nn_id"),
+               col("c").as("cosine")),
+        struct(col("vb").as("vec_id"), col("va").as("nn_id"),
+               col("c").as("cosine")))).as("e"))
+      .select(col("e.vec_id").as("vec_id"), col("e.nn_id").as("nn_id"),
+              col("e.cosine").as("cosine"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("vec_id").orderBy(desc("cosine"), asc("nn_id"))
-    cand.withColumn("nn_rank", row_number().over(w))
+    // pair dedup FUSED into the ranking pass: a duplicate (the same pair
+    // re-colliding in another table) has bit-identical (cosine, nn_id),
+    // so duplicates are ADJACENT in the window order and a lag probe
+    // marks all but the first — one vec_id-keyed exchange total, instead
+    // of a full-candidate (vec_id, nn_id) dedup shuffle followed by the
+    // window shuffle (measured 5.4s → ~2s at sf0.1). The rank window
+    // after the filter reuses the same partitioning and sort.
+    cand
+      .withColumn("dup",
+        lag(col("nn_id"), 1).over(w) === col("nn_id") &&
+        lag(col("cosine"), 1).over(w) === col("cosine"))
+      .filter(!coalesce(col("dup"), lit(false)))
+      .withColumn("nn_rank", row_number().over(w))
       .filter(col("nn_rank") <= 3)
       .select(col("vec_id"), col("nn_rank"), col("nn_id"), col("cosine"))
       .orderBy("vec_id", "nn_rank")

@@ -18,6 +18,15 @@ case class SessionOut(user_id: Long, start: java.sql.Timestamp,
   * the state-row codegen in janino). */
 case class SessionState(startMs: Long, lastMs: Long, count: Long)
 
+/** Timestamped typed input for stateful transition detection. */
+case class TransEvent(user_id: Long, ts: java.sql.Timestamp,
+                      event_type: String)
+/** One observed per-user transition (previous event → this event). */
+case class Transition(user_id: Long, from_type: String, to_type: String,
+                      gap_ms: Long)
+/** Per-user last-event state for [[Streams.transitions]]. */
+case class LastEvent(lastMs: Long, lastType: String)
+
 /** A document arriving on a stream (near-dup candidate detection). */
 case class DocIn(doc_id: Long, text: String)
 /** An LSH band row of a streamed document. */
@@ -157,6 +166,39 @@ object Streams {
             }
             closed.result().iterator
           }
+      }
+  }
+
+  /** Per-user event-transition stream — the streaming counterpart of the
+    * batch `event_transitions` lead window: state carries each user's
+    * last event, and every arriving event emits its (from → to, gap)
+    * edge incrementally. State is O(1) per user (one timestamp + one
+    * type), so it never grows with stream length — unlike a naive
+    * "window over unbounded history". Assumes per-user in-order arrival
+    * (the per-key ordering a partitioned log guarantees); an
+    * out-of-order tolerant variant would buffer behind a watermark and
+    * flush like [[sessionizeStateful]]. StreamingSpec asserts the
+    * micro-batched run equals the batch lead window on the same rows,
+    * including transitions that SPAN micro-batch boundaries. */
+  def transitions(ds: Dataset[TransEvent]): Dataset[Transition] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+                              GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[TransEvent],
+         state: GroupState[LastEvent]) =>
+          val sorted = rows.toSeq.sortBy(_.ts.getTime)
+          val out = Seq.newBuilder[Transition]
+          var last = state.getOption
+          sorted.foreach { e =>
+            last.foreach { l =>
+              out += Transition(uid, l.lastType, e.event_type,
+                                e.ts.getTime - l.lastMs)
+            }
+            last = Some(LastEvent(e.ts.getTime, e.event_type))
+          }
+          last.foreach(state.update)
+          out.result().iterator
       }
   }
 

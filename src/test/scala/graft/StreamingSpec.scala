@@ -125,6 +125,45 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stateful transitions match the batch lead window, across batches") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.{Streams, TransEvent, Transition}
+    // per-user in-order feed, split so u1's and u2's chains SPAN the
+    // micro-batch boundary (the state handoff under test)
+    val b1 = Seq(TransEvent(1, ts(0), "click"), TransEvent(1, ts(1), "view"),
+                 TransEvent(2, ts(2), "buy"))
+    val b2 = Seq(TransEvent(1, ts(5), "buy"), TransEvent(2, ts(8), "click"),
+                 TransEvent(2, ts(9), "buy"))
+    val mem = MemoryStream[TransEvent]
+    val name = s"trans_${System.nanoTime()}"
+    val q = Streams.transitions(mem.toDS()).writeStream
+      .format("memory").queryName(name).outputMode("append").start()
+    val got = try {
+      mem.addData(b1); q.processAllAvailable()
+      mem.addData(b2); q.processAllAvailable()
+      spark.table(name).as[Transition].collect().toSet
+    } finally q.stop()
+    // batch oracle: the same lead window the event_transitions query uses
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts")
+    val want = (b1 ++ b2).toDF("user_id", "ts", "event_type")
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .withColumn("gap_ms",
+        lead(unix_millis(col("ts")), 1).over(w) - unix_millis(col("ts")))
+      .filter(col("to_type").isNotNull)
+      .select(col("user_id"), col("event_type"), col("to_type"), col("gap_ms"))
+      .as[(Long, String, String, Long)].collect()
+      .map(t => Transition(t._1, t._2, t._3, t._4)).toSet
+    assert(got === want)
+    // the boundary-spanning edges are present (state carried over)
+    assert(got.contains(Transition(1, "view", "buy",
+      ts(5).getTime - ts(1).getTime)))
+    assert(got.contains(Transition(2, "buy", "click",
+      ts(8).getTime - ts(2).getTime)))
+  }
+
   test("stream-static broadcast join enriches events, keeps unmatched") {
     val spark2 = spark
     import spark2.implicits._
