@@ -410,6 +410,39 @@ object Relational {
                asc_nulls_first("o_orderpriority"))
   }
 
+  /** Explicit GROUPING SETS (completes §2.5 alongside rollup/cube) —
+    * arbitrary grouping combinations in ONE pass with `grouping()`
+    * indicator columns disambiguating real NULL keys from subtotal rows
+    * (the indicator is part of the output contract; consumers routing on
+    * NULL alone misread any null-keyed group). Same expand+aggregate
+    * physical shape as rollup/cube: rows replicate once per set
+    * (bounded ×3 here), then partial+final hash aggregation. */
+  val aggGroupingSets: Q = Q(
+    "agg_grouping_sets",
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+      |  CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+      |  count(*) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+      |ORDER BY g_flag, g_status,
+      |  l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+  ) { (s, d) =>
+    Tables.lineitem(s, d)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+            Seq(col("l_returnflag")), Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping(col("l_returnflag")).cast("int").as("g_flag"),
+           grouping(col("l_linestatus")).cast("int").as("g_status"),
+           count(lit(1)).as("n"),
+           asDouble(sum(money(col("l_quantity")))).as("sum_qty"))
+      .orderBy(col("g_flag"), col("g_status"),
+               asc_nulls_first("l_returnflag"),
+               asc_nulls_first("l_linestatus"))
+  }
+
   /** Full-outer join (completes the equi-join family: inner/left via
     * denormalize, semi/anti, full here) — orders-per-day vs lineitems
     * shipped-per-day keyed by date, unmatched sides surface as nulls. */
@@ -1005,5 +1038,6 @@ object Relational {
     joinOuter, aggPivot, aggStats, generatorPosexplode, sampleStratified,
     aggSalted, aggQuantile, aggQuantileSketch, setopsAll, topkPaged, aggCorr,
     aggHistogram, aggStringagg, profileTable, outlierZscore, scalarMath,
-    scalarDatetimeExt, scalarStringExt, aggMode, scalarNullSemantics, unpivotStack, joinSalted)
+    scalarDatetimeExt, scalarStringExt, aggMode, scalarNullSemantics,
+    unpivotStack, joinSalted, aggGroupingSets)
 }

@@ -192,6 +192,46 @@ object Windows {
       .orderBy("o_custkey", "day_n", "o_orderkey")
   }
 
+  /** Navigation-function family: ntile bucketing plus
+    * first/nth/last_value with IGNORE NULLS — the "carry the last known
+    * reading forward / grab the nth observation" window shapes. The
+    * null-bearing column is derived deterministically (error events
+    * report no value) so IGNORE NULLS has real nulls to skip. All
+    * outputs are picks of existing doubles (no arithmetic) over a
+    * provably-total order (event_id is unique) — exact parity. Same
+    * single user-keyed shuffle as every window here; the two frames
+    * (running and unbounded) share one Window partition/sort. */
+  val windowNavigation: Q = Q(
+    "window_navigation",
+    """WITH e AS (SELECT user_id, event_id, ts,
+      |    CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
+      |  FROM events)
+      |SELECT user_id, event_id,
+      |  ntile(4) OVER w AS quartile,
+      |  first_value(v IGNORE NULLS) OVER w AS first_v,
+      |  nth_value(v, 2 IGNORE NULLS) OVER w AS second_v,
+      |  last_value(v IGNORE NULLS) OVER (PARTITION BY user_id
+      |    ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_v
+      |FROM e
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |ORDER BY user_id, event_id""".stripMargin
+  ) { (s, d) =>
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val wFull = w.rowsBetween(Window.unboundedPreceding,
+                              Window.unboundedFollowing)
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        when(col("event_type") === "error", lit(null))
+          .otherwise(col("value")).as("v"))
+      .select(col("user_id"), col("event_id"),
+        ntile(4).over(w).as("quartile"),
+        first(col("v"), ignoreNulls = true).over(w).as("first_v"),
+        nth_value(col("v"), 2, ignoreNulls = true).over(w).as("second_v"),
+        last(col("v"), ignoreNulls = true).over(wFull).as("last_v"))
+      .orderBy("user_id", "event_id")
+  }
+
   val all: Seq[Q] = Seq(windowRank, windowRunning, udafWeighted,
-    windowDistribution, windowMoving, windowRangeFrame)
+    windowDistribution, windowMoving, windowRangeFrame, windowNavigation)
 }

@@ -221,6 +221,38 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("NestedLoopJoin"))
   }
 
+  test("runtime bloom filter prunes the fact side of a selective fact-fact join") {
+    // THE 100 TB fact-fact join mechanism: when one shuffle-join side has
+    // a selective filter, Catalyst injects a bloom filter built from it
+    // into the other side's scan stage, so most of the big side drops
+    // BEFORE the shuffle. Local thresholds are sized for clusters, so
+    // lower them to demonstrate the rewrite on test data; on defaults the
+    // same plan appears once the creation side exceeds ~10 MB.
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+      .map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "500MB")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      import org.apache.spark.sql.functions._
+      val li = graft.Tables.lineitem(spark, sf0001)
+      val ord = graft.Tables.orders(spark, sf0001)
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val joined = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority").agg(sum(col("l_quantity")).as("q"))
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("might_contain"),
+        s"expected a runtime bloom filter on the lineitem side:\n${p.take(1200)}")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   test("knn_join_lsh joins bands on (tbl, sig), never a cartesian product") {
     val p = plan(Vectors.knnJoinLsh)
     assert(!p.contains("CartesianProduct") && !p.contains("NestedLoopJoin"),
