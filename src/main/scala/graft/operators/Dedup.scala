@@ -660,8 +660,11 @@ object Dedup {
     * two-join pattern e1=(a,b) ⋈ e2=(b,c) ⋈ e3=(a,c) — joins are keyed
     * by vertex, fan-out bounded by max degree (already capped upstream
     * by the PostingCap stop-list; at web scale the further refinement is
-    * degree-ascending orientation). Identical pair subtrees collapse via
-    * exchange reuse. */
+    * degree-ascending orientation). The pair list — the SMALL output of
+    * the banded candidate join — is materialized ONCE (localCheckpoint)
+    * before the census: the three consumers join/aggregate on different
+    * keys, so nothing reuses across their subtrees otherwise (measured:
+    * five full scans of the candidate pipeline without it). */
   val graphTriangles: Q = Q(
     "graph_triangles",
     s"""WITH $pairsCteSql
@@ -675,7 +678,7 @@ object Dedup {
       |        JOIN pairs e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b)
       |    AS BIGINT) AS n_triangles""".stripMargin
   ) { (s, d) =>
-    val p = dedupNgram.fn(s, d).select("doc_a", "doc_b")
+    val p = dedupNgram.fn(s, d).select("doc_a", "doc_b").localCheckpoint()
     val nEdges = p.agg(count(lit(1)).as("n_edges"))
     val nNodes = p
       .select(explode(array(col("doc_a"), col("doc_b"))).as("dd"))
@@ -686,7 +689,7 @@ object Dedup {
                         col("e3.doc_b") === col("e2.doc_b"))
       .agg(count(lit(1)).as("n_triangles"))
     nEdges.crossJoin(nNodes).crossJoin(nTriangles)
-  }
+  }.copy(eager = true) // pair-list materialization runs at plan build
 
   val all: Seq[Q] = Seq(dedupExact, dedupNgram, dedupMinhash,
     dedupIncremental, dedupSimhash, dedupCosine, dedupCosineLsh,

@@ -37,5 +37,40 @@ object Multimodal {
     ).orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(multimodalMeta)
+  /** Feature extraction through the REAL typed media path: the batched
+    * `mapPartitions` pipeline ([[graft.multimodal.Media.features]] — the
+    * mapInPandas analogue that a production embed/decode model plugs
+    * into) runs over text-as-bytes blobs, and its byte-histogram outputs
+    * are value-checked against a pure-SQL oracle. This pins the typed
+    * path's semantics (batching, encoders, per-partition iteration)
+    * with a hash compare, not just a spec. Narrow/no-shuffle: blobs
+    * never leave their partition; only (id, stats) rows flow on. */
+  val multimodalFeatures: Q = Q(
+    "multimodal_features",
+    """WITH b AS (SELECT doc_id, unnest([ascii(c) FOR c IN string_split(text, '')]) AS byte
+      |           FROM documents),
+      |pc AS (SELECT doc_id, byte, count(*) AS c FROM b GROUP BY 1, 2)
+      |SELECT doc_id AS media_id,
+      |  CAST(sum(c) AS INT) AS n_bytes,
+      |  CAST(sum(byte * c) AS DOUBLE) / sum(c) AS mean_byte,
+      |  CAST(count(*) AS INT) AS n_distinct,
+      |  CAST(max(c) AS BIGINT) AS top_byte_n
+      |FROM pc GROUP BY 1 ORDER BY 1""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    import graft.multimodal.Media
+    val rows = Tables.documents(s, d)
+      .select(col("doc_id").as("media_id"), lit("text").as("kind"),
+              col("text").cast("binary").as("content"))
+      .as[Media.MediaRow]
+    Media.features(rows).toDF()
+      .select(col("media_id"),
+        col("nBytes").as("n_bytes"),
+        col("mean").as("mean_byte"),
+        size(filter(col("histogram"), _ > 0)).as("n_distinct"),
+        array_max(col("histogram")).as("top_byte_n"))
+      .orderBy("media_id")
+  }
+
+  val all: Seq[Q] = Seq(multimodalMeta, multimodalFeatures)
 }
