@@ -268,6 +268,67 @@ object Corpus {
         .join(broadcast(contaminated), Seq("doc_id"), "left_anti"))
   }
 
+  /** Source-mixture rebalancing (pretraining data mixing): temperature
+    * flattening with T = 2 — each source keeps
+    * `rate = min(1, sqrt(n_min / n_source))` of its documents, so small
+    * sources survive whole while dominant sources are downsampled toward
+    * a flatter mixture (the standard alternative to upweighting when
+    * replication is off the table). Membership is the same salted-hash
+    * Bernoulli as `corpus_split`/`sample_stratified`: a pure function of
+    * (doc_id, salt), stable under repartitioning, retries, and appends.
+    *
+    * Exactness by construction: every rate is derived ONLY from exact
+    * integer counts via int/int double division, `sqrt` (correctly
+    * rounded by IEEE 754 in both engines), and `floor` to integer ppm —
+    * no cross-source float SUM whose accumulation order could differ.
+    * Plan: two tiny aggregates (per-source counts, global min), the
+    * rates BROADCAST onto the document stream, one narrow filter, one
+    * final aggregate — the corpus shuffles once. */
+  val corpusMix: Q = Q(
+    "corpus_mix",
+    """WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+      |m AS (SELECT min(n_docs) AS n_min FROM c),
+      |r AS (SELECT source, n_docs,
+      |        least(1000000, CAST(floor(1000000 * sqrt(CAST(n_min AS DOUBLE) / n_docs)) AS BIGINT)) AS rate_ppm
+      |      FROM c, m),
+      |s AS (SELECT d.source, count(*) AS n_sampled
+      |      FROM documents d JOIN r ON d.source = r.source
+      |      WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':mix7'), 1, 7)) AS BIGINT) % 1000000 < r.rate_ppm
+      |      GROUP BY 1)
+      |SELECT r.source, CAST(r.n_docs AS BIGINT) AS n_docs, r.rate_ppm,
+      |  CAST(s.n_sampled AS BIGINT) AS n_sampled,
+      |  CAST(s.n_sampled AS DOUBLE) / sum(s.n_sampled) OVER () AS share
+      |FROM r JOIN s ON r.source = s.source
+      |ORDER BY r.source""".stripMargin
+  ) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val c = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+    val m = c.agg(min(col("n_docs")).as("n_min"))
+    val r = c.crossJoin(broadcast(m))
+      .select(col("source"), col("n_docs"),
+        least(lit(1000000L),
+          floor(lit(1000000d) *
+            sqrt(col("n_min").cast("double") / col("n_docs"))))
+          .as("rate_ppm"))
+    val slot = conv(substring(md5(
+        concat(col("doc_id").cast("string"), lit(":mix7")).cast("binary")),
+        1, 7), 16, 10).cast("long") % 1000000L
+    val sampled = docs.join(broadcast(r), Seq("source"))
+      .filter(slot < col("rate_ppm"))
+      .groupBy("source").agg(count(lit(1)).as("n_sampled"))
+    // the share window runs over the per-source result (≤ |sources|
+    // rows), so the empty partitionBy is a 20-row single task, not a
+    // corpus-wide funnel
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+    r.join(sampled, Seq("source"))
+      .select(col("source"), col("n_docs"), col("rate_ppm"),
+        col("n_sampled"),
+        (col("n_sampled").cast("double") / sum(col("n_sampled")).over(wAll))
+          .as("share"))
+      .orderBy("source")
+  }
+
   val all: Seq[Q] = Seq(corpusSplit, corpusPack, corpusSelect, docChunk,
-    corpusDecontaminate)
+    corpusDecontaminate, corpusMix)
 }

@@ -254,6 +254,15 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("corpus_mix broadcasts the per-source rates onto the document stream") {
+    val p = plan(graft.operators.Corpus.corpusMix)
+    assert(p.contains("BroadcastHashJoin"),
+      s"rates must broadcast, not shuffle the corpus:\n${p.take(800)}")
+    // the single-row n_min attach is a broadcast nested loop (fine);
+    // an unbroadcast cartesian product is not
+    assert(!p.contains("CartesianProduct"), p.take(800))
+  }
+
   test("knn_join_lsh joins bands on (tbl, sig), never a cartesian product") {
     val p = plan(Vectors.knnJoinLsh)
     assert(!p.contains("CartesianProduct") && !p.contains("NestedLoopJoin"),
