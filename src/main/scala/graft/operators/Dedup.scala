@@ -580,8 +580,10 @@ object Dedup {
     *
     * Output: every document with its cluster representative (min doc_id
     * in component) — `cluster_id == doc_id` marks the survivor. */
-  val dedupCluster: Q = Q(
-    "dedup_cluster",
+  /** Recursive-CTE transitive closure over the same pair graph — the ONE
+    * oracle for both cluster resolutions ([[dedupCluster]] and
+    * [[dedupClusterStar]]), which must agree with it and each other. */
+  private lazy val clusterOracleSql: String =
     s"""WITH RECURSIVE
       |$pairsCteSql,
       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
@@ -592,6 +594,10 @@ object Dedup {
       |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON r.doc_id = e.src)
       |SELECT doc_id, min(lbl) AS cluster_id
       |FROM reach GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  val dedupCluster: Q = Q(
+    "dedup_cluster",
+    clusterOracleSql
   ) { (s, d) =>
     // symmetrize in ONE pass over the pair subtree (a union of two
     // selects would evaluate the whole ngram candidate join twice)
@@ -652,6 +658,88 @@ object Dedup {
     result.orderBy("doc_id")
   }.copy(eager = true) // convergence loop runs jobs at plan-build time
 
+  /** Hash-to-min connected components (Rastogi et al., "Finding
+    * Connected Components in MapReduce and Beyond" — the sub-linear-round
+    * family that [[dedupCluster]]'s Scaladoc names as the deep-graph
+    * upgrade): each round every node's candidate set C(u) = {u} ∪ N(u)
+    * broadcasts its minimum to all members AND gathers all members onto
+    * the minimum, so component minima spread along paths of DOUBLING
+    * length — O(log diameter) rounds where plain min-label propagation
+    * needs O(diameter). Worth it when near-dup chains are deep
+    * (incremental-edit histories); for shallow dup groups min-label's
+    * 2-shuffles-per-round constant wins.
+    *
+    * Convergence: per-node minima are monotone non-increasing (u keeps
+    * its own min via the self-loop emission), so a stable DECIMAL
+    * label-sum is the cheap plateau probe; because hash-to-min can
+    * plateau transiently, stability is then CONFIRMED by checking the
+    * labeling is constant across every original edge — sufficient for
+    * correctness, not just convergence: labels are always component
+    * members with l(u) ≤ u, so an edge-constant labeling is exactly
+    * "every node carries its component minimum".
+    *
+    * Returns (labels, rounds). Caller must pass MATERIALIZED pairs (the
+    * loop re-reads them every round). */
+  private[graft] def componentsHashToMin(
+      pairs: DataFrame, nodes: DataFrame,
+      maxRounds: Int = 50): (DataFrame, Int) = {
+    val origEdges = pairs.select(col("doc_a"), col("doc_b"))
+    // localCheckpoint (not cache) every round: each round's plan refers
+    // to `rel` TWICE (min table + rewrite join), so without lineage
+    // TRUNCATION the logical plan doubles per round — exponential in
+    // rounds, and the O(log d) round count is the whole point here.
+    // Checkpointing replaces the plan with the materialized partitions.
+    var rel = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .unionByName(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
+      .unionByName(nodes.select(col("doc_id").as("u"),
+                                col("doc_id").as("v")))
+      .distinct().localCheckpoint()
+    def decSum(df: DataFrame, c: String): java.math.BigDecimal =
+      df.agg(sum(col(c).cast("decimal(38,0)"))).first().getDecimal(0)
+    var prevSum: java.math.BigDecimal = null
+    var m: DataFrame = null
+    var rounds = 0
+    var done = false
+    while (!done && rounds < maxRounds) {
+      m = rel.groupBy("u").agg(min(col("v")).as("m"))
+      val s = decSum(m, "m")
+      if (prevSum != null && s.compareTo(prevSum) == 0) {
+        // plateau — confirm the labeling is constant across edges
+        val bad = origEdges
+          .join(m.select(col("u").as("doc_a"), col("m").as("la")), Seq("doc_a"))
+          .join(m.select(col("u").as("doc_b"), col("m").as("lb")), Seq("doc_b"))
+          .filter(col("la") =!= col("lb")).count()
+        done = bad == 0
+      }
+      if (!done) {
+        val withM = rel.join(m, Seq("u"))
+        rel = withM.select(col("v").as("u"), col("m").as("v"))
+          .unionByName(withM.select(col("m").as("u"), col("v")))
+          .distinct().localCheckpoint()
+      }
+      prevSum = s
+      rounds += 1
+    }
+    require(done,
+      s"hash-to-min did not converge in $maxRounds rounds")
+    val labels = m.select(col("u").as("doc_id"), col("m").as("cluster_id"))
+      .localCheckpoint()
+    (labels, rounds)
+  }
+
+  /** [[dedupCluster]]'s output computed by [[componentsHashToMin]] —
+    * same survivors, same oracle, O(log diameter) rounds. DedupSpec
+    * additionally proves the logarithmic round count on a deep synthetic
+    * chain and exact agreement with min-label propagation. */
+  val dedupClusterStar: Q = Q(
+    "dedup_cluster_star",
+    clusterOracleSql
+  ) { (s, d) =>
+    val pairs = dedupNgram.fn(s, d).select("doc_a", "doc_b").localCheckpoint()
+    val nodes = Tables.documents(s, d).select("doc_id")
+    componentsHashToMin(pairs, nodes)._1.orderBy("doc_id")
+  }.copy(eager = true) // convergence loop runs jobs at plan build
+
   /** Triangle census of the near-dup pair graph — the structural health
     * check of a dedup run (dup groups are cliques, so a high
     * triangle-per-edge ratio says the pair generator is finding coherent
@@ -693,5 +781,5 @@ object Dedup {
 
   val all: Seq[Q] = Seq(dedupExact, dedupNgram, dedupMinhash,
     dedupIncremental, dedupSimhash, dedupCosine, dedupCosineLsh,
-    dedupCluster, graphTriangles)
+    dedupCluster, dedupClusterStar, graphTriangles)
 }

@@ -348,6 +348,29 @@ class DedupSpec extends SparkSpec {
     assert(ann.keySet.intersect(brute.keySet).nonEmpty)
   }
 
+  test("hash-to-min components: 200-deep chain converges in O(log d) rounds") {
+    import spark.implicits._
+    val n = 200
+    // a single path 0-1-2-...-200: diameter 200, so min-label propagation
+    // would need ~200 rounds; hash-to-min doubles reach per round
+    val pairs = (0L until n).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+      .localCheckpoint()
+    val nodes = (0L to n).toDF("doc_id")
+    val (labels, rounds) = Dedup.componentsHashToMin(pairs, nodes)
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == n + 1 && got.values.forall(_ == 0L),
+      "every node of the chain must label to the component min 0")
+    assert(rounds <= 12, s"expected logarithmic convergence, took $rounds")
+  }
+
+  test("dedup_cluster_star equals min-label dedup_cluster on the corpus") {
+    val viaStar = Dedup.dedupClusterStar.fn(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaLabel = Dedup.dedupCluster.fn(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaStar === viaLabel)
+  }
+
   test("knn_join_lsh: exact cosines, ranked per vector, useful recall@1") {
     import org.apache.spark.sql.functions._
     import graft.functions.VectorOps._
