@@ -421,7 +421,43 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Cross-document repeated-SPAN census (the C4/RefinedWeb span-dedup
+    * decision input): for every document, how many of its distinct
+    * 3-token spans also occur in at least one OTHER document. Unlike
+    * [[graft.operators.Dedup.dedupNgram]] (doc-pair Jaccard) this is
+    * span-level — it flags boilerplate fragments inside otherwise-unique
+    * documents. Plan shape: the global document frequency rides back on
+    * the span rows via a span-keyed WINDOW (no self-join of the span
+    * table, no broadcast — the span table is corpus-sized), then one
+    * per-doc aggregate: exactly two shuffles for a corpus-global
+    * statistic. Portable hashes make it value-checked. */
+  val spanDedup: Q = Q(
+    "span_dedup", {
+      val ph = graft.functions.expressions.PortableHash
+        .duckdbSql("array_to_string(toks[i:i+2],' ')")
+      s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+         |sh AS (SELECT doc_id,
+         |  unnest(list_distinct([$ph FOR i IN range(1, len(toks)-1)])) AS sgl
+         |  FROM t WHERE len(toks) >= 3),
+         |c AS (SELECT doc_id, count(*) OVER (PARTITION BY sgl) AS df FROM sh)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+         |  CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+         |  CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS dup_frac
+         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
+    }
+  ) { (s, d) =>
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("sgl")
+    graft.operators.Dedup.shingleHashesPortable(s, d)
+      .withColumn("df", count(lit(1)).over(w))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+           sum(when(col("df") >= 2, 1).otherwise(0)).as("n_dup_spans"))
+      .select(col("doc_id"), col("n_spans"), col("n_dup_spans"),
+        (col("n_dup_spans").cast("double") / col("n_spans")).as("dup_frac"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(textTokens, textQuality, langId, textFingerprint,
     textTfidf, textNormalize, textRepetition, piiRedact, ngramFreq,
-    textContamination, textTokenBpe, textPerplexity)
+    textContamination, textTokenBpe, textPerplexity, spanDedup)
 }

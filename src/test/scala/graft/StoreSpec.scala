@@ -25,6 +25,29 @@ class StoreSpec extends SparkSpec {
       .map(_.getString(0)).toSeq === Seq("aced-a"))
   }
 
+  test("schema evolution: new column readable everywhere, old rows null") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("store-evolve").toString
+    val store = new Store(root)
+    store.put(sampleDf) // v1 schema: (project_id, resource_type, id)
+    // a later import ships an extra column; the dynamic overwrite only
+    // touches its own partition, and the schema sidecar advances to v2
+    // (newest-schema-wins), so v1 partitions read as NULL for the new
+    // column instead of failing or being invisible
+    val v2 = Seq(("aced-c", "Patient", "p9", "high"))
+      .toDF("project_id", "resource_type", "id", "priority")
+    store.put(v2)
+    val all = store.read(spark)
+    assert(all.columns.contains("priority"))
+    assert(all.count() === 4)
+    val old = all.filter(col("project_id") === "aced-a")
+    assert(old.count() === 2)
+    assert(old.filter(col("priority").isNull).count() === 2,
+      "pre-evolution rows must surface the new column as NULL")
+    val neu = all.filter(col("project_id") === "aced-c").collect()
+    assert(neu.length === 1 && neu(0).getAs[String]("priority") === "high")
+  }
+
   test("put is idempotent per partition (reference reload semantics)") {
     val root = Files.createTempDirectory("store-idem").toString
     val store = new Store(root)
