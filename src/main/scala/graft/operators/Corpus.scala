@@ -329,6 +329,37 @@ object Corpus {
       .orderBy("source")
   }
 
+  /** Deterministic epoch shuffle: the order a training run consumes the
+    * corpus in, as a pure function of (doc_id, epoch). Each document
+    * hashes to a shard and to a rank WITHIN that shard, so the permutation
+    * is reproducible (resume-safe, re-run-safe) and materializes with one
+    * shard-keyed shuffle + per-shard sort — never a single global sort
+    * task (a naive ORDER BY hash funnels 100 TB through one range sort;
+    * here the shard IS the output file, which is how epochs actually
+    * ship). A different epoch constant re-deals everything. Ties are
+    * impossible: rank orders by (hash, doc_id), a total key. */
+  val corpusShuffle: Q = Q(
+    "corpus_shuffle",
+    """WITH h AS (SELECT doc_id,
+      |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':epoch1'), 1, 15)) AS BIGINT) AS hv
+      |  FROM documents)
+      |SELECT doc_id, CAST(hv % 8 AS INT) AS shard,
+      |  CAST(row_number() OVER (PARTITION BY hv % 8 ORDER BY hv, doc_id) AS INT) AS pos
+      |FROM h ORDER BY shard, pos""".stripMargin
+  ) { (s, d) =>
+    val hv = conv(substring(md5(
+        concat(col("doc_id").cast("string"), lit(":epoch1")).cast("binary")),
+        1, 15), 16, 10).cast("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy("hv", "doc_id")
+    Tables.documents(s, d)
+      .select(col("doc_id"), hv.as("hv"))
+      .withColumn("shard", (col("hv") % 8).cast("int"))
+      .withColumn("pos", row_number().over(w))
+      .select(col("doc_id"), col("shard"), col("pos"))
+      .orderBy("shard", "pos")
+  }
+
   val all: Seq[Q] = Seq(corpusSplit, corpusPack, corpusSelect, docChunk,
-    corpusDecontaminate, corpusMix)
+    corpusDecontaminate, corpusMix, corpusShuffle)
 }
