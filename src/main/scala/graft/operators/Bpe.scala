@@ -137,6 +137,20 @@ object Bpe {
       .orderBy("doc_id")
   }.copy(eager = true)
 
+  /** Apply learned merge RULES to an arbitrary word column — true
+    * tokenizer application, which unlike the vocab-table join of
+    * [[bpeEncode]] also segments words never seen at training time
+    * (the serving-time path). Rules fold in rank order as chained
+    * Catalyst [[mergePair]] projections: merges.length nested folds, a
+    * pure narrow expression — no join, no shuffle, no driver state at
+    * apply time. BpeSpec proves rule application equals the trained
+    * vocab lookup on every training word and degrades gracefully
+    * (chars + end mark, partially merged) on unseen words. */
+  private[graft] def applyMerges(word: Column, merges: Seq[Merge]): Column =
+    merges.foldLeft(
+      concat(split(word, ""), array(lit(EndMark)))
+    )((syms, mg) => mergePair(syms, mg.lhs, mg.rhs))
+
   /** Independent in-memory reference (plain Scala, no Spark) — the spec
     * oracle for [[learnMerges]]. Same tie-break, same greedy
     * left-to-right merge semantics. */

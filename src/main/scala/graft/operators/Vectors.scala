@@ -145,6 +145,25 @@ object Vectors {
       .limit(20)
   }
 
+  /** The SQL API surface as a driver-visible query: the SAME brute-force
+    * top-k as [[vectorTopk]], but authored entirely in `spark.sql` text
+    * over a temp view, with the native `cosine_sim` expression resolved
+    * through the [[graft.plans.GraftExtensions]] function registry — the
+    * path a SQL-first user of this engine takes. Identical oracle,
+    * identical plan shape (broadcast single-row query side +
+    * TakeOrderedAndProject); hash-equality with the DataFrame variant is
+    * the registration-correctness proof. */
+  val sqlVectorTopk: Q = Q("sql_vector_topk", vectorTopk.oracle.get) { (s, d) =>
+    graft.plans.GraftExtensions.register(s)
+    Tables.embeddings(s, d).createOrReplaceTempView("emb")
+    s.sql("""SELECT e.vec_id, e.label, cosine_sim(e.embedding, q.qv) AS cosine
+            |FROM emb e CROSS JOIN
+            |  (SELECT CAST(embedding AS array<double>) AS qv FROM emb
+            |   WHERE vec_id = 0) q
+            |WHERE e.vec_id <> 0
+            |ORDER BY cosine DESC, vec_id LIMIT 20""".stripMargin)
+  }
+
   private def knnLshOracleSql: String =
     s"""WITH ${Dedup.cosLshCandSql("<>", "vec_id", "nn_id")},
        |r AS (SELECT vec_id, nn_id, cosine,
@@ -472,5 +491,6 @@ object Vectors {
   }
 
   val all: Seq[Q] = Seq(vectorTopk, vectorAnnLsh, vectorAnnIvf,
-    vectorTopkBatch, vectorQuantize, vectorCentroid, knnJoinLsh)
+    vectorTopkBatch, vectorQuantize, vectorCentroid, knnJoinLsh,
+    sqlVectorTopk)
 }

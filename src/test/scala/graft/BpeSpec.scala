@@ -52,6 +52,27 @@ class BpeSpec extends SparkSpec {
     assert(got.map(_.merged).distinct.length == got.length)
   }
 
+  test("rule application equals vocab lookup on training words, handles unseen") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val (merges, vocab) = Bpe.learnMerges(Bpe.wordFreq(spark, sf0001),
+                                          Bpe.NMerges)
+    // every training word: folding the merge rules over raw characters
+    // must reproduce the trained symbol sequence exactly
+    val mismatch = vocab
+      .withColumn("applied", Bpe.applyMerges(col("w"), merges))
+      .filter(col("applied") =!= col("syms")).count()
+    assert(mismatch === 0L)
+    // an UNSEEN word still segments: known subword merges apply where
+    // they match, leftover characters stay atomic
+    val unseen = Seq("zzqueryzz").toDF("w")
+      .select(Bpe.applyMerges(col("w"), merges).as("syms"))
+      .collect()(0).getSeq[String](0)
+    assert(unseen.last.endsWith(Bpe.EndMark))
+    assert(unseen.mkString == "zzqueryzz" + Bpe.EndMark,
+      "segmentation must preserve the word's characters in order")
+  }
+
   test("encode fertility is consistent with the trained vocab") {
     val enc = Bpe.bpeEncode.fn(spark, sf0001).collect()
     assert(enc.nonEmpty)
