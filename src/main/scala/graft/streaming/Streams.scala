@@ -202,6 +202,25 @@ object Streams {
       }
   }
 
+  /** Streaming CDC apply: every micro-batch of keyed updates MERGEs into
+    * the [[graft.pipeline.Store]] via `upsertProject` (stage-then-swap),
+    * so the store always holds the latest version of each key — the
+    * "change stream → serving table" shape. Per-batch merge is
+    * idempotent for a replayed batch (same keys, same rows), which is
+    * exactly the retry semantics foreachBatch needs. The store must be
+    * bootstrapped (first full load via `put`) before streaming updates,
+    * mirroring real CDC onboarding. Caller drives/stops the returned
+    * query (tests: `processAllAvailable`). */
+  def upsertStream(updates: DataFrame, store: graft.pipeline.Store,
+                   projectId: String, key: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    updates.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          store.upsertProject(batch.sparkSession, projectId, batch, key)
+      }
+      .start()
+
   /** Incremental batch-drain: process everything currently available in
     * a streaming source, then stop — the scheduled-ingest shape (a cron
     * job that picks up only files that arrived since the last run, with

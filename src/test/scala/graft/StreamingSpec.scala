@@ -125,6 +125,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("foreachBatch CDC apply: streamed upserts merge into the Store") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.pipeline.Store
+    val root = java.nio.file.Files.createTempDirectory("store-cdc").toString
+    val store = new Store(root)
+    // bootstrap full load, then stream changes — real CDC onboarding
+    store.put(Seq(("aced-a", "Patient", "p1", 1L), ("aced-a", "Patient", "p2", 1L))
+      .toDF("project_id", "resource_type", "id", "ver"))
+    val mem = MemoryStream[(String, String, String, Long)]
+    val q = graft.streaming.Streams.upsertStream(
+      mem.toDF().toDF("project_id", "resource_type", "id", "ver"),
+      store, "aced-a", "id")
+    def state(): Map[String, Long] =
+      store.readProject(spark, "aced-a").select("id", "ver").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    try {
+      mem.addData(Seq(("aced-a", "Patient", "p1", 2L)))
+      q.processAllAvailable()
+      assert(state() === Map("p1" -> 2L, "p2" -> 1L), "update lands, rest intact")
+      mem.addData(Seq(("aced-a", "Patient", "p2", 2L),
+                      ("aced-a", "Patient", "p3", 1L)))
+      q.processAllAvailable()
+      assert(state() === Map("p1" -> 2L, "p2" -> 2L, "p3" -> 1L),
+        "second batch updates p2 and inserts p3")
+    } finally q.stop()
+  }
+
   test("stateful transitions match the batch lead window, across batches") {
     val spark2 = spark
     import spark2.implicits._
