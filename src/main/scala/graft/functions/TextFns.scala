@@ -20,4 +20,15 @@ object TextFns {
 
   /** Whitespace tokens. */
   def tokens(text: Column): Column = split(text, " ")
+
+  /** Deterministic salted hash value from an md5 prefix — the ONE
+    * portable-Bernoulli/permutation primitive behind `sample_stratified`,
+    * `corpus_mix`, and `corpus_shuffle` (each pairs it with its own
+    * DuckDB mirror `('0x' || substr(md5(key || salt), 1, hexChars))::BIGINT`).
+    * `hexChars` ≤ 15 keeps the value in positive Long range. Inclusion/
+    * ordering decisions built on it are pure functions of (key, salt):
+    * stable under repartitioning, retries, and appends. */
+  def saltedHash(key: Column, salt: String, hexChars: Int): Column =
+    conv(substring(md5(concat(key.cast("string"), lit(salt))
+      .cast("binary")), 1, hexChars), 16, 10).cast("long")
 }

@@ -310,9 +310,8 @@ object Corpus {
           floor(lit(1000000d) *
             sqrt(col("n_min").cast("double") / col("n_docs"))))
           .as("rate_ppm"))
-    val slot = conv(substring(md5(
-        concat(col("doc_id").cast("string"), lit(":mix7")).cast("binary")),
-        1, 7), 16, 10).cast("long") % 1000000L
+    val slot =
+      graft.functions.TextFns.saltedHash(col("doc_id"), ":mix7", 7) % 1000000L
     val sampled = docs.join(broadcast(r), Seq("source"))
       .filter(slot < col("rate_ppm"))
       .groupBy("source").agg(count(lit(1)).as("n_sampled"))
@@ -347,9 +346,7 @@ object Corpus {
       |  CAST(row_number() OVER (PARTITION BY hv % 8 ORDER BY hv, doc_id) AS INT) AS pos
       |FROM h ORDER BY shard, pos""".stripMargin
   ) { (s, d) =>
-    val hv = conv(substring(md5(
-        concat(col("doc_id").cast("string"), lit(":epoch1")).cast("binary")),
-        1, 15), 16, 10).cast("long")
+    val hv = graft.functions.TextFns.saltedHash(col("doc_id"), ":epoch1", 15)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("shard").orderBy("hv", "doc_id")
     Tables.documents(s, d)

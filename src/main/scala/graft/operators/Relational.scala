@@ -885,6 +885,46 @@ object Relational {
     * digits DuckDB's direct decimal→double is off by an ulp (not
     * correctly rounded) while Spark's BigDecimal.doubleValue is; strtod
     * is correctly rounded in both (see docs/ORACLE_PARITY.md). */
+  /** Robust outlier detection via MEDIAN absolute deviation — the
+    * companion to [[outlierZscore]] for heavy-tailed data where the mean
+    * and stddev are themselves dragged by the outliers (|x − med| >
+    * 3·1.4826·MAD ≈ the robust 3σ rule). Two exact per-group medians
+    * (the declared-exact [[aggQuantile]] family; `percentile_approx` is
+    * the 100 TB sketch path) with the tiny per-type tables BROADCAST
+    * back onto the stream — events shuffle only for the percentile
+    * groupings. Parity: same percentile ↔ quantile_cont interpolation as
+    * agg_quantile; deviations and thresholds are pure double arithmetic
+    * on identical bits. */
+  val outlierMad: Q = Q(
+    "outlier_mad",
+    """WITH m AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+      |           FROM events GROUP BY 1),
+      |d AS (SELECT e.event_type, m.med, abs(e.value - m.med) AS adev
+      |      FROM events e JOIN m USING (event_type)),
+      |md AS (SELECT event_type, quantile_cont(adev, 0.5) AS mad
+      |       FROM d GROUP BY 1)
+      |SELECT d.event_type, CAST(max(d.med) AS DOUBLE) AS med,
+      |  CAST(max(md.mad) AS DOUBLE) AS mad, count(*) AS n,
+      |  CAST(sum(CASE WHEN d.adev > 4.4478 * md.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+      |FROM d JOIN md USING (event_type)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+  ) { (s, d) =>
+    val ev = Tables.events(s, d).select(col("event_type"), col("value"))
+    val med = ev.groupBy("event_type")
+      .agg(expr("percentile(value, 0.5)").as("med"))
+    val dev = ev.join(broadcast(med), Seq("event_type"))
+      .withColumn("adev", abs(col("value") - col("med")))
+    val mad = dev.groupBy("event_type")
+      .agg(expr("percentile(adev, 0.5)").as("mad"))
+    dev.join(broadcast(mad), Seq("event_type"))
+      .groupBy("event_type")
+      .agg(max(col("med")).as("med"), max(col("mad")).as("mad"),
+           count(lit(1)).as("n"),
+           sum(when(col("adev") > lit(4.4478) * col("mad"), 1).otherwise(0))
+             .as("n_outliers"))
+      .orderBy("event_type")
+  }
+
   val outlierZscore: Q = Q(
     "outlier_zscore",
     """WITH g AS (SELECT l_returnflag, count(*) AS n,
@@ -959,9 +999,8 @@ object Relational {
       |WHERE slot < CASE o_orderstatus WHEN 'F' THEN 100 WHEN 'O' THEN 500 ELSE 1000 END
       |GROUP BY 1 ORDER BY o_orderstatus""".stripMargin
   ) { (s, d) =>
-    val slot = conv(substring(md5(
-        concat(col("o_orderkey").cast("string"), lit(":s42")).cast("binary")),
-        1, 7), 16, 10).cast("long") % 1000
+    val slot =
+      graft.functions.TextFns.saltedHash(col("o_orderkey"), ":s42", 7) % 1000
     val keep = when(col("o_orderstatus") === "F", 100)
       .when(col("o_orderstatus") === "O", 500).otherwise(1000)
     Tables.orders(s, d)
@@ -1039,5 +1078,5 @@ object Relational {
     aggSalted, aggQuantile, aggQuantileSketch, setopsAll, topkPaged, aggCorr,
     aggHistogram, aggStringagg, profileTable, outlierZscore, scalarMath,
     scalarDatetimeExt, scalarStringExt, aggMode, scalarNullSemantics,
-    unpivotStack, joinSalted, aggGroupingSets)
+    unpivotStack, joinSalted, aggGroupingSets, outlierMad)
 }
