@@ -224,6 +224,50 @@ object Streaming {
       .orderBy("user_id", "hour")
   }
 
+  /** Gaps-and-islands sessionization: the SQL formulation of what
+    * [[streamSession]] gets from `session_window` — a session-break flag
+    * (gap > 5 min) cumulatively summed per user numbers the sessions,
+    * then one aggregate per (user, session). The two window passes and
+    * the aggregate all key by user, so events shuffle ONCE; gap math is
+    * exact BIGINT millis over a provably-total order (event_id breaks
+    * ts ties). The technique matters beyond sessions: any "number the
+    * runs of consecutive rows" problem (downtime intervals, streak
+    * analysis) is this exact plan. */
+  val sessionizeGaps: Q = Q(
+    "sessionize_gaps",
+    """WITH g AS (SELECT user_id, epoch_ms(ts) AS ms,
+      |    CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts))
+      |           OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |         > 300000 THEN 1 ELSE 0 END AS brk
+      |  FROM events),
+      |s AS (SELECT user_id, ms,
+      |    sum(brk) OVER (PARTITION BY user_id ORDER BY ms
+      |                   ROWS UNBOUNDED PRECEDING) AS session_id
+      |  FROM g)
+      |SELECT user_id, CAST(session_id AS INT) AS session_id,
+      |  count(*) AS n_events,
+      |  CAST(min(ms) AS BIGINT) AS start_ms, CAST(max(ms) AS BIGINT) AS end_ms,
+      |  CAST(max(ms) - min(ms) AS BIGINT) AS duration_ms
+      |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  ) { (s, d) =>
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+    val wMs = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ms").rowsBetween(Long.MinValue, 0)
+    Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"),
+              unix_millis(col("ts")).as("ms"))
+      .withColumn("brk",
+        when(col("ms") - lag(col("ms"), 1).over(w) > 300000L, 1).otherwise(0))
+      .withColumn("session_id", sum(col("brk")).over(wMs).cast("int"))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+           min(col("ms")).as("start_ms"), max(col("ms")).as("end_ms"),
+           (max(col("ms")) - min(col("ms"))).as("duration_ms"))
+      .orderBy("user_id", "session_id")
+  }
+
   val all: Seq[Q] = Seq(streamTumbling, streamHopping, streamSession,
-    resampleGapfill, funnel, retentionCohort, eventTransitions, ohlcBars)
+    resampleGapfill, funnel, retentionCohort, eventTransitions, ohlcBars,
+    sessionizeGaps)
 }
