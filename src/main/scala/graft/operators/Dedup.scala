@@ -527,7 +527,7 @@ object Dedup {
     * one narrow codegen pass (8 tables × 6 native-cosine sign tests per
     * row, exploded to 8 rows). Shared by [[dedupCosineLsh]] and
     * `knn_join_lsh` in [[Vectors]]. Input must carry (vec_id, v). */
-  private[operators] def cosLshBands(e: DataFrame): DataFrame = {
+  private[graft] def cosLshBands(e: DataFrame): DataFrame = {
     import graft.functions.VectorOps._
     e.select(col("vec_id"), col("v"),
       explode(array((0 until CosLshTables).map { t =>

@@ -22,6 +22,34 @@ class TaskMetricsSpec extends SparkSpec {
     assert(proj.inputRecords > 0)
   }
 
+  test("kNN fused window-dedup shuffles less than dropDuplicates + window") {
+    // the knn_join_lsh design claim, measured: deduping candidate pairs
+    // INSIDE the ranking window (lag probe) skips the separate
+    // (vec_id, nn_id)-keyed dedup exchange the naive formulation pays
+    import graft.functions.VectorOps._
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    val bands = graft.operators.Dedup.cosLshBands(e)
+    def cand = bands.as("a").join(bands.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.sig") === col("b.sig") &&
+        col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("nn_id"),
+              cosine(col("a.v"), col("b.v")).as("cosine"))
+    val w = Window.partitionBy("vec_id").orderBy(desc("cosine"), asc("nn_id"))
+    val (_, fused) = TaskMetrics.measure(spark) {
+      runNoop(graft.operators.Vectors.knnJoinLsh.fn(spark, sf0001))
+    }
+    val (_, naive) = TaskMetrics.measure(spark) {
+      runNoop(cand.dropDuplicates("vec_id", "nn_id")
+        .withColumn("nn_rank", row_number().over(w))
+        .filter(col("nn_rank") <= 3)
+        .orderBy("vec_id", "nn_rank"))
+    }
+    assert(fused.shuffleWriteBytes < naive.shuffleWriteBytes,
+      s"fused=$fused naive=$naive")
+  }
+
   test("aggregate-then-join shuffles less than join-then-aggregate") {
     // the denormalize_patient design claim, measured: pre-aggregating
     // orders to one row per customer before the join moves less data
