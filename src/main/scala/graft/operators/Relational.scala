@@ -885,6 +885,43 @@ object Relational {
     * digits DuckDB's direct decimal→double is off by an ulp (not
     * correctly rounded) while Spark's BigDecimal.doubleValue is; strtod
     * is correctly rounded in both (see docs/ORACLE_PARITY.md). */
+  /** Equi-DEPTH histogram (quantile-edged buckets) — the profiling
+    * complement to the equi-width `agg_histogram`: bucket edges come
+    * from the data's quartiles, so each bucket holds ~25% of rows
+    * regardless of skew (the shape optimizers and monitors actually
+    * want). One exact percentile pass produces the three edges as a
+    * single row BROADCAST back onto the stream; bucketing is a pure
+    * projection and the count is one partial+final aggregate. Same
+    * percentile ↔ quantile_cont parity as agg_quantile; `<=` edge
+    * comparisons act on identical bits. */
+  val aggHistogramEqd: Q = Q(
+    "agg_histogram_eqd",
+    """WITH e AS (SELECT quantile_cont(value, [0.25, 0.5, 0.75]) AS q
+      |           FROM events),
+      |b AS (SELECT CASE WHEN value <= q[1] THEN 0
+      |                  WHEN value <= q[2] THEN 1
+      |                  WHEN value <= q[3] THEN 2 ELSE 3 END AS bucket,
+      |             value
+      |      FROM events, e)
+      |SELECT bucket, count(*) AS n,
+      |  CAST(min(value) AS DOUBLE) AS lo, CAST(max(value) AS DOUBLE) AS hi
+      |FROM b GROUP BY 1 ORDER BY 1""".stripMargin
+  ) { (s, d) =>
+    val ev = Tables.events(s, d).select(col("value"))
+    val edges = ev.agg(
+      expr("percentile(value, array(0.25, 0.5, 0.75))").as("q"))
+    ev.crossJoin(broadcast(edges))
+      .select(col("value"),
+        when(col("value") <= element_at(col("q"), 1), 0)
+          .when(col("value") <= element_at(col("q"), 2), 1)
+          .when(col("value") <= element_at(col("q"), 3), 2)
+          .otherwise(3).as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+           min(col("value")).as("lo"), max(col("value")).as("hi"))
+      .orderBy("bucket")
+  }
+
   /** Robust outlier detection via MEDIAN absolute deviation — the
     * companion to [[outlierZscore]] for heavy-tailed data where the mean
     * and stddev are themselves dragged by the outliers (|x − med| >
@@ -1078,5 +1115,5 @@ object Relational {
     aggSalted, aggQuantile, aggQuantileSketch, setopsAll, topkPaged, aggCorr,
     aggHistogram, aggStringagg, profileTable, outlierZscore, scalarMath,
     scalarDatetimeExt, scalarStringExt, aggMode, scalarNullSemantics,
-    unpivotStack, joinSalted, aggGroupingSets, outlierMad)
+    unpivotStack, joinSalted, aggGroupingSets, outlierMad, aggHistogramEqd)
 }
