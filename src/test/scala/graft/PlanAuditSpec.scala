@@ -263,6 +263,33 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(800))
   }
 
+  test("sessionize_gaps: both windows and the aggregate ride one user shuffle") {
+    val p = plan(graft.operators.Streaming.sessionizeGaps)
+    assert("Window".r.findAllIn(p).size >= 2, p.take(600))
+    // user-keyed exchange + final sort; the second window and the
+    // per-session aggregate must reuse the user partitioning
+    assert("Exchange".r.findAllIn(p).size <= 3,
+      s"events must shuffle once for sessionization:\n${p.take(800)}")
+  }
+
+  test("span_dedup: global df via span-keyed window, no self-join") {
+    val p = plan(graft.operators.TextAnalysis.spanDedup)
+    assert(p.contains("Window"), p.take(600))
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoopJoin"))
+    assert("Join".r.findAllIn(p).isEmpty,
+      s"df must ride the window, not a join:\n${p.take(800)}")
+  }
+
+  test("outlier_mad / agg_histogram_eqd broadcast their tiny stats tables") {
+    val pm = plan(graft.operators.Relational.outlierMad)
+    assert(pm.contains("BroadcastHashJoin"), pm.take(600))
+    val ph = plan(graft.operators.Relational.aggHistogramEqd)
+    assert(ph.contains("BroadcastNestedLoopJoin") ||
+           ph.contains("BroadcastHashJoin"),
+      s"single-row edges must broadcast:\n${ph.take(600)}")
+    assert(!ph.contains("CartesianProduct"))
+  }
+
   test("knn_join_lsh joins bands on (tbl, sig), never a cartesian product") {
     val p = plan(Vectors.knnJoinLsh)
     assert(!p.contains("CartesianProduct") && !p.contains("NestedLoopJoin"),
