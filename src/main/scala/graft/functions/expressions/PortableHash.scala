@@ -44,4 +44,12 @@ object PortableHash {
     * JVM implementation). */
   def duckdbSql(e: String): String =
     s"CAST(('0x' || substr(md5($e), 1, 15)) AS BIGINT)"
+
+  /** DuckDB mirror of [[graft.functions.TextFns.saltedHash]] — the
+    * md5-prefix salted-slot idiom used by the Bernoulli/permutation
+    * queries (`sample_stratified`, `corpus_mix`, `corpus_shuffle`,
+    * `training_manifest`). One renderer so the SQL cannot drift from
+    * the Column implementation. */
+  def duckdbSaltedSql(keyExpr: String, salt: String, hexChars: Int): String =
+    s"CAST(('0x' || substr(md5(CAST($keyExpr AS VARCHAR) || '$salt'), 1, $hexChars)) AS BIGINT)"
 }

@@ -284,16 +284,42 @@ object Corpus {
     * Plan: two tiny aggregates (per-source counts, global min), the
     * rates BROADCAST onto the document stream, one narrow filter, one
     * final aggregate — the corpus shuffles once. */
+  /** (source, n_docs, rate_ppm) — the T=2 temperature-flattening rates
+    * for whatever corpus frame is passed (full corpus in [[corpusMix]],
+    * the selected slice in [[trainingManifest]]). Rates derive ONLY from
+    * exact integer counts via correctly-rounded sqrt/floor. */
+  private def mixRates(docs: DataFrame): DataFrame = {
+    val c = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+    val m = c.agg(min(col("n_docs")).as("n_min"))
+    c.crossJoin(broadcast(m))
+      .select(col("source"), col("n_docs"),
+        least(lit(1000000L),
+          floor(lit(1000000d) *
+            sqrt(col("n_min").cast("double") / col("n_docs"))))
+          .as("rate_ppm"))
+  }
+
+  /** The matching oracle CTEs (`c`, `m`, `r`) over a FROM-able relation. */
+  private def mixRatesSql(rel: String): String =
+    s"""c AS (SELECT source, count(*) AS n_docs FROM $rel GROUP BY 1),
+       |m AS (SELECT min(n_docs) AS n_min FROM c),
+       |r AS (SELECT source, n_docs,
+       |        least(1000000, CAST(floor(1000000 * sqrt(CAST(n_min AS DOUBLE) / n_docs)) AS BIGINT)) AS rate_ppm
+       |      FROM c, m)""".stripMargin
+
+  private def mixSlotSql(keyExpr: String): String =
+    graft.functions.expressions.PortableHash
+      .duckdbSaltedSql(keyExpr, ":mix7", 7) + " % 1000000"
+
+  private def mixSlot: org.apache.spark.sql.Column =
+    graft.functions.TextFns.saltedHash(col("doc_id"), ":mix7", 7) % 1000000L
+
   val corpusMix: Q = Q(
     "corpus_mix",
-    """WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
-      |m AS (SELECT min(n_docs) AS n_min FROM c),
-      |r AS (SELECT source, n_docs,
-      |        least(1000000, CAST(floor(1000000 * sqrt(CAST(n_min AS DOUBLE) / n_docs)) AS BIGINT)) AS rate_ppm
-      |      FROM c, m),
+    s"""WITH ${mixRatesSql("documents")},
       |s AS (SELECT d.source, count(*) AS n_sampled
       |      FROM documents d JOIN r ON d.source = r.source
-      |      WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':mix7'), 1, 7)) AS BIGINT) % 1000000 < r.rate_ppm
+      |      WHERE ${mixSlotSql("d.doc_id")} < r.rate_ppm
       |      GROUP BY 1)
       |SELECT r.source, CAST(r.n_docs AS BIGINT) AS n_docs, r.rate_ppm,
       |  CAST(s.n_sampled AS BIGINT) AS n_sampled,
@@ -302,18 +328,9 @@ object Corpus {
       |ORDER BY r.source""".stripMargin
   ) { (s, d) =>
     val docs = Tables.documents(s, d)
-    val c = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
-    val m = c.agg(min(col("n_docs")).as("n_min"))
-    val r = c.crossJoin(broadcast(m))
-      .select(col("source"), col("n_docs"),
-        least(lit(1000000L),
-          floor(lit(1000000d) *
-            sqrt(col("n_min").cast("double") / col("n_docs"))))
-          .as("rate_ppm"))
-    val slot =
-      graft.functions.TextFns.saltedHash(col("doc_id"), ":mix7", 7) % 1000000L
+    val r = mixRates(docs)
     val sampled = docs.join(broadcast(r), Seq("source"))
-      .filter(slot < col("rate_ppm"))
+      .filter(mixSlot < col("rate_ppm"))
       .groupBy("source").agg(count(lit(1)).as("n_sampled"))
     // the share window runs over the per-source result (≤ |sources|
     // rows), so the empty partitionBy is a 20-row single task, not a
@@ -339,8 +356,9 @@ object Corpus {
     * impossible: rank orders by (hash, doc_id), a total key. */
   val corpusShuffle: Q = Q(
     "corpus_shuffle",
-    """WITH h AS (SELECT doc_id,
-      |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':epoch1'), 1, 15)) AS BIGINT) AS hv
+    s"""WITH h AS (SELECT doc_id,
+      |    ${graft.functions.expressions.PortableHash
+               .duckdbSaltedSql("doc_id", ":epoch1", 15)} AS hv
       |  FROM documents)
       |SELECT doc_id, CAST(hv % 8 AS INT) AS shard,
       |  CAST(row_number() OVER (PARTITION BY hv % 8 ORDER BY hv, doc_id) AS INT) AS pos
@@ -357,6 +375,54 @@ object Corpus {
       .orderBy("shard", "pos")
   }
 
+  /** The WHOLE last mile as one declarative query — the flagship
+    * composition a training team actually runs: quality × language ×
+    * exact-dedup SELECT ([[corpusSelect]]'s shared pipeline), T=2 source
+    * MIXING over the selected slice ([[mixRates]] — rates computed on
+    * what survived selection, not the raw corpus), deterministic epoch
+    * SHUFFLE to shards ([[corpusShuffle]]'s salted permutation), and the
+    * per-shard manifest (docs, tokens, source spread) that ships to the
+    * trainer. Every stage reuses the SAME Scala helpers and SQL
+    * renderers as its standalone query, so the composition can never
+    * drift from the parts. Plan: select is narrow + two broadcast-able
+    * joins; rates broadcast; shard assignment is a projection; one final
+    * aggregate — the corpus shuffles exactly once (the manifest
+    * aggregate), everything upstream rides scans and broadcasts. */
+  val trainingManifest: Q = Q(
+    "training_manifest",
+    s"""WITH ${selectCtesSql("", "")},
+       |sd AS (SELECT sel.doc_id, sel.n_tokens, d.source
+       |       FROM sel JOIN documents d USING (doc_id)
+       |       WHERE sel.predicted <> 'und'),
+       |${mixRatesSql("sd")},
+       |keep AS (SELECT sd.doc_id, sd.n_tokens, sd.source
+       |         FROM sd JOIN r ON sd.source = r.source
+       |         WHERE ${mixSlotSql("sd.doc_id")} < r.rate_ppm),
+       |sh AS (SELECT n_tokens, source,
+       |         ${graft.functions.expressions.PortableHash
+                    .duckdbSaltedSql("doc_id", ":epoch1", 15)} % 8 AS shard
+       |       FROM keep)
+       |SELECT CAST(shard AS INT) AS shard, count(*) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+       |  CAST(count(DISTINCT source) AS INT) AS n_sources
+       |FROM sh GROUP BY 1 ORDER BY 1""".stripMargin
+  ) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val sel = qualityLang(docs)
+      .join(survivorsOf(docs), Seq("doc_id"), "left_semi")
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+    val kept = sel.join(broadcast(mixRates(sel)), Seq("source"))
+      .filter(mixSlot < col("rate_ppm"))
+    kept
+      .withColumn("shard",
+        (graft.functions.TextFns.saltedHash(col("doc_id"), ":epoch1", 15)
+          % 8).cast("int"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"),
+           countDistinct(col("source")).cast("int").as("n_sources"))
+      .orderBy("shard")
+  }
+
   val all: Seq[Q] = Seq(corpusSplit, corpusPack, corpusSelect, docChunk,
-    corpusDecontaminate, corpusMix, corpusShuffle)
+    corpusDecontaminate, corpusMix, corpusShuffle, trainingManifest)
 }
