@@ -204,6 +204,58 @@ object Pipeline {
       .orderBy("id")
   }
 
+  /** Data-quality validation (the Deequ/dbt-tests operator family): a
+    * rule set evaluated as per-rule violation counts — range, ordering,
+    * positivity, null, and referential-integrity checks over the fact
+    * table. The import gate a production ETL runs before committing a
+    * load (the reference trusts its upstream dictionary validation;
+    * engine-side DQ is the scale-era replacement). Plan: all row-local
+    * rules fold into ONE conditional aggregate over a single scan; the
+    * referential check is a broadcast-able anti-join count; the rule
+    * rows union tiny single-row aggregates — the fact table is read
+    * once per rule CLASS, never per rule. */
+  val dqChecks: Q = Q(
+    "dq_checks",
+    """WITH li AS (SELECT
+      |    CAST(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) AS BIGINT) AS qty_range,
+      |    CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 0.1 THEN 1 ELSE 0 END) AS BIGINT) AS disc_range,
+      |    CAST(sum(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS price_pos,
+      |    CAST(sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS flag_null
+      |  FROM lineitem),
+      |orph AS (SELECT CAST(count(*) AS BIGINT) AS n FROM lineitem l
+      |         WHERE NOT EXISTS (SELECT 1 FROM orders o
+      |                           WHERE o.o_orderkey = l.l_orderkey))
+      |SELECT 'l_extendedprice_positive' AS rule, price_pos AS n_violations FROM li
+      |UNION ALL SELECT 'l_orderkey_resolves', n FROM orph
+      |UNION ALL SELECT 'l_quantity_in_range', qty_range FROM li
+      |UNION ALL SELECT 'l_returnflag_not_null', flag_null FROM li
+      |UNION ALL SELECT 'l_discount_in_range', disc_range FROM li
+      |ORDER BY rule""".stripMargin
+  ) { (s, d) =>
+    val li = Tables.lineitem(s, d)
+    def viol(c: org.apache.spark.sql.Column) =
+      sum(when(c, 1).otherwise(0))
+    val rowRules = li.agg(
+      viol(col("l_quantity") < 1 || col("l_quantity") > 50).as("qty_range"),
+      viol(col("l_discount") < 0 || col("l_discount") > 0.1)
+        .as("disc_range"),
+      viol(col("l_extendedprice") <= 0).as("price_pos"),
+      viol(col("l_returnflag").isNull).as("flag_null"))
+    val orphans = li.join(Tables.orders(s, d)
+        .select(col("o_orderkey").as("l_orderkey")),
+        Seq("l_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("n"))
+    def rule(name: String, c: String) =
+      rowRules.select(lit(name).as("rule"), col(c).as("n_violations"))
+    rule("l_extendedprice_positive", "price_pos")
+      .unionByName(orphans.select(lit("l_orderkey_resolves").as("rule"),
+                                  col("n").as("n_violations")))
+      .unionByName(rule("l_quantity_in_range", "qty_range"))
+      .unionByName(rule("l_returnflag_not_null", "flag_null"))
+      .unionByName(rule("l_discount_in_range", "disc_range"))
+      .orderBy("rule")
+  }
+
   val all: Seq[Q] = Seq(simplifyFlatten, denormalizePatient, graphEdges,
-    graphTwohop, discoverySummary, ingestNdjson, snapshotExport)
+    graphTwohop, discoverySummary, ingestNdjson, snapshotExport, dqChecks)
 }
