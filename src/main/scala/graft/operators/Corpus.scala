@@ -121,16 +121,17 @@ object Corpus {
   // language — in both the Spark plan and the oracle CTEs, so the
   // decontaminated variant can never drift from the base select.
 
-  /** (doc_id, n_tokens, predicted) of quality-passing, confidently
-    * language-identified documents — narrow projections fused into the
-    * scan. */
+  /** (doc_id, source, n_tokens, predicted) of quality-passing,
+    * confidently language-identified documents — narrow projections
+    * fused into the scan (source rides along so downstream consumers
+    * like [[trainingManifest]] never re-join the corpus for it). */
   private def qualityLang(docs: DataFrame): DataFrame = {
     val toks = split(col("text"), " ")
     val stopRatio =
       size(filter(toks, t => t.isin("the", "a", "of", "and", "is")))
         .cast("double") / size(toks)
     docs
-      .select(col("doc_id"),
+      .select(col("doc_id"), col("source"),
         size(toks).cast("long").as("n_tokens"),
         stopRatio.as("stopword_ratio"),
         TextAnalysis.predictLang(toks).as("predicted"))
@@ -384,10 +385,12 @@ object Corpus {
     * per-shard manifest (docs, tokens, source spread) that ships to the
     * trainer. Every stage reuses the SAME Scala helpers and SQL
     * renderers as its standalone query, so the composition can never
-    * drift from the parts. Plan: select is narrow + two broadcast-able
-    * joins; rates broadcast; shard assignment is a projection; one final
-    * aggregate — the corpus shuffles exactly once (the manifest
-    * aggregate), everything upstream rides scans and broadcasts. */
+    * drift from the parts. Plan: beyond [[corpusSelect]]'s own
+    * survivorship cost (digest aggregate + semi join — inherent to
+    * exact-dedup selection), the ADDED stages are corpus-shuffle-free:
+    * mix rates are tiny aggregates broadcast back, shard assignment is
+    * a pure projection, and the manifest aggregate reduces to 8 rows
+    * with map-side combine. */
   val trainingManifest: Q = Q(
     "training_manifest",
     s"""WITH ${selectCtesSql("", "")},
@@ -410,7 +413,6 @@ object Corpus {
     val docs = Tables.documents(s, d)
     val sel = qualityLang(docs)
       .join(survivorsOf(docs), Seq("doc_id"), "left_semi")
-      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
     val kept = sel.join(broadcast(mixRates(sel)), Seq("source"))
       .filter(mixSlot < col("rate_ppm"))
     kept
