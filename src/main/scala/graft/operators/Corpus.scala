@@ -15,11 +15,12 @@ import org.apache.spark.sql.functions._
   *    hash of the id, so assignment is stable under re-runs, re-orders,
   *    and incremental appends (the property a random() split lacks).
   *  - `corpus_pack`: a global prefix sum done the distributed way — a
-  *    coarse bucket pre-aggregation, a window over the (small) bucket
-  *    totals, and a broadcast of per-bucket offsets back onto the rows.
-  *    No single-partition window over the full corpus ever exists, so
-  *    the plan survives 100 TB (the naive `Window.orderBy(id)` with no
-  *    partitionBy funnels everything through ONE task).
+  *    two-level bucket/superbucket recursion where every window frame
+  *    proportional to corpus size carries a partitionBy and is bounded
+  *    by the bucket width; the single unpartitioned window sees n/W²
+  *    rows (constant at any plausible scale). The naive
+  *    `Window.orderBy(id)` with no partitionBy funnels everything
+  *    through ONE task; so does a one-level bucket scheme at 10¹² docs.
   *  - `corpus_select`: narrow quality/lang projections, one digest
   *    groupBy for survivorship, broadcast-friendly semi join.
   */
@@ -62,12 +63,18 @@ object Corpus {
     * stream layout): documents in doc_id order fill shards of
     * `Capacity` tokens; a document starts in the shard where its
     * preceding cumulative token count lands. The prefix sum is computed
-    * the distributed way: (1) coarse bucket per ~64 docs, (2) per-bucket
-    * token totals — a tiny frame, (3) running offset over buckets via a
-    * window THAT ONLY SEES BUCKET TOTALS, (4) broadcast the offsets back
-    * and finish with a per-bucket (bounded-size) window. The full corpus
-    * is never range-funneled through one task. Oracle: the naive global
-    * window in DuckDB — same math, different (non-scalable) plan. */
+    * the distributed way, recursed TWO levels so no frame anywhere is
+    * proportional to corpus size: (1) bucket per `W`=65536 docs →
+    * per-bucket totals (n/W rows); (2) superbucket per W buckets →
+    * per-superbucket totals (n/W² rows — 233 rows at 10¹² docs, a
+    * constant for any plausible corpus) where the ONLY unpartitioned
+    * window runs; (3) superbucket offsets broadcast down, bucket offsets
+    * finished by a window PARTITIONED by superbucket (≤ W rows/frame);
+    * (4) doc-level finish by a window PARTITIONED by bucket (≤ W
+    * rows/frame), the offsets joined back on the same bkt key the window
+    * shuffles on — the exchange is shared, never a corpus broadcast.
+    * Oracle: the naive global window in DuckDB — same math, different
+    * (non-scalable) plan. */
   val corpusPack: Q = Q(
     "corpus_pack",
     """WITH t AS (SELECT doc_id,
@@ -84,26 +91,44 @@ object Corpus {
   ) { (s, d) =>
     import org.apache.spark.sql.expressions.Window
     val Capacity = 2048L
+    // W bounds every partitioned window frame below; W² bounds the input
+    // of the single unpartitioned window (n/W² rows ≈ 233 at 10¹² docs)
+    val W = 65536L
     val t = Tables.documents(s, d)
       .select(col("doc_id"),
         size(split(col("text"), " ")).cast("long").as("n_tokens"),
-        // coarse bucket: ~64 docs each — the distributed prefix-sum unit
-        floor(col("doc_id") / 64).as("bkt"))
-    // per-bucket totals: a frame with n/64 rows
+        floor(col("doc_id") / W).as("bkt"))
+    // level 1: per-bucket totals — n/W rows, keyed for level 2
     val bucketTotals = t.groupBy("bkt")
       .agg(sum(col("n_tokens")).as("bkt_tokens"))
-    // running offset across buckets: window over BUCKET TOTALS only —
-    // single task, but over n/64 tiny rows, not the corpus
-    val wB = Window.orderBy("bkt")
+      .withColumn("sbkt", floor(col("bkt") / W))
+    // level 2: per-superbucket totals (n/W² rows). The only window with
+    // no partitionBy in the whole plan runs HERE, over effectively
+    // constant-size input — this is the recursion base, not a funnel.
+    val wS = Window.orderBy("sbkt")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val offsets = bucketTotals
+    val superOffsets = bucketTotals.groupBy("sbkt")
+      .agg(sum(col("bkt_tokens")).as("sbkt_tokens"))
+      .withColumn("sbkt_offset",
+        sum(col("sbkt_tokens")).over(wS) - col("sbkt_tokens"))
+      .select(col("sbkt"), col("sbkt_offset"))
+    // level-1 finish: running offset WITHIN each superbucket (≤ W bucket
+    // rows per frame); superbucket offsets are genuinely tiny → broadcast
+    val wB = Window.partitionBy("sbkt").orderBy("bkt")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offsets = bucketTotals.join(broadcast(superOffsets), Seq("sbkt"))
       .withColumn("bkt_offset",
-        sum(col("bkt_tokens")).over(wB) - col("bkt_tokens"))
+        col("sbkt_offset") + sum(col("bkt_tokens")).over(wB)
+          - col("bkt_tokens"))
       .select(col("bkt"), col("bkt_offset"))
-    // finish inside each bucket (bounded partition) + broadcast offsets
+    // level-0 finish inside each bucket (≤ W docs per frame). offsets is
+    // n/W rows — too big to broadcast at extreme scale — but the join key
+    // IS the window partition key, so the equi-join rides the same bkt
+    // hash partitioning the window needs anyway (AQE may still choose to
+    // broadcast when the side is small; both plans are exchange-minimal).
     val wD = Window.partitionBy("bkt").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    t.join(broadcast(offsets), Seq("bkt"))
+    t.join(offsets, Seq("bkt"))
       .withColumn("cum_before",
         col("bkt_offset") + sum(col("n_tokens")).over(wD) - col("n_tokens"))
       .groupBy(floor(col("cum_before").cast("double") / Capacity)

@@ -120,17 +120,33 @@ class PlanAuditSpec extends SparkSpec {
       "expected partial+final at (doc,bigram) and (doc) levels")
   }
 
-  test("corpus_pack: per-doc window is bucket-partitioned, offsets broadcast") {
-    val p = plan(graft.operators.Corpus.corpusPack)
-    // the full-corpus window must carry the bkt partition key; only the
-    // bucket-totals window (n/64 rows) may be unpartitioned
-    val windows = "Window \\[[^\\]]*\\], \\[([^\\]]*)\\]".r
-      .findAllMatchIn(p).map(_.group(1)).toSeq
-    assert(windows.nonEmpty, s"expected window operators:\n${p.take(600)}")
-    assert(windows.exists(_.contains("bkt")),
-      s"per-doc prefix sum should partition by bkt, got specs: $windows")
-    assert(p.contains("BroadcastHashJoin"),
-      "bucket offsets should broadcast back onto the rows")
+  test("corpus_pack: every corpus-proportional window is partitioned") {
+    // audit the LOGICAL plan's Window nodes directly: any window whose
+    // input is proportional to corpus size must carry a partitionBy; the
+    // one permitted unpartitioned window is the superbucket rollup, whose
+    // input is n/W² rows (constant at any plausible scale) — identified
+    // by sitting above BOTH aggregation levels.
+    val df = graft.operators.Corpus.corpusPack.fn(spark, sf0001)
+    val wins = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(wins.size >= 3, s"expected the 3-level prefix sum, got $wins")
+    val unpartitioned = wins.filter(_.partitionSpec.isEmpty)
+    assert(unpartitioned.size <= 1,
+      s"at most the superbucket window may be unpartitioned:\n$wins")
+    unpartitioned.foreach { w =>
+      val aggsBelow = w.collect {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+      }
+      assert(aggsBelow.size >= 2,
+        "the unpartitioned window must sit above both aggregation " +
+          s"levels (n/W² input), found ${aggsBelow.size} below:\n$w")
+    }
+    // doc-level and bucket-level prefix sums carry their partition keys
+    val specs = wins.map(_.partitionSpec.map(_.sql).mkString(","))
+    assert(specs.exists(s => s.contains("bkt") && !s.contains("sbkt")) &&
+           specs.exists(_.contains("sbkt")),
+      s"expected bkt- and sbkt-partitioned windows, got: $specs")
   }
 
   test("minhash signature step is map-only (no exchange before the bands)") {
