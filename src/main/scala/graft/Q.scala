@@ -17,8 +17,19 @@ final case class Q(
     name: String,
     fn: (SparkSession, String) => DataFrame,
     oracle: Option[String],
-    eager: Boolean = false
-)
+    eager: Boolean = false,
+    /** For oracles that can only be rendered AFTER the query has run —
+      * e.g. a trained-index query whose oracle inlines the trained
+      * artifact (vector_ann_ivf's centroids). The thunk may return None
+      * when the artifact does not exist yet (query never ran in this
+      * JVM); Verify dumps oracle SQL after running the queries, so the
+      * driver always sees the rendered form. */
+    oracleGen: Option[() => Option[String]] = None
+) {
+  /** The oracle as of now: a static oracle, or the generated one if its
+    * artifact is available. */
+  def oracleNow: Option[String] = oracleGen.map(_()).getOrElse(oracle)
+}
 
 object Q {
   def apply(name: String, oracle: String)(

@@ -40,5 +40,5 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    modules.flatMap(q => q.oracle.map(q.name -> _)).toMap
+    modules.flatMap(q => q.oracleNow.map(q.name -> _)).toMap
 }

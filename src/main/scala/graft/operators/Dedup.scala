@@ -315,18 +315,21 @@ object Dedup {
               col("bk.band").as("band"), col("bk.bhash").as("bhash"))
 
   /** Exact-Jaccard verify at τ=0.8: join candidate pairs back to the
-    * shingle sets. Broadcast both lookups — identical build subtrees
-    * collapse via ReuseExchange, so the shingle sets compute once. (At
-    * cluster scale with an unbroadcastable doc corpus these become two
-    * shuffle joins keyed by the candidate ids.) */
+    * shingle sets with two equi joins KEYED BY THE CANDIDATE IDS — never
+    * a broadcast of the corpus-sized shingle frame, so the path cannot
+    * OOM no matter how large the corpus grows. Candidates (the LSH
+    * collision output) are few by construction, so at small scale AQE
+    * freely downgrades either join to a broadcast of whichever side is
+    * actually small at runtime; at 100 TB both run as shuffle joins on
+    * the id, which is the plan the banding design budgets for. */
   private[graft] def jaccardVerify(cand: DataFrame, sh: DataFrame): DataFrame = {
     val jac = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
       size(array_union(col("sh_a"), col("sh_b")))
     cand
-      .join(broadcast(sh.select(col("doc_id").as("doc_a"),
-                                col("shingles").as("sh_a"))), Seq("doc_a"))
-      .join(broadcast(sh.select(col("doc_id").as("doc_b"),
-                                col("shingles").as("sh_b"))), Seq("doc_b"))
+      .join(sh.select(col("doc_id").as("doc_a"),
+                      col("shingles").as("sh_a")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"),
+                      col("shingles").as("sh_b")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"), jac.as("jaccard"))
       .filter(col("jaccard") >= 0.8)
       .orderBy("doc_a", "doc_b")

@@ -242,6 +242,7 @@ object Vectors {
   private val IvfK = 16
   private val IvfIters = 5
   private val IvfSampleCap = 4096
+  private val IvfNProbe = 3
 
   /** Seeded spherical k-means (Lloyd's iterations over L2-normalized
     * vectors, cosine ≡ dot): the IVF "training" step. Runs driver-side
@@ -314,6 +315,10 @@ object Vectors {
   private val centroidCache =
     new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Double]]]()
 
+  /** Cache key of the most recently trained keyed index — consumed by
+    * [[ivfOracleSql]]'s post-run oracle generator. */
+  @volatile private var lastIvfKey: Option[String] = None
+
   /** See [[Tables.fingerprint]] — keyed to the embeddings table. */
   private[graft] def embeddingsFingerprint(s: SparkSession, dir: String): String =
     Tables.fingerprint(s, dir, "embeddings")
@@ -332,7 +337,10 @@ object Vectors {
         k, IvfIters)
     }
     val cents = cacheKey match {
-      case Some(key) => centroidCache.computeIfAbsent(s"$key#$k", _ => train())
+      case Some(key) =>
+        val c = centroidCache.computeIfAbsent(s"$key#$k", _ => train())
+        lastIvfKey = Some(s"$key#$k")
+        c
       case None => train()
     }
     val spark = emb.sparkSession
@@ -355,32 +363,69 @@ object Vectors {
                                 nProbe: Int): DataFrame =
     q.crossJoin(broadcast(centroids))
       .select(col("qv"), col("cid"), cosine(col("qv"), col("cv")).as("csim"))
-      .orderBy(desc("csim")).limit(nProbe)
+      .orderBy(desc("csim"), asc("cid")).limit(nProbe)
       .select(col("cid").as("cell"), col("qv"))
 
+  /** DuckDB mirror of the IVF query with the TRAINED centroids inlined
+    * as literals — rendered post-run (training is deterministic per
+    * corpus, so the centroids ARE a fixed artifact of the run, exactly
+    * like the seeded LSH planes; they just aren't known until the query
+    * has trained). Same CAST('…' AS DOUBLE) literal route and the same
+    * left-fold cosine as [[lshOracleSql]], so assignment (`arg_max` ≡
+    * Spark `max_by`), probe, and the final ranking hash-compare
+    * bit-exactly. */
+  private[operators] def ivfOracleSql(cents: Seq[Seq[Double]]): String = {
+    def cos(a: String, b: String) =
+      s"list_sum([$a[i]*$b[i] FOR i IN range(1, len($a)+1)]) / " +
+        s"(sqrt(list_sum([x*x FOR x IN $a])) * sqrt(list_sum([x*x FOR x IN $b])))"
+    s"""WITH cents AS (SELECT j AS cid, pv AS cv FROM (VALUES
+       |    ${planesSql(cents)}) c(j, pv)),
+       |e AS (SELECT vec_id, label, [CAST(x AS DOUBLE) FOR x IN embedding] AS v
+       |      FROM embeddings WHERE vec_id <> 0),
+       |q AS (SELECT [CAST(x AS DOUBLE) FOR x IN embedding] AS qv
+       |      FROM embeddings WHERE vec_id = 0),
+       |asg AS (SELECT vec_id, arg_max(cid, cs) AS cell,
+       |          first(label) AS label, first(v) AS v
+       |        FROM (SELECT vec_id, label, v, cid, ${cos("v", "cv")} AS cs
+       |              FROM e CROSS JOIN cents)
+       |        GROUP BY vec_id),
+       |probe AS (SELECT cid AS cell, qv
+       |          FROM (SELECT qv, cid, ${cos("qv", "cv")} AS cs
+       |                FROM q CROSS JOIN cents)
+       |          ORDER BY cs DESC, cid LIMIT $IvfNProbe)
+       |SELECT vec_id, label, ${cos("v", "qv")} AS cosine
+       |FROM asg JOIN probe USING (cell)
+       |ORDER BY cosine DESC, vec_id LIMIT 20""".stripMargin
+  }
+
   /** IVF (inverted-file) ANN: coarse-quantize every vector to its
-    * nearest centroid cell, probe only the query's `NProbe` nearest
+    * nearest centroid cell, probe only the query's `IvfNProbe` nearest
     * cells. Centroids come from seeded spherical k-means over a bounded
     * deterministic sample ([[trainCentroids]]) — data-adaptive, so cells
     * track the corpus's cluster structure instead of a blind modulo
     * sample. Plan shape at 100 TB: the n×k assignment is a broadcast of k
     * centroids over one narrow pass; `cell` becomes a partition/cluster
-    * key so a probe reads NProbe/k of the data (VectorsSpec proves the
-    * partition prune on a persisted index). */
+    * key so a probe reads NProbe/k of the data (DedupSpec proves the
+    * partition prune on a persisted index). Oracle: [[ivfOracleSql]],
+    * generated after training — the full pipeline (assignment, probe,
+    * ranking) is value-checked, not rows-only. */
   val vectorAnnIvf: Q = Q.noOracle("vector_ann_ivf") { (s, d) =>
-    val NProbe = 3
     val emb = Tables.embeddings(s, d)
       .select(col("vec_id"), col("label"), toDouble(col("embedding")).as("v"))
     val centroids = ivfCentroids(emb.filter(col("vec_id") =!= 0),
                                  cacheKey = Some(embeddingsFingerprint(s, d)))
     val cells = assignCells(emb.filter(col("vec_id") =!= 0), centroids)
     val q = emb.filter(col("vec_id") === 0).select(col("v").as("qv"))
-    cells.join(broadcast(probeCells(q, centroids, NProbe)), Seq("cell"))
+    cells.join(broadcast(probeCells(q, centroids, IvfNProbe)), Seq("cell"))
       .select(col("vec_id"), col("label"),
               cosine(col("v"), col("qv")).as("cosine"))
       .orderBy(desc("cosine"), asc("vec_id"))
       .limit(20)
-  }.copy(eager = true) // index training collects a sample at plan-build
+  }.copy(
+    eager = true, // index training collects a sample at plan-build
+    oracleGen = Some(() =>
+      lastIvfKey.flatMap(k => Option(centroidCache.get(k)))
+        .map(cs => ivfOracleSql(cs.map(_.toSeq).toSeq))))
 
   /** Batched exact top-3 neighbors for a SET of query vectors (vec_id <
     * 5) — the realistic ANN serving shape (queries arrive in batches, not
@@ -466,9 +511,9 @@ object Vectors {
     * Parity note: a plain `avg` sums floating point in partition order,
     * which differs between engines in the last ulp; for the oracle gate
     * the sum is a LEFT FOLD OVER THE SORTED VALUE LIST in both engines —
-    * bit-exact. At 100 TB swap the fold for `avg` (collect_list per
-    * group is the non-scalable part; production centroids don't need
-    * last-ulp determinism). */
+    * bit-exact. At 100 TB call [[centroidFast]] instead (plain `avg`,
+    * partial+final, no collect_list; production centroids don't need
+    * last-ulp determinism — PropertiesSpec proves 1e-9 agreement). */
   val vectorCentroid: Q = Q(
     "vector_centroid",
     """WITH x AS (SELECT label, i,
@@ -491,6 +536,22 @@ object Vectors {
           .as("m"))
       .orderBy("label", "dim")
   }
+
+  /** PRODUCTION centroid path: the same (label, dim, n, m) frame as
+    * [[vectorCentroid]] but with a plain `avg` — partial+final hash
+    * aggregation, map-side combine, NO per-group collect_list — at the
+    * cost of last-ulp float determinism (avg accumulates in partition
+    * order). This is the path to run at 100 TB; the oracle query keeps
+    * the sorted fold only because the driver's hash compare needs
+    * bit-exact doubles. PropertiesSpec asserts both paths agree to 1e-9
+    * relative on every (label, dim). */
+  def centroidFast(emb: DataFrame): DataFrame =
+    emb
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "xf")))
+      .select(col("label"), (col("pos") + 1).cast("int").as("dim"),
+              col("xf").cast("double").as("x"))
+      .groupBy("label", "dim")
+      .agg(count(lit(1)).as("n"), avg(col("x")).as("m"))
 
   val all: Seq[Q] = Seq(vectorTopk, vectorAnnLsh, vectorAnnIvf,
     vectorTopkBatch, vectorQuantize, vectorCentroid, knnJoinLsh,

@@ -104,6 +104,23 @@ class PropertiesSpec extends SparkSpec {
     assert(Vectors.trainCentroids(sample.take(3), 8, 5).length === 3)
   }
 
+  test("centroidFast (production avg) agrees with the oracle fold to 1e-9") {
+    import graft.operators.Vectors
+    import org.apache.spark.sql.functions._
+    val oracle = Vectors.vectorCentroid.fn(spark, sf0001)
+      .select(col("label"), col("dim"), col("n"), col("m"))
+    val fast = Vectors.centroidFast(Tables.embeddings(spark, sf0001))
+      .select(col("label"), col("dim"), col("n").as("n2"), col("m").as("m2"))
+    val joined = oracle.join(fast, Seq("label", "dim")).collect()
+    assert(joined.nonEmpty && joined.length % 64 == 0)
+    joined.foreach { r =>
+      assert(r.getAs[Long]("n") === r.getAs[Long]("n2"))
+      val (m, m2) = (r.getAs[Double]("m"), r.getAs[Double]("m2"))
+      assert(math.abs(m - m2) <= 1e-9 * math.max(1.0, math.abs(m)),
+        s"(${r.get(0)}, ${r.get(1)}): fold $m vs avg $m2")
+    }
+  }
+
   test("int8 quantization: codes in [-127,127], error bounded by scale/2") {
     val rows = graft.operators.Vectors.vectorQuantize.fn(spark, sf0001)
       .collect()
