@@ -100,13 +100,18 @@ object Bpe {
 
   /** Training is deterministic for a given corpus, so the trained
     * artifact (merges + vocab table, the latter checkpoint-backed) is
-    * memoized per corpus fingerprint — [[bpeTrain]] and [[bpeEncode]]
-    * share one training run per corpus, like the IVF centroid cache. */
+    * memoized — [[bpeTrain]] and [[bpeEncode]] share one training run per
+    * corpus, like the IVF centroid cache. The key includes the OWNING
+    * SparkContext's applicationId, not just the corpus fingerprint: the
+    * cached vocab DataFrame is localCheckpoint-backed, so its blocks die
+    * with the context — a same-JVM successor session with the same corpus
+    * must retrain, not inherit a DataFrame bound to a dead context. */
   private val trainCache = new java.util.concurrent.ConcurrentHashMap[
     String, (Seq[Merge], DataFrame)]()
 
   private def trained(s: SparkSession, d: String): (Seq[Merge], DataFrame) =
-    trainCache.computeIfAbsent(Tables.fingerprint(s, d, "documents"),
+    trainCache.computeIfAbsent(
+      s"${s.sparkContext.applicationId}#${Tables.fingerprint(s, d, "documents")}",
       _ => learnMerges(wordFreq(s, d), NMerges))
 
   /** The learned merge table for the corpus — rank, pair, merged symbol,

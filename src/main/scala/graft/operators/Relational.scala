@@ -492,14 +492,37 @@ object Relational {
   }
 
   /** HyperLogLog++ approximate distinct (SURVEY §2.5) next to the exact
-    * count. No oracle — DuckDB's approx sketch differs by construction;
-    * RelationalSpec bounds the relative error instead. */
-  val aggApproxDistinct: Q = Q.noOracle("agg_approx_distinct") { (s, d) =>
+    * count — the raw sketch frame; RelationalSpec bounds the relative
+    * error on it directly. */
+  private[graft] def approxDistinctRaw(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d)
       .groupBy("o_orderstatus")
       .agg(
-        approx_count_distinct(col("o_custkey")).as("approx_cust"),
+        // rsd 0.01: the contract below asserts 5% relative error, so the
+        // sketch is sized 5σ inside it (the default 0.05 rsd leaves the
+        // 1σ tail outside its own bound on real groups)
+        approx_count_distinct(col("o_custkey"), 0.01).as("approx_cust"),
         countDistinct(col("o_custkey")).as("exact_cust"))
+      .orderBy("o_orderstatus")
+
+  /** Driver-checked HLL++ query: the raw estimate is engine-specific
+    * (DuckDB's sketch differs by construction), so the DECLARED output is
+    * the sketch's CONTRACT — the exact distinct count (fully
+    * value-checked) plus `approx_within_5pct`, which Spark computes
+    * genuinely from its sketch and the oracle asserts as literal truth.
+    * A sketch regression past 5% relative error flips the boolean and
+    * fails the hash compare — a real driver gate, unlike `no_oracle`. */
+  val aggApproxDistinct: Q = Q(
+    "agg_approx_distinct",
+    """SELECT o_orderstatus,
+      |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_cust,
+      |  true AS approx_within_5pct
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+  ) { (s, d) =>
+    approxDistinctRaw(s, d)
+      .select(col("o_orderstatus"), col("exact_cust"),
+        (abs(col("approx_cust") - col("exact_cust")).cast("double") /
+          col("exact_cust") <= 0.05).as("approx_within_5pct"))
       .orderBy("o_orderstatus")
   }
 
@@ -686,11 +709,11 @@ object Relational {
   /** The 100 TB quantile path named in [[aggQuantile]]: GK-sketch
     * `percentile_approx` — mergeable partial sketches, one partial+final
     * aggregation, NO per-group sort. Deterministic for a given dataset
-    * (the sketch is order-insensitive on merge), but not reproducible in
-    * DuckDB (different sketch), so: no oracle; RelationalSpec bounds the
-    * error against the exact [[aggQuantile]] per group. Accuracy 10000 ≈
-    * max rank error 0.01%. */
-  val aggQuantileSketch: Q = Q.noOracle("agg_quantile_sketch") { (s, d) =>
+    * (the sketch is order-insensitive on merge) but not reproducible in
+    * DuckDB (different sketch) — this raw frame feeds the declared
+    * contract query below and RelationalSpec's value-error bound.
+    * Accuracy 10000 ≈ max rank error 0.01%. */
+  private[graft] def quantileSketchRaw(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
       .groupBy("l_returnflag")
       .agg(
@@ -700,6 +723,39 @@ object Relational {
           .as("p90_qty"),
         percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000))
           .as("median_price"))
+      .orderBy("l_returnflag")
+
+  /** Driver-checked GK-sketch query: the sketch VALUE is engine-specific,
+    * but the GK contract is rank-based and checkable — for quantile φ and
+    * returned value v, `count(x < v) ≤ (φ+ε)·n` and `count(x ≤ v) ≥
+    * (φ−ε)·n` (tie-robust, unlike a value-distance check). Spark computes
+    * both rank counts genuinely (sketch per group, broadcast back, one
+    * counting pass); the oracle asserts the booleans as literal truth
+    * next to the fully value-checked group sizes. ε = 0.001, 10× the
+    * sketch's configured 0.0001 rank error. */
+  val aggQuantileSketch: Q = Q(
+    "agg_quantile_sketch",
+    """SELECT l_returnflag, count(*) AS n,
+      |  true AS q50_rank_ok, true AS q90_rank_ok
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+  ) { (s, d) =>
+    val eps = 0.001
+    val sk = quantileSketchRaw(s, d)
+      .select(col("l_returnflag"), col("median_qty"), col("p90_qty"))
+    Tables.lineitem(s, d)
+      .select(col("l_returnflag"), col("l_quantity").as("x"))
+      .join(broadcast(sk), Seq("l_returnflag"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+           sum(when(col("x") < col("median_qty"), 1L).otherwise(0L)).as("lt50"),
+           sum(when(col("x") <= col("median_qty"), 1L).otherwise(0L)).as("le50"),
+           sum(when(col("x") < col("p90_qty"), 1L).otherwise(0L)).as("lt90"),
+           sum(when(col("x") <= col("p90_qty"), 1L).otherwise(0L)).as("le90"))
+      .select(col("l_returnflag"), col("n"),
+        (col("lt50") <= (lit(0.5) + eps) * col("n") &&
+         col("le50") >= (lit(0.5) - eps) * col("n")).as("q50_rank_ok"),
+        (col("lt90") <= (lit(0.9) + eps) * col("n") &&
+         col("le90") >= (lit(0.9) - eps) * col("n")).as("q90_rank_ok"))
       .orderBy("l_returnflag")
   }
 

@@ -73,6 +73,37 @@ class BpeSpec extends SparkSpec {
       "segmentation must preserve the word's characters in order")
   }
 
+  test("soak: 1000-merge run equals the reference, lineage stays bounded") {
+    // NMerges=12 is the demonstration size; this proves the SAME loop
+    // (checkpoint-every-8 lineage bound, argmax tie-break, fold rewrite)
+    // holds at a realistic merge count. Vocabulary capped to the top
+    // words by weight so the in-memory reference stays tractable.
+    import spark.implicits._
+    val N = 1000
+    // the synthetic corpus has only 31 distinct words (every SF) and
+    // fully fuses after ~105 merges, so the soak vocabulary is the
+    // corpus words compounded pairwise — 961 deterministic words with
+    // freq = f(a)·f(b), rich enough to sustain 1000+ rounds
+    val base = Bpe.wordFreq(spark, sf0001).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .sortBy { case (w, f) => (-f, w) }
+    val wf = (for ((wa, fa) <- base; (wb, fb) <- base)
+      yield s"${wa}_$wb" -> fa * fb).toMap
+    val words = wf.toSeq.toDF("w", "freq")
+    val (got, vocab) = Bpe.learnMerges(words, N)
+    val want = Bpe.referenceMerges(wf, N)
+    assert(got.length == N,
+      s"vocabulary exhausted after ${got.length} merges — widen the cap")
+    // exact equality, all 1000 rounds — rank, pair, merged, count
+    assert(got == want)
+    // the checkpoint cadence must keep the final vocab's plan shallow:
+    // at most the post-checkpoint residue of fold projections, never a
+    // 1000-round lineage chain
+    val planNodes = vocab.queryExecution.optimizedPlan.collect { case n => n }
+    assert(planNodes.length <= 16,
+      s"vocab lineage grew to ${planNodes.length} nodes — checkpoint broken")
+  }
+
   test("encode fertility is consistent with the trained vocab") {
     val enc = Bpe.bpeEncode.fn(spark, sf0001).collect()
     assert(enc.nonEmpty)

@@ -5,7 +5,7 @@ import graft.operators.Relational
 class RelationalSpec extends SparkSpec {
 
   test("approx_count_distinct is within 5% of exact per group") {
-    val rows = Relational.aggApproxDistinct.fn(spark, sf0001).collect()
+    val rows = Relational.approxDistinctRaw(spark, sf0001).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
       val approx = r.getAs[Long]("approx_cust").toDouble
@@ -18,7 +18,7 @@ class RelationalSpec extends SparkSpec {
   test("percentile_approx sketch tracks the exact quantiles per group") {
     val exact = Relational.aggQuantile.fn(spark, sf0001).collect()
       .map(r => r.getString(0) -> r).toMap
-    val sketch = Relational.aggQuantileSketch.fn(spark, sf0001).collect()
+    val sketch = Relational.quantileSketchRaw(spark, sf0001).collect()
     assert(sketch.nonEmpty)
     sketch.foreach { r =>
       val e = exact(r.getString(0))
