@@ -44,11 +44,18 @@ object Multimodal {
     * are value-checked against a pure-SQL oracle. This pins the typed
     * path's semantics (batching, encoders, per-partition iteration)
     * with a hash compare, not just a spec. Narrow/no-shuffle: blobs
-    * never leave their partition; only (id, stats) rows flow on. */
+    * never leave their partition; only (id, stats) rows flow on.
+    * The oracle iterates UTF-8 BYTES (hex(encode(text)) split into hex
+    * pairs), exactly what the Spark side's binary cast feeds Media — NOT
+    * per-character code points, which would silently diverge on any
+    * non-ASCII document. */
   val multimodalFeatures: Q = Q(
     "multimodal_features",
-    """WITH b AS (SELECT doc_id, unnest([ascii(c) FOR c IN string_split(text, '')]) AS byte
-      |           FROM documents),
+    """WITH h AS (SELECT doc_id, hex(encode(text)) AS hx FROM documents),
+      |b AS (SELECT doc_id,
+      |        unnest([CAST('0x' || substr(hx, 2*i-1, 2) AS INT)
+      |                FOR i IN range(1, len(hx)//2 + 1)]) AS byte
+      |      FROM h),
       |pc AS (SELECT doc_id, byte, count(*) AS c FROM b GROUP BY 1, 2)
       |SELECT doc_id AS media_id,
       |  CAST(sum(c) AS INT) AS n_bytes,

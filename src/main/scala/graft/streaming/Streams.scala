@@ -18,9 +18,11 @@ case class SessionOut(user_id: Long, start: java.sql.Timestamp,
   * the state-row codegen in janino). */
 case class SessionState(startMs: Long, lastMs: Long, count: Long)
 
-/** Timestamped typed input for stateful transition detection. */
+/** Timestamped typed input for stateful transition detection. `event_id`
+  * is the tie-break for equal timestamps — the same (ts, event_id) total
+  * order the batch `event_transitions` window uses. */
 case class TransEvent(user_id: Long, ts: java.sql.Timestamp,
-                      event_type: String)
+                      event_type: String, event_id: Long = 0L)
 /** One observed per-user transition (previous event → this event). */
 case class Transition(user_id: Long, from_type: String, to_type: String,
                       gap_ms: Long)
@@ -187,7 +189,9 @@ object Streams {
                               GroupStateTimeout.NoTimeout) {
         (uid: Long, rows: Iterator[TransEvent],
          state: GroupState[LastEvent]) =>
-          val sorted = rows.toSeq.sortBy(_.ts.getTime)
+          // (ts, event_id): the same total order as the batch lead
+          // window — ts alone leaves equal-ts edges nondeterministic
+          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
           val out = Seq.newBuilder[Transition]
           var last = state.getOption
           sorted.foreach { e =>

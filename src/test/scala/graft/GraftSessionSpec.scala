@@ -16,4 +16,16 @@ class GraftSessionSpec extends SparkSpec {
     // a catalog query runs end-to-end on the session
     assert(SparkEntry.queries("count_by_project")(s, sf0001).count() > 0)
   }
+
+  test("utcParityHolds tracks the adopted session's timezone") {
+    val s = GraftSession.local(2)
+    val orig = s.conf.get("spark.sql.session.timeZone", "")
+    assert(orig === "UTC", "test session is configured UTC")
+    assert(GraftSession.utcParityHolds(s))
+    try {
+      s.conf.set("spark.sql.session.timeZone", "America/New_York")
+      assert(!GraftSession.utcParityHolds(s),
+        "non-UTC adopted session must be detectable")
+    } finally s.conf.set("spark.sql.session.timeZone", orig)
+  }
 }

@@ -160,11 +160,13 @@ class StreamingSpec extends SparkSpec {
     implicit val sqlCtx = spark.sqlContext
     import graft.streaming.{Streams, TransEvent, Transition}
     // per-user in-order feed, split so u1's and u2's chains SPAN the
-    // micro-batch boundary (the state handoff under test)
-    val b1 = Seq(TransEvent(1, ts(0), "click"), TransEvent(1, ts(1), "view"),
-                 TransEvent(2, ts(2), "buy"))
-    val b2 = Seq(TransEvent(1, ts(5), "buy"), TransEvent(2, ts(8), "click"),
-                 TransEvent(2, ts(9), "buy"))
+    // micro-batch boundary (the state handoff under test); u2's batch-2
+    // events share ONE timestamp — event_id must break the tie the same
+    // way the batch window's (ts, event_id) order does
+    val b1 = Seq(TransEvent(1, ts(0), "click", 10), TransEvent(1, ts(1), "view", 11),
+                 TransEvent(2, ts(2), "buy", 12))
+    val b2 = Seq(TransEvent(1, ts(5), "buy", 13), TransEvent(2, ts(8), "click", 14),
+                 TransEvent(2, ts(8), "buy", 15))
     val mem = MemoryStream[TransEvent]
     val name = s"trans_${System.nanoTime()}"
     val q = Streams.transitions(mem.toDS()).writeStream
@@ -176,8 +178,8 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
     // batch oracle: the same lead window the event_transitions query uses
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("user_id").orderBy("ts")
-    val want = (b1 ++ b2).toDF("user_id", "ts", "event_type")
+      .partitionBy("user_id").orderBy("ts", "event_id")
+    val want = (b1 ++ b2).toDF("user_id", "ts", "event_type", "event_id")
       .withColumn("to_type", lead(col("event_type"), 1).over(w))
       .withColumn("gap_ms",
         lead(unix_millis(col("ts")), 1).over(w) - unix_millis(col("ts")))
