@@ -14,6 +14,11 @@ run / fork := true
 // Forked run output goes straight to stdout (no sbt [info] log framing) so
 // the driver can json-parse the Bench/Verify result lines from the raw log.
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// ... and no "[success] Total time" trailer: the driver parses the LAST
+// stdout line of a bench run as JSON; sbt's success banner after the
+// forked process's output is exactly what turned BENCH_r0*.json's
+// "parsed" field null. Exit code still signals failure.
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -29,6 +29,20 @@ case class Transition(user_id: Long, from_type: String, to_type: String,
 /** Per-user last-event state for [[Streams.transitions]]. */
 case class LastEvent(lastMs: Long, lastType: String)
 
+/** Timestamped valued input for streaming OHLC bars. (user_id, ts) is
+  * assumed unique per user — the same open/close determinism contract as
+  * the batch `ohlc_bars` min_by/max_by. */
+case class OhlcEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
+/** One closed (user, hour) bar. */
+case class OhlcBar(user_id: Long, hour: java.sql.Timestamp, n: Long,
+                   open: Double, high: Double, low: Double, close: Double,
+                   volume: Double)
+/** In-flight bar state (volume held as exact HALF_UP cents so the sum is
+  * arrival-order independent, matching the batch DECIMAL(18,2) sum). */
+case class OhlcState(n: Long, openMs: Long, open: Double, high: Double,
+                     low: Double, closeMs: Long, close: Double,
+                     volCents: Long)
+
 /** A document arriving on a stream (near-dup candidate detection). */
 case class DocIn(doc_id: Long, text: String)
 /** An LSH band row of a streamed document. */
@@ -203,6 +217,61 @@ object Streams {
           }
           last.foreach(state.update)
           out.result().iterator
+      }
+  }
+
+  /** Streaming OHLC bars — the incremental counterpart of the batch
+    * `ohlc_bars` aggregate: state per (user, hour) folds each event into
+    * (n, open, high, low, close, volume) as it arrives — min_by/max_by
+    * become "keep the value with the smallest/largest ts seen so far" —
+    * and the bar EMITS exactly once, when the event-time watermark passes
+    * the hour end (EventTimeTimeout). State is O(1) per open bar and
+    * bars close themselves, so state never grows with stream length.
+    * Volume accumulates as exact HALF_UP cents (order-independent,
+    * bit-equal to the batch DECIMAL(18,2) sum route). StreamingSpec
+    * asserts micro-batched bars equal the batch aggregate on the same
+    * rows, including bars spanning micro-batch boundaries. */
+  def ohlcBars(ds: Dataset[OhlcEvent]): Dataset[OhlcBar] = {
+    import ds.sparkSession.implicits._
+    val HourMs = 3600000L
+    def cents(v: Double): Long =
+      BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+        .bigDecimal.unscaledValue.longValueExact
+    ds.withWatermark("ts", "0 seconds")
+      .groupByKey(e => (e.user_id, e.ts.getTime / HourMs))
+      .flatMapGroupsWithState(OutputMode.Append,
+                              GroupStateTimeout.EventTimeTimeout) {
+        (key: (Long, Long), rows: Iterator[OhlcEvent],
+         state: GroupState[OhlcState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(OhlcBar(key._1, new java.sql.Timestamp(key._2 * HourMs),
+              s.n, s.open, s.high, s.low, s.close, s.volCents / 100.0))
+          } else {
+            var s = state.getOption.orNull
+            rows.foreach { e =>
+              val t = e.ts.getTime
+              s =
+                if (s == null)
+                  OhlcState(1L, t, e.value, e.value, e.value, t, e.value,
+                            cents(e.value))
+                else OhlcState(
+                  s.n + 1,
+                  if (t < s.openMs) t else s.openMs,
+                  if (t < s.openMs) e.value else s.open,
+                  math.max(s.high, e.value), math.min(s.low, e.value),
+                  if (t > s.closeMs) t else s.closeMs,
+                  if (t > s.closeMs) e.value else s.close,
+                  s.volCents + cents(e.value))
+            }
+            if (s != null) {
+              state.update(s)
+              // the bar closes when the watermark passes the hour end
+              state.setTimeoutTimestamp((key._2 + 1) * HourMs)
+            }
+            Iterator.empty
+          }
       }
   }
 

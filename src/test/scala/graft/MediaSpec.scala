@@ -38,6 +38,46 @@ class MediaSpec extends SparkSpec {
     assert(out(0).content(0) === 0x02)
   }
 
+  /** Encode known pixels as a real container via ImageIO; returns
+    * (container bytes, expected row-major RGB24 plane). */
+  private def fixture(fmt: String, w: Int, h: Int): (Array[Byte], Array[Byte]) = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rgb = new Array[Byte](w * h * 3)
+    for (y <- 0 until h; x <- 0 until w) {
+      // deterministic distinct channel values per pixel
+      val (r, g, b) = ((x * 40 + y) % 256, (y * 90 + x) % 256,
+                       (x * 7 + y * 13) % 256)
+      img.setRGB(x, y, (r << 16) | (g << 8) | b)
+      val i = (y * w + x) * 3
+      rgb(i) = r.toByte; rgb(i + 1) = g.toByte; rgb(i + 2) = b.toByte
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, fmt, bos), s"no $fmt writer")
+    (bos.toByteArray, rgb)
+  }
+
+  test("real PNG and BMP containers decode byte-for-byte via javax.imageio") {
+    val spark2 = spark
+    import spark2.implicits._
+    val (png, pngRgb) = fixture("png", 5, 3)
+    val (bmp, bmpRgb) = fixture("bmp", 4, 4)
+    assert(Media.isImageContainer(png) && Media.isImageContainer(bmp))
+    // driver-side: exact pixel round-trip through the real codec
+    assert(Media.imageRgb(png).get.toSeq === pngRgb.toSeq)
+    assert(Media.imageRgb(bmp).get.toSeq === bmpRgb.toSeq)
+    // through the distributed decode pass: real dims, not the stub's
+    // header parse (PNG magic bytes would read as garbage dims)
+    val rows = Seq(MediaRow(10, "image", png), MediaRow(11, "image", bmp),
+                   MediaRow(12, "audio", blob(Array.fill(8)(1.toByte))))
+      .toDS()
+    val out = Media.decode(rows).collect().sortBy(_.media_id)
+    assert(out(0).meta === MediaMeta("image", 5, 3, 0, 1))
+    assert(out(1).meta === MediaMeta("image", 4, 4, 0, 1))
+    // non-image blobs still take the stub path
+    assert(out(2).meta === MediaMeta("audio", 640, 480, 16000, 3))
+  }
+
   test("frameSample emits one row per kept frame") {
     val out = Media.frameSample(ds, frameBytes = 16, stride = 2)
       .collect().map(r => (r.getLong(0), r.getInt(1)))

@@ -154,6 +154,53 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming ohlc bars equal the batch aggregate, bars span batches") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.{Streams, OhlcEvent, OhlcBar}
+    def at(h: Int, min: Int): Timestamp =
+      Timestamp.valueOf(f"2024-01-01 $h%02d:$min%02d:00")
+    // u1's 10:00 bar spans both micro-batches; u2 opens a second bar in
+    // hour 11; values are 2-decimal-exact so the DECIMAL(18,2) volume
+    // route is bit-comparable
+    val b1 = Seq(OhlcEvent(1, at(10, 5), 10.25), OhlcEvent(1, at(10, 1), 9.50),
+                 OhlcEvent(2, at(10, 30), 100.75))
+    val b2 = Seq(OhlcEvent(1, at(10, 50), 12.00), OhlcEvent(2, at(11, 10), 99.25),
+                 OhlcEvent(2, at(10, 45), 101.00))
+    // sentinel far in the future pushes the watermark past every hour
+    // end so all real bars close and emit
+    val sentinel = Seq(OhlcEvent(99, at(20, 0), 1.0))
+    val mem = MemoryStream[OhlcEvent]
+    val name = s"ohlc_${System.nanoTime()}"
+    val q = Streams.ohlcBars(mem.toDS()).writeStream
+      .format("memory").queryName(name).outputMode("append").start()
+    val got = try {
+      mem.addData(b1); q.processAllAvailable()
+      mem.addData(b2); q.processAllAvailable()
+      mem.addData(sentinel); q.processAllAvailable()
+      // one more empty-ish nudge so the timeout fires after the watermark
+      // advanced past the hour ends
+      mem.addData(Seq(OhlcEvent(99, at(21, 0), 1.0))); q.processAllAvailable()
+      spark.table(name).as[OhlcBar].collect().toSet
+        .filter(_.user_id != 99L)
+    } finally q.stop()
+    // batch oracle: the ohlc_bars aggregate on the same rows
+    val want = (b1 ++ b2).toDF("user_id", "ts", "value")
+      .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n"),
+           min_by(col("value"), col("ts")).as("open"),
+           max(col("value")).as("high"), min(col("value")).as("low"),
+           max_by(col("value"), col("ts")).as("close"),
+           sum(col("value").cast("decimal(18,2)")).cast("double")
+             .as("volume"))
+      .as[OhlcBar].collect().toSet
+    assert(got === want)
+    // the cross-batch bar really merged: u1's hour-10 bar has all 3 events
+    assert(got.exists(b => b.user_id == 1 && b.n == 3 &&
+      b.open == 9.50 && b.close == 12.00 && b.high == 12.00 && b.low == 9.50))
+  }
+
   test("stateful transitions match the batch lead window, across batches") {
     val spark2 = spark
     import spark2.implicits._
