@@ -19,6 +19,7 @@ run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // forked process's output is exactly what turned BENCH_r0*.json's
 // "parsed" field null. Exit code still signals failure.
 Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -782,7 +782,109 @@ object Dedup {
     nEdges.crossJoin(nNodes).crossJoin(nTriangles)
   }.copy(eager = true) // pair-list materialization runs at plan build
 
+  /** DuckDB mirror of [[dedupSourceSim]] — the same portable shingle
+    * hashes, the same affine MinHash family as literals, the same
+    * exact-intersection arithmetic — generated from the constants so the
+    * two sides cannot drift (the [[minhashOracleSql]] discipline at the
+    * source level). */
+  private def sourceSimOracleSql: String = {
+    import graft.functions.expressions.PortableHash.{duckdbSql => ph}
+    val sigCols = (0 until MinhashK).map { j =>
+      val (a, b) = MinhashAB(j)
+      s"min(($a*(x%$MinhashP)+$b)%$MinhashP) AS m$j"
+    }.mkString(",\n  ")
+    val agree = (0 until MinhashK)
+      .map(j => s"CASE WHEN ga.m$j = gb.m$j THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH t AS (SELECT source, string_split(text,' ') AS toks FROM documents),
+       |sh AS (SELECT DISTINCT source,
+       |  unnest(list_distinct([${ph("array_to_string(toks[i:i+2],' ')")}
+       |    FOR i IN range(1, len(toks)-1)])) AS x
+       |  FROM t WHERE len(toks) >= 3),
+       |sizes AS (SELECT source, count(*) AS n FROM sh GROUP BY 1),
+       |sig AS (SELECT source,
+       |  $sigCols
+       |  FROM sh GROUP BY source),
+       |inter AS (SELECT a.source AS source_a, b.source AS source_b,
+       |            count(*) AS i
+       |          FROM sh a JOIN sh b ON a.x = b.x AND a.source < b.source
+       |          GROUP BY 1, 2),
+       |pairs AS (SELECT sa.source AS source_a, sb.source AS source_b,
+       |                 sa.n AS n_a, sb.n AS n_b, COALESCE(i.i, 0) AS n_common
+       |          FROM sizes sa JOIN sizes sb ON sa.source < sb.source
+       |          LEFT JOIN inter i
+       |            ON i.source_a = sa.source AND i.source_b = sb.source)
+       |SELECT p.source_a, p.source_b, CAST(p.n_a AS BIGINT) AS n_a,
+       |  CAST(p.n_b AS BIGINT) AS n_b, CAST(p.n_common AS BIGINT) AS n_common,
+       |  CAST(p.n_common AS DOUBLE)/(p.n_a + p.n_b - p.n_common) AS jaccard,
+       |  CAST($agree AS INT) AS sig_agree,
+       |  CAST($agree AS DOUBLE)/$MinhashK AS est_jaccard
+       |FROM pairs p JOIN sig ga ON ga.source = p.source_a
+       |             JOIN sig gb ON gb.source = p.source_b
+       |ORDER BY p.source_a, p.source_b""".stripMargin
+  }
+
+  /** SOURCE-overlap census: pairwise Jaccard similarity between the
+    * shingle UNIONS of every pair of sources, exact AND MinHash-estimated
+    * side by side — the corpus-curation question ("which feeds are
+    * near-copies of each other?") answered at the source level, plus a
+    * live demonstration that the MinHash signature is MERGEABLE: a
+    * source's signature is one partial+final min-aggregate over its
+    * (source, shingle) rows — the same 32 affine mins as the per-doc
+    * signature, just keyed coarser — so per-shard partial signatures
+    * combine associatively on a cluster (the property every distributed
+    * sketch rests on).
+    *
+    * Plan shape at 100 TB: ONE exchange builds the distinct
+    * (source, shingle) frame; sizes and signatures are partial+final
+    * aggregates over it; the exact-intersection join keys on the shingle
+    * value with per-key fan-out ≤ |sources|; everything downstream is
+    * |sources|² rows. Estimate quality (|est − exact| bounded by the
+    * 1/√K standard error) is asserted in DedupSpec; the full pipeline is
+    * value-checked by the generated oracle. */
+  val dedupSourceSim: Q = Q("dedup_source_sim", sourceSimOracleSql) { (s, d) =>
+    import org.apache.spark.sql.graft.Bridge
+    val gen = Bridge.column(graft.functions.expressions.ShingleHashes(
+      Bridge.expression(col("text")), 3, portable = true))
+    val srcSh = Tables.documents(s, d)
+      .select(col("source"), gen.as(Seq("sgl", "n_sgl")))
+      .select(col("source"), col("sgl")).distinct()
+    val sizes = srcSh.groupBy("source").agg(count(lit(1)).as("n"))
+    val x = col("sgl") % MinhashP
+    val minCols = (0 until MinhashK).map { j =>
+      val (a, b) = MinhashAB(j)
+      min((lit(a) * x + lit(b)) % MinhashP).as(s"m$j")
+    }
+    val sig = srcSh.groupBy("source").agg(minCols.head, minCols.tail: _*)
+    val inter = srcSh.as("a")
+      .join(srcSh.as("b"),
+        col("a.sgl") === col("b.sgl") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("i"))
+    val pairs = sizes.as("sa")
+      .join(sizes.as("sb"), col("sa.source") < col("sb.source"))
+      .select(col("sa.source").as("source_a"), col("sb.source").as("source_b"),
+              col("sa.n").as("n_a"), col("sb.n").as("n_b"))
+      .join(inter, Seq("source_a", "source_b"), "left")
+      .withColumn("n_common", coalesce(col("i"), lit(0L)))
+    val sigA = sig.select(col("source").as("source_a") +:
+      (0 until MinhashK).map(j => col(s"m$j").as(s"a$j")): _*)
+    val sigB = sig.select(col("source").as("source_b") +:
+      (0 until MinhashK).map(j => col(s"m$j").as(s"b$j")): _*)
+    val agree = (0 until MinhashK)
+      .map(j => when(col(s"a$j") === col(s"b$j"), 1).otherwise(0))
+      .reduce(_ + _)
+    pairs.join(sigA, Seq("source_a")).join(sigB, Seq("source_b"))
+      .select(col("source_a"), col("source_b"),
+        col("n_a"), col("n_b"), col("n_common"),
+        (col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common"))).as("jaccard"),
+        agree.cast("int").as("sig_agree"),
+        (agree.cast("double") / MinhashK).as("est_jaccard"))
+      .orderBy("source_a", "source_b")
+  }
+
   val all: Seq[Q] = Seq(dedupExact, dedupNgram, dedupMinhash,
     dedupIncremental, dedupSimhash, dedupCosine, dedupCosineLsh,
-    dedupCluster, dedupClusterStar, graphTriangles)
+    dedupCluster, dedupClusterStar, graphTriangles, dedupSourceSim)
 }

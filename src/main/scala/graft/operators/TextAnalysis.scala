@@ -457,7 +457,79 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Misra–Gries summary of one partition's token stream: at most `cap`
+    * counters; a full table decrements everything (dropping zeros) — the
+    * classic one-pass frequent-items sketch. DETERMINISTIC guarantee (no
+    * probability involved): any item with partition frequency
+    * > n_partition/(cap+1) survives in the map, and per-partition
+    * summaries are mergeable by union, so the union of partition
+    * candidate sets contains every GLOBAL item with frequency
+    * > n/(cap+1). */
+  private[graft] def misraGries(iter: Iterator[String],
+                                cap: Int): Iterator[(String, Long)] = {
+    val m = scala.collection.mutable.HashMap.empty[String, Long]
+    iter.foreach { t =>
+      m.get(t) match {
+        case Some(c) => m(t) = c + 1
+        case None if m.size < cap => m(t) = 1L
+        case None =>
+          val dead = List.newBuilder[String]
+          m.keysIterator.foreach { k =>
+            val v = m(k) - 1
+            if (v == 0) dead += k else m(k) = v
+          }
+          dead.result().foreach(m.remove)
+      }
+    }
+    m.iterator.map { case (t, c) => (t, c) }
+  }
+
+  private[graft] val HhThreshold = 200L // heavy = > 1/200 of all tokens
+  private[graft] val MgCap = 1024       // MG capacity per partition
+
+  /** HEAVY HITTERS the scale way — the two-pass frequent-items plan every
+    * large-corpus vocabulary audit runs: (1) a one-pass per-partition
+    * Misra–Gries sketch (`mapPartitions`, ≤ [[MgCap]] counters per task,
+    * NO full-vocabulary shuffle) whose merged candidate set PROVABLY
+    * contains every token with frequency > n/(cap+1) ⊇ all > n/200;
+    * (2) an exact recount of candidates only (broadcast semi join —
+    * candidates ≤ partitions × cap regardless of vocabulary size), then
+    * the threshold filter. Result is therefore EXACTLY the naive
+    * full-groupBy answer — the oracle is plain SQL — but the corpus-wide
+    * aggregate keyed by the unbounded vocabulary never happens.
+    * TextFnsSpec asserts the MG containment bound directly. */
+  val textHeavyHitters: Q = Q(
+    "text_heavy_hitters",
+    s"""WITH tk AS (SELECT unnest(string_split(text, ' ')) AS token
+       |            FROM documents),
+       |tok AS (SELECT token FROM tk WHERE token <> ''),
+       |tot AS (SELECT count(*) AS n_total FROM tok),
+       |c AS (SELECT token, count(*) AS c FROM tok GROUP BY 1)
+       |SELECT token, CAST(c AS BIGINT) AS c,
+       |  CAST(c AS DOUBLE) / n_total AS share
+       |FROM c, tot WHERE c * $HhThreshold > n_total
+       |ORDER BY c DESC, token""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    val toks = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+    val total = toks.agg(count(lit(1)).as("n_total"))
+    val cands = toks.as[String]
+      .mapPartitions(it => misraGries(it, MgCap))
+      .toDF("token", "mg_count")
+      .select("token").distinct()
+    toks.join(broadcast(cands), Seq("token"), "left_semi")
+      .groupBy("token").agg(count(lit(1)).as("c"))
+      .crossJoin(broadcast(total))
+      .filter(col("c") * HhThreshold > col("n_total"))
+      .select(col("token"), col("c"),
+        (col("c").cast("double") / col("n_total")).as("share"))
+      .orderBy(desc("c"), asc("token"))
+  }
+
   val all: Seq[Q] = Seq(textTokens, textQuality, langId, textFingerprint,
     textTfidf, textNormalize, textRepetition, piiRedact, ngramFreq,
-    textContamination, textTokenBpe, textPerplexity, spanDedup)
+    textContamination, textTokenBpe, textPerplexity, spanDedup,
+    textHeavyHitters)
 }

@@ -413,4 +413,24 @@ class DedupSpec extends SparkSpec {
     assert(hits >= 0.45 * exact1.size,
       s"recall@1 on strong pairs too low: $hits/${exact1.size}")
   }
+
+  test("dedup_source_sim: estimate tracks exact source Jaccard, all pairs present") {
+    val rows = Dedup.dedupSourceSim.fn(spark, sf0001).collect()
+    val nSources = Tables.documents(spark, sf0001)
+      .select("source").distinct().count()
+    assert(rows.length === (nSources * (nSources - 1) / 2).toInt,
+      "every unordered source pair must emit exactly one row")
+    rows.foreach { r =>
+      val (exact, est) =
+        (r.getAs[Double]("jaccard"), r.getAs[Double]("est_jaccard"))
+      assert(est >= 0.0 && est <= 1.0)
+      // K=32 signature ⇒ se ≈ sqrt(J(1−J)/32) ≤ 0.09; 0.35 is a ~4σ
+      // deterministic ceiling on this fixture
+      assert(math.abs(est - exact) <= 0.35,
+        s"${r.getString(0)}↔${r.getString(1)}: est=$est exact=$exact")
+      val (na, nb, ni) = (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),
+                          r.getAs[Long]("n_common"))
+      assert(ni <= math.min(na, nb), "intersection exceeds a side")
+    }
+  }
 }

@@ -24,6 +24,38 @@ class TextFnsSpec extends SparkSpec {
            df.collect().map(_.getLong(1)).toSeq)
   }
 
+  test("misra-gries: bounded counters, catches every provable heavy hitter") {
+    import graft.operators.TextAnalysis
+    // 50×a + 30×b + 40 singletons, n=120; cap=4 ⇒ guaranteed to retain
+    // every item with freq > 120/5 = 24
+    val data = Seq.fill(50)("a") ++ Seq.fill(30)("b") ++
+      (1 to 40).map(i => s"x$i")
+    val got = TextAnalysis.misraGries(data.iterator, 4).toMap
+    assert(got.size <= 4, "capacity exceeded")
+    assert(got.contains("a") && got.contains("b"),
+      s"guaranteed heavy hitters evicted: $got")
+    // MG counts undercount by at most n/(cap+1), never overcount
+    assert(got("a") <= 50 && got("a") >= 50 - 120 / 5)
+    assert(got("b") <= 30 && got("b") >= 30 - 120 / 5)
+  }
+
+  test("text_heavy_hitters equals the naive full-vocabulary aggregate") {
+    import graft.operators.TextAnalysis
+    val got = TextAnalysis.textHeavyHitters.fn(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val toks = Tables.documents(spark, sf0001)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+    val n = toks.count()
+    val want = toks.groupBy("token").count()
+      .filter(col("count") * TextAnalysis.HhThreshold > n)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .sortBy { case (t, c) => (-c, t) }
+    assert(got.toSeq === want.toSeq,
+      "two-pass MG + exact recount must equal the naive plan")
+    assert(got.nonEmpty, "corpus has heavy tokens at the 1/200 threshold")
+  }
+
   test("lang_id prediction is deterministic and covers the marker languages") {
     val out = graft.operators.TextAnalysis.langId.fn(spark, sf0001)
     val preds = out.select("predicted").distinct().collect()
