@@ -849,32 +849,34 @@ object Dedup {
     val srcSh = Tables.documents(s, d)
       .select(col("source"), gen.as(Seq("sgl", "n_sgl")))
       .select(col("source"), col("sgl")).distinct()
-    val sizes = srcSh.groupBy("source").agg(count(lit(1)).as("n"))
+    // size AND signature from ONE aggregate over the shingle frame —
+    // the frame then has only three consumers (this agg + the two
+    // intersection sides), each sharing the same canonical (source, sgl)
+    // exchange for AQE's reuse to collapse
     val x = col("sgl") % MinhashP
-    val minCols = (0 until MinhashK).map { j =>
-      val (a, b) = MinhashAB(j)
-      min((lit(a) * x + lit(b)) % MinhashP).as(s"m$j")
-    }
-    val sig = srcSh.groupBy("source").agg(minCols.head, minCols.tail: _*)
+    val aggCols = count(lit(1)).as("n") +:
+      (0 until MinhashK).map { j =>
+        val (a, b) = MinhashAB(j)
+        min((lit(a) * x + lit(b)) % MinhashP).as(s"m$j")
+      }
+    val srcAgg = srcSh.groupBy("source").agg(aggCols.head, aggCols.tail: _*)
     val inter = srcSh.as("a")
       .join(srcSh.as("b"),
         col("a.sgl") === col("b.sgl") && col("a.source") < col("b.source"))
       .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
       .agg(count(lit(1)).as("i"))
-    val pairs = sizes.as("sa")
-      .join(sizes.as("sb"), col("sa.source") < col("sb.source"))
-      .select(col("sa.source").as("source_a"), col("sb.source").as("source_b"),
-              col("sa.n").as("n_a"), col("sb.n").as("n_b"))
-      .join(inter, Seq("source_a", "source_b"), "left")
-      .withColumn("n_common", coalesce(col("i"), lit(0L)))
-    val sigA = sig.select(col("source").as("source_a") +:
+    val aSide = srcAgg.select(col("source").as("source_a") +:
+      col("n").as("n_a") +:
       (0 until MinhashK).map(j => col(s"m$j").as(s"a$j")): _*)
-    val sigB = sig.select(col("source").as("source_b") +:
+    val bSide = srcAgg.select(col("source").as("source_b") +:
+      col("n").as("n_b") +:
       (0 until MinhashK).map(j => col(s"m$j").as(s"b$j")): _*)
     val agree = (0 until MinhashK)
       .map(j => when(col(s"a$j") === col(s"b$j"), 1).otherwise(0))
       .reduce(_ + _)
-    pairs.join(sigA, Seq("source_a")).join(sigB, Seq("source_b"))
+    aSide.join(bSide, col("source_a") < col("source_b"))
+      .join(inter, Seq("source_a", "source_b"), "left")
+      .withColumn("n_common", coalesce(col("i"), lit(0L)))
       .select(col("source_a"), col("source_b"),
         col("n_a"), col("n_b"), col("n_common"),
         (col("n_common").cast("double") /

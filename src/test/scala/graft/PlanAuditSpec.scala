@@ -149,6 +149,24 @@ class PlanAuditSpec extends SparkSpec {
       s"expected bkt- and sbkt-partitioned windows, got: $specs")
   }
 
+  test("dedup_source_sim: no cartesian; bounded recomputation of the shingle frame") {
+    val p = plan(Dedup.dedupSourceSim)
+    assert(!p.contains("CartesianProduct"),
+      "the source-pair join must stay a broadcast nested loop over " +
+        "|sources| rows, never a cartesian of anything corpus-sized")
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      "size+signature and intersection aggregates should be partial+final")
+    assert("Generate".r.findAllIn(p).size <= 4,
+      "shingle-frame recomputation crept past the fused-aggregate shape")
+  }
+
+  test("text_heavy_hitters: exact recount sits behind a broadcast semi join") {
+    val p = plan(graft.operators.TextAnalysis.textHeavyHitters)
+    assert(p.contains("LeftSemi"),
+      "the full-vocabulary aggregate must be pre-filtered to MG candidates")
+    assert(p.contains("MapPartitions"), "the MG sketch stage is missing")
+  }
+
   test("minhash signature step is map-only (no exchange before the bands)") {
     val p = Dedup.minhashSignaturesExpr(spark, sf0001)
       .queryExecution.executedPlan.toString
