@@ -43,6 +43,15 @@ case class OhlcState(n: Long, openMs: Long, open: Double, high: Double,
                      low: Double, closeMs: Long, close: Double,
                      volCents: Long)
 
+/** Timestamped input for streaming cohort retention. */
+case class RetEvent(user_id: Long, ts: java.sql.Timestamp)
+/** One first-activity-of-the-day edge: the user (in cohort `cohort_day`)
+  * was active `day_offset` days after their first day. */
+case class RetEdge(user_id: Long, cohort_day: java.sql.Date, day_offset: Int)
+/** Per-user retention state: first-seen epoch day + days already emitted
+  * (bounded: only offsets ≤ the horizon are recorded, ≤ 8 entries). */
+case class RetState(cohortDay: Int, seen: Seq[Int])
+
 /** A document arriving on a stream (near-dup candidate detection). */
 case class DocIn(doc_id: Long, text: String)
 /** An LSH band row of a streamed document. */
@@ -272,6 +281,45 @@ object Streams {
             }
             Iterator.empty
           }
+      }
+  }
+
+  /** Streaming cohort retention — the incremental counterpart of the
+    * batch `retention_cohort` aggregate: per-user state holds the
+    * first-seen day and the days already reported, and each arriving
+    * event emits at most one (cohort_day, day_offset) edge — the first
+    * activity of that user on that day within the 7-day horizon. The
+    * cohort table is then a plain aggregate over the emitted edges
+    * (count per (cohort_day, day_offset)), which any sink can maintain
+    * incrementally. State is O(horizon) per user. Same per-user in-order
+    * arrival contract as [[transitions]] (the cohort day is fixed by the
+    * first event seen); cross-micro-batch day dedup is exactly what the
+    * state proves (StreamingSpec). Day boundaries are UTC epoch days —
+    * the same cut `to_date` makes under the engine's UTC session. */
+  def retentionEdges(ds: Dataset[RetEvent]): Dataset[RetEdge] = {
+    import ds.sparkSession.implicits._
+    val DayMs = 86400000L
+    val Horizon = 7
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+                              GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[RetEvent], state: GroupState[RetState]) =>
+          val out = Seq.newBuilder[RetEdge]
+          var s = state.getOption.orNull
+          rows.toSeq.sortBy(_.ts.getTime).foreach { e =>
+            val day = math.floorDiv(e.ts.getTime, DayMs).toInt
+            if (s == null) s = RetState(day, Nil)
+            val off = day - s.cohortDay
+            if (off >= 0 && off <= Horizon && !s.seen.contains(day)) {
+              out += RetEdge(uid,
+                java.sql.Date.valueOf(
+                  java.time.LocalDate.ofEpochDay(s.cohortDay.toLong)),
+                off)
+              s = s.copy(seen = s.seen :+ day)
+            }
+          }
+          if (s != null) state.update(s)
+          out.result().iterator
       }
   }
 

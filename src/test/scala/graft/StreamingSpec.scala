@@ -201,6 +201,49 @@ class StreamingSpec extends SparkSpec {
       b.open == 9.50 && b.close == 12.00 && b.high == 12.00 && b.low == 9.50))
   }
 
+  test("streaming retention edges aggregate to the batch cohort table") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.{Streams, RetEvent, RetEdge}
+    def day(d: Int, h: Int = 9): Timestamp =
+      Timestamp.valueOf(f"2024-01-${d + 1}%02d $h%02d:00:00")
+    // u1: cohort day 0, active days 0,1,3 (day 1 twice — must dedup,
+    // once per batch — and once more ACROSS batches); u2: cohort day 1,
+    // active days 1, 9 (beyond the 7-day horizon — dropped)
+    val b1 = Seq(RetEvent(1, day(0)), RetEvent(1, day(1, 8)),
+                 RetEvent(1, day(1, 17)), RetEvent(2, day(1)))
+    val b2 = Seq(RetEvent(1, day(1, 12)), RetEvent(1, day(3)),
+                 RetEvent(2, day(9)))
+    val mem = MemoryStream[RetEvent]
+    val name = s"ret_${System.nanoTime()}"
+    val q = Streams.retentionEdges(mem.toDS()).writeStream
+      .format("memory").queryName(name).outputMode("append").start()
+    val edges = try {
+      mem.addData(b1); q.processAllAvailable()
+      mem.addData(b2); q.processAllAvailable()
+      spark.table(name).as[RetEdge].collect().toSeq
+    } finally q.stop()
+    // exactly one edge per (user, active day within horizon)
+    assert(edges.length === edges.distinct.length)
+    // the downstream cohort table: count per (cohort_day, day_offset)
+    val got = edges.groupBy(e => (e.cohort_day.toString, e.day_offset))
+      .map { case (k, es) => (k._1, k._2, es.length.toLong) }.toSet
+    // batch oracle: retention_cohort's plan on the same rows
+    val all = (b1 ++ b2).toDF("user_id", "ts")
+    val act = all.select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+    val coh = act.groupBy("user_id").agg(min(col("d")).as("cohort_day"))
+    val want = act.join(coh, Seq("user_id"))
+      .select(col("cohort_day"), datediff(col("d"), col("cohort_day")).as("off"))
+      .filter(col("off") <= 7)
+      .groupBy("cohort_day", "off").agg(count(lit(1)).as("n"))
+      .as[(java.sql.Date, Int, Long)].collect()
+      .map(t => (t._1.toString, t._2, t._3)).toSet
+    assert(got === want)
+    // the cross-batch dedup really happened: u1 day 1 appears once
+    assert(edges.count(e => e.user_id == 1 && e.day_offset == 1) === 1)
+  }
+
   test("stateful transitions match the batch lead window, across batches") {
     val spark2 = spark
     import spark2.implicits._
