@@ -374,10 +374,15 @@ object Vectors {
     * left-fold cosine as [[lshOracleSql]], so assignment (`arg_max` ≡
     * Spark `max_by`), probe, and the final ranking hash-compare
     * bit-exactly. */
+  /** The one DuckDB cosine renderer for centroid-inlined oracles — the
+    * same left-fold float arithmetic as the native `cosine_sim`
+    * expression, bit-exact (docs/ORACLE_PARITY.md). */
+  private def cosSql(a: String, b: String): String =
+    s"list_sum([$a[i]*$b[i] FOR i IN range(1, len($a)+1)]) / " +
+      s"(sqrt(list_sum([x*x FOR x IN $a])) * sqrt(list_sum([x*x FOR x IN $b])))"
+
   private[operators] def ivfOracleSql(cents: Seq[Seq[Double]]): String = {
-    def cos(a: String, b: String) =
-      s"list_sum([$a[i]*$b[i] FOR i IN range(1, len($a)+1)]) / " +
-        s"(sqrt(list_sum([x*x FOR x IN $a])) * sqrt(list_sum([x*x FOR x IN $b])))"
+    def cos(a: String, b: String) = cosSql(a, b)
     s"""WITH cents AS (SELECT j AS cid, pv AS cv FROM (VALUES
        |    ${planesSql(cents)}) c(j, pv)),
        |e AS (SELECT vec_id, label, [CAST(x AS DOUBLE) FOR x IN embedding] AS v
@@ -426,6 +431,65 @@ object Vectors {
     oracleGen = Some(() =>
       lastIvfKey.flatMap(k => Option(centroidCache.get(k)))
         .map(cs => ivfOracleSql(cs.map(_.toSeq).toSeq))))
+
+  /** DuckDB mirror of [[vectorIndexStats]]: the same trained-centroid
+    * inlining and `arg_max` assignment as [[ivfOracleSql]], then
+    * per-cell stats over integer-milli quantized member→centroid
+    * cosines. */
+  private def indexStatsOracleSql(cents: Seq[Seq[Double]]): String =
+    s"""WITH cents AS (SELECT j AS cid, pv AS cv FROM (VALUES
+       |    ${planesSql(cents)}) c(j, pv)),
+       |e AS (SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v
+       |      FROM embeddings WHERE vec_id <> 0),
+       |asg AS (SELECT vec_id, arg_max(cid, cs) AS cell, first(v) AS v
+       |        FROM (SELECT vec_id, v, cid, ${cosSql("v", "cv")} AS cs
+       |              FROM e CROSS JOIN cents)
+       |        GROUP BY vec_id),
+       |m AS (SELECT a.cell,
+       |        CAST(floor(1000 * (${cosSql("a.v", "c.cv")})) AS BIGINT) AS mc
+       |      FROM asg a JOIN cents c ON a.cell = c.cid)
+       |SELECT CAST(cell AS INT) AS cell, count(*) AS n_vectors,
+       |  CAST(min(mc) AS BIGINT) AS min_mcos,
+       |  CAST(max(mc) AS BIGINT) AS max_mcos,
+       |  CAST(sum(mc) AS DOUBLE) / count(*) AS mean_mcos
+       |FROM m GROUP BY 1 ORDER BY cell""".stripMargin
+
+  /** IVF index health census — the observability query an ANN serving
+    * team runs after every index build: per cell, the member count
+    * (balance: a mega-cell means probes over-read, empties mean wasted
+    * centroids) and the min/max/mean cosine of members to their OWN
+    * centroid (cohesion: a low mean flags a cell whose members the
+    * centroid represents badly — the quantization-error signal that
+    * triggers re-training). Cosines are quantized to integer millis
+    * BEFORE aggregation (the text_perplexity discipline), so sums are
+    * exact BIGINTs — order-independent at any parallelism — and the mean
+    * is one exact int/int division. Plan: the same broadcast n×k
+    * assignment pass as [[vectorAnnIvf]] plus one partial+final
+    * aggregate keyed by cell; nothing corpus-sized shuffles. Oracle:
+    * [[indexStatsOracleSql]], rendered post-run from the same memoized
+    * centroids the query trained. */
+  val vectorIndexStats: Q = Q.noOracle("vector_index_stats") { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"), toDouble(col("embedding")).as("v"))
+      .filter(col("vec_id") =!= 0)
+    val centroids = ivfCentroids(emb,
+                                 cacheKey = Some(embeddingsFingerprint(s, d)))
+    assignCells(emb, centroids)
+      .join(broadcast(centroids), col("cell") === col("cid"))
+      .select(col("cell"),
+        floor(lit(1000) * cosine(col("v"), col("cv"))).cast("long").as("mc"))
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n_vectors"),
+           min(col("mc")).as("min_mcos"), max(col("mc")).as("max_mcos"),
+           (sum(col("mc")).cast("double") / count(lit(1))).as("mean_mcos"))
+      .select(col("cell").cast("int").as("cell"), col("n_vectors"),
+              col("min_mcos"), col("max_mcos"), col("mean_mcos"))
+      .orderBy("cell")
+  }.copy(
+    eager = true, // shares the trained-centroid cache with vectorAnnIvf
+    oracleGen = Some(() =>
+      lastIvfKey.flatMap(k => Option(centroidCache.get(k)))
+        .map(cs => indexStatsOracleSql(cs.map(_.toSeq).toSeq))))
 
   /** Batched exact top-3 neighbors for a SET of query vectors (vec_id <
     * 5) — the realistic ANN serving shape (queries arrive in batches, not
@@ -555,5 +619,5 @@ object Vectors {
 
   val all: Seq[Q] = Seq(vectorTopk, vectorAnnLsh, vectorAnnIvf,
     vectorTopkBatch, vectorQuantize, vectorCentroid, knnJoinLsh,
-    sqlVectorTopk)
+    sqlVectorTopk, vectorIndexStats)
 }

@@ -20,7 +20,8 @@ class PlanAuditSpec extends SparkSpec {
   test("the eager set is exactly the declared convergence/training queries") {
     assert(SparkEntry.catalog.filter(_.eager).map(_.name).toSet ===
       Set("dedup_cluster", "dedup_cluster_star", "vector_ann_ivf",
-          "bpe_train", "bpe_encode", "graph_triangles"),
+          "vector_index_stats", "bpe_train", "bpe_encode",
+          "graph_triangles"),
       "new Q entries that run jobs at plan-build time must set eager=true")
   }
 
