@@ -256,6 +256,48 @@ object Pipeline {
       .orderBy("rule")
   }
 
+  /** Join-key SKEW census — the diagnostic a pipeline runs BEFORE
+    * choosing between a plain and a salted join/aggregate
+    * (`join_salted`/`agg_salted`): per candidate key column, the distinct
+    * count, the hottest key's row count, its share of the table, and the
+    * hot-key-to-mean ratio (the number that says how many salt buckets
+    * the hot key needs). ONE scan: both columns melt into (key_col,
+    * key_val) rows via a map explode, then two partial+final aggregates —
+    * per (col, val) counts, then per col — so adding a candidate column
+    * costs no extra pass. All ratios derive from exact BIGINT counts via
+    * one double division each (deterministic in both engines). */
+  val dqSkew: Q = Q(
+    "dq_skew",
+    """WITH kv AS (
+      |  SELECT 'event_type' AS key_col, event_type AS key_val FROM events
+      |  UNION ALL
+      |  SELECT 'user_id', CAST(user_id AS VARCHAR) FROM events),
+      |c AS (SELECT key_col, key_val, count(*) AS c FROM kv GROUP BY 1, 2)
+      |SELECT key_col, CAST(sum(c) AS BIGINT) AS n_rows,
+      |  CAST(count(*) AS BIGINT) AS n_distinct,
+      |  CAST(max(c) AS BIGINT) AS top_count,
+      |  CAST(max(c) AS DOUBLE) / CAST(sum(c) AS BIGINT) AS top_share,
+      |  CAST(max(c) * count(*) AS DOUBLE) / CAST(sum(c) AS BIGINT) AS skew_ratio
+      |FROM c GROUP BY 1 ORDER BY key_col""".stripMargin
+  ) { (s, d) =>
+    Tables.events(s, d)
+      .select(explode(map(
+        lit("event_type"), col("event_type"),
+        lit("user_id"), col("user_id").cast("string")))
+        .as(Seq("key_col", "key_val")))
+      .groupBy("key_col", "key_val").agg(count(lit(1)).as("c"))
+      .groupBy("key_col")
+      .agg(sum(col("c")).as("n_rows"), count(lit(1)).as("n_distinct"),
+           max(col("c")).as("top_count"))
+      .select(col("key_col"), col("n_rows"), col("n_distinct"),
+        col("top_count"),
+        (col("top_count").cast("double") / col("n_rows")).as("top_share"),
+        ((col("top_count") * col("n_distinct")).cast("double") /
+          col("n_rows")).as("skew_ratio"))
+      .orderBy("key_col")
+  }
+
   val all: Seq[Q] = Seq(simplifyFlatten, denormalizePatient, graphEdges,
-    graphTwohop, discoverySummary, ingestNdjson, snapshotExport, dqChecks)
+    graphTwohop, discoverySummary, ingestNdjson, snapshotExport, dqChecks,
+    dqSkew)
 }
