@@ -25,6 +25,18 @@ class PlanAuditSpec extends SparkSpec {
       "new Q entries that run jobs at plan-build time must set eager=true")
   }
 
+  test("no catalog query plans a CartesianProduct") {
+    // blanket regression net over the WHOLE catalog: broadcast nested
+    // loop joins over tiny sides are fine (dedup_cosine, pair frames);
+    // an actual CartesianProductExec — both sides shuffled, all pairs
+    // materialized — is never the plan we want at any scale
+    SparkEntry.catalog.filterNot(_.eager).foreach { q =>
+      val p = q.fn(spark, sf0001).queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"),
+        s"${q.name} plans a cartesian:\n${p.take(400)}")
+    }
+  }
+
   test("filter_pred pushes predicates into the parquet scan") {
     val p = plan(Relational.filterPred)
     assert(p.contains("PushedFilters:"), p.take(400))
