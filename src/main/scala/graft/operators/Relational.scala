@@ -393,6 +393,62 @@ object Relational {
       .orderBy("event_id")
   }
 
+  /** As-of join WITH TOLERANCE (the pandas `merge_asof(tolerance=...)`
+    * contract): the nearest preceding signup matches only if it is
+    * within 24h of the purchase; staler matches null out. Same
+    * single-window plan as [[joinAsof]] — the tolerance is one more
+    * narrow projection over the matched row, NOT a different join — so
+    * the scale posture is unchanged. Oracle: DuckDB's ASOF JOIN with the
+    * tolerance applied as a CASE over the match (ASOF has no tolerance
+    * parameter; the CASE is definitionally the same cut). Gap math in
+    * exact epoch millis on both sides. */
+  val joinAsofTol: Q = Q(
+    "join_asof_tol",
+    """SELECT event_id, user_id, purchase_ts,
+      |  CASE WHEN epoch_ms(purchase_ts) - epoch_ms(signup_ts) <= 86400000
+      |       THEN signup_ts END AS signup_ts
+      |FROM (
+      |  SELECT p.event_id AS event_id, p.user_id AS user_id,
+      |         p.ts AS purchase_ts, s.ts AS signup_ts
+      |  FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |  ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+      |    ON p.user_id = s.user_id AND p.ts >= s.ts)
+      |ORDER BY event_id""".stripMargin
+  ) { (s, d) =>
+    val TolMs = 86400000L
+    joinAsof.fn(s, d)
+      .select(col("event_id"), col("user_id"), col("purchase_ts"),
+        when(unix_millis(col("purchase_ts")) - unix_millis(col("signup_ts"))
+               <= TolMs,
+             col("signup_ts")).as("signup_ts"))
+      .orderBy("event_id")
+  }
+
+  /** NULL-preserving generator (`explode_outer`): documents whose filter
+    * yields an EMPTY token list still emit one row with a NULL token —
+    * the outer-generator semantics every flatten-with-provenance
+    * pipeline needs (an inner explode silently drops the document).
+    * Oracle: DuckDB has no outer unnest, so the empty list is padded to
+    * `[NULL]` before unnesting — definitionally the same semantics. */
+  val generatorOuter: Q = Q(
+    "generator_outer",
+    """WITH t AS (SELECT doc_id,
+      |    list_filter(string_split(text,' '), x -> len(x) >= 8) AS ts
+      |  FROM documents),
+      |u AS (SELECT doc_id,
+      |    unnest(CASE WHEN len(ts) = 0 THEN [CAST(NULL AS VARCHAR)]
+      |           ELSE ts END) AS token
+      |  FROM t)
+      |SELECT doc_id, token FROM u
+      |ORDER BY doc_id, token NULLS FIRST""".stripMargin
+  ) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode_outer(filter(split(col("text"), " "),
+                             x => length(x) >= 8)).as("token"))
+      .orderBy(col("doc_id"), col("token").asc_nulls_first)
+  }
+
   /** CUBE grouping sets (all 4 combinations of the two keys). */
   val aggCube: Q = Q(
     "agg_cube",
@@ -1179,5 +1235,6 @@ object Relational {
     aggSalted, aggQuantile, aggQuantileSketch, setopsAll, topkPaged, aggCorr,
     aggHistogram, aggStringagg, profileTable, outlierZscore, scalarMath,
     scalarDatetimeExt, scalarStringExt, aggMode, scalarNullSemantics,
-    unpivotStack, joinSalted, aggGroupingSets, outlierMad, aggHistogramEqd)
+    unpivotStack, joinSalted, aggGroupingSets, outlierMad, aggHistogramEqd,
+    joinAsofTol, generatorOuter)
 }
