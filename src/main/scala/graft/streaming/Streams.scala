@@ -52,6 +52,12 @@ case class RetEdge(user_id: Long, cohort_day: java.sql.Date, day_offset: Int)
   * (bounded: only offsets ≤ the horizon are recorded, ≤ 8 entries). */
 case class RetState(cohortDay: Int, seen: Seq[Int])
 
+/** One shingle-hash observation from a source feed (running-signature
+  * input). */
+case class ShingleObs(source: String, sgl: Long)
+/** A source's current MinHash signature (32 affine mins). */
+case class SourceSig(source: String, sig: Seq[Long])
+
 /** A document arriving on a stream (near-dup candidate detection). */
 case class DocIn(doc_id: Long, text: String)
 /** An LSH band row of a streamed document. */
@@ -281,6 +287,46 @@ object Streams {
             }
             Iterator.empty
           }
+      }
+  }
+
+  /** RUNNING per-source MinHash signatures — the streaming face of the
+    * sketch-mergeability property [[graft.operators.Dedup.dedupSourceSim]]
+    * demonstrates in batch: each signature slot is a min of an affine
+    * hash, and min is associative/commutative/idempotent, so a source's
+    * signature folds INCREMENTALLY as shingles arrive (state = 32
+    * longs per source, O(1) per observation) and after any prefix of the
+    * stream equals the batch aggregate over the same rows exactly
+    * (StreamingSpec proves bit-equality across micro-batch boundaries).
+    * Same affine family and modulus as the batch queries — the emitted
+    * signatures are directly comparable/joinable against a batch-built
+    * index. Emits the updated signature each micro-batch (Update mode);
+    * duplicate shingles and replays are absorbed by idempotence, the
+    * property that makes the sketch safe under at-least-once delivery. */
+  def sourceSignatures(ds: Dataset[ShingleObs]): Dataset[SourceSig] = {
+    import ds.sparkSession.implicits._
+    import graft.operators.Dedup.{MinhashAB, MinhashP}
+    val K = MinhashAB.length
+    ds.groupByKey(_.source)
+      .flatMapGroupsWithState(OutputMode.Update,
+                              GroupStateTimeout.NoTimeout) {
+        (src: String, rows: Iterator[ShingleObs],
+         state: GroupState[SourceSig]) =>
+          val cur = state.getOption.map(_.sig.toArray)
+            .getOrElse(Array.fill(K)(Long.MaxValue))
+          rows.foreach { o =>
+            val x = o.sgl % MinhashP
+            var j = 0
+            while (j < K) {
+              val (a, b) = MinhashAB(j)
+              val v = (a * x + b) % MinhashP
+              if (v < cur(j)) cur(j) = v
+              j += 1
+            }
+          }
+          val out = SourceSig(src, cur.toSeq)
+          state.update(out)
+          Iterator(out)
       }
   }
 

@@ -201,6 +201,44 @@ class StreamingSpec extends SparkSpec {
       b.open == 9.50 && b.close == 12.00 && b.high == 12.00 && b.low == 9.50))
   }
 
+  test("running source signatures equal the batch mins across micro-batches") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.{Streams, ShingleObs, SourceSig}
+    import graft.operators.Dedup.{MinhashAB, MinhashP}
+    // deterministic shingle hashes split across two micro-batches, with a
+    // replayed duplicate (idempotence) and a cross-batch min for src "a"
+    val rnd = new scala.util.Random(7)
+    val b1 = Seq.fill(40)(ShingleObs(if (rnd.nextBoolean()) "a" else "b",
+                                     rnd.nextLong().abs % (1L << 60)))
+    val b2 = Seq.fill(40)(ShingleObs(if (rnd.nextBoolean()) "a" else "b",
+                                     rnd.nextLong().abs % (1L << 60))) ++
+      b1.take(3) // replay
+    val mem = MemoryStream[ShingleObs]
+    val name = s"sig_${System.nanoTime()}"
+    val q = Streams.sourceSignatures(mem.toDS()).writeStream
+      .format("memory").queryName(name).outputMode("update").start()
+    val got = try {
+      mem.addData(b1); q.processAllAvailable()
+      mem.addData(b2); q.processAllAvailable()
+      // Update mode: the LAST emitted row per source is the final state
+      spark.table(name).as[SourceSig].collect()
+        .zipWithIndex.groupBy(_._1.source)
+        .map { case (s, rows) => s -> rows.maxBy(_._2)._1.sig }
+    } finally q.stop()
+    // batch oracle: componentwise affine mins over ALL rows, plain Scala
+    val want = (b1 ++ b2).groupBy(_.source).map { case (s, os) =>
+      s -> MinhashAB.map { case (a, b) =>
+        os.map(o => (a * (o.sgl % MinhashP) + b) % MinhashP).min
+      }.toSeq
+    }
+    assert(got.keySet === want.keySet)
+    got.foreach { case (s, sig) =>
+      assert(sig === want(s), s"source $s signature diverged")
+    }
+  }
+
   test("streaming retention edges aggregate to the batch cohort table") {
     val spark2 = spark
     import spark2.implicits._
