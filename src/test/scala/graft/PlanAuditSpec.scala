@@ -90,6 +90,13 @@ class PlanAuditSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).size >= 2)
   }
 
+  test("join_asof_tol adds no exchange over join_asof (projection only)") {
+    def exchanges(q: Q) =
+      "Exchange".r.findAllIn(plan(q)).size
+    assert(exchanges(Relational.joinAsofTol) === exchanges(Relational.joinAsof),
+      "the tolerance must stay a narrow projection over the as-of window")
+  }
+
   test("join_asof is one keyed window, not an N x M join") {
     val p = plan(Relational.joinAsof)
     assert(p.contains("Window") || p.contains("WindowGroupLimit"),

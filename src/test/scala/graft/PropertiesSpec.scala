@@ -104,6 +104,29 @@ class PropertiesSpec extends SparkSpec {
     assert(Vectors.trainCentroids(sample.take(3), 8, 5).length === 3)
   }
 
+  test("misra-gries containment and error bound hold on random streams") {
+    import graft.operators.TextAnalysis.misraGries
+    val streamGen: Gen[(List[String], Int)] = for {
+      cap <- Gen.chooseNum(2, 16)
+      n <- Gen.chooseNum(1, 400)
+      // skewed alphabet: small ids are frequent, so heavy hitters exist
+      items <- Gen.listOfN(n, Gen.chooseNum(0, 40).map(i => s"t${i * i / 41}"))
+    } yield (items, cap)
+    check(Prop.forAll(streamGen) { case (items, cap) =>
+      val exact = items.groupBy(identity).map { case (k, v) => k -> v.size }
+      val got = misraGries(items.iterator, cap).toMap
+      val n = items.size
+      val bound = n / (cap + 1)
+      // (1) bounded counters, (2) every item with freq > n/(cap+1)
+      // survives, (3) counts never overcount and undercount ≤ bound
+      got.size <= cap &&
+        exact.forall { case (k, c) =>
+          c <= bound || got.contains(k) } &&
+        got.forall { case (k, c) =>
+          c <= exact(k) && c >= exact(k) - bound }
+    }, n = 200)
+  }
+
   test("centroidFast (production avg) agrees with the oracle fold to 1e-9") {
     import graft.operators.Vectors
     import org.apache.spark.sql.functions._
