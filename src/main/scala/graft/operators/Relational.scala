@@ -789,6 +789,37 @@ object Relational {
           .as("median_price"))
       .orderBy("l_returnflag")
 
+  /** Mergeable-sketch cardinality — the cross-shard shape
+    * [[aggApproxDistinct]] doesn't exercise: one Datasketches HLL sketch
+    * per event_type (the "per shard/partition summary"), then
+    * `hll_union_agg` merges the BINARY sketches and one estimate comes
+    * out — exactly how a 1000-executor fleet combines per-shard
+    * cardinality summaries without re-scanning anything. Declared output
+    * is the contract (the sketch bytes are engine-specific): the
+    * value-checked exact distinct-user count, the number of per-type
+    * sketches merged, and a genuinely computed 5%-error boolean the
+    * oracle asserts as literal truth. */
+  val aggHllUnion: Q = Q(
+    "agg_hll_union",
+    """SELECT CAST(count(DISTINCT event_type) AS BIGINT) AS n_sketches,
+      |  CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+      |  true AS union_within_5pct
+      |FROM events""".stripMargin
+  ) { (s, d) =>
+    val perType = Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(hll_sketch_agg(col("user_id"), lit(14)).as("sk"))
+    val merged = perType.agg(
+      count(lit(1)).as("n_sketches"),
+      hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_users"))
+    val exact = Tables.events(s, d)
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    merged.crossJoin(exact)
+      .select(col("n_sketches"), col("exact_users"),
+        (abs(col("est_users") - col("exact_users")).cast("double") /
+          col("exact_users") <= 0.05).as("union_within_5pct"))
+  }
+
   /** Driver-checked GK-sketch query: the sketch VALUE is engine-specific,
     * but the GK contract is rank-based and checkable — for quantile φ and
     * returned value v, `count(x < v) ≤ (φ+ε)·n` and `count(x ≤ v) ≥
@@ -1236,5 +1267,5 @@ object Relational {
     aggHistogram, aggStringagg, profileTable, outlierZscore, scalarMath,
     scalarDatetimeExt, scalarStringExt, aggMode, scalarNullSemantics,
     unpivotStack, joinSalted, aggGroupingSets, outlierMad, aggHistogramEqd,
-    joinAsofTol, generatorOuter)
+    joinAsofTol, generatorOuter, aggHllUnion)
 }
