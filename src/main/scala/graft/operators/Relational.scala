@@ -820,6 +820,64 @@ object Relational {
           col("exact_users") <= 0.05).as("union_within_5pct"))
   }
 
+  /** Sketch SET ALGEBRA (Datasketches theta): purchaser and signup user
+    * sets sketched independently, then |∩|, |∪| and |P∖S| estimated
+    * purely from the two sketches — the audience-overlap question
+    * answered WITHOUT a join, which is the point at 100 TB: each side's
+    * sketch builds in its own partial+final pass, and the set algebra
+    * happens on two kilobyte-sized summaries. Declared output is the
+    * contract: value-checked exact cardinalities (distinct-join SQL)
+    * plus genuinely computed 5%-error booleans for all three estimates
+    * (theta lgK=12 ⇒ ~1.6% RSE; intersection error scales with the
+    * union, covered by the margin and checked at all SFs). */
+  val aggThetaSetops: Q = Q(
+    "agg_theta_setops",
+    """WITH p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+      |s AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'signup')
+      |SELECT CAST((SELECT count(*) FROM p) AS BIGINT) AS exact_p,
+      |  CAST((SELECT count(*) FROM s) AS BIGINT) AS exact_s,
+      |  CAST((SELECT count(*) FROM p JOIN s USING (user_id)) AS BIGINT) AS exact_inter,
+      |  CAST((SELECT count(*) FROM (SELECT user_id FROM p UNION SELECT user_id FROM s)) AS BIGINT) AS exact_union,
+      |  true AS inter_within_5pct, true AS union_within_5pct,
+      |  true AS diff_within_5pct""".stripMargin
+  ) { (s, d) =>
+    val ev = Tables.events(s, d)
+    def sideSk(t: String) = ev.filter(col("event_type") === t)
+      .agg(theta_sketch_agg(col("user_id")).as(s"sk_$t"))
+    def sideExact(t: String) = ev.filter(col("event_type") === t)
+      .select("user_id").distinct()
+    val (p, sg) = (sideExact("purchase"), sideExact("signup"))
+    val exacts = p.agg(count(lit(1)).as("exact_p")).crossJoin(
+        sg.agg(count(lit(1)).as("exact_s"))).crossJoin(
+        p.join(sg, Seq("user_id")).agg(count(lit(1)).as("exact_inter")))
+      .withColumn("exact_union",
+        col("exact_p") + col("exact_s") - col("exact_inter"))
+    val ests = sideSk("purchase").crossJoin(sideSk("signup"))
+      .select(
+        theta_sketch_estimate(
+          theta_intersection(col("sk_purchase"), col("sk_signup")))
+          .as("est_i"),
+        theta_sketch_estimate(
+          theta_union(col("sk_purchase"), col("sk_signup"))).as("est_u"),
+        theta_sketch_estimate(
+          theta_difference(col("sk_purchase"), col("sk_signup")))
+          .as("est_d"))
+    // zero-set guard: an empty exact set (here P∖S — every purchaser
+    // also signed up in the synthetic corpus) has no relative error;
+    // the sketch must simply estimate ~0 (theta difference of identical
+    // sketches is exactly empty)
+    def ok(est: Column, exact: Column) =
+      when(exact === 0, est < 1)
+        .otherwise(abs(est - exact).cast("double") / exact <= 0.05)
+    exacts.crossJoin(ests)
+      .select(col("exact_p"), col("exact_s"), col("exact_inter"),
+        col("exact_union"),
+        ok(col("est_i"), col("exact_inter")).as("inter_within_5pct"),
+        ok(col("est_u"), col("exact_union")).as("union_within_5pct"),
+        ok(col("est_d"), col("exact_p") - col("exact_inter"))
+          .as("diff_within_5pct"))
+  }
+
   /** Driver-checked GK-sketch query: the sketch VALUE is engine-specific,
     * but the GK contract is rank-based and checkable — for quantile φ and
     * returned value v, `count(x < v) ≤ (φ+ε)·n` and `count(x ≤ v) ≥
@@ -1267,5 +1325,5 @@ object Relational {
     aggHistogram, aggStringagg, profileTable, outlierZscore, scalarMath,
     scalarDatetimeExt, scalarStringExt, aggMode, scalarNullSemantics,
     unpivotStack, joinSalted, aggGroupingSets, outlierMad, aggHistogramEqd,
-    joinAsofTol, generatorOuter, aggHllUnion)
+    joinAsofTol, generatorOuter, aggHllUnion, aggThetaSetops)
 }
