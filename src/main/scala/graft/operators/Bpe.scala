@@ -22,11 +22,18 @@ import org.apache.spark.sql.functions._
   * bounded for large merge counts. The sequential rounds are inherent —
   * merge i+1's counts depend on merge i having been applied.
   *
-  * Both queries are `eager` (training runs jobs at plan-build) and
-  * declared no-oracle: the merge loop is not expressible as one ANSI SQL
-  * statement. BpeSpec instead proves EXACT equality of the distributed
-  * trainer against an independent in-memory reference implementation on
-  * the real corpus, which is a stronger check than a rows-only gate.
+  * Both queries are `eager` (training runs jobs at plan-build). The
+  * merge loop is not expressible as one ANSI SQL statement, so the
+  * oracle is GENERATED post-run ([[Q.oracleGen]], the vector_ann_ivf
+  * discipline): the independent in-memory reference implementation
+  * ([[referenceMerges]] — plain Scala, no Spark, the same oracle BpeSpec
+  * asserts against) trains on the collected word-frequency table and its
+  * merges/vocab are inlined as DuckDB VALUES. The driver then
+  * hash-compares the distributed trainer against the reference
+  * implementation — cross-IMPLEMENTATION equality recorded in the
+  * correctness gate, not just in CI. For bpe_encode the inlined artifact
+  * is only the (word → piece-count) vocab; the split/join/aggregate over
+  * documents is DuckDB's own SQL, independent of the Spark plan.
   */
 object Bpe {
 
@@ -109,17 +116,84 @@ object Bpe {
   private val trainCache = new java.util.concurrent.ConcurrentHashMap[
     String, (Seq[Merge], DataFrame)]()
 
-  private def trained(s: SparkSession, d: String): (Seq[Merge], DataFrame) =
-    trainCache.computeIfAbsent(
-      s"${s.sparkContext.applicationId}#${Tables.fingerprint(s, d, "documents")}",
+  /** Reference-implementation artifacts per corpus fingerprint: the
+    * in-memory trainer's merges and its (word → piece-count) vocab.
+    * Plain driver-side data (no checkpoint-backed DataFrame), so unlike
+    * [[trainCache]] the key needs no session id — the artifact outlives
+    * the session that computed it. Consumed by the post-run oracle
+    * generators below. */
+  private val refCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (Seq[Merge], Seq[(String, Int)])]()
+
+  /** Corpus fingerprint of the most recent training run — which corpus
+    * the generated oracles should render for. */
+  @volatile private var lastRefKey: Option[String] = None
+
+  private def trained(s: SparkSession, d: String): (Seq[Merge], DataFrame) = {
+    val fp = Tables.fingerprint(s, d, "documents")
+    val res = trainCache.computeIfAbsent(
+      s"${s.sparkContext.applicationId}#$fp",
       _ => learnMerges(wordFreq(s, d), NMerges))
+    refCache.computeIfAbsent(fp, _ => {
+      // vocabulary-bounded collect (same bound the trainer itself relies
+      // on); the merge TRAINING below is the independent implementation
+      val freqs = wordFreq(s, d).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val merges = referenceMerges(freqs, NMerges)
+      val vocab = freqs.keysIterator.toSeq.sorted
+        .map(w => w -> refPieces(w, merges).length)
+      (merges, vocab)
+    })
+    lastRefKey = Some(fp)
+    res
+  }
+
+  private def sqlStr(s: String): String = "'" + s.replace("'", "''") + "'"
+
+  /** DuckDB mirror of [[bpeTrain]]: the independent in-memory trainer's
+    * merge table inlined as VALUES. The driver's hash compare then IS the
+    * cross-implementation equality check BpeSpec runs in CI. */
+  private[operators] def trainOracleSql(merges: Seq[Merge]): String = {
+    val rows = merges.map(m =>
+      s"(${m.rank}, ${sqlStr(m.lhs)}, ${sqlStr(m.rhs)}, " +
+        s"${sqlStr(m.merged)}, ${m.n_pairs})").mkString(",\n    ")
+    s"""SELECT CAST(rank AS INT) AS rank, lhs, rhs, merged,
+       |  CAST(n_pairs AS BIGINT) AS n_pairs
+       |FROM (VALUES
+       |    $rows) t(rank, lhs, rhs, merged, n_pairs)""".stripMargin
+  }
+
+  /** DuckDB mirror of [[bpeEncode]]: ONLY the reference vocab (word →
+    * piece count, from in-memory rule application) is inlined; the word
+    * split, join, and per-document aggregate are DuckDB's own SQL over
+    * the documents parquet — independent of the Spark plan being
+    * checked. */
+  private[operators] def encodeOracleSql(vocab: Seq[(String, Int)]): String = {
+    val rows = vocab.map { case (w, n) => s"(${sqlStr(w)}, $n)" }
+      .mkString(",\n    ")
+    s"""WITH vocab AS (SELECT w, n_sym FROM (VALUES
+       |    $rows) v(w, n_sym)),
+       |words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+       |          FROM documents)
+       |SELECT doc_id, count(*) AS n_words,
+       |  CAST(sum(n_sym) AS BIGINT) AS n_pieces,
+       |  CAST(sum(n_sym) AS DOUBLE) / count(*) AS fertility
+       |FROM words JOIN vocab USING (w)
+       |WHERE length(w) > 0
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+  }
 
   /** The learned merge table for the corpus — rank, pair, merged symbol,
     * winning pair count. */
   val bpeTrain: Q = Q.noOracle("bpe_train") { (s, d) =>
     import s.implicits._
     trained(s, d)._1.toDF("rank", "lhs", "rhs", "merged", "n_pairs")
-  }.copy(eager = true)
+  }.copy(
+    eager = true,
+    oracleGen = Some(() =>
+      lastRefKey.flatMap(k => Option(refCache.get(k)))
+        .map(a => trainOracleSql(a._1))))
 
   /** Encode the corpus with the trained tokenizer and report per-document
     * piece counts + fertility (pieces per word) — the metric tokenizer
@@ -140,7 +214,11 @@ object Bpe {
            (sum(col("n_sym")).cast("double") / count(lit(1)))
              .as("fertility"))
       .orderBy("doc_id")
-  }.copy(eager = true)
+  }.copy(
+    eager = true,
+    oracleGen = Some(() =>
+      lastRefKey.flatMap(k => Option(refCache.get(k)))
+        .map(a => encodeOracleSql(a._2))))
 
   /** Apply learned merge RULES to an arbitrary word column — true
     * tokenizer application, which unlike the vocab-table join of
@@ -159,13 +237,22 @@ object Bpe {
   /** Independent in-memory reference (plain Scala, no Spark) — the spec
     * oracle for [[learnMerges]]. Same tie-break, same greedy
     * left-to-right merge semantics. */
+  private def mergeWord(sym: Vector[String], l: String, r: String)
+      : Vector[String] =
+    sym.foldLeft(Vector.empty[String]) { (acc, x) =>
+      if (acc.nonEmpty && acc.last == l && x == r) acc.init :+ (l + r)
+      else acc :+ x
+    }
+
+  /** In-memory rule application: fold the learned merges in rank order
+    * over the character sequence — the reference counterpart of
+    * [[applyMerges]], used to derive the oracle vocab. */
+  private[graft] def refPieces(w: String, merges: Seq[Merge]): Vector[String] =
+    merges.foldLeft(w.map(_.toString).toVector :+ EndMark)(
+      (sym, m) => mergeWord(sym, m.lhs, m.rhs))
+
   private[graft] def referenceMerges(freqs: Map[String, Long], n: Int)
       : Seq[Merge] = {
-    def mergeWord(sym: Vector[String], l: String, r: String): Vector[String] =
-      sym.foldLeft(Vector.empty[String]) { (acc, x) =>
-        if (acc.nonEmpty && acc.last == l && x == r) acc.init :+ (l + r)
-        else acc :+ x
-      }
     var words = freqs.toVector.map { case (w, f) =>
       (w.map(_.toString).toVector :+ EndMark, f)
     }
