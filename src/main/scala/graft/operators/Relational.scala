@@ -1316,6 +1316,54 @@ object Relational {
       .orderBy("o_orderpriority")
   }
 
+  /** Bloom-filter pre-filtered fact join (the explicit form of runtime
+    * row-level filtering): a kilobyte bloom bitmap built from the
+    * FILTERED dimension's keys prunes the fact side in a map-side
+    * projection BEFORE the join's exchange, so only `match-rate + fpp`
+    * of the fact table ever shuffles; the exact semi join above it
+    * removes the false positives. This is the tool for the case
+    * broadcast can't cover — a dimension whose hash relation is too big
+    * for executor memory but whose KEY SET fits a bloom at 1% fpp
+    * (~1.2 GB per 10⁹ keys vs ~30+ GB of hash relation). The probe is a
+    * native codegen expression ([[graft.functions.expressions.BloomMightContain]])
+    * — one virtual call inside whole-stage codegen, no UDF dispatch.
+    * Oracle: the plain semi join — the bloom must be result-invariant,
+    * and the hash compare proves it on real data. Eager: building the
+    * bitmap runs the dim-side aggregate at plan-build time. */
+  val joinBloom: Q = Q(
+    "join_bloom",
+    """SELECT o_orderpriority, count(*) AS n_orders,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM orders
+      |WHERE o_custkey IN (SELECT c_custkey FROM customer
+      |                    WHERE c_mktsegment = 'BUILDING')
+      |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin
+  ) { (s, d) =>
+    val dim = Tables.customer(s, d)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    // size the bitmap from the dim's real cardinality (one count job),
+    // then build it with the partial+final bloom aggregate
+    val bloom = dim.stat.bloomFilter(
+      "c_custkey", math.max(dim.count(), 64L), 0.01)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos)
+      bos.toByteArray
+    }
+    import org.apache.spark.sql.graft.Bridge
+    val mightContain = Bridge.column(
+      graft.functions.expressions.BloomMightContain(
+        Bridge.expression(col("o_custkey")), bytes))
+    Tables.orders(s, d)
+      .filter(mightContain) // map-side prune below the join exchange
+      .join(dim, col("o_custkey") === col("c_custkey"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+           asDouble(sum(money(col("o_totalprice")))).as("revenue"))
+      .orderBy("o_orderpriority")
+  }.copy(eager = true) // bitmap build runs dim count + aggregate jobs
+
   val all: Seq[Q] = Seq(
     countByProject, filterPred, aggGroupBy, aggDistinct, aggRollup, topk,
     joinInner, joinMultiway, semiAnti, setOps, scalarStringDate, jsonExtract,
@@ -1325,5 +1373,5 @@ object Relational {
     aggHistogram, aggStringagg, profileTable, outlierZscore, scalarMath,
     scalarDatetimeExt, scalarStringExt, aggMode, scalarNullSemantics,
     unpivotStack, joinSalted, aggGroupingSets, outlierMad, aggHistogramEqd,
-    joinAsofTol, generatorOuter, aggHllUnion, aggThetaSetops)
+    joinAsofTol, generatorOuter, aggHllUnion, aggThetaSetops, joinBloom)
 }

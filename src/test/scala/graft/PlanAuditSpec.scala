@@ -21,7 +21,7 @@ class PlanAuditSpec extends SparkSpec {
     assert(SparkEntry.catalog.filter(_.eager).map(_.name).toSet ===
       Set("dedup_cluster", "dedup_cluster_star", "vector_ann_ivf",
           "vector_index_stats", "bpe_train", "bpe_encode",
-          "graph_triangles"),
+          "graph_triangles", "join_bloom"),
       "new Q entries that run jobs at plan-build time must set eager=true")
   }
 
@@ -306,6 +306,24 @@ class PlanAuditSpec extends SparkSpec {
       case (k, Some(v)) => conf.set(k, v)
       case (k, None) => conf.unset(k)
     }
+  }
+
+  test("join_bloom probes the bitmap below the join, in the fact scan stage") {
+    // eager query (bitmap build runs jobs) — audited with an explicit
+    // build, not the plan-only helper
+    val p = graft.operators.Relational.joinBloom.fn(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("bloom_might_contain"),
+      s"expected the native bloom probe:\n${p.take(800)}")
+    // the probe must sit BELOW the semi join: everything before the first
+    // join operator in the plan string is the post-join pipeline, so the
+    // probe's filter has to appear AFTER the join node (plan trees print
+    // top-down)
+    val joinAt = "SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin".r
+      .findFirstMatchIn(p).map(_.start).getOrElse(fail("no join in plan"))
+    val probeAt = p.indexOf("bloom_might_contain")
+    assert(probeAt > joinAt,
+      s"bloom probe must prune below the join, not above it:\n${p.take(800)}")
   }
 
   test("corpus_mix broadcasts the per-source rates onto the document stream") {

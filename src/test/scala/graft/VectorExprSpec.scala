@@ -71,4 +71,35 @@ class VectorExprSpec extends SparkSpec {
       .collect()(0).getDouble(0)
     assert(math.abs(cast - 1.0) < 1e-15)
   }
+
+  test("bloom_might_contain: no false negatives, bounded false positives, " +
+       "null key -> null") {
+    import graft.functions.expressions.BloomMightContain
+    import org.apache.spark.sql.graft.Bridge
+    val spark2 = spark
+    import spark2.implicits._
+    val members = (0L until 1000L).map(_ * 7L)
+    val bloom = org.apache.spark.util.sketch.BloomFilter.create(1000, 0.01)
+    members.foreach(bloom.putLong)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos); bos.toByteArray
+    }
+    def probe(c: org.apache.spark.sql.Column) =
+      Bridge.column(BloomMightContain(Bridge.expression(c), bytes))
+    // members: never a false negative (the property the semi join's
+    // correctness rests on) — checked through a real executor pass
+    val hits = members.toDF("k").select(probe(col("k")).as("m"))
+      .collect().map(_.getBoolean(0))
+    assert(hits.forall(identity), "bloom false negative")
+    // non-members: fp rate well under 10x the configured 1%
+    val nonMembers = (0L until 10000L).map(_ * 7L + 3L)
+    val fps = nonMembers.toDF("k").select(probe(col("k")).as("m"))
+      .collect().count(_.getBoolean(0))
+    assert(fps < 1000, s"fp rate ${fps / 10000.0} far above configured 0.01")
+    // null key stays null (not false) — three-valued logic preserved
+    val n = Seq[Option[Long]](None).toDF("k")
+      .select(probe(col("k")).as("m")).collect()(0)
+    assert(n.isNullAt(0))
+  }
 }
