@@ -450,6 +450,80 @@ object Corpus {
       .orderBy("shard")
   }
 
+  /** Per-source unigram-distribution census: Shannon entropy of each
+    * source's token distribution and its KL divergence from the global
+    * corpus mixture — the two numbers a data-mixing decision actually
+    * consumes (a low-entropy source is repetitive/templated; a
+    * high-KL source is the one temperature flattening under- or
+    * over-weights; see [[corpusMix]]).
+    *
+    * Scale shape: the corpus is tokenized ONCE into a (source, token)
+    * partial+final count — the only corpus-proportional shuffle.
+    * Everything downstream (global token counts, per-source totals, the
+    * entropy/KL terms) is VOCABULARY-bounded, and the global count table
+    * joins back via broadcast. Transcendentals follow the
+    * text_perplexity discipline (docs/ORACLE_PARITY.md): each per-token
+    * term is quantized ONCE to integer milli-units
+    * (`floor(1000·c·ln c)`), all aggregation is exact BIGINT —
+    * order-independent at any parallelism — and the final entropy/KL
+    * are single double expressions over exact integers:
+    * H = ln N − (Σ c·ln c)/N, KL(p_s‖p_g) = (Σ c·(ln c − ln c_g))/N_s
+    * − ln N_s + ln N_g (all in millinats).
+    *
+    * The cross-source quantities ride WINDOWS over the already-reduced
+    * frames, not self-joins: the global token count is
+    * `sum(c) OVER (PARTITION BY w)` on the (source, token) aggregate
+    * (a vocab-bounded exchange), and the corpus total is an
+    * unpartitioned window over the |sources|-row result — so the raw
+    * corpus is scanned and tokenized exactly ONCE (a self-join
+    * formulation re-derives the corpus aggregate per reference:
+    * 4 corpus passes; PlanAuditSpec locks the single scan). */
+  val corpusEntropy: Q = Q(
+    "corpus_entropy",
+    """WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS w
+      |             FROM documents),
+      |t2 AS (SELECT source, w FROM tok WHERE length(w) > 0),
+      |sw AS (SELECT source, w, count(*) AS c FROM t2 GROUP BY 1, 2),
+      |wg AS (SELECT source, c, CAST(sum(c) OVER (PARTITION BY w) AS BIGINT) AS cg
+      |       FROM sw),
+      |a AS (SELECT source,
+      |    CAST(sum(CAST(floor(1000.0 * c * ln(CAST(c AS DOUBLE))) AS BIGINT)) AS BIGINT) AS sh,
+      |    CAST(sum(CAST(floor(1000.0 * c * (ln(CAST(c AS DOUBLE)) - ln(CAST(cg AS DOUBLE)))) AS BIGINT)) AS BIGINT) AS skl,
+      |    CAST(sum(c) AS BIGINT) AS n_tokens, count(*) AS vocab
+      |  FROM wg GROUP BY 1),
+      |t AS (SELECT source, sh, skl, n_tokens, vocab,
+      |        CAST(sum(n_tokens) OVER () AS BIGINT) AS n_total FROM a)
+      |SELECT source, n_tokens, vocab,
+      |  1000.0 * ln(CAST(n_tokens AS DOUBLE)) - CAST(sh AS DOUBLE) / n_tokens AS entropy_mnats,
+      |  CAST(skl AS DOUBLE) / n_tokens - 1000.0 * ln(CAST(n_tokens AS DOUBLE)) + 1000.0 * ln(CAST(n_total AS DOUBLE)) AS kl_mnats
+      |FROM t ORDER BY source""".stripMargin
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val tok = Tables.documents(s, d)
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+    val sw = tok.groupBy("source", "w").agg(count(lit(1)).as("c"))
+    val wg = sw.withColumn("cg", sum(col("c")).over(Window.partitionBy("w")))
+    val lnC = log(col("c").cast("double"))
+    val lnCg = log(col("cg").cast("double"))
+    val a = wg
+      .select(col("source"), col("c"),
+        floor(lit(1000.0) * col("c") * lnC).cast("long").as("t_h"),
+        floor(lit(1000.0) * col("c") * (lnC - lnCg)).cast("long").as("t_kl"))
+      .groupBy("source")
+      .agg(sum(col("t_h")).as("sh"), sum(col("t_kl")).as("skl"),
+           sum(col("c")).as("n_tokens"), count(lit(1)).as("vocab"))
+    a.withColumn("n_total", sum(col("n_tokens")).over(Window.partitionBy()))
+      .select(col("source"), col("n_tokens"), col("vocab"),
+        (lit(1000.0) * log(col("n_tokens").cast("double")) -
+          col("sh").cast("double") / col("n_tokens")).as("entropy_mnats"),
+        (col("skl").cast("double") / col("n_tokens") -
+          lit(1000.0) * log(col("n_tokens").cast("double")) +
+          lit(1000.0) * log(col("n_total").cast("double"))).as("kl_mnats"))
+      .orderBy("source")
+  }
+
   val all: Seq[Q] = Seq(corpusSplit, corpusPack, corpusSelect, docChunk,
-    corpusDecontaminate, corpusMix, corpusShuffle, trainingManifest)
+    corpusDecontaminate, corpusMix, corpusShuffle, trainingManifest,
+    corpusEntropy)
 }

@@ -1255,6 +1255,44 @@ object Relational {
       .orderBy("o_orderstatus")
   }
 
+  /** Exact-k-per-group sample ("reservoir sampling's output, without the
+    * reservoir"): rank every row within its group by a salted portable
+    * hash of its key and keep the k smallest. The hash order is a
+    * uniform random permutation of each group, so the result is exactly
+    * a uniform without-replacement k-sample — but as a pure function of
+    * (key, salt) it is deterministic under repartitioning and task
+    * retries, where a streaming reservoir's state depends on encounter
+    * order. This is how eval/holdout sets get carved from a 100 TB
+    * corpus: one shuffle (group-keyed window), per-partition sort, no
+    * global state. The companion [[sampleStratified]] covers
+    * FRACTIONAL sampling; this covers exact COUNT contracts ("exactly
+    * 20 docs per source"). Tie-break beyond the hash is the unique key
+    * itself, so the rank is total and the oracle hashes bit-exactly. */
+  val sampleReservoir: Q = Q(
+    "sample_reservoir",
+    s"""WITH h AS (SELECT o_orderstatus, o_orderkey, o_totalprice,
+       |  ${graft.functions.expressions.PortableHash
+              .duckdbSaltedSql("o_orderkey", ":r7", 15)} AS hv
+       |FROM orders),
+       |r AS (SELECT o_orderstatus, o_orderkey, o_totalprice,
+       |  row_number() OVER (PARTITION BY o_orderstatus
+       |                     ORDER BY hv, o_orderkey) AS rn FROM h)
+       |SELECT o_orderstatus, o_orderkey, o_totalprice
+       |FROM r WHERE rn <= 20
+       |ORDER BY o_orderstatus, o_orderkey""".stripMargin
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val hv = graft.functions.TextFns.saltedHash(col("o_orderkey"), ":r7", 15)
+    Tables.orders(s, d)
+      .select(col("o_orderstatus"), col("o_orderkey"), col("o_totalprice"),
+              hv.as("hv"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("o_orderstatus").orderBy(asc("hv"), asc("o_orderkey"))))
+      .filter(col("rn") <= 20)
+      .select("o_orderstatus", "o_orderkey", "o_totalprice")
+      .orderBy("o_orderstatus", "o_orderkey")
+  }
+
   /** UNPIVOT (wide→long, the inverse of [[aggPivot]]): a per-status
     * priority-bucket revenue matrix melted back to (status, priority,
     * total) rows via `stack` — a generator projection, no shuffle beyond
@@ -1373,5 +1411,6 @@ object Relational {
     aggHistogram, aggStringagg, profileTable, outlierZscore, scalarMath,
     scalarDatetimeExt, scalarStringExt, aggMode, scalarNullSemantics,
     unpivotStack, joinSalted, aggGroupingSets, outlierMad, aggHistogramEqd,
-    joinAsofTol, generatorOuter, aggHllUnion, aggThetaSetops, joinBloom)
+    joinAsofTol, generatorOuter, aggHllUnion, aggThetaSetops, joinBloom,
+    sampleReservoir)
 }

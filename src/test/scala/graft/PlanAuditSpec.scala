@@ -169,6 +169,31 @@ class PlanAuditSpec extends SparkSpec {
       s"expected bkt- and sbkt-partitioned windows, got: $specs")
   }
 
+  test("corpus_entropy: the corpus is scanned once; cross-source stats ride windows") {
+    val p = plan(graft.operators.Corpus.corpusEntropy)
+    // the self-join formulation re-derives the (source, token) aggregate
+    // per reference — 4 corpus tokenizations; the window formulation
+    // scans the documents parquet exactly once
+    assert("FileScan".r.findAllIn(p).size == 1,
+      s"corpus must be scanned exactly once:\n${p.take(1000)}")
+    // global token counts = vocab-keyed window; corpus total =
+    // unpartitioned window over the |sources|-row aggregate
+    assert("Window".r.findAllIn(p).size >= 2, p.take(600))
+    val df = graft.operators.Corpus.corpusEntropy.fn(spark, sf0001)
+    val wins = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    // any unpartitioned window must sit above the per-source aggregate
+    // (bounded input), never over the corpus-proportional token frame
+    wins.filter(_.partitionSpec.isEmpty).foreach { w =>
+      val aggsBelow = w.collect {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+      }
+      assert(aggsBelow.size >= 2,
+        s"unpartitioned window over an unbounded input:\n$w")
+    }
+  }
+
   test("dedup_source_sim: no cartesian; bounded recomputation of the shingle frame") {
     val p = plan(Dedup.dedupSourceSim)
     assert(!p.contains("CartesianProduct"),
