@@ -886,7 +886,81 @@ object Dedup {
       .orderBy("source_a", "source_b")
   }
 
+  /** Asymmetric CONTAINMENT dedup: C(A,B) = |A∩B| / min(|A|,|B|) ≥ 0.8 —
+    * the boilerplate/quotation detector Jaccard structurally misses. A
+    * 100-shingle doc fully embedded in a 10,000-shingle doc has
+    * J ≈ 0.01 (invisible to every Jaccard-threshold family above) but
+    * containment 1.0; that shape — licenses, headers, quoted posts,
+    * template wrappers — is a large fraction of real web-corpus
+    * duplication. Output orients each pair: `doc_in` is the contained
+    * (smaller) side, `doc_of` the container, with the pair's Jaccard
+    * alongside to show what a symmetric measure would have said.
+    *
+    * Plan: identical sub-quadratic skeleton to [[dedupNgram]] — the
+    * shared posting-list inverted index, [[OrderedPairs]] streaming the
+    * per-shingle pair fan-out under [[PostingCap]], one partial+final
+    * count per candidate pair; the containment division reuses the
+    * sizes the posting lists already carry. No new shuffle relative to
+    * the Jaccard query. */
+  val dedupContainment: Q = Q(
+    "dedup_containment",
+    """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+      |sh AS (SELECT doc_id,
+      |  list_distinct([array_to_string(toks[i:i+2],' ') FOR i IN range(1, len(toks)-1)]) AS shingles
+      |  FROM t),
+      |ex AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      |  FROM (SELECT doc_id, unnest(shingles) AS sgl FROM sh) a
+      |  JOIN (SELECT doc_id, unnest(shingles) AS sgl FROM sh) b
+      |    ON a.sgl = b.sgl AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |sz AS (SELECT doc_id, len(shingles) AS n FROM sh),
+      |c AS (SELECT doc_a, doc_b, sa.n AS na, sb.n AS nb, inter,
+      |        CAST(inter AS DOUBLE) / least(sa.n, sb.n) AS containment,
+      |        CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
+      |      FROM ex JOIN sz sa ON doc_a = sa.doc_id
+      |              JOIN sz sb ON doc_b = sb.doc_id)
+      |SELECT CASE WHEN na < nb THEN doc_a WHEN nb < na THEN doc_b
+      |            ELSE least(doc_a, doc_b) END AS doc_in,
+      |       CASE WHEN na < nb THEN doc_b WHEN nb < na THEN doc_a
+      |            ELSE greatest(doc_a, doc_b) END AS doc_of,
+      |       containment, jaccard
+      |FROM c WHERE containment >= 0.8
+      |ORDER BY doc_in, doc_of""".stripMargin
+  ) { (s, d) =>
+    val exN = shingleHashesWithCount(s, d).withColumnRenamed("n_sgl", "n")
+    val posting = exN
+      .groupBy("sgl")
+      .agg(array_sort(collect_list(struct(col("doc_id"), col("n"))))
+        .as("docs"))
+      .filter(size(col("docs")).between(2, PostingCap))
+    val pairGen = {
+      import org.apache.spark.sql.graft.Bridge
+      Bridge.column(graft.functions.expressions.OrderedPairs(
+        Bridge.expression(col("docs"))))
+    }
+    val pairs = posting
+      .select(pairGen.as(Seq("doc_a", "na", "doc_b", "nb")))
+      .groupBy("doc_a", "doc_b", "na", "nb")
+      .agg(count(lit(1)).as("inter"))
+    val containment =
+      col("inter").cast("double") / least(col("na"), col("nb"))
+    val jac = col("inter").cast("double") /
+      (col("na") + col("nb") - col("inter"))
+    pairs
+      .select(
+        when(col("na") < col("nb"), col("doc_a"))
+          .when(col("nb") < col("na"), col("doc_b"))
+          .otherwise(least(col("doc_a"), col("doc_b"))).as("doc_in"),
+        when(col("na") < col("nb"), col("doc_b"))
+          .when(col("nb") < col("na"), col("doc_a"))
+          .otherwise(greatest(col("doc_a"), col("doc_b"))).as("doc_of"),
+        containment.as("containment"), jac.as("jaccard"))
+      .filter(col("containment") >= 0.8)
+      .orderBy("doc_in", "doc_of")
+  }
+
   val all: Seq[Q] = Seq(dedupExact, dedupNgram, dedupMinhash,
     dedupIncremental, dedupSimhash, dedupCosine, dedupCosineLsh,
-    dedupCluster, dedupClusterStar, graphTriangles, dedupSourceSim)
+    dedupCluster, dedupClusterStar, graphTriangles, dedupSourceSim,
+    dedupContainment)
 }
