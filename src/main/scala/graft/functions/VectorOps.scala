@@ -30,6 +30,14 @@ object VectorOps {
   /** HOF fallback — bit-identical to [[cosine]], no custom expression. */
   def cosineHof(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Native single-pass squared Euclidean distance (whole-stage codegen)
+    * — the PQ encode/rerank kernel. */
+  def l2Sq(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graft.Bridge
+    Bridge.column(graft.functions.expressions.L2Squared(
+      Bridge.expression(a), Bridge.expression(b)))
+  }
+
   /** Cast an array<float> embedding to array<double> once, up front —
     * all downstream arithmetic then runs in double precision. */
   def toDouble(a: Column): Column = transform(a, x => x.cast("double"))

@@ -308,6 +308,26 @@ class DedupSpec extends SparkSpec {
     cells.unpersist()
   }
 
+  test("vector_pq: recall@10 vs exact L2 top-10 >= 0.7 on real embeddings") {
+    import org.apache.spark.sql.functions._
+    val pq = Vectors.vectorPq.fn(spark, sf0001)
+      .collect().map(_.getLong(0)).toSet
+    val emb = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"),
+        graft.functions.VectorOps.toDouble(col("embedding")).as("v"))
+    val q = emb.filter(col("vec_id") === 0).select(col("v").as("qv"))
+    val exact = emb.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        graft.functions.VectorOps.l2Sq(col("v"), col("qv")).as("d"))
+      .orderBy(asc("d"), asc("vec_id")).limit(10)
+      .collect().map(_.getLong(0)).toSet
+    val recalled = exact.intersect(pq).size
+    assert(recalled >= 7,
+      s"PQ recall@10 too low: $recalled/10 (measured 10/10 at this SF " +
+        "with M=16, K=32, pool=100 — a drop means the codebooks or the " +
+        "ADC path regressed)")
+  }
+
   test("dedup_cluster: paired docs share a cluster, survivor is the min id") {
     val labels = Dedup.dedupCluster.fn(spark, sf0001).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap

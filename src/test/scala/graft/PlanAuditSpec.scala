@@ -21,7 +21,7 @@ class PlanAuditSpec extends SparkSpec {
     assert(SparkEntry.catalog.filter(_.eager).map(_.name).toSet ===
       Set("dedup_cluster", "dedup_cluster_star", "vector_ann_ivf",
           "vector_index_stats", "bpe_train", "bpe_encode",
-          "graph_triangles", "join_bloom"),
+          "graph_triangles", "join_bloom", "vector_pq"),
       "new Q entries that run jobs at plan-build time must set eager=true")
   }
 
@@ -331,6 +331,21 @@ class PlanAuditSpec extends SparkSpec {
       case (k, Some(v)) => conf.set(k, v)
       case (k, None) => conf.unset(k)
     }
+  }
+
+  test("vector_pq: the ADC scan is one narrow pass — no exchange, no join") {
+    // eager (codebook training) — explicit build. The whole point of PQ
+    // with literal codebooks/LUTs: encode + ADC score is a projection
+    // inside whole-stage codegen feeding TakeOrderedAndProject; nothing
+    // shuffles, nothing joins, the corpus is scanned once.
+    val p = graft.operators.Vectors.vectorPq.fn(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"PQ scan must not shuffle:\n${p.take(600)}")
+    assert(!p.contains("Join"), s"PQ scan must not join:\n${p.take(600)}")
+    assert("TakeOrderedAndProject".r.findAllIn(p).size == 2,
+      s"expected candidate-cut + rerank TakeOrdered pair:\n${p.take(600)}")
+    assert("FileScan".r.findAllIn(p).size == 1,
+      s"corpus must be scanned once:\n${p.take(600)}")
   }
 
   test("join_bloom probes the bitmap below the join, in the fact scan stage") {

@@ -72,6 +72,35 @@ class VectorExprSpec extends SparkSpec {
     assert(math.abs(cast - 1.0) < 1e-15)
   }
 
+  test("native l2_sq == HOF formulation bit-for-bit; dimension mismatch errors") {
+    val e = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("v"))
+      .limit(40)
+    val pairs = e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+    // HOF mirror: same left-to-right accumulation order
+    val hof = aggregate(
+      zip_with(col("a.v"), col("b.v"), (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x)
+    val both = pairs.select(
+      VectorOps.l2Sq(col("a.v"), col("b.v")).as("native"), hof.as("hof"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ===
+             java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+    val err = intercept[Exception] {
+      val spark2 = spark
+      import spark2.implicits._
+      Seq((Seq(1.0), Seq(1.0, 2.0))).toDF("a", "b")
+        .select(VectorOps.l2Sq(col("a"), col("b"))).collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(err).exists(c => Option(c.getMessage)
+      .exists(_.contains("dimensions differ"))))
+  }
+
   test("bloom_might_contain: no false negatives, bounded false positives, " +
        "null key -> null") {
     import graft.functions.expressions.BloomMightContain
