@@ -1255,6 +1255,45 @@ object Relational {
       .orderBy("o_orderstatus")
   }
 
+  /** KEYLESS interval-overlap join via time-bucket binning — the join
+    * algorithm for "what co-occurs within Δt, across the whole stream"
+    * when there is NO equi key to ride ([[joinRange]] has user_id; this
+    * has nothing). A naive formulation is a cartesian with a range
+    * filter — quadratic, banned. The binned formulation buckets time
+    * into Δt-wide cells: a right event lives in exactly one bucket, a
+    * left event's (t, t+Δt] window spans at most two, so the left side
+    * EXPLODES to ≤2 bucket probes and the join is a plain shuffled
+    * equi join on the bucket — linear in data + true pair density, hash
+    * partitioned by time cell, and each matched pair is seen exactly
+    * once (the right event's single bucket is one of the left's two).
+    * The census here: which event types follow which within 60 s,
+    * corpus-wide — the cross-correlation shape behind alert-storm and
+    * funnel-leak diagnosis. Oracle: DuckDB's own range self-join (its
+    * IEJoin handles the quadratic form at oracle scale). */
+  val joinIntervalBin: Q = Q(
+    "join_interval_bin",
+    """SELECT a.event_type AS type_a, b.event_type AS type_b,
+      |       count(*) AS n_pairs
+      |FROM events a JOIN events b
+      |  ON b.ts > a.ts AND b.ts <= a.ts + INTERVAL 60 SECOND
+      |GROUP BY 1, 2 ORDER BY type_a, type_b""".stripMargin
+  ) { (s, d) =>
+    val BktUs = 60000000L // Δt = 60 s in exact integer microseconds
+    val e = Tables.events(s, d).select(col("event_type"), col("ts"))
+    val b = e.select(col("event_type").as("type_b"), col("ts").as("ts_b"),
+      floor(unix_micros(col("ts")) / BktUs).as("bkt"))
+    val a = e.select(col("event_type").as("type_a"), col("ts").as("ts_a"),
+        floor(unix_micros(col("ts")) / BktUs).as("bkt0"))
+      .select(col("type_a"), col("ts_a"),
+        explode(array(col("bkt0"), col("bkt0") + 1)).as("bkt"))
+    a.join(b, Seq("bkt"))
+      .filter(col("ts_b") > col("ts_a") &&
+              col("ts_b") <= col("ts_a") + expr("INTERVAL 60 SECONDS"))
+      .groupBy("type_a", "type_b")
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("type_a", "type_b")
+  }
+
   /** Exact-k-per-group sample ("reservoir sampling's output, without the
     * reservoir"): rank every row within its group by a salted portable
     * hash of its key and keep the k smallest. The hash order is a
@@ -1412,5 +1451,5 @@ object Relational {
     scalarDatetimeExt, scalarStringExt, aggMode, scalarNullSemantics,
     unpivotStack, joinSalted, aggGroupingSets, outlierMad, aggHistogramEqd,
     joinAsofTol, generatorOuter, aggHllUnion, aggThetaSetops, joinBloom,
-    sampleReservoir)
+    sampleReservoir, joinIntervalBin)
 }

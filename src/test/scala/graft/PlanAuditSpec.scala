@@ -333,6 +333,15 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("join_interval_bin: the keyless time join is a bucket equi join") {
+    val p = plan(Relational.joinIntervalBin)
+    // the whole point: the range predicate must NOT plan as a nested
+    // loop / cartesian — the bucket column carries it as an equi key
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoopJoin"),
+      s"keyless interval join must ride the bucket key:\n${p.take(800)}")
+    assert(p.contains("bkt"), s"expected the bucket join key:\n${p.take(600)}")
+  }
+
   test("vector_pq: the ADC scan is one narrow pass — no exchange, no join") {
     // eager (codebook training) — explicit build. The whole point of PQ
     // with literal codebooks/LUTs: encode + ADC score is a projection
