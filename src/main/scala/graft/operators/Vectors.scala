@@ -774,16 +774,13 @@ object Vectors {
     * [[PqCand]]-row pool the scan carried through (no second corpus
     * scan). PlanAuditSpec locks the no-exchange-before-TakeOrdered
     * shape. Oracle: [[pqOracleSql]], codebooks inlined post-run. */
-  val vectorPq: Q = Q.noOracle("vector_pq") { (s, d) =>
-    val emb = Tables.embeddings(s, d)
-      .select(col("vec_id"), col("label"), toDouble(col("embedding")).as("v"))
-    val corpus = emb.filter(col("vec_id") =!= 0)
-    val cbs = pqCodebooks(corpus, embeddingsFingerprint(s, d) + "#pq")
-    // the one-row query collects driver-side (training already made the
-    // query eager); its per-(m, code) ADC table becomes literal arrays
-    val qv: Array[Double] = emb.filter(col("vec_id") === 0)
-      .select(col("v")).collect()(0).getSeq[Double](0).toArray
-    val qd: Array[Array[Long]] = Array.tabulate(PqM) { m =>
+  /** The query's per-(subspace, code) ADC lookup table: micro-quantized
+    * L2 from the query's m-th subvector to every codebook centroid —
+    * ascending-index loop, the same left-to-right order as the
+    * [[L2Squared]] kernel and DuckDB's `list_sum`. */
+  private[graft] def pqQueryLut(cbs: Array[Array[Array[Double]]],
+                                qv: Array[Double]): Array[Array[Long]] =
+    Array.tabulate(cbs.length) { m =>
       cbs(m).map { cv =>
         var ss = 0.0; var i = 0
         while (i < PqSub) {
@@ -792,17 +789,50 @@ object Vectors {
         math.floor(1000000.0 * ss).toLong
       }
     }
-    // per-subspace code: least() over K (distance, code) structs — the
-    // lexicographic struct order ties exactly like the oracle's
-    // ORDER BY dd, code
+
+  /** The stateless ADC scoring expression over a `v: array<double>`
+    * column — per-subspace code via `least()` over (distance, code)
+    * structs (lexicographic struct order ≡ the oracle's
+    * ORDER BY dd, code tie-break), then [[PqM]] literal-LUT lookups
+    * summed as exact BIGINTs. A pure narrow projection, which is what
+    * makes PQ serving work UNCHANGED on a stream: StreamingSpec scores
+    * a MemoryStream with this very column and asserts bit-equality with
+    * the batch scan. */
+  private[graft] def pqAdcColumn(cbs: Array[Array[Array[Double]]],
+                                 qd: Array[Array[Long]])
+      : org.apache.spark.sql.Column = {
     def codeOf(m: Int) = least((0 until PqK).map { j =>
       struct(
         l2Sq(slice(col("v"), m * PqSub + 1, PqSub), typedlit(cbs(m)(j).toSeq))
           .as("dd"),
         lit(j).as("code"))
     }: _*).getField("code")
-    val adc = (0 until PqM).map(m =>
+    (0 until PqM).map(m =>
       element_at(typedlit(qd(m).toSeq), codeOf(m) + 1)).reduce(_ + _)
+  }
+
+  /** Train (or fetch memoized) codebooks + the query LUT for a dataset
+    * dir — the eager driver-side step shared by [[vectorPq]] and the
+    * streaming-scorer spec. */
+  private[graft] def pqArtifacts(s: SparkSession, d: String)
+      : (Array[Array[Array[Double]]], Array[Double], Array[Array[Long]]) = {
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"), toDouble(col("embedding")).as("v"))
+    val cbs = pqCodebooks(emb.filter(col("vec_id") =!= 0),
+                          embeddingsFingerprint(s, d) + "#pq")
+    val qv: Array[Double] = emb.filter(col("vec_id") === 0)
+      .select(col("v")).collect()(0).getSeq[Double](0).toArray
+    (cbs, qv, pqQueryLut(cbs, qv))
+  }
+
+  val vectorPq: Q = Q.noOracle("vector_pq") { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"), toDouble(col("embedding")).as("v"))
+    val corpus = emb.filter(col("vec_id") =!= 0)
+    // codebook training + the one-row query collect run at plan-build
+    // (eager, like IVF); the ADC tables become literal arrays
+    val (cbs, qv, qd) = pqArtifacts(s, d)
+    val adc = pqAdcColumn(cbs, qd)
     corpus
       .select(col("vec_id"), col("label"), col("v"), adc.as("adc_micro"))
       .orderBy(asc("adc_micro"), asc("vec_id"))

@@ -529,6 +529,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("PQ index serving on a stream: ADC scores bit-equal to the batch scan") {
+    // the serving path of vector_pq: train the index ONCE (batch,
+    // driver-side artifacts), then score arriving vectors with the same
+    // stateless narrow ADC projection. Nothing about the scorer knows
+    // it's on a stream — that is the claim being locked.
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val (cbs, _, qd) = graft.operators.Vectors.pqArtifacts(spark, sf0001)
+    val adc = graft.operators.Vectors.pqAdcColumn(cbs, qd)
+    val vecs = Tables.embeddings(spark, sf0001)
+      .filter(col("vec_id") =!= 0).limit(60)
+      .select(col("vec_id"),
+        graft.functions.VectorOps.toDouble(col("embedding")).as("v"))
+      .as[(Long, Seq[Double])].collect().toSeq
+    val batch = vecs.toDF("vec_id", "v")
+      .select(col("vec_id"), adc.as("adc_micro"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val name = s"pq_${System.nanoTime()}"
+    val q = mem.toDF().toDF("vec_id", "v")
+      .select(col("vec_id"), adc.as("adc_micro"))
+      .writeStream.format("memory").queryName(name).outputMode("append")
+      .start()
+    try {
+      val (h1, h2) = vecs.splitAt(30)
+      mem.addData(h1); q.processAllAvailable()
+      mem.addData(h2); q.processAllAvailable()
+      val streamed = spark.table(name).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(streamed === batch,
+        s"stream/batch ADC diverge on ${streamed.keySet.diff(batch.keySet)}")
+    } finally q.stop()
+  }
+
   test("watermark drops events later than the threshold (append mode)") {
     val spark2 = spark
     import spark2.implicits._
