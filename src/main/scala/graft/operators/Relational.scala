@@ -1266,6 +1266,10 @@ object Relational {
     * equi join on the bucket — linear in data + true pair density, hash
     * partitioned by time cell, and each matched pair is seen exactly
     * once (the right event's single bucket is one of the left's two).
+    * A traffic spike makes its minute a hot bucket — the shuffle is an
+    * ordinary hash exchange, so AQE's skew-join split (or the
+    * [[graft.functions.SkewOps]] salting used by join_salted) applies
+    * unchanged when one cell dwarfs the rest.
     * The census here: which event types follow which within 60 s,
     * corpus-wide — the cross-correlation shape behind alert-storm and
     * funnel-leak diagnosis. Oracle: DuckDB's own range self-join (its
@@ -1303,7 +1307,11 @@ object Relational {
     * retries, where a streaming reservoir's state depends on encounter
     * order. This is how eval/holdout sets get carved from a 100 TB
     * corpus: one shuffle (group-keyed window), per-partition sort, no
-    * global state. The companion [[sampleStratified]] covers
+    * global state. For a group so large its sort dominates, the known
+    * refinement is a threshold pre-pass (keep rows whose hash falls
+    * under an over-estimated k-th-hash quantile, then exact-rank the
+    * survivors) — same result, bounded sort; not needed at any
+    * benchmarked scale. The companion [[sampleStratified]] covers
     * FRACTIONAL sampling; this covers exact COUNT contracts ("exactly
     * 20 docs per source"). Tie-break beyond the hash is the unique key
     * itself, so the rank is total and the oracle hashes bit-exactly. */
@@ -1420,18 +1428,18 @@ object Relational {
       .filter(col("c_mktsegment") === "BUILDING")
       .select(col("c_custkey"))
     // size the bitmap from the dim's real cardinality (one count job),
-    // then build it with the partial+final bloom aggregate
+    // build it with the partial+final bloom aggregate, then ship it as a
+    // torrent broadcast — executors fetch it once per JVM instead of
+    // receiving a plan-embedded literal in every task (the difference
+    // between kilobytes and gigabytes of per-task overhead at a
+    // 10⁹-key dim)
     val bloom = dim.stat.bloomFilter(
       "c_custkey", math.max(dim.count(), 64L), 0.01)
-    val bytes = {
-      val bos = new java.io.ByteArrayOutputStream()
-      bloom.writeTo(bos)
-      bos.toByteArray
-    }
+    val bloomBc = s.sparkContext.broadcast(bloom)
     import org.apache.spark.sql.graft.Bridge
     val mightContain = Bridge.column(
       graft.functions.expressions.BloomMightContain(
-        Bridge.expression(col("o_custkey")), bytes))
+        Bridge.expression(col("o_custkey")), bloomBc))
     Tables.orders(s, d)
       .filter(mightContain) // map-side prune below the join exchange
       .join(dim, col("o_custkey") === col("c_custkey"), "left_semi")

@@ -110,12 +110,9 @@ class VectorExprSpec extends SparkSpec {
     val members = (0L until 1000L).map(_ * 7L)
     val bloom = org.apache.spark.util.sketch.BloomFilter.create(1000, 0.01)
     members.foreach(bloom.putLong)
-    val bytes = {
-      val bos = new java.io.ByteArrayOutputStream()
-      bloom.writeTo(bos); bos.toByteArray
-    }
+    val bloomBc = spark.sparkContext.broadcast(bloom)
     def probe(c: org.apache.spark.sql.Column) =
-      Bridge.column(BloomMightContain(Bridge.expression(c), bytes))
+      Bridge.column(BloomMightContain(Bridge.expression(c), bloomBc))
     // members: never a false negative (the property the semi join's
     // correctness rests on) — checked through a real executor pass
     val hits = members.toDF("k").select(probe(col("k")).as("m"))
