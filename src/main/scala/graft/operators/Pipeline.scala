@@ -297,7 +297,80 @@ object Pipeline {
       .orderBy("key_col")
   }
 
+  /** DISTRIBUTION-DRIFT census (two-sample Kolmogorov–Smirnov over binned
+    * ECDFs) — the monitor a pipeline runs between ingest batches: per
+    * event_type, how far has the `value` distribution moved between the
+    * reference window (first half of January) and the current one? KS is
+    * the max vertical gap between the two empirical CDFs; values bin to
+    * integer buckets FIRST (production drift monitors compare binned
+    * histograms, not raw points), which is also what bounds the plan:
+    * the cumulative window runs over ≤ [[DriftBins]] bin rows per
+    * event_type — a frame bounded by CONSTRUCTION, not by corpus size,
+    * so the per-type window never becomes a funnel at 100 TB (the
+    * corpus-proportional work is all in the partial+final bin counting).
+    *
+    * Determinism discipline: bins and counts are exact BIGINTs; each ECDF
+    * value is ONE correctly-rounded division, the gap is one subtraction
+    * — no accumulated float sums anywhere, so Spark and DuckDB agree
+    * bit-for-bit. The drift flag uses the large-sample critical value
+    * D > c(α)·√((n_a+n_b)/(n_a·n_b)) at α=0.05 (c=1.358). */
+  private val DriftBins = 500
+
+  val dqDriftKs: Q = Q(
+    "dq_drift_ks",
+    s"""WITH e AS (SELECT event_type,
+      |    LEAST(CAST(floor(value) AS BIGINT), ${DriftBins - 1}) AS bin,
+      |    CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END AS a
+      |  FROM events),
+      |c AS (SELECT event_type, bin, CAST(sum(a) AS BIGINT) AS ca,
+      |        CAST(count(*) - sum(a) AS BIGINT) AS cb
+      |      FROM e GROUP BY 1, 2),
+      |cum AS (SELECT event_type, bin,
+      |    sum(ca) OVER (PARTITION BY event_type ORDER BY bin
+      |                  ROWS UNBOUNDED PRECEDING) AS cuma,
+      |    sum(cb) OVER (PARTITION BY event_type ORDER BY bin
+      |                  ROWS UNBOUNDED PRECEDING) AS cumb,
+      |    sum(ca) OVER (PARTITION BY event_type) AS na,
+      |    sum(cb) OVER (PARTITION BY event_type) AS nb
+      |  FROM c)
+      |SELECT event_type, CAST(max(na) AS BIGINT) AS n_a,
+      |  CAST(max(nb) AS BIGINT) AS n_b,
+      |  max(abs(CAST(cuma AS DOUBLE) / na - CAST(cumb AS DOUBLE) / nb))
+      |    AS ks_stat,
+      |  max(abs(CAST(cuma AS DOUBLE) / na - CAST(cumb AS DOUBLE) / nb))
+      |    > 1.358 * sqrt(CAST(max(na) + max(nb) AS DOUBLE)
+      |                   / (CAST(max(na) AS DOUBLE) * max(nb))) AS drift
+      |FROM cum GROUP BY event_type ORDER BY event_type""".stripMargin
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(s, d).select(col("event_type"),
+      least(floor(col("value")).cast("long"),
+            lit((DriftBins - 1).toLong)).as("bin"),
+      when(col("ts") < lit("2024-01-16").cast("timestamp"), 1)
+        .otherwise(0).as("a"))
+    val c = e.groupBy("event_type", "bin")
+      .agg(sum(col("a")).as("ca"),
+           (count(lit(1)) - sum(col("a"))).as("cb"))
+    val wCum = Window.partitionBy("event_type").orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy("event_type")
+    c.select(col("event_type"),
+        sum(col("ca")).over(wCum).as("cuma"),
+        sum(col("cb")).over(wCum).as("cumb"),
+        sum(col("ca")).over(wTot).as("na"),
+        sum(col("cb")).over(wTot).as("nb"))
+      .groupBy("event_type")
+      .agg(max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
+        max(abs(col("cuma").cast("double") / col("na") -
+                col("cumb").cast("double") / col("nb"))).as("ks_stat"))
+      .select(col("event_type"), col("n_a"), col("n_b"), col("ks_stat"),
+        (col("ks_stat") > lit(1.358) *
+          sqrt((col("n_a") + col("n_b")).cast("double") /
+               (col("n_a").cast("double") * col("n_b")))).as("drift"))
+      .orderBy("event_type")
+  }
+
   val all: Seq[Q] = Seq(simplifyFlatten, denormalizePatient, graphEdges,
     graphTwohop, discoverySummary, ingestNdjson, snapshotExport, dqChecks,
-    dqSkew)
+    dqSkew, dqDriftKs)
 }

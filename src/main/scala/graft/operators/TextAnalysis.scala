@@ -528,8 +528,71 @@ object TextAnalysis {
       .orderBy(desc("c"), asc("token"))
   }
 
+  /** Hashed-feature buckets of the linear quality model: 256 weights in
+    * exact integer micro-units, seeded — a fixed "trained" artifact that
+    * inlines into the oracle, exactly like the LSH hyperplanes. (A real
+    * deployment would load fastText/logreg weights from a model file;
+    * the container has no model artifacts, so a seeded table stands in.
+    * Everything around it — the hashing trick, the exact-integer margin,
+    * the plan — is the production item.) */
+  private[graft] val QcBuckets = 256
+  private[graft] lazy val qcWeights: IndexedSeq[Long] = {
+    val rnd = new scala.util.Random(13)
+    IndexedSeq.fill(QcBuckets)((rnd.nextInt(1000001) - 500000).toLong)
+  }
+
+  /** LINEAR QUALITY CLASSIFIER over hashed bag-of-words features — the
+    * fastText-shaped model-based filter stage every pretraining corpus
+    * passes through (CCNet/RefinedWeb style: score every document with a
+    * cheap linear model, keep the high-margin side). The hashing trick
+    * maps each token to one of [[QcBuckets]] buckets via the portable
+    * md5 hash, so the feature space is FIXED-WIDTH regardless of
+    * vocabulary — no vocab table, no join, no OOV handling; the margin is
+    * Σ w[h(tok) % B] over the doc's tokens.
+    *
+    * Determinism discipline: weights are exact integer micro-units, so a
+    * doc's margin is an exact BIGINT sum — order-independent at any
+    * parallelism (the float-dot-product formulation would be partition-
+    * order dependent). The keep decision is a margin sign test.
+    * Plan shape at 100 TB: explode → bucket lookup against a 256-entry
+    * literal array (codegen, no join) → ONE partial+final aggregate keyed
+    * by doc_id; the weight table ships in the plan (2 KB), never
+    * broadcast or shuffled. */
+  val textQualityClassifier: Q = {
+    val ph = graft.functions.expressions.PortableHash
+      .duckdbSaltedSql("token", "#qc", 15)
+    val wSql = qcWeights.mkString("[", ",", "]")
+    Q(
+      "text_quality_classifier",
+      s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+         |           FROM documents),
+         |s AS (SELECT doc_id,
+         |        ($wSql)[1 + CAST($ph % $QcBuckets AS INT)] AS w
+         |      FROM t WHERE token <> '')
+         |SELECT doc_id, CAST(count(*) AS INT) AS n_tokens,
+         |  CAST(sum(w) AS BIGINT) AS margin_micro,
+         |  sum(w) > 0 AS keep
+         |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    ) { (s, d) =>
+      import graft.functions.TextFns
+      val w = typedlit(qcWeights)
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+        .filter(length(col("token")) > 0)
+        .select(col("doc_id"), element_at(w,
+          (pmod(TextFns.saltedHash(col("token"), "#qc", 15),
+                lit(QcBuckets)) + 1).cast("int")).as("w"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).cast("int").as("n_tokens"),
+             sum(col("w")).as("margin_micro"))
+        .select(col("doc_id"), col("n_tokens"), col("margin_micro"),
+                (col("margin_micro") > 0).as("keep"))
+        .orderBy("doc_id")
+    }
+  }
+
   val all: Seq[Q] = Seq(textTokens, textQuality, langId, textFingerprint,
     textTfidf, textNormalize, textRepetition, piiRedact, ngramFreq,
     textContamination, textTokenBpe, textPerplexity, spanDedup,
-    textHeavyHitters)
+    textHeavyHitters, textQualityClassifier)
 }
