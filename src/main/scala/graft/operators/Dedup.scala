@@ -959,8 +959,82 @@ object Dedup {
       .orderBy("doc_in", "doc_of")
   }
 
+  /** DuckDB mirror of [[dedupSemantic]] with the trained centroids
+    * inlined post-run: the same squared-L2 assignment the native
+    * `nearest_centroid` kernel computes (left-to-right accumulation ≡
+    * `list_sum`; strict `<` first-minimum ≡ `ORDER BY dd, cid`), the
+    * same within-cell τ-pairs, the same min-id survivor rule. */
+  private def semanticOracleSql(cents: Seq[Seq[Double]]): String =
+    s"""WITH cents AS (SELECT j AS cid, pv AS cv FROM (VALUES
+       |    ${Vectors.planesSql(cents)}) c(j, pv)),
+       |e AS (SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v
+       |      FROM embeddings WHERE vec_id <> 0),
+       |asg AS (SELECT vec_id, v, cell FROM (
+       |    SELECT vec_id, v, cid AS cell,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY dd, cid) AS rn
+       |    FROM (SELECT vec_id, v, cid,
+       |            list_sum([(v[i]-cv[i])*(v[i]-cv[i])
+       |                      FOR i IN range(1, len(v)+1)]) AS dd
+       |          FROM e CROSS JOIN cents))
+       |  WHERE rn = 1),
+       |dup AS (SELECT DISTINCT b.vec_id
+       |        FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |        WHERE ${Vectors.cosSql("a.v", "b.v")} >= 0.45)
+       |SELECT a.vec_id, CAST(a.cell AS INT) AS cell,
+       |  d.vec_id IS NULL AS keep
+       |FROM asg a LEFT JOIN dup d ON a.vec_id = d.vec_id
+       |ORDER BY a.vec_id""".stripMargin
+
+  /** SEMANTIC dedup (SemDeDup, Abbas et al. 2023): cluster the embedding
+    * space with the trained IVF centroids, then look for near-duplicate
+    * pairs ONLY within a cluster — the third candidate-generation
+    * strategy in the dedup family, alongside random-hyperplane LSH
+    * ([[dedupCosineLsh]]) and MinHash banding ([[dedupMinhash]]).
+    * Clustering is what makes embedding dedup tractable at corpus scale:
+    * pair work is Σ|cell|² with k chosen so cells stay bounded
+    * (k ∝ corpus size in production; semantic neighbors land in the same
+    * cell because cells ARE the corpus's cluster structure, where a
+    * random-projection bucket only preserves locality probabilistically).
+    * Survivor rule: lowest vec_id among τ-similar same-cell pairs —
+    * every dropped vector names a kept lower-id near-twin.
+    *
+    * Plan shape at 100 TB: cell assignment is the native
+    * `nearest_centroid` kernel — a pure NARROW codegen projection (no
+    * n×k explode, no vec_id-keyed aggregate; the centroid table rides in
+    * the plan); the only corpus-sized exchange is the cell-keyed
+    * self-join, and the dup-id set that joins back is dedup-output-sized.
+    * Same trained-centroid cache as `vector_ann_ivf` (one training pays
+    * for all three centroid consumers). Oracle: [[semanticOracleSql]],
+    * centroid-inlined post-run; DedupSpec cross-checks the dropped set
+    * against the exact all-pairs τ-graph. */
+  val dedupSemantic: Q = Q.noOracle("dedup_semantic") { (s, d) =>
+    import graft.functions.VectorOps
+    val e = Tables.embeddings(s, d).filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("v"))
+    val cents = Vectors.ivfCentroidArrays(e,
+      cacheKey = Some(Vectors.embeddingsFingerprint(s, d)))
+    val cellCol = {
+      import org.apache.spark.sql.graft.Bridge
+      Bridge.column(graft.functions.expressions.NearestCentroid(
+        Bridge.expression(col("v")), cents))
+    }
+    val ec = e.withColumn("cell", cellCol)
+    val dups = ec.as("a").join(ec.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .filter(VectorOps.cosine(col("a.v"), col("b.v")) >= 0.45)
+      .select(col("b.vec_id").as("vec_id")).distinct()
+    ec.join(dups.withColumn("dup", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+              (!coalesce(col("dup"), lit(false))).as("keep"))
+      .orderBy("vec_id")
+  }.copy(
+    eager = true, // shares the trained-centroid cache with vector_ann_ivf
+    oracleGen = Some(() =>
+      Vectors.cachedIvfCentroids
+        .map(cs => semanticOracleSql(cs.map(_.toSeq).toSeq))))
+
   val all: Seq[Q] = Seq(dedupExact, dedupNgram, dedupMinhash,
     dedupIncremental, dedupSimhash, dedupCosine, dedupCosineLsh,
     dedupCluster, dedupClusterStar, graphTriangles, dedupSourceSim,
-    dedupContainment)
+    dedupContainment, dedupSemantic)
 }

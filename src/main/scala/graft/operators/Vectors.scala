@@ -323,8 +323,11 @@ object Vectors {
   private[graft] def embeddingsFingerprint(s: SparkSession, dir: String): String =
     Tables.fingerprint(s, dir, "embeddings")
 
-  private[graft] def ivfCentroids(emb: DataFrame, k: Int = IvfK,
-                                  cacheKey: Option[String] = None): DataFrame = {
+  /** Raw trained centroid arrays (the artifact itself — for native
+    * assignment expressions and post-run oracle rendering); memoized per
+    * cache key like every trained index. */
+  private[operators] def ivfCentroidArrays(emb: DataFrame, k: Int = IvfK,
+      cacheKey: Option[String] = None): Array[Array[Double]] = {
     def train(): Array[Array[Double]] = {
       val sample = emb.select(col("v"))
         .filter(pmod(xxhash64(col("vec_id")), lit(7)) === 0)
@@ -336,13 +339,23 @@ object Vectors {
                .collect().map(_.getSeq[Double](0).toArray),
         k, IvfIters)
     }
-    val cents = cacheKey match {
+    cacheKey match {
       case Some(key) =>
         val c = centroidCache.computeIfAbsent(s"$key#$k", _ => train())
         lastIvfKey = Some(s"$key#$k")
         c
       case None => train()
     }
+  }
+
+  /** The most recently trained (or cache-served) IVF centroids — the
+    * shared artifact behind every centroid-inlined generated oracle. */
+  private[operators] def cachedIvfCentroids: Option[Array[Array[Double]]] =
+    lastIvfKey.flatMap(k => Option(centroidCache.get(k)))
+
+  private[graft] def ivfCentroids(emb: DataFrame, k: Int = IvfK,
+                                  cacheKey: Option[String] = None): DataFrame = {
+    val cents = ivfCentroidArrays(emb, k, cacheKey)
     val spark = emb.sparkSession
     import spark.implicits._
     cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
@@ -377,7 +390,7 @@ object Vectors {
   /** The one DuckDB cosine renderer for centroid-inlined oracles — the
     * same left-fold float arithmetic as the native `cosine_sim`
     * expression, bit-exact (docs/ORACLE_PARITY.md). */
-  private def cosSql(a: String, b: String): String =
+  private[operators] def cosSql(a: String, b: String): String =
     s"list_sum([$a[i]*$b[i] FOR i IN range(1, len($a)+1)]) / " +
       s"(sqrt(list_sum([x*x FOR x IN $a])) * sqrt(list_sum([x*x FOR x IN $b])))"
 
@@ -429,8 +442,7 @@ object Vectors {
   }.copy(
     eager = true, // index training collects a sample at plan-build
     oracleGen = Some(() =>
-      lastIvfKey.flatMap(k => Option(centroidCache.get(k)))
-        .map(cs => ivfOracleSql(cs.map(_.toSeq).toSeq))))
+      cachedIvfCentroids.map(cs => ivfOracleSql(cs.map(_.toSeq).toSeq))))
 
   /** DuckDB mirror of [[vectorIndexStats]]: the same trained-centroid
     * inlining and `arg_max` assignment as [[ivfOracleSql]], then
@@ -488,8 +500,7 @@ object Vectors {
   }.copy(
     eager = true, // shares the trained-centroid cache with vectorAnnIvf
     oracleGen = Some(() =>
-      lastIvfKey.flatMap(k => Option(centroidCache.get(k)))
-        .map(cs => indexStatsOracleSql(cs.map(_.toSeq).toSeq))))
+      cachedIvfCentroids.map(cs => indexStatsOracleSql(cs.map(_.toSeq).toSeq))))
 
   /** Batched exact top-3 neighbors for a SET of query vectors (vec_id <
     * 5) — the realistic ANN serving shape (queries arrive in batches, not

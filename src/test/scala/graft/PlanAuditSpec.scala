@@ -21,7 +21,7 @@ class PlanAuditSpec extends SparkSpec {
     assert(SparkEntry.catalog.filter(_.eager).map(_.name).toSet ===
       Set("dedup_cluster", "dedup_cluster_star", "vector_ann_ivf",
           "vector_index_stats", "bpe_train", "bpe_encode",
-          "graph_triangles", "join_bloom", "vector_pq"),
+          "graph_triangles", "join_bloom", "vector_pq", "dedup_semantic"),
       "new Q entries that run jobs at plan-build time must set eager=true")
   }
 
@@ -355,6 +355,23 @@ class PlanAuditSpec extends SparkSpec {
       s"expected candidate-cut + rerank TakeOrdered pair:\n${p.take(600)}")
     assert("FileScan".r.findAllIn(p).size == 1,
       s"corpus must be scanned once:\n${p.take(600)}")
+  }
+
+  test("dedup_semantic: cell assignment is a narrow kernel, pair join is equi") {
+    // eager query (centroid training) — explicit build. The point of the
+    // native nearest_centroid kernel: assignment adds NO exchange and no
+    // n x k explode; the only corpus-sized shuffles are the cell-keyed
+    // self-join's own exchanges.
+    val p = graft.operators.Dedup.dedupSemantic.fn(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("nearest_centroid"),
+      s"expected the native assignment kernel:\n${p.take(800)}")
+    assert(!p.toLowerCase.contains("cartesian"),
+      s"pair generation must be the cell equi join:\n${p.take(800)}")
+    // no vec_id-keyed aggregate before the join (the assignCells shape
+    // this kernel replaces would hash-aggregate n x k rows by vec_id)
+    assert(!p.contains("max_by"),
+      s"assignment must not run the n x k max_by aggregate:\n${p.take(800)}")
   }
 
   test("join_bloom probes the bitmap below the join, in the fact scan stage") {
