@@ -855,7 +855,203 @@ object Vectors {
     oracleGen = Some(() =>
       lastPqKey.flatMap(k => Option(pqCache.get(k))).map(pqOracleSql)))
 
+  // ---- IVFADC (Jégou et al. 2011 §IV): coarse quantizer + product
+  // quantization of the RESIDUALS — the architecture a memory-bound
+  // billion-vector index actually deploys (FAISS IVFxx,PQyy): the coarse
+  // cells prune the scan to nProbe/k of the corpus, the residual PQ
+  // codes make each stored vector M bytes, and ADC scores candidates
+  // with M table lookups.
+
+  private val IvfPqProbe = 5
+
+  /** Driver-side nearest coarse cell: squared-L2 argmin, strict `<`
+    * first-minimum — the same tie discipline as the native
+    * [[graft.functions.expressions.NearestCentroid]] kernel. */
+  private def nearestCellL2(v: Array[Double],
+                            cents: Array[Array[Double]]): Int = {
+    var best = Double.PositiveInfinity
+    var cell = 0
+    var j = 0
+    while (j < cents.length) {
+      val c = cents(j)
+      var s = 0.0
+      var i = 0
+      while (i < v.length) { val d = v(i) - c(i); s += d * d; i += 1 }
+      if (s < best) { best = s; cell = j }
+      j += 1
+    }
+    cell
+  }
+
+  /** Trained IVFADC index per corpus: (coarse centroids, residual PQ
+    * codebooks), memoized like the flat-PQ codebooks. Residual codebooks
+    * train on sample residuals (v − coarse[cell(v)]) — the residual
+    * distribution is what PQ must cover, not the raw vectors (this is
+    * the whole point of IVFADC: residuals are smaller and better
+    * centered, so the same M·K budget quantizes them more finely). */
+  private val ivfPqCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (Array[Array[Double]], Array[Array[Array[Double]]])]()
+  @volatile private var lastIvfPqKey: Option[String] = None
+
+  private def ivfPqIndex(emb: DataFrame, cacheKey: String)
+      : (Array[Array[Double]], Array[Array[Array[Double]]]) = {
+    def train(): (Array[Array[Double]], Array[Array[Array[Double]]]) = {
+      val sample = {
+        val s1 = emb.select(col("v"))
+          .filter(pmod(xxhash64(col("vec_id")), lit(7)) === 0)
+          .limit(IvfSampleCap)
+          .collect().map(_.getSeq[Double](0).toArray)
+        if (s1.nonEmpty) s1
+        else emb.select(col("v")).limit(IvfSampleCap)
+          .collect().map(_.getSeq[Double](0).toArray)
+      }
+      val coarse = trainCentroidsL2(sample, IvfK, IvfIters)
+      val residuals = sample.map { v =>
+        val c = coarse(nearestCellL2(v, coarse))
+        Array.tabulate(v.length)(i => v(i) - c(i))
+      }
+      val cbs = Array.tabulate(PqM) { m =>
+        trainCentroidsL2(
+          residuals.map(_.slice(m * PqSub, (m + 1) * PqSub)), PqK, PqIters)
+      }
+      (coarse, cbs)
+    }
+    val idx = ivfPqCache.computeIfAbsent(cacheKey, _ => train())
+    lastIvfPqKey = Some(cacheKey)
+    idx
+  }
+
+  /** DuckDB mirror of [[vectorIvfPq]] with the trained coarse centroids
+    * AND residual codebooks inlined post-run: the same strict-first-min
+    * cell assignment (`ORDER BY dd, cid`), the same top-[[IvfPqProbe]]
+    * probe, the same two-subtraction residual arithmetic, micro-quantized
+    * per-cell ADC tables recomputed from the same literals, candidate cut
+    * and exact-L2 rerank — every float op is the identical left-to-right
+    * fold, so the hash compare is bit-exact. */
+  private def ivfPqOracleSql(coarse: Array[Array[Double]],
+                             cbs: Array[Array[Array[Double]]]): String =
+    s"""WITH coarse AS (SELECT j AS cid, pv AS cv FROM (VALUES
+       |    ${planesSql(coarse.map(_.toSeq).toSeq)}) c(j, pv)),
+       |cb AS (SELECT m, code, cv AS bv FROM (VALUES
+       |    ${pqCbSql(cbs)}) c(m, code, cv)),
+       |e AS (SELECT vec_id, label, [CAST(x AS DOUBLE) FOR x IN embedding] AS v
+       |      FROM embeddings WHERE vec_id <> 0),
+       |q AS (SELECT [CAST(x AS DOUBLE) FOR x IN embedding] AS qv
+       |      FROM embeddings WHERE vec_id = 0),
+       |asg AS (SELECT vec_id, label, v, cell FROM (
+       |    SELECT vec_id, label, v, cid AS cell,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY dd, cid) AS rn
+       |    FROM (SELECT vec_id, label, v, cid,
+       |            list_sum([(v[i]-cv[i])*(v[i]-cv[i])
+       |                      FOR i IN range(1, len(v)+1)]) AS dd
+       |          FROM e CROSS JOIN coarse))
+       |  WHERE rn = 1),
+       |probe AS (SELECT cid AS cell, cv FROM (
+       |    SELECT cid, cv, row_number() OVER (ORDER BY dd, cid) AS rn
+       |    FROM (SELECT cid, cv,
+       |            list_sum([(qv[i]-cv[i])*(qv[i]-cv[i])
+       |                      FOR i IN range(1, len(qv)+1)]) AS dd
+       |          FROM coarse CROSS JOIN q))
+       |  WHERE rn <= $IvfPqProbe),
+       |qres AS (SELECT cell, [qv[i] - cv[i] FOR i IN range(1, len(qv)+1)] AS qr
+       |         FROM probe CROSS JOIN q),
+       |qd AS (SELECT qres.cell, c.m, c.code,
+       |         CAST(floor(1000000.0 * list_sum(
+       |           [(qr[c.m*$PqSub+i]-c.bv[i])*(qr[c.m*$PqSub+i]-c.bv[i])
+       |            FOR i IN range(1, $PqSub+1)])) AS BIGINT) AS mqd
+       |       FROM cb c CROSS JOIN qres),
+       |r AS (SELECT a.vec_id, a.label, a.v, a.cell,
+       |        [a.v[i] - co.cv[i] FOR i IN range(1, len(a.v)+1)] AS rv
+       |      FROM asg a JOIN probe p USING (cell)
+       |      JOIN coarse co ON co.cid = a.cell),
+       |subv AS (SELECT vec_id, cell, m, rv[m*$PqSub+1 : m*$PqSub+$PqSub] AS sv
+       |         FROM r CROSS JOIN (SELECT unnest([${(0 until PqM).mkString(",")}]) AS m)),
+       |easg AS (SELECT vec_id, cell, m, code FROM (
+       |    SELECT vec_id, cell, m, code,
+       |      row_number() OVER (PARTITION BY vec_id, m ORDER BY dd, code) AS rn
+       |    FROM (SELECT s.vec_id, s.cell, s.m, c.code,
+       |            list_sum([(s.sv[i]-c.bv[i])*(s.sv[i]-c.bv[i])
+       |                      FOR i IN range(1, $PqSub+1)]) AS dd
+       |          FROM subv s JOIN cb c ON s.m = c.m))
+       |  WHERE rn = 1),
+       |adc AS (SELECT vec_id, CAST(sum(mqd) AS BIGINT) AS adc_micro
+       |        FROM easg JOIN qd USING (cell, m, code) GROUP BY 1),
+       |cand AS (SELECT r.vec_id, r.label, r.cell, adc.adc_micro, r.v
+       |         FROM adc JOIN r USING (vec_id)
+       |         ORDER BY adc_micro, vec_id LIMIT $PqCand)
+       |SELECT cand.vec_id, cand.label, CAST(cand.cell AS INT) AS cell,
+       |  cand.adc_micro,
+       |  list_sum([(cand.v[i]-q.qv[i])*(cand.v[i]-q.qv[i])
+       |            FOR i IN range(1, len(cand.v)+1)]) AS l2_sq
+       |FROM cand CROSS JOIN q
+       |ORDER BY l2_sq, vec_id LIMIT $PqTopK""".stripMargin
+
+  /** IVF + residual PQ (IVFADC) — the full production ANN architecture,
+    * composing the two index families already in the catalog: the coarse
+    * quantizer PRUNES (only the query's [[IvfPqProbe]] nearest cells are
+    * read — at 100 TB, `cell` is the partition key and this filter is a
+    * partition prune, exactly like `vector_ann_ivf`'s probe), and the
+    * residual PQ codes COMPRESS (M bytes per vector) with ADC scoring.
+    *
+    * Plan shape — ONE narrow whole-stage-codegen pass over the corpus,
+    * zero shuffles, zero joins: cell assignment via the native
+    * `nearest_centroid` kernel, the probe as a literal `IN` filter on the
+    * assigned cell, residual encode + ADC via the native
+    * `pq_residual_adc` kernel (per-cell LUTs are driver literals), then
+    * TakeOrderedAndProject for the candidate cut and the exact-L2
+    * rerank over the [[PqCand]]-row pool. PlanAuditSpec locks all of it.
+    * Oracle: [[ivfPqOracleSql]], coarse + codebooks inlined post-run. */
+  val vectorIvfPq: Q = Q.noOracle("vector_ivf_pq") { (s, d) =>
+    import org.apache.spark.sql.graft.Bridge
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"), toDouble(col("embedding")).as("v"))
+    val corpus = emb.filter(col("vec_id") =!= 0)
+    val (coarse, cbs) = ivfPqIndex(corpus,
+      embeddingsFingerprint(s, d) + "#ivfpq")
+    val qv: Array[Double] = emb.filter(col("vec_id") === 0)
+      .select(col("v")).collect()(0).getSeq[Double](0).toArray
+    // the query's probe list: its IvfPqProbe nearest coarse cells, ties
+    // to the lowest cid (the oracle's ORDER BY dd, cid)
+    val probed: Seq[Int] = coarse.indices
+      .map { j =>
+        var s0 = 0.0; var i = 0
+        while (i < qv.length) { val d = qv(i) - coarse(j)(i); s0 += d * d; i += 1 }
+        (s0, j)
+      }
+      .sorted.take(IvfPqProbe).map(_._2)
+    // per-probed-cell ADC tables from the query RESIDUAL, micro-quantized
+    // with the same left-to-right loop as the kernel and the oracle
+    val luts: Array[Array[Array[Long]]] = {
+      val a = new Array[Array[Array[Long]]](coarse.length)
+      probed.foreach { cell =>
+        val qr = Array.tabulate(qv.length)(i => qv(i) - coarse(cell)(i))
+        a(cell) = pqQueryLut(cbs, qr)
+      }
+      a
+    }
+    val cellCol = Bridge.column(graft.functions.expressions.NearestCentroid(
+      Bridge.expression(col("v")), coarse))
+    val adcCol = Bridge.column(graft.functions.expressions.PqResidualAdc(
+      Bridge.expression(col("v")), Bridge.expression(col("cell")),
+      coarse, cbs, luts))
+    corpus
+      .withColumn("cell", cellCol)
+      .filter(col("cell").isin(probed: _*))
+      .select(col("vec_id"), col("label"), col("cell"), col("v"),
+              adcCol.as("adc_micro"))
+      .orderBy(asc("adc_micro"), asc("vec_id"))
+      .limit(PqCand)
+      .select(col("vec_id"), col("label"), col("cell"), col("adc_micro"),
+              l2Sq(col("v"), typedlit(qv.toSeq)).as("l2_sq"))
+      .orderBy(asc("l2_sq"), asc("vec_id"))
+      .limit(PqTopK)
+  }.copy(
+    eager = true, // coarse+codebook training + query collect at plan-build
+    oracleGen = Some(() =>
+      lastIvfPqKey.flatMap(k => Option(ivfPqCache.get(k)))
+        .map { case (coarse, cbs) => ivfPqOracleSql(coarse, cbs) }))
+
   val all: Seq[Q] = Seq(vectorTopk, vectorAnnLsh, vectorAnnIvf,
     vectorTopkBatch, vectorQuantize, vectorCentroid, knnJoinLsh,
-    sqlVectorTopk, vectorIndexStats, vectorPq)
+    sqlVectorTopk, vectorIndexStats, vectorPq, vectorIvfPq)
 }

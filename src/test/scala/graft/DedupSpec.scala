@@ -362,6 +362,29 @@ class DedupSpec extends SparkSpec {
         "ADC path regressed)")
   }
 
+  test("vector_ivf_pq: recall@10 vs exact L2 >= 0.6 despite the cell prune") {
+    import org.apache.spark.sql.functions._
+    val ivfpq = Vectors.vectorIvfPq.fn(spark, sf0001)
+      .collect().map(_.getLong(0)).toSet
+    val emb = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"),
+        graft.functions.VectorOps.toDouble(col("embedding")).as("v"))
+    val q = emb.filter(col("vec_id") === 0).select(col("v").as("qv"))
+    val exact = emb.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        graft.functions.VectorOps.l2Sq(col("v"), col("qv")).as("d"))
+      .orderBy(asc("d"), asc("vec_id")).limit(10)
+      .collect().map(_.getLong(0)).toSet
+    val recalled = exact.intersect(ivfpq).size
+    // two approximation layers stack here (probe misses + residual
+    // quantization), so the floor sits below flat PQ's; misses must come
+    // only from true neighbors whose cell wasn't probed
+    assert(recalled >= 6,
+      s"IVFADC recall@10 too low: $recalled/10 (probe=5/16 cells, " +
+        "residual M=16 K=32 — a drop means the coarse assignment, " +
+        "residual training, or the ADC path regressed)")
+  }
+
   test("dedup_cluster: paired docs share a cluster, survivor is the min id") {
     val labels = Dedup.dedupCluster.fn(spark, sf0001).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -21,7 +21,8 @@ class PlanAuditSpec extends SparkSpec {
     assert(SparkEntry.catalog.filter(_.eager).map(_.name).toSet ===
       Set("dedup_cluster", "dedup_cluster_star", "vector_ann_ivf",
           "vector_index_stats", "bpe_train", "bpe_encode",
-          "graph_triangles", "join_bloom", "vector_pq", "dedup_semantic"),
+          "graph_triangles", "join_bloom", "vector_pq", "dedup_semantic",
+          "vector_ivf_pq"),
       "new Q entries that run jobs at plan-build time must set eager=true")
   }
 
@@ -372,6 +373,23 @@ class PlanAuditSpec extends SparkSpec {
     // this kernel replaces would hash-aggregate n x k rows by vec_id)
     assert(!p.contains("max_by"),
       s"assignment must not run the n x k max_by aggregate:\n${p.take(800)}")
+  }
+
+  test("vector_ivf_pq: prune + encode + score is one narrow pass, no exchange") {
+    // eager (index training) — explicit build. The IVFADC serving shape:
+    // assignment, probe filter, and residual ADC are all narrow kernels
+    // in one whole-stage-codegen pass over a single corpus scan, feeding
+    // the candidate-cut/rerank TakeOrdered pair — no shuffle, no join.
+    val p = graft.operators.Vectors.vectorIvfPq.fn(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("nearest_centroid") && p.contains("pq_residual_adc"),
+      s"expected both native kernels:\n${p.take(800)}")
+    assert(!p.contains("Exchange"), s"IVFADC scan must not shuffle:\n${p.take(600)}")
+    assert(!p.contains("Join"), s"IVFADC scan must not join:\n${p.take(600)}")
+    assert("TakeOrderedAndProject".r.findAllIn(p).size == 2,
+      s"expected candidate-cut + rerank TakeOrdered pair:\n${p.take(600)}")
+    assert("FileScan".r.findAllIn(p).size == 1,
+      s"corpus must be scanned once:\n${p.take(600)}")
   }
 
   test("join_bloom probes the bitmap below the join, in the fact scan stage") {
