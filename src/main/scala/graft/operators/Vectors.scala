@@ -1051,7 +1051,99 @@ object Vectors {
       lastIvfPqKey.flatMap(k => Option(ivfPqCache.get(k)))
         .map { case (coarse, cbs) => ivfPqOracleSql(coarse, cbs) }))
 
+  /** DuckDB mirror of [[vectorIndexDelta]] — the standing-corpus-trained
+    * centroids inlined post-run, the same L2-argmin assignment as the
+    * `nearest_centroid` kernel, and the same integer-milli cohesion
+    * quantization as `vector_index_stats`. */
+  private def indexDeltaOracleSql(cents: Seq[Seq[Double]]): String =
+    s"""WITH cents AS (SELECT j AS cid, pv AS cv FROM (VALUES
+       |    ${planesSql(cents)}) c(j, pv)),
+       |e AS (SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v,
+       |        CASE WHEN vec_id % 10 = 7 THEN 1 ELSE 0 END AS is_new
+       |      FROM embeddings WHERE vec_id <> 0),
+       |asg AS (SELECT vec_id, is_new, v, cell FROM (
+       |    SELECT vec_id, is_new, v, cid AS cell,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY dd, cid) AS rn
+       |    FROM (SELECT vec_id, is_new, v, cid,
+       |            list_sum([(v[i]-cv[i])*(v[i]-cv[i])
+       |                      FOR i IN range(1, len(v)+1)]) AS dd
+       |          FROM e CROSS JOIN cents))
+       |  WHERE rn = 1),
+       |m AS (SELECT a.cell, a.is_new,
+       |        CAST(floor(1000 * (${cosSql("a.v", "c.cv")})) AS BIGINT) AS mc
+       |      FROM asg a JOIN cents c ON a.cell = c.cid)
+       |SELECT CAST(cell AS INT) AS cell,
+       |  CAST(sum(1 - is_new) AS BIGINT) AS n_old,
+       |  CAST(sum(is_new) AS BIGINT) AS n_new,
+       |  CASE WHEN sum(1 - is_new) > 0 THEN
+       |    CAST(sum(CASE WHEN is_new = 0 THEN mc ELSE 0 END) AS DOUBLE)
+       |      / sum(1 - is_new) END AS mcos_old,
+       |  CASE WHEN sum(is_new) > 0 THEN
+       |    CAST(sum(CASE WHEN is_new = 1 THEN mc ELSE 0 END) AS DOUBLE)
+       |      / sum(is_new) END AS mcos_new
+       |FROM m GROUP BY 1 ORDER BY cell""".stripMargin
+
+  /** INCREMENTAL index maintenance — the day-2 ANN operation
+    * `dedup_incremental` is to dedup: a new BATCH of vectors
+    * (vec_id % 10 == 7, ~10%) arrives and the standing index must absorb
+    * it WITHOUT retraining — centroids train on the standing corpus
+    * only, the batch is assigned to existing cells, and the output is
+    * the per-cell census that decides when retraining is due: old/new
+    * member counts (growth balance — one cell absorbing the whole batch
+    * means the data moved) and old/new cohesion (integer-milli mean
+    * member→centroid cosine; new-member cohesion falling below the old
+    * is THE index-staleness signal).
+    *
+    * Plan shape: both sides assign through the native `nearest_centroid`
+    * kernel — narrow, no shuffle — then ONE partial+final aggregate
+    * keyed by cell; exact-BIGINT quantized sums, one division per mean.
+    * Oracle: [[indexDeltaOracleSql]], standing-corpus centroids inlined
+    * post-run. */
+  val vectorIndexDelta: Q = Q.noOracle("vector_index_delta") { (s, d) =>
+    import org.apache.spark.sql.graft.Bridge
+    val emb = Tables.embeddings(s, d).filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"),
+              when(col("vec_id") % 10 === 7, 1).otherwise(0).as("is_new"))
+    // the standing index: trained on the OLD corpus only (its own cache
+    // key — vector_ann_ivf's index trains on old+new and must not serve)
+    val deltaKey = embeddingsFingerprint(s, d) + "#delta"
+    val cents = ivfCentroidArrays(emb.filter(col("is_new") === 0),
+      cacheKey = Some(deltaKey))
+    lastDeltaKey = Some(s"$deltaKey#$IvfK")
+    val cellCol = Bridge.column(graft.functions.expressions.NearestCentroid(
+      Bridge.expression(col("v")), cents))
+    val cvLit = typedlit(cents.map(_.toSeq).toSeq)
+    emb.withColumn("cell", cellCol)
+      .select(col("cell"), col("is_new"),
+        floor(lit(1000) *
+          cosine(col("v"), element_at(cvLit, col("cell") + 1)))
+          .cast("long").as("mc"))
+      .groupBy("cell")
+      .agg(sum(lit(1) - col("is_new")).as("n_old"),
+           sum(col("is_new")).as("n_new"),
+           sum(when(col("is_new") === 0, col("mc")).otherwise(0L)).as("so"),
+           sum(when(col("is_new") === 1, col("mc")).otherwise(0L)).as("sn"))
+      .select(col("cell").cast("int").as("cell"),
+        col("n_old"), col("n_new"),
+        when(col("n_old") > 0, col("so").cast("double") / col("n_old"))
+          .as("mcos_old"),
+        when(col("n_new") > 0, col("sn").cast("double") / col("n_new"))
+          .as("mcos_new"))
+      .orderBy("cell")
+  }.copy(
+    eager = true, // standing-index training at plan-build
+    oracleGen = Some(() =>
+      lastDeltaKey.flatMap(k => Option(centroidCache.get(k)))
+        .map(cs => indexDeltaOracleSql(cs.map(_.toSeq).toSeq))))
+
+  /** Cache key of the standing-corpus index [[vectorIndexDelta]] trained
+    * most recently (distinct from [[lastIvfKey]], which any of the three
+    * full-corpus centroid consumers may overwrite between the delta
+    * query's run and its oracle render). */
+  @volatile private var lastDeltaKey: Option[String] = None
+
   val all: Seq[Q] = Seq(vectorTopk, vectorAnnLsh, vectorAnnIvf,
     vectorTopkBatch, vectorQuantize, vectorCentroid, knnJoinLsh,
-    sqlVectorTopk, vectorIndexStats, vectorPq, vectorIvfPq)
+    sqlVectorTopk, vectorIndexStats, vectorPq, vectorIvfPq,
+    vectorIndexDelta)
 }
