@@ -3,6 +3,7 @@ package graft.operators
 import graft.{Q, Tables}
 import graft.Tables.{asDouble, money}
 import graft.plans.SchemaFlattener
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Reference-shaped ETL pipeline operators (SURVEY.md §2.1–§2.3, §7.2 step
@@ -314,7 +315,49 @@ object Pipeline {
     * — no accumulated float sums anywhere, so Spark and DuckDB agree
     * bit-for-bit. The drift flag uses the large-sample critical value
     * D > c(α)·√((n_a+n_b)/(n_a·n_b)) at α=0.05 (c=1.358). */
-  private val DriftBins = 500
+  private[graft] val DriftBins = 500
+
+  /** Binned two-sample counts per (event_type, bin): `ca` = rows before
+    * `split`, `cb` = rows from `split` on. The shared first stage of the
+    * drift census — the batch query builds both sides in one pass; the
+    * streaming twin ([[graft.streaming.Streams.driftBinCounts]]) maintains
+    * the `cb` side incrementally and joins the precomputed reference. */
+  private[graft] def driftCounts(events: DataFrame, split: String): DataFrame = {
+    val e = events.select(col("event_type"),
+      least(floor(col("value")).cast("long"),
+            lit((DriftBins - 1).toLong)).as("bin"),
+      when(col("ts") < lit(split).cast("timestamp"), 1)
+        .otherwise(0).as("a"))
+    e.groupBy("event_type", "bin")
+      .agg(sum(col("a")).as("ca"),
+           (count(lit(1)) - sum(col("a"))).as("cb"))
+  }
+
+  /** The KS composition over a (event_type, bin, ca, cb) frame — bounded
+    * window frames (≤ [[DriftBins]] rows per type), exact-integer
+    * cumulative counts, one division per ECDF value. Shared verbatim by
+    * the batch query and the streaming parity path, so the two cannot
+    * drift. */
+  private[graft] def ksCompose(c: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wCum = Window.partitionBy("event_type").orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy("event_type")
+    c.select(col("event_type"),
+        sum(col("ca")).over(wCum).as("cuma"),
+        sum(col("cb")).over(wCum).as("cumb"),
+        sum(col("ca")).over(wTot).as("na"),
+        sum(col("cb")).over(wTot).as("nb"))
+      .groupBy("event_type")
+      .agg(max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
+        max(abs(col("cuma").cast("double") / col("na") -
+                col("cumb").cast("double") / col("nb"))).as("ks_stat"))
+      .select(col("event_type"), col("n_a"), col("n_b"), col("ks_stat"),
+        (col("ks_stat") > lit(1.358) *
+          sqrt((col("n_a") + col("n_b")).cast("double") /
+               (col("n_a").cast("double") * col("n_b")))).as("drift"))
+      .orderBy("event_type")
+  }
 
   val dqDriftKs: Q = Q(
     "dq_drift_ks",
@@ -342,32 +385,7 @@ object Pipeline {
       |                   / (CAST(max(na) AS DOUBLE) * max(nb))) AS drift
       |FROM cum GROUP BY event_type ORDER BY event_type""".stripMargin
   ) { (s, d) =>
-    import org.apache.spark.sql.expressions.Window
-    val e = Tables.events(s, d).select(col("event_type"),
-      least(floor(col("value")).cast("long"),
-            lit((DriftBins - 1).toLong)).as("bin"),
-      when(col("ts") < lit("2024-01-16").cast("timestamp"), 1)
-        .otherwise(0).as("a"))
-    val c = e.groupBy("event_type", "bin")
-      .agg(sum(col("a")).as("ca"),
-           (count(lit(1)) - sum(col("a"))).as("cb"))
-    val wCum = Window.partitionBy("event_type").orderBy("bin")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wTot = Window.partitionBy("event_type")
-    c.select(col("event_type"),
-        sum(col("ca")).over(wCum).as("cuma"),
-        sum(col("cb")).over(wCum).as("cumb"),
-        sum(col("ca")).over(wTot).as("na"),
-        sum(col("cb")).over(wTot).as("nb"))
-      .groupBy("event_type")
-      .agg(max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
-        max(abs(col("cuma").cast("double") / col("na") -
-                col("cumb").cast("double") / col("nb"))).as("ks_stat"))
-      .select(col("event_type"), col("n_a"), col("n_b"), col("ks_stat"),
-        (col("ks_stat") > lit(1.358) *
-          sqrt((col("n_a") + col("n_b")).cast("double") /
-               (col("n_a").cast("double") * col("n_b")))).as("drift"))
-      .orderBy("event_type")
+    ksCompose(driftCounts(Tables.events(s, d), "2024-01-16"))
   }
 
   private val PrIters = 10

@@ -114,6 +114,25 @@ object Streams {
       }
   }
 
+  /** Streaming DRIFT monitoring — the incremental half of the batch
+    * `dq_drift_ks` census: maintain the CURRENT window's binned value
+    * histogram per (event_type, bin) as a streaming aggregate (state =
+    * one counter per occupied bin, bounded by types × DriftBins
+    * regardless of stream length). The KS composition then runs over
+    * this frame joined with the precomputed reference histogram —
+    * `Pipeline.ksCompose`, the same code path as the batch query, so
+    * drift numbers from the stream CANNOT disagree with a batch backfill
+    * (StreamingSpec asserts exactly that, across micro-batch
+    * boundaries). */
+  def driftBinCounts(events: DataFrame, split: String,
+                     bins: Int = graft.operators.Pipeline.DriftBins): DataFrame =
+    events.filter(col("ts") >= lit(split).cast("timestamp"))
+      .select(col("event_type"),
+        least(floor(col("value")).cast("long"),
+              lit((bins - 1).toLong)).as("bin"))
+      .groupBy("event_type", "bin")
+      .agg(count(lit(1)).as("cb"))
+
   /** Streaming exact dedup: first occurrence of each KEY wins — a
     * re-delivered late duplicate with a different timestamp is dropped
     * too (`dropDuplicates(key :+ ts)` would keep it).

@@ -323,6 +323,41 @@ class StreamingSpec extends SparkSpec {
       ts(8).getTime - ts(2).getTime)))
   }
 
+  test("streaming drift: composed KS equals the batch census, across batches") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val split = "2024-01-01 10:05:00" // splits the fixture 3 / 3
+    val df = rows.toDF()
+    val batchOut = sorted(graft.operators.Pipeline
+      .ksCompose(graft.operators.Pipeline.driftCounts(df, split)).collect())
+    // stream the CURRENT side in two micro-batches (state must carry the
+    // first batch's bin counts across the boundary)
+    val mem = MemoryStream[Ev]
+    val (early, late) = rows.partition(_.event_id <= 3)
+    val name = s"drift_${System.nanoTime()}"
+    val q = Streams.driftBinCounts(mem.toDF(), split).writeStream
+      .format("memory").queryName(name).outputMode("complete").start()
+    try {
+      mem.addData(early); q.processAllAvailable()
+      mem.addData(late); q.processAllAvailable()
+    } finally q.stop()
+    val cur = spark.table(name)
+    // reference histogram is precomputed (batch) — join and zero-fill the
+    // bins only one side occupies, then the SAME ksCompose
+    val ref = df.filter(col("ts") < lit(split).cast("timestamp"))
+      .select(col("event_type"),
+        least(floor(col("value")).cast("long"), lit(499L)).as("bin"))
+      .groupBy("event_type", "bin").agg(count(lit(1)).as("ca"))
+    val c = ref.join(cur, Seq("event_type", "bin"), "full_outer")
+      .select(col("event_type"), col("bin"),
+        coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+    val streamOut = sorted(graft.operators.Pipeline.ksCompose(c).collect())
+    assert(streamOut === batchOut)
+    assert(batchOut.nonEmpty)
+  }
+
   test("stream-static broadcast join enriches events, keeps unmatched") {
     val spark2 = spark
     import spark2.implicits._
