@@ -591,8 +591,84 @@ object TextAnalysis {
     }
   }
 
+  private val CmDepth = 4
+  private val CmWidth = 256
+
+  /** COUNT-MIN SKETCH over the token stream — the third frequent-items
+    * structure in the catalog (Misra–Gries gives deterministic candidate
+    * containment, HLL counts distincts; CMS answers POINT frequency
+    * queries from a fixed d×w counter table). Build: every token
+    * increments one counter per row r at column hash_r(token) mod w —
+    * here one explode to [[CmDepth]] (r, bucket) rows and a partial+final
+    * count keyed by the BOUNDED (r, bucket) space, so the sketch build
+    * never shuffles the vocabulary (the same reason the table is
+    * mergeable across shards: counter matrices add). Query: est(t) =
+    * min_r table[r][hash_r(t)] — always ≥ the true count (only
+    * collisions inflate), within ε·N with the standard probabilistic
+    * bound. Output: the heavy tokens with exact count, CMS estimate, and
+    * the realized overestimate.
+    *
+    * Everything is exact integer arithmetic on portable hashes, so the
+    * WHOLE sketch — table, point queries, overestimates — carries a full
+    * value oracle (most engines settle for an error-bound spec here). */
+  val textCountmin: Q = {
+    val ph = (r: Int) => graft.functions.expressions.PortableHash
+      .duckdbSaltedSql("token", s"#cm$r", 15)
+    val cmsRows = (0 until CmDepth)
+      .map(r => s"SELECT $r AS r, ${ph(r)} % $CmWidth AS bucket FROM tok")
+      .mkString("\nUNION ALL ")
+    val hbRows = (0 until CmDepth)
+      .map(r => s"SELECT token, c, $r AS r, ${ph(r)} % $CmWidth AS bucket FROM heavy")
+      .mkString("\nUNION ALL ")
+    Q(
+      "text_countmin",
+      s"""WITH tk AS (SELECT unnest(string_split(text, ' ')) AS token
+         |            FROM documents),
+         |tok AS (SELECT token FROM tk WHERE token <> ''),
+         |tot AS (SELECT count(*) AS n_total FROM tok),
+         |ex AS (SELECT token, count(*) AS c FROM tok GROUP BY 1),
+         |heavy AS (SELECT token, c FROM ex, tot WHERE c * 200 > n_total),
+         |cms AS (SELECT r, bucket, count(*) AS cnt
+         |        FROM ($cmsRows) GROUP BY 1, 2),
+         |hb AS ($hbRows)
+         |SELECT token, CAST(c AS BIGINT) AS exact_c,
+         |  CAST(min(cnt) AS BIGINT) AS cms_est,
+         |  CAST(min(cnt) - c AS BIGINT) AS overestimate
+         |FROM hb JOIN cms USING (r, bucket)
+         |GROUP BY token, c ORDER BY token""".stripMargin
+    ) { (s, d) =>
+      import graft.functions.TextFns
+      def buckets(tokenCol: org.apache.spark.sql.Column) =
+        explode(array((0 until CmDepth).map { r =>
+          struct(lit(r).as("r"),
+            pmod(TextFns.saltedHash(tokenCol, s"#cm$r", 15),
+                 lit(CmWidth)).as("bucket"))
+        }: _*))
+      val toks = Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("token"))
+        .filter(length(col("token")) > 0)
+      val cms = toks.select(buckets(col("token")).as("rb"))
+        .groupBy(col("rb.r").as("r"), col("rb.bucket").as("bucket"))
+        .agg(count(lit(1)).as("cnt"))
+      val total = toks.agg(count(lit(1)).as("n_total"))
+      val heavy = toks.groupBy("token").agg(count(lit(1)).as("c"))
+        .crossJoin(broadcast(total))
+        .filter(col("c") * HhThreshold > col("n_total"))
+        .select(col("token"), col("c"))
+      heavy.select(col("token"), col("c"), buckets(col("token")).as("rb"))
+        .select(col("token"), col("c"), col("rb.r").as("r"),
+                col("rb.bucket").as("bucket"))
+        .join(broadcast(cms), Seq("r", "bucket"))
+        .groupBy("token", "c")
+        .agg(min(col("cnt")).as("cms_est"))
+        .select(col("token"), col("c").as("exact_c"), col("cms_est"),
+                (col("cms_est") - col("c")).as("overestimate"))
+        .orderBy("token")
+    }
+  }
+
   val all: Seq[Q] = Seq(textTokens, textQuality, langId, textFingerprint,
     textTfidf, textNormalize, textRepetition, piiRedact, ngramFreq,
     textContamination, textTokenBpe, textPerplexity, spanDedup,
-    textHeavyHitters, textQualityClassifier)
+    textHeavyHitters, textQualityClassifier, textCountmin)
 }

@@ -56,6 +56,42 @@ class TextFnsSpec extends SparkSpec {
     assert(got.nonEmpty, "corpus has heavy tokens at the 1/200 threshold")
   }
 
+  test("count-min: estimates dominate exact counts; shard tables merge by addition") {
+    import graft.functions.TextFns
+    val toks = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+    def cms(df: org.apache.spark.sql.DataFrame) = df
+      .select(explode(array((0 until 4).map { r =>
+        struct(lit(r).as("r"),
+          pmod(TextFns.saltedHash(col("token"), s"#cm$r", 15),
+               lit(256)).as("bucket"))
+      }: _*)).as("rb"))
+      .groupBy(col("rb.r").as("r"), col("rb.bucket").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    // mergeability — THE property a distributed sketch rests on: the CMS
+    // of the union is the cellwise SUM of per-shard CMS tables
+    val full = cms(toks).collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val a = cms(toks.filter(col("doc_id") % 2 === 0))
+    val b = cms(toks.filter(col("doc_id") % 2 =!= 0))
+    val merged = a.withColumnRenamed("cnt", "ca")
+      .join(b.withColumnRenamed("cnt", "cb"), Seq("r", "bucket"), "full_outer")
+      .select(col("r"), col("bucket"),
+        (coalesce(col("ca"), lit(0L)) + coalesce(col("cb"), lit(0L))).as("cnt"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(merged === full, "shard CMS tables must sum to the full table")
+    // domination: est >= exact for EVERY vocabulary token, not just the
+    // heavy ones the driver query reports (only collisions inflate)
+    val out = graft.operators.TextAnalysis.textCountmin.fn(spark, sf0001)
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Long]("overestimate") >= 0L,
+        s"CMS must never underestimate: ${r}")
+    }
+  }
+
   test("lang_id prediction is deterministic and covers the marker languages") {
     val out = graft.operators.TextAnalysis.langId.fn(spark, sf0001)
     val preds = out.select("predicted").distinct().collect()
