@@ -267,7 +267,67 @@ object Streaming {
       .orderBy("user_id", "session_id")
   }
 
+  /** SEQUENTIAL PATTERN MATCH (the MATCH_RECOGNIZE / Flink-CEP shape):
+    * find view → click → purchase subsequences per user — strictly
+    * increasing (ts, event_id) order, arbitrary other events in between
+    * — and emit one match row per purchase that completes a chain,
+    * carrying the matched click and view timestamps.
+    *
+    * The trick that keeps this ONE window pass per pattern step (instead
+    * of a k-way self-join over the event stream): a running max over
+    * strictly-preceding rows carries "the latest qualifying prefix" —
+    * lv = latest view; then a click is QUALIFIED iff lv is set, and
+    * because both the qualified-click ts sequence AND the lv sequence
+    * are nondecreasing in event order, running maxes over
+    * (qualified-click ts, its lv) recover exactly the latest qualified
+    * click and ITS view. Every comparison is on raw (ts, event_id) —
+    * no floats — and the total order is provably total, so both engines
+    * agree row-for-row.
+    *
+    * Scale: both window steps share one user-keyed sort (Spark plans
+    * adjacent same-spec windows on a single exchange+sort); frames are
+    * user-history-sized — the standard event-analytics bound, as in
+    * `event_transitions`. A longer pattern adds one running max per
+    * step, never a join. */
+  val patternSeq: Q = Q(
+    "pattern_seq",
+    """WITH w1 AS (SELECT user_id, event_id, ts, event_type,
+      |    max(CASE WHEN event_type = 'view' THEN ts END)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lv
+      |  FROM events),
+      |w2 AS (SELECT *,
+      |    max(CASE WHEN event_type = 'click' AND lv IS NOT NULL THEN ts END)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS click_ts,
+      |    max(CASE WHEN event_type = 'click' AND lv IS NOT NULL THEN lv END)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS view_ts
+      |  FROM w1)
+      |SELECT user_id, event_id, ts AS purchase_ts, click_ts, view_ts
+      |FROM w2 WHERE event_type = 'purchase' AND click_ts IS NOT NULL
+      |ORDER BY user_id, event_id""".stripMargin
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("lv",
+        max(when(col("event_type") === "view", col("ts"))).over(w))
+      .withColumn("click_ts",
+        max(when(col("event_type") === "click" && col("lv").isNotNull,
+                 col("ts"))).over(w))
+      .withColumn("view_ts",
+        max(when(col("event_type") === "click" && col("lv").isNotNull,
+                 col("lv"))).over(w))
+      .filter(col("event_type") === "purchase" && col("click_ts").isNotNull)
+      .select(col("user_id"), col("event_id"), col("ts").as("purchase_ts"),
+              col("click_ts"), col("view_ts"))
+      .orderBy("user_id", "event_id")
+  }
+
   val all: Seq[Q] = Seq(streamTumbling, streamHopping, streamSession,
     resampleGapfill, funnel, retentionCohort, eventTransitions, ohlcBars,
-    sessionizeGaps)
+    sessionizeGaps, patternSeq)
 }

@@ -160,6 +160,40 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("pattern_seq matches are strictly ordered chains, equal to a direct scan") {
+    import org.apache.spark.sql.functions._
+    val out = graft.operators.Streaming.patternSeq.fn(spark, sf0001).collect()
+    assert(out.nonEmpty, "fixture should contain view->click->purchase chains")
+    out.foreach { r =>
+      val v = r.getAs[java.sql.Timestamp]("view_ts")
+      val c = r.getAs[java.sql.Timestamp]("click_ts")
+      val p = r.getAs[java.sql.Timestamp]("purchase_ts")
+      assert(!c.before(v), s"view must not follow click: $r")
+      assert(!p.before(c), s"click must not follow purchase: $r")
+    }
+    // exact semantics cross-check: simulate the automaton directly over
+    // one matched user's ordered event stream and compare match sets
+    val uid = out.head.getAs[Long]("user_id")
+    val evs = Tables.events(spark, sf0001)
+      .filter(col("user_id") === uid)
+      .select("ts", "event_type", "event_id")
+      .collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getString(1), r.getLong(2)))
+      .sortBy(e => (e._1, e._3))
+    var seenView = false
+    var seenQualClick = false
+    val expected = scala.collection.mutable.Set.empty[Long]
+    evs.foreach { case (_, tpe, id) =>
+      if (tpe == "purchase" && seenQualClick) expected += id
+      if (tpe == "click" && seenView) seenQualClick = true
+      if (tpe == "view") seenView = true
+    }
+    val got = out.filter(_.getAs[Long]("user_id") == uid)
+      .map(_.getAs[Long]("event_id")).toSet
+    assert(got === expected.toSet,
+      s"window-carried matches must equal the direct automaton for user $uid")
+  }
+
   test("window running sum's last value equals the group sum") {
     val spark2 = spark
     import spark2.implicits._
