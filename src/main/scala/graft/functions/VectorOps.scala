@@ -30,6 +30,16 @@ object VectorOps {
   /** HOF fallback — bit-identical to [[cosine]], no custom expression. */
   def cosineHof(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Native single-pass dot product (whole-stage codegen) — the banded
+    * pair-scoring kernel: with per-vector norms precomputed in the band
+    * rows, `dotNative(a,b)/(nrm_a*nrm_b)` is bit-identical to [[cosine]]
+    * at a third of the per-pair flops. */
+  def dotNative(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graft.Bridge
+    Bridge.column(graft.functions.expressions.DotProduct(
+      Bridge.expression(a), Bridge.expression(b)))
+  }
+
   /** Native single-pass squared Euclidean distance (whole-stage codegen)
     * — the PQ encode/rerank kernel. */
   def l2Sq(a: Column, b: Column): Column = {

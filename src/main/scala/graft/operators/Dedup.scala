@@ -493,17 +493,20 @@ object Dedup {
     val planeRows = Vectors.planesSql(cosLshPlanes)
     s"""planes AS (SELECT j, pv FROM (VALUES
        |    $planeRows) p(j, pv)),
-       |e AS (SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v FROM embeddings),
-       |sg AS (SELECT vec_id, first(v) AS v, j // $CosLshPlanesPerTable AS tbl,
+       |e AS (SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v,
+       |        sqrt(list_sum([x*x FOR x IN [CAST(x AS DOUBLE) FOR x IN embedding]])) AS nrm
+       |      FROM embeddings),
+       |sg AS (SELECT vec_id, first(v) AS v, first(nrm) AS nrm,
+       |         j // $CosLshPlanesPerTable AS tbl,
        |         CAST(sum(CASE WHEN dotp > 0
        |           THEN (1 << (j % $CosLshPlanesPerTable)) ELSE 0 END) AS BIGINT) AS sig
-       |       FROM (SELECT vec_id, v, j,
+       |       FROM (SELECT vec_id, v, nrm, j,
        |               list_sum([v[i]*pv[i] FOR i IN range(1, len(v)+1)]) AS dotp
        |             FROM e CROSS JOIN planes)
        |       GROUP BY vec_id, j // $CosLshPlanesPerTable),
        |cand AS (SELECT DISTINCT a.vec_id AS $aAlias, b.vec_id AS $bAlias,
        |    list_sum([a.v[i]*b.v[i] FOR i IN range(1, len(a.v)+1)]) /
-       |    (sqrt(list_sum([x*x FOR x IN a.v])) * sqrt(list_sum([x*x FOR x IN b.v]))) AS cosine
+       |    (a.nrm * b.nrm) AS cosine
        |  FROM sg a JOIN sg b
        |    ON a.tbl = b.tbl AND a.sig = b.sig AND a.vec_id $idPred b.vec_id)""".stripMargin
   }
@@ -532,7 +535,11 @@ object Dedup {
     * `knn_join_lsh` in [[Vectors]]. Input must carry (vec_id, v). */
   private[graft] def cosLshBands(e: DataFrame): DataFrame = {
     import graft.functions.VectorOps._
-    e.select(col("vec_id"), col("v"),
+    // nrm once per VECTOR (before the 8-way band explode): every candidate
+    // pair then scores as dot/(nrm_a*nrm_b) — one n-dim loop per pair
+    // instead of cosine's three accumulators, bit-identical output (the
+    // sqrt/multiply/divide order is the fused kernel's)
+    e.select(col("vec_id"), col("v"), norm(col("v")).as("nrm"),
       explode(array((0 until CosLshTables).map { t =>
         val sig = (0 until CosLshPlanesPerTable).map { j =>
           val h = typedlit(cosLshPlanes(t * CosLshPlanesPerTable + j))
@@ -540,7 +547,7 @@ object Dedup {
         }.reduce(_ + _)
         struct(lit(t).as("tbl"), sig.cast("long").as("sig"))
       }: _*)).as("bk"))
-      .select(col("vec_id"), col("v"),
+      .select(col("vec_id"), col("v"), col("nrm"),
               col("bk.tbl").as("tbl"), col("bk.sig").as("sig"))
   }
 
@@ -560,7 +567,8 @@ object Dedup {
       // instead moves the 64-dim arrays through the exchange and
       // measures ~3× slower at sf0.1.)
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-              cosine(col("a.v"), col("b.v")).as("cosine"))
+              (dotNative(col("a.v"), col("b.v")) /
+                (col("a.nrm") * col("b.nrm"))).as("cosine"))
       .filter(col("cosine") >= 0.45)
       .dropDuplicates("vec_a", "vec_b")
       .orderBy("vec_a", "vec_b")

@@ -210,7 +210,8 @@ object Vectors {
       // re-collisions re-verify map-side, the exchange carries only
       // (id, id, cosine)
       .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
-              cosine(col("a.v"), col("b.v")).as("c"))
+              (dotNative(col("a.v"), col("b.v")) /
+                (col("a.nrm") * col("b.nrm"))).as("c"))
       .select(explode(array(
         struct(col("va").as("vec_id"), col("vb").as("nn_id"),
                col("c").as("cosine")),
