@@ -54,6 +54,18 @@ case class RetState(cohortDay: Int, seen: Seq[Int])
 
 /** One shingle-hash observation from a source feed (running-signature
   * input). */
+case class PatEvent(user_id: Long, event_id: Long, ts: java.sql.Timestamp,
+                    event_type: String)
+case class PatMatch(user_id: Long, event_id: Long,
+                    purchase_ts: java.sql.Timestamp,
+                    click_ts: java.sql.Timestamp,
+                    view_ts: java.sql.Timestamp)
+/** Per-user pattern-automaton state: the latest view, and the latest
+  * QUALIFIED click (one with a view before it) plus that click's view. */
+case class PatState(lv: Option[java.sql.Timestamp],
+                    qc: Option[java.sql.Timestamp],
+                    qcLv: Option[java.sql.Timestamp])
+
 case class ShingleObs(source: String, sgl: Long)
 /** A source's current MinHash signature (32 affine mins). */
 case class SourceSig(source: String, sig: Seq[Long])
@@ -250,6 +262,43 @@ object Streams {
             last = Some(LastEvent(e.ts.getTime, e.event_type))
           }
           last.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
+  /** Streaming SEQUENTIAL PATTERN MATCH — the CEP form of the batch
+    * `pattern_seq` window plan: per-user state is the automaton's
+    * frontier (latest view; latest QUALIFIED click and its view — the
+    * exact prefix the batch plan's running maxes carry), so each
+    * arriving purchase emits its match immediately with O(1) state per
+    * user. Same (ts, event_id) total order as the batch windows, same
+    * in-order-per-key assumption as [[transitions]]. StreamingSpec
+    * asserts the micro-batched run equals the batch plan on the same
+    * rows, including chains that SPAN micro-batch boundaries. */
+  def patternMatches(ds: Dataset[PatEvent]): Dataset[PatMatch] = {
+    import ds.sparkSession.implicits._
+    def key(t: java.sql.Timestamp) =
+      (t.getTime / 1000) * 1000000L + t.getNanos / 1000 // exact micros
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+                              GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[PatEvent],
+         state: GroupState[PatState]) =>
+          val sorted = rows.toSeq.sortBy(e => (key(e.ts), e.event_id))
+          val out = Seq.newBuilder[PatMatch]
+          var s = state.getOption.getOrElse(PatState(None, None, None))
+          sorted.foreach { e =>
+            e.event_type match {
+              case "purchase" =>
+                for (c <- s.qc; v <- s.qcLv)
+                  out += PatMatch(uid, e.event_id, e.ts, c, v)
+              case "click" =>
+                if (s.lv.isDefined) s = s.copy(qc = Some(e.ts), qcLv = s.lv)
+              case "view" => s = s.copy(lv = Some(e.ts))
+              case _ => ()
+            }
+          }
+          state.update(s)
           out.result().iterator
       }
   }

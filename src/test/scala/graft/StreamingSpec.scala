@@ -358,6 +358,40 @@ class StreamingSpec extends SparkSpec {
     assert(batchOut.nonEmpty)
   }
 
+  test("streaming pattern match equals the batch window plan, across batches") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.{PatEvent, PatMatch}
+    val batch = graft.operators.Streaming.patternSeq.fn(spark, sf0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2),
+                 r.getTimestamp(3), r.getTimestamp(4)))
+      .toSet
+    assert(batch.nonEmpty)
+    val evs = Tables.events(spark, sf0001)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .as[PatEvent].collect()
+      .sortBy(e => (e.ts.getTime, e.event_id))
+    // split mid-stream: per-user order is preserved (global ts order),
+    // and chains straddling the boundary must still match
+    val (b1, b2) = evs.splitAt(evs.length / 2)
+    val mem = MemoryStream[PatEvent]
+    val name = s"pat_${System.nanoTime()}"
+    val q = Streams.patternMatches(mem.toDS()).writeStream
+      .format("memory").queryName(name).outputMode("append").start()
+    try {
+      mem.addData(b1.toSeq); q.processAllAvailable()
+      mem.addData(b2.toSeq); q.processAllAvailable()
+    } finally q.stop()
+    val stream = spark.table(name).as[PatMatch].collect()
+      .map(m => (m.user_id, m.event_id, m.purchase_ts, m.click_ts,
+                 m.view_ts))
+      .toSet
+    assert(stream === batch,
+      "incremental automaton must equal the batch running-max plan")
+  }
+
   test("stream-static broadcast join enriches events, keeps unmatched") {
     val spark2 = spark
     import spark2.implicits._
