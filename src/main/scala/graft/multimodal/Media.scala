@@ -148,6 +148,59 @@ object Media {
     }
   }
 
+  /** Perceptual difference hash (dHash) of a REAL image blob: nearest-
+    * neighbor downsample to a 9×8 grayscale grid (ITU-R 601 integer
+    * luma), one bit per adjacent-pixel brightness comparison → a 64-bit
+    * signature whose Hamming distance tracks VISUAL similarity — the
+    * image-side analogue of SimHash for text, and the candidate key for
+    * image near-dup dedup (hash equality or banding exactly as in
+    * `dedup_simhash`; re-encodes, resizes, and small edits move few
+    * bits, where a byte-level content hash changes completely). Integer
+    * arithmetic end to end — deterministic across JVMs. None for
+    * non-image blobs. */
+  def dHash64(content: Array[Byte]): Option[Long] =
+    if (!isImageContainer(content)) None
+    else Option(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(content))).map { img =>
+      val (w, h) = (img.getWidth, img.getHeight)
+      val g = Array.ofDim[Int](8, 9)
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 9) {
+          // nearest-neighbor sample at the cell center
+          val sx = ((2 * x + 1) * w / 18).min(w - 1)
+          val sy = ((2 * y + 1) * h / 16).min(h - 1)
+          val argb = img.getRGB(sx, sy)
+          g(y)(x) = (((argb >> 16) & 0xFF) * 299 +
+                     ((argb >> 8) & 0xFF) * 587 +
+                     (argb & 0xFF) * 114) / 1000
+          x += 1
+        }
+        y += 1
+      }
+      var hash = 0L
+      var i = 0
+      while (i < 64) {
+        val (yy, xx) = (i / 8, i % 8)
+        if (g(yy)(xx + 1) > g(yy)(xx)) hash |= (1L << i)
+        i += 1
+      }
+      hash
+    }
+
+  /** Batched per-partition dHash pass over a media frame — same
+    * mapPartitions shape as [[decode]]/[[features]]; null hash for
+    * blobs that aren't decodable images. */
+  def imageHashes(ds: Dataset[MediaRow]): DataFrame = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { rows =>
+      rows.grouped(BatchSize).flatMap { batch =>
+        batch.map(r => (r.media_id, dHash64(r.content)))
+      }
+    }.toDF("media_id", "dhash")
+  }
+
   /** Frame sampling: split the blob into fixed-size frames, keep every
     * `stride`-th frame. Emits one row per kept frame (generator shape). */
   def frameSample(ds: Dataset[MediaRow], frameBytes: Int,

@@ -78,6 +78,56 @@ class MediaSpec extends SparkSpec {
     assert(out(2).meta === MediaMeta("audio", 640, 480, 16000, 3))
   }
 
+  /** Gradient image with an optional small perturbation — the dHash
+    * fixture: perceptually near-identical variants must land within a
+    * few bits; an inverted gradient must land far away. */
+  private def gradient(w: Int, h: Int, invert: Boolean = false,
+                       tweak: Boolean = false): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val base = (x * 255 / (w - 1)).min(255)
+      val v = if (invert) 255 - base else base
+      val vv = if (tweak && x == w / 2 && y == h / 2) (v + 8).min(255) else v
+      img.setRGB(x, y, (vv << 16) | (vv << 8) | vv)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("dHash: stable under small edits and re-encode, far for inverse, distributed") {
+    val spark2 = spark
+    import spark2.implicits._
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val base = Media.dHash64(gradient(64, 48)).get
+    val tweaked = Media.dHash64(gradient(64, 48, tweak = true)).get
+    val rescaled = Media.dHash64(gradient(32, 24)).get // same scene, half size
+    val inverted = Media.dHash64(gradient(64, 48, invert = true)).get
+    assert(ham(base, tweaked) <= 4,
+      s"one-pixel edit moved ${ham(base, tweaked)} bits")
+    assert(ham(base, rescaled) <= 4,
+      s"rescale moved ${ham(base, rescaled)} bits")
+    assert(ham(base, inverted) >= 32,
+      s"inverted gradient only ${ham(base, inverted)} bits away")
+    // a BMP re-encode of the same pixels hashes identically (container-
+    // independent — the property a content hash does NOT have)
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(gradient(64, 48)))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "bmp", bos)
+    assert(Media.dHash64(bos.toByteArray).get === base)
+    // distributed pass: image rows hash, non-image rows null
+    val rows = Seq(MediaRow(1, "image", gradient(64, 48)),
+                   MediaRow(2, "audio", blob(Array.fill(8)(1.toByte))))
+      .toDS()
+    val out = Media.imageHashes(rows).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toMap
+    assert(out(1L) === Some(base))
+    assert(out(2L) === None)
+  }
+
   test("frameSample emits one row per kept frame") {
     val out = Media.frameSample(ds, frameBytes = 16, stride = 2)
       .collect().map(r => (r.getLong(0), r.getInt(1)))
