@@ -25,6 +25,7 @@ object SparkEntry {
     operators.Corpus.all ++
     operators.Vectors.all ++
     operators.Streaming.all ++
+    operators.TimeSeries.all ++
     operators.Multimodal.all ++
     operators.Bpe.all
 

@@ -472,7 +472,114 @@ object Pipeline {
     }
   }
 
+  /** The star schema's FK edges: (edge label, child table, FK column,
+    * parent table, PK column). One spec row drives BOTH the Spark plan
+    * and the oracle SQL, so the two inventories cannot drift. */
+  private val FkEdges: Seq[(String, String, String, String, String)] = Seq(
+    ("customer->nation",   "customer", "c_nationkey", "nation",   "n_nationkey"),
+    ("lineitem->orders",   "lineitem", "l_orderkey",  "orders",   "o_orderkey"),
+    ("lineitem->part",     "lineitem", "l_partkey",   "part",     "p_partkey"),
+    ("lineitem->supplier", "lineitem", "l_suppkey",   "supplier", "s_suppkey"),
+    ("nation->region",     "nation",   "n_regionkey", "region",   "r_regionkey"),
+    ("orders->customer",   "orders",   "o_custkey",   "customer", "c_custkey"),
+    ("supplier->nation",   "supplier", "s_nationkey", "nation",   "n_nationkey")
+  )
+
+  /** REFERENTIAL-INTEGRITY census over every FK edge of the star schema —
+    * the data-quality check a warehouse runs after each load (the
+    * row-level sibling of `dq_checks`' column rules): per edge, total
+    * child rows, null-FK rows, orphaned rows, and distinct orphaned keys.
+    *
+    * Plan shape per edge is the scale-correct one: the child reduces to
+    * per-KEY counts first (partial+final on the FK — the child's raw rows
+    * shuffle once, as key counts), the parent reduces to distinct PKs,
+    * and the left join runs at KEY cardinality, never row cardinality;
+    * AQE broadcasts whichever side is small. The seven one-row summaries
+    * union at the end — adding an edge to [[FkEdges]] extends query and
+    * oracle together. All outputs are exact BIGINT counts. */
+  val dqReferential: Q = Q(
+    "dq_referential",
+    FkEdges.map { case (label, child, fk, parent, pk) =>
+      s"""SELECT '$label' AS edge,
+         |  CAST(sum(c) AS BIGINT) AS n_rows,
+         |  CAST(COALESCE(sum(c) FILTER (WHERE fk IS NULL), 0) AS BIGINT) AS n_null_rows,
+         |  CAST(COALESCE(sum(c) FILTER (WHERE fk IS NOT NULL AND pk IS NULL), 0) AS BIGINT) AS n_orphan_rows,
+         |  CAST(count(*) FILTER (WHERE fk IS NOT NULL AND pk IS NULL) AS BIGINT) AS n_orphan_keys
+         |FROM (SELECT $fk AS fk, count(*) AS c FROM $child GROUP BY 1) ck
+         |LEFT JOIN (SELECT DISTINCT $pk AS pk FROM $parent) p ON ck.fk = p.pk""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY edge")
+  ) { (s, d) =>
+    FkEdges.map { case (label, child, fk, parent, pk) =>
+      val ck = Tables.table(s, d, child)
+        .groupBy(col(fk).as("fk")).agg(count(lit(1)).as("c"))
+      val p = Tables.table(s, d, parent)
+        .select(col(pk).as("pk")).distinct()
+      ck.join(p, col("fk") === col("pk"), "left")
+        .agg(sum(col("c")).as("n_rows"),
+          coalesce(sum(when(col("fk").isNull, col("c"))), lit(0L))
+            .as("n_null_rows"),
+          coalesce(sum(when(col("fk").isNotNull && col("pk").isNull,
+            col("c"))), lit(0L)).as("n_orphan_rows"),
+          count(when(col("fk").isNotNull && col("pk").isNull, lit(1)))
+            .as("n_orphan_keys"))
+        .select(lit(label).as("edge"), col("n_rows"), col("n_null_rows"),
+          col("n_orphan_rows"), col("n_orphan_keys"))
+    }.reduce(_.unionAll(_)).orderBy("edge")
+  }
+
+  /** NODE SIMILARITY via neighbor-set Jaccard (the link-prediction /
+    * entity-resolution primitive): suppliers scored by how much their
+    * part catalogs overlap, J = |A∩B| / |A∪B| over the distinct
+    * supplier→part adjacency. The plan is the `dedup_ngram` posting-list
+    * skeleton pointed at graph adjacency instead of shingles — the two
+    * problems are the same problem: per part, the (supplier, degree)
+    * posting list emits its ordered pairs through the native
+    * [[graft.functions.expressions.OrderedPairs]] generator, shared-part
+    * counts aggregate per pair, and J needs no post-joins because
+    * degrees ride inside the lists. Pair fan-out per part is bounded by
+    * the same stop-cap discipline (a part supplied by thousands of
+    * suppliers is a commodity hub, not a similarity signal); the cap
+    * never binds at test scale, so the plain self-join oracle agrees.
+    * Degrees attach with a supplier-keyed window on the adjacency frame
+    * (bounded per supplier) — no extra join, no second scan. */
+  val graphJaccard: Q = Q(
+    "graph_jaccard",
+    """WITH adj AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem),
+      |deg AS (SELECT s, count(*) AS dg FROM adj GROUP BY 1),
+      |ex AS (SELECT a.s AS s_a, b.s AS s_b, count(*) AS inter
+      |       FROM adj a JOIN adj b ON a.p = b.p AND a.s < b.s
+      |       GROUP BY 1, 2)
+      |SELECT s_a, s_b, CAST(inter AS BIGINT) AS inter,
+      |  CAST(inter AS DOUBLE) / (da.dg + db.dg - inter) AS jaccard
+      |FROM ex JOIN deg da ON s_a = da.s JOIN deg db ON s_b = db.s
+      |WHERE inter >= 2
+      |ORDER BY jaccard DESC, s_a, s_b LIMIT 30""".stripMargin
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val adj = Tables.lineitem(s, d)
+      .select(col("l_suppkey").as("s"), col("l_partkey").as("p"))
+      .distinct()
+      .withColumn("dg", count(lit(1)).over(Window.partitionBy("s")))
+    val posting = adj
+      .groupBy("p")
+      .agg(array_sort(collect_list(struct(col("s"), col("dg")))).as("sups"))
+      .filter(size(col("sups")).between(2, 1024))
+    val pairGen = {
+      import org.apache.spark.sql.graft.Bridge
+      Bridge.column(graft.functions.expressions.OrderedPairs(
+        Bridge.expression(col("sups"))))
+    }
+    posting.select(pairGen.as(Seq("s_a", "da", "s_b", "db")))
+      .groupBy("s_a", "s_b", "da", "db")
+      .agg(count(lit(1)).as("inter"))
+      .filter(col("inter") >= 2)
+      .select(col("s_a"), col("s_b"), col("inter"),
+        (col("inter").cast("double") /
+          (col("da") + col("db") - col("inter"))).as("jaccard"))
+      .orderBy(desc("jaccard"), asc("s_a"), asc("s_b")).limit(30)
+  }
+
   val all: Seq[Q] = Seq(simplifyFlatten, denormalizePatient, graphEdges,
     graphTwohop, discoverySummary, ingestNdjson, snapshotExport, dqChecks,
-    dqSkew, dqDriftKs, graphPagerank)
+    dqSkew, dqDriftKs, graphPagerank, dqReferential, graphJaccard)
 }

@@ -667,8 +667,77 @@ object TextAnalysis {
     }
   }
 
+  /** COLLOCATION MINING (phrase detection, the word2phrase / NLTK
+    * collocation shape): bigrams scored by pointwise mutual information
+    * PMI = ln(p(ab) / (p(a)·p(b))) with a min-count floor — high-PMI
+    * pairs are the multiword units a tokenizer should fuse before
+    * training. The emitted score is the LIFT p(ab)/(p(a)·p(b)) — exp of
+    * the PMI, same ranking (ln is monotone) — because lift needs only
+    * divisions and one multiply, all correctly-rounded IEEE ops that
+    * agree bit-for-bit across engines; `ln` itself is the one libm op
+    * with no cross-engine rounding guarantee (measured: 1-ulp
+    * Java-vs-DuckDB divergence on this very data). Ranking ties break
+    * on the bigram string.
+    *
+    * Plan: EXACTLY two corpus passes (token explode → unigram counts;
+    * bigram generator → bigram counts) — the PMI numerator and
+    * denominator need different generators, so two is the floor, and
+    * the plan audit locks it. The scalar totals ride unpartitioned
+    * windows OVER the vocab-bounded aggregates (never the corpus frame —
+    * the `corpus_entropy` discipline), not separate re-aggregations that
+    * would rescan the corpus per reference; both unigram attachments
+    * melt into ONE broadcast join by posexploding the bigram's two
+    * tokens and folding back with a positional pivot — at open-web
+    * vocab the same join runs shuffled on the token key, semantics
+    * unchanged. The min-count filter prunes bigrams BEFORE the join. */
+  val textCollocations: Q = Q(
+    "text_collocations",
+    """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+      |tok AS (SELECT unnest(toks) AS token FROM t),
+      |uni AS (SELECT token, count(*) AS n FROM tok GROUP BY 1),
+      |nt AS (SELECT CAST(sum(n) AS BIGINT) AS n_tok FROM uni),
+      |bg AS (SELECT unnest([array_to_string(toks[i:i+1],' ')
+      |                     FOR i IN range(1, len(toks))]) AS bigram
+      |       FROM t WHERE len(toks) >= 2),
+      |bc AS (SELECT bigram, count(*) AS n_ab FROM bg GROUP BY 1
+      |       HAVING count(*) >= 5),
+      |nb AS (SELECT CAST(count(*) AS BIGINT) AS n_big FROM bg),
+      |j AS (SELECT bc.bigram, bc.n_ab, ua.n AS n_a, ub.n AS n_b
+      |      FROM bc
+      |      JOIN uni ua ON string_split(bc.bigram, ' ')[1] = ua.token
+      |      JOIN uni ub ON string_split(bc.bigram, ' ')[2] = ub.token)
+      |SELECT bigram, CAST(n_ab AS BIGINT) AS n_ab,
+      |  CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+      |  (CAST(n_ab AS DOUBLE) / (SELECT n_big FROM nb))
+      |   / ((CAST(n_a AS DOUBLE) / (SELECT n_tok FROM nt))
+      |      * (CAST(n_b AS DOUBLE) / (SELECT n_tok FROM nt))) AS lift
+      |FROM j ORDER BY lift DESC, bigram LIMIT 40""".stripMargin
+  ) { (s, d) =>
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+    val uni = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .withColumn("n_tok", sum(col("n")).over(wAll))
+    val bc = bigramRows(s, d)
+      .groupBy("bigram").agg(count(lit(1)).as("n_ab"))
+      .withColumn("n_big", sum(col("n_ab")).over(wAll))
+      .filter(col("n_ab") >= 5)
+    bc.select(col("bigram"), col("n_ab"), col("n_big"),
+        posexplode(split(col("bigram"), " ")).as(Seq("pos", "token")))
+      .join(broadcast(uni), Seq("token"))
+      .groupBy("bigram", "n_ab", "n_big")
+      .agg(max(when(col("pos") === 0, col("n"))).as("n_a"),
+           max(when(col("pos") === 1, col("n"))).as("n_b"),
+           max(col("n_tok")).as("n_tok"))
+      .select(col("bigram"), col("n_ab"), col("n_a"), col("n_b"),
+        ((col("n_ab").cast("double") / col("n_big")) /
+          ((col("n_a").cast("double") / col("n_tok")) *
+           (col("n_b").cast("double") / col("n_tok")))).as("lift"))
+      .orderBy(desc("lift"), asc("bigram")).limit(40)
+  }
+
   val all: Seq[Q] = Seq(textTokens, textQuality, langId, textFingerprint,
     textTfidf, textNormalize, textRepetition, piiRedact, ngramFreq,
     textContamination, textTokenBpe, textPerplexity, spanDedup,
-    textHeavyHitters, textQualityClassifier, textCountmin)
+    textHeavyHitters, textQualityClassifier, textCountmin, textCollocations)
 }

@@ -1,0 +1,198 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Time-series model diagnostics over the `events` stream table —
+  * the statistical layer above the resample/OHLC/sessionize family in
+  * [[Streaming]]: autocorrelation (seasonality detection), CUSUM
+  * changepoint location, and exponentially weighted smoothing.
+  *
+  * Scale posture: every query first reduces raw events to a per-key
+  * SERIES frame (hourly/daily counts, or per-user ordered values) with
+  * one partial+final aggregate or one user-keyed exchange; all series
+  * math then runs over the reduced frame, whose size is bounded by
+  * keys × buckets (never raw event count). The determinism discipline
+  * is the repo standard: counts and cumulative sums stay exact BIGINTs,
+  * each double is produced by one correctly-rounded operation sequence
+  * identical in both engines.
+  */
+object TimeSeries {
+
+  /** AUTOCORRELATION of the hourly event-count series per event_type at
+    * lags 1..3 — the seasonality/self-similarity diagnostic that decides
+    * resampling granularity and feature windows. Pearson r over
+    * (x_t, x_{t-k}) pairs from integer-exact sufficient statistics:
+    * n·Σxy − Σx·Σy over √((n·Σx² − (Σx)²)(n·Σy² − (Σy)²)); every Σ is a
+    * BIGINT, the two variance factors cast to double BEFORE multiplying
+    * (their product overflows int64 long before the factors do), and a
+    * shared `nullif` guards constant series.
+    *
+    * Plan: one aggregate reduces events to the series frame; the three
+    * lag columns share ONE type-keyed window sort; the map-explode melts
+    * them into (lag_k, prev) rows — adding a lag adds a column, never a
+    * pass — and a final partial+final aggregate on (type, lag_k) emits
+    * the sufficient statistics. Window frames are series-sized (buckets
+    * per type), not event-sized. */
+  val tsAutocorr: Q = Q(
+    "ts_autocorr",
+    """WITH c AS (SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS bkt,
+      |             count(*) AS x
+      |           FROM events GROUP BY 1, 2),
+      |l AS (SELECT event_type, x,
+      |    lag(x, 1) OVER w AS x1, lag(x, 2) OVER w AS x2, lag(x, 3) OVER w AS x3
+      |  FROM c WINDOW w AS (PARTITION BY event_type ORDER BY bkt)),
+      |p AS (SELECT event_type, 1 AS lag_k, x, x1 AS prev FROM l WHERE x1 IS NOT NULL
+      |      UNION ALL
+      |      SELECT event_type, 2, x, x2 FROM l WHERE x2 IS NOT NULL
+      |      UNION ALL
+      |      SELECT event_type, 3, x, x3 FROM l WHERE x3 IS NOT NULL),
+      |s AS (SELECT event_type, lag_k, count(*) AS n,
+      |        CAST(sum(x) AS BIGINT) AS sx, CAST(sum(prev) AS BIGINT) AS sy,
+      |        CAST(sum(x*x) AS BIGINT) AS sxx, CAST(sum(prev*prev) AS BIGINT) AS syy,
+      |        CAST(sum(x*prev) AS BIGINT) AS sxy
+      |      FROM p GROUP BY 1, 2)
+      |SELECT event_type, lag_k, CAST(n AS BIGINT) AS n_pairs,
+      |  CAST(n*sxy - sx*sy AS DOUBLE) /
+      |  nullif(sqrt(CAST(n*sxx - sx*sx AS DOUBLE) * CAST(n*syy - sy*sy AS DOUBLE)), 0)
+      |    AS acf
+      |FROM s ORDER BY event_type, lag_k""".stripMargin
+  ) { (s, d) =>
+    val series = Tables.events(s, d)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("bkt"))
+      .agg(count(lit(1)).as("x"))
+    val w = Window.partitionBy("event_type").orderBy("bkt")
+    series
+      .withColumn("x1", lag(col("x"), 1).over(w))
+      .withColumn("x2", lag(col("x"), 2).over(w))
+      .withColumn("x3", lag(col("x"), 3).over(w))
+      .select(col("event_type"), col("x"),
+        explode(map(lit(1), col("x1"), lit(2), col("x2"), lit(3), col("x3")))
+          .as(Seq("lag_k", "prev")))
+      .filter(col("prev").isNotNull)
+      .groupBy("event_type", "lag_k")
+      .agg(count(lit(1)).as("n"),
+           sum(col("x")).as("sx"), sum(col("prev")).as("sy"),
+           sum(col("x") * col("x")).as("sxx"),
+           sum(col("prev") * col("prev")).as("syy"),
+           sum(col("x") * col("prev")).as("sxy"))
+      .select(col("event_type"), col("lag_k"),
+        col("n").as("n_pairs"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          expr("""nullif(sqrt(CAST(n*sxx - sx*sx AS DOUBLE)
+                            * CAST(n*syy - sy*sy AS DOUBLE)), 0)"""))
+          .as("acf"))
+      .orderBy("event_type", "lag_k")
+  }
+
+  /** CUSUM CHANGEPOINT location over the daily event-count series per
+    * event_type — "when did the level shift?", the monitoring companion
+    * to `dq_drift_ks`'s "did the distribution move?". The classic
+    * statistic argmax_t |Σ_{i≤t}(x_i − μ)| stays exact by scaling
+    * through by N: cusum_t = N·Σ_{i≤t}x_i − t·Σx is a BIGINT for any
+    * input that fits one, so the argmax is bit-deterministic (ties break
+    * to the earliest day via the rank ordering). The normalized
+    * magnitude is one double division at the end.
+    *
+    * Plan: events reduce to (type, day, x) in one aggregate; the running
+    * sum, per-type totals, and rank all share the type-keyed sort over
+    * series-sized frames (≤ days per type — bounded by construction, the
+    * `dq_drift_ks` discipline). */
+  val tsChangepoint: Q = Q(
+    "ts_changepoint",
+    """WITH c AS (SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS x
+      |           FROM events GROUP BY 1, 2),
+      |t AS (SELECT event_type, day, x,
+      |    sum(x) OVER (PARTITION BY event_type ORDER BY day
+      |                 ROWS UNBOUNDED PRECEDING) AS cum,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS t,
+      |    sum(x) OVER (PARTITION BY event_type) AS s,
+      |    count(*) OVER (PARTITION BY event_type) AS nd
+      |  FROM c),
+      |k AS (SELECT event_type, day, nd, s, abs(nd*cum - t*s) AS a,
+      |    row_number() OVER (PARTITION BY event_type
+      |                       ORDER BY abs(nd*cum - t*s) DESC, day) AS rn
+      |  FROM t)
+      |SELECT event_type, CAST(nd AS BIGINT) AS n_days, day AS cp_day,
+      |  CAST(a AS BIGINT) AS max_abs_cusum,
+      |  CAST(a AS DOUBLE) / (nd * s) AS cusum_norm
+      |FROM k WHERE rn = 1 ORDER BY event_type""".stripMargin
+  ) { (s, d) =>
+    val series = Tables.events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+    val wCum = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wRn = Window.partitionBy("event_type").orderBy("day")
+    val wTot = Window.partitionBy("event_type")
+    val scored = series
+      .withColumn("cum", sum(col("x")).over(wCum))
+      .withColumn("t", row_number().over(wRn))
+      .withColumn("s", sum(col("x")).over(wTot))
+      .withColumn("nd", count(lit(1)).over(wTot))
+      .withColumn("a", abs(col("nd") * col("cum") - col("t") * col("s")))
+    val wPick = Window.partitionBy("event_type")
+      .orderBy(desc("a"), asc("day"))
+    scored.withColumn("rn", row_number().over(wPick))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), col("nd").as("n_days"),
+        col("day").as("cp_day"), col("a").as("max_abs_cusum"),
+        (col("a").cast("double") / (col("nd") * col("s"))).as("cusum_norm"))
+      .orderBy("event_type")
+  }
+
+  /** EWMA — the per-key SEQUENTIAL RECURRENCE pattern (y_i = αx_i +
+    * (1−α)y_{i−1}, α = 1/2, seeded y_1 = x_1) that no SQL window can
+    * express without either a recursive CTE or an unstable power-weight
+    * closed form. The engine answer is the secondary-sort idiom: ONE
+    * exchange hash-keyed by user, an in-partition (user, ts, event_id)
+    * sort, then a single `mapPartitions` pass carrying O(1) state per
+    * key — the same plan serves any linear filter (decayed counters,
+    * Kalman-style smoothers, rate limiters). Per-user history must fit
+    * one partition — the identical bound every user-keyed window query
+    * here already lives with.
+    *
+    * Float parity without quantization: α = 1/2 makes both multiplies
+    * EXACT (halving only decrements the exponent), so each step is one
+    * correctly-rounded addition — the oracle's recursive CTE performs
+    * the literally identical IEEE operation sequence, and the hash
+    * compare is bit-for-bit. `value` first becomes exact cents via the
+    * [[Tables.Money]] cast (cents < 2⁵³ ⇒ the double is exact). */
+  val tsEwma: Q = Q(
+    "ts_ewma",
+    """WITH RECURSIVE x AS (
+      |  SELECT user_id, event_id,
+      |    CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS v,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      |  FROM events),
+      |r AS (
+      |  SELECT user_id, event_id, rn, v AS ewma FROM x WHERE rn = 1
+      |  UNION ALL
+      |  SELECT x.user_id, x.event_id, x.rn, 0.5 * x.v + 0.5 * r.ewma
+      |  FROM x JOIN r ON x.user_id = r.user_id AND x.rn = r.rn + 1)
+      |SELECT user_id, event_id, ewma FROM r
+      |ORDER BY user_id, event_id""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        Tables.asDouble(Tables.money(col("value"))).as("v"))
+      .repartition(col("user_id"))
+      .sortWithinPartitions("user_id", "ts", "event_id")
+      .select("user_id", "event_id", "v").as[(Long, Long, Double)]
+      .mapPartitions { it =>
+        var curUser = Long.MinValue
+        var y = 0.0
+        it.map { case (u, id, x) =>
+          y = if (u == curUser) 0.5 * x + 0.5 * y else x
+          curUser = u
+          (u, id, y)
+        }
+      }
+      .toDF("user_id", "event_id", "ewma")
+      .orderBy("user_id", "event_id")
+  }
+
+  val all: Seq[Q] = Seq(tsAutocorr, tsChangepoint, tsEwma)
+}

@@ -453,4 +453,64 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("Window"), "per-vector rank window expected")
     assert(p.contains("cosine_sim"), "native cosine expected in the plan")
   }
+
+  test("ts_ewma: one user-keyed exchange feeds the sequential pass") {
+    val p = plan(graft.operators.TimeSeries.tsEwma)
+    assert(p.contains("MapPartitions"), "the recurrence pass is missing")
+    // one hash exchange (repartition by user) + one range exchange (the
+    // presentation sort) — a window/join formulation would add more
+    assert("Exchange".r.findAllIn(p).size <= 2, p.take(800))
+  }
+
+  test("ts_autocorr: the three lags share one window; events scanned once") {
+    val p = plan(graft.operators.TimeSeries.tsAutocorr)
+    assert("FileScan".r.findAllIn(p).size == 1,
+      s"events must be scanned exactly once:\n${p.take(800)}")
+    assert("Window".r.findAllIn(p).size == 1,
+      "lag columns must share a single type-keyed window sort")
+  }
+
+  test("ts_changepoint windows run over the reduced series frame") {
+    val df = graft.operators.TimeSeries.tsChangepoint.fn(spark, sf0001)
+    val wins = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(wins.nonEmpty)
+    // every window sits above the (type, day) aggregate, never raw events
+    wins.foreach { w =>
+      assert(w.collect {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+      }.nonEmpty, s"window over raw events:\n$w")
+      assert(w.partitionSpec.nonEmpty, "unpartitioned window in changepoint")
+    }
+  }
+
+  test("dq_referential joins key-count frames, not raw child rows") {
+    val p = plan(Pipeline.dqReferential)
+    // each of the 7 edges: child keys aggregate (partial+final) BEFORE
+    // the parent join, so HashAggregates outnumber joins
+    assert("HashAggregate".r.findAllIn(p).size >= 14, p.take(800))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("graph_jaccard reuses the posting-list pair generator") {
+    val p = plan(Pipeline.graphJaccard)
+    assert(p.contains("ordered_pairs") || p.contains("OrderedPairs") ||
+      "Generate".r.findAllIn(p).size >= 1,
+      "pairs must stream from posting lists, not a self-join")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-30 must not be a global sort")
+  }
+
+  test("text_collocations: exactly two corpus passes, one broadcast join") {
+    val p = plan(graft.operators.TextAnalysis.textCollocations)
+    assert("FileScan".r.findAllIn(p).size == 2,
+      s"unigram + bigram generators are the floor; totals and both " +
+        s"unigram attachments must not rescan:\n${p.take(800)}")
+    assert(p.contains("BroadcastHashJoin"),
+      "unigram-count attachment should broadcast at dim scale")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "scalar totals must ride windows, not cross joins")
+  }
 }
