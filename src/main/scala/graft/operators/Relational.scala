@@ -1449,6 +1449,42 @@ object Relational {
       .orderBy("o_orderpriority")
   }.copy(eager = true) // bitmap build runs dim count + aggregate jobs
 
+  /** EXACT distinct counting via BITMAP OR-aggregation (the roaring /
+    * bitmap-index shape) — the third point on the distinct-count design
+    * spectrum alongside `agg_distinct` (exact, Expand-based) and
+    * `agg_approx_distinct`/`agg_hll_union` (approximate, mergeable):
+    * when the counted key lives in a BOUNDED integer domain (user ids,
+    * enum dims), each 64-id block reduces to one BIGINT mask whose
+    * bit_or partial states are tiny, exactly mergeable, and
+    * shard-friendly — the popcount sum at the end is the EXACT distinct
+    * count with no Expand blow-up and no sketch error. Two-level
+    * partial+final: (type, block) masks first — each mask bounded at 32
+    * bits by CONSTRUCTION regardless of row count (32-id blocks keep
+    * the shift off the int64 sign bit, where DuckDB's checked `<<`
+    * overflows) — then per-type popcount sums. A row costs one
+    * shift+or; the exchange moves only (type × blocks) masks.
+    * PropertiesSpec proves equality with countDistinct. */
+  val aggBitmapDistinct: Q = Q(
+    "agg_bitmap_distinct",
+    """WITH m AS (SELECT event_type, user_id // 32 AS blk,
+      |    bit_or(CAST(1 AS BIGINT) << CAST(user_id % 32 AS INT)) AS mask
+      |  FROM events GROUP BY 1, 2)
+      |SELECT event_type, CAST(count(*) AS BIGINT) AS n_blocks,
+      |  CAST(sum(bit_count(mask)) AS BIGINT) AS n_users
+      |FROM m GROUP BY 1 ORDER BY 1""".stripMargin
+  ) { (s, d) =>
+    Tables.events(s, d)
+      .select(col("event_type"), expr("user_id div 32").as("blk"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 32 AS INT))")
+          .as("bit"))
+      .groupBy("event_type", "blk")
+      .agg(bit_or(col("bit")).as("mask"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_blocks"),
+           sum(bit_count(col("mask"))).as("n_users"))
+      .orderBy("event_type")
+  }
+
   val all: Seq[Q] = Seq(
     countByProject, filterPred, aggGroupBy, aggDistinct, aggRollup, topk,
     joinInner, joinMultiway, semiAnti, setOps, scalarStringDate, jsonExtract,
@@ -1459,5 +1495,5 @@ object Relational {
     scalarDatetimeExt, scalarStringExt, aggMode, scalarNullSemantics,
     unpivotStack, joinSalted, aggGroupingSets, outlierMad, aggHistogramEqd,
     joinAsofTol, generatorOuter, aggHllUnion, aggThetaSetops, joinBloom,
-    sampleReservoir, joinIntervalBin)
+    sampleReservoir, joinIntervalBin, aggBitmapDistinct)
 }

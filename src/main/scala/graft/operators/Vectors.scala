@@ -1143,8 +1143,45 @@ object Vectors {
     * query's run and its oracle render). */
   @volatile private var lastDeltaKey: Option[String] = None
 
+  /** MAXIMUM INNER-PRODUCT SEARCH (the recommendation/reranker scoring
+    * primitive — user×item factor models rank by raw dot product, where
+    * cosine's normalization would erase the item-popularity magnitude
+    * signal): exact dot-product top-20 against the vec_id=0 query.
+    *
+    * Same plan as [[vectorTopk]] — broadcast query row, one narrow
+    * native-codegen projection ([[graft.functions.VectorOps.dotNative]]),
+    * TakeOrderedAndProject — a third of the flops since no norms. MIPS
+    * is not a metric (no triangle inequality), so the LSH/IVF indexes
+    * here do NOT directly apply at scale; the standard reduction
+    * (Shrivastava & Li 2014) appends one dimension √(M²−‖x‖²) with
+    * M = max‖x‖, after which cosine ANN over the augmented vectors
+    * answers MIPS — the augmentation is one projection over
+    * [[vectorCentroid]]-style norm stats, then `vector_ann_lsh`
+    * unchanged. */
+  val vectorMips: Q = Q(
+    "vector_mips",
+    """WITH q AS (SELECT [CAST(x AS DOUBLE) FOR x IN embedding] AS qv
+      |           FROM embeddings WHERE vec_id = 0),
+      |e AS (SELECT vec_id, label, [CAST(x AS DOUBLE) FOR x IN embedding] AS v
+      |      FROM embeddings WHERE vec_id <> 0)
+      |SELECT vec_id, label,
+      |  list_sum([v[i]*qv[i] FOR i IN range(1, len(v)+1)]) AS dot
+      |FROM e, q
+      |ORDER BY dot DESC, vec_id LIMIT 20""".stripMargin
+  ) { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    val q = emb.filter(col("vec_id") === 0)
+      .select(toDouble(col("embedding")).as("qv"))
+    emb.filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), col("label"), toDouble(col("embedding")).as("v"))
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("label"), dotNative(col("v"), col("qv")).as("dot"))
+      .orderBy(desc("dot"), asc("vec_id"))
+      .limit(20)
+  }
+
   val all: Seq[Q] = Seq(vectorTopk, vectorAnnLsh, vectorAnnIvf,
     vectorTopkBatch, vectorQuantize, vectorCentroid, knnJoinLsh,
     sqlVectorTopk, vectorIndexStats, vectorPq, vectorIvfPq,
-    vectorIndexDelta)
+    vectorIndexDelta, vectorMips)
 }

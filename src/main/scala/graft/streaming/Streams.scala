@@ -43,6 +43,15 @@ case class OhlcState(n: Long, openMs: Long, open: Double, high: Double,
                      low: Double, closeMs: Long, close: Double,
                      volCents: Long)
 
+/** Timestamped valued input for streaming EWMA. `v` must already be the
+  * exact-cents double (the batch side's [[graft.Tables.money]] cast). */
+case class EwmaEvent(user_id: Long, event_id: Long,
+                     ts: java.sql.Timestamp, v: Double)
+/** One smoothed point: the EWMA as of this event. */
+case class EwmaOut(user_id: Long, event_id: Long, ewma: Double)
+/** Carried smoother state: the previous EWMA value. */
+case class EwmaState(y: Double)
+
 /** Timestamped input for streaming cohort retention. */
 case class RetEvent(user_id: Long, ts: java.sql.Timestamp)
 /** One first-activity-of-the-day edge: the user (in cohort `cohort_day`)
@@ -299,6 +308,39 @@ object Streams {
             }
           }
           state.update(s)
+          out.result().iterator
+      }
+  }
+
+  /** Streaming EWMA — the incremental form of the batch `ts_ewma`
+    * secondary-sort recurrence: per-user state is just the previous
+    * smoothed value, each arriving event emits its EWMA immediately,
+    * and because the recurrence is the IDENTICAL IEEE operation
+    * sequence (α = 1/2: two exact halvings + one rounded add), the
+    * stream output is bit-equal to the batch `mapPartitions` pass at
+    * any prefix — including sequences spanning micro-batch boundaries.
+    * Same in-order-per-key delivery assumption as [[transitions]];
+    * within a micro-batch, rows sort by the batch plan's (ts, event_id)
+    * total order. */
+  def ewma(ds: Dataset[EwmaEvent]): Dataset[EwmaOut] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+                              GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[EwmaEvent],
+         state: GroupState[EwmaState]) =>
+          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          val out = Seq.newBuilder[EwmaOut]
+          var y = state.getOption.map(_.y)
+          sorted.foreach { e =>
+            val ny = y match {
+              case Some(p) => 0.5 * e.v + 0.5 * p
+              case None    => e.v
+            }
+            out += EwmaOut(uid, e.event_id, ny)
+            y = Some(ny)
+          }
+          y.foreach(v => state.update(EwmaState(v)))
           out.result().iterator
       }
   }

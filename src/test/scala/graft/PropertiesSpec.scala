@@ -213,4 +213,17 @@ class PropertiesSpec extends SparkSpec {
         .filter(col("last_run") =!= col("total")).count() == 0
     }, n = 5)
   }
+
+  test("agg_bitmap_distinct equals countDistinct exactly") {
+    import org.apache.spark.sql.functions._
+    val bitmap = graft.operators.Relational.aggBitmapDistinct
+      .fn(spark, sf0001)
+      .select("event_type", "n_users")
+    val exact = Tables.events(spark, sf0001)
+      .groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n_exact"))
+    assert(bitmap.join(exact, "event_type")
+      .filter(col("n_users") =!= col("n_exact")).count() === 0)
+    assert(bitmap.count() > 0)
+  }
 }

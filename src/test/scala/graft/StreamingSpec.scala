@@ -358,6 +358,39 @@ class StreamingSpec extends SparkSpec {
     assert(batchOut.nonEmpty)
   }
 
+  test("streaming ewma is bit-equal to the batch recurrence, across batches") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.{EwmaEvent, EwmaOut}
+    val batch = graft.operators.TimeSeries.tsEwma.fn(spark, sf0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    assert(batch.nonEmpty)
+    val evs = Tables.events(spark, sf0001)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        Tables.asDouble(Tables.money(col("value"))).as("v"))
+      .as[EwmaEvent].collect()
+      .sortBy(e => (e.ts.getTime, e.event_id))
+    // split mid-stream: recurrences straddle the micro-batch boundary
+    val (b1, b2) = evs.splitAt(evs.length / 2)
+    val mem = MemoryStream[EwmaEvent]
+    val name = s"ewma_${System.nanoTime()}"
+    val q = Streams.ewma(mem.toDS()).writeStream
+      .format("memory").queryName(name).outputMode("append").start()
+    try {
+      mem.addData(b1.toSeq); q.processAllAvailable()
+      mem.addData(b2.toSeq); q.processAllAvailable()
+    } finally q.stop()
+    val stream = spark.table(name).as[EwmaOut].collect()
+    assert(stream.length === evs.length)
+    // java.lang.Double equality — bit-exact, no tolerance
+    stream.foreach(o =>
+      assert(o.ewma == batch((o.user_id, o.event_id)),
+        s"user ${o.user_id} event ${o.event_id}"))
+  }
+
   test("streaming pattern match equals the batch window plan, across batches") {
     val spark2 = spark
     import spark2.implicits._
