@@ -79,5 +79,89 @@ object Multimodal {
       .orderBy("media_id")
   }
 
-  val all: Seq[Q] = Seq(multimodalMeta, multimodalFeatures)
+  /** PERCEPTUAL IMAGE HASHING through the REAL codec path, value-checked
+    * end to end: each document's bytes paint a deterministic grayscale
+    * image (luma at (x,y) = text byte at (y·w+x) mod len), the image is
+    * encoded as an actual 24-bit BMP container, decoded back through
+    * `javax.imageio` ([[graft.multimodal.Media.dHash64]]'s real decode),
+    * downsampled 9×8 and hashed — and the emitted 16-bit dHash bands
+    * (the near-dup banding keys, exactly as `dedup_simhash` bands its
+    * text signatures) hash-compare against a PURE-SQL DuckDB oracle.
+    *
+    * The oracle is possible because gray pixels make the luma transform
+    * the identity ((299b+587b+114b)/1000 = b), so the whole pipeline —
+    * encode, decode, nearest-neighbor grid sample, bit comparisons —
+    * must reproduce exact source bytes for the integer arithmetic over
+    * hex pairs to agree: a LOSSLESSNESS proof of the codec round-trip
+    * on every row, far stronger than a fixture spec. Bands (not one
+    * int64) keep every mask within 16 bits — DuckDB's checked `<<`
+    * cannot build bit 63 — and are what a dedup join would key on
+    * anyway. Plan: narrow per-partition batched mapPartitions (blobs
+    * never shuffle), bounded to 300 docs — image work is per-row and
+    * embarrassingly parallel at any scale. */
+  val multimodalDhash: Q = Q(
+    "multimodal_dhash",
+    """WITH d AS (SELECT doc_id, hex(encode(text)) AS hx,
+      |    octet_length(encode(text)) AS nb
+      |  FROM documents WHERE doc_id < 300 AND octet_length(encode(text)) > 0),
+      |dim AS (SELECT doc_id, hx, nb,
+      |    16 + nb % 17 AS w, 16 + nb % 13 AS h FROM d),
+      |g AS (SELECT doc_id, w, h, ys.y AS y, xs.x AS x,
+      |    CAST('0x' || substr(hx,
+      |      2 * ((LEAST((2*ys.y+1)*h//16, h-1) * w
+      |            + LEAST((2*xs.x+1)*w//18, w-1)) % nb) + 1, 2) AS INT)
+      |      AS lum
+      |  FROM dim, range(0, 8) ys(y), range(0, 9) xs(x)),
+      |bits AS (SELECT l.doc_id, l.w, l.h, l.y * 8 + l.x AS i,
+      |    CASE WHEN r.lum > l.lum
+      |         THEN CAST(1 AS INT) << CAST((l.y * 8 + l.x) % 16 AS INT)
+      |         ELSE 0 END AS bit
+      |  FROM g l JOIN g r ON l.doc_id = r.doc_id AND l.y = r.y
+      |                    AND r.x = l.x + 1
+      |  WHERE l.x < 8)
+      |SELECT doc_id, CAST(w AS INT) AS w, CAST(h AS INT) AS h,
+      |  CAST(i // 16 AS INT) AS band, CAST(sum(bit) AS INT) AS mask
+      |FROM bits GROUP BY doc_id, w, h, i // 16
+      |ORDER BY doc_id, band""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    import graft.multimodal.Media
+    Tables.documents(s, d)
+      .filter(col("doc_id") < 300 && length(col("text")) > 0)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, text) =>
+          val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val w = 16 + (bytes.length % 17)
+          val h = 16 + (bytes.length % 13)
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val b = bytes((y * w + x) % bytes.length) & 0xFF
+              img.setRGB(x, y, (b << 16) | (b << 8) | b)
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "bmp", bos)
+          // the REAL path: container bytes -> ImageIO decode -> grid -> hash
+          val hash = Media.dHash64(bos.toByteArray).get
+          (id, w, h, hash)
+        }
+      }
+      .toDF("doc_id", "w", "h", "dhash")
+      .select(col("doc_id"), col("w"), col("h"),
+        posexplode(array((0 until 4).map(k =>
+          shiftrightunsigned(col("dhash"), 16 * k)
+            .bitwiseAND(lit(0xFFFFL)).cast("int")): _*))
+          .as(Seq("band", "mask")))
+      .orderBy("doc_id", "band")
+  }
+
+  val all: Seq[Q] = Seq(multimodalMeta, multimodalFeatures, multimodalDhash)
 }

@@ -194,5 +194,109 @@ object TimeSeries {
       .orderBy("user_id", "event_id")
   }
 
-  val all: Seq[Q] = Seq(tsAutocorr, tsChangepoint, tsEwma)
+  /** SEASONAL DECOMPOSITION (the classical additive model's profile
+    * step): per event_type, the hour-of-day seasonal profile — mean
+    * `value` and mean hourly count per clock hour — plus each hour's
+    * deviation from the type's overall level. The profile is what
+    * anomaly detection subtracts before thresholding and what capacity
+    * planning reads directly.
+    *
+    * Exactness: value sums go through DECIMAL(18,2) ([[Tables.money]])
+    * and STAY decimal through the type-level window sum — a double
+    * window sum would be frame-order-dependent and diverge between
+    * engines; decimal addition is exact in any order. Each mean casts
+    * to double only at its one division; the deviation subtracts two
+    * such means — all correctly-rounded IEEE ops, identical in both
+    * engines. Plan: ONE partial+final aggregate to the 24×|types|
+    * profile frame; the overall level rides a type-keyed window over
+    * that bounded frame (the `dq_drift_ks` bounded-window discipline). */
+  val tsDecompose: Q = Q(
+    "ts_decompose",
+    """WITH h AS (SELECT event_type, CAST(hour(ts) AS INT) AS hod,
+      |    count(*) AS n,
+      |    SUM(CAST(value AS DECIMAL(18,2))) AS sv
+      |  FROM events GROUP BY 1, 2),
+      |t AS (SELECT event_type, hod, n, sv,
+      |    CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT) AS tn,
+      |    sum(sv) OVER (PARTITION BY event_type) AS tsv
+      |  FROM h)
+      |SELECT event_type, hod, CAST(n AS BIGINT) AS n,
+      |  CAST(sv AS DOUBLE) / n AS hourly_mean,
+      |  CAST(sv AS DOUBLE) / n - CAST(tsv AS DOUBLE) / tn AS seasonal_dev
+      |FROM t ORDER BY event_type, hod""".stripMargin
+  ) { (s, d) =>
+    val prof = Tables.events(s, d)
+      .groupBy(col("event_type"), hour(col("ts")).as("hod"))
+      .agg(count(lit(1)).as("n"),
+        sum(Tables.money(col("value"))).as("sv"))
+    val wT = Window.partitionBy("event_type")
+    prof
+      .withColumn("tn", sum(col("n")).over(wT))
+      .withColumn("tsv", sum(col("sv")).over(wT))
+      .select(col("event_type"), col("hod"), col("n"),
+        (Tables.asDouble(col("sv")) / col("n")).as("hourly_mean"),
+        (Tables.asDouble(col("sv")) / col("n") -
+          Tables.asDouble(col("tsv")) / col("tn")).as("seasonal_dev"))
+      .orderBy("event_type", "hod")
+  }
+
+  /** HOLT double-exponential smoothing (level + trend) — the forecasting
+    * step above [[tsEwma]]: lᵢ = α·xᵢ + (1−α)(lᵢ₋₁ + bᵢ₋₁),
+    * bᵢ = β(lᵢ − lᵢ₋₁) + (1−β)bᵢ₋₁, α = β = 1/2, seeded l₁ = x₁, b₁ = 0;
+    * the emitted one-step-ahead forecast is lᵢ + bᵢ. The state is now a
+    * VECTOR (level, trend) but the plan is unchanged from the EWMA
+    * recurrence — same single user-keyed exchange, same in-partition
+    * sort, same O(1)-state sequential pass — demonstrating that the
+    * secondary-sort idiom carries any linear state-space filter
+    * (Kalman-style smoothers included) without new plan machinery.
+    *
+    * Same bit-parity argument as [[tsEwma]]: halving is exact, each
+    * addition/subtraction is one correctly-rounded op, and the
+    * recursive-CTE oracle performs the literally identical sequence. */
+  val tsHolt: Q = Q(
+    "ts_holt",
+    """WITH RECURSIVE x AS (
+      |  SELECT user_id, event_id,
+      |    CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS v,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      |  FROM events),
+      |r AS (
+      |  SELECT user_id, event_id, rn, v AS l, CAST(0 AS DOUBLE) AS b
+      |  FROM x WHERE rn = 1
+      |  UNION ALL
+      |  SELECT x.user_id, x.event_id, x.rn,
+      |    0.5 * x.v + 0.5 * (r.l + r.b),
+      |    0.5 * ((0.5 * x.v + 0.5 * (r.l + r.b)) - r.l) + 0.5 * r.b
+      |  FROM x JOIN r ON x.user_id = r.user_id AND x.rn = r.rn + 1)
+      |SELECT user_id, event_id, l AS level, b AS trend,
+      |  l + b AS forecast
+      |FROM r ORDER BY user_id, event_id""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        Tables.asDouble(Tables.money(col("value"))).as("v"))
+      .repartition(col("user_id"))
+      .sortWithinPartitions("user_id", "ts", "event_id")
+      .select("user_id", "event_id", "v").as[(Long, Long, Double)]
+      .mapPartitions { it =>
+        var curUser = Long.MinValue
+        var l = 0.0
+        var b = 0.0
+        it.map { case (u, id, x) =>
+          if (u == curUser) {
+            val nl = 0.5 * x + 0.5 * (l + b)
+            b = 0.5 * (nl - l) + 0.5 * b
+            l = nl
+          } else { l = x; b = 0.0 }
+          curUser = u
+          (u, id, l, b, l + b)
+        }
+      }
+      .toDF("user_id", "event_id", "level", "trend", "forecast")
+      .orderBy("user_id", "event_id")
+  }
+
+  val all: Seq[Q] = Seq(tsAutocorr, tsChangepoint, tsEwma, tsDecompose,
+    tsHolt)
 }

@@ -454,12 +454,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("cosine_sim"), "native cosine expected in the plan")
   }
 
-  test("ts_ewma: one user-keyed exchange feeds the sequential pass") {
-    val p = plan(graft.operators.TimeSeries.tsEwma)
-    assert(p.contains("MapPartitions"), "the recurrence pass is missing")
-    // one hash exchange (repartition by user) + one range exchange (the
-    // presentation sort) — a window/join formulation would add more
-    assert("Exchange".r.findAllIn(p).size <= 2, p.take(800))
+  test("ts_ewma/ts_holt: one user-keyed exchange feeds the sequential pass") {
+    Seq(graft.operators.TimeSeries.tsEwma,
+        graft.operators.TimeSeries.tsHolt).foreach { q =>
+      val p = plan(q)
+      assert(p.contains("MapPartitions"),
+        s"${q.name}: the recurrence pass is missing")
+      // one hash exchange (repartition by user) + one range exchange (the
+      // presentation sort) — a window/join formulation would add more
+      assert("Exchange".r.findAllIn(p).size <= 2, s"${q.name}: ${p.take(800)}")
+    }
   }
 
   test("ts_autocorr: the three lags share one window; events scanned once") {
