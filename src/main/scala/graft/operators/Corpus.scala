@@ -523,7 +523,88 @@ object Corpus {
       .orderBy("source")
   }
 
+  /** THE END-TO-END CLEANING FUNNEL as ONE declarative plan — the
+    * composition proof that the engine's stages snap together the way a
+    * production corpus build runs them: exact dedup (md5 keeper) →
+    * MinHash near-dedup at τ=0.8 over the exact survivors (greedy
+    * min-id keep within each verified pair) → quality floor (< 30
+    * tokens) → retained; the census reports how many documents each
+    * stage removes. The near-dup machinery is [[Dedup.dedupMinhash]]'s
+    * OWN internals (signature column, banding, jaccard verify) and the
+    * oracle composes [[Dedup.minhashVerCtesSql]] — the same one string
+    * that backs the minhash oracles — so pipeline and standalone
+    * operators provably share one pair definition.
+    *
+    * Plan shape: each document is labeled with its EXIT STAGE in a
+    * single pass over the keeper-annotated corpus (one md5 window, one
+    * left join against the pair-bounded drop set), then one
+    * partial+final census aggregate; the fixed stage dimension joins a
+    * 4-row literal so zero-drop stages still report. The expensive part
+    * is exactly the sub-quadratic minhash pipeline the standalone
+    * operator already runs — composition adds joins bounded by pairs
+    * and keys, never a new corpus-sized shuffle. */
+  val corpusPipeline: Q = Q(
+    "corpus_pipeline",
+    s"""WITH ${Dedup.minhashVerCtesSql()},
+       |mpairs AS (SELECT doc_a, doc_b FROM ver
+       |           WHERE CAST(i AS DOUBLE)/(na+nb-i) >= 0.8),
+       |k AS (SELECT doc_id, text,
+       |        min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id,
+       |        len(string_split(text, ' ')) AS n_toks
+       |      FROM documents),
+       |drops AS (SELECT DISTINCT p.doc_b FROM mpairs p
+       |  JOIN k ka ON p.doc_a = ka.doc_id AND ka.doc_id = ka.keep_id
+       |  JOIN k kb ON p.doc_b = kb.doc_id AND kb.doc_id = kb.keep_id),
+       |lab AS (SELECT CASE
+       |    WHEN doc_id <> keep_id THEN 'exact_dup'
+       |    WHEN doc_id IN (SELECT doc_b FROM drops) THEN 'near_dup'
+       |    WHEN n_toks < 30 THEN 'low_quality'
+       |    ELSE 'retained' END AS stage
+       |  FROM k),
+       |sdim AS (SELECT unnest(['exact_dup','near_dup','low_quality',
+       |                        'retained']) AS stage)
+       |SELECT sdim.stage, CAST(COALESCE(c.n, 0) AS BIGINT) AS n_docs
+       |FROM sdim LEFT JOIN (SELECT stage, count(*) AS n FROM lab
+       |                     GROUP BY 1) c
+       |  ON sdim.stage = c.stage
+       |ORDER BY sdim.stage""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val k = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"))
+      .withColumn("keep_id", min(col("doc_id")).over(
+        Window.partitionBy(md5(col("text").cast("binary")))))
+      .withColumn("n_toks", size(split(col("text"), " ")))
+    val surv = k.filter(col("doc_id") === col("keep_id")).select("doc_id")
+    val shp = Dedup.shingleHashesPortable(s, d)
+    val sh = shp.groupBy("doc_id")
+      .agg(collect_set(col("sgl")).as("shingles"))
+    val bands = Dedup.minhashBands(Dedup.minhashSignaturesExpr(s, d))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") &&
+        col("a.bhash") === col("b.bhash") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    val drops = Dedup.jaccardVerify(cand, sh)
+      .join(surv.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"))
+      .join(surv.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b"))
+      .select(col("doc_b").as("doc_id")).distinct()
+      .withColumn("dropped", lit(1))
+    val lab = k.join(drops, Seq("doc_id"), "left")
+      .select(when(col("doc_id") =!= col("keep_id"), "exact_dup")
+        .when(col("dropped").isNotNull, "near_dup")
+        .when(col("n_toks") < 30, "low_quality")
+        .otherwise("retained").as("stage"))
+    val census = lab.groupBy("stage").agg(count(lit(1)).as("n"))
+    Seq("exact_dup", "near_dup", "low_quality", "retained").toDF("stage")
+      .join(census, Seq("stage"), "left")
+      .select(col("stage"), coalesce(col("n"), lit(0L)).as("n_docs"))
+      .orderBy("stage")
+  }
+
   val all: Seq[Q] = Seq(corpusSplit, corpusPack, corpusSelect, docChunk,
     corpusDecontaminate, corpusMix, corpusShuffle, trainingManifest,
-    corpusEntropy)
+    corpusEntropy, corpusPipeline)
 }

@@ -233,7 +233,13 @@ object Dedup {
     * and exact-Jaccard verify — GENERATED from the constants above so
     * the two sides cannot drift. `candExtra` narrows the candidate join
     * (used by the incremental variant). */
-  private def minhashOracleSql(candExtra: String = ""): String = {
+  /** The shared DuckDB CTE chain (t → sh → ex → sig → bands → cand →
+    * ver) mirroring the whole minhash pipeline in portable hashes;
+    * consumers append their own final SELECT over `ver` — the minhash /
+    * incremental oracles read pairs+jaccard, the `corpus_pipeline`
+    * funnel reads the τ-thresholded pair list. One string, several
+    * oracles: the pair definition cannot drift between them. */
+  private[graft] def minhashVerCtesSql(candExtra: String = ""): String = {
     import graft.functions.expressions.PortableHash.{duckdbSql => ph}
     val sigCols = (0 until MinhashK).map { j =>
       val (a, b) = MinhashAB(j)
@@ -243,7 +249,7 @@ object Dedup {
       val slots = (0 until 4).map(r => s"m${k * 4 + r}").mkString("||','||")
       s"SELECT doc_id, $k AS band, ${ph(slots)} AS bhash FROM sig"
     }.mkString("\n  UNION ALL ")
-    s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+    s"""t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
        |sh AS (SELECT doc_id,
        |  list_distinct([${ph("array_to_string(toks[i:i+2],' ')")}
        |    FOR i IN range(1, len(toks)-1)]) AS sgl
@@ -261,11 +267,14 @@ object Dedup {
        |    len(list_intersect(sa.sgl, sb.sgl)) AS i,
        |    len(sa.sgl) AS na, len(sb.sgl) AS nb
        |  FROM cand JOIN sh sa ON doc_a = sa.doc_id
-       |            JOIN sh sb ON doc_b = sb.doc_id)
+       |            JOIN sh sb ON doc_b = sb.doc_id)""".stripMargin
+  }
+
+  private def minhashOracleSql(candExtra: String = ""): String =
+    s"""WITH ${minhashVerCtesSql(candExtra)}
        |SELECT doc_a, doc_b, CAST(i AS DOUBLE)/(na+nb-i) AS jaccard
        |FROM ver WHERE CAST(i AS DOUBLE)/(na+nb-i) >= 0.8
        |ORDER BY doc_a, doc_b""".stripMargin
-  }
 
   /** Map-only MinHash signature column via the native
     * [[graft.functions.expressions.MinHashSig]] expression — same values
