@@ -327,7 +327,53 @@ object Streaming {
       .orderBy("user_id", "event_id")
   }
 
+  /** LAST-TOUCH ATTRIBUTION (the marketing-analytics staple): each
+    * purchase's revenue is credited to the campaign of the latest click
+    * that preceded it, then credit aggregates per campaign. The campaign
+    * id lives in the event's JSON props (`$.k` — exercised through real
+    * JSON extraction, not a pre-split column).
+    *
+    * The "value AT the latest preceding click" lookup uses the
+    * [[patternSeq]] running-max trick with an INTEGER ENCODING: carrying
+    * max(ms·1000 + k) over preceding clicks preserves the time order
+    * (k < 1000) and decodes to the campaign with one modulo — both
+    * engines do exact int64 arithmetic, so no arg-max tie rules are ever
+    * engine-dependent. One user-keyed window sort + one partial+final
+    * aggregate; revenue sums as DECIMAL (exact in any order). */
+  val attributionLastclick: Q = Q(
+    "attribution_lastclick",
+    """WITH e AS (SELECT user_id, event_id, ts, event_type, value,
+      |    epoch_ms(ts) * 1000 + CAST(json_extract_string(props, '$.k') AS BIGINT) AS ck
+      |  FROM events),
+      |w AS (SELECT *,
+      |    max(CASE WHEN event_type = 'click' THEN ck END)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lck
+      |  FROM e)
+      |SELECT CAST(lck % 1000 AS BIGINT) % 4 AS campaign,
+      |  count(*) AS n_purchases,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM w WHERE event_type = 'purchase' AND lck IS NOT NULL
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        col("event_type"), col("value"),
+        (unix_millis(col("ts")) * 1000 +
+          get_json_object(col("props"), "$.k").cast("long")).as("ck"))
+      .withColumn("lck",
+        max(when(col("event_type") === "click", col("ck"))).over(w))
+      .filter(col("event_type") === "purchase" && col("lck").isNotNull)
+      .groupBy((col("lck") % 1000 % 4).as("campaign"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("revenue"))
+      .orderBy("campaign")
+  }
+
   val all: Seq[Q] = Seq(streamTumbling, streamHopping, streamSession,
     resampleGapfill, funnel, retentionCohort, eventTransitions, ohlcBars,
-    sessionizeGaps, patternSeq)
+    sessionizeGaps, patternSeq, attributionLastclick)
 }

@@ -297,6 +297,49 @@ object TimeSeries {
       .orderBy("user_id", "event_id")
   }
 
+  /** MANN–KENDALL TREND TEST (the nonparametric "is this series
+    * monotonically drifting?" census — robust to outliers and
+    * distribution-free, unlike a slope fit): per event_type over the
+    * daily count series, S = Σ_{i<j} sign(xⱼ − xᵢ) and Kendall's
+    * τ_a = S / (n(n−1)/2). S and the pair count are exact BIGINTs;
+    * τ is one division.
+    *
+    * Plan: events reduce to the (type, day, x) series frame FIRST, so
+    * the sign self-join is bounded by days² per type — by construction,
+    * never events² (the same reduced-frame discipline as
+    * [[tsAutocorr]]); one partial+final aggregate finishes. */
+  val tsMkTrend: Q = Q(
+    "ts_mk_trend",
+    """WITH c AS (SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS x
+      |           FROM events GROUP BY 1, 2),
+      |p AS (SELECT a.event_type,
+      |        CASE WHEN b.x > a.x THEN 1 WHEN b.x < a.x THEN -1
+      |             ELSE 0 END AS sgn
+      |      FROM c a JOIN c b
+      |        ON a.event_type = b.event_type AND a.day < b.day)
+      |SELECT event_type, CAST(count(*) AS BIGINT) AS n_pairs,
+      |  CAST(sum(sgn) AS BIGINT) AS s_stat,
+      |  CAST(sum(sgn) AS DOUBLE) / count(*) AS tau
+      |FROM p GROUP BY 1 ORDER BY 1""".stripMargin
+  ) { (s, d) =>
+    val series = Tables.events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+    val a = series.select(col("event_type"), col("day").as("day_a"),
+      col("x").as("x_a"))
+    val b = series.select(col("event_type"), col("day").as("day_b"),
+      col("x").as("x_b"))
+    a.join(b, Seq("event_type"))
+      .filter(col("day_a") < col("day_b"))
+      .select(col("event_type"),
+        when(col("x_b") > col("x_a"), 1)
+          .when(col("x_b") < col("x_a"), -1).otherwise(0).as("sgn"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_pairs"), sum(col("sgn")).as("s_stat"),
+        (sum(col("sgn")).cast("double") / count(lit(1))).as("tau"))
+      .orderBy("event_type")
+  }
+
   val all: Seq[Q] = Seq(tsAutocorr, tsChangepoint, tsEwma, tsDecompose,
-    tsHolt)
+    tsHolt, tsMkTrend)
 }
