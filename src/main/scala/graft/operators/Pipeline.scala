@@ -543,9 +543,11 @@ object Pipeline {
     * Adjacency, dedup, and degrees all come from ONE supplier-keyed
     * `collect_set` aggregate (the set IS the distinct, its size IS the
     * degree — map-side partial sets also shrink the exchange), re-melted
-    * with a narrow explode; measured 4.1s → 2.6s at sf0.1 vs the
-    * distinct + degree-window formulation it replaced (one exchange
-    * fewer, no window sort). */
+    * with a narrow explode: one exchange fewer and no window sort than
+    * the distinct + degree-window formulation it replaced (measured
+    * 4.07 → 3.9s at sf0.1 — the dominant cost is inherent: 8.7M
+    * generated pairs aggregating into the complete 499,500-pair
+    * supplier graph at this density). */
   val graphJaccard: Q = Q(
     "graph_jaccard",
     """WITH adj AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem),
