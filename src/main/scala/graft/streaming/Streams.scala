@@ -52,6 +52,18 @@ case class EwmaOut(user_id: Long, event_id: Long, ewma: Double)
 /** Carried smoother state: the previous EWMA value. */
 case class EwmaState(y: Double)
 
+/** Input for streaming last-touch attribution: `ck` is the batch
+  * query's integer-encoded (ms·1000 + campaign) click key; value is the
+  * purchase amount. */
+case class AttrEvent(user_id: Long, event_id: Long,
+                     ts: java.sql.Timestamp, event_type: String,
+                     ck: Long, value: Double)
+/** One attributed purchase: campaign = decoded latest-click campaign. */
+case class AttrCredit(user_id: Long, event_id: Long, campaign: Long,
+                      value: Double)
+/** Carried attribution state: the latest click's encoded key. */
+case class AttrState(lck: Long)
+
 /** Timestamped input for streaming cohort retention. */
 case class RetEvent(user_id: Long, ts: java.sql.Timestamp)
 /** One first-activity-of-the-day edge: the user (in cohort `cohort_day`)
@@ -308,6 +320,39 @@ object Streams {
             }
           }
           state.update(s)
+          out.result().iterator
+      }
+  }
+
+  /** Streaming LAST-TOUCH ATTRIBUTION — the CEP form of the batch
+    * `attribution_lastclick` window plan: per-user state is the latest
+    * click's integer-encoded key (the exact value the batch running max
+    * carries), each arriving purchase emits its credit immediately with
+    * O(1) state per user, and the campaign census is a plain downstream
+    * aggregate over the credit stream (exactly as `retentionEdges`
+    * separates edge emission from the cohort aggregate). Same
+    * (ts, event_id) total order and in-order-per-key delivery
+    * assumption as [[transitions]]. */
+  def attributionCredits(ds: Dataset[AttrEvent]): Dataset[AttrCredit] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+                              GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[AttrEvent],
+         state: GroupState[AttrState]) =>
+          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          val out = Seq.newBuilder[AttrCredit]
+          var lck = state.getOption.map(_.lck)
+          sorted.foreach { e =>
+            e.event_type match {
+              case "purchase" =>
+                lck.foreach(k =>
+                  out += AttrCredit(uid, e.event_id, k % 1000 % 4, e.value))
+              case "click" => lck = Some(e.ck)
+              case _ => ()
+            }
+          }
+          lck.foreach(k => state.update(AttrState(k)))
           out.result().iterator
       }
   }

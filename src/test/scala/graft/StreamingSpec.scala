@@ -358,6 +358,44 @@ class StreamingSpec extends SparkSpec {
     assert(batchOut.nonEmpty)
   }
 
+  test("streaming attribution credits aggregate to the batch census") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.{AttrEvent, AttrCredit}
+    val batch = graft.operators.Streaming.attributionLastclick
+      .fn(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(batch.nonEmpty)
+    val evs = Tables.events(spark, sf0001)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"),
+        (unix_millis(col("ts")) * 1000 +
+          get_json_object(col("props"), "$.k").cast("long")).as("ck"),
+        col("value"))
+      .as[AttrEvent].collect()
+      .sortBy(e => (e.ts.getTime, e.event_id))
+    // click→purchase chains must survive the micro-batch boundary
+    val (b1, b2) = evs.splitAt(evs.length / 2)
+    val mem = MemoryStream[AttrEvent]
+    val name = s"attr_${System.nanoTime()}"
+    val q = Streams.attributionCredits(mem.toDS()).writeStream
+      .format("memory").queryName(name).outputMode("append").start()
+    try {
+      mem.addData(b1.toSeq); q.processAllAvailable()
+      mem.addData(b2.toSeq); q.processAllAvailable()
+    } finally q.stop()
+    // the campaign census is a plain aggregate over the credit stream;
+    // revenue compares through the batch plan's exact DECIMAL route
+    val stream = spark.table(name).as[AttrCredit]
+      .groupBy("campaign")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("rev"))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(stream === batch,
+      "per-purchase CEP credits must aggregate to the batch window census")
+  }
+
   test("streaming ewma is bit-equal to the batch recurrence, across batches") {
     val spark2 = spark
     import spark2.implicits._
