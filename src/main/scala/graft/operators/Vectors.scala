@@ -1180,8 +1180,97 @@ object Vectors {
       .limit(20)
   }
 
+  /** INDEX-QUALITY EVALUATION as a first-class query (the recall@k
+    * harness every ANN deployment runs before trusting an index): for
+    * each of 5 held-out query vectors, the LSH multiprobe top-20 is
+    * joined against the exact top-20 and per-query recall is reported.
+    * In production this runs on a sampled query log after every index
+    * rebuild — the number that decides whether to add planes/probes.
+    *
+    * The ENTIRE evaluation — both retrieval paths and the recall join —
+    * is value-oracled: the same plane-inlined SQL discipline as
+    * `vector_ann_lsh`, generalized to a query batch with per-query rank
+    * windows. Plan: corpus buckets once (narrow projection), ANN side
+    * joins 5×37 broadcast probe rows, exact side is one broadcast
+    * cross of 5 query rows; both cut at rank 20 per query before the
+    * key-bounded recall join — nothing after the scans exceeds
+    * queries × k rows. */
+  val vectorRecallEval: Q = Q(
+    "vector_recall_eval", {
+      val cos = "list_sum([v[i]*qv[i] FOR i IN range(1, len(v)+1)]) / " +
+        "(sqrt(list_sum([x*x FOR x IN v])) * sqrt(list_sum([x*x FOR x IN qv])))"
+      s"""WITH planes AS (SELECT j, pv FROM (VALUES
+         |    ${planesSql(planes)}) p(j, pv)),
+         |e AS (SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v
+         |      FROM embeddings WHERE vec_id >= 5),
+         |q AS (SELECT vec_id AS q_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS qv
+         |      FROM embeddings WHERE vec_id < 5),
+         |eb AS (SELECT vec_id, first(v) AS v,
+         |         CAST(sum(CASE WHEN dotp > 0 THEN (1 << j) ELSE 0 END) AS BIGINT) AS bucket
+         |       FROM (SELECT vec_id, v, j,
+         |               list_sum([v[i]*pv[i] FOR i IN range(1, len(v)+1)]) AS dotp
+         |             FROM e CROSS JOIN planes)
+         |       GROUP BY vec_id),
+         |qb AS (SELECT q_id, first(qv) AS qv,
+         |         CAST(sum(CASE WHEN dotp > 0 THEN (1 << j) ELSE 0 END) AS BIGINT) AS qbucket
+         |       FROM (SELECT q_id, qv, j,
+         |               list_sum([qv[i]*pv[i] FOR i IN range(1, len(qv)+1)]) AS dotp
+         |             FROM q CROSS JOIN planes)
+         |       GROUP BY q_id),
+         |probe AS (SELECT q_id, qv, xor(qbucket, m) AS bucket
+         |          FROM qb CROSS JOIN (SELECT unnest([${probeOffsets.mkString(",")}]) AS m)),
+         |ann AS (SELECT q_id, vec_id FROM (
+         |    SELECT p.q_id, eb.vec_id,
+         |      row_number() OVER (PARTITION BY p.q_id
+         |                         ORDER BY $cos DESC, eb.vec_id) AS rn
+         |    FROM eb JOIN probe p USING (bucket)) WHERE rn <= 20),
+         |ex AS (SELECT q_id, vec_id FROM (
+         |    SELECT q.q_id, e.vec_id,
+         |      row_number() OVER (PARTITION BY q.q_id
+         |                         ORDER BY $cos DESC, e.vec_id) AS rn
+         |    FROM e CROSS JOIN q) WHERE rn <= 20)
+         |SELECT ex.q_id, CAST(count(*) AS BIGINT) AS n_exact,
+         |  CAST(COALESCE(sum(CASE WHEN ann.vec_id IS NOT NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_hit,
+         |  CAST(COALESCE(sum(CASE WHEN ann.vec_id IS NOT NULL THEN 1 ELSE 0 END), 0) AS DOUBLE)
+         |    / count(*) AS recall
+         |FROM ex LEFT JOIN ann ON ex.q_id = ann.q_id AND ex.vec_id = ann.vec_id
+         |GROUP BY ex.q_id ORDER BY ex.q_id""".stripMargin
+    }
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(s, d)
+    val e = emb.filter(col("vec_id") >= 5)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      .withColumn("bucket", bucketOf(col("v")))
+    val q = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), toDouble(col("embedding")).as("qv"))
+    val probes = q
+      .withColumn("qbucket", bucketOf(col("qv")))
+      .select(col("q_id"), col("qv"),
+        explode(array(probeOffsets.map(m =>
+          col("qbucket").bitwiseXOR(lit(m))): _*)).as("bucket"))
+    val wq = Window.partitionBy("q_id").orderBy(desc("cosine"), asc("vec_id"))
+    val ann = e.join(broadcast(probes), Seq("bucket"))
+      .select(col("q_id"), col("vec_id"),
+        cosine(col("v"), col("qv")).as("cosine"))
+      .withColumn("rn", row_number().over(wq)).filter(col("rn") <= 20)
+      .select(col("q_id"), col("vec_id"), lit(1).as("hit"))
+    val exact = e.crossJoin(broadcast(q))
+      .select(col("q_id"), col("vec_id"),
+        cosine(col("v"), col("qv")).as("cosine"))
+      .withColumn("rn", row_number().over(wq)).filter(col("rn") <= 20)
+      .select(col("q_id"), col("vec_id"))
+    exact.join(ann, Seq("q_id", "vec_id"), "left")
+      .groupBy("q_id")
+      .agg(count(lit(1)).as("n_exact"),
+        coalesce(sum(col("hit")), lit(0)).cast("long").as("n_hit"))
+      .select(col("q_id"), col("n_exact"), col("n_hit"),
+        (col("n_hit").cast("double") / col("n_exact")).as("recall"))
+      .orderBy("q_id")
+  }
+
   val all: Seq[Q] = Seq(vectorTopk, vectorAnnLsh, vectorAnnIvf,
     vectorTopkBatch, vectorQuantize, vectorCentroid, knnJoinLsh,
     sqlVectorTopk, vectorIndexStats, vectorPq, vectorIvfPq,
-    vectorIndexDelta, vectorMips)
+    vectorIndexDelta, vectorMips, vectorRecallEval)
 }
