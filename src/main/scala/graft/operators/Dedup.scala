@@ -552,7 +552,11 @@ object Dedup {
       explode(array((0 until CosLshTables).map { t =>
         val sig = (0 until CosLshPlanesPerTable).map { j =>
           val h = typedlit(cosLshPlanes(t * CosLshPlanesPerTable + j))
-          when(cosine(col("v"), h) > 0, 1 << j).otherwise(0)
+          // sign(dot) == sign(cosine) (norms are positive), so the
+          // signature needs only the dot — 48 n-dim loops per vector
+          // instead of 48 cosines (each of which re-walks v twice more
+          // for the norms); the oracle's `dotp > 0` is the same test
+          when(dotNative(col("v"), h) > 0, 1 << j).otherwise(0)
         }.reduce(_ + _)
         struct(lit(t).as("tbl"), sig.cast("long").as("sig"))
       }: _*)).as("bk"))
