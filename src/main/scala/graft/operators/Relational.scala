@@ -1485,6 +1485,173 @@ object Relational {
       .orderBy("event_type")
   }
 
+  /** Per-group ordinary least squares (SURVEY §2.5 extension): slope /
+    * intercept / r² of extendedprice on quantity per returnflag — the
+    * "trend per key" primitive (drift slopes, per-source quality trends,
+    * scaling-law fits over training runs). Both engines HAVE streaming
+    * `regr_*` aggregates, but their float accumulation order is
+    * engine- and partition-dependent; this derives the same statistics
+    * from EXACT integer sums in CENT units (Σx, Σy, Σxy, Σx², Σy² —
+    * the [[aggStats]] discipline, sharpened: a DECIMAL with fractional
+    * scale above 2⁵³ converts to double DIFFERENTLY per engine (int128
+    * → double → ÷10ˢ is two roundings; BigDecimal rounds once), while
+    * an INTEGER-valued sum converts correctly-rounded in both), then
+    * combines in double through an IDENTICAL expression tree on both
+    * sides. Deterministic at any parallelism: one partial+final
+    * aggregate, five narrow sums, no second pass. Slope/r² are
+    * scale-invariant in the cent units; the intercept divides back by
+    * 100 at the end. */
+  val aggRegression: Q = Q(
+    "agg_regression",
+    """WITH c AS (SELECT l_returnflag,
+      |    CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS xi,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS yi
+      |  FROM lineitem),
+      |s AS (SELECT l_returnflag, count(*) AS n,
+      |  CAST(SUM(xi) AS DOUBLE) AS sx, CAST(SUM(yi) AS DOUBLE) AS sy,
+      |  CAST(SUM(CAST(xi AS DECIMAL(19,0)) * CAST(yi AS DECIMAL(19,0))) AS DOUBLE) AS sxy,
+      |  CAST(SUM(CAST(xi AS DECIMAL(19,0)) * CAST(xi AS DECIMAL(19,0))) AS DOUBLE) AS sxx,
+      |  CAST(SUM(CAST(yi AS DECIMAL(19,0)) * CAST(yi AS DECIMAL(19,0))) AS DOUBLE) AS syy
+      |  FROM c GROUP BY l_returnflag)
+      |SELECT l_returnflag, n,
+      |  (n*sxy - sx*sy) / (n*sxx - sx*sx) AS slope,
+      |  ((sy - (n*sxy - sx*sy) / (n*sxx - sx*sx) * sx) / n) / 100 AS intercept,
+      |  ((n*sxy - sx*sy) * (n*sxy - sx*sy)) / ((n*sxx - sx*sx) * (n*syy - sy*sy)) AS r2
+      |FROM s ORDER BY l_returnflag""".stripMargin
+  ) { (s, d) =>
+    val dec19 = org.apache.spark.sql.types.DecimalType(19, 0)
+    val st = Tables.lineitem(s, d)
+      .select(col("l_returnflag"),
+        (money(col("l_quantity")) * 100).cast("long").as("xi"),
+        (money(col("l_extendedprice")) * 100).cast("long").as("yi"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+           asDouble(sum(col("xi"))).as("sx"),
+           asDouble(sum(col("yi"))).as("sy"),
+           asDouble(sum(col("xi").cast(dec19) * col("yi").cast(dec19)))
+             .as("sxy"),
+           asDouble(sum(col("xi").cast(dec19) * col("xi").cast(dec19)))
+             .as("sxx"),
+           asDouble(sum(col("yi").cast(dec19) * col("yi").cast(dec19)))
+             .as("syy"))
+    val slope = (col("n") * col("sxy") - col("sx") * col("sy")) /
+      (col("n") * col("sxx") - col("sx") * col("sx"))
+    st.select(col("l_returnflag"), col("n"),
+        slope.as("slope"),
+        (((col("sy") - slope * col("sx")) / col("n")) / 100).as("intercept"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")) *
+         (col("n") * col("sxy") - col("sx") * col("sy")) /
+         ((col("n") * col("sxx") - col("sx") * col("sx")) *
+          (col("n") * col("syy") - col("sy") * col("sy")))).as("r2"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Pareto frontier / skyline operator (SURVEY §2.7 extension): per
+    * nation, the suppliers not dominated on (total cost ASC better,
+    * total quantity DESC better) — multi-objective selection (the
+    * cost/quality frontier a data-mixing or vendor-selection pass
+    * optimizes over). The naive semantics is the O(n²) dominance
+    * anti-join; this plan is the O(n log n) sweep expressed in TWO
+    * partitioned windows over the AGGREGATED table: (1) per (nation,
+    * cost) the max qty — same-cost dominance; (2) over DISTINCT costs
+    * per nation, the running max qty of STRICTLY cheaper costs (ROWS
+    * frame on the distinct-cost table makes "strictly cheaper" exact —
+    * no RANGE-frame numeric-offset trick needed). A supplier survives
+    * iff it holds its cost group's max AND beats every cheaper group's
+    * max. All windows are partitioned by nation (no global funnel; at
+    * 100 TB the frontier of each group computes independently). The
+    * ORACLE is the quadratic NOT EXISTS dominance query — a genuinely
+    * different algorithm, so the hash match proves the sweep correct
+    * rather than re-deriving it. */
+  val skylinePareto: Q = Q(
+    "skyline_pareto",
+    """WITH s AS (SELECT n_name, s_suppkey,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS cost,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+      |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |                JOIN nation ON s_nationkey = n_nationkey
+      |  GROUP BY n_name, s_suppkey)
+      |SELECT n_name, s_suppkey, cost, qty FROM s a
+      |WHERE NOT EXISTS (SELECT 1 FROM s b WHERE b.n_name = a.n_name
+      |  AND b.cost <= a.cost AND b.qty >= a.qty
+      |  AND (b.cost < a.cost OR b.qty > a.qty))
+      |ORDER BY n_name, s_suppkey""".stripMargin
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val sup = broadcast(Tables.supplier(s, d)
+      .join(broadcast(Tables.nation(s, d)),
+            col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name")))
+    val agg = Tables.lineitem(s, d)
+      .join(sup, col("l_suppkey") === col("s_suppkey"))
+      .groupBy("n_name", "s_suppkey")
+      .agg(asDouble(sum(money(col("l_extendedprice")))).as("cost"),
+           asDouble(sum(money(col("l_quantity")))).as("qty"))
+    // (1) same-cost dominance: max qty within each (nation, cost)
+    val gq = max(col("qty")).over(Window.partitionBy("n_name", "cost"))
+    // (2) strictly-cheaper dominance: running max over DISTINCT costs
+    val g = agg.groupBy("n_name", "cost").agg(max(col("qty")).as("cmax"))
+      .withColumn("prevmax", max(col("cmax")).over(
+        Window.partitionBy("n_name").orderBy("cost")
+          .rowsBetween(Window.unboundedPreceding, -1)))
+      .select(col("n_name"), col("cost"), col("prevmax"))
+    agg.withColumn("gq", gq)
+      .join(g, Seq("n_name", "cost"))
+      .filter(col("qty") === col("gq") &&
+              (col("prevmax").isNull || col("qty") > col("prevmax")))
+      .select(col("n_name"), col("s_suppkey"), col("cost"), col("qty"))
+      .orderBy("n_name", "s_suppkey")
+  }
+
+  /** Fuzzy join / entity resolution (SURVEY §2.3 extension): customer
+    * names within edit distance 1 of each other, found WITHOUT an
+    * all-pairs compare. Blocking is the deletion-neighborhood (masked
+    * key) technique: each 9-digit name suffix emits 9 keys, one per
+    * position with that position wildcarded; two equal-length names at
+    * Hamming distance 1 share EXACTLY the key masked at their one
+    * differing position — so blocking is EXACT (zero false negatives,
+    * pigeonhole) and each true pair surfaces EXACTLY ONCE (no dedup
+    * exchange needed — the property that makes this shape cheap). Block
+    * sizes are bounded by the alphabet (≤10 names share a masked key),
+    * so the candidate join is linear in n regardless of corpus size —
+    * the same reason [[graft.operators.Dedup]] bands signatures. The
+    * levenshtein verify stage then confirms each candidate (the standard
+    * ER block→verify shape; here verification is provably total but the
+    * stage is kept to pin the semantics the oracle checks). Output: the
+    * pair census by differing digit position. */
+  val joinFuzzy: Q = Q(
+    "join_fuzzy",
+    """WITH d AS (SELECT c_custkey, substr(c_name, 10) AS dig FROM customer),
+      |k AS (SELECT c_custkey, dig, i,
+      |        substr(dig, 1, i) || '_' || substr(dig, i + 2) AS masked
+      |      FROM d CROSS JOIN (SELECT unnest(range(9)) AS i)),
+      |p AS (SELECT a.i AS pos
+      |      FROM k a JOIN k b ON a.i = b.i AND a.masked = b.masked
+      |        AND a.c_custkey < b.c_custkey
+      |      WHERE levenshtein(a.dig, b.dig) = 1)
+      |SELECT pos, CAST(count(*) AS BIGINT) AS n_pairs
+      |FROM p GROUP BY pos ORDER BY pos""".stripMargin
+  ) { (s, d) =>
+    val dig = Tables.customer(s, d)
+      .select(col("c_custkey"), substring(col("c_name"), 10, 9).as("dig"))
+    val keyed = dig.select(col("c_custkey"), col("dig"),
+      explode(array((0 until 9).map { i =>
+        struct(lit(i).as("pos"),
+          concat(substring(col("dig"), 1, i), lit("_"),
+                 substring(col("dig"), i + 2, 9 - i - 1)).as("masked"))
+      }: _*)).as("k"))
+      .select(col("c_custkey"), col("dig"),
+              col("k.pos").as("pos"), col("k.masked").as("masked"))
+    val b = keyed.select(col("c_custkey").as("ck_b"), col("dig").as("dig_b"),
+                         col("pos"), col("masked"))
+    keyed.join(b, Seq("pos", "masked"))
+      .filter(col("c_custkey") < col("ck_b"))
+      .filter(levenshtein(col("dig"), col("dig_b")) === 1)
+      .groupBy("pos")
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("pos")
+  }
+
   val all: Seq[Q] = Seq(
     countByProject, filterPred, aggGroupBy, aggDistinct, aggRollup, topk,
     joinInner, joinMultiway, semiAnti, setOps, scalarStringDate, jsonExtract,
@@ -1495,5 +1662,6 @@ object Relational {
     scalarDatetimeExt, scalarStringExt, aggMode, scalarNullSemantics,
     unpivotStack, joinSalted, aggGroupingSets, outlierMad, aggHistogramEqd,
     joinAsofTol, generatorOuter, aggHllUnion, aggThetaSetops, joinBloom,
-    sampleReservoir, joinIntervalBin, aggBitmapDistinct)
+    sampleReservoir, joinIntervalBin, aggBitmapDistinct, aggRegression,
+    skylinePareto, joinFuzzy)
 }

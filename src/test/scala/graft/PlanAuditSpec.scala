@@ -225,7 +225,9 @@ class PlanAuditSpec extends SparkSpec {
     val p = plan(Dedup.dedupCosineLsh)
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
       s"LSH dedup must not degrade to all-pairs:\n${p.take(600)}")
-    assert(p.contains("cosine_sim"), "native cosine should verify candidates")
+    assert(p.contains("dot_product"),
+      "native dot kernel should band and verify candidates (cosine from " +
+        "precomputed norms; banding needs only the dot's sign)")
   }
 
   test("dedup_incremental joins batch bands against all bands, no cartesian") {
@@ -451,7 +453,8 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("NestedLoopJoin"),
       s"kNN candidates must come from the band equi-join:\n${p.take(800)}")
     assert(p.contains("Window"), "per-vector rank window expected")
-    assert(p.contains("cosine_sim"), "native cosine expected in the plan")
+    assert(p.contains("dot_product"),
+      "native dot kernel expected in the plan (banding + norm-scored pairs)")
   }
 
   test("ts_ewma/ts_holt: one user-keyed exchange feeds the sequential pass") {
