@@ -604,7 +604,69 @@ object Corpus {
       .orderBy("stage")
   }
 
+  /** Train/test LEAKAGE audit — the evaluation-integrity census a
+    * hash-based split needs before anyone trusts a held-out metric:
+    * near-duplicate pairs ([[Dedup.dedupMinhash]]'s verified Jaccard ≥
+    * 0.8 pairs, same signatures, same bands, same verify) whose members
+    * land in DIFFERENT splits are test-set contamination — the model
+    * sees the "held-out" document's twin during training. A random or
+    * hash split CANNOT prevent this (assignment is per-document,
+    * near-dup structure is cross-document); the standard remedy is
+    * splitting by dedup-cluster, and this census is the measurement
+    * that says whether that remedy is needed. Output: pair counts per
+    * unordered split pair — off-diagonal rows are the leak.
+    *
+    * Plan shape: the minhash candidate/verify pipeline unchanged (one
+    * band equi-join, shuffles bounded by banding), plus two id-keyed
+    * joins of the narrow (doc→split) projection onto the few surviving
+    * pairs — NOT an explicit broadcast (doc→split is corpus-sized; AQE
+    * downgrades the join to broadcast at small scale, and at 100 TB it
+    * runs as a shuffle join whose moved rows are bounded by the pair
+    * count on one side); the census groupBy moves ≤ 6 rows. Fully
+    * value-checked: the oracle reuses the generated portable-hash CTEs
+    * and appends the same split mapping. */
+  val corpusSplitLeakage: Q = Q(
+    "corpus_split_leakage",
+    s"""WITH ${Dedup.minhashVerCtesSql()},
+       |pairs AS (SELECT doc_a, doc_b FROM ver
+       |  WHERE CAST(i AS DOUBLE)/(na+nb-i) >= 0.8),
+       |sp AS (SELECT doc_id,
+       |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+       |       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+       |       ELSE 'test' END AS split
+       |  FROM documents)
+       |SELECT least(a.split, b.split) AS split_a,
+       |  greatest(a.split, b.split) AS split_b,
+       |  CAST(count(*) AS BIGINT) AS n_pairs
+       |FROM pairs JOIN sp a ON pairs.doc_a = a.doc_id
+       |           JOIN sp b ON pairs.doc_b = b.doc_id
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  ) { (s, d) =>
+    val h = substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2)
+    val sp = Tables.documents(s, d)
+      .select(col("doc_id"),
+        when(h < "cc", "train").when(h < "e6", "val").otherwise("test")
+          .as("split"))
+    val shp = Dedup.shingleHashesPortable(s, d)
+    val sh = shp.groupBy("doc_id").agg(collect_set(col("sgl")).as("shingles"))
+    val bands = Dedup.minhashBands(Dedup.minhashSignaturesExpr(s, d))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bhash") === col("b.bhash") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    Dedup.jaccardVerify(cand, sh)
+      .join(sp.select(col("doc_id").as("doc_a"),
+                      col("split").as("sp_a")), Seq("doc_a"))
+      .join(sp.select(col("doc_id").as("doc_b"),
+                      col("split").as("sp_b")), Seq("doc_b"))
+      .groupBy(least(col("sp_a"), col("sp_b")).as("split_a"),
+               greatest(col("sp_a"), col("sp_b")).as("split_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("split_a", "split_b")
+  }
+
   val all: Seq[Q] = Seq(corpusSplit, corpusPack, corpusSelect, docChunk,
     corpusDecontaminate, corpusMix, corpusShuffle, trainingManifest,
-    corpusEntropy, corpusPipeline)
+    corpusEntropy, corpusPipeline, corpusSplitLeakage)
 }
