@@ -468,6 +468,18 @@ object TextAnalysis {
   private[graft] def misraGries(iter: Iterator[String],
                                 cap: Int): Iterator[(String, Long)] = {
     val m = scala.collection.mutable.HashMap.empty[String, Long]
+    misraGriesInto(m, iter, cap)
+    m.iterator.map { case (t, c) => (t, c) }
+  }
+
+  /** The MG fold factored over an EXISTING counter map, so a resumed
+    * fold (streaming state across micro-batches) is definitionally the
+    * same one-pass summary as folding the concatenated stream —
+    * [[graft.streaming.Streams.mgSummaries]] persists exactly this map
+    * between batches. */
+  private[graft] def misraGriesInto(
+      m: scala.collection.mutable.HashMap[String, Long],
+      iter: Iterator[String], cap: Int): Unit =
     iter.foreach { t =>
       m.get(t) match {
         case Some(c) => m(t) = c + 1
@@ -481,8 +493,6 @@ object TextAnalysis {
           dead.result().foreach(m.remove)
       }
     }
-    m.iterator.map { case (t, c) => (t, c) }
-  }
 
   private[graft] val HhThreshold = 200L // heavy = > 1/200 of all tokens
   private[graft] val MgCap = 1024       // MG capacity per partition

@@ -100,6 +100,13 @@ case class CandPair(doc_a: Long, doc_b: Long)
 /** Per-(band, bhash) bucket membership. */
 case class BucketState(ids: Seq[Long])
 
+/** A token routed to its hash shard (streaming heavy hitters). */
+case class TokObs(shard: Int, token: String)
+/** One shard's Misra–Gries summary: surviving candidates with their
+  * residual counters, plus the shard's exact stream length. */
+case class MgSummary(shard: Int, tokens: Seq[String], counts: Seq[Long],
+                     n_shard: Long)
+
 /** Time-window transforms shared by batch queries and Structured Streaming
   * (SURVEY.md §2.10). Each takes any frame with the `events` schema —
   * batch (`spark.read`) or streaming (`spark.readStream`/MemoryStream) —
@@ -480,6 +487,43 @@ object Streams {
             }
           }
           val out = SourceSig(src, cur.toSeq)
+          state.update(out)
+          Iterator(out)
+      }
+  }
+
+  /** Streaming Misra–Gries heavy-hitter candidates — the incremental
+    * counterpart of `text_heavy_hitters`' pass 1. Tokens arrive keyed
+    * by a HASH SHARD (the router applies hash(token) % shards), so
+    * every occurrence of a token lands on one shard's state and the
+    * per-shard counter map is a true one-pass MG summary of that
+    * shard's entire stream. The fold across micro-batches is the
+    * factored [[graft.operators.TextAnalysis.misraGriesInto]] step over
+    * the PERSISTED map, so "resume from state" is definitionally one
+    * pass over the concatenated stream — the deterministic guarantee
+    * (every token with shard frequency > n_shard/(cap+1) present)
+    * survives streaming with zero merge error. State is ≤ cap counters
+    * per shard, bounded regardless of vocabulary or stream length; the
+    * union of summaries ⊇ all global > n/200 hitters for any sane
+    * fan-out, and the exact recount stage runs against the sink exactly
+    * like the batch query's pass 2 (StreamingSpec drives both).
+    * Update mode: last emitted row per shard is the live summary. */
+  def mgSummaries(ds: Dataset[TokObs], cap: Int): Dataset[MgSummary] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.shard)
+      .flatMapGroupsWithState(OutputMode.Update,
+                              GroupStateTimeout.NoTimeout) {
+        (shard: Int, rows: Iterator[TokObs],
+         state: GroupState[MgSummary]) =>
+          val m = scala.collection.mutable.HashMap.empty[String, Long]
+          val prev = state.getOption
+          prev.foreach(p => p.tokens.iterator.zip(p.counts.iterator)
+            .foreach { case (t, c) => m(t) = c })
+          var n = prev.map(_.n_shard).getOrElse(0L)
+          graft.operators.TextAnalysis.misraGriesInto(
+            m, rows.map { o => n += 1; o.token }, cap)
+          val toks = m.keysIterator.toSeq.sorted
+          val out = MgSummary(shard, toks, toks.map(m), n)
           state.update(out)
           Iterator(out)
       }

@@ -733,4 +733,63 @@ class StreamingSpec extends SparkSpec {
         s"late row leaked into closed window: ${out.toSeq}")
     } finally q.stop()
   }
+
+  test("streaming Misra-Gries summaries carry the batch guarantee " +
+       "across micro-batches") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.{Streams, TokObs, MgSummary}
+    val Cap = 4
+    val Shards = 4
+    // two genuine heavy hitters + a long tail wide enough to overflow a
+    // cap-4 table and force MG decrements; occurrences split across the
+    // batch boundary so the guarantee only holds if state persists
+    def toks(reps: (String, Int)*): Seq[String] =
+      reps.flatMap { case (t, k) => Seq.fill(k)(t) }
+    val b1 = toks("alpha" -> 16, "beta" -> 9, "t1" -> 2, "t2" -> 2,
+                  "t3" -> 1, "t4" -> 1, "t5" -> 1, "t6" -> 1)
+    val b2 = toks("alpha" -> 14, "beta" -> 11, "t7" -> 2, "t8" -> 2,
+                  "t9" -> 1, "t10" -> 1, "t11" -> 1, "t12" -> 1)
+    def shard(t: String) = math.floorMod(t.hashCode, Shards)
+    def obs(ts: Seq[String]) = ts.map(t => TokObs(shard(t), t))
+    val mem = MemoryStream[TokObs]
+    val name = s"mg_${System.nanoTime()}"
+    val q = Streams.mgSummaries(mem.toDS(), Cap).writeStream
+      .format("memory").queryName(name).outputMode("update").start()
+    val fin = try {
+      mem.addData(obs(b1)); q.processAllAvailable()
+      mem.addData(obs(b2)); q.processAllAvailable()
+      // Update mode: the LAST emitted row per shard is the live summary
+      spark.table(name).as[MgSummary].collect().zipWithIndex
+        .groupBy(_._1.shard).map { case (s, rs) => s -> rs.maxBy(_._2)._1 }
+    } finally q.stop()
+    val all = b1 ++ b2
+    val byShard = all.groupBy(shard)
+    fin.foreach { case (s, sm) =>
+      assert(sm.tokens.length <= Cap, s"shard $s state exceeded cap")
+      assert(sm.n_shard === byShard(s).length.toLong,
+        s"shard $s stream length drifted")
+      // the deterministic MG guarantee, applied to the WHOLE (two-batch)
+      // shard stream: freq > n_shard/(cap+1) must have survived
+      val freq = byShard(s).groupBy(identity).view.mapValues(_.length)
+      freq.foreach { case (t, c) =>
+        if (c > sm.n_shard / (Cap + 1).toDouble)
+          assert(sm.tokens.contains(t),
+            s"shard $s lost guaranteed hitter $t ($c of ${sm.n_shard})")
+      }
+    }
+    // pass 2 exactly as the batch query: exact recount of the candidate
+    // union, threshold > n/10 — must equal the naive heavy hitters
+    val cands = fin.values.flatMap(_.tokens).toSet
+    val n = all.length
+    val naive = all.groupBy(identity).view.mapValues(_.length)
+      .filter { case (_, c) => c * 10 > n }.keySet.toSet
+    val recount = all.filter(cands).groupBy(identity).view
+      .mapValues(_.length).filter { case (_, c) => c * 10 > n }
+      .keySet.toSet
+    assert(recount === naive,
+      s"streamed candidates + exact recount diverged from the batch " +
+        s"answer: $recount vs $naive")
+  }
 }
