@@ -490,13 +490,16 @@ object Pipeline {
     * row-level sibling of `dq_checks`' column rules): per edge, total
     * child rows, null-FK rows, orphaned rows, and distinct orphaned keys.
     *
-    * Plan shape per edge is the scale-correct one: the child reduces to
-    * per-KEY counts first (partial+final on the FK — the child's raw rows
-    * shuffle once, as key counts), the parent reduces to distinct PKs,
-    * and the left join runs at KEY cardinality, never row cardinality;
-    * AQE broadcasts whichever side is small. The seven one-row summaries
-    * union at the end — adding an edge to [[FkEdges]] extends query and
-    * oracle together. All outputs are exact BIGINT counts. */
+    * Plan shape: each child TABLE is scanned once with its FK columns
+    * melted to (edge, fk) rows — lineitem's three edges share one scan —
+    * then ONE (edge, fk)-keyed partial+final count (the child's raw rows
+    * shuffle once, as key counts; same exchange volume as per-edge
+    * aggregation, a third of the fact-table I/O), the parents reduce to
+    * edge-labelled distinct PKs, and the left join runs at KEY
+    * cardinality, never row cardinality; AQE broadcasts whichever side
+    * is small. The per-edge census is then one 7-row aggregate — adding
+    * an edge to [[FkEdges]] extends query and oracle together. All
+    * outputs are exact BIGINT counts. */
   val dqReferential: Q = Q(
     "dq_referential",
     FkEdges.map { case (label, child, fk, parent, pk) =>
@@ -509,22 +512,38 @@ object Pipeline {
          |LEFT JOIN (SELECT DISTINCT $pk AS pk FROM $parent) p ON ck.fk = p.pk""".stripMargin
     }.mkString("", "\nUNION ALL\n", "\nORDER BY edge")
   ) { (s, d) =>
-    FkEdges.map { case (label, child, fk, parent, pk) =>
-      val ck = Tables.table(s, d, child)
-        .groupBy(col(fk).as("fk")).agg(count(lit(1)).as("c"))
-      val p = Tables.table(s, d, parent)
-        .select(col(pk).as("pk")).distinct()
-      ck.join(p, col("fk") === col("pk"), "left")
-        .agg(sum(col("c")).as("n_rows"),
-          coalesce(sum(when(col("fk").isNull, col("c"))), lit(0L))
-            .as("n_null_rows"),
-          coalesce(sum(when(col("fk").isNotNull && col("pk").isNull,
-            col("c"))), lit(0L)).as("n_orphan_rows"),
-          count(when(col("fk").isNotNull && col("pk").isNull, lit(1)))
-            .as("n_orphan_keys"))
-        .select(lit(label).as("edge"), col("n_rows"), col("n_null_rows"),
-          col("n_orphan_rows"), col("n_orphan_keys"))
-    }.reduce(_.unionAll(_)).orderBy("edge")
+    // ONE scan per child TABLE, not per edge: a child's FK columns melt
+    // into (edge, fk) rows in the same pass (lineitem carries three
+    // edges — scanning it three times is 3× the I/O for no information),
+    // then ONE (edge, fk)-keyed partial+final count covers every edge.
+    // The exchange volume is unchanged (same per-edge key counts, now
+    // under one shuffle), and the parent side is the per-edge distinct
+    // PKs unioned with their edge label — the join runs once at key
+    // cardinality for all seven edges together.
+    val ck = FkEdges.groupBy(_._2).toSeq.map { case (child, edges) =>
+      Tables.table(s, d, child).select(
+        explode(array(edges.map { case (label, _, fk, _, _) =>
+          struct(lit(label).as("edge"), col(fk).cast("long").as("fk"))
+        }: _*)).as("e"))
+        .select(col("e.edge").as("edge"), col("e.fk").as("fk"))
+    }.reduce(_.unionAll(_))
+      .groupBy("edge", "fk").agg(count(lit(1)).as("c"))
+    val pks = FkEdges.map { case (label, _, _, parent, pk) =>
+      Tables.table(s, d, parent)
+        .select(col(pk).cast("long").as("pk")).distinct()
+        .select(lit(label).as("pedge"), col("pk"))
+    }.reduce(_.unionAll(_))
+    ck.join(pks, col("edge") === col("pedge") && col("fk") === col("pk"),
+            "left")
+      .groupBy("edge")
+      .agg(sum(col("c")).as("n_rows"),
+        coalesce(sum(when(col("fk").isNull, col("c"))), lit(0L))
+          .as("n_null_rows"),
+        coalesce(sum(when(col("fk").isNotNull && col("pk").isNull,
+          col("c"))), lit(0L)).as("n_orphan_rows"),
+        count(when(col("fk").isNotNull && col("pk").isNull, lit(1)))
+          .as("n_orphan_keys"))
+      .orderBy("edge")
   }
 
   /** NODE SIMILARITY via neighbor-set Jaccard (the link-prediction /
