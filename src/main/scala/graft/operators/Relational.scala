@@ -1652,6 +1652,53 @@ object Relational {
       .orderBy("pos")
   }
 
+  /** Materialized-view maintenance (the incremental-rollup shape a
+    * warehouse runs nightly): the standing aggregate state (history
+    * before the delta day) MERGES with the delta day's partial state —
+    * counts add, DECIMAL sums add exactly, maxes max — instead of
+    * re-aggregating raw history. The oracle is the full one-pass
+    * recompute, so the hash match proves state-merge = recompute, which
+    * is precisely the mergeability contract that lets 100 TB of history
+    * stay aggregated while only the new partition is scanned. (The
+    * sketch family — [[aggHllUnion]], theta, bitmap — gives the same
+    * merge story for approximate state; this is the exact-state
+    * variant.) Both branches scan `events` with partition-prunable
+    * timestamp predicates pushed to parquet. */
+  val aggIncremental: Q = Q(
+    "agg_incremental",
+    """WITH f AS (SELECT event_type,
+      |    ts >= TIMESTAMP '2024-01-29 00:00:00' AS is_delta,
+      |    count(*) AS n, SUM(CAST(value AS DECIMAL(18,2))) AS sv,
+      |    max(ts) AS mx
+      |  FROM events GROUP BY 1, 2)
+      |SELECT event_type,
+      |  CAST(sum(n) AS BIGINT) AS n_events,
+      |  CAST(COALESCE(sum(n) FILTER (WHERE is_delta), 0) AS BIGINT) AS n_from_delta,
+      |  CAST(sum(sv) AS DOUBLE) AS sum_value,
+      |  max(mx) AS last_ts
+      |FROM f GROUP BY event_type ORDER BY event_type""".stripMargin
+  ) { (s, d) =>
+    val cut = lit("2024-01-29 00:00:00").cast("timestamp")
+    val ev = Tables.events(s, d)
+    // standing state and delta state aggregated SEPARATELY (in
+    // production the standing side is a stored table, not a scan), then
+    // merged state-to-state
+    def state(df: DataFrame, isDelta: Boolean) = df
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(money(col("value"))).as("sv"),
+           max(col("ts")).as("mx"))
+      .withColumn("is_delta", lit(isDelta))
+    state(ev.filter(col("ts") < cut), isDelta = false)
+      .unionAll(state(ev.filter(col("ts") >= cut), isDelta = true))
+      .groupBy("event_type")
+      .agg(sum(col("n")).as("n_events"),
+        coalesce(sum(when(col("is_delta"), col("n"))), lit(0L))
+          .as("n_from_delta"),
+        asDouble(sum(col("sv"))).as("sum_value"),
+        max(col("mx")).as("last_ts"))
+      .orderBy("event_type")
+  }
+
   val all: Seq[Q] = Seq(
     countByProject, filterPred, aggGroupBy, aggDistinct, aggRollup, topk,
     joinInner, joinMultiway, semiAnti, setOps, scalarStringDate, jsonExtract,
@@ -1663,5 +1710,5 @@ object Relational {
     unpivotStack, joinSalted, aggGroupingSets, outlierMad, aggHistogramEqd,
     joinAsofTol, generatorOuter, aggHllUnion, aggThetaSetops, joinBloom,
     sampleReservoir, joinIntervalBin, aggBitmapDistinct, aggRegression,
-    skylinePareto, joinFuzzy)
+    skylinePareto, joinFuzzy, aggIncremental)
 }

