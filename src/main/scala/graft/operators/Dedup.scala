@@ -1054,8 +1054,67 @@ object Dedup {
       Vectors.cachedIvfCentroids
         .map(cs => semanticOracleSql(cs.map(_.toSeq).toSeq))))
 
+  /** REPRESENTATIVE SELECTION — the step a dedup pipeline actually ends
+    * with: per near-dup cluster ([[dedupCluster]]'s connected
+    * components, reused verbatim), keep the BEST member and drop the
+    * rest. "Best" here is the keep-longest heuristic (token count,
+    * doc_id ascending as the total tie-break — every ORDER BY that
+    * feeds a rank is a provably-total chain), the standard web-corpus
+    * choice when no quality model is in the loop; swapping in
+    * `text_quality_classifier`'s margin is a one-column change. Output:
+    * one row per multi-member cluster with its representative and the
+    * drop count — the rows a `left_anti` join against the corpus would
+    * then materialize as the deduped training set.
+    *
+    * Plan: the label table (already converged, checkpoint-backed) joins
+    * the narrow (doc_id, n_tokens) projection id-to-id, then ONE
+    * cluster-partitioned rank window picks representatives — nothing
+    * here is corpus-quadratic, and the window frames are cluster-sized.
+    * Oracle: the same recursive-CTE closure as `dedup_cluster` plus the
+    * identical rank formulation. */
+  val dedupClusterRep: Q = Q(
+    "dedup_cluster_rep",
+    s"""WITH RECURSIVE
+      |$pairsCteSql,
+      |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+      |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+      |reach(doc_id, lbl) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON r.doc_id = e.src),
+      |lab AS (SELECT doc_id, min(lbl) AS cluster_id
+      |        FROM reach GROUP BY doc_id),
+      |r AS (SELECT cluster_id, doc_id,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |    row_number() OVER (PARTITION BY cluster_id
+      |      ORDER BY len(string_split(text, ' ')) DESC, doc_id) AS rn,
+      |    count(*) OVER (PARTITION BY cluster_id) AS n_members
+      |  FROM lab JOIN documents USING (doc_id))
+      |SELECT cluster_id, CAST(n_members AS BIGINT) AS n_members,
+      |  doc_id AS rep_doc, n_tokens AS rep_tokens,
+      |  CAST(n_members - 1 AS BIGINT) AS n_dropped
+      |FROM r WHERE rn = 1 AND n_members > 1
+      |ORDER BY cluster_id""".stripMargin
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val labels = dedupCluster.fn(s, d)
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"),
+              size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val w = Window.partitionBy("cluster_id")
+    labels.join(toks, Seq("doc_id"))
+      .withColumn("rn", row_number().over(
+        w.orderBy(desc("n_tokens"), asc("doc_id"))))
+      .withColumn("n_members", count(lit(1)).over(w))
+      .filter(col("rn") === 1 && col("n_members") > 1)
+      .select(col("cluster_id"), col("n_members"),
+        col("doc_id").as("rep_doc"), col("n_tokens").as("rep_tokens"),
+        (col("n_members") - 1).as("n_dropped"))
+      .orderBy("cluster_id")
+  }.copy(eager = true) // composes dedup_cluster's convergence loop
+
   val all: Seq[Q] = Seq(dedupExact, dedupNgram, dedupMinhash,
     dedupIncremental, dedupSimhash, dedupCosine, dedupCosineLsh,
     dedupCluster, dedupClusterStar, graphTriangles, dedupSourceSim,
-    dedupContainment, dedupSemantic)
+    dedupContainment, dedupSemantic, dedupClusterRep)
 }

@@ -22,7 +22,8 @@ class PlanAuditSpec extends SparkSpec {
       Set("dedup_cluster", "dedup_cluster_star", "vector_ann_ivf",
           "vector_index_stats", "bpe_train", "bpe_encode",
           "graph_triangles", "join_bloom", "vector_pq", "dedup_semantic",
-          "vector_ivf_pq", "vector_index_delta", "text_countmin"),
+          "vector_ivf_pq", "vector_index_delta", "text_countmin",
+          "dedup_cluster_rep"),
       "new Q entries that run jobs at plan-build time must set eager=true")
   }
 
