@@ -1054,6 +1054,40 @@ object Dedup {
       Vectors.cachedIvfCentroids
         .map(cs => semanticOracleSql(cs.map(_.toSeq).toSeq))))
 
+  /** THRESHOLD SWEEP — the tuning query behind every "τ = 0.8" in this
+    * file: from ONE candidate generation (the [[dedupNgram]] inverted
+    * index at its τ ≥ 0.5 floor), the pair count and distinct-document
+    * reach at every candidate cut, so an operator picks the knee of the
+    * curve instead of a folklore constant. One pass: pairs explode to
+    * their two members, then a single (τ × member) aggregate — pair
+    * count recovered exactly as rows/2, reach as the distinct count;
+    * the candidate join never re-runs per τ (a naive sweep runs the
+    * whole dedup once per threshold). τ below the banding/posting floor
+    * would need a different index — that boundary is the point of the
+    * documented 0.5 base. */
+  val dedupThresholdSweep: Q = Q(
+    "dedup_threshold_sweep",
+    s"""WITH $pairsCteSql,
+      |mem AS (SELECT jaccard, unnest([doc_a, doc_b]) AS doc FROM pairs),
+      |taus AS (SELECT unnest([0.5, 0.6, 0.7, 0.8, 0.9]) AS tau)
+      |SELECT tau, CAST(count(*) // 2 AS BIGINT) AS n_pairs,
+      |  CAST(count(DISTINCT doc) AS BIGINT) AS n_docs
+      |FROM taus JOIN mem ON jaccard >= tau
+      |GROUP BY tau ORDER BY tau""".stripMargin
+  ) { (s, d) =>
+    val taus = Seq(0.5, 0.6, 0.7, 0.8, 0.9)
+    dedupNgram.fn(s, d)
+      .select(col("jaccard"),
+        explode(array(col("doc_a"), col("doc_b"))).as("doc"))
+      .select(col("doc"), col("jaccard"),
+        explode(array(taus.map(lit): _*)).as("tau"))
+      .filter(col("jaccard") >= col("tau"))
+      .groupBy("tau")
+      .agg(expr("count(1) div 2").as("n_pairs"),
+           countDistinct(col("doc")).as("n_docs"))
+      .orderBy("tau")
+  }
+
   /** REPRESENTATIVE SELECTION — the step a dedup pipeline actually ends
     * with: per near-dup cluster ([[dedupCluster]]'s connected
     * components, reused verbatim), keep the BEST member and drop the
@@ -1116,5 +1150,5 @@ object Dedup {
   val all: Seq[Q] = Seq(dedupExact, dedupNgram, dedupMinhash,
     dedupIncremental, dedupSimhash, dedupCosine, dedupCosineLsh,
     dedupCluster, dedupClusterStar, graphTriangles, dedupSourceSim,
-    dedupContainment, dedupSemantic, dedupClusterRep)
+    dedupContainment, dedupSemantic, dedupClusterRep, dedupThresholdSweep)
 }
