@@ -619,10 +619,28 @@ object Dedup {
       |SELECT doc_id, min(lbl) AS cluster_id
       |FROM reach GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Converged (doc_id, cluster_id) labels per session + corpus: the
+    * propagation loop is deterministic for a corpus, and its result is
+    * localCheckpoint-backed, so [[dedupCluster]] and [[dedupClusterRep]]
+    * share ONE convergence run. Keyed by the owning SparkContext's
+    * applicationId as well as the corpus fingerprint (the [[Bpe]]
+    * trainCache discipline): checkpoint blocks die with the context, so
+    * a successor session must reconverge, not inherit a dead plan. */
+  private val labelsCache = new java.util.concurrent.ConcurrentHashMap[
+    String, DataFrame]()
+
+  private def clusterLabels(s: SparkSession, d: String): DataFrame =
+    labelsCache.computeIfAbsent(
+      s"${s.sparkContext.applicationId}#${Tables.fingerprint(s, d, "documents")}",
+      _ => runClusterLoop(s, d))
+
   val dedupCluster: Q = Q(
     "dedup_cluster",
     clusterOracleSql
-  ) { (s, d) =>
+  ) { (s, d) => clusterLabels(s, d).orderBy("doc_id") }
+    .copy(eager = true) // convergence loop runs jobs at plan-build time
+
+  private def runClusterLoop(s: SparkSession, d: String): DataFrame = {
     // symmetrize in ONE pass over the pair subtree (a union of two
     // selects would evaluate the whole ngram candidate join twice)
     val edges = dedupNgram.fn(s, d).select("doc_a", "doc_b")
@@ -679,8 +697,8 @@ object Dedup {
     // unlike an explicit cache entry) so the loop cache can be dropped
     val result = labels.localCheckpoint()
     cached.foreach(_.unpersist(blocking = false))
-    result.orderBy("doc_id")
-  }.copy(eager = true) // convergence loop runs jobs at plan-build time
+    result
+  }
 
   /** Hash-to-min connected components (Rastogi et al., "Finding
     * Connected Components in MapReduce and Beyond" — the sub-linear-round
@@ -1131,7 +1149,7 @@ object Dedup {
       |ORDER BY cluster_id""".stripMargin
   ) { (s, d) =>
     import org.apache.spark.sql.expressions.Window
-    val labels = dedupCluster.fn(s, d)
+    val labels = clusterLabels(s, d)
     val toks = Tables.documents(s, d)
       .select(col("doc_id"),
               size(split(col("text"), " ")).cast("long").as("n_tokens"))
