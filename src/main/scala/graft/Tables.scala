@@ -24,14 +24,25 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
-    * rejects. Read it as raw nanos (legacy conf) and truncate to micros —
-    * exactly what DuckDB does when it casts ns→µs — so oracle parity holds.
+  /** events.ts has shipped in two physical parquet forms across fixture
+    * generations: TIMESTAMP(NANOS) (rejected by Spark's vectorized reader —
+    * read as raw nanos via the legacy conf and truncate to micros, exactly
+    * DuckDB's ns→µs cast) and plain TIMESTAMP(MICROS, isAdjustedToUTC=false)
+    * (read as TIMESTAMP_NTZ — cast to session-local TIMESTAMP, a wall-clock
+    * no-op under the UTC session [[GraftSession]] enforces). Sniffing the
+    * decoded type keeps every downstream query and its DuckDB oracle (which
+    * sees a naive TIMESTAMP either way) byte-identical on both fixtures.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
-      .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    val raw = table(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", F.col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
