@@ -382,7 +382,53 @@ object Streaming {
       .orderBy("campaign")
   }
 
+  /** Slowly-changing-dimension type-2 build from the event stream: per
+    * user, change-capture on event_type (consecutive repeats collapse
+    * into one validity interval), then each surviving change becomes a
+    * history row [valid_from, valid_to) with `is_current` on the open
+    * interval and a per-user version counter — the dimension-table shape
+    * every warehouse load job derives from a mutation log.
+    *
+    * Plan: ONE user-keyed exchange; the change-capture lag, the
+    * valid_to lead and the version row_number all share the same
+    * (user_id | ts, event_id) sort, and the filter between them
+    * preserves that order, so Catalyst plans one Exchange + one Sort
+    * with three window operators stacked on it. The (ts, event_id)
+    * secondary key makes equal-timestamp mutations deterministic —
+    * the ADVICE.md tie-break discipline. At 100 TB this is the minimal
+    * shape: no self-join, no second shuffle, state bounded per user. */
+  val scd2: Q = Q(
+    "scd2_history",
+    """WITH e AS (SELECT user_id, event_id, ts, event_type,
+      |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      AS prev
+      |  FROM events),
+      |c AS (SELECT user_id, event_id, ts, event_type FROM e
+      |      WHERE prev IS NULL OR prev <> event_type)
+      |SELECT user_id, event_type AS attr, ts AS valid_from,
+      |  lead(ts) OVER w AS valid_to,
+      |  CAST(CASE WHEN lead(ts) OVER w IS NULL THEN 1 ELSE 0 END AS BIGINT)
+      |    AS is_current,
+      |  CAST(row_number() OVER w AS BIGINT) AS version
+      |FROM c WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |ORDER BY user_id, version""".stripMargin
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("prev", lag(col("event_type"), 1).over(w))
+      .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+      .select(col("user_id"), col("event_type").as("attr"),
+        col("ts").as("valid_from"),
+        lead(col("ts"), 1).over(w).as("valid_to"),
+        when(lead(col("ts"), 1).over(w).isNull, 1L).otherwise(0L)
+          .as("is_current"),
+        row_number().over(w).cast("long").as("version"))
+      .orderBy("user_id", "version")
+  }
+
   val all: Seq[Q] = Seq(streamTumbling, streamHopping, streamSession,
     resampleGapfill, funnel, retentionCohort, eventTransitions, ohlcBars,
-    sessionizeGaps, patternSeq, attributionLastclick)
+    sessionizeGaps, patternSeq, attributionLastclick, scd2)
 }

@@ -800,9 +800,180 @@ object TextAnalysis {
       .orderBy("actual", "predicted")
   }
 
+  /** BM25 ranked retrieval for a fixed 3-term query over the corpus —
+    * the scoring layer a training-data search/curation UI sits on, one
+    * level above [[textTfidf]]'s raw weights. Per (term, doc): the exact
+    * Robertson tf saturation tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)) with
+    * k1=1.2, b=0.75, times the idf LIFT (N−df+0.5)/(df+0.5)+1 — the
+    * argument of BM25's ln, emitted unlogged because ln is the one
+    * transcendental that breaks cross-engine bit parity
+    * (docs/ORACLE_PARITY.md) and it is strictly monotone, so per-term
+    * ranking is exactly BM25's.
+    *
+    * Plan: tokens are filtered to the query terms BEFORE the (doc,term)
+    * aggregate, so every shuffle carries query-term hits only. Doc
+    * length comes from a narrow scan (`size(split(...))` — no explode,
+    * no shuffle); df and the corpus constants are tiny frames joined by
+    * broadcast. The corpus is tokenized more than once (tf and df
+    * branches specialize under column pruning) — at serving scale the
+    * df/avgdl/N side would come from the standing
+    * [[textInvertedIndex]] artifact instead of a rescan, which this
+    * query deliberately inlines to stay a one-shot oracle-checkable
+    * plan. */
+  val textBm25: Q = Q(
+    "text_bm25",
+    """WITH dl AS (SELECT doc_id, len(string_split(text,' ')) AS dl FROM documents),
+      |c AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+      |             CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+      |tf AS (SELECT doc_id, token, count(*) AS tf
+      |       FROM (SELECT doc_id, unnest(string_split(text,' ')) AS token
+      |             FROM documents)
+      |       WHERE token IN ('spark','merge','window') GROUP BY 1, 2),
+      |df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+      |s AS (SELECT tf.doc_id, tf.token, tf.tf, df.df, dl.dl,
+      |        (n_docs - df.df + CAST(0.5 AS DOUBLE))
+      |          / (df.df + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE) AS idf_lift,
+      |        tf.tf * CAST(2.2 AS DOUBLE)
+      |          / (tf.tf + CAST(1.2 AS DOUBLE) * (CAST(1.0 AS DOUBLE)
+      |             - CAST(0.75 AS DOUBLE)
+      |             + CAST(0.75 AS DOUBLE) * dl.dl / avgdl)) AS tf_norm
+      |      FROM tf JOIN df ON tf.token = df.token
+      |      JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN c)
+      |SELECT doc_id, token, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+      |  CAST(dl AS BIGINT) AS dl, idf_lift, tf_norm,
+      |  idf_lift * tf_norm AS score
+      |FROM s ORDER BY score DESC, token, doc_id LIMIT 20""".stripMargin
+  ) { (s, d) =>
+    val terms = Seq("spark", "merge", "window")
+    val docs = Tables.documents(s, d)
+    val dl = docs.select(col("doc_id"), size(split(col("text"), " ")).as("dl"))
+    val c = dl.agg(count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .filter(col("token").isin(terms: _*))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val idfLift = (col("n_docs") - col("df") + lit(0.5)) /
+      (col("df") + lit(0.5)) + lit(1.0)
+    val tfNorm = col("tf") * lit(2.2) /
+      (col("tf") + lit(1.2) *
+        (lit(1.0) - lit(0.75) + lit(0.75) * col("dl") / col("avgdl")))
+    tf.join(broadcast(df), Seq("token"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(c))
+      .select(col("doc_id"), col("token"), col("tf"), col("df"), col("dl"),
+        idfLift.as("idf_lift"), tfNorm.as("tf_norm"))
+      .withColumn("score", col("idf_lift") * col("tf_norm"))
+      .orderBy(desc("score"), asc("token"), asc("doc_id"))
+      .limit(20)
+  }
+
+  /** C4-style boilerplate removal at segment granularity: the corpus has
+    * no line structure, so a "line" is a fixed 10-token non-overlapping
+    * segment; any segment whose exact text appears in ≥ 2 DISTINCT
+    * documents is boilerplate and is cut, and the survivors are stitched
+    * back in order. Complements [[spanDedup]] (which only counts
+    * overlapping-shingle duplication) by actually producing the cleaned
+    * text.
+    *
+    * Plan: segmentation is a per-row array program (split → slice per
+    * 10-token stride → posexplode) — no shuffle until the segment-keyed
+    * exchange that computes distinct-doc df; the removal + stitch is one
+    * doc-keyed aggregate whose collect_list is bounded by segments per
+    * document (~n_tokens/10), never corpus-sized. At 100 TB both
+    * exchanges carry (hashable-width key, tiny payload) rows. */
+  val textBoilerplate: Q = Q(
+    "text_boilerplate",
+    """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+      |seg AS (SELECT doc_id, CAST(i AS INT) AS seg_pos,
+      |          array_to_string(toks[i*10+1 : i*10+10], ' ') AS seg
+      |        FROM (SELECT doc_id, toks, unnest(range((len(toks)+9)//10)) AS i
+      |              FROM t)),
+      |d2 AS (SELECT seg, count(DISTINCT doc_id) AS df FROM seg GROUP BY 1),
+      |j AS (SELECT s.doc_id, s.seg_pos, s.seg, d2.df
+      |      FROM seg s JOIN d2 USING (seg))
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segs,
+      |  CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+      |  coalesce(array_to_string(list(seg ORDER BY seg_pos)
+      |             FILTER (WHERE df < 2), ' '), '') AS clean_text
+      |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
+  ) { (s, d) =>
+    val toks = split(col("text"), " ")
+    val segs = transform(
+      sequence(lit(0),
+        floor((size(toks) + lit(9)) / lit(10)).cast("int") - lit(1)),
+      i => array_join(slice(toks, i * 10 + 1, lit(10)), " "))
+    val seg = Tables.documents(s, d)
+      .select(col("doc_id"), posexplode(segs).as(Seq("seg_pos", "seg")))
+    val df = seg.select("seg", "doc_id").distinct()
+      .groupBy("seg").agg(count(lit(1)).as("df"))
+    seg.join(df, Seq("seg"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_segs"),
+        sum(when(col("df") >= 2, 1).otherwise(0)).as("n_boiler"),
+        array_join(transform(
+          array_sort(collect_list(when(col("df") < 2,
+            struct(col("seg_pos"), col("seg"))))),
+          x => x.getField("seg")), " ").as("clean_text"))
+      .orderBy("doc_id")
+  }
+
+  /** Inverted-index build: token → document frequency, collection
+    * frequency, and the head of the sorted posting list — the core
+    * artifact behind [[textBm25]]-style retrieval and
+    * [[textContamination]]-style membership checks, materialized as a
+    * queryable table (top 30 tokens by df here; the full index is the
+    * same plan minus the limit).
+    *
+    * Plan: a (token, doc_id) pre-aggregate feeds both the stats rollup
+    * and the posting heads. The two consumers look like one shared
+    * subtree logically, but column pruning specializes each branch
+    * (stats keeps the count, heads drop it), so physically the
+    * map-side explode runs twice — deliberate: the one-pass
+    * alternative (df/cf as token-partitioned window aggregates) buffers
+    * an ENTIRE posting list in one window task, which for a stopword at
+    * corpus scale is the single-task funnel this repo bans. The head is
+    * capped to 8 doc_ids by a rank filter that compiles to a map-side
+    * partial [[org.apache.spark.sql.execution.window.WindowGroupLimitExec]]
+    * — at most 8 rows per token leave each mapper, and collect_list
+    * only ever sees ≤ 8 — the bounded-state trick that keeps the build
+    * safe when one token appears in every document of a 100 TB corpus. */
+  val textInvertedIndex: Q = Q(
+    "text_inverted_index",
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS token
+      |             FROM documents),
+      |td AS (SELECT token, doc_id, count(*) AS c FROM tok GROUP BY 1, 2),
+      |st AS (SELECT token, CAST(count(*) AS BIGINT) AS df,
+      |              CAST(sum(c) AS BIGINT) AS cf FROM td GROUP BY 1),
+      |hd AS (SELECT token,
+      |         array_to_string((list_sort(list(doc_id)))[1:8], ',') AS postings_head
+      |       FROM td GROUP BY 1)
+      |SELECT st.token, st.df, st.cf, hd.postings_head
+      |FROM st JOIN hd USING (token)
+      |ORDER BY df DESC, token LIMIT 30""".stripMargin
+  ) { (s, d) =>
+    val td = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .groupBy("token", "doc_id").agg(count(lit(1)).as("c"))
+    val st = td.groupBy("token")
+      .agg(count(lit(1)).as("df"), sum(col("c")).as("cf"))
+    val hd = td
+      .withColumn("rn", row_number().over(org.apache.spark.sql.expressions
+        .Window.partitionBy("token").orderBy("doc_id")))
+      .filter(col("rn") <= 8)
+      .groupBy("token")
+      .agg(array_join(
+        sort_array(collect_list(col("doc_id"))).cast("array<string>"), ",")
+        .as("postings_head"))
+    st.join(hd, Seq("token"))
+      .orderBy(desc("df"), asc("token"))
+      .limit(30)
+  }
+
   val all: Seq[Q] = Seq(textTokens, textQuality, langId, textFingerprint,
     textTfidf, textNormalize, textRepetition, piiRedact, ngramFreq,
     textContamination, textTokenBpe, textPerplexity, spanDedup,
     textHeavyHitters, textQualityClassifier, textCountmin, textCollocations,
-    textLangidEval)
+    textLangidEval, textBm25, textBoilerplate, textInvertedIndex)
 }

@@ -75,6 +75,12 @@ case class RetState(cohortDay: Int, seen: Seq[Int])
 
 /** One shingle-hash observation from a source feed (running-signature
   * input). */
+case class Scd2Closed(user_id: Long, attr: String,
+                      valid_from: java.sql.Timestamp,
+                      valid_to: java.sql.Timestamp, version: Long)
+/** Internal per-user open validity interval for [[Streams.scd2Closed]]. */
+case class Scd2Open(attr: String, fromMs: Long, version: Long)
+
 case class PatEvent(user_id: Long, event_id: Long, ts: java.sql.Timestamp,
                     event_type: String)
 case class PatMatch(user_id: Long, event_id: Long,
@@ -290,6 +296,46 @@ object Streams {
             last = Some(LastEvent(e.ts.getTime, e.event_type))
           }
           last.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
+  /** Streaming SCD2 maintenance — the CDC form of the batch
+    * `scd2_history` build: per-user state is the OPEN validity interval
+    * (attr, valid_from, version); a consecutive repeat of the same attr
+    * is absorbed, a change CLOSES the open interval (emitting the
+    * finished history row) and opens the next. Append mode can emit
+    * only immutable facts, so the stream emits exactly the CLOSED rows —
+    * the batch query's `is_current = 0` set — while the open row lives
+    * in state (queryable via the state store, or emitted on a timeout
+    * policy a warehouse load would choose). Same (ts, event_id) total
+    * order and in-order-per-key assumption as [[transitions]].
+    * StreamingSpec asserts the micro-batched run equals the batch plan's
+    * closed set, including intervals that SPAN micro-batch boundaries
+    * and equal-timestamp mutations. */
+  def scd2Closed(ds: Dataset[TransEvent]): Dataset[Scd2Closed] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+                              GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[TransEvent],
+         state: GroupState[Scd2Open]) =>
+          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          val out = Seq.newBuilder[Scd2Closed]
+          var open = state.getOption
+          sorted.foreach { e =>
+            open match {
+              case Some(o) if o.attr == e.event_type => // repeat: absorb
+              case Some(o) =>
+                out += Scd2Closed(uid, o.attr,
+                  new java.sql.Timestamp(o.fromMs), e.ts, o.version)
+                open = Some(Scd2Open(e.event_type, e.ts.getTime,
+                  o.version + 1))
+              case None =>
+                open = Some(Scd2Open(e.event_type, e.ts.getTime, 1L))
+            }
+          }
+          open.foreach(state.update)
           out.result().iterator
       }
   }

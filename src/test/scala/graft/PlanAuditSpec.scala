@@ -511,6 +511,51 @@ class PlanAuditSpec extends SparkSpec {
       "top-30 must not be a global sort")
   }
 
+  test("scd2_history: change-capture and validity windows ride ONE user exchange") {
+    val p = plan(graft.operators.Streaming.scd2)
+    assert("Window".r.findAllIn(p).size >= 2,
+      s"lag change-capture + lead/row_number windows expected:\n${p.take(600)}")
+    // one user-keyed hash exchange; the filter preserves the sort so the
+    // second window stack adds NO exchange; + the presentation range sort
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"all three window functions must share the user partitioning:\n${p.take(800)}")
+    assert("FileScan".r.findAllIn(p).size == 1, "events scanned once")
+  }
+
+  test("text_bm25: the term filter sits below the aggregate; dims broadcast") {
+    val p = plan(graft.operators.TextAnalysis.textBm25)
+    // hits-only shuffles: the IN filter must appear under the partial agg
+    assert(p.contains("IN (spark,merge,window)"),
+      s"query-term filter missing from the plan:\n${p.take(600)}")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      "df and dl attachments must broadcast, never shuffle the hits")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("TakeOrderedAndProject"), "top-20 must not global-sort")
+  }
+
+  test("text_inverted_index: posting heads are capped map-side (WindowGroupLimit)") {
+    val p = plan(graft.operators.TextAnalysis.textInvertedIndex)
+    // the rank<=8 filter must compile to a partial WindowGroupLimit so at
+    // most 8 rows per token leave each mapper — collect_list never sees a
+    // full posting list (the stopword-at-100TB guard)
+    assert(p.contains("WindowGroupLimit"),
+      s"rank cap must push to the map side:\n${p.take(800)}")
+    assert(p.contains("partial_collect_list"),
+      "posting heads must combine partially before the final aggregate")
+    assert(p.contains("TakeOrderedAndProject"), "top-30 must not global-sort")
+  }
+
+  test("text_boilerplate: segment df joins back without reshuffling segments") {
+    val p = plan(graft.operators.TextAnalysis.textBoilerplate)
+    assert("Generate posexplode".r.findAllIn(p).size >= 1,
+      s"segmentation must be a generator, not a join:\n${p.take(600)}")
+    // the stitch is a partial+final ObjectHashAggregate whose lists are
+    // bounded by segments-per-document
+    assert(p.contains("partial_collect_list"),
+      "per-doc stitch lists must combine partially")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("text_collocations: exactly two corpus passes, one broadcast join") {
     val p = plan(graft.operators.TextAnalysis.textCollocations)
     assert("FileScan".r.findAllIn(p).size == 2,

@@ -323,6 +323,52 @@ class StreamingSpec extends SparkSpec {
       ts(8).getTime - ts(2).getTime)))
   }
 
+  test("streaming SCD2 closed rows equal the batch history, across batches") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.{Streams, TransEvent, Scd2Closed}
+    // u1's attr change chain SPANS the micro-batch boundary (interval
+    // opened in batch 1 closes in batch 2); u2 has an equal-ts mutation
+    // pair — event_id must order it like the batch window; u1's repeat
+    // at ts(1) must be absorbed, not open a new version
+    val b1 = Seq(TransEvent(1, ts(0), "bronze", 10),
+                 TransEvent(1, ts(1), "bronze", 11),
+                 TransEvent(2, ts(2), "basic", 12))
+    val b2 = Seq(TransEvent(1, ts(5), "silver", 13),
+                 TransEvent(1, ts(6), "gold", 14),
+                 TransEvent(2, ts(8), "plus", 15),
+                 TransEvent(2, ts(8), "pro", 16))
+    val mem = MemoryStream[TransEvent]
+    val name = s"scd2_${System.nanoTime()}"
+    val q = Streams.scd2Closed(mem.toDS()).writeStream
+      .format("memory").queryName(name).outputMode("append").start()
+    val got = try {
+      mem.addData(b1); q.processAllAvailable()
+      mem.addData(b2); q.processAllAvailable()
+      spark.table(name).as[Scd2Closed].collect().toSet
+    } finally q.stop()
+    // batch oracle: the scd2_history plan on the same rows, closed set
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+    val want = (b1 ++ b2).toDF("user_id", "ts", "event_type", "event_id")
+      .withColumn("prev", lag(col("event_type"), 1).over(w))
+      .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+      .select(col("user_id"), col("event_type").as("attr"),
+        col("ts").as("valid_from"),
+        lead(col("ts"), 1).over(w).as("valid_to"),
+        row_number().over(w).cast("long").as("version"))
+      .filter(col("valid_to").isNotNull)
+      .as[Scd2Closed].collect().toSet
+    assert(got === want)
+    // the boundary-spanning close happened with the absorbed repeat:
+    // u1 bronze [ts0, ts5) version 1, closed only when silver arrived
+    assert(got.contains(Scd2Closed(1, "bronze", ts(0), ts(5), 1)))
+    // equal-ts mutations ordered by event_id: basic closes at ts8 by plus
+    assert(got.contains(Scd2Closed(2, "basic", ts(2), ts(8), 1)))
+    assert(got.contains(Scd2Closed(2, "plus", ts(8), ts(8), 2)))
+  }
+
   test("streaming drift: composed KS equals the batch census, across batches") {
     val spark2 = spark
     import spark2.implicits._
