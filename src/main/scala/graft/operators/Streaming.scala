@@ -382,6 +382,74 @@ object Streaming {
       .orderBy("campaign")
   }
 
+  /** LINEAR (multi-touch) attribution — [[attributionLastclick]]'s
+    * equal-split sibling: each purchase's revenue divides equally over
+    * ALL of that user's preceding clicks. The naive form materializes
+    * every (purchase × preceding click) pair — a user-bounded but
+    * quadratic blowup. This plan never builds pairs: a purchase's
+    * per-click share rides a suffix-sum window back onto the clicks
+    * (credit(click) = Σ shares of later purchases), so the whole
+    * computation is ONE user-keyed sort carrying three window
+    * functions.
+    *
+    * Exactness: revenue quantizes to micro-cents and the equal split is
+    * INTEGER floor division (positive operands, so Spark's truncating
+    * `div` and DuckDB's flooring `//` agree), making every suffix sum
+    * an exact BIGINT — a double suffix sum would be frame-order-
+    * dependent (the [[graft.operators.TimeSeries]] DECIMAL-through-
+    * windows rule). The floor remainder (< n_clicks µ¢ per purchase)
+    * is the documented cost of exactness. */
+  val attributionLinear: Q = Q(
+    "attribution_linear",
+    """WITH e AS (SELECT user_id, event_id, ts, event_type,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+      |    CAST(json_extract_string(props, '$.k') AS BIGINT) % 4 AS campaign
+      |  FROM events WHERE event_type IN ('click', 'purchase')),
+      |w1 AS (SELECT *, count(CASE WHEN event_type = 'click' THEN 1 END)
+      |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS n_clicks
+      |  FROM e),
+      |w2 AS (SELECT *, CASE WHEN event_type = 'purchase' AND cents > 0
+      |                       AND n_clicks > 0
+      |                 THEN (cents * 1000000) // n_clicks END AS share
+      |  FROM w1),
+      |w3 AS (SELECT *, sum(share)
+      |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |          ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS credit
+      |  FROM w2)
+      |SELECT campaign, CAST(count(*) AS BIGINT) AS n_clicks_credited,
+      |  CAST(sum(credit) AS BIGINT) AS credit_microcents,
+      |  CAST(sum(credit) AS DOUBLE) / 100000000 AS credit_usd
+      |FROM w3 WHERE event_type = 'click' AND credit IS NOT NULL
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val sort = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val before = sort.rowsBetween(Window.unboundedPreceding, -1)
+    val after = sort.rowsBetween(1, Window.unboundedFollowing)
+    Tables.events(s, d)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), col("event_id"), col("ts"),
+        col("event_type"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"),
+        (get_json_object(col("props"), "$.k").cast("long") % 4)
+          .as("campaign"))
+      .withColumn("n_clicks",
+        count(when(col("event_type") === "click", 1)).over(before))
+      .withColumn("share",
+        when(col("event_type") === "purchase" && col("cents") > 0 &&
+             col("n_clicks") > 0,
+          expr("(cents * 1000000) div n_clicks")))
+      .withColumn("credit", sum(col("share")).over(after))
+      .filter(col("event_type") === "click" && col("credit").isNotNull)
+      .groupBy("campaign")
+      .agg(count(lit(1)).as("n_clicks_credited"),
+        sum(col("credit")).as("credit_microcents"),
+        (sum(col("credit")).cast("double") / lit(100000000))
+          .as("credit_usd"))
+      .orderBy("campaign")
+  }
+
   /** Slowly-changing-dimension type-2 build from the event stream: per
     * user, change-capture on event_type (consecutive repeats collapse
     * into one validity interval), then each surviving change becomes a
@@ -430,5 +498,6 @@ object Streaming {
 
   val all: Seq[Q] = Seq(streamTumbling, streamHopping, streamSession,
     resampleGapfill, funnel, retentionCohort, eventTransitions, ohlcBars,
-    sessionizeGaps, patternSeq, attributionLastclick, scd2)
+    sessionizeGaps, patternSeq, attributionLastclick, attributionLinear,
+    scd2)
 }

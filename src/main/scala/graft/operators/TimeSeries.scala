@@ -340,6 +340,60 @@ object TimeSeries {
       .orderBy("event_type")
   }
 
+  /** SEASONAL-PROFILE ANOMALY CENSUS: which hours deviate from what is
+    * normal FOR THAT HOUR OF DAY? The robust profile (median + MAD over
+    * each (event_type, hour-of-day) cell's daily counts) is the
+    * monitoring rule [[tsDecompose]]'s mean-based profile graduates to
+    * when outliers must not poison the baseline; the flag is the
+    * classic |x − med| > 3·MAD with a floor of 1.5 so a zero-MAD cell
+    * (constant history) doesn't flag ±1 noise.
+    *
+    * Determinism: counts are BIGINTs; the 0.5-quantile interpolates at
+    * most (a+b)/2 of two integers — a division by a power of two, so
+    * `med` and `mad` are EXACT doubles and the 3·MAD compare has no
+    * rounding ambiguity ([[aggQuantile]] proved the interpolation
+    * formulas align across engines).
+    *
+    * Plan: one aggregate reduces events to the hourly series; both
+    * quantiles ride ONE (type, hour-of-day) window exchange over that
+    * reduced frame (partitions are bounded by days-of-history, never
+    * events) — the join-back formulation would scan the series twice.
+    * No funnel: the window partitions by the profile cell. */
+  val tsAnomaly: Q = Q(
+    "ts_anomaly",
+    """WITH c AS (SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS bkt,
+      |             count(*) AS x
+      |           FROM events GROUP BY 1, 2),
+      |w1 AS (SELECT event_type, bkt, x,
+      |    CAST(quantile_cont(x, 0.5)
+      |         OVER (PARTITION BY event_type, hour(bkt)) AS DOUBLE) AS med
+      |  FROM c),
+      |w2 AS (SELECT *,
+      |    CAST(quantile_cont(abs(x - med), 0.5)
+      |         OVER (PARTITION BY event_type, hour(bkt)) AS DOUBLE) AS mad
+      |  FROM w1)
+      |SELECT event_type, bkt, CAST(x AS BIGINT) AS x, med, mad
+      |FROM w2
+      |WHERE abs(x - med) > greatest(3 * mad, CAST(1.5 AS DOUBLE))
+      |ORDER BY event_type, bkt""".stripMargin
+  ) { (s, d) =>
+    // hod is materialized ONCE so both quantile windows partition on the
+    // same attribute — a per-window hour(bkt) alias re-exchanges
+    val wp = Window.partitionBy("event_type", "hod")
+    Tables.events(s, d)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("bkt"))
+      .agg(count(lit(1)).as("x"))
+      .withColumn("hod", hour(col("bkt")))
+      .withColumn("med", expr("percentile(x, 0.5)").over(wp))
+      .withColumn("mad",
+        expr("percentile(abs(x - med), 0.5)").over(wp))
+      .filter(abs(col("x") - col("med")) >
+        greatest(lit(3) * col("mad"), lit(1.5)))
+      .select(col("event_type"), col("bkt"), col("x"), col("med"),
+        col("mad"))
+      .orderBy("event_type", "bkt")
+  }
+
   val all: Seq[Q] = Seq(tsAutocorr, tsChangepoint, tsEwma, tsDecompose,
-    tsHolt, tsMkTrend)
+    tsHolt, tsMkTrend, tsAnomaly)
 }

@@ -556,6 +556,28 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("attribution_linear: no purchase x click pairs — three windows, one sort") {
+    val p = plan(graft.operators.Streaming.attributionLinear)
+    assert("Join".r.findAllIn(p).isEmpty,
+      s"credits must ride the suffix-sum window, never a pair join:\n${p.take(800)}")
+    // user-keyed exchange + campaign agg exchange + presentation sort
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2,
+      s"the three window functions must share one user sort:\n${p.take(800)}")
+    assert(p.contains("In(event_type"),
+      "the click/purchase filter must push into the parquet scan")
+  }
+
+  test("ts_anomaly: both quantiles share one profile-cell window exchange") {
+    val p = plan(graft.operators.TimeSeries.tsAnomaly)
+    assert("FileScan".r.findAllIn(p).size == 1,
+      s"events must reduce to the series frame once:\n${p.take(800)}")
+    assert("Window".r.findAllIn(p).size == 2, "med + mad window stack expected")
+    // series agg + ONE (type, hod) window exchange + presentation sort —
+    // a per-window hour(bkt) alias would re-exchange between the windows
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2,
+      s"med and mad must partition on the same materialized hod:\n${p.take(800)}")
+  }
+
   test("text_collocations: exactly two corpus passes, one broadcast join") {
     val p = plan(graft.operators.TextAnalysis.textCollocations)
     assert("FileScan".r.findAllIn(p).size == 2,
