@@ -13,11 +13,15 @@ import org.apache.spark.sql.functions._
   * IMAGE decode is REAL: PNG/BMP/GIF containers decode through the
   * in-JDK `javax.imageio` (no external codec libs needed — headless
   * safe), detected by magic bytes, with pixel access via [[imageRgb]].
-  * Audio/video codecs are NOT in this container, so those fall back to
-  * `decodeStub`, a clearly-marked deterministic fake that parses our own
-  * 8-byte header; everything around it — schema, encoders, batch shape,
-  * partition distribution — is real and tested (MediaSpec). Swapping the
-  * stub for a JNI/ffmpeg call changes one function.
+  * AUDIO decode is REAL for WAV/PCM16: [[decodeWav]] is a RIFF chunk
+  * walker, with the JDK `javax.sound.sampled` writer as the independent
+  * encoder ([[encodeWavPcm16]]) so round trips cross implementations.
+  * Compressed audio/video codecs (mp3/aac/mp4) are NOT in this
+  * container, so those fall back to `decodeStub`, a clearly-marked
+  * deterministic fake that parses our own 8-byte header; everything
+  * around it — schema, encoders, batch shape, partition distribution —
+  * is real and tested (MediaSpec). Swapping the stub for a JNI/ffmpeg
+  * call changes one function.
   *
   * Scale posture: media blobs are large; all transforms here are
   * narrow (no shuffle), so media never moves between executors — only
@@ -95,6 +99,83 @@ object Media {
       out
     }
 
+  /** Magic-byte sniff for RIFF/WAVE containers [[decodeWav]] handles. */
+  def isWavContainer(content: Array[Byte]): Boolean =
+    content.length >= 12 &&
+      content(0) == 'R' && content(1) == 'I' && content(2) == 'F' &&
+      content(3) == 'F' && content(8) == 'W' && content(9) == 'A' &&
+      content(10) == 'V' && content(11) == 'E'
+
+  /** Decoded PCM16 audio: rate/channel metadata plus the raw samples. */
+  case class WavPcm(sampleRate: Int, channels: Int,
+                    samples: Array[Short])
+
+  /** REAL audio decode — a RIFF chunk walker for WAV/PCM16, the one
+    * audio container that needs no codec library (the JDK's
+    * `javax.sound.sampled` is the independent ENCODER in tests and the
+    * `multimodal_wav` query, so the round trip crosses two
+    * implementations). Walks fmt/data chunks with word alignment,
+    * little-endian throughout per RIFF. None for non-WAV blobs,
+    * non-PCM encodings, or non-16-bit depth — compressed audio (mp3,
+    * aac) still falls to [[decodeStub]], which remains the documented
+    * fake for codec-library formats. */
+  def decodeWav(content: Array[Byte]): Option[WavPcm] = {
+    if (!isWavContainer(content)) return None
+    def u16(i: Int): Int = (content(i) & 0xFF) | ((content(i + 1) & 0xFF) << 8)
+    def u32(i: Int): Long =
+      (content(i) & 0xFFL) | ((content(i + 1) & 0xFFL) << 8) |
+      ((content(i + 2) & 0xFFL) << 16) | ((content(i + 3) & 0xFFL) << 24)
+    var pos = 12
+    var rate = 0; var channels = 0; var bits = 0; var pcm = false
+    var data: Option[(Int, Int)] = None
+    while (pos + 8 <= content.length) {
+      val id = new String(content, pos, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      val sz = u32(pos + 4).toInt
+      if (id == "fmt " && sz >= 16) {
+        pcm = u16(pos + 8) == 1
+        channels = u16(pos + 10)
+        rate = u32(pos + 12).toInt
+        bits = u16(pos + 22)
+      } else if (id == "data") {
+        data = Some((pos + 8, math.min(sz, content.length - pos - 8)))
+      }
+      pos += 8 + sz + (sz & 1) // RIFF chunks are word-aligned
+    }
+    data.collect { case (off, sz) if pcm && bits == 16 && channels >= 1 =>
+      val n = sz / 2
+      val samples = new Array[Short](n)
+      var i = 0
+      while (i < n) {
+        samples(i) = ((content(off + 2 * i) & 0xFF) |
+                      (content(off + 2 * i + 1) << 8)).toShort
+        i += 1
+      }
+      WavPcm(rate, channels, samples)
+    }
+  }
+
+  /** REAL audio encode via the in-JDK `javax.sound.sampled` WAV writer
+    * (headless-safe, pure IO) — deliberately NOT the inverse of
+    * [[decodeWav]]'s hand-written parser, so encode→decode equality is
+    * a cross-implementation proof, not a self-inverse tautology. */
+  def encodeWavPcm16(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    import javax.sound.sampled._
+    val pcm = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      pcm(2 * i) = (samples(i) & 0xFF).toByte
+      pcm(2 * i + 1) = ((samples(i) >> 8) & 0xFF).toByte
+      i += 1
+    }
+    val fmt = new AudioFormat(sampleRate.toFloat, 16, 1,
+      /*signed=*/ true, /*bigEndian=*/ false)
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
   private val BatchSize = 64
 
   /** Decode pass: batched per-partition metadata extraction. The
@@ -109,6 +190,9 @@ object Media {
         batch.map(r =>
           DecodedRow(r.media_id, r.kind, r.content,
                      decodeImage(r.content)
+                       .orElse(decodeWav(r.content).map(w =>
+                         MediaMeta("audio", 0, 0, w.sampleRate,
+                           w.samples.length)))
                        .getOrElse(decodeStub(r.kind, r.content))))
       }
     }

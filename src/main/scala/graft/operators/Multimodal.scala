@@ -163,5 +163,70 @@ object Multimodal {
       .orderBy("doc_id", "band")
   }
 
-  val all: Seq[Q] = Seq(multimodalMeta, multimodalFeatures, multimodalDhash)
+  /** Audio ingestion through the REAL WAV codec path, value-checked END
+    * TO END — [[multimodalDhash]]'s discipline applied to the audio
+    * leg: each document's bytes become PCM16 samples ((b−128)·256), the
+    * JDK `javax.sound.sampled` writer builds a real RIFF/WAVE container
+    * at a byte-dependent sample rate, and the distributed pass decodes
+    * it back through [[graft.multimodal.Media.decodeWav]]'s independent
+    * chunk walker, emitting integer sample statistics (duration,
+    * Σ|s|, peak, position-weighted Σ i·s — the last catches any
+    * reorder/off-by-one). The DuckDB oracle computes the same stats
+    * straight from the hex pairs, so a hash match is a per-row
+    * LOSSLESSNESS proof of encode→decode across two implementations.
+    * Plan: narrow batched mapPartitions, blobs never shuffle, bounded
+    * to 300 docs — audio work is per-row and embarrassingly parallel. */
+  val multimodalWav: Q = Q(
+    "multimodal_wav",
+    """WITH d AS (SELECT doc_id, hex(encode(text)) AS hx,
+      |    octet_length(encode(text)) AS nb
+      |  FROM documents WHERE doc_id < 300 AND octet_length(encode(text)) > 0),
+      |s AS (SELECT doc_id, nb, unnest(range(nb)) AS i, hx FROM d),
+      |v AS (SELECT doc_id, nb, i,
+      |    (CAST('0x' || substr(hx, CAST(2*i+1 AS INT), 2) AS INT) - 128) * 256
+      |      AS smp
+      |  FROM s)
+      |SELECT doc_id,
+      |  CAST(8000 + (nb % 5) * 2000 AS INT) AS sample_rate,
+      |  CAST(nb AS BIGINT) AS n_samples,
+      |  CAST(nb * 1000000 // (8000 + (nb % 5) * 2000) AS BIGINT) AS duration_us,
+      |  CAST(sum(abs(smp)) AS BIGINT) AS sum_abs,
+      |  CAST(max(abs(smp)) AS INT) AS peak,
+      |  CAST(sum((i + 1) * smp) AS BIGINT) AS psum
+      |FROM v GROUP BY doc_id, nb ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    import graft.multimodal.Media
+    Tables.documents(s, d)
+      .filter(col("doc_id") < 300 && length(col("text")) > 0)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, text) =>
+          val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val rate = 8000 + (bytes.length % 5) * 2000
+          val samples = bytes.map(b => (((b & 0xFF) - 128) * 256).toShort)
+          // REAL path: JDK writer encodes, the RIFF walker decodes
+          val wav = Media.encodeWavPcm16(rate, samples)
+          val pcm = Media.decodeWav(wav).get
+          var sumAbs = 0L; var peak = 0; var psum = 0L; var i = 0
+          while (i < pcm.samples.length) {
+            val v = pcm.samples(i).toInt
+            sumAbs += math.abs(v)
+            peak = math.max(peak, math.abs(v))
+            psum += (i + 1).toLong * v
+            i += 1
+          }
+          (id, pcm.sampleRate, pcm.samples.length.toLong,
+           pcm.samples.length.toLong * 1000000L / pcm.sampleRate,
+           sumAbs, peak, psum)
+        }
+      }
+      .toDF("doc_id", "sample_rate", "n_samples", "duration_us",
+        "sum_abs", "peak", "psum")
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(multimodalMeta, multimodalFeatures, multimodalDhash,
+    multimodalWav)
 }

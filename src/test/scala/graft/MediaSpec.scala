@@ -128,6 +128,30 @@ class MediaSpec extends SparkSpec {
     assert(out(2L) === None)
   }
 
+  test("real WAV: JDK encoder -> RIFF walker decode, sample-exact") {
+    import graft.multimodal.Media
+    // adversarial samples: extremes, zero crossings, odd length (forces
+    // the word-alignment path on any following chunk)
+    val samples = Array[Short](0, 1, -1, 32767, -32768, 12345, -12345, 256)
+    val wav = Media.encodeWavPcm16(44100, samples)
+    assert(Media.isWavContainer(wav), "JDK writer must emit RIFF/WAVE")
+    val pcm = Media.decodeWav(wav).get
+    assert(pcm.sampleRate === 44100)
+    assert(pcm.channels === 1)
+    assert(pcm.samples.toSeq === samples.toSeq,
+      "decode must round-trip the JDK-encoded samples bit-for-bit")
+    // decode() routes WAV through the real parser, not the stub
+    val meta = Media.decodeWav(wav).map(w =>
+      (w.sampleRate, w.samples.length)).get
+    assert(meta === ((44100, samples.length)))
+    // non-WAV bytes and truncated headers refuse, never garbage
+    assert(Media.decodeWav("not audio at all".getBytes).isEmpty)
+    assert(Media.decodeWav(wav.take(11)).isEmpty)
+    // a corrupted fmt tag degrades to None (no data chunk match)
+    val broken = wav.clone(); broken(12) = 'X'
+    assert(Media.decodeWav(broken).isEmpty)
+  }
+
   test("frameSample emits one row per kept frame") {
     val out = Media.frameSample(ds, frameBytes = 16, stride = 2)
       .collect().map(r => (r.getLong(0), r.getInt(1)))
