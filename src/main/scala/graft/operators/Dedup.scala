@@ -1165,8 +1165,81 @@ object Dedup {
       .orderBy("cluster_id")
   }.copy(eager = true) // composes dedup_cluster's convergence loop
 
+  /** INDEX-QUALITY EVALUATION for the banding index — the
+    * `vector_recall_eval` discipline applied to dedup: banding recall
+    * (how many true τ=0.8 pairs the 8×4 LSH candidates contain) and
+    * candidate precision (what fraction of candidates survive the
+    * exact verify), measured as a first-class query. Promotes the
+    * precision/recall assertion DedupSpec makes in CI to a
+    * driver-visible, fully value-oracled census — the number that
+    * decides whether to re-band after a corpus shift. Ground truth is
+    * the EXACT pair set from the sub-quadratic posting-list skeleton
+    * (dedup_ngram's plan at τ=0.8 over the PORTABLE hashes), so the
+    * eval never goes all-pairs either. Theory check the readout should
+    * track: P(candidate | J) = 1−(1−J⁴)⁸ ≈ 0.985 at J=0.8.
+    *
+    * Plan: truth = posting lists → native OrderedPairs stream →
+    * pair aggregate (PostingCap-bounded); candidates = the map-only
+    * signature scan → band equi-join; both pair frames are tiny, so
+    * the hit join and the three closing one-row aggregates broadcast.
+    * Oracle composes the SAME generated CTEs as dedup_minhash plus the
+    * exact self-join, making the whole eval value-checked. */
+  val dedupRecallEval: Q = Q(
+    "dedup_recall_eval",
+    s"""WITH ${minhashVerCtesSql()},
+      |exj AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      |  FROM ex a JOIN ex b ON a.x = b.x AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |sz AS (SELECT doc_id, len(sgl) AS n FROM sh),
+      |truth AS (SELECT doc_a, doc_b FROM exj
+      |  JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
+      |  WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8),
+      |h AS (SELECT count(*) AS n_truth, count(c.doc_a) AS n_hit
+      |      FROM truth t LEFT JOIN cand c USING (doc_a, doc_b)),
+      |nc AS (SELECT count(*) AS n_cand FROM cand)
+      |SELECT CAST(n_truth AS BIGINT) AS n_truth,
+      |  CAST(n_cand AS BIGINT) AS n_cand, CAST(n_hit AS BIGINT) AS n_hit,
+      |  CAST(n_hit AS DOUBLE) / n_truth AS recall,
+      |  CAST(n_hit AS DOUBLE) / n_cand AS cand_precision
+      |FROM h CROSS JOIN nc""".stripMargin
+  ) { (s, d) =>
+    import org.apache.spark.sql.graft.Bridge
+    // truth: exact τ=0.8 pairs over the portable hashes, posting-list form
+    val posting = shingleHashesPortable(s, d)
+      .withColumnRenamed("n_sgl", "n")
+      .groupBy("sgl")
+      .agg(array_sort(collect_list(struct(col("doc_id"), col("n"))))
+        .as("docs"))
+      .filter(size(col("docs")).between(2, PostingCap))
+    val pairGen = Bridge.column(graft.functions.expressions.OrderedPairs(
+      Bridge.expression(col("docs"))))
+    val truth = posting
+      .select(pairGen.as(Seq("doc_a", "na", "doc_b", "nb")))
+      .groupBy("doc_a", "doc_b", "na", "nb")
+      .agg(count(lit(1)).as("inter"))
+      .filter(col("inter").cast("double") /
+        (col("na") + col("nb") - col("inter")) >= 0.8)
+      .select("doc_a", "doc_b")
+    // candidates: the same band join dedup_minhash runs, pre-verify
+    val bands = minhashBands(minhashSignaturesExpr(s, d))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bhash") === col("b.bhash") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    val h = truth
+      .join(cand.withColumn("is_cand", lit(1)), Seq("doc_a", "doc_b"), "left")
+      .agg(count(lit(1)).as("n_truth"), count(col("is_cand")).as("n_hit"))
+    val nc = cand.agg(count(lit(1)).as("n_cand"))
+    h.crossJoin(broadcast(nc))
+      .select(col("n_truth"), col("n_cand"), col("n_hit"),
+        (col("n_hit").cast("double") / col("n_truth")).as("recall"),
+        (col("n_hit").cast("double") / col("n_cand")).as("cand_precision"))
+  }
+
   val all: Seq[Q] = Seq(dedupExact, dedupNgram, dedupMinhash,
     dedupIncremental, dedupSimhash, dedupCosine, dedupCosineLsh,
     dedupCluster, dedupClusterStar, graphTriangles, dedupSourceSim,
-    dedupContainment, dedupSemantic, dedupClusterRep, dedupThresholdSweep)
+    dedupContainment, dedupSemantic, dedupClusterRep, dedupThresholdSweep,
+    dedupRecallEval)
 }
