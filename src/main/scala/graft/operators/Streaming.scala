@@ -102,6 +102,95 @@ object Streaming {
       .orderBy("user_id", "bucket")
   }
 
+  /** Linear-interpolation resampling — [[resampleGapfill]]'s sibling for
+    * VALUE series (LOCF answers "what was the last reading?", interp
+    * answers "what was the level AT this instant?" — the Timescale
+    * `interpolate`/pandas `resample().interpolate()` contract). Per
+    * user: known points are the hourly buckets that saw an event (value
+    * picked by an INTEGER-ENCODED earliest-(ts, event_id) arg-min — no
+    * engine-dependent tie rule), the grid spans first→last known
+    * bucket, and every gap point gets v0 + (v1−v0)·(Δt/Δt01) from its
+    * surrounding knowns. Observed points pass their value through the
+    * CASE untouched, so only genuine gaps carry interpolation floats —
+    * and those are exact-integer ms ratios under one correctly-rounded
+    * multiply-add each, identical in both engines.
+    *
+    * Plan: the series aggregate, the grid explode, the four
+    * prev/next-carry window columns (two frames on ONE user sort) and
+    * the final projection all key by user — events shuffle once;
+    * window frames are span-bounded (hours per user), never
+    * event-count-bounded. */
+  val resampleInterp: Q = Q(
+    "resample_interp",
+    """WITH c AS (SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS bkt,
+      |    arg_min(value, epoch_ms(ts) * 1000000 + event_id) AS v
+      |  FROM events GROUP BY 1, 2),
+      |b AS (SELECT user_id AS uid, min(bkt) AS lo, max(bkt) AS hi
+      |      FROM c GROUP BY 1),
+      |g AS (SELECT uid AS user_id,
+      |        unnest(generate_series(lo, hi, INTERVAL '1 hour')) AS bucket
+      |      FROM b),
+      |j AS (SELECT g.user_id, g.bucket, c.v
+      |      FROM g LEFT JOIN c ON g.user_id = c.user_id AND g.bucket = c.bkt),
+      |w AS (SELECT user_id, bucket, v,
+      |    last_value(v IGNORE NULLS) OVER (PARTITION BY user_id
+      |      ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS v0,
+      |    last_value(CASE WHEN v IS NOT NULL THEN bucket END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY bucket
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS b0,
+      |    first_value(v IGNORE NULLS) OVER (PARTITION BY user_id
+      |      ORDER BY bucket ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+      |      AS v1,
+      |    first_value(CASE WHEN v IS NOT NULL THEN bucket END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY bucket
+      |            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS b1
+      |  FROM j)
+      |SELECT user_id, bucket,
+      |  CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END AS observed,
+      |  CASE WHEN v IS NOT NULL THEN v
+      |       ELSE v0 + (v1 - v0) *
+      |         (CAST(epoch_ms(bucket) - epoch_ms(b0) AS DOUBLE)
+      |          / CAST(epoch_ms(b1) - epoch_ms(b0) AS DOUBLE)) END AS v_interp
+      |FROM w ORDER BY user_id, bucket""".stripMargin
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val series = Tables.events(s, d)
+      .groupBy(col("user_id"),
+               window(col("ts"), "1 hour")("start").as("bkt"))
+      .agg(min_by(col("value"),
+        unix_millis(col("ts")) * 1000000 + col("event_id")).as("v"))
+    val grid = series
+      .groupBy("user_id")
+      .agg(min(col("bkt")).as("lo"), max(col("bkt")).as("hi"),
+        map_from_entries(collect_list(struct(col("bkt"), col("v"))))
+          .as("m"))
+      .select(col("user_id"),
+        explode(sequence(col("lo"), col("hi"),
+          expr("INTERVAL 1 HOUR"))).as("bucket"), col("m"))
+      .select(col("user_id"), col("bucket"),
+        element_at(col("m"), col("bucket")).as("v"))
+    val back = Window.partitionBy("user_id").orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = Window.partitionBy("user_id").orderBy("bucket")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val knownBkt = when(col("v").isNotNull, col("bucket"))
+    grid
+      .withColumn("v0", last(col("v"), ignoreNulls = true).over(back))
+      .withColumn("b0", last(knownBkt, ignoreNulls = true).over(back))
+      .withColumn("v1", first(col("v"), ignoreNulls = true).over(fwd))
+      .withColumn("b1", first(knownBkt, ignoreNulls = true).over(fwd))
+      .select(col("user_id"), col("bucket"),
+        when(col("v").isNotNull, 1).otherwise(0).as("observed"),
+        when(col("v").isNotNull, col("v"))
+          .otherwise(col("v0") + (col("v1") - col("v0")) *
+            ((unix_millis(col("bucket")) - unix_millis(col("b0")))
+              .cast("double") /
+             (unix_millis(col("b1")) - unix_millis(col("b0")))
+              .cast("double"))).as("v_interp"))
+      .orderBy("user_id", "bucket")
+  }
+
   /** Conversion funnel: per user, did a purchase follow a signup within
     * 24 hours? Built as min-signup vs min-qualifying-purchase per user —
     * two partial aggregations and one join by user key (no event-level
@@ -497,7 +586,7 @@ object Streaming {
   }
 
   val all: Seq[Q] = Seq(streamTumbling, streamHopping, streamSession,
-    resampleGapfill, funnel, retentionCohort, eventTransitions, ohlcBars,
-    sessionizeGaps, patternSeq, attributionLastclick, attributionLinear,
-    scd2)
+    resampleGapfill, resampleInterp, funnel, retentionCohort,
+    eventTransitions, ohlcBars, sessionizeGaps, patternSeq,
+    attributionLastclick, attributionLinear, scd2)
 }

@@ -394,6 +394,64 @@ object TimeSeries {
       .orderBy("event_type", "bkt")
   }
 
+  /** ROLLING CORRELATION between two event streams (clicks vs views,
+    * hourly) over a trailing 24-bucket window — "are these signals
+    * still coupled?", the co-movement monitor behind alerting on
+    * metric decoupling. [[tsAutocorr]]'s integer-exact sufficient-
+    * statistics discipline inside a moving ROWS frame: both series
+    * come from ONE conditional aggregate (no join, absent hours cost
+    * zero on both sides identically), the six frame sums are exact
+    * BIGINTs, and each emitted r is one double expression with the
+    * variance factors cast before multiplying. Windows with fewer than
+    * 24 buckets are suppressed (count rides the same frame).
+    *
+    * Plan: events reduce to the global hourly series in one
+    * partial+final aggregate; the moving frame runs over that
+    * series-sized frame (bounded by hours-of-history — the ONE
+    * deliberate unpartitioned window in the catalog, safe because its
+    * input is buckets, never events; same posture as ts_changepoint's
+    * per-type frames). */
+  val tsRollingCorr: Q = Q(
+    "ts_rolling_corr",
+    """WITH c AS (SELECT time_bucket(INTERVAL '1 hour', ts) AS bkt,
+      |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS x,
+      |    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS y
+      |  FROM events GROUP BY 1),
+      |w AS (SELECT bkt, x, y,
+      |    count(*) OVER f AS n,
+      |    sum(x) OVER f AS sx, sum(y) OVER f AS sy,
+      |    sum(x*x) OVER f AS sxx, sum(y*y) OVER f AS syy,
+      |    sum(x*y) OVER f AS sxy
+      |  FROM c WINDOW f AS (ORDER BY bkt ROWS BETWEEN 23 PRECEDING
+      |                      AND CURRENT ROW))
+      |SELECT bkt, CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y,
+      |  CAST(n*sxy - sx*sy AS DOUBLE) /
+      |  nullif(sqrt(CAST(n*sxx - sx*sx AS DOUBLE)
+      |              * CAST(n*syy - sy*sy AS DOUBLE)), 0) AS r
+      |FROM w WHERE n = 24 ORDER BY bkt""".stripMargin
+  ) { (s, d) =>
+    val f = Window.orderBy("bkt").rowsBetween(-23, Window.currentRow)
+    Tables.events(s, d)
+      .groupBy(date_trunc("hour", col("ts")).as("bkt"))
+      .agg(sum(when(col("event_type") === "click", 1).otherwise(0)).as("x"),
+           sum(when(col("event_type") === "view", 1).otherwise(0)).as("y"))
+      .withColumn("n", count(lit(1)).over(f))
+      .withColumn("sx", sum(col("x")).over(f))
+      .withColumn("sy", sum(col("y")).over(f))
+      .withColumn("sxx", sum(col("x") * col("x")).over(f))
+      .withColumn("syy", sum(col("y") * col("y")).over(f))
+      .withColumn("sxy", sum(col("x") * col("y")).over(f))
+      .filter(col("n") === 24)
+      .select(col("bkt"), col("x"), col("y"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          expr("""nullif(sqrt(CAST(n*sxx - sx*sx AS DOUBLE)
+                            * CAST(n*syy - sy*sy AS DOUBLE)), 0)"""))
+          .as("r"))
+      .orderBy("bkt")
+  }
+
   val all: Seq[Q] = Seq(tsAutocorr, tsChangepoint, tsEwma, tsDecompose,
-    tsHolt, tsMkTrend, tsAnomaly)
+    tsHolt, tsMkTrend, tsAnomaly, tsRollingCorr)
 }
