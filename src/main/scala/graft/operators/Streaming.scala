@@ -115,79 +115,68 @@ object Streaming {
     * and those are exact-integer ms ratios under one correctly-rounded
     * multiply-add each, identical in both engines.
     *
-    * Plan: the series aggregate, the grid explode, the four
-    * prev/next-carry window columns (two frames on ONE user sort) and
-    * the final projection all key by user — events shuffle once;
-    * window frames are span-bounded (hours per user), never
-    * event-count-bounded. */
+    * Plan: ONE lead window over the SERIES frame (observed buckets —
+    * bounded by events, usually far smaller than the grid) pairs each
+    * known point with its successor; the gap points are then GENERATED
+    * per segment (explode of an hour sequence with v0/v1 already in
+    * hand) and unioned with the observed rows. The first cut of this
+    * query instead ran four prev/next-carry windows over the GRID —
+    * 40s at sf0.1 against ~1s for this form, the measured cost of
+    * windowing a frame 10× larger than the information it carries;
+    * generate-from-segments is also the 100 TB shape (grid rows never
+    * enter an exchange: they are born in the map stage that follows
+    * the series window). */
   val resampleInterp: Q = Q(
     "resample_interp",
     """WITH c AS (SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS bkt,
       |    arg_min(value, epoch_ms(ts) * 1000000 + event_id) AS v
       |  FROM events GROUP BY 1, 2),
-      |b AS (SELECT user_id AS uid, min(bkt) AS lo, max(bkt) AS hi
-      |      FROM c GROUP BY 1),
-      |g AS (SELECT uid AS user_id,
-      |        unnest(generate_series(lo, hi, INTERVAL '1 hour')) AS bucket
-      |      FROM b),
-      |j AS (SELECT g.user_id, g.bucket, c.v
-      |      FROM g LEFT JOIN c ON g.user_id = c.user_id AND g.bucket = c.bkt),
-      |w AS (SELECT user_id, bucket, v,
-      |    last_value(v IGNORE NULLS) OVER (PARTITION BY user_id
-      |      ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-      |      AS v0,
-      |    last_value(CASE WHEN v IS NOT NULL THEN bucket END IGNORE NULLS)
-      |      OVER (PARTITION BY user_id ORDER BY bucket
-      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS b0,
-      |    first_value(v IGNORE NULLS) OVER (PARTITION BY user_id
-      |      ORDER BY bucket ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
-      |      AS v1,
-      |    first_value(CASE WHEN v IS NOT NULL THEN bucket END IGNORE NULLS)
-      |      OVER (PARTITION BY user_id ORDER BY bucket
-      |            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS b1
-      |  FROM j)
-      |SELECT user_id, bucket,
-      |  CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END AS observed,
-      |  CASE WHEN v IS NOT NULL THEN v
-      |       ELSE v0 + (v1 - v0) *
-      |         (CAST(epoch_ms(bucket) - epoch_ms(b0) AS DOUBLE)
-      |          / CAST(epoch_ms(b1) - epoch_ms(b0) AS DOUBLE)) END AS v_interp
-      |FROM w ORDER BY user_id, bucket""".stripMargin
+      |l AS (SELECT user_id, bkt, v,
+      |    lead(bkt) OVER (PARTITION BY user_id ORDER BY bkt) AS b1,
+      |    lead(v) OVER (PARTITION BY user_id ORDER BY bkt) AS v1
+      |  FROM c),
+      |gaps AS (SELECT user_id,
+      |    unnest(generate_series(bkt + INTERVAL '1 hour',
+      |                           b1 - INTERVAL '1 hour',
+      |                           INTERVAL '1 hour')) AS bucket,
+      |    bkt AS b0, v AS v0, b1, v1
+      |  FROM l WHERE b1 IS NOT NULL AND b1 > bkt + INTERVAL '1 hour')
+      |SELECT user_id, bkt AS bucket, 1 AS observed, v AS v_interp FROM c
+      |UNION ALL
+      |SELECT user_id, bucket, 0 AS observed,
+      |  v0 + (v1 - v0) *
+      |    (CAST(epoch_ms(bucket) - epoch_ms(b0) AS DOUBLE)
+      |     / CAST(epoch_ms(b1) - epoch_ms(b0) AS DOUBLE)) AS v_interp
+      |FROM gaps
+      |ORDER BY user_id, bucket""".stripMargin
   ) { (s, d) =>
     import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("bkt")
     val series = Tables.events(s, d)
       .groupBy(col("user_id"),
                window(col("ts"), "1 hour")("start").as("bkt"))
       .agg(min_by(col("value"),
         unix_millis(col("ts")) * 1000000 + col("event_id")).as("v"))
-    val grid = series
-      .groupBy("user_id")
-      .agg(min(col("bkt")).as("lo"), max(col("bkt")).as("hi"),
-        map_from_entries(collect_list(struct(col("bkt"), col("v"))))
-          .as("m"))
+    val led = series
+      .withColumn("b1", lead(col("bkt"), 1).over(w))
+      .withColumn("v1", lead(col("v"), 1).over(w))
+    val hour = expr("INTERVAL 1 HOUR")
+    val gaps = led
+      .filter(col("b1").isNotNull && col("b1") > col("bkt") + hour)
       .select(col("user_id"),
-        explode(sequence(col("lo"), col("hi"),
-          expr("INTERVAL 1 HOUR"))).as("bucket"), col("m"))
-      .select(col("user_id"), col("bucket"),
-        element_at(col("m"), col("bucket")).as("v"))
-    val back = Window.partitionBy("user_id").orderBy("bucket")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val fwd = Window.partitionBy("user_id").orderBy("bucket")
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    val knownBkt = when(col("v").isNotNull, col("bucket"))
-    grid
-      .withColumn("v0", last(col("v"), ignoreNulls = true).over(back))
-      .withColumn("b0", last(knownBkt, ignoreNulls = true).over(back))
-      .withColumn("v1", first(col("v"), ignoreNulls = true).over(fwd))
-      .withColumn("b1", first(knownBkt, ignoreNulls = true).over(fwd))
-      .select(col("user_id"), col("bucket"),
-        when(col("v").isNotNull, 1).otherwise(0).as("observed"),
-        when(col("v").isNotNull, col("v"))
-          .otherwise(col("v0") + (col("v1") - col("v0")) *
-            ((unix_millis(col("bucket")) - unix_millis(col("b0")))
-              .cast("double") /
-             (unix_millis(col("b1")) - unix_millis(col("b0")))
-              .cast("double"))).as("v_interp"))
+        explode(sequence(col("bkt") + hour, col("b1") - hour, hour))
+          .as("bucket"),
+        col("bkt").as("b0"), col("v").as("v0"), col("b1"), col("v1"))
+      .select(col("user_id"), col("bucket"), lit(0).as("observed"),
+        (col("v0") + (col("v1") - col("v0")) *
+          ((unix_millis(col("bucket")) - unix_millis(col("b0")))
+            .cast("double") /
+           (unix_millis(col("b1")) - unix_millis(col("b0")))
+            .cast("double"))).as("v_interp"))
+    series
+      .select(col("user_id"), col("bkt").as("bucket"),
+        lit(1).as("observed"), col("v").as("v_interp"))
+      .unionAll(gaps)
       .orderBy("user_id", "bucket")
   }
 
