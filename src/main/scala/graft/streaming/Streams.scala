@@ -75,6 +75,12 @@ case class RetState(cohortDay: Int, seen: Seq[Int])
 
 /** One shingle-hash observation from a source feed (running-signature
   * input). */
+case class SeriesPoint(user_id: Long, ts: java.sql.Timestamp, v: Double)
+case class InterpRow(user_id: Long, bucket: java.sql.Timestamp,
+                     observed: Int, v_interp: Double)
+/** Internal per-user last-observed point for [[Streams.interpolated]]. */
+case class InterpState(ms: Long, v: Double)
+
 case class Scd2Closed(user_id: Long, attr: String,
                       valid_from: java.sql.Timestamp,
                       valid_to: java.sql.Timestamp, version: Long)
@@ -294,6 +300,53 @@ object Streams {
                                 e.ts.getTime - l.lastMs)
             }
             last = Some(LastEvent(e.ts.getTime, e.event_type))
+          }
+          last.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
+  /** Streaming LINEAR INTERPOLATION — the incremental form of the
+    * batch `resample_interp` plan, and its exact structural twin: the
+    * batch form generates each gap's points from a (point, successor)
+    * segment pair produced by a lead window; here the segment pair is
+    * (state, arriving point), so every gap materializes the moment its
+    * right endpoint arrives, with O(1) state per user (the last
+    * observed point). Observed rows emit immediately; trailing gaps
+    * don't exist in either form (the batch grid also ends at the last
+    * known point). Input contract: pre-bucketed series points (the
+    * upstream windowed aggregate's output), in order per user.
+    * The interpolation float math is the IDENTICAL operation sequence
+    * as the batch column expression — long→double casts, one divide,
+    * one multiply-add — so StreamingSpec asserts BIT equality with the
+    * batch plan across micro-batch boundaries, including gaps that
+    * span them. */
+  def interpolated(ds: Dataset[SeriesPoint],
+                   stepMs: Long = 3600000L): Dataset[InterpRow] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+                              GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[SeriesPoint],
+         state: GroupState[InterpState]) =>
+          val sorted = rows.toSeq.sortBy(_.ts.getTime)
+          val out = Seq.newBuilder[InterpRow]
+          var last = state.getOption
+          sorted.foreach { p =>
+            val pMs = p.ts.getTime
+            last.foreach { l =>
+              var t = l.ms + stepMs
+              while (t < pMs) {
+                // same op sequence as the batch expression: v0 +
+                // (v1-v0) * (double(dt) / double(dt01))
+                val frac = (t - l.ms).toDouble / (pMs - l.ms).toDouble
+                out += InterpRow(uid, new java.sql.Timestamp(t), 0,
+                  l.v + (p.v - l.v) * frac)
+                t += stepMs
+              }
+            }
+            out += InterpRow(uid, p.ts, 1, p.v)
+            last = Some(InterpState(pMs, p.v))
           }
           last.foreach(state.update)
           out.result().iterator

@@ -323,6 +323,63 @@ class StreamingSpec extends SparkSpec {
       ts(8).getTime - ts(2).getTime)))
   }
 
+  test("streaming interpolation is BIT-equal to the batch plan, across batches") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.{Streams, SeriesPoint, InterpRow}
+    def hr(k: Int) = new java.sql.Timestamp(
+      java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime +
+        k * 3600000L)
+    // u1's 3-hour gap SPANS the micro-batch boundary (left endpoint in
+    // b1, right endpoint in b2 — the state handoff under test); values
+    // chosen so v0+(v1-v0)*frac is NOT exactly representable, making
+    // the bit-equality assertion meaningful
+    val b1 = Seq(SeriesPoint(1, hr(0), 0.1), SeriesPoint(2, hr(0), 5.0),
+                 SeriesPoint(2, hr(2), 6.7))
+    val b2 = Seq(SeriesPoint(1, hr(3), 0.7), SeriesPoint(1, hr(4), 1.3))
+    val mem = MemoryStream[SeriesPoint]
+    val name = s"interp_${System.nanoTime()}"
+    val q = Streams.interpolated(mem.toDS()).writeStream
+      .format("memory").queryName(name).outputMode("append").start()
+    val got = try {
+      mem.addData(b1); q.processAllAvailable()
+      mem.addData(b2); q.processAllAvailable()
+      spark.table(name).as[InterpRow].collect().toSet
+    } finally q.stop()
+    // batch oracle: resample_interp's core on the same series rows
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("bkt")
+    val hour = expr("INTERVAL 1 HOUR")
+    val series = (b1 ++ b2).toDF("user_id", "bkt", "v")
+    val led = series
+      .withColumn("b1", lead(col("bkt"), 1).over(w))
+      .withColumn("v1", lead(col("v"), 1).over(w))
+    val gaps = led
+      .filter(col("b1").isNotNull && col("b1") > col("bkt") + hour)
+      .select(col("user_id"),
+        explode(sequence(col("bkt") + hour, col("b1") - hour, hour))
+          .as("bucket"),
+        col("bkt").as("b0"), col("v").as("v0"), col("b1"), col("v1"))
+      .select(col("user_id"), col("bucket"), lit(0).as("observed"),
+        (col("v0") + (col("v1") - col("v0")) *
+          ((unix_millis(col("bucket")) - unix_millis(col("b0")))
+            .cast("double") /
+           (unix_millis(col("b1")) - unix_millis(col("b0")))
+            .cast("double"))).as("v_interp"))
+    val want = series
+      .select(col("user_id"), col("bkt").as("bucket"),
+        lit(1).as("observed"), col("v").as("v_interp"))
+      .unionAll(gaps)
+      .as[InterpRow].collect().toSet
+    assert(got === want) // exact ==, so doubles must match BIT-for-bit
+    // the boundary-spanning gap really interpolated: u1 hours 1 and 2
+    // materialized only after hr(3) arrived in batch 2
+    assert(got.count(r => r.user_id == 1 && r.observed == 0) === 2)
+    assert(got.exists(r => r.user_id == 2 && r.observed == 0 &&
+      r.bucket == hr(1)))
+  }
+
   test("streaming SCD2 closed rows equal the batch history, across batches") {
     val spark2 = spark
     import spark2.implicits._
