@@ -424,6 +424,43 @@ object Relational {
       .orderBy("event_id")
   }
 
+  /** FORWARD as-of join (pandas `merge_asof(direction='forward')`) —
+    * completes the as-of family: each purchase matches the NEAREST
+    * FOLLOWING signup (the "next maintenance window / next rebalance"
+    * lookup shape). Same tagged-union single-window plan as
+    * [[joinAsof]] mirrored in time: the first-following carry rides a
+    * (ts, tag) sort where purchases order BEFORE signups at equal ts,
+    * so a same-instant signup matches (`p.ts <= s.ts` inclusive, like
+    * the backward variant's `>=`). ONE user-keyed exchange, never an
+    * N×M join. Oracle: DuckDB's native ASOF with the flipped
+    * inequality — a genuinely different algorithm. */
+  val joinAsofFwd: Q = Q(
+    "join_asof_fwd",
+    """SELECT p.event_id AS event_id, p.user_id AS user_id,
+      |       p.ts AS purchase_ts, s.ts AS signup_ts
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+      |  ON p.user_id = s.user_id AND p.ts <= s.ts
+      |ORDER BY event_id""".stripMargin
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val tagged = Tables.events(s, d)
+      .filter(col("event_type").isin("purchase", "signup"))
+      .select(
+        col("event_id"), col("user_id"), col("ts"), col("event_type"),
+        when(col("event_type") === "signup", col("ts")).as("sig_ts"),
+        // purchase sorts before signup at equal ts so p.ts <= s.ts matches
+        when(col("event_type") === "signup", lit(1)).otherwise(lit(0)).as("tag"))
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("tag"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    tagged
+      .withColumn("signup_ts", first(col("sig_ts"), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts").as("purchase_ts"),
+              col("signup_ts"))
+      .orderBy("event_id")
+  }
+
   /** NULL-preserving generator (`explode_outer`): documents whose filter
     * yields an EMPTY token list still emit one row with a NULL token —
     * the outer-generator semantics every flatten-with-provenance
@@ -1708,7 +1745,7 @@ object Relational {
     aggHistogram, aggStringagg, profileTable, outlierZscore, scalarMath,
     scalarDatetimeExt, scalarStringExt, aggMode, scalarNullSemantics,
     unpivotStack, joinSalted, aggGroupingSets, outlierMad, aggHistogramEqd,
-    joinAsofTol, generatorOuter, aggHllUnion, aggThetaSetops, joinBloom,
-    sampleReservoir, joinIntervalBin, aggBitmapDistinct, aggRegression,
-    skylinePareto, joinFuzzy, aggIncremental)
+    joinAsofTol, joinAsofFwd, generatorOuter, aggHllUnion, aggThetaSetops,
+    joinBloom, sampleReservoir, joinIntervalBin, aggBitmapDistinct,
+    aggRegression, skylinePareto, joinFuzzy, aggIncremental)
 }
