@@ -1237,9 +1237,74 @@ object Dedup {
         (col("n_hit").cast("double") / col("n_cand")).as("cand_precision"))
   }
 
+  /** ESTIMATOR CALIBRATION for MinHash — the companion readout to
+    * [[dedupRecallEval]]'s index quality: per candidate pair, the
+    * signature-agreement estimate Ĵ = |{j : aⱼ = bⱼ}| / 32 next to the
+    * exact Jaccard, with the absolute error. The unbiasedness claim
+    * every banding threshold calculation rests on (E[Ĵ] = J, σ ≈
+    * √(J(1−J)/32) ≈ 0.07 at J = 0.8) becomes a queryable table instead
+    * of folklore — the readout that justifies (or indicts) K = 32
+    * before anyone spends a corpus pass on more hashes. Ĵ is an exact
+    * multiple of 1/32 (integer count ÷ power of two) and the exact J
+    * is one correctly-rounded division, so even the error column is
+    * reproducible bit-for-bit.
+    *
+    * Plan: candidates come from the same map-only-signature band join
+    * as [[dedupMinhash]]; the 32-slot agreement count is a projection
+    * over two id-keyed joins of the narrow signature frame; exact J
+    * reuses the shingle sets. All pair frames are candidate-sized.
+    * Oracle composes the generated portable-hash CTEs (sig/cand/ver)
+    * with the literal 32-term agreement sum. */
+  val dedupEstimatorEval: Q = Q(
+    "dedup_estimator_eval", {
+      val terms = (0 until MinhashK)
+        .map(j => s"(CASE WHEN a.m$j = b.m$j THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH ${minhashVerCtesSql()},
+        |est AS (SELECT c.doc_a, c.doc_b,
+        |    CAST($terms AS DOUBLE) / 32 AS est_j
+        |  FROM cand c JOIN sig a ON c.doc_a = a.doc_id
+        |              JOIN sig b ON c.doc_b = b.doc_id)
+        |SELECT e.doc_a, e.doc_b, e.est_j,
+        |  CAST(i AS DOUBLE) / (na + nb - i) AS exact_j,
+        |  abs(e.est_j - CAST(i AS DOUBLE) / (na + nb - i)) AS abs_err
+        |FROM est e JOIN ver USING (doc_a, doc_b)
+        |ORDER BY doc_a, doc_b""".stripMargin
+    }
+  ) { (s, d) =>
+    val sig = minhashSignaturesExpr(s, d)
+    val bands = minhashBands(sig)
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bhash") === col("b.bhash") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    val agree = (0 until MinhashK)
+      .map(j => when(col(s"a.m$j") === col(s"b.m$j"), 1).otherwise(0))
+      .reduce(_ + _)
+    val est = cand
+      .join(sig.as("a"), col("doc_a") === col("a.doc_id"))
+      .join(sig.as("b"), col("doc_b") === col("b.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        (agree.cast("double") / lit(32)).as("est_j"))
+    val sh = shingleHashesPortable(s, d)
+      .groupBy("doc_id").agg(collect_set(col("sgl")).as("shingles"))
+    val exactJ = size(array_intersect(col("sh_a"), col("sh_b")))
+      .cast("double") / size(array_union(col("sh_a"), col("sh_b")))
+    est
+      .join(sh.select(col("doc_id").as("doc_a"),
+                      col("shingles").as("sh_a")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"),
+                      col("shingles").as("sh_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("est_j"),
+        exactJ.as("exact_j"),
+        abs(col("est_j") - exactJ).as("abs_err"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   val all: Seq[Q] = Seq(dedupExact, dedupNgram, dedupMinhash,
     dedupIncremental, dedupSimhash, dedupCosine, dedupCosineLsh,
     dedupCluster, dedupClusterStar, graphTriangles, dedupSourceSim,
     dedupContainment, dedupSemantic, dedupClusterRep, dedupThresholdSweep,
-    dedupRecallEval)
+    dedupRecallEval, dedupEstimatorEval)
 }
