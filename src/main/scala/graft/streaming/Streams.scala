@@ -75,6 +75,14 @@ case class RetState(cohortDay: Int, seen: Seq[Int])
 
 /** One shingle-hash observation from a source feed (running-signature
   * input). */
+case class CorrBucket(series_id: Long, bkt: java.sql.Timestamp,
+                      x: Long, y: Long)
+case class CorrOut(series_id: Long, bkt: java.sql.Timestamp,
+                   x: Long, y: Long, r: java.lang.Double)
+/** Internal trailing-window buffer for [[Streams.rollingCorr]]:
+  * the last ≤ window (x, y) pairs, oldest first. */
+case class CorrState(xs: Seq[Long], ys: Seq[Long])
+
 case class SeriesPoint(user_id: Long, ts: java.sql.Timestamp, v: Double)
 case class InterpRow(user_id: Long, bucket: java.sql.Timestamp,
                      observed: Int, v_interp: Double)
@@ -302,6 +310,57 @@ object Streams {
             last = Some(LastEvent(e.ts.getTime, e.event_type))
           }
           last.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
+  /** Streaming ROLLING CORRELATION — the incremental form of the batch
+    * `ts_rolling_corr` moving frame: per series, state is the trailing
+    * ≤ 24 (x, y) pairs; each arriving bucket completes a 24-bucket
+    * window and emits its r (buckets before the window warms emit
+    * nothing, exactly the batch `n = 24` filter). The sufficient
+    * statistics are exact BIGINT sums — integer addition is
+    * associative, so recomputing them over the buffer equals the batch
+    * window's accumulation bit-for-bit, and the final r repeats the
+    * batch double expression (two casts, sqrt, one divide; null on a
+    * constant window). One state entry per series: a single global
+    * series keeps O(window) state on one key — the same boundedness
+    * the batch form gets from its series-sized frame. StreamingSpec
+    * asserts BIT equality across micro-batch boundaries. */
+  def rollingCorr(ds: Dataset[CorrBucket],
+                  window: Int = 24): Dataset[CorrOut] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.series_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+                              GroupStateTimeout.NoTimeout) {
+        (sid: Long, rows: Iterator[CorrBucket],
+         state: GroupState[CorrState]) =>
+          val sorted = rows.toSeq.sortBy(_.bkt.getTime)
+          var xs = state.getOption.map(_.xs.toVector).getOrElse(Vector())
+          var ys = state.getOption.map(_.ys.toVector).getOrElse(Vector())
+          val out = Seq.newBuilder[CorrOut]
+          sorted.foreach { b =>
+            xs :+= b.x; ys :+= b.y
+            if (xs.length > window) { xs = xs.tail; ys = ys.tail }
+            if (xs.length == window) {
+              val n = window.toLong
+              var sx = 0L; var sy = 0L; var sxx = 0L; var syy = 0L
+              var sxy = 0L; var i = 0
+              while (i < window) {
+                val (x, y) = (xs(i), ys(i))
+                sx += x; sy += y; sxx += x * x; syy += y * y; sxy += x * y
+                i += 1
+              }
+              // identical op sequence to the batch r expression
+              val den = math.sqrt((n * sxx - sx * sx).toDouble *
+                                  (n * syy - sy * sy).toDouble)
+              val r: java.lang.Double =
+                if (den == 0.0) null
+                else java.lang.Double.valueOf((n * sxy - sx * sy).toDouble / den)
+              out += CorrOut(sid, b.bkt, b.x, b.y, r)
+            }
+          }
+          state.update(CorrState(xs, ys))
           out.result().iterator
       }
   }

@@ -323,6 +323,55 @@ class StreamingSpec extends SparkSpec {
       ts(8).getTime - ts(2).getTime)))
   }
 
+  test("streaming rolling correlation equals the batch frame, across batches") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.{Streams, CorrBucket, CorrOut}
+    def hr(k: Int) = new java.sql.Timestamp(
+      java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime +
+        k * 3600000L)
+    // window = 4; the boundary splits a warm window (buckets 0-3 in b1,
+    // 4-6 in b2 — windows ending at 4, 5, 6 straddle state); includes a
+    // constant-x window (buckets 3-6 all x=7) exercising the null-r arm
+    val xsv = Seq(1L, 4L, 2L, 7L, 7L, 7L, 7L)
+    val ysv = Seq(3L, 1L, 5L, 2L, 8L, 2L, 4L)
+    val all = (0 until 7).map(k => CorrBucket(0L, hr(k), xsv(k), ysv(k)))
+    val (b1, b2) = (all.take(4), all.drop(4))
+    val mem = MemoryStream[CorrBucket]
+    val name = s"rcorr_${System.nanoTime()}"
+    val q = Streams.rollingCorr(mem.toDS(), window = 4).writeStream
+      .format("memory").queryName(name).outputMode("append").start()
+    val got = try {
+      mem.addData(b1); q.processAllAvailable()
+      mem.addData(b2); q.processAllAvailable()
+      spark.table(name).as[CorrOut].collect()
+        .map(c => (c.bkt, c.x, c.y, Option(c.r).map(_.doubleValue))).toSet
+    } finally q.stop()
+    // batch oracle: the ts_rolling_corr frame on the same buckets
+    val f = org.apache.spark.sql.expressions.Window
+      .partitionBy("series_id").orderBy("bkt")
+      .rowsBetween(-3, org.apache.spark.sql.expressions.Window.currentRow)
+    val want = all.toDF("series_id", "bkt", "x", "y")
+      .withColumn("n", count(lit(1)).over(f))
+      .withColumn("sx", sum(col("x")).over(f))
+      .withColumn("sy", sum(col("y")).over(f))
+      .withColumn("sxx", sum(col("x") * col("x")).over(f))
+      .withColumn("syy", sum(col("y") * col("y")).over(f))
+      .withColumn("sxy", sum(col("x") * col("y")).over(f))
+      .filter(col("n") === 4)
+      .select(col("bkt"), col("x"), col("y"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          expr("""nullif(sqrt(CAST(n*sxx - sx*sx AS DOUBLE)
+                            * CAST(n*syy - sy*sy AS DOUBLE)), 0)"""))
+          .as("r"))
+      .as[(java.sql.Timestamp, Long, Long, Option[Double])].collect().toSet
+    assert(got === want) // exact ==, doubles must match bit-for-bit
+    // boundary-straddling window emitted; constant-x window gave null r
+    assert(got.exists(t => t._1 == hr(4)))
+    assert(got.exists(t => t._1 == hr(6) && t._4.isEmpty))
+  }
+
   test("streaming interpolation is BIT-equal to the batch plan, across batches") {
     val spark2 = spark
     import spark2.implicits._
