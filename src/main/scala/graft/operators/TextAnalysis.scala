@@ -971,9 +971,76 @@ object TextAnalysis {
       .limit(30)
   }
 
+  /** INCREMENTAL INDEX MAINTENANCE for the inverted index — the
+    * `agg_incremental`/`vector_index_delta` contract applied to text
+    * retrieval: a new BATCH of documents (doc_id % 10 == 7, the
+    * repo's incremental convention) merges into the STANDING index
+    * without re-scanning the standing corpus. Disjoint doc sets make
+    * every merge exact: df and cf ADD, and the merged posting head is
+    * the first 8 of the two sorted heads' union (each head holds its
+    * side's smallest 8, so the union's smallest 8 is a subset of the
+    * concatenation — no information was lost to the cap). The oracle
+    * is the FULL-REBUILD query over all documents, so the hash match
+    * proves merge ≡ rebuild — the contract that lets a 100 TB index
+    * absorb a daily batch with only the batch scanning. (Both sides
+    * are computed fresh here so the query is self-contained; in
+    * production the standing side loads from the stored index, as
+    * dedup_incremental's persisted-index spec demonstrates.) */
+  val textIndexDelta: Q = Q(
+    "text_index_delta",
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS token
+      |             FROM documents),
+      |td AS (SELECT token, doc_id, count(*) AS c FROM tok GROUP BY 1, 2),
+      |st AS (SELECT token, CAST(count(*) AS BIGINT) AS df,
+      |              CAST(sum(c) AS BIGINT) AS cf FROM td GROUP BY 1),
+      |hd AS (SELECT token,
+      |         array_to_string((list_sort(list(doc_id)))[1:8], ',') AS postings_head
+      |       FROM td GROUP BY 1)
+      |SELECT st.token, st.df, st.cf, hd.postings_head
+      |FROM st JOIN hd USING (token)
+      |ORDER BY df DESC, token LIMIT 30""".stripMargin
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    def indexSide(docs: org.apache.spark.sql.DataFrame) = {
+      val td = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+        .groupBy("token", "doc_id").agg(count(lit(1)).as("c"))
+      val st = td.groupBy("token")
+        .agg(count(lit(1)).as("df"), sum(col("c")).as("cf"))
+      val hd = td
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("token").orderBy("doc_id")))
+        .filter(col("rn") <= 8)
+        .groupBy("token")
+        .agg(sort_array(collect_list(col("doc_id"))).as("head"))
+      st.join(hd, Seq("token"))
+    }
+    val docs = Tables.documents(s, d)
+    val standing = indexSide(docs.filter(col("doc_id") % 10 =!= 7))
+      .select(col("token"), col("df").as("df_s"), col("cf").as("cf_s"),
+        col("head").as("head_s"))
+    val batch = indexSide(docs.filter(col("doc_id") % 10 === 7))
+      .select(col("token"), col("df").as("df_b"), col("cf").as("cf_b"),
+        col("head").as("head_b"))
+    val emptyHead = typedLit(Seq.empty[Long])
+    standing.join(batch, Seq("token"), "full_outer")
+      .select(col("token"),
+        (coalesce(col("df_s"), lit(0L)) + coalesce(col("df_b"), lit(0L)))
+          .as("df"),
+        (coalesce(col("cf_s"), lit(0L)) + coalesce(col("cf_b"), lit(0L)))
+          .as("cf"),
+        array_join(
+          slice(array_sort(concat(coalesce(col("head_s"), emptyHead),
+                                  coalesce(col("head_b"), emptyHead))),
+                1, 8).cast("array<string>"), ",").as("postings_head"))
+      .orderBy(desc("df"), asc("token"))
+      .limit(30)
+  }
+
   val all: Seq[Q] = Seq(textTokens, textQuality, langId, textFingerprint,
     textTfidf, textNormalize, textRepetition, piiRedact, ngramFreq,
     textContamination, textTokenBpe, textPerplexity, spanDedup,
     textHeavyHitters, textQualityClassifier, textCountmin, textCollocations,
-    textLangidEval, textBm25, textBoilerplate, textInvertedIndex)
+    textLangidEval, textBm25, textBoilerplate, textInvertedIndex,
+    textIndexDelta)
 }
