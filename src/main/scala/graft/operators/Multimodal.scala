@@ -227,6 +227,58 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** FRAME-LEVEL audio features through the real codec path — the
+    * generator sibling of [[multimodalWav]]'s per-file stats, and the
+    * shape a speech pipeline actually extracts (energy per fixed-size
+    * window): decode the real RIFF container, split samples into
+    * 256-sample frames (last partial frame kept), emit one row per
+    * frame with exact integer energy stats. The DuckDB oracle groups
+    * the same hex-pair arithmetic by `i // 256`, so the hash match
+    * extends the per-row codec losslessness proof down to FRAME
+    * boundaries — an off-by-one in the chunk walker's data offset
+    * would shift every frame's stats. Same narrow batched
+    * mapPartitions posture; bounded to 50 docs (frame rows multiply). */
+  val multimodalWavFrames: Q = Q(
+    "multimodal_wav_frames",
+    """WITH d AS (SELECT doc_id, hex(encode(text)) AS hx,
+      |    octet_length(encode(text)) AS nb
+      |  FROM documents WHERE doc_id < 50 AND octet_length(encode(text)) > 0),
+      |s AS (SELECT doc_id, nb, unnest(range(nb)) AS i, hx FROM d),
+      |v AS (SELECT doc_id, CAST(i // 256 AS INT) AS frame_no,
+      |    (CAST('0x' || substr(hx, CAST(2*i+1 AS INT), 2) AS INT) - 128) * 256
+      |      AS smp
+      |  FROM s)
+      |SELECT doc_id, frame_no, CAST(count(*) AS BIGINT) AS n_samples,
+      |  CAST(sum(abs(smp)) AS BIGINT) AS sum_abs,
+      |  CAST(max(abs(smp)) AS INT) AS peak
+      |FROM v GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    import graft.multimodal.Media
+    Tables.documents(s, d)
+      .filter(col("doc_id") < 50 && length(col("text")) > 0)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, text) =>
+          val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val rate = 8000 + (bytes.length % 5) * 2000
+          val samples = bytes.map(b => (((b & 0xFF) - 128) * 256).toShort)
+          val pcm = Media.decodeWav(Media.encodeWavPcm16(rate, samples)).get
+          pcm.samples.grouped(256).zipWithIndex.map { case (frame, k) =>
+            var sumAbs = 0L; var peak = 0; var i = 0
+            while (i < frame.length) {
+              val v = math.abs(frame(i).toInt)
+              sumAbs += v; peak = math.max(peak, v); i += 1
+            }
+            (id, k, frame.length.toLong, sumAbs, peak)
+          }
+        }
+      }
+      .toDF("doc_id", "frame_no", "n_samples", "sum_abs", "peak")
+      .orderBy("doc_id", "frame_no")
+  }
+
   val all: Seq[Q] = Seq(multimodalMeta, multimodalFeatures, multimodalDhash,
-    multimodalWav)
+    multimodalWav, multimodalWavFrames)
 }
