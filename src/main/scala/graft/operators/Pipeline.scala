@@ -604,7 +604,45 @@ object Pipeline {
       .orderBy(desc("jaccard"), asc("s_a"), asc("s_b")).limit(30)
   }
 
+  /** DEGREE DISTRIBUTION of the supplier↔part bipartite graph — the
+    * power-law/hub census that decides whether [[graphJaccard]]'s
+    * posting cap or [[graft.operators.Relational]]'s salting is needed
+    * on a given corpus: for each side, how many nodes have each
+    * degree. One distinct-edge aggregate feeds a per-node degree count
+    * and a (side, degree) histogram — partial+final all the way, no
+    * windows, no joins; the two sides recompute the edge distinct
+    * (broadcast-sized dimension table here; at 100 TB the edge frame
+    * would be a shared staging table, the [[textIndexDelta]]
+    * standing-artifact argument). */
+  val graphDegreeDist: Q = Q(
+    "graph_degree_dist",
+    """WITH adj AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS p
+      |             FROM lineitem),
+      |ds AS (SELECT 'supplier' AS side, s AS node, count(*) AS degree
+      |       FROM adj GROUP BY 2),
+      |dp AS (SELECT 'part' AS side, p AS node, count(*) AS degree
+      |       FROM adj GROUP BY 2),
+      |u AS (SELECT side, degree FROM ds
+      |      UNION ALL SELECT side, degree FROM dp)
+      |SELECT side, CAST(degree AS BIGINT) AS degree,
+      |  CAST(count(*) AS BIGINT) AS n_nodes
+      |FROM u GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  ) { (s, d) =>
+    val adj = Tables.lineitem(s, d)
+      .select(col("l_suppkey").as("s"), col("l_partkey").as("p"))
+      .distinct()
+    val degS = adj.groupBy("s").agg(count(lit(1)).as("degree"))
+      .select(lit("supplier").as("side"), col("degree"))
+    val degP = adj.groupBy("p").agg(count(lit(1)).as("degree"))
+      .select(lit("part").as("side"), col("degree"))
+    degS.unionAll(degP)
+      .groupBy("side", "degree")
+      .agg(count(lit(1)).as("n_nodes"))
+      .orderBy("side", "degree")
+  }
+
   val all: Seq[Q] = Seq(simplifyFlatten, denormalizePatient, graphEdges,
     graphTwohop, discoverySummary, ingestNdjson, snapshotExport, dqChecks,
-    dqSkew, dqDriftKs, graphPagerank, dqReferential, graphJaccard)
+    dqSkew, dqDriftKs, graphPagerank, dqReferential, graphJaccard,
+    graphDegreeDist)
 }
