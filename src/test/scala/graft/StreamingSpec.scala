@@ -548,6 +548,81 @@ class StreamingSpec extends SparkSpec {
       "per-purchase CEP credits must aggregate to the batch window census")
   }
 
+  test("streaming linear attribution aggregates to the batch census") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.{AttrLinEvent, AttrLinCredit}
+    val batch = graft.operators.Streaming.attributionLinear
+      .fn(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(batch.nonEmpty)
+    val evs = Tables.events(spark, sf0001)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"),
+        (get_json_object(col("props"), "$.k").cast("long") % 4)
+          .as("campaign"))
+      .as[AttrLinEvent].collect()
+      .sortBy(e => (e.ts.getTime, e.event_id))
+    // click→purchase chains must survive the micro-batch boundary
+    val (b1, b2) = evs.splitAt(evs.length / 2)
+    val mem = MemoryStream[AttrLinEvent]
+    val name = s"attrlin_${System.nanoTime()}"
+    val q = Streams.attributionLinearCredits(mem.toDS()).writeStream
+      .format("memory").queryName(name).outputMode("append").start()
+    try {
+      mem.addData(b1.toSeq); q.processAllAvailable()
+      mem.addData(b2.toSeq); q.processAllAvailable()
+    } finally q.stop()
+    // the campaign census is a plain exact-BIGINT aggregate over the
+    // credit stream; credit_usd repeats the batch cast/divide op order
+    val stream = spark.table(name).as[AttrLinCredit]
+      .groupBy("campaign")
+      .agg(sum(col("new_clicks")).as("n_clicks_credited"),
+        sum(col("credit_microcents")).as("mc"),
+        (sum(col("credit_microcents")).cast("double") / lit(100000000))
+          .as("usd"))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(stream === batch,
+      "bounded-state CEP credits must aggregate to the batch suffix-sum census")
+  }
+
+  test("streaming funnel automaton equals the batch converted set") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.{FunnelEvent, FunnelConv}
+    // Append mode emits immutable facts: the stream is exactly the batch
+    // plan's converted=true set (open/not-converted users live in state,
+    // the scd2Closed closed-vs-open split)
+    val batch = graft.operators.Streaming.funnel.fn(spark, sf0001).collect()
+      .filter(_.getBoolean(3))
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2)))
+      .toSet
+    assert(batch.nonEmpty)
+    val evs = Tables.events(spark, sf0001)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .as[FunnelEvent].collect()
+      .sortBy(e => (e.ts.getTime, e.event_id))
+    // signup→purchase chains must survive the micro-batch boundary
+    val (b1, b2) = evs.splitAt(evs.length / 2)
+    val mem = MemoryStream[FunnelEvent]
+    val name = s"funnel_${System.nanoTime()}"
+    val q = Streams.funnelConversions(mem.toDS()).writeStream
+      .format("memory").queryName(name).outputMode("append").start()
+    try {
+      mem.addData(b1.toSeq); q.processAllAvailable()
+      mem.addData(b2.toSeq); q.processAllAvailable()
+    } finally q.stop()
+    val stream = spark.table(name).as[FunnelConv].collect()
+      .map(c => (c.user_id, c.signup_ts, c.purchase_ts)).toSet
+    assert(stream === batch,
+      "O(1)-state automaton must equal the batch aggregate-then-join plan")
+  }
+
   test("streaming ewma is bit-equal to the batch recurrence, across batches") {
     val spark2 = spark
     import spark2.implicits._
