@@ -37,7 +37,10 @@ import org.apache.spark.sql.functions._
   */
 object Bpe {
 
-  private[graft] val NMerges = 12
+  // 64 learned merges in the DECLARED query — big enough that the driver
+  // artifact exercises multi-character merge chains (the 1000-merge soak
+  // in BpeSpec covers the scaling claim; this is the driver-visible size)
+  private[graft] val NMerges = 64
   private[graft] val EndMark = "</w>"
 
   /** Corpus → (word, freq): the one pass over raw text. */

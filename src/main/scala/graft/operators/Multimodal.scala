@@ -97,13 +97,14 @@ object Multimodal {
     * int64) keep every mask within 16 bits — DuckDB's checked `<<`
     * cannot build bit 63 — and are what a dedup join would key on
     * anyway. Plan: narrow per-partition batched mapPartitions (blobs
-    * never shuffle), bounded to 300 docs — image work is per-row and
-    * embarrassingly parallel at any scale. */
+    * never shuffle) over the WHOLE documents table — image work is
+    * per-row and embarrassingly parallel at any scale, so the declared
+    * query needs no demo-size bound. */
   val multimodalDhash: Q = Q(
     "multimodal_dhash",
     """WITH d AS (SELECT doc_id, hex(encode(text)) AS hx,
       |    octet_length(encode(text)) AS nb
-      |  FROM documents WHERE doc_id < 300 AND octet_length(encode(text)) > 0),
+      |  FROM documents WHERE octet_length(encode(text)) > 0),
       |dim AS (SELECT doc_id, hx, nb,
       |    16 + nb % 17 AS w, 16 + nb % 13 AS h FROM d),
       |g AS (SELECT doc_id, w, h, ys.y AS y, xs.x AS x,
@@ -127,7 +128,7 @@ object Multimodal {
     import s.implicits._
     import graft.multimodal.Media
     Tables.documents(s, d)
-      .filter(col("doc_id") < 300 && length(col("text")) > 0)
+      .filter(length(col("text")) > 0)
       .select(col("doc_id"), col("text"))
       .as[(Long, String)]
       .mapPartitions { rows =>
@@ -174,13 +175,13 @@ object Multimodal {
     * reorder/off-by-one). The DuckDB oracle computes the same stats
     * straight from the hex pairs, so a hash match is a per-row
     * LOSSLESSNESS proof of encode→decode across two implementations.
-    * Plan: narrow batched mapPartitions, blobs never shuffle, bounded
-    * to 300 docs — audio work is per-row and embarrassingly parallel. */
+    * Plan: narrow batched mapPartitions over the whole table, blobs
+    * never shuffle — audio work is per-row and embarrassingly parallel. */
   val multimodalWav: Q = Q(
     "multimodal_wav",
     """WITH d AS (SELECT doc_id, hex(encode(text)) AS hx,
       |    octet_length(encode(text)) AS nb
-      |  FROM documents WHERE doc_id < 300 AND octet_length(encode(text)) > 0),
+      |  FROM documents WHERE octet_length(encode(text)) > 0),
       |s AS (SELECT doc_id, nb, unnest(range(nb)) AS i, hx FROM d),
       |v AS (SELECT doc_id, nb, i,
       |    (CAST('0x' || substr(hx, CAST(2*i+1 AS INT), 2) AS INT) - 128) * 256
@@ -198,7 +199,7 @@ object Multimodal {
     import s.implicits._
     import graft.multimodal.Media
     Tables.documents(s, d)
-      .filter(col("doc_id") < 300 && length(col("text")) > 0)
+      .filter(length(col("text")) > 0)
       .select(col("doc_id"), col("text"))
       .as[(Long, String)]
       .mapPartitions { rows =>
@@ -237,12 +238,13 @@ object Multimodal {
     * extends the per-row codec losslessness proof down to FRAME
     * boundaries — an off-by-one in the chunk walker's data offset
     * would shift every frame's stats. Same narrow batched
-    * mapPartitions posture; bounded to 50 docs (frame rows multiply). */
+    * mapPartitions posture, whole table — frame rows multiply only by
+    * ⌈doc bytes / 256⌉, bounded by the fixture's ~600-byte docs. */
   val multimodalWavFrames: Q = Q(
     "multimodal_wav_frames",
     """WITH d AS (SELECT doc_id, hex(encode(text)) AS hx,
       |    octet_length(encode(text)) AS nb
-      |  FROM documents WHERE doc_id < 50 AND octet_length(encode(text)) > 0),
+      |  FROM documents WHERE octet_length(encode(text)) > 0),
       |s AS (SELECT doc_id, nb, unnest(range(nb)) AS i, hx FROM d),
       |v AS (SELECT doc_id, CAST(i // 256 AS INT) AS frame_no,
       |    (CAST('0x' || substr(hx, CAST(2*i+1 AS INT), 2) AS INT) - 128) * 256
@@ -256,7 +258,7 @@ object Multimodal {
     import s.implicits._
     import graft.multimodal.Media
     Tables.documents(s, d)
-      .filter(col("doc_id") < 50 && length(col("text")) > 0)
+      .filter(length(col("text")) > 0)
       .select(col("doc_id"), col("text"))
       .as[(Long, String)]
       .mapPartitions { rows =>
