@@ -641,8 +641,124 @@ object Pipeline {
       .orderBy("side", "degree")
   }
 
+  /** STORE-MAINTENANCE WIN as driver-visible evidence — the
+    * [[graft.pipeline.Store]] compaction/clustering path (spec-proven in
+    * StoreSpec/ZOrderSpec) surfaced as a value-checked query: build a
+    * project-partitioned store from one orders "project", write it in
+    * arrival order (row groups span the key range), then
+    * `compactProject(clusterBy = price_cents)` and read the ACTUAL
+    * parquet footers both times. For three fixed price probes the query
+    * emits the exact row counts (value-checked against DuckDB on the
+    * same orders table) and four booleans computed from the real footer
+    * min/max/row-count statistics — the same contract-oracle pattern as
+    * the sketch queries ([[graft.operators.Relational]] HLL/theta):
+    * the oracle pins the numbers DuckDB can recompute and the claims
+    * the maintenance op must make true on any corpus:
+    *  - footer_rows_match: Σ row-group rows = table rows, both layouts;
+    *  - clustered_sorted: after clustering, row-group [min,max] ranges
+    *    are non-overlapping in key order (across files too — range
+    *    partitioning, StoreSpec's disjointness, here re-proven per run);
+    *  - pruning_sound: groups overlapping the probe hold ≥ all matching
+    *    rows (skipping never drops a row);
+    *  - pruning_effective / beats_scattered: the pruned scan reads less
+    *    than the full partition, and no more than the scattered layout.
+    * Row groups are forced small (2 KiB blocks) so even the sf0.001
+    * project (~270 rows) splits into several groups. Footer reading is
+    * driver-side here (one local project dir); at 100 TB the identical
+    * loop runs as a mapPartitions over the file listing — the stats are
+    * per-file-independent, embarrassingly parallel. */
+  val storePruningStats: Q = Q(
+    "store_pruning_stats",
+    """WITH o AS (SELECT
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS pc
+      |  FROM orders WHERE o_orderpriority = '1-URGENT'),
+      |p AS (SELECT * FROM (VALUES (1, 1000000, 2000000),
+      |    (2, 24000000, 25000000), (3, 45000000, 47000000))
+      |  AS t(probe_id, lo, hi)),
+      |t AS (SELECT count(*) AS total_rows FROM o),
+      |m AS (SELECT probe_id, count(o.pc) AS n FROM p
+      |  LEFT JOIN o ON o.pc BETWEEN p.lo AND p.hi GROUP BY 1)
+      |SELECT CAST(p.probe_id AS INT) AS probe_id,
+      |  CAST(p.lo AS BIGINT) AS lo_cents, CAST(p.hi AS BIGINT) AS hi_cents,
+      |  CAST(t.total_rows AS BIGINT) AS total_rows,
+      |  CAST(m.n AS BIGINT) AS exact_rows,
+      |  TRUE AS footer_rows_match, TRUE AS clustered_sorted,
+      |  TRUE AS pruning_sound, TRUE AS pruning_effective,
+      |  TRUE AS beats_scattered
+      |FROM p JOIN m USING (probe_id) CROSS JOIN t
+      |ORDER BY probe_id""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    import scala.jdk.CollectionConverters._
+    val probes = Seq((1, 1000000L, 2000000L), (2, 24000000L, 25000000L),
+                     (3, 45000000L, 47000000L))
+    val pid = "aced-urgent"
+    val src = Tables.orders(s, d)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(lit(pid).as("project_id"), col("o_orderkey"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("price_cents"))
+    // exact per-probe selectivity in ONE aggregate over the source table
+    val aggCols = count(lit(1)).as("total") +: probes.map { case (id, lo, hi) =>
+      sum(when(col("price_cents").between(lo, hi), 1L).otherwise(0L))
+        .as(s"n$id")
+    }
+    val exact = src.agg(aggCols.head, aggCols.tail: _*).collect()(0)
+    val total = exact.getLong(0)
+    val root = java.nio.file.Files.createTempDirectory("graft_prune").toString
+    val store = new graft.pipeline.Store(root)
+    // tiny blocks force several row groups at every scale factor
+    val wopts = Map("parquet.block.size" -> "2048",
+                    "parquet.page.size" -> "1024")
+    def footers(): Seq[(Long, Long, Long)] = {
+      val conf = s.sparkContext.hadoopConfiguration
+      new java.io.File(s"$root/project_id=$pid")
+        .listFiles().filter(_.getName.endsWith(".parquet")).toSeq
+        .sortBy(_.getName).flatMap { f =>
+          val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+              new org.apache.hadoop.fs.Path(f.getAbsolutePath), conf))
+          try rdr.getFooter.getBlocks.asScala.toSeq.map { g =>
+            val c = g.getColumns.asScala
+              .find(_.getPath.toDotString == "price_cents").get.getStatistics
+            (c.genericGetMin.asInstanceOf[java.lang.Long].longValue,
+             c.genericGetMax.asInstanceOf[java.lang.Long].longValue,
+             g.getRowCount)
+          } finally rdr.close()
+        }
+    }
+    try {
+      store.put(src, wopts) // arrival order: groups span the key range
+      val scattered = footers()
+      store.compactProject(s, pid, nFiles = 2,
+        clusterBy = Seq("price_cents"), writerOptions = wopts)
+      val clustered = footers()
+      val rowsMatch = scattered.map(_._3).sum == total &&
+        clustered.map(_._3).sum == total
+      val sortedGroups = clustered.sortBy(_._1)
+      val sorted = sortedGroups.zip(sortedGroups.drop(1))
+        .forall { case ((_, hi, _), (lo2, _, _)) => lo2 >= hi }
+      def scanRows(gs: Seq[(Long, Long, Long)], lo: Long, hi: Long): Long =
+        gs.filter { case (mn, mx, _) => mx >= lo && mn <= hi }.map(_._3).sum
+      probes.zipWithIndex.map { case ((id, lo, hi), i) =>
+        val ex = exact.getLong(i + 1)
+        val cl = scanRows(clustered, lo, hi)
+        val sc = scanRows(scattered, lo, hi)
+        (id, lo, hi, total, ex, rowsMatch, sorted,
+         cl >= ex, cl < total, cl <= sc)
+      }.toDF("probe_id", "lo_cents", "hi_cents", "total_rows", "exact_rows",
+             "footer_rows_match", "clustered_sorted", "pruning_sound",
+             "pruning_effective", "beats_scattered")
+        .orderBy("probe_id")
+    } finally {
+      val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
+        s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true); ()
+    }
+  }.copy(eager = true)
+
   val all: Seq[Q] = Seq(simplifyFlatten, denormalizePatient, graphEdges,
     graphTwohop, discoverySummary, ingestNdjson, snapshotExport, dqChecks,
     dqSkew, dqDriftKs, graphPagerank, dqReferential, graphJaccard,
-    graphDegreeDist)
+    graphDegreeDist, storePruningStats)
 }
