@@ -1438,6 +1438,48 @@ object Relational {
       .orderBy("o_orderpriority")
   }
 
+  /** ADVERSARIAL-skew salted join — [[joinSalted]] exercised on a
+    * fixture where salting is load-bearing, not incidental: collapsing
+    * every 5th part key makes ONE key own ~20% of lineitem rows, the
+    * hot-key shape (an empty-string join key, a boilerplate shingle, a
+    * dominant tenant) that turns a shuffle join into a single-straggler
+    * stage. The salted plan spreads that key over 8 sub-keys;
+    * SkewOpsSpec proves the ≥3× max-reducer-load cut on this exact
+    * fixture using the same Murmur3 `hash()` the exchange partitions by,
+    * while this query's oracle (the PLAIN DuckDB join on the identically
+    * mapped keys) proves result-invariance on real data. The dimension
+    * keeps one row per mapped key — the hot key stays one-to-many, so
+    * salting changes distribution only, never multiplicity. */
+  val joinSaltedHot: Q = Q(
+    "join_salted_hot",
+    """WITH f AS (SELECT
+      |    CASE WHEN l_partkey % 5 = 0 THEN 0 ELSE l_partkey END AS jk,
+      |    l_extendedprice FROM lineitem),
+      |d AS (SELECT DISTINCT
+      |    CASE WHEN p_partkey % 5 = 0 THEN 0 ELSE p_partkey END AS jk
+      |  FROM part)
+      |SELECT jk % 8 AS bucket, count(*) AS n,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM f JOIN d USING (jk)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+  ) { (s, d) =>
+    import graft.functions.SkewOps
+    val f = Tables.lineitem(s, d).select(
+      when(col("l_partkey") % 5 === 0, lit(0L))
+        .otherwise(col("l_partkey")).as("jk"),
+      col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+    val dim = Tables.part(s, d).select(
+      when(col("p_partkey") % 5 === 0, lit(0L))
+        .otherwise(col("p_partkey")).as("jk"))
+      .distinct()
+    SkewOps.saltedJoin(f, dim, "jk", 8, col("l_orderkey"),
+        col("l_linenumber"))
+      .groupBy((col("jk") % 8).as("bucket"))
+      .agg(count(lit(1)).as("n"),
+           asDouble(sum(money(col("l_extendedprice")))).as("revenue"))
+      .orderBy("bucket")
+  }
+
   /** Bloom-filter pre-filtered fact join (the explicit form of runtime
     * row-level filtering): a kilobyte bloom bitmap built from the
     * FILTERED dimension's keys prunes the fact side in a map-side
@@ -1744,7 +1786,8 @@ object Relational {
     aggSalted, aggQuantile, aggQuantileSketch, setopsAll, topkPaged, aggCorr,
     aggHistogram, aggStringagg, profileTable, outlierZscore, scalarMath,
     scalarDatetimeExt, scalarStringExt, aggMode, scalarNullSemantics,
-    unpivotStack, joinSalted, aggGroupingSets, outlierMad, aggHistogramEqd,
+    unpivotStack, joinSalted, joinSaltedHot, aggGroupingSets, outlierMad,
+    aggHistogramEqd,
     joinAsofTol, joinAsofFwd, generatorOuter, aggHllUnion, aggThetaSetops,
     joinBloom, sampleReservoir, joinIntervalBin, aggBitmapDistinct,
     aggRegression, skylinePareto, joinFuzzy, aggIncremental)

@@ -65,6 +65,47 @@ class SkewOpsSpec extends SparkSpec {
     }
   }
 
+  test("hot-key fixture: salting cuts the hot key's reducer load by >=3x") {
+    // Adversarial fixture from the REAL table (join_salted_hot's shape):
+    // collapsing every 5th part key makes one key own ~20% of lineitem
+    // rows. Wall-clock at local[32]/sf0.01 is noise-dominated, so the
+    // assertion targets the quantity that IS the scale bottleneck: the
+    // max per-reducer row count of the join's exchange. hash() below is
+    // the same Murmur3 HashPartitioning applies, so these groupBy counts
+    // equal the shuffle's actual reducer loads row-for-row.
+    val P = 32 // the session's shuffle partition count
+    val li = Tables.lineitem(spark, "/root/testdata/sf0.01")
+      .select(
+        when(col("l_partkey") % 5 === 0, lit(0L))
+          .otherwise(col("l_partkey")).as("jk"),
+        col("l_orderkey"), col("l_linenumber"))
+    val total = li.count()
+    def maxLoad(rows: org.apache.spark.sql.DataFrame,
+                keys: org.apache.spark.sql.Column*): Long =
+      rows.groupBy(pmod(hash(keys: _*), lit(P)).as("r")).count()
+        .agg(max("count")).collect()(0).getLong(0)
+    val salt = SkewOps.salt(8, col("l_orderkey"), col("l_linenumber"))
+    // the hot key in isolation — the load salting claims to fix: all its
+    // rows on ONE reducer plain, spread over 8 sub-keys salted. The
+    // sub-key→reducer map is hash(0, s) mod 32, a CONSTANT: exactly two
+    // of the 8 sub-keys share a reducer, so the best possible cut here
+    // is 8/2 = 4x and the floor below (3x) is deterministic, not a
+    // statistical margin.
+    val hot = li.filter(col("jk") === 0)
+    val hotRows = hot.count()
+    assert(hotRows >= total / 6, // ~20% of rows (19.9% at sf0.01)
+      s"fixture must be adversarial: hot key owns $hotRows of $total rows")
+    val hotPlain = maxLoad(hot, col("jk"))
+    val hotSalted = maxLoad(hot, col("jk"), salt)
+    assert(hotPlain === hotRows, "plain: one reducer takes the whole key")
+    assert(hotSalted <= hotPlain / 3,
+      s"salted hot-key max reducer load $hotSalted must be <= $hotPlain/3")
+    // whole-table: strictly better too (weaker floor — non-hot keys set a
+    // base load every reducer carries regardless of salting)
+    assert(maxLoad(li, col("jk"), salt) < maxLoad(li, col("jk")),
+      "salting must lower the whole exchange's max reducer load")
+  }
+
   test("salt is deterministic and within range") {
     val spark2 = spark
     import spark2.implicits._
