@@ -477,14 +477,30 @@ object Dedup {
   private val CosLshTables = 8        // OR: candidate if ANY table collides
   private val CosLshPlanesPerTable = 6 // AND: 6 sign bits per table
 
+  /** Per-table sign-bit count, session-tunable. Candidate volume per
+    * bucket is quadratic in bucket occupancy ≈ n / 2^bits, so bits must
+    * grow with log2(n) to hold the pair stage linear: the sf1 soak
+    * (docs/SCALE.md) measured `knn_join_lsh` at exponent 1.28 with the
+    * fixed 6-bit default (10× data → 19× time) and back to ~linear at 10
+    * bits. 6 bits is sized for the driver fixtures (n ≤ 2000: ~30
+    * vectors/bucket); production sets `graft.lsh.planesPerTable` ≈
+    * log2(n/32). A session conf, not auto-from-count(): plan builders
+    * stay pure (no job at construction), and the declared queries keep
+    * the default so the inlined-plane oracles stay bit-exact. */
+  private[graft] def cosLshPpt(s: SparkSession): Int =
+    s.conf.get("graft.lsh.planesPerTable", CosLshPlanesPerTable.toString).toInt
+
   /** Seeded hyperplanes for the multi-table cosine LSH: 8 independent
-    * tables × 6 planes × 64 dims. A fixed trained artifact (like
-    * [[Vectors.planes]]) that inlines into the DuckDB oracle. */
-  private[operators] lazy val cosLshPlanes: Seq[Seq[Double]] = {
+    * tables × ppt planes × 64 dims. A fixed trained artifact (like
+    * [[Vectors.planes]]) that inlines into the DuckDB oracle; at the
+    * default ppt=6 the pool is byte-identical to what the oracle SQL
+    * embeds. */
+  private[operators] def cosLshPlanesFor(ppt: Int): Seq[Seq[Double]] = {
     val rnd = new scala.util.Random(7)
-    Seq.fill(CosLshTables * CosLshPlanesPerTable)(
-      Seq.fill(64)(rnd.nextGaussian()))
+    Seq.fill(CosLshTables * ppt)(Seq.fill(64)(rnd.nextGaussian()))
   }
+  private[operators] lazy val cosLshPlanes: Seq[Seq[Double]] =
+    cosLshPlanesFor(CosLshPlanesPerTable)
 
   /** Shared WITH-clause core of every multi-table cosine-LSH oracle:
     * identical seeded hyperplanes (as CAST('…' AS DOUBLE) literals — see
@@ -542,16 +558,19 @@ object Dedup {
     * one narrow codegen pass (8 tables × 6 native-cosine sign tests per
     * row, exploded to 8 rows). Shared by [[dedupCosineLsh]] and
     * `knn_join_lsh` in [[Vectors]]. Input must carry (vec_id, v). */
-  private[graft] def cosLshBands(e: DataFrame): DataFrame = {
+  private[graft] def cosLshBands(e: DataFrame,
+                                 ppt: Int = CosLshPlanesPerTable): DataFrame = {
     import graft.functions.VectorOps._
+    val planes = if (ppt == CosLshPlanesPerTable) cosLshPlanes
+                 else cosLshPlanesFor(ppt)
     // nrm once per VECTOR (before the 8-way band explode): every candidate
     // pair then scores as dot/(nrm_a*nrm_b) — one n-dim loop per pair
     // instead of cosine's three accumulators, bit-identical output (the
     // sqrt/multiply/divide order is the fused kernel's)
     e.select(col("vec_id"), col("v"), norm(col("v")).as("nrm"),
       explode(array((0 until CosLshTables).map { t =>
-        val sig = (0 until CosLshPlanesPerTable).map { j =>
-          val h = typedlit(cosLshPlanes(t * CosLshPlanesPerTable + j))
+        val sig = (0 until ppt).map { j =>
+          val h = typedlit(planes(t * ppt + j))
           // sign(dot) == sign(cosine) (norms are positive), so the
           // signature needs only the dot — 48 n-dim loops per vector
           // instead of 48 cosines (each of which re-walks v twice more
@@ -568,7 +587,7 @@ object Dedup {
     import graft.functions.VectorOps._
     val e = Tables.embeddings(s, d).select(col("vec_id"),
       toDouble(col("embedding")).as("v"))
-    val bands = cosLshBands(e)
+    val bands = cosLshBands(e, cosLshPpt(s))
     bands.as("a").join(bands.as("b"),
         col("a.tbl") === col("b.tbl") && col("a.sig") === col("b.sig") &&
         col("a.vec_id") < col("b.vec_id"))

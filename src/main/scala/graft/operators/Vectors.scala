@@ -196,7 +196,10 @@ object Vectors {
   val knnJoinLsh: Q = Q("knn_join_lsh", knnLshOracleSql) { (s, d) =>
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
-    val bands = Dedup.cosLshBands(e)
+    // bits-per-table follows `graft.lsh.planesPerTable` (default 6 = the
+    // oracle's inlined planes; grow with log2(n) at scale — docs/SCALE.md
+    // has the measured exponent with and without)
+    val bands = Dedup.cosLshBands(e, Dedup.cosLshPpt(s))
     // each unordered pair joins and pays its cosine ONCE (a < b, as in
     // dedupCosineLsh), then both directed edges emit from a one-pass
     // explode — bit-exact vs the oracle's <> join because cosine is

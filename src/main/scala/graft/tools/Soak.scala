@@ -9,15 +9,24 @@ package graft.tools
   * Reports cold (first pass) and min-over-passes per query, same columns
   * as [[graft.Bench]], so training/memoized-artifact cost is visible.
   *
-  * Usage: runMain graft.tools.Soak <sfDir> <outFile> <query>[,<query>...]
+  * Usage: runMain graft.tools.Soak <sfDir> <outFile> <query>[,...] [k=v[,k=v...]]
+  *
+  * The optional 4th arg sets session confs before the passes — e.g.
+  * `graft.lsh.planesPerTable=10` to measure a scale knob's effect.
   */
 object Soak {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val outFile = args(1)
     val names = args(2).split(",").toSeq
+    // static conf — must be on the SparkConf before the session exists
+    // (SparkConf picks up spark.* system properties)
+    System.setProperty("spark.sql.codegen.cache.maxEntries", "4096")
     val spark = graft.GraftSession.local()
-    spark.conf.set("spark.sql.codegen.cache.maxEntries", "4096")
+    args.lift(3).foreach(_.split(",").foreach { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      spark.conf.set(k, v)
+    })
     spark.sparkContext.setLogLevel("WARN")
     val qs = graft.SparkEntry.queries
     def onePass(): Seq[(String, Double)] = names.map { name =>

@@ -491,6 +491,44 @@ class DedupSpec extends SparkSpec {
       s"recall@1 on strong pairs too low: $hits/${exact1.size}")
   }
 
+  test("graft.lsh.planesPerTable scales the band space without breaking exactness") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.VectorOps._
+    val e = graft.Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    // default: conf absent → the oracle's 6-bit plane pool
+    assert(Dedup.cosLshPpt(spark) == 6)
+    // more bits → geometrically larger signature space (the linearity
+    // knob: bucket occupancy ≈ n/2^bits — docs/SCALE.md measured
+    // knn_join_lsh at exponent 1.28 with 6 bits at sf1, ~linear at 10)
+    val sig10 = Dedup.cosLshBands(e, ppt = 10)
+    val mx = sig10.agg(max("sig"), countDistinct("tbl")).head()
+    assert(mx.getLong(0) < (1L << 10) && mx.getLong(0) >= (1L << 6),
+      s"10-bit signatures should use the widened space: max=${mx.getLong(0)}")
+    assert(mx.getLong(1) == 8, "table count is the recall knob, unchanged")
+    try {
+      spark.conf.set("graft.lsh.planesPerTable", "4")
+      assert(Dedup.cosLshPpt(spark) == 4)
+      // the conf reaches the declared query, and every emitted neighbor
+      // still carries its EXACT cosine (precision is bit-independent of
+      // the banding config — only recall moves)
+      val knn4 = Vectors.knnJoinLsh.fn(spark, sf0001)
+        .select("vec_id", "nn_id", "cosine").collect()
+        .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+      assert(knn4.nonEmpty)
+      val ids = knn4.map(_._1).toSet
+      val truth = e.as("a").join(e.as("b"), col("a.vec_id") =!= col("b.vec_id"))
+        .select(col("a.vec_id"), col("b.vec_id").as("nn_id"),
+                (dotNative(col("a.v"), col("b.v")) /
+                  (norm(col("a.v")) * norm(col("b.v")))).as("c"))
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+        .filter(t => ids.contains(t._1)).toMap
+      knn4.foreach { case (k, c) =>
+        assert(truth(k) == c, s"inexact cosine for $k under ppt=4")
+      }
+    } finally spark.conf.unset("graft.lsh.planesPerTable")
+  }
+
   test("dedup_source_sim: estimate tracks exact source Jaccard, all pairs present") {
     val rows = Dedup.dedupSourceSim.fn(spark, sf0001).collect()
     val nSources = Tables.documents(spark, sf0001)
