@@ -472,6 +472,85 @@ object Pipeline {
     }
   }
 
+  private val LpIters = 4
+
+  /** LABEL-PROPAGATION COMMUNITY DETECTION over the customer↔supplier
+    * graph — the clustering complement to [[graphPagerank]]'s importance
+    * ranking and `dedup_cluster`'s connectivity: [[LpIters]] synchronous
+    * rounds where every vertex adopts the MODE of its neighbors' labels
+    * (ties break to the smallest label), then communities report their
+    * sizes. Mode-propagation finds dense groups, not mere reachability —
+    * on a bipartite purchase graph these are customer/supplier market
+    * segments.
+    *
+    * Determinism discipline for an iterative vote: vertex ids are exact
+    * BIGINTs (customers = 2k, suppliers = 2k+1 — disjoint without string
+    * concat), votes are exact counts, and the argmax is total-ordered by
+    * (count DESC, label ASC), so a fixed round count is bit-deterministic
+    * under any partitioning. Like pagerank, the fixed iteration count
+    * makes the whole computation ONE declarative plan.
+    *
+    * Plan: per round, ONE edge⋈label equi join keyed by src, a
+    * (dst, lbl) partial+final vote count, then the argmax as a second
+    * partial+final aggregate — max(struct(count, -lbl)) carries the tie
+    * rule inside the aggregation, so no per-round window sort exists and
+    * every stage map-side combines. The oracle expresses the same argmax
+    * as a row_number window (different algorithm, same total order). At
+    * 100 TB: persist the src-partitioned edge list once (here: cached),
+    * checkpoint labels every few rounds — the pagerank posture. */
+  val graphLabelProp: Q = {
+    def stepSql(prev: String, cur: String): String =
+      s"""$cur AS (SELECT vid, lbl FROM (
+         |    SELECT vid, lbl,
+         |      row_number() OVER (PARTITION BY vid ORDER BY c DESC, lbl) AS rn
+         |    FROM (SELECT e.dst AS vid, p.lbl, count(*) AS c
+         |          FROM $prev p JOIN e ON p.vid = e.src GROUP BY 1, 2))
+         |  WHERE rn = 1)""".stripMargin
+    val steps = (1 to LpIters)
+      .map(i => stepSql(s"l${i - 1}", s"l$i")).mkString(",\n")
+    Q(
+      "graph_label_prop",
+      s"""WITH pairs AS (
+         |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         |  WHERE o_orderdate >= DATE '1995-01-01'
+         |    AND o_orderdate < DATE '1995-04-01'),
+         |e AS (SELECT c AS src, s AS dst FROM pairs
+         |      UNION ALL SELECT s, c FROM pairs),
+         |l0 AS (SELECT DISTINCT src AS vid, src AS lbl FROM e),
+         |$steps
+         |SELECT lbl AS community, CAST(count(*) AS BIGINT) AS n_members
+         |FROM l$LpIters GROUP BY 1 ORDER BY community""".stripMargin
+    ) { (s, d) =>
+      val pairs = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1995-01-01") &&
+                col("o_orderdate") < lit("1995-04-01"))
+        .join(Tables.lineitem(s, d),
+              col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("c"),
+                (col("l_suppkey") * 2 + 1).as("s"))
+        .distinct()
+      val e = pairs.select(col("c").as("src"), col("s").as("dst"))
+        .unionByName(pairs.select(col("s").as("src"), col("c").as("dst")))
+        .cache() // all rounds reference this one frame (pagerank posture)
+      var lbl = e.select(col("src").as("vid")).distinct()
+        .withColumn("lbl", col("vid"))
+      for (_ <- 1 to LpIters) {
+        lbl = e.join(lbl, col("src") === col("vid"))
+          .groupBy(col("dst"), col("lbl"))
+          .agg(count(lit(1)).as("c"))
+          .groupBy("dst")
+          // struct max = (most votes, then smallest label): the tie rule
+          // rides INSIDE a partial+final aggregate — no per-round window
+          .agg(max(struct(col("c"), (-col("lbl")).as("nl"))).as("m"))
+          .select(col("dst").as("vid"), (-col("m.nl")).as("lbl"))
+      }
+      lbl.groupBy("lbl").agg(count(lit(1)).as("n_members"))
+        .select(col("lbl").as("community"), col("n_members"))
+        .orderBy("community")
+    }
+  }
+
   /** The star schema's FK edges: (edge label, child table, FK column,
     * parent table, PK column). One spec row drives BOTH the Spark plan
     * and the oracle SQL, so the two inventories cannot drift. */
@@ -757,8 +836,47 @@ object Pipeline {
     }
   }.copy(eager = true)
 
+  /** FRESHNESS / SLA-LAG census per event stream — the fourth data-quality
+    * pillar next to rules ([[dqChecks]]), distribution ([[dqSkew]],
+    * [[dqDriftKs]]) and row-level integrity ([[dqReferential]]): per
+    * event_type, the last-seen timestamp, its lag behind the newest event
+    * anywhere in the table, and a staleness flag at the 24h SLA — the
+    * "did a producer stop publishing?" check every ingestion pipeline
+    * monitors. The corpus-wide reference point is the table's own max
+    * (not wall clock) so the query is deterministic and replayable.
+    *
+    * Determinism: lag math is exact integer epoch-millis floor-divided to
+    * hours; the flag is a comparison on that BIGINT.
+    *
+    * Plan: ONE partial+final aggregate reduces events to a row per type;
+    * the global max folds over that tiny frame and broadcasts back via a
+    * single-row cross join. Nothing after the first aggregate scales with
+    * event count. */
+  val dqFreshness: Q = Q(
+    "dq_freshness",
+    """WITH t AS (SELECT event_type, max(ts) AS last_ts,
+      |             count(*) AS n FROM events GROUP BY 1),
+      |g AS (SELECT max(last_ts) AS now_ts FROM t)
+      |SELECT event_type, CAST(n AS BIGINT) AS n_events, last_ts,
+      |  CAST((epoch_ms(now_ts) - epoch_ms(last_ts)) // 3600000 AS BIGINT)
+      |    AS lag_hours,
+      |  (epoch_ms(now_ts) - epoch_ms(last_ts)) // 3600000 >= 24 AS stale
+      |FROM t, g ORDER BY event_type""".stripMargin
+  ) { (s, d) =>
+    val t = Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(max(col("ts")).as("last_ts"), count(lit(1)).as("n_events"))
+    val g = t.agg(max(col("last_ts")).as("now_ts"))
+    t.crossJoin(broadcast(g))
+      .withColumn("lag_hours",
+        expr("(unix_millis(now_ts) - unix_millis(last_ts)) DIV 3600000"))
+      .select(col("event_type"), col("n_events"), col("last_ts"),
+              col("lag_hours"), (col("lag_hours") >= 24).as("stale"))
+      .orderBy("event_type")
+  }
+
   val all: Seq[Q] = Seq(simplifyFlatten, denormalizePatient, graphEdges,
     graphTwohop, discoverySummary, ingestNdjson, snapshotExport, dqChecks,
-    dqSkew, dqDriftKs, graphPagerank, dqReferential, graphJaccard,
-    graphDegreeDist, storePruningStats)
+    dqSkew, dqDriftKs, dqFreshness, graphPagerank, graphLabelProp,
+    dqReferential, graphJaccard, graphDegreeDist, storePruningStats)
 }

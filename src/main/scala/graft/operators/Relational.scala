@@ -461,6 +461,65 @@ object Relational {
       .orderBy("event_id")
   }
 
+  /** NEAREST as-of join (pandas `merge_asof(direction='nearest')`) —
+    * the last member of the as-of family: each purchase matches the
+    * signup CLOSEST in time, either direction, ties (equal distance,
+    * including a same-instant signup seen by both carries) breaking
+    * BACKWARD. Both directional carries ride ONE tagged frame and ONE
+    * user-keyed exchange (two window functions re-sort locally but
+    * share the partitioning — never a second shuffle, never an N×M
+    * join); the nearest pick is a final narrow CASE in exact epoch
+    * millis. Oracle: both DuckDB native ASOF directions (inclusive on
+    * both sides, mirroring the tie rule) CASE-combined — a genuinely
+    * different algorithm reaching the same contract. */
+  val joinAsofNearest: Q = Q(
+    "join_asof_nearest",
+    """WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+      |s AS (SELECT * FROM events WHERE event_type = 'signup'),
+      |b AS (SELECT p.event_id AS event_id, p.user_id AS user_id,
+      |             p.ts AS purchase_ts, s.ts AS bts
+      |      FROM p ASOF LEFT JOIN s
+      |        ON p.user_id = s.user_id AND p.ts >= s.ts),
+      |f AS (SELECT p.event_id AS event_id, s.ts AS fts
+      |      FROM p ASOF LEFT JOIN s
+      |        ON p.user_id = s.user_id AND p.ts <= s.ts)
+      |SELECT b.event_id AS event_id, user_id, purchase_ts,
+      |  CASE WHEN bts IS NULL THEN fts
+      |       WHEN fts IS NULL THEN bts
+      |       WHEN epoch_ms(purchase_ts) - epoch_ms(bts)
+      |            <= epoch_ms(fts) - epoch_ms(purchase_ts) THEN bts
+      |       ELSE fts END AS signup_ts
+      |FROM b JOIN f ON b.event_id = f.event_id
+      |ORDER BY event_id""".stripMargin
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val tagged = Tables.events(s, d)
+      .filter(col("event_type").isin("purchase", "signup"))
+      .select(
+        col("event_id"), col("user_id"), col("ts"), col("event_type"),
+        when(col("event_type") === "signup", col("ts")).as("sig_ts"),
+        // backward order: signup before purchase at equal ts (>= matches)
+        when(col("event_type") === "signup", lit(0)).otherwise(lit(1)).as("tb"),
+        // forward order: purchase before signup at equal ts (<= matches)
+        when(col("event_type") === "signup", lit(1)).otherwise(lit(0)).as("tf"))
+    val wb = Window.partitionBy("user_id").orderBy(col("ts"), col("tb"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = Window.partitionBy("user_id").orderBy(col("ts"), col("tf"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    tagged
+      .withColumn("bts", last(col("sig_ts"), ignoreNulls = true).over(wb))
+      .withColumn("fts", first(col("sig_ts"), ignoreNulls = true).over(wf))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts").as("purchase_ts"),
+        when(col("bts").isNull, col("fts"))
+          .when(col("fts").isNull, col("bts"))
+          .when(unix_millis(col("ts")) - unix_millis(col("bts"))
+                  <= unix_millis(col("fts")) - unix_millis(col("ts")),
+                col("bts"))
+          .otherwise(col("fts")).as("signup_ts"))
+      .orderBy("event_id")
+  }
+
   /** NULL-preserving generator (`explode_outer`): documents whose filter
     * yields an EMPTY token list still emit one row with a NULL token —
     * the outer-generator semantics every flatten-with-provenance
@@ -1788,7 +1847,8 @@ object Relational {
     scalarDatetimeExt, scalarStringExt, aggMode, scalarNullSemantics,
     unpivotStack, joinSalted, joinSaltedHot, aggGroupingSets, outlierMad,
     aggHistogramEqd,
-    joinAsofTol, joinAsofFwd, generatorOuter, aggHllUnion, aggThetaSetops,
+    joinAsofTol, joinAsofFwd, joinAsofNearest, generatorOuter, aggHllUnion,
+    aggThetaSetops,
     joinBloom, sampleReservoir, joinIntervalBin, aggBitmapDistinct,
     aggRegression, skylinePareto, joinFuzzy, aggIncremental)
 }

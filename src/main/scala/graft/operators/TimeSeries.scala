@@ -452,6 +452,74 @@ object TimeSeries {
       .orderBy("bkt")
   }
 
+  /** LEAD/LAG CROSS-CORRELATION between the click and purchase hourly
+    * series at lags 0..12 — "how many hours does purchasing trail
+    * clicking?", the causal-delay diagnostic that sizes attribution
+    * windows ([[Streaming]]'s attribution pair) and feature look-backs.
+    * r(L) = Pearson over pairs (x_t, y_{t+L}); the argmax lag is the
+    * measured response delay. [[tsAutocorr]] is the self-series special
+    * case; this one correlates two different series, so the pair frame
+    * comes from a bucket-keyed self-join rather than a window lag.
+    *
+    * Determinism: both series come from ONE conditional aggregate; the
+    * lag shift is exact integer epoch-millis arithmetic (bkt + L·3600000);
+    * the six sufficient statistics are exact BIGINTs and each r is one
+    * double expression (variance factors cast before multiplying, shared
+    * nullif for constant series).
+    *
+    * Plan: events reduce to the hourly series in one partial+final
+    * aggregate; the 13-lag explode fans the SERIES (hours-bounded, never
+    * events) 13×; one bucket-keyed equi-join aligns x_t with y_{t+L};
+    * one final partial+final aggregate on lag_k emits the statistics.
+    * At 100 TB the join's build side is the same hours-sized series —
+    * AQE broadcasts it; nothing here scales with event count. */
+  val tsCrossCorr: Q = Q(
+    "ts_cross_corr",
+    """WITH c AS (SELECT epoch_ms(time_bucket(INTERVAL '1 hour', ts)) AS ms,
+      |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS x,
+      |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS y
+      |  FROM events GROUP BY 1),
+      |l AS (SELECT CAST(unnest(range(0, 13)) AS INT) AS lag_k),
+      |p AS (SELECT l.lag_k, a.x, b.y
+      |      FROM l CROSS JOIN c a
+      |      JOIN c b ON b.ms = a.ms + l.lag_k * 3600000),
+      |s AS (SELECT lag_k, count(*) AS n,
+      |        CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |        CAST(sum(x*x) AS BIGINT) AS sxx, CAST(sum(y*y) AS BIGINT) AS syy,
+      |        CAST(sum(x*y) AS BIGINT) AS sxy
+      |      FROM p GROUP BY 1)
+      |SELECT lag_k, CAST(n AS BIGINT) AS n_pairs,
+      |  CAST(n*sxy - sx*sy AS DOUBLE) /
+      |  nullif(sqrt(CAST(n*sxx - sx*sx AS DOUBLE)
+      |              * CAST(n*syy - sy*sy AS DOUBLE)), 0) AS r
+      |FROM s WHERE n >= 2 ORDER BY lag_k""".stripMargin
+  ) { (s, d) =>
+    val c = Tables.events(s, d)
+      .groupBy(unix_millis(date_trunc("hour", col("ts"))).as("ms"))
+      .agg(sum(when(col("event_type") === "click", 1).otherwise(0)).as("x"),
+           sum(when(col("event_type") === "purchase", 1).otherwise(0)).as("y"))
+    val xs = c.select(col("ms"), col("x"))
+      .withColumn("lag_k", explode(sequence(lit(0), lit(12))))
+      .withColumn("yms", col("ms") + col("lag_k") * 3600000L)
+    val ys = c.select(col("ms").as("yms"), col("y"))
+    xs.join(ys, Seq("yms"))
+      .groupBy("lag_k")
+      .agg(count(lit(1)).as("n"),
+           sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+           sum(col("x") * col("x")).as("sxx"),
+           sum(col("y") * col("y")).as("syy"),
+           sum(col("x") * col("y")).as("sxy"))
+      .filter(col("n") >= 2)
+      .select(col("lag_k"), col("n").as("n_pairs"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          expr("""nullif(sqrt(CAST(n*sxx - sx*sx AS DOUBLE)
+                            * CAST(n*syy - sy*sy AS DOUBLE)), 0)"""))
+          .as("r"))
+      .orderBy("lag_k")
+  }
+
   val all: Seq[Q] = Seq(tsAutocorr, tsChangepoint, tsEwma, tsDecompose,
-    tsHolt, tsMkTrend, tsAnomaly, tsRollingCorr)
+    tsHolt, tsMkTrend, tsAnomaly, tsRollingCorr, tsCrossCorr)
 }

@@ -1396,8 +1396,91 @@ object Vectors {
       .orderBy("q_id")
   }
 
+  /** SQ8-QUANTIZED top-k search with inline recall audit — the
+    * scalar-quantization serving path (faiss `SQ8` shape) between the
+    * exact scan ([[vectorTopk]], 4× the memory) and PQ ([[vectorPq]],
+    * lossier): each corpus vector stores one double scale + 64 int8
+    * codes (the [[vectorQuantize]] algebra), search ranks by cosine over
+    * the DEQUANTIZED vector, and each returned rank carries whether the
+    * exact top-20 agrees — the per-query quality signal an SQ8 deployment
+    * monitors. max_err ≤ scale/2 per dim keeps SQ8 recall near-perfect
+    * (vs PQ's subspace loss), which the in_exact column makes measurable.
+    *
+    * Determinism: codes are exact ints (floor(x/scale + 0.5)); the
+    * dequantized values are one multiply each; both cosines fold in
+    * index order in both engines (the [[vectorTopk]] parity discipline);
+    * ranking ties break on vec_id.
+    *
+    * Plan: quantize + dequantize + score is ONE narrow codegen
+    * projection over the scan (zero shuffles), both top-20 cuts are
+    * TakeOrderedAndProject (per-partition heap, no global sort), and
+    * the rank window + recall join run over 20-row frames. At 100 TB
+    * the int8 codes column is what sits in storage (4× less scan I/O);
+    * the q8→w dequantization here stands in for reading it. */
+  val vectorSq8Topk: Q = Q(
+    "vector_sq8_topk", {
+      val cosW = "list_sum([w[i]*qv[i] FOR i IN range(1, len(w)+1)]) / " +
+        "(sqrt(list_sum([x*x FOR x IN w])) * sqrt(list_sum([x*x FOR x IN qv])))"
+      val cosV = "list_sum([v[i]*qv[i] FOR i IN range(1, len(v)+1)]) / " +
+        "(sqrt(list_sum([x*x FOR x IN v])) * sqrt(list_sum([x*x FOR x IN qv])))"
+      s"""WITH q AS (SELECT [CAST(x AS DOUBLE) FOR x IN embedding] AS qv
+         |           FROM embeddings WHERE vec_id = 0),
+         |e AS (SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v
+         |      FROM embeddings WHERE vec_id <> 0),
+         |m AS (SELECT vec_id, v, list_max([abs(x) FOR x IN v]) / 127 AS scale
+         |      FROM e),
+         |dq AS (SELECT vec_id,
+         |         CASE WHEN scale = 0 THEN [CAST(0 AS DOUBLE) FOR x IN v]
+         |              ELSE [CAST(floor(x / scale + 0.5) AS INT) * scale
+         |                    FOR x IN v] END AS w
+         |       FROM m),
+         |ax AS (SELECT vec_id, cos_sq8,
+         |         row_number() OVER (ORDER BY cos_sq8 DESC, vec_id) AS rank
+         |       FROM (SELECT dq.vec_id, $cosW AS cos_sq8 FROM dq, q)),
+         |ex AS (SELECT vec_id FROM (
+         |    SELECT e.vec_id, $cosV AS c,
+         |      row_number() OVER (ORDER BY c DESC, e.vec_id) AS rn
+         |    FROM e, q) WHERE rn <= 20)
+         |SELECT CAST(rank AS INT) AS rank, ax.vec_id AS vec_id, cos_sq8,
+         |  ex.vec_id IS NOT NULL AS in_exact
+         |FROM ax LEFT JOIN ex ON ax.vec_id = ex.vec_id
+         |WHERE rank <= 20 ORDER BY rank""".stripMargin
+    }
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(s, d)
+    val q = emb.filter(col("vec_id") === 0)
+      .select(toDouble(col("embedding")).as("qv"))
+    val e = emb.filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    val dq = e
+      .withColumn("scale", array_max(transform(col("v"), abs(_))) / 127)
+      // zero-vector guard: the vector_quantize discipline (scale 0 would
+      // NaN the division); dequantized code*scale stands in for the
+      // stored int8 column
+      .withColumn("w",
+        when(col("scale") === 0, transform(col("v"), _ => lit(0.0)))
+        .otherwise(transform(col("v"),
+          x => floor(x / col("scale") + 0.5).cast("int") * col("scale"))))
+    val ax = dq.crossJoin(broadcast(q))
+      .select(col("vec_id"), cosine(col("w"), col("qv")).as("cos_sq8"))
+      .orderBy(desc("cos_sq8"), asc("vec_id")).limit(20)
+      // rank window runs over the already-cut 20 rows, never the corpus
+      .withColumn("rank",
+        row_number().over(Window.orderBy(desc("cos_sq8"), asc("vec_id"))))
+    val ex = e.crossJoin(broadcast(q))
+      .select(col("vec_id"), cosine(col("v"), col("qv")).as("c"))
+      .orderBy(desc("c"), asc("vec_id")).limit(20)
+      .select(col("vec_id"), lit(1).as("hit"))
+    ax.join(ex, Seq("vec_id"), "left")
+      .select(col("rank"), col("vec_id"), col("cos_sq8"),
+              col("hit").isNotNull.as("in_exact"))
+      .orderBy("rank")
+  }
+
   val all: Seq[Q] = Seq(vectorTopk, vectorAnnLsh, vectorAnnIvf,
     vectorTopkBatch, vectorQuantize, vectorCentroid, knnJoinLsh,
     sqlVectorTopk, vectorIndexStats, vectorPq, vectorIvfPq,
-    vectorIndexDelta, vectorMips, vectorRecallEval, vectorRecallEvalMt)
+    vectorIndexDelta, vectorMips, vectorRecallEval, vectorRecallEvalMt,
+    vectorSq8Topk)
 }
