@@ -666,7 +666,74 @@ object Corpus {
       .orderBy("split_a", "split_b")
   }
 
+  /** QUALITY-WEIGHTED Bernoulli subsampling — the data-reweighting step
+    * of modern pretraining recipes (upsample long/high-quality documents,
+    * downsample short ones) done deterministically: each document keeps
+    * with probability proportional to a quality proxy (here token count,
+    * saturating at 64 tokens → p = min(1, n_tokens/64)), decided by
+    * comparing a salted portable hash of the doc id against the weight.
+    * Unlike `rand() < p` this is stable under re-runs, re-orders, and
+    * incremental appends — a document's fate never changes as the corpus
+    * grows (the [[corpusSplit]] argument, extended to per-row weights).
+    *
+    * Determinism: the weight is held in exact PARTS-PER-MILLION
+    * (n_tokens × 15625 ppm, capped at 10⁶ — never a float), the draw is
+    * `hash % 10⁶ < w_ppm` in BIGINTs, and the reported rates are one
+    * double division each at the end.
+    *
+    * Plan: weight + draw are a pure projection over the scan (zero
+    * shuffles); ONE partial+final aggregate per source reports kept
+    * counts, token mass, and the realized vs expected rate — the
+    * mixture audit a recipe change is judged by. */
+  val corpusSampleWeighted: Q = {
+    val hv = graft.functions.expressions.PortableHash
+      .duckdbSaltedSql("doc_id", ":wsample", 15)
+    Q(
+      "corpus_sample_weighted",
+      s"""WITH t AS (SELECT doc_id, source,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |    $hv % 1000000 AS slot
+         |  FROM documents),
+         |w AS (SELECT doc_id, source, n_tokens, slot,
+         |    least(CAST(1000000 AS BIGINT), n_tokens * 15625) AS w_ppm
+         |  FROM t)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN slot < w_ppm THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_kept,
+         |  CAST(sum(CASE WHEN slot < w_ppm THEN n_tokens ELSE 0 END)
+         |       AS BIGINT) AS kept_tokens,
+         |  CAST(sum(CASE WHEN slot < w_ppm THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / count(*) AS kept_rate,
+         |  CAST(sum(w_ppm) AS DOUBLE) / (1000000 * count(*))
+         |    AS expected_rate
+         |FROM w GROUP BY source ORDER BY source""".stripMargin
+    ) { (s, d) =>
+      val slot =
+        graft.functions.TextFns.saltedHash(col("doc_id"), ":wsample", 15) %
+          1000000L
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"),
+          slot.as("slot"))
+        .withColumn("w_ppm",
+          least(lit(1000000L), col("n_tokens") * 15625L))
+        .withColumn("kept", col("slot") < col("w_ppm"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+             sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+             sum(when(col("kept"), col("n_tokens")).otherwise(0L))
+               .as("kept_tokens"),
+             sum(col("w_ppm")).as("sum_ppm"))
+        .select(col("source"), col("n_docs"), col("n_kept"),
+          col("kept_tokens"),
+          (col("n_kept").cast("double") / col("n_docs")).as("kept_rate"),
+          (col("sum_ppm").cast("double") / (lit(1000000L) * col("n_docs")))
+            .as("expected_rate"))
+        .orderBy("source")
+    }
+  }
+
   val all: Seq[Q] = Seq(corpusSplit, corpusPack, corpusSelect, docChunk,
     corpusDecontaminate, corpusMix, corpusShuffle, trainingManifest,
-    corpusEntropy, corpusPipeline, corpusSplitLeakage)
+    corpusEntropy, corpusPipeline, corpusSplitLeakage, corpusSampleWeighted)
 }

@@ -1037,10 +1037,57 @@ object TextAnalysis {
       .limit(30)
   }
 
+  /** FEATURE-HASHING VECTORIZER (the "hashing trick", Weinberger et al.
+    * 2009) — fixed-width bag-of-words featurization with NO vocabulary
+    * pass: each token hashes to one of 16 buckets with a ±1 sign drawn
+    * from the next hash bit (the unbiasing refinement), and a document's
+    * feature vector is the signed count per bucket. This is the
+    * featurizer that works at 100 TB precisely because it is stateless —
+    * no vocab table to build, broadcast, or keep consistent across
+    * incremental batches ([[textTfidf]] needs all three).
+    *
+    * Determinism: the bucket/sign come from the portable md5-prefix hash
+    * (same renderer as the sampling family), counts are exact ints.
+    *
+    * Plan: explode to (doc_id, token) — narrow; hash + bucket + sign in
+    * codegen; ONE partial+final aggregate keyed by doc_id folds all 16
+    * conditional sums map-side. Output rows = documents, columns fixed
+    * at 16 — never vocabulary-sized. */
+  val textHashingVec: Q = {
+    val hv = graft.functions.expressions.PortableHash
+      .duckdbSaltedSql("tok", ":hv", 15)
+    val featsSql = (0 until 16).map(b =>
+      s"""CAST(sum(CASE WHEN hv % 16 = $b
+         |    THEN CASE WHEN (hv // 16) % 2 = 0 THEN 1 ELSE -1 END
+         |    ELSE 0 END) AS BIGINT) AS f$b""".stripMargin).mkString(",\n")
+    Q(
+      "text_hashing_vec",
+      s"""WITH tall AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+         |              FROM documents),
+         |h AS (SELECT doc_id, $hv AS hv FROM tall)
+         |SELECT doc_id,
+         |$featsSql
+         |FROM h GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    ) { (s, d) =>
+      val hvCol = graft.functions.TextFns.saltedHash(col("tok"), ":hv", 15)
+      // hv is a 60-bit value: the shift must stay in INTEGER division
+      // (a double `/` would round above 2^53 and flip signs vs DuckDB)
+      val sign = when(expr("(hv DIV 16) % 2") === 0, 1).otherwise(-1)
+      val feats = (0 until 16).map(b =>
+        sum(when(col("hv") % 16 === b, sign).otherwise(0)).as(s"f$b"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .withColumn("hv", hvCol)
+        .groupBy("doc_id")
+        .agg(feats.head, feats.tail: _*)
+        .orderBy("doc_id")
+    }
+  }
+
   val all: Seq[Q] = Seq(textTokens, textQuality, langId, textFingerprint,
     textTfidf, textNormalize, textRepetition, piiRedact, ngramFreq,
     textContamination, textTokenBpe, textPerplexity, spanDedup,
     textHeavyHitters, textQualityClassifier, textCountmin, textCollocations,
     textLangidEval, textBm25, textBoilerplate, textInvertedIndex,
-    textIndexDelta)
+    textIndexDelta, textHashingVec)
 }
