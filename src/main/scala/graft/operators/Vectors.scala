@@ -1478,9 +1478,101 @@ object Vectors {
       .orderBy("rank")
   }
 
+  /** Fixed seeded planes for the 48-bit binary signature (seed distinct
+    * from the 8-plane LSH index so the two codebooks are independent). */
+  private[operators] lazy val hamPlanes: Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(7)
+    Seq.fill(48)(Seq.fill(Dim)(rnd.nextGaussian()))
+  }
+
+  /** BINARY-SIGNATURE top-k search (48-bit sign random projection,
+    * Charikar 2002) with inline recall audit — the most aggressive
+    * compression point on the serving spectrum: exact scan (512 B/vec) →
+    * SQ8 ([[vectorSq8Topk]], 72 B) → PQ ([[vectorPq]], 8 B + codebook) →
+    * THIS (6 B/vec, no codebook). Ranking is Hamming distance =
+    * popcount(sig XOR qsig): pure 64-bit integer ops, which makes this
+    * the one ANN path with NO floating point anywhere in the ranking —
+    * E[hamming]/48 estimates angle/π, and in_exact measures what the
+    * 48-bit compression actually costs on this corpus.
+    *
+    * Determinism: the sign tests fold dot products in index order (the
+    * [[vectorRecallEval]] plane-inlined discipline); everything after is
+    * BIGINT arithmetic with a (hamming, vec_id) total order.
+    *
+    * Plan: signature = one narrow codegen projection (48 native dot
+    * products per row, zero shuffles); the top-20 cut is
+    * TakeOrderedAndProject on an INT key; the rank window and recall
+    * join see 20 rows. At 100 TB the 6-byte signature column is the
+    * resident index — a 100 TB float corpus serves from ~1 TB of
+    * signatures, and the XOR+popcount scan vectorizes. */
+  val vectorHammingTopk: Q = Q(
+    "vector_hamming_topk", {
+      val cosV = "list_sum([v[i]*qv[i] FOR i IN range(1, len(v)+1)]) / " +
+        "(sqrt(list_sum([x*x FOR x IN v])) * sqrt(list_sum([x*x FOR x IN qv])))"
+      s"""WITH planes AS (SELECT j, pv FROM (VALUES
+         |    ${planesSql(hamPlanes)}) p(j, pv)),
+         |e AS (SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v
+         |      FROM embeddings WHERE vec_id <> 0),
+         |q AS (SELECT [CAST(x AS DOUBLE) FOR x IN embedding] AS qv
+         |      FROM embeddings WHERE vec_id = 0),
+         |eb AS (SELECT vec_id,
+         |         CAST(sum(CASE WHEN dotp > 0 THEN (CAST(1 AS BIGINT) << j)
+         |                       ELSE 0 END) AS BIGINT) AS sig
+         |       FROM (SELECT vec_id, j,
+         |               list_sum([v[i]*pv[i] FOR i IN range(1, len(v)+1)]) AS dotp
+         |             FROM e CROSS JOIN planes)
+         |       GROUP BY vec_id),
+         |qb AS (SELECT CAST(sum(CASE WHEN dotp > 0 THEN (CAST(1 AS BIGINT) << j)
+         |                            ELSE 0 END) AS BIGINT) AS qsig
+         |       FROM (SELECT j,
+         |               list_sum([qv[i]*pv[i] FOR i IN range(1, len(qv)+1)]) AS dotp
+         |             FROM q CROSS JOIN planes)),
+         |ax AS (SELECT vec_id, hamming,
+         |         row_number() OVER (ORDER BY hamming, vec_id) AS rank
+         |       FROM (SELECT vec_id,
+         |               CAST(bit_count(xor(sig, qsig)) AS INT) AS hamming
+         |             FROM eb, qb)),
+         |ex AS (SELECT vec_id FROM (
+         |    SELECT e.vec_id, $cosV AS c,
+         |      row_number() OVER (ORDER BY c DESC, e.vec_id) AS rn
+         |    FROM e, q) WHERE rn <= 20)
+         |SELECT CAST(rank AS INT) AS rank, ax.vec_id AS vec_id, hamming,
+         |  ex.vec_id IS NOT NULL AS in_exact
+         |FROM ax LEFT JOIN ex ON ax.vec_id = ex.vec_id
+         |WHERE rank <= 20 ORDER BY rank""".stripMargin
+    }
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(s, d)
+    val e = emb.filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    val q = emb.filter(col("vec_id") === 0)
+      .select(toDouble(col("embedding")).as("qv"))
+    def sigOf(v: org.apache.spark.sql.Column) =
+      hamPlanes.zipWithIndex.map { case (p, j) =>
+        when(dotNative(v, typedlit(p)) > 0, lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    val ax = e.select(col("vec_id"), sigOf(col("v")).as("sig"))
+      .crossJoin(broadcast(q.select(sigOf(col("qv")).as("qsig"))))
+      .select(col("vec_id"),
+        expr("CAST(bit_count(sig ^ qsig) AS INT)").as("hamming"))
+      .orderBy(asc("hamming"), asc("vec_id")).limit(20)
+      // rank window runs over the already-cut 20 rows, never the corpus
+      .withColumn("rank",
+        row_number().over(Window.orderBy(asc("hamming"), asc("vec_id"))))
+    val ex = e.crossJoin(broadcast(q))
+      .select(col("vec_id"), cosine(col("v"), col("qv")).as("c"))
+      .orderBy(desc("c"), asc("vec_id")).limit(20)
+      .select(col("vec_id"), lit(1).as("hit"))
+    ax.join(ex, Seq("vec_id"), "left")
+      .select(col("rank"), col("vec_id"), col("hamming"),
+              col("hit").isNotNull.as("in_exact"))
+      .orderBy("rank")
+  }
+
   val all: Seq[Q] = Seq(vectorTopk, vectorAnnLsh, vectorAnnIvf,
     vectorTopkBatch, vectorQuantize, vectorCentroid, knnJoinLsh,
     sqlVectorTopk, vectorIndexStats, vectorPq, vectorIvfPq,
     vectorIndexDelta, vectorMips, vectorRecallEval, vectorRecallEvalMt,
-    vectorSq8Topk)
+    vectorSq8Topk, vectorHammingTopk)
 }
