@@ -551,6 +551,91 @@ object Pipeline {
     }
   }
 
+  private val KcoreK = 3
+  private val KcoreRounds = 8
+
+  /** K-CORE DECOMPOSITION ([[KcoreK]]-core via [[KcoreRounds]] peeling
+    * rounds) over the customer↔supplier graph — the robustness census
+    * that separates a graph's load-bearing core from its periphery
+    * (degree alone overcounts: a degree-10 vertex whose neighbors are
+    * all leaves dies in round 2). Each round restricts edges to
+    * currently-alive endpoints, recomputes degrees, and peels vertices
+    * below k; survivors after the fixed rounds report per side.
+    *
+    * Determinism: fixed round count + exact integer degrees — no
+    * convergence heuristic, both engines run the same peel. On this
+    * fixture the peel reaches its fixpoint well inside 8 rounds (the
+    * classic O(peel-depth) bound, NOT O(V) — degeneracy ordering peels
+    * whole layers per round); at 100 TB the production form adds the
+    * dedup_cluster-style plateau check between rounds.
+    *
+    * Plan: per round, TWO vid-keyed semi-restrictions of the edge list
+    * + one partial+final degree aggregate; the alive set is
+    * localCheckpointed each round because the next round references it
+    * on both edge endpoints (the dedup_cluster_star lineage-truncation
+    * discipline — without it the logical plan doubles per round), which
+    * makes the query `eager`. The edge list itself is cached once. */
+  val graphKcore: Q = {
+    def stepSql(prev: String, i: Int): String =
+      s"""d$i AS (SELECT e.src AS vid, count(*) AS d
+         |  FROM e JOIN $prev x ON e.src = x.vid
+         |         JOIN $prev y ON e.dst = y.vid
+         |  GROUP BY 1),
+         |a$i AS (SELECT vid FROM d$i WHERE d >= $KcoreK)""".stripMargin
+    val steps = (1 to KcoreRounds)
+      .map(i => stepSql(if (i == 1) "a0" else s"a${i - 1}", i))
+      .mkString(",\n")
+    Q(
+      "graph_kcore",
+      s"""WITH pairs AS (
+         |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         |  WHERE o_orderdate >= DATE '1995-01-01'
+         |    AND o_orderdate < DATE '1995-04-01'),
+         |e AS (SELECT c AS src, s AS dst FROM pairs
+         |      UNION ALL SELECT s, c FROM pairs),
+         |a0 AS (SELECT DISTINCT src AS vid FROM e),
+         |$steps
+         |SELECT CASE WHEN vid % 2 = 0 THEN 'customer' ELSE 'supplier' END
+         |    AS side,
+         |  CAST(count(*) AS BIGINT) AS n_core,
+         |  CAST(sum(d) AS BIGINT) AS core_degree_sum,
+         |  CAST(min(d) AS BIGINT) AS min_degree
+         |FROM d$KcoreRounds WHERE d >= $KcoreK
+         |GROUP BY 1 ORDER BY side""".stripMargin
+    ) { (s, d) =>
+      val pairs = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1995-01-01") &&
+                col("o_orderdate") < lit("1995-04-01"))
+        .join(Tables.lineitem(s, d),
+              col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("c"),
+                (col("l_suppkey") * 2 + 1).as("s"))
+        .distinct()
+      val e = pairs.select(col("c").as("src"), col("s").as("dst"))
+        .unionByName(pairs.select(col("s").as("src"), col("c").as("dst")))
+        .cache()
+      var alive = e.select(col("src").as("vid")).distinct().localCheckpoint()
+      var deg = alive.withColumn("d", lit(0L)) // overwritten round 1
+      for (_ <- 1 to KcoreRounds) {
+        deg = e
+          .join(alive.select(col("vid").as("src")), Seq("src"))
+          .join(alive.select(col("vid").as("dst")), Seq("dst"))
+          .groupBy("src").agg(count(lit(1)).as("d"))
+          .withColumnRenamed("src", "vid")
+          .localCheckpoint() // next round references it via alive twice
+        alive = deg.filter(col("d") >= KcoreK).select("vid")
+      }
+      deg.filter(col("d") >= KcoreK)
+        .groupBy(when(col("vid") % 2 === 0, "customer").otherwise("supplier")
+          .as("side"))
+        .agg(count(lit(1)).as("n_core"),
+             sum(col("d")).as("core_degree_sum"),
+             min(col("d")).as("min_degree"))
+        .orderBy("side")
+    }.copy(eager = true) // per-round localCheckpoint runs jobs at build
+  }
+
   /** The star schema's FK edges: (edge label, child table, FK column,
     * parent table, PK column). One spec row drives BOTH the Spark plan
     * and the oracle SQL, so the two inventories cannot drift. */
@@ -878,5 +963,6 @@ object Pipeline {
   val all: Seq[Q] = Seq(simplifyFlatten, denormalizePatient, graphEdges,
     graphTwohop, discoverySummary, ingestNdjson, snapshotExport, dqChecks,
     dqSkew, dqDriftKs, dqFreshness, graphPagerank, graphLabelProp,
-    dqReferential, graphJaccard, graphDegreeDist, storePruningStats)
+    graphKcore, dqReferential, graphJaccard, graphDegreeDist,
+    storePruningStats)
 }
