@@ -636,6 +636,89 @@ object Pipeline {
     }.copy(eager = true) // per-round localCheckpoint runs jobs at build
   }
 
+  private val BfsRounds = 6
+
+  /** SINGLE-SOURCE SHORTEST PATHS (BFS hop distance) over the same
+    * customer↔supplier graph as [[graphKcore]]: the source is the
+    * lowest-id supplier vertex present in the graph (deterministic and
+    * non-empty at every scale, unlike an attribute-picked seed set —
+    * nation-0 suppliers vanish from the sf0.001 quarter entirely); after
+    * [[BfsRounds]] relaxation rounds the reached set reports a
+    * (side, dist) histogram — the reachability census behind "how far is
+    * every account from a flagged vertex" investigations (fraud rings,
+    * recall blast radius).
+    *
+    * Determinism: BFS distance is a pure min over path lengths, so a
+    * FIXED round count needs no convergence heuristic — once the frontier
+    * stops growing, further rounds are identity (min is idempotent), and
+    * this graph's diameter is far below 6. Both engines run the exact
+    * same rounds on exact integers.
+    *
+    * Plan: per round ONE src-keyed join (edges × current distances) and
+    * ONE vid-keyed min aggregate; the distance set is localCheckpointed
+    * per round (lineage otherwise doubles — the [[graphKcore]]
+    * discipline), making the query `eager`. This is the simple
+    * re-relax-everything form: at 100 TB the production variant joins
+    * only the NEWLY settled frontier (delta BFS — same answers, |frontier|
+    * not |reached| join input per round) and checkpoints to storage every
+    * few rounds; documented here, not needed at fixture diameter. */
+  val graphShortestPath: Q = {
+    def stepSql(i: Int): String =
+      s"""d$i AS (SELECT vid, min(dist) AS dist FROM (
+         |  SELECT vid, dist FROM d${i - 1}
+         |  UNION ALL
+         |  SELECT e.dst AS vid, x.dist + 1 AS dist
+         |  FROM e JOIN d${i - 1} x ON e.src = x.vid) u GROUP BY vid)""".stripMargin
+    val steps = (1 to BfsRounds).map(stepSql).mkString(",\n")
+    Q(
+      "graph_shortest_path",
+      s"""WITH pairs AS (
+         |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         |  WHERE o_orderdate >= DATE '1995-01-01'
+         |    AND o_orderdate < DATE '1995-04-01'),
+         |e AS (SELECT c AS src, s AS dst FROM pairs
+         |      UNION ALL SELECT s, c FROM pairs),
+         |d0 AS (SELECT min(src) AS vid, CAST(0 AS BIGINT) AS dist
+         |       FROM e WHERE src % 2 = 1),
+         |$steps
+         |SELECT CASE WHEN vid % 2 = 0 THEN 'customer' ELSE 'supplier' END
+         |    AS side,
+         |  CAST(dist AS BIGINT) AS dist, CAST(count(*) AS BIGINT) AS n
+         |FROM d$BfsRounds GROUP BY 1, 2 ORDER BY side, dist""".stripMargin
+    ) { (s, d) =>
+      val pairs = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1995-01-01") &&
+                col("o_orderdate") < lit("1995-04-01"))
+        .join(Tables.lineitem(s, d),
+              col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("c"),
+                (col("l_suppkey") * 2 + 1).as("s"))
+        .distinct()
+      val e = pairs.select(col("c").as("src"), col("s").as("dst"))
+        .unionByName(pairs.select(col("s").as("src"), col("c").as("dst")))
+        .cache()
+      var dist = e.filter(col("src") % 2 === 1)
+        .agg(min(col("src")).as("vid"))
+        .withColumn("dist", lit(0L))
+        .localCheckpoint()
+      for (_ <- 1 to BfsRounds) {
+        dist = dist
+          .unionByName(
+            e.join(dist.withColumnRenamed("vid", "src"), Seq("src"))
+              .select(col("dst").as("vid"), (col("dist") + 1).as("dist")))
+          .groupBy("vid").agg(min(col("dist")).as("dist"))
+          .localCheckpoint()
+      }
+      dist
+        .groupBy(when(col("vid") % 2 === 0, "customer").otherwise("supplier")
+                   .as("side"),
+                 col("dist"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("side", "dist")
+    }.copy(eager = true) // per-round localCheckpoint runs jobs at build
+  }
+
   /** The star schema's FK edges: (edge label, child table, FK column,
     * parent table, PK column). One spec row drives BOTH the Spark plan
     * and the oracle SQL, so the two inventories cannot drift. */
@@ -708,6 +791,67 @@ object Pipeline {
         count(when(col("fk").isNotNull && col("pk").isNull, lit(1)))
           .as("n_orphan_keys"))
       .orderBy("edge")
+  }
+
+  /** Candidate keys under audit: (label, table, key columns). One spec
+    * row drives BOTH the Spark plan and the oracle SQL — the inventories
+    * cannot drift (the [[FkEdges]] discipline). */
+  private val UniqKeys: Seq[(String, String, Seq[String])] = Seq(
+    ("customer(c_custkey)",  "customer",  Seq("c_custkey")),
+    ("documents(doc_id)",    "documents", Seq("doc_id")),
+    ("embeddings(vec_id)",   "embeddings", Seq("vec_id")),
+    ("events(event_id)",     "events",    Seq("event_id")),
+    ("lineitem(l_orderkey,l_linenumber)", "lineitem",
+      Seq("l_orderkey", "l_linenumber")),
+    ("nation(n_nationkey)",  "nation",    Seq("n_nationkey")),
+    ("orders(o_orderkey)",   "orders",    Seq("o_orderkey")),
+    ("part(p_partkey)",      "part",      Seq("p_partkey")),
+    ("region(r_regionkey)",  "region",    Seq("r_regionkey")),
+    ("supplier(s_suppkey)",  "supplier",  Seq("s_suppkey"))
+  )
+
+  /** KEY-UNIQUENESS census over every declared candidate key — the fifth
+    * DQ pillar next to rules ([[dqChecks]]), distribution ([[dqSkew]],
+    * [[dqDriftKs]]), integrity ([[dqReferential]]) and freshness
+    * ([[dqFreshness]]): per key, total rows, distinct key tuples, rows
+    * participating in a duplicate key, and the worst multiplicity — the
+    * numbers that decide whether a MERGE can key on the column and
+    * whether a dimension is safe to broadcast-join without fan-out.
+    *
+    * Plan shape: per table ONE scan reading ONLY the key columns (column
+    * pruning reaches the parquet footer), one key-keyed partial+final
+    * count, then a single-row global fold per key; the census unions at
+    * key-label cardinality. Composite keys group on the tuple — no
+    * concatenation tricks, so the same plan holds for any arity. NULL
+    * key values group as a value in both engines (GROUP BY semantics),
+    * so nullable keys are audited, not skipped. All outputs exact
+    * BIGINTs. */
+  val dqUniqueness: Q = Q(
+    "dq_uniqueness",
+    UniqKeys.map { case (label, table, cols) =>
+      s"""SELECT '$label' AS key_name,
+         |  CAST(sum(c) AS BIGINT) AS n_rows,
+         |  CAST(count(*) AS BIGINT) AS n_keys,
+         |  CAST(COALESCE(sum(c) FILTER (WHERE c > 1), 0) AS BIGINT)
+         |    AS n_dup_rows,
+         |  CAST(max(c) AS BIGINT) AS max_multiplicity
+         |FROM (SELECT count(*) AS c FROM $table
+         |      GROUP BY ${cols.mkString(", ")}) g""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY key_name")
+  ) { (s, d) =>
+    UniqKeys.map { case (label, table, cols) =>
+      val t = if (table == "events") Tables.events(s, d)
+              else Tables.table(s, d, table)
+      t.groupBy(cols.map(col): _*)
+        .agg(count(lit(1)).as("c"))
+        .agg(sum(col("c")).as("n_rows"),
+             count(lit(1)).as("n_keys"),
+             coalesce(sum(when(col("c") > 1, col("c"))), lit(0L))
+               .as("n_dup_rows"),
+             max(col("c")).as("max_multiplicity"))
+        .select(lit(label).as("key_name"), col("n_rows"), col("n_keys"),
+                col("n_dup_rows"), col("max_multiplicity"))
+    }.reduce(_.unionAll(_)).orderBy("key_name")
   }
 
   /** NODE SIMILARITY via neighbor-set Jaccard (the link-prediction /
@@ -963,6 +1107,6 @@ object Pipeline {
   val all: Seq[Q] = Seq(simplifyFlatten, denormalizePatient, graphEdges,
     graphTwohop, discoverySummary, ingestNdjson, snapshotExport, dqChecks,
     dqSkew, dqDriftKs, dqFreshness, graphPagerank, graphLabelProp,
-    graphKcore, dqReferential, graphJaccard, graphDegreeDist,
-    storePruningStats)
+    graphKcore, graphShortestPath, dqReferential, dqUniqueness,
+    graphJaccard, graphDegreeDist, storePruningStats)
 }

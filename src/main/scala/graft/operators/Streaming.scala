@@ -212,6 +212,55 @@ object Streaming {
       .orderBy("user_id")
   }
 
+  /** TOP USER JOURNEYS (path analysis, the product-analytics sibling of
+    * [[eventTransitions]]' Markov edges): each user's first five events
+    * in (ts, event_id) order collapse to a `a>b>c` path string, and the
+    * paths rank by user count — "what do people actually do first",
+    * which single-step transition counts cannot answer (they lose the
+    * sequence).
+    *
+    * Determinism: event_id breaks ts ties, so every user has exactly one
+    * path on both engines; (n_users DESC, path) totally orders the cut.
+    *
+    * Plan shape: events shuffle ONCE keyed by user for the rank window;
+    * the `rn <= 5` cut bounds everything after — the per-user
+    * collect_list holds at most five (rn, type) structs (NOT the user's
+    * whole history: the window streams sorted rows and keeps only a
+    * counter, which is why rank-then-collect beats collect-then-sort at
+    * scale), the user-keyed aggregate reuses the window's partitioning
+    * (no second exchange), the path-keyed count is partial+final, and
+    * the top-20 is TakeOrderedAndProject. */
+  val eventPaths: Q = Q(
+    "event_paths",
+    """WITH r AS (SELECT user_id, event_type,
+      |    row_number() OVER (PARTITION BY user_id
+      |                       ORDER BY ts, event_id) AS rn
+      |  FROM events),
+      |p AS (SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path,
+      |        count(*) AS len
+      |      FROM r WHERE rn <= 5 GROUP BY user_id)
+      |SELECT path, CAST(len AS BIGINT) AS len,
+      |  CAST(count(*) AS BIGINT) AS n_users
+      |FROM p GROUP BY 1, 2
+      |ORDER BY n_users DESC, path LIMIT 20""".stripMargin
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val r = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("user_id").orderBy("ts", "event_id")))
+      .filter(col("rn") <= 5)
+    r.groupBy("user_id")
+      .agg(
+        array_join(
+          transform(array_sort(collect_list(struct(col("rn"),
+                      col("event_type")))),
+                    x => x.getField("event_type")), ">").as("path"),
+        count(lit(1)).as("len"))
+      .groupBy("path", "len").agg(count(lit(1)).as("n_users"))
+      .orderBy(desc("n_users"), asc("path")).limit(20)
+  }
+
   /** Cohort retention (product-analytics staple): users grouped by the
     * day of their first activity; for each (cohort day, day offset ≤ 7)
     * the number of cohort members active that day. Aggregate-then-join:
@@ -581,7 +630,7 @@ object Streaming {
   }
 
   val all: Seq[Q] = Seq(streamTumbling, streamHopping, streamSession,
-    resampleGapfill, resampleInterp, funnel, retentionCohort,
+    resampleGapfill, resampleInterp, funnel, eventPaths, retentionCohort,
     eventTransitions, ohlcBars, sessionizeGaps, patternSeq,
     attributionLastclick, attributionLinear, scd2)
 }

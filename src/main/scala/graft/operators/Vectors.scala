@@ -1570,9 +1570,86 @@ object Vectors {
       .orderBy("rank")
   }
 
+  /** Matryoshka prefix width for the coarse pass (MRL-trained embeddings
+    * put most of the signal in the leading dims; Kusupati et al. 2022). */
+  private val MrlPrefix = 16
+  private val MrlCand = 100
+
+  /** MATRYOSHKA (truncate-then-rerank) top-k with inline recall audit —
+    * the two-stage serving shape MRL embeddings exist for: a COARSE pass
+    * ranks by cosine over only the first [[MrlPrefix]] dims (¼ of the
+    * bytes read), keeps [[MrlCand]] candidates, and a RERANK pass scores
+    * only those candidates at full width. Differs from the quantized
+    * serving paths ([[vectorSq8Topk]]/[[vectorPq]]) in WHAT it compresses:
+    * dimensions, not bits-per-dimension — the coarse column is a readable
+    * prefix of the original, so one stored column serves every budget.
+    *
+    * Plan: the coarse pass is one narrow codegen projection over the
+    * 16-dim slice + TakeOrderedAndProject (per-partition top-100, merged
+    * at the driver — no shuffle); candidates carry their full vector in
+    * the top-k payload, so the rerank runs driver-scale on 100 rows with
+    * NO join back into the corpus; the rank window and recall join see
+    * ≤100 rows. At 100 TB the prefix lives as its own parquet column
+    * (column pruning makes the coarse scan read ¼ the bytes), and the
+    * exact-audit pass is the eval harness, not the serving path. */
+  val vectorMatryoshkaTopk: Q = Q(
+    "vector_matryoshka_topk", {
+      val cos16 = s"list_sum([v[i]*qv[i] FOR i IN range(1, ${MrlPrefix + 1})]) / " +
+        s"(sqrt(list_sum([v[i]*v[i] FOR i IN range(1, ${MrlPrefix + 1})])) * " +
+        s"sqrt(list_sum([qv[i]*qv[i] FOR i IN range(1, ${MrlPrefix + 1})])))"
+      val cosV = "list_sum([v[i]*qv[i] FOR i IN range(1, len(v)+1)]) / " +
+        "(sqrt(list_sum([x*x FOR x IN v])) * sqrt(list_sum([x*x FOR x IN qv])))"
+      s"""WITH q AS (SELECT [CAST(x AS DOUBLE) FOR x IN embedding] AS qv
+         |           FROM embeddings WHERE vec_id = 0),
+         |e AS (SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v
+         |      FROM embeddings WHERE vec_id <> 0),
+         |cand AS (SELECT vec_id, v, qv, cos_p16 FROM (
+         |    SELECT vec_id, v, qv, $cos16 AS cos_p16 FROM e, q)
+         |  ORDER BY cos_p16 DESC, vec_id LIMIT $MrlCand),
+         |ax AS (SELECT vec_id, cos_p16, cosine,
+         |         row_number() OVER (ORDER BY cosine DESC, vec_id) AS rank
+         |       FROM (SELECT vec_id, cos_p16, $cosV AS cosine FROM cand)),
+         |ex AS (SELECT vec_id FROM (
+         |    SELECT e.vec_id, $cosV AS c,
+         |      row_number() OVER (ORDER BY c DESC, e.vec_id) AS rn
+         |    FROM e, q) WHERE rn <= 20)
+         |SELECT CAST(rank AS INT) AS rank, ax.vec_id AS vec_id, cos_p16,
+         |  cosine, ex.vec_id IS NOT NULL AS in_exact
+         |FROM ax LEFT JOIN ex ON ax.vec_id = ex.vec_id
+         |WHERE rank <= 20 ORDER BY rank""".stripMargin
+    }
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(s, d)
+    val e = emb.filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    val q = emb.filter(col("vec_id") === 0)
+      .select(toDouble(col("embedding")).as("qv"))
+    val cand = e.crossJoin(broadcast(q))
+      .select(col("vec_id"), col("v"), col("qv"),
+        cosine(slice(col("v"), 1, MrlPrefix),
+               slice(col("qv"), 1, MrlPrefix)).as("cos_p16"))
+      .orderBy(desc("cos_p16"), asc("vec_id")).limit(MrlCand)
+    val ax = cand
+      .select(col("vec_id"), col("cos_p16"),
+              cosine(col("v"), col("qv")).as("cosine"))
+      // rank window runs over the already-cut 100 rows, never the corpus
+      .withColumn("rank",
+        row_number().over(Window.orderBy(desc("cosine"), asc("vec_id"))))
+      .filter(col("rank") <= 20)
+    val ex = e.crossJoin(broadcast(q))
+      .select(col("vec_id"), cosine(col("v"), col("qv")).as("c"))
+      .orderBy(desc("c"), asc("vec_id")).limit(20)
+      .select(col("vec_id"), lit(1).as("hit"))
+    ax.join(ex, Seq("vec_id"), "left")
+      .select(col("rank"), col("vec_id"), col("cos_p16"), col("cosine"),
+              col("hit").isNotNull.as("in_exact"))
+      .orderBy("rank")
+  }
+
   val all: Seq[Q] = Seq(vectorTopk, vectorAnnLsh, vectorAnnIvf,
     vectorTopkBatch, vectorQuantize, vectorCentroid, knnJoinLsh,
     sqlVectorTopk, vectorIndexStats, vectorPq, vectorIvfPq,
     vectorIndexDelta, vectorMips, vectorRecallEval, vectorRecallEvalMt,
-    vectorSq8Topk, vectorHammingTopk)
+    vectorSq8Topk, vectorHammingTopk, vectorMatryoshkaTopk)
 }

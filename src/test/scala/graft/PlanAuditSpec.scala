@@ -23,7 +23,8 @@ class PlanAuditSpec extends SparkSpec {
           "vector_index_stats", "bpe_train", "bpe_encode",
           "graph_triangles", "join_bloom", "vector_pq", "dedup_semantic",
           "vector_ivf_pq", "vector_index_delta", "text_countmin",
-          "dedup_cluster_rep", "store_pruning_stats"),
+          "dedup_cluster_rep", "store_pruning_stats", "graph_kcore",
+          "graph_shortest_path"),
       "new Q entries that run jobs at plan-build time must set eager=true")
   }
 
