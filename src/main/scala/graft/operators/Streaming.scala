@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{Q, Tables}
 import graft.streaming.Streams
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Batch-parity streaming queries (SURVEY.md §2.10): the same transforms
@@ -598,22 +599,25 @@ object Streaming {
     * secondary key makes equal-timestamp mutations deterministic —
     * the ADVICE.md tie-break discipline. At 100 TB this is the minimal
     * shape: no self-join, no second shuffle, state bounded per user. */
-  val scd2: Q = Q(
-    "scd2_history",
-    """WITH e AS (SELECT user_id, event_id, ts, event_type,
+  /** The SCD2 history as a shared CTE chain: `h` is the versioned
+    * dimension. Shared verbatim by [[scd2]] and [[joinPit]] so the
+    * history build and the point-in-time join cannot drift. */
+  private val Scd2Sql: String =
+    """e AS (SELECT user_id, event_id, ts, event_type,
       |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
       |      AS prev
       |  FROM events),
       |c AS (SELECT user_id, event_id, ts, event_type FROM e
-      |      WHERE prev IS NULL OR prev <> event_type)
-      |SELECT user_id, event_type AS attr, ts AS valid_from,
+      |      WHERE prev IS NULL OR prev <> event_type),
+      |h AS (SELECT user_id, event_type AS attr, ts AS valid_from,
       |  lead(ts) OVER w AS valid_to,
       |  CAST(CASE WHEN lead(ts) OVER w IS NULL THEN 1 ELSE 0 END AS BIGINT)
       |    AS is_current,
       |  CAST(row_number() OVER w AS BIGINT) AS version
-      |FROM c WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-      |ORDER BY user_id, version""".stripMargin
-  ) { (s, d) =>
+      |FROM c WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))""".stripMargin
+
+  /** The SCD2 history frame (Spark side of [[Scd2Sql]]'s `h`). */
+  private def scd2Frame(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     Tables.events(s, d)
@@ -626,11 +630,63 @@ object Streaming {
         when(lead(col("ts"), 1).over(w).isNull, 1L).otherwise(0L)
           .as("is_current"),
         row_number().over(w).cast("long").as("version"))
-      .orderBy("user_id", "version")
+  }
+
+  val scd2: Q = Q(
+    "scd2_history",
+    s"""WITH $Scd2Sql
+       |SELECT user_id, attr, valid_from, valid_to, is_current, version
+       |FROM h ORDER BY user_id, version""".stripMargin
+  ) { (s, d) => scd2Frame(s, d).orderBy("user_id", "version") }
+
+  /** POINT-IN-TIME JOIN (the warehouse "join fact to the dimension
+    * version valid at event time"): each purchase looks up the SCD2
+    * version whose [valid_from, valid_to) interval covers its timestamp
+    * — the lookup every feature-store and revenue-reporting pipeline
+    * runs, and the one an as-of join approximates only when history is
+    * append-only. Shares the history definition with [[scd2]] verbatim
+    * (same CTE chain / same [[scd2Frame]]), so "the history you audited"
+    * and "the history you joined" are provably the same relation.
+    *
+    * Exactly one version matches per purchase: non-empty intervals
+    * partition [first_ts, ∞) per user, and empty intervals (equal-ts
+    * mutation chains) can cover nothing — so the join is a pure filter,
+    * deterministic on both engines with no arg-max tie rule.
+    *
+    * Plan shape: the history build is [[scd2]]'s ONE user-keyed window
+    * exchange; the join is an equi join on user_id with the interval
+    * predicate as a post-join filter (never a cartesian); the history
+    * side is users×versions — orders of magnitude smaller than the fact
+    * stream, so AQE broadcasts it at scale. Output ordered by the unique
+    * event_id. */
+  val joinPit: Q = Q(
+    "join_pit",
+    s"""WITH $Scd2Sql,
+       |p AS (SELECT event_id, user_id, ts FROM events
+       |      WHERE event_type = 'purchase')
+       |SELECT p.event_id, p.user_id, p.ts, h.attr, h.version, h.is_current
+       |FROM p JOIN h ON p.user_id = h.user_id
+       |  AND h.valid_from <= p.ts
+       |  AND (h.valid_to IS NULL OR p.ts < h.valid_to)
+       |ORDER BY p.event_id""".stripMargin
+  ) { (s, d) =>
+    val p = Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val h = scd2Frame(s, d)
+      .select(col("user_id").as("h_user"), col("attr"), col("valid_from"),
+              col("valid_to"), col("is_current"), col("version"))
+    p.join(h,
+        col("user_id") === col("h_user") &&
+        col("valid_from") <= col("ts") &&
+        (col("valid_to").isNull || col("ts") < col("valid_to")))
+      .select(col("event_id"), col("user_id"), col("ts"), col("attr"),
+              col("version"), col("is_current"))
+      .orderBy("event_id")
   }
 
   val all: Seq[Q] = Seq(streamTumbling, streamHopping, streamSession,
     resampleGapfill, resampleInterp, funnel, eventPaths, retentionCohort,
     eventTransitions, ohlcBars, sessionizeGaps, patternSeq,
-    attributionLastclick, attributionLinear, scd2)
+    attributionLastclick, attributionLinear, scd2, joinPit)
 }
