@@ -601,4 +601,40 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"),
       "scalar totals must ride windows, not cross joins")
   }
+
+  test("event_paths: rank window and path collect share ONE user exchange") {
+    val p = plan(graft.operators.Streaming.eventPaths)
+    assert("hashpartitioning\\(user_id".r.findAllIn(p).size == 1,
+      s"window and per-user aggregate must reuse one user shuffle:\n${p.take(800)}")
+    assert(p.contains("TakeOrderedAndProject"),
+      "the top-20 path cut must be TakeOrderedAndProject, not a global sort")
+  }
+
+  test("dq_uniqueness: each table scan reads only its key columns") {
+    val p = plan(graft.operators.Pipeline.dqUniqueness)
+    // column pruning must reach every scan: non-key payload columns
+    // (fact comments, prices, document text) stay out of ReadSchema
+    // schema-token forms: bare "embedding"/"text" would false-match the
+    // fixture paths (embeddings.parquet) in FileScan locations
+    for (c <- Seq("l_comment", "l_extendedprice", "o_totalprice",
+                  "text:string", "embedding:array"))
+      assert(!p.contains(c), s"key census must not read payload column $c")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "key counts must be partial+final hash aggregation")
+  }
+
+  test("join_pit: the interval lookup is an equi join on user_id") {
+    val p = plan(graft.operators.Streaming.joinPit)
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin"),
+      s"PIT join must hash on user_id with the interval as filter:\n${p.take(800)}")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "interval predicate must ride the equi join, not a nested loop")
+  }
+
+  test("vector_matryoshka_topk: both cuts are TakeOrderedAndProject") {
+    val p = plan(graft.operators.Vectors.vectorMatryoshkaTopk)
+    assert("TakeOrderedAndProject".r.findAllIn(p).size >= 2,
+      s"coarse top-100 and exact-audit top-20 are per-partition " +
+        s"top-k merges, never global sorts:\n${p.take(800)}")
+  }
 }
