@@ -139,6 +139,11 @@ case class PatState(lv: Option[java.sql.Timestamp],
                     qc: Option[java.sql.Timestamp],
                     qcLv: Option[java.sql.Timestamp])
 
+/** A user's completed five-stage journey, [[Streams.journeyPaths]]. */
+case class UserPath(user_id: Long, path: String)
+/** Per-user journey-prefix state: events seen (≤5) and the path so far. */
+case class PathState(n: Int, path: String)
+
 case class ShingleObs(source: String, sgl: Long)
 /** A source's current MinHash signature (32 affine mins). */
 case class SourceSig(source: String, sig: Seq[Long])
@@ -490,6 +495,44 @@ object Streams {
             }
           }
           open.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
+  /** Streaming JOURNEY COMPLETION — the incremental face of the batch
+    * `event_paths` rank-then-collect: per user, state is (count, path
+    * prefix) over the first five events in (ts, event_id) order, and
+    * the completed `a>b>c>d>e` path is emitted exactly when the fifth
+    * event arrives. Users that never reach five never emit — in an
+    * unbounded stream "the first five" is only DECIDED once five exist,
+    * so completion is the only sound append-mode emission point; the
+    * path census is then a plain aggregate over this emission stream.
+    * O(1) state per user (one int + a ≤5-stage string), same
+    * in-order-per-key assumption as [[transitions]]. StreamingSpec
+    * asserts the emitted set equals the batch plan's len=5 per-user
+    * paths bit-for-bit, including journeys that SPAN micro-batch
+    * boundaries. */
+  def journeyPaths(ds: Dataset[PatEvent], stages: Int = 5)
+      : Dataset[UserPath] = {
+    import ds.sparkSession.implicits._
+    def key(t: java.sql.Timestamp) =
+      (t.getTime / 1000) * 1000000L + t.getNanos / 1000 // exact micros
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+                              GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[PatEvent],
+         state: GroupState[PathState]) =>
+          val sorted = rows.toSeq.sortBy(e => (key(e.ts), e.event_id))
+          var s = state.getOption.getOrElse(PathState(0, ""))
+          val out = Seq.newBuilder[UserPath]
+          sorted.foreach { e =>
+            if (s.n < stages) {
+              s = PathState(s.n + 1,
+                if (s.n == 0) e.event_type else s.path + ">" + e.event_type)
+              if (s.n == stages) out += UserPath(uid, s.path)
+            }
+          }
+          state.update(s)
           out.result().iterator
       }
   }

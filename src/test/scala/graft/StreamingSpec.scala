@@ -690,6 +690,48 @@ class StreamingSpec extends SparkSpec {
       "incremental automaton must equal the batch running-max plan")
   }
 
+  test("streaming journey completion equals the batch len=5 paths, across batches") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.{PatEvent, UserPath}
+    import org.apache.spark.sql.expressions.Window
+    // batch truth: the event_paths per-user frame, restricted to users
+    // whose journey COMPLETED (five events) — the twin's emission set
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val batch = Tables.events(spark, sf0001)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+      .groupBy("user_id")
+      .agg(array_join(
+             transform(array_sort(collect_list(struct(col("rn"),
+                         col("event_type")))),
+                       x => x.getField("event_type")), ">").as("path"),
+           count(lit(1)).as("len"))
+      .filter(col("len") === 5)
+      .select(col("user_id"), col("path"))
+      .as[(Long, String)].collect().toSet
+    assert(batch.nonEmpty)
+    val evs = Tables.events(spark, sf0001)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .as[PatEvent].collect()
+      .sortBy(e => (e.ts.getTime, e.event_id))
+    // split mid-stream: journeys straddling the boundary must complete
+    val (b1, b2) = evs.splitAt(evs.length / 2)
+    val mem = MemoryStream[PatEvent]
+    val name = s"jp_${System.nanoTime()}"
+    val q = Streams.journeyPaths(mem.toDS()).writeStream
+      .format("memory").queryName(name).outputMode("append").start()
+    try {
+      mem.addData(b1.toSeq); q.processAllAvailable()
+      mem.addData(b2.toSeq); q.processAllAvailable()
+    } finally q.stop()
+    val stream = spark.table(name).as[UserPath].collect()
+      .map(p => (p.user_id, p.path)).toSet
+    assert(stream === batch,
+      "completion-time emission must equal the batch rank-then-collect")
+  }
+
   test("stream-static broadcast join enriches events, keeps unmatched") {
     val spark2 = spark
     import spark2.implicits._
