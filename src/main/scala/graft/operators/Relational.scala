@@ -866,6 +866,50 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** WEIGHTED MEDIAN per group (the warehouse "median price weighted by
+    * units sold" — unweighted quantiles answer a different question when
+    * line sizes vary 50×): smallest price whose cumulative quantity
+    * weight reaches half the group total. Exact and engine-stable
+    * without any tie rule: the cumulative window uses the default RANGE
+    * frame, so equal prices contribute their weight TOGETHER (order
+    * among ties cannot move the crossing), the crossing test 2·cum ≥
+    * total is exact BIGINT arithmetic (quantities are integral — cast,
+    * not rounded), and min(price) at the crossing is tie-invariant.
+    *
+    * Plan shape: ONE group-keyed sort exchange carries both windows
+    * (cumulative and group total), then a partial+final aggregate; no
+    * self-join against a totals table. At 100 TB the same shape holds —
+    * the sort is per group, and the sketch alternative (weighted
+    * GK/t-digest) trades this sort for mergeable partials exactly as
+    * [[aggQuantile]]'s scaladoc documents for the unweighted case. */
+  val aggWeightedMedian: Q = Q(
+    "agg_weighted_median",
+    """WITH c AS (SELECT l_returnflag AS flag, l_extendedprice AS price,
+      |             CAST(l_quantity AS BIGINT) AS wgt FROM lineitem),
+      |s AS (SELECT flag, price,
+      |        sum(wgt) OVER (PARTITION BY flag ORDER BY price) AS cum,
+      |        sum(wgt) OVER (PARTITION BY flag) AS total
+      |      FROM c)
+      |SELECT flag, CAST(max(total) AS BIGINT) AS total_weight,
+      |  min(price) AS weighted_median
+      |FROM s WHERE 2 * cum >= total GROUP BY flag ORDER BY flag""".stripMargin
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val cum = Window.partitionBy("flag").orderBy("price")
+    val tot = Window.partitionBy("flag")
+    Tables.lineitem(s, d)
+      .select(col("l_returnflag").as("flag"),
+              col("l_extendedprice").as("price"),
+              col("l_quantity").cast("long").as("wgt"))
+      .withColumn("cum", sum(col("wgt")).over(cum))
+      .withColumn("total", sum(col("wgt")).over(tot))
+      .filter(lit(2) * col("cum") >= col("total"))
+      .groupBy("flag")
+      .agg(max(col("total")).as("total_weight"),
+           min(col("price")).as("weighted_median"))
+      .orderBy("flag")
+  }
+
   /** The 100 TB quantile path named in [[aggQuantile]]: GK-sketch
     * `percentile_approx` — mergeable partial sketches, one partial+final
     * aggregation, NO per-group sort. Deterministic for a given dataset
@@ -1842,7 +1886,8 @@ object Relational {
     joinInner, joinMultiway, semiAnti, setOps, scalarStringDate, jsonExtract,
     arrayOps, joinRange, joinAsof, mapOps, aggApproxDistinct, aggCube,
     joinOuter, aggPivot, aggStats, generatorPosexplode, sampleStratified,
-    aggSalted, aggQuantile, aggQuantileSketch, setopsAll, topkPaged, aggCorr,
+    aggSalted, aggQuantile, aggQuantileSketch, aggWeightedMedian, setopsAll,
+    topkPaged, aggCorr,
     aggHistogram, aggStringagg, profileTable, outlierZscore, scalarMath,
     scalarDatetimeExt, scalarStringExt, aggMode, scalarNullSemantics,
     unpivotStack, joinSalted, joinSaltedHot, aggGroupingSets, outlierMad,

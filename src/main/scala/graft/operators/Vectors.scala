@@ -1647,9 +1647,45 @@ object Vectors {
       .orderBy("rank")
   }
 
+  /** FILTERED top-k (the vector-DB "metadata filter" problem): exact
+    * cosine top-20 restricted to label = 3 — retrieval composed with a
+    * relational predicate, which pure ANN indexes handle badly (post-
+    * filtering an index's top-k can return < k; pre-filtering rebuilds
+    * the candidate set). The declarative form gets the right plan for
+    * free: the label predicate PUSHES INTO the parquet scan
+    * (PushedFilters, locked in PlanAuditSpec), so the cosine projection
+    * and the top-k cut only ever see the filtered stripe — at 100 TB
+    * with label-partitioned or label-clustered storage that is partition
+    * pruning, the exact analogue of the IVF cell read. The scan stays
+    * narrow (vec_id, label, embedding), the cut is TakeOrderedAndProject. */
+  val vectorFilteredTopk: Q = Q(
+    "vector_filtered_topk",
+    """WITH q AS (SELECT [CAST(x AS DOUBLE) FOR x IN embedding] AS qv
+      |           FROM embeddings WHERE vec_id = 0),
+      |e AS (SELECT vec_id, label, [CAST(x AS DOUBLE) FOR x IN embedding] AS v
+      |      FROM embeddings WHERE vec_id <> 0 AND label = 3)
+      |SELECT vec_id, label,
+      |  list_sum([v[i]*qv[i] FOR i IN range(1, len(v)+1)]) /
+      |  (sqrt(list_sum([x*x FOR x IN v])) * sqrt(list_sum([x*x FOR x IN qv]))) AS cosine
+      |FROM e, q
+      |ORDER BY cosine DESC, vec_id LIMIT 20""".stripMargin
+  ) { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    val q = emb.filter(col("vec_id") === 0)
+      .select(toDouble(col("embedding")).as("qv"))
+    emb.filter(col("vec_id") =!= 0 && col("label") === 3)
+      .select(col("vec_id"), col("label"), toDouble(col("embedding")).as("v"))
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("label"),
+              cosine(col("v"), col("qv")).as("cosine"))
+      .orderBy(desc("cosine"), asc("vec_id"))
+      .limit(20)
+  }
+
   val all: Seq[Q] = Seq(vectorTopk, vectorAnnLsh, vectorAnnIvf,
     vectorTopkBatch, vectorQuantize, vectorCentroid, knnJoinLsh,
     sqlVectorTopk, vectorIndexStats, vectorPq, vectorIvfPq,
     vectorIndexDelta, vectorMips, vectorRecallEval, vectorRecallEvalMt,
-    vectorSq8Topk, vectorHammingTopk, vectorMatryoshkaTopk)
+    vectorSq8Topk, vectorHammingTopk, vectorMatryoshkaTopk,
+    vectorFilteredTopk)
 }

@@ -631,6 +631,19 @@ class PlanAuditSpec extends SparkSpec {
       "interval predicate must ride the equi join, not a nested loop")
   }
 
+  test("vector_filtered_topk: the label predicate reaches the parquet scan") {
+    val p = plan(graft.operators.Vectors.vectorFilteredTopk)
+    assert(p.contains("PushedFilters:") && p.contains("EqualTo(label,3)"),
+      s"metadata filter must push into the scan, not post-filter:\n${p.take(800)}")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("agg_weighted_median: both windows ride one group-keyed exchange") {
+    val p = plan(graft.operators.Relational.aggWeightedMedian)
+    assert("hashpartitioning\\(flag".r.findAllIn(p).size == 1,
+      s"cumulative and total windows must share one exchange:\n${p.take(800)}")
+  }
+
   test("vector_matryoshka_topk: both cuts are TakeOrderedAndProject") {
     val p = plan(graft.operators.Vectors.vectorMatryoshkaTopk)
     assert("TakeOrderedAndProject".r.findAllIn(p).size >= 2,
