@@ -733,7 +733,68 @@ object Corpus {
     }
   }
 
+  /** CLASS-BALANCED subsample — equal documents per language, the
+    * rebalancing step a multilingual training mix needs when the raw
+    * corpus is 3:1 English-heavy ([[corpusMix]] reweights by SOURCE
+    * budget shares; this balances by CLASS to the minority size, the
+    * "uniform over langs" end of the sampling-temperature dial). Every
+    * class keeps exactly m = min class size documents, chosen by salted
+    * portable hash rank — stable under re-runs and row order like every
+    * sampler here, and unlike random() it keeps the SAME docs when the
+    * corpus is re-read.
+    *
+    * Output is the per-class census plus the exact kept-set digest (sum
+    * and extrema of kept doc_ids), so the oracle value-checks WHICH
+    * documents survived, not just how many.
+    *
+    * Scale posture: m comes from a broadcast-sized per-class count (≤
+    * |langs| rows, ridden on an unpartitioned window over that bounded
+    * frame); selection is one lang-keyed rank window. Exact-k selection
+    * at extreme per-class cardinality upgrades to the two-pass
+    * hash-threshold cut (take the class's m-th smallest hash as a
+    * filter), same as [[graft.operators.Relational.sampleReservoir]]'s
+    * documented path — the declared form is the definition. */
+  val corpusSampleBalanced: Q = Q(
+    "corpus_sample_balanced",
+    s"""WITH h AS (SELECT lang, doc_id, n_chars,
+       |  ${graft.functions.expressions.PortableHash
+              .duckdbSaltedSql("doc_id", ":bal", 15)} AS hv
+       |FROM documents),
+       |m AS (SELECT min(cnt) AS m FROM
+       |        (SELECT count(*) AS cnt FROM h GROUP BY lang)),
+       |r AS (SELECT lang, doc_id, n_chars,
+       |        row_number() OVER (PARTITION BY lang ORDER BY hv, doc_id)
+       |          AS rn
+       |      FROM h)
+       |SELECT lang, CAST(count(*) AS BIGINT) AS n_kept,
+       |  CAST(sum(doc_id) AS BIGINT) AS kept_id_sum,
+       |  min(doc_id) AS kept_id_min, max(doc_id) AS kept_id_max,
+       |  CAST(sum(n_chars) AS BIGINT) AS kept_chars
+       |FROM r, m WHERE rn <= m
+       |GROUP BY lang ORDER BY lang""".stripMargin
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val hv = graft.functions.TextFns.saltedHash(col("doc_id"), ":bal", 15)
+    val h = Tables.documents(s, d)
+      .select(col("lang"), col("doc_id"), col("n_chars"), hv.as("hv"))
+    // minority size: |langs| rows after the aggregate — the only
+    // unpartitioned window runs over that bounded frame, then broadcasts
+    val m = h.groupBy("lang").agg(count(lit(1)).as("cnt"))
+      .agg(min(col("cnt")).as("m"))
+    h.withColumn("rn", row_number().over(
+        Window.partitionBy("lang").orderBy(asc("hv"), asc("doc_id"))))
+      .crossJoin(broadcast(m))
+      .filter(col("rn") <= col("m"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("kept_id_sum"),
+           min(col("doc_id")).as("kept_id_min"),
+           max(col("doc_id")).as("kept_id_max"),
+           sum(col("n_chars")).as("kept_chars"))
+      .orderBy("lang")
+  }
+
   val all: Seq[Q] = Seq(corpusSplit, corpusPack, corpusSelect, docChunk,
     corpusDecontaminate, corpusMix, corpusShuffle, trainingManifest,
-    corpusEntropy, corpusPipeline, corpusSplitLeakage, corpusSampleWeighted)
+    corpusEntropy, corpusPipeline, corpusSplitLeakage, corpusSampleWeighted,
+    corpusSampleBalanced)
 }

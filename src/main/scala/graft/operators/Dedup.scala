@@ -840,6 +840,125 @@ object Dedup {
     nEdges.crossJoin(nNodes).crossJoin(nTriangles)
   }.copy(eager = true) // pair-list materialization runs at plan build
 
+  /** LOCAL CLUSTERING-COEFFICIENT census of the near-dup pair graph —
+    * [[graphTriangles]]'s global count refined to per-node structure:
+    * for each node with degree ≥ 2, cc = 2·tri(v) / (deg(v)·(deg(v)−1)),
+    * histogrammed into eleven tenth-buckets. Dup groups are cliques
+    * (cc = 1 everywhere inside), so mass at the top bucket says the pair
+    * generator finds coherent groups while mass near 0 says chains/noise
+    * — the shape diagnostic behind graphTriangles' single ratio.
+    *
+    * Determinism: the coefficient is bucketed in EXACT integer
+    * arithmetic — (1000·2·tri) DIV (deg·(deg−1)) then DIV 100 — so no
+    * float ever forms; per-bucket wedge/triangle sums stay BIGINT.
+    *
+    * Plan: the canonical pair list materializes ONCE (localCheckpoint,
+    * the [[graphTriangles]] discipline); per-node degrees are one
+    * explode+aggregate; each triangle found by the two-join pattern is
+    * credited to its three corners by a 3-array explode (map-side, no
+    * extra exchange); the histogram is a partial+final aggregate over
+    * ≤ 11 buckets. Join fan-out is bounded by the PostingCap'd max
+    * degree exactly as in the triangle census — at web scale the
+    * refinement is degree-ascending orientation, same note as there. */
+  val graphClusteringCoeff: Q = Q(
+    "graph_clustering_coeff",
+    s"""WITH $pairsCteSql,
+      |und AS (SELECT doc_a AS u FROM pairs UNION ALL SELECT doc_b FROM pairs),
+      |deg AS (SELECT u, count(*) AS dg FROM und GROUP BY 1),
+      |tri AS (SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+      |        FROM pairs e1
+      |        JOIN pairs e2 ON e1.doc_b = e2.doc_a
+      |        JOIN pairs e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b),
+      |tn AS (SELECT node, count(*) AS t FROM
+      |         (SELECT a AS node FROM tri UNION ALL
+      |          SELECT b FROM tri UNION ALL SELECT c FROM tri)
+      |       GROUP BY 1),
+      |cc AS (SELECT deg.u, deg.dg, COALESCE(tn.t, 0) AS t,
+      |         ((2000 * COALESCE(tn.t, 0)) // (deg.dg * (deg.dg - 1))) // 100
+      |           AS cc_bucket
+      |       FROM deg LEFT JOIN tn ON deg.u = tn.node
+      |       WHERE deg.dg >= 2)
+      |SELECT CAST(cc_bucket AS INT) AS cc_bucket,
+      |  CAST(count(*) AS BIGINT) AS n_nodes,
+      |  CAST(sum(t) AS BIGINT) AS sum_tri,
+      |  CAST(sum((dg * (dg - 1)) // 2) AS BIGINT) AS sum_wedges
+      |FROM cc GROUP BY 1 ORDER BY cc_bucket""".stripMargin
+  ) { (s, d) =>
+    val p = dedupNgram.fn(s, d).select("doc_a", "doc_b").localCheckpoint()
+    val deg = p.select(explode(array(col("doc_a"), col("doc_b"))).as("u"))
+      .groupBy("u").agg(count(lit(1)).as("dg"))
+    val tri = p.as("e1")
+      .join(p.as("e2"), col("e1.doc_b") === col("e2.doc_a"))
+      .join(p.as("e3"), col("e3.doc_a") === col("e1.doc_a") &&
+                        col("e3.doc_b") === col("e2.doc_b"))
+      .select(explode(array(col("e1.doc_a"), col("e1.doc_b"),
+                            col("e2.doc_b"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("t"))
+    deg.filter(col("dg") >= 2)
+      .join(tri, col("u") === col("node"), "left")
+      .select(col("dg"), coalesce(col("t"), lit(0L)).as("t"))
+      .withColumn("cc_bucket",
+        expr("((2000 * t) DIV (dg * (dg - 1))) DIV 100").cast("int"))
+      .groupBy("cc_bucket")
+      .agg(count(lit(1)).as("n_nodes"), sum(col("t")).as("sum_tri"),
+           sum(expr("(dg * (dg - 1)) DIV 2")).as("sum_wedges"))
+      .orderBy("cc_bucket")
+  }.copy(eager = true) // pair-list materialization runs at plan build
+
+  /** DEGREE ASSORTATIVITY of the near-dup pair graph — Pearson r between
+    * the endpoint degrees over every directed edge (each undirected pair
+    * counted in both orientations, the standard convention). Positive r:
+    * big dup groups link to big dup groups (clique-dominated, what LSH
+    * banding expects); negative: hub-and-spoke boilerplate contamination
+    * — the one-number summary of whether [[graphDegreeDist]]'s hubs
+    * attach to each other or to the fringe.
+    *
+    * Determinism: the [[TimeSeries.tsAutocorr]] discipline — all five
+    * sufficient statistics are exact BIGINT sums (degrees are bounded by
+    * PostingCap, so Σd² over edges fits comfortably), the two variance
+    * factors cast to double BEFORE multiplying, one shared `nullif`
+    * guards the regular-graph case.
+    *
+    * Plan: pair list → one explode+aggregate for degrees, two
+    * broadcast-friendly joins to decorate edge endpoints, one
+    * partial+final aggregate to a SINGLE row. Nothing downstream of the
+    * degree join exceeds edge cardinality. */
+  val graphAssortativity: Q = Q(
+    "graph_assortativity",
+    s"""WITH $pairsCteSql,
+      |und AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+      |        UNION ALL SELECT doc_b, doc_a FROM pairs),
+      |deg AS (SELECT u, count(*) AS dg FROM und GROUP BY 1),
+      |e AS (SELECT da.dg AS dx, db.dg AS dy
+      |      FROM und JOIN deg da ON und.u = da.u
+      |               JOIN deg db ON und.v = db.u)
+      |SELECT CAST(count(*) AS BIGINT) AS n_dir_edges,
+      |  CAST((SELECT count(*) FROM deg) AS BIGINT) AS n_nodes,
+      |  CAST(count(*)*sum(dx*dy) - sum(dx)*sum(dy) AS DOUBLE) /
+      |  nullif(sqrt(CAST(count(*)*sum(dx*dx) - sum(dx)*sum(dx) AS DOUBLE)
+      |            * CAST(count(*)*sum(dy*dy) - sum(dy)*sum(dy) AS DOUBLE)), 0)
+      |    AS assortativity
+      |FROM e""".stripMargin
+  ) { (s, d) =>
+    val p = dedupNgram.fn(s, d).select("doc_a", "doc_b").localCheckpoint()
+    val und = p.select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .unionByName(p.select(col("doc_b").as("u"), col("doc_a").as("v")))
+    val deg = und.groupBy("u").agg(count(lit(1)).as("dg"))
+    val nNodes = deg.agg(count(lit(1)).as("n_nodes"))
+    und.join(deg.select(col("u"), col("dg").as("dx")), Seq("u"))
+      .join(deg.select(col("u").as("v"), col("dg").as("dy")), Seq("v"))
+      .agg(count(lit(1)).as("n"), sum(col("dx") * col("dy")).as("sxy"),
+           sum(col("dx")).as("sx"), sum(col("dy")).as("sy"),
+           sum(col("dx") * col("dx")).as("sxx"),
+           sum(col("dy") * col("dy")).as("syy"))
+      .crossJoin(nNodes)
+      .select(col("n").as("n_dir_edges"), col("n_nodes"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          expr("""nullif(sqrt(CAST(n*sxx - sx*sx AS DOUBLE)
+                            * CAST(n*syy - sy*sy AS DOUBLE)), 0)"""))
+          .as("assortativity"))
+  }.copy(eager = true) // pair-list materialization runs at plan build
+
   /** DuckDB mirror of [[dedupSourceSim]] — the same portable shingle
     * hashes, the same affine MinHash family as literals, the same
     * exact-intersection arithmetic — generated from the constants so the
@@ -1329,7 +1448,8 @@ object Dedup {
 
   val all: Seq[Q] = Seq(dedupExact, dedupNgram, dedupMinhash,
     dedupIncremental, dedupSimhash, dedupCosine, dedupCosineLsh,
-    dedupCluster, dedupClusterStar, graphTriangles, dedupSourceSim,
+    dedupCluster, dedupClusterStar, graphTriangles, graphClusteringCoeff,
+    graphAssortativity, dedupSourceSim,
     dedupContainment, dedupSemantic, dedupClusterRep, dedupThresholdSweep,
     dedupRecallEval, dedupEstimatorEval)
 }

@@ -1881,8 +1881,86 @@ object Relational {
       .orderBy("event_type")
   }
 
+  /** HIGHER-MOMENT shape statistics — population skewness g1 and excess
+    * kurtosis g2 of l_quantity per return flag, the distribution-shape
+    * census behind [[outlierZscore]]'s symmetric-tails assumption and
+    * [[aggHistogram]]'s bucet choice. Built from raw integer power sums
+    * rather than the engines' built-in `skewness`/`kurtosis` (whose
+    * sample-correction conventions differ across engines — the same
+    * reason [[aggStats]] pins its own stddev form).
+    *
+    * Determinism: l_quantity is integral in this schema (asserted by the
+    * WHERE in neither engine — it's DECIMAL(15,2) with .00 fraction), so
+    * all four power sums are exact BIGINTs under partial+final
+    * aggregation in any order (q ≤ 50 ⇒ Σq⁴ < 2⁶³ until ~10¹² rows);
+    * every double then comes from ONE shared, fully-parenthesized
+    * op sequence over exact-int casts — correctly-rounded and identical
+    * both engines, the [[TimeSeries]] discipline.
+    *
+    * Scale posture: a single partial+final hash aggregate over a
+    * 2-column scan; output is |flags| rows. At the row counts where Σq⁴
+    * approaches 2⁶³ the sums move to DECIMAL(38,0) — noted, not needed
+    * at any benchable scale. */
+  val aggMoments: Q = Q(
+    "agg_moments",
+    """WITH s AS (SELECT l_returnflag,
+      |    count(*) AS n,
+      |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS s1,
+      |    CAST(sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
+      |      AS BIGINT) AS s2,
+      |    CAST(sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)
+      |           * CAST(l_quantity AS BIGINT)) AS BIGINT) AS s3,
+      |    CAST(sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)
+      |           * CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
+      |      AS BIGINT) AS s4
+      |  FROM lineitem GROUP BY 1),
+      |m AS (SELECT l_returnflag, n, s1,
+      |    CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+      |    CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS ex2,
+      |    CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS ex3,
+      |    CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) AS ex4
+      |  FROM s),
+      |c AS (SELECT l_returnflag, n, s1, mean,
+      |    ex2 - mean * mean AS m2,
+      |    ex3 - 3 * mean * ex2 + 2 * mean * mean * mean AS m3,
+      |    ex4 - 4 * mean * ex3 + 6 * mean * mean * ex2
+      |        - 3 * mean * mean * mean * mean AS m4
+      |  FROM m)
+      |SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+      |  CAST(s1 AS BIGINT) AS sum_qty, mean,
+      |  m3 / nullif(m2 * sqrt(m2), 0) AS skewness,
+      |  m4 / nullif(m2 * m2, 0) - 3 AS kurtosis_excess
+      |FROM c ORDER BY l_returnflag""".stripMargin
+  ) { (s, d) =>
+    val q = col("l_quantity").cast("long")
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), sum(q).as("s1"), sum(q * q).as("s2"),
+           sum(q * q * q).as("s3"), sum(q * q * q * q).as("s4"))
+      .select(col("l_returnflag"), col("n"), col("s1"),
+        (col("s1").cast("double") / col("n").cast("double")).as("mean"),
+        (col("s2").cast("double") / col("n").cast("double")).as("ex2"),
+        (col("s3").cast("double") / col("n").cast("double")).as("ex3"),
+        (col("s4").cast("double") / col("n").cast("double")).as("ex4"))
+      .select(col("l_returnflag"), col("n"), col("s1"), col("mean"),
+        (col("ex2") - col("mean") * col("mean")).as("m2"),
+        (col("ex3") - lit(3) * col("mean") * col("ex2")
+          + lit(2) * col("mean") * col("mean") * col("mean")).as("m3"),
+        (col("ex4") - lit(4) * col("mean") * col("ex3")
+          + lit(6) * col("mean") * col("mean") * col("ex2")
+          - lit(3) * col("mean") * col("mean") * col("mean") * col("mean"))
+          .as("m4"))
+      .select(col("l_returnflag"), col("n").as("n_rows"),
+        col("s1").as("sum_qty"), col("mean"),
+        (col("m3") / expr("nullif(m2 * sqrt(m2), 0)")).as("skewness"),
+        (col("m4") / expr("nullif(m2 * m2, 0)") - lit(3))
+          .as("kurtosis_excess"))
+      .orderBy("l_returnflag")
+  }
+
   val all: Seq[Q] = Seq(
-    countByProject, filterPred, aggGroupBy, aggDistinct, aggRollup, topk,
+    countByProject, filterPred, aggGroupBy, aggRollup, aggMoments,
+    aggDistinct, topk,
     joinInner, joinMultiway, semiAnti, setOps, scalarStringDate, jsonExtract,
     arrayOps, joinRange, joinAsof, mapOps, aggApproxDistinct, aggCube,
     joinOuter, aggPivot, aggStats, generatorPosexplode, sampleStratified,

@@ -1084,10 +1084,73 @@ object TextAnalysis {
     }
   }
 
+  /** VOCABULARY-GROWTH (Heaps'-law) census: how many NEW word types each
+    * successive tenth of the corpus (by doc_id order) contributes,
+    * against the token volume of that tenth — the curve that sizes a
+    * tokenizer vocabulary and predicts OOV rate as the corpus grows
+    * (V(n) ≈ K·n^β; sublinear new-type mass per decile is the law
+    * showing itself). Companion to [[corpusEntropy]] (which measures the
+    * DISTRIBUTION at one size, not the growth).
+    *
+    * The trick that makes cumulative-distinct cheap: a type is "new in
+    * decile c" iff its FIRST document lands there, so one token-keyed
+    * min(doc_id) aggregate replaces ten prefix count-distincts; the
+    * cumulative vocabulary is then a running sum over the 10-row
+    * histogram. Token volume per decile is an independent partial+final
+    * aggregate over per-doc counts — no explode feeds a window anywhere.
+    *
+    * Scale posture: the only exchanges are the token-keyed aggregate
+    * (vocab-sized, the [[textTokens]] shuffle) and two ≤10-row frames;
+    * the running-sum window rides the 10-row histogram. Decile bounds
+    * come from one broadcast-sized max(doc_id) scalar. */
+  val textVocabGrowth: Q = Q(
+    "text_vocab_growth",
+    """WITH mx AS (SELECT max(doc_id) + 1 AS nd FROM documents),
+      |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      |        FROM documents),
+      |fst AS (SELECT token, min(doc_id) AS first_doc FROM tok GROUP BY 1),
+      |nv AS (SELECT (first_doc * 10) // nd AS decile,
+      |              count(*) AS new_types
+      |       FROM fst, mx GROUP BY 1),
+      |vol AS (SELECT (doc_id * 10) // nd AS decile,
+      |          count(*) AS n_docs,
+      |          CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+      |            AS n_tokens
+      |        FROM documents, mx GROUP BY 1)
+      |SELECT CAST(vol.decile AS INT) AS decile,
+      |  CAST(vol.n_docs AS BIGINT) AS n_docs, vol.n_tokens,
+      |  CAST(COALESCE(nv.new_types, 0) AS BIGINT) AS new_types,
+      |  CAST(sum(COALESCE(nv.new_types, 0)) OVER (ORDER BY vol.decile
+      |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_types
+      |FROM vol LEFT JOIN nv ON vol.decile = nv.decile
+      |ORDER BY decile""".stripMargin
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+    val mx = docs.agg((max(col("doc_id")) + 1).as("nd"))
+    val fst = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .groupBy("token").agg(min(col("doc_id")).as("first_doc"))
+    val nv = fst.crossJoin(broadcast(mx))
+      .groupBy(expr("(first_doc * 10) DIV nd").as("decile"))
+      .agg(count(lit(1)).as("new_types"))
+    val vol = docs.crossJoin(broadcast(mx))
+      .groupBy(expr("(doc_id * 10) DIV nd").as("decile"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+    vol.join(nv, Seq("decile"), "left")
+      .select(col("decile").cast("int").as("decile"), col("n_docs"),
+        col("n_tokens"), coalesce(col("new_types"), lit(0L)).as("new_types"))
+      .withColumn("cum_types",
+        sum(col("new_types")).over(Window.orderBy("decile")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .orderBy("decile")
+  }
+
   val all: Seq[Q] = Seq(textTokens, textQuality, langId, textFingerprint,
     textTfidf, textNormalize, textRepetition, piiRedact, ngramFreq,
     textContamination, textTokenBpe, textPerplexity, spanDedup,
     textHeavyHitters, textQualityClassifier, textCountmin, textCollocations,
     textLangidEval, textBm25, textBoilerplate, textInvertedIndex,
-    textIndexDelta, textHashingVec)
+    textIndexDelta, textHashingVec, textVocabGrowth)
 }

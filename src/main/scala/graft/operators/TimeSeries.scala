@@ -520,6 +520,67 @@ object TimeSeries {
       .orderBy("lag_k")
   }
 
+  /** THEIL–SEN robust slope of the daily event-count series per
+    * event_type — the median of all pairwise slopes, the trend estimator
+    * that shrugs off the outlier days that bias [[tsMkTrend]]'s
+    * companion OLS (Sen 1968; up to ~29% contamination tolerated). The
+    * natural pair to Mann–Kendall: MK answers "is there a monotone
+    * trend?", Theil–Sen answers "how steep?" with matching robustness.
+    *
+    * Determinism: each slope is ONE correctly-rounded double division of
+    * two exact BIGINTs (count delta over day delta), identical bits in
+    * both engines; the median picks values at fixed ranks of the sorted
+    * slope multiset — tie order between equal doubles cannot change the
+    * value at a rank — and the even-n midpoint average is one add and
+    * one divide of identical operands. No quantization needed.
+    *
+    * Scale posture: events reduce to the (type, day, x) series frame in
+    * one aggregate; the pair self-join and the rank window are keyed by
+    * event_type over series-sized frames (days²/2 pairs per type — ~400
+    * for a month, bounded by calendar, never by event volume). At
+    * multi-year granularity the refinement is the O(n log n) repeated-
+    * median selection; the all-pairs form IS the estimator's definition
+    * and stays exact. */
+  val tsTheilSen: Q = Q(
+    "ts_theil_sen",
+    """WITH c AS (SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS x
+      |           FROM events GROUP BY 1, 2),
+      |p AS (SELECT a.event_type,
+      |        CAST(b.x - a.x AS DOUBLE) / CAST(b.day - a.day AS DOUBLE)
+      |          AS slope
+      |      FROM c a JOIN c b
+      |        ON a.event_type = b.event_type AND a.day < b.day),
+      |r AS (SELECT event_type, slope,
+      |        row_number() OVER (PARTITION BY event_type ORDER BY slope)
+      |          AS rn,
+      |        count(*) OVER (PARTITION BY event_type) AS n
+      |      FROM p)
+      |SELECT event_type, CAST(max(n) AS BIGINT) AS n_pairs,
+      |  avg(slope) FILTER (WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2)
+      |    AS sen_slope
+      |FROM r GROUP BY 1 ORDER BY event_type""".stripMargin
+  ) { (s, d) =>
+    val c = Tables.events(s, d)
+      .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("x"))
+    val p = c.as("a")
+      .join(c.as("b"),
+        col("a.event_type") === col("b.event_type") &&
+          col("a.day") < col("b.day"))
+      .select(col("a.event_type").as("event_type"),
+        ((col("b.x") - col("a.x")).cast("double") /
+          datediff(col("b.day"), col("a.day")).cast("double")).as("slope"))
+    val w = Window.partitionBy("event_type")
+    p.withColumn("rn", row_number().over(w.orderBy("slope")))
+      .withColumn("n", count(lit(1)).over(w))
+      .groupBy("event_type")
+      .agg(max(col("n")).as("n_pairs"),
+        avg(when(col("rn") === expr("(n + 1) DIV 2") ||
+                 col("rn") === expr("(n + 2) DIV 2"), col("slope")))
+          .as("sen_slope"))
+      .orderBy("event_type")
+  }
+
   val all: Seq[Q] = Seq(tsAutocorr, tsChangepoint, tsEwma, tsDecompose,
-    tsHolt, tsMkTrend, tsAnomaly, tsRollingCorr, tsCrossCorr)
+    tsHolt, tsMkTrend, tsAnomaly, tsRollingCorr, tsCrossCorr, tsTheilSen)
 }

@@ -1682,10 +1682,77 @@ object Vectors {
       .limit(20)
   }
 
+  /** RANGE (radius) SEARCH — all corpus vectors with cosine ≥ τ of each
+    * query, the retrieval mode top-k can't express: "everything at least
+    * this similar" (near-duplicate sweeps, threshold-gated RAG recall,
+    * [[graft.operators.Dedup.dedupCosine]]'s primitive pointed at ad-hoc
+    * queries). Per query the census row carries the exact match count
+    * and similarity extrema plus the top-5 matches by rank — bounded
+    * output however dense the neighborhood.
+    *
+    * Determinism: the cosine is the shared left-fold double kernel
+    * (bit-identical both engines, the [[vectorTopk]] discipline); count
+    * / min / max are order-independent selections of exact values — no
+    * float SUM over an engine-ordered set exists anywhere.
+    *
+    * Scale posture: the 3-row query set broadcasts; the corpus scan is
+    * narrow (id, label, vector) with the cosine in codegen; the rank
+    * window partitions BY QUERY over only the τ-survivors (the radius is
+    * what bounds that set — a τ chosen so matches ≈ k·corpus^ε; for
+    * unbounded radii the LSH/IVF bucket pre-cut upstream is the
+    * [[vectorAnnLsh]] path, unchanged). */
+  val vectorRangeSearch: Q = Q(
+    "vector_range_search",
+    """WITH q AS (SELECT vec_id AS query_id,
+      |           [CAST(x AS DOUBLE) FOR x IN embedding] AS qv
+      |           FROM embeddings WHERE vec_id IN (0, 1, 2)),
+      |e AS (SELECT vec_id, label,
+      |      [CAST(x AS DOUBLE) FOR x IN embedding] AS v
+      |      FROM embeddings),
+      |c AS (SELECT query_id, vec_id, label,
+      |  list_sum([v[i]*qv[i] FOR i IN range(1, len(v)+1)]) /
+      |  (sqrt(list_sum([x*x FOR x IN v])) * sqrt(list_sum([x*x FOR x IN qv])))
+      |    AS cosine
+      |  FROM e, q WHERE e.vec_id <> q.query_id),
+      |m AS (SELECT * FROM c WHERE cosine >= CAST(0.15 AS DOUBLE)),
+      |r AS (SELECT query_id, vec_id, label, cosine,
+      |        row_number() OVER (PARTITION BY query_id
+      |                           ORDER BY cosine DESC, vec_id) AS rnk,
+      |        count(*) OVER (PARTITION BY query_id) AS n_within,
+      |        min(cosine) OVER (PARTITION BY query_id) AS min_cos,
+      |        max(cosine) OVER (PARTITION BY query_id) AS max_cos
+      |      FROM m)
+      |SELECT query_id, CAST(rnk AS INT) AS rnk, vec_id, label, cosine,
+      |  CAST(n_within AS BIGINT) AS n_within, min_cos, max_cos
+      |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(s, d)
+    val q = emb.filter(col("vec_id").isin(0, 1, 2))
+      .select(col("vec_id").as("query_id"), toDouble(col("embedding")).as("qv"))
+    val w = Window.partitionBy("query_id")
+    emb.select(col("vec_id"), col("label"), toDouble(col("embedding")).as("v"))
+      .crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), col("label"),
+        cosine(col("v"), col("qv")).as("cosine"))
+      .filter(col("cosine") >= 0.15)
+      .withColumn("rnk",
+        row_number().over(w.orderBy(desc("cosine"), asc("vec_id"))))
+      .withColumn("n_within", count(lit(1)).over(w))
+      .withColumn("min_cos", min(col("cosine")).over(w))
+      .withColumn("max_cos", max(col("cosine")).over(w))
+      .filter(col("rnk") <= 5)
+      .select(col("query_id"), col("rnk").cast("int").as("rnk"),
+        col("vec_id"), col("label"), col("cosine"), col("n_within"),
+        col("min_cos"), col("max_cos"))
+      .orderBy("query_id", "rnk")
+  }
+
   val all: Seq[Q] = Seq(vectorTopk, vectorAnnLsh, vectorAnnIvf,
     vectorTopkBatch, vectorQuantize, vectorCentroid, knnJoinLsh,
     sqlVectorTopk, vectorIndexStats, vectorPq, vectorIvfPq,
     vectorIndexDelta, vectorMips, vectorRecallEval, vectorRecallEvalMt,
     vectorSq8Topk, vectorHammingTopk, vectorMatryoshkaTopk,
-    vectorFilteredTopk)
+    vectorFilteredTopk, vectorRangeSearch)
 }
