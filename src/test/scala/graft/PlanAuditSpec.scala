@@ -24,7 +24,8 @@ class PlanAuditSpec extends SparkSpec {
           "graph_triangles", "join_bloom", "vector_pq", "dedup_semantic",
           "vector_ivf_pq", "vector_index_delta", "text_countmin",
           "dedup_cluster_rep", "store_pruning_stats", "graph_kcore",
-          "graph_shortest_path"),
+          "graph_shortest_path", "graph_clustering_coeff",
+          "graph_assortativity"),
       "new Q entries that run jobs at plan-build time must set eager=true")
   }
 
@@ -649,5 +650,61 @@ class PlanAuditSpec extends SparkSpec {
     assert("TakeOrderedAndProject".r.findAllIn(p).size >= 2,
       s"coarse top-100 and exact-audit top-20 are per-partition " +
         s"top-k merges, never global sorts:\n${p.take(800)}")
+  }
+
+  test("agg_moments: one partial+final aggregate over a 2-column scan") {
+    val p = plan(Relational.aggMoments)
+    assert("HashAggregate".r.findAllIn(p).size == 2,
+      s"power sums must be one partial+final pair, not stacked aggs:\n" +
+        p.take(800))
+    assert(p.contains("l_returnflag") && p.contains("l_quantity") &&
+      !p.contains("l_extendedprice"),
+      "scan must prune to the two referenced lineitem columns")
+  }
+
+  test("ts_theil_sen: pair join and rank window are event_type-keyed") {
+    val p = plan(graft.operators.TimeSeries.tsTheilSen)
+    assert(!p.contains("CartesianProduct"))
+    // every window sort is partitioned — the series self-join must not
+    // plan an unpartitioned global sort anywhere
+    assert(!p.linesIterator.exists(l =>
+        l.contains("Window ") && !l.contains("event_type")),
+      s"windows must partition by event_type:\n${p.take(800)}")
+  }
+
+  test("corpus_sample_balanced: minority size broadcasts, rank is lang-keyed") {
+    val p = plan(graft.operators.Corpus.corpusSampleBalanced)
+    assert(p.contains("BroadcastExchange") ||
+           p.contains("BroadcastNestedLoopJoin"),
+      s"the 1-row minority size must broadcast, never shuffle:\n" +
+        p.take(800))
+    assert(p.contains("row_number"), "rank window present")
+  }
+
+  test("vector_range_search: queries broadcast; corpus never shuffles " +
+       "before the radius cut") {
+    val p = plan(graft.operators.Vectors.vectorRangeSearch)
+    assert(p.contains("BroadcastExchange") ||
+           p.contains("BroadcastNestedLoopJoin"),
+      s"query rows must broadcast:\n${p.take(800)}")
+    // the only wide exchange allowed is the query_id window over the
+    // tau-survivors: no aggregate/join exchange on the full corpus
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1,
+      s"at most the survivor window's exchange:\n${p.take(1200)}")
+  }
+
+  test("text_vocab_growth: corpus-sized work is aggregate-only (windows " +
+       "ride the 10-row histogram)") {
+    val p = plan(graft.operators.TextAnalysis.textVocabGrowth)
+    assert(p.contains("BroadcastExchange"),
+      "max(doc_id) scalar must broadcast into both decile maps")
+    // the running-sum window must sit ABOVE the decile aggregates
+    // (frame ≤ 10 rows), i.e. below it in the plan string there is no
+    // explode — generator output never feeds a window sort
+    val winIdx = p.indexOf("Window")
+    val genIdx = p.indexOf("Generate")
+    assert(winIdx >= 0 && genIdx > winIdx,
+      s"window must consume the aggregated histogram, not token rows:\n" +
+        p.take(1200))
   }
 }
