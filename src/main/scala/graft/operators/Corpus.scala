@@ -793,8 +793,63 @@ object Corpus {
       .orderBy("lang")
   }
 
+  /** TEMPERATURE-SCALED language mix — the multilingual sampling dial
+    * between proportional (T=1, what [[corpusMix]] budgets) and uniform
+    * (T→∞, what [[corpusSampleBalanced]] takes): share_i ∝ p_i^(1/T)
+    * with T=2, the √p up-weighting of low-resource languages standard in
+    * multilingual pretraining (mT5/XLM-R lineage). Emits raw and
+    * T-scaled shares in exact parts-per-million plus the boost factor
+    * each language receives.
+    *
+    * Determinism ([[corpusMix]]'s integer-rates discipline, extended to
+    * an irrational weight): √n is ONE correctly-rounded op from an exact
+    * integer, quantized to integer micro-units (floor(10⁶·√n)) BEFORE
+    * any sum — so the normalizing total is an exact BIGINT in any
+    * accumulation order, and each share is one integer division. No
+    * float sum exists to reorder; a 1-ulp √ divergence would need to
+    * land within 1e-9 of a floor boundary AND both engines are
+    * correctly-rounded anyway.
+    *
+    * Scale posture: one partial+final aggregate to |langs| rows; the
+    * normalizing sums ride unpartitioned windows over that bounded
+    * frame; everything downstream is |langs| rows. */
+  val corpusMixTemperature: Q = Q(
+    "corpus_mix_temperature",
+    """WITH c AS (SELECT lang, count(*) AS n,
+      |    CAST(floor(1000000 * sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT)
+      |      AS s
+      |  FROM documents GROUP BY 1),
+      |t AS (SELECT lang, n, s,
+      |    CAST(sum(n) OVER () AS BIGINT) AS tn,
+      |    CAST(sum(s) OVER () AS BIGINT) AS ts
+      |  FROM c)
+      |SELECT lang, CAST(n AS BIGINT) AS n_docs,
+      |  (1000000 * n) // tn AS raw_ppm,
+      |  (1000000 * s) // ts AS temp_ppm,
+      |  CAST((1000000 * s) // ts AS DOUBLE) / CAST((1000000 * n) // tn AS DOUBLE)
+      |    AS boost
+      |FROM t ORDER BY lang""".stripMargin
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val wAll = Window.rowsBetween(Window.unboundedPreceding,
+                                  Window.unboundedFollowing)
+    Tables.documents(s, d)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("s",
+        floor(lit(1000000) * sqrt(col("n").cast("double"))).cast("long"))
+      .withColumn("tn", sum(col("n")).over(wAll))
+      .withColumn("ts", sum(col("s")).over(wAll))
+      .select(col("lang"), col("n").as("n_docs"),
+        expr("(1000000 * n) DIV tn").as("raw_ppm"),
+        expr("(1000000 * s) DIV ts").as("temp_ppm"),
+        (expr("(1000000 * s) DIV ts").cast("double") /
+          expr("(1000000 * n) DIV tn").cast("double")).as("boost"))
+      .orderBy("lang")
+  }
+
   val all: Seq[Q] = Seq(corpusSplit, corpusPack, corpusSelect, docChunk,
     corpusDecontaminate, corpusMix, corpusShuffle, trainingManifest,
     corpusEntropy, corpusPipeline, corpusSplitLeakage, corpusSampleWeighted,
-    corpusSampleBalanced)
+    corpusSampleBalanced, corpusMixTemperature)
 }

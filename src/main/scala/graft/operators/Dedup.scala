@@ -801,6 +801,49 @@ object Dedup {
     componentsHashToMin(pairs, nodes)._1.orderBy("doc_id")
   }.copy(eager = true) // convergence loop runs jobs at plan build
 
+  /** INCREMENTAL cluster maintenance — the daily-ingest counterpart of
+    * [[dedupCluster]], completing what [[dedupIncremental]] starts: that
+    * query maintains the PAIR list against a standing corpus; this one
+    * maintains the LABELS. The standing corpus (the [[corpusSplit]]
+    * 'train' bucket, ~80%) is converged once; the increment (the other
+    * ~20%) then merges in by seeding a second hash-to-min run with the
+    * base components COLLAPSED TO STARS (one doc→label edge per base
+    * node) plus only the pairs that touch a new document. The oracle is
+    * [[dedupCluster]]'s full-recompute transitive closure — the driver's
+    * hash compare IS the incremental ≡ full-rebuild proof, the
+    * [[graft.operators.TextAnalysis.textIndexDelta]] discipline applied
+    * to graph state.
+    *
+    * Scale posture: the incremental run's edge set is |new pairs| +
+    * one star edge per base node — independent of the base's internal
+    * pair count — and stars have diameter 2, so the second convergence
+    * is a couple of rounds regardless of how deep the base components
+    * were. That is the operational win: the expensive full-history
+    * convergence amortizes across ingests exactly like the standing
+    * posting lists in [[dedupIncremental]]. */
+  val dedupClusterIncr: Q = Q(
+    "dedup_cluster_incr",
+    clusterOracleSql
+  ) { (s, d) =>
+    val docs = Tables.documents(s, d).select("doc_id")
+    val h = substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2)
+    val baseIds = Tables.documents(s, d)
+      .select(col("doc_id")).filter(h < "cc")
+    val pairs = dedupNgram.fn(s, d).select("doc_a", "doc_b").localCheckpoint()
+    val basePairs = pairs
+      .join(baseIds.withColumnRenamed("doc_id", "doc_a"),
+            Seq("doc_a"), "left_semi")
+      .join(baseIds.withColumnRenamed("doc_id", "doc_b"),
+            Seq("doc_b"), "left_semi")
+    val (baseLabels, _) = componentsHashToMin(basePairs, baseIds)
+    val newPairs = pairs.join(basePairs, Seq("doc_a", "doc_b"), "left_anti")
+    val starEdges = baseLabels
+      .select(col("doc_id").as("doc_a"), col("cluster_id").as("doc_b"))
+    val (labels, _) =
+      componentsHashToMin(newPairs.unionByName(starEdges), docs)
+    labels.orderBy("doc_id")
+  }.copy(eager = true) // two convergence loops run at plan build
+
   /** Triangle census of the near-dup pair graph — the structural health
     * check of a dedup run (dup groups are cliques, so a high
     * triangle-per-edge ratio says the pair generator is finding coherent
@@ -1448,7 +1491,8 @@ object Dedup {
 
   val all: Seq[Q] = Seq(dedupExact, dedupNgram, dedupMinhash,
     dedupIncremental, dedupSimhash, dedupCosine, dedupCosineLsh,
-    dedupCluster, dedupClusterStar, graphTriangles, graphClusteringCoeff,
+    dedupCluster, dedupClusterStar, dedupClusterIncr, graphTriangles,
+    graphClusteringCoeff,
     graphAssortativity, dedupSourceSim,
     dedupContainment, dedupSemantic, dedupClusterRep, dedupThresholdSweep,
     dedupRecallEval, dedupEstimatorEval)

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{Q, Tables}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Multimodal binary-column queries over testdata (document text cast to
@@ -100,31 +101,13 @@ object Multimodal {
     * never shuffle) over the WHOLE documents table — image work is
     * per-row and embarrassingly parallel at any scale, so the declared
     * query needs no demo-size bound. */
-  val multimodalDhash: Q = Q(
-    "multimodal_dhash",
-    """WITH d AS (SELECT doc_id, hex(encode(text)) AS hx,
-      |    octet_length(encode(text)) AS nb
-      |  FROM documents WHERE octet_length(encode(text)) > 0),
-      |dim AS (SELECT doc_id, hx, nb,
-      |    16 + nb % 17 AS w, 16 + nb % 13 AS h FROM d),
-      |g AS (SELECT doc_id, w, h, ys.y AS y, xs.x AS x,
-      |    CAST('0x' || substr(hx,
-      |      2 * ((LEAST((2*ys.y+1)*h//16, h-1) * w
-      |            + LEAST((2*xs.x+1)*w//18, w-1)) % nb) + 1, 2) AS INT)
-      |      AS lum
-      |  FROM dim, range(0, 8) ys(y), range(0, 9) xs(x)),
-      |bits AS (SELECT l.doc_id, l.w, l.h, l.y * 8 + l.x AS i,
-      |    CASE WHEN r.lum > l.lum
-      |         THEN CAST(1 AS INT) << CAST((l.y * 8 + l.x) % 16 AS INT)
-      |         ELSE 0 END AS bit
-      |  FROM g l JOIN g r ON l.doc_id = r.doc_id AND l.y = r.y
-      |                    AND r.x = l.x + 1
-      |  WHERE l.x < 8)
-      |SELECT doc_id, CAST(w AS INT) AS w, CAST(h AS INT) AS h,
-      |  CAST(i // 16 AS INT) AS band, CAST(sum(bit) AS INT) AS mask
-      |FROM bits GROUP BY doc_id, w, h, i // 16
-      |ORDER BY doc_id, band""".stripMargin
-  ) { (s, d) =>
+  /** The shared encode→decode→dHash pass behind [[multimodalDhash]] and
+    * [[multimodalDhashDedup]]: synthesize a gray BMP from each document's
+    * bytes, round-trip it through the REAL codec (ImageIO), perceptual-
+    * hash the decoded pixels. Narrow mapPartitions — blobs never
+    * shuffle; only the 64-bit hash leaves the task. */
+  private def dhashFrame(s: org.apache.spark.sql.SparkSession,
+                         d: String): DataFrame = {
     import s.implicits._
     import graft.multimodal.Media
     Tables.documents(s, d)
@@ -156,6 +139,34 @@ object Multimodal {
         }
       }
       .toDF("doc_id", "w", "h", "dhash")
+  }
+
+  val multimodalDhash: Q = Q(
+    "multimodal_dhash",
+    """WITH d AS (SELECT doc_id, hex(encode(text)) AS hx,
+      |    octet_length(encode(text)) AS nb
+      |  FROM documents WHERE octet_length(encode(text)) > 0),
+      |dim AS (SELECT doc_id, hx, nb,
+      |    16 + nb % 17 AS w, 16 + nb % 13 AS h FROM d),
+      |g AS (SELECT doc_id, w, h, ys.y AS y, xs.x AS x,
+      |    CAST('0x' || substr(hx,
+      |      2 * ((LEAST((2*ys.y+1)*h//16, h-1) * w
+      |            + LEAST((2*xs.x+1)*w//18, w-1)) % nb) + 1, 2) AS INT)
+      |      AS lum
+      |  FROM dim, range(0, 8) ys(y), range(0, 9) xs(x)),
+      |bits AS (SELECT l.doc_id, l.w, l.h, l.y * 8 + l.x AS i,
+      |    CASE WHEN r.lum > l.lum
+      |         THEN CAST(1 AS INT) << CAST((l.y * 8 + l.x) % 16 AS INT)
+      |         ELSE 0 END AS bit
+      |  FROM g l JOIN g r ON l.doc_id = r.doc_id AND l.y = r.y
+      |                    AND r.x = l.x + 1
+      |  WHERE l.x < 8)
+      |SELECT doc_id, CAST(w AS INT) AS w, CAST(h AS INT) AS h,
+      |  CAST(i // 16 AS INT) AS band, CAST(sum(bit) AS INT) AS mask
+      |FROM bits GROUP BY doc_id, w, h, i // 16
+      |ORDER BY doc_id, band""".stripMargin
+  ) { (s, d) =>
+    dhashFrame(s, d)
       .select(col("doc_id"), col("w"), col("h"),
         posexplode(array((0 until 4).map(k =>
           shiftrightunsigned(col("dhash"), 16 * k)
@@ -281,6 +292,86 @@ object Multimodal {
       .orderBy("doc_id", "frame_no")
   }
 
+  /** IMAGE NEAR-DUP detection — the [[graft.operators.Dedup.dedupSimhash]]
+    * band-join pointed at PERCEPTUAL image hashes: candidates collide on
+    * any of the four 16-bit dHash bands (Hamming ≤ 3 between 64-bit
+    * hashes guarantees one exact band, the standard pigeonhole cut), the
+    * verify stage computes the exact Hamming distance, and the 20 closest
+    * pairs ship with their shared-band count. This is the image half of a
+    * training-pipeline dedup (the text half is the Dedup module): same
+    * sub-quadratic skeleton — hash is a narrow map over blobs, the join
+    * keys on (band, mask), nothing corpus-sized broadcasts, blobs
+    * themselves NEVER shuffle (only the 64-bit hash does).
+    *
+    * The hashes come through the REAL codec path ([[dhashFrame]]:
+    * synthesize gray BMP → ImageIO decode → dHash64), and the oracle
+    * recomputes the full pipeline — hash, banding, candidate join, exact
+    * Hamming — from the source bytes in pure SQL (gray pixels make luma
+    * the identity, the [[multimodalDhash]] losslessness trick), so the
+    * driver value-checks the whole codec+index+verify chain. */
+  val multimodalDhashDedup: Q = Q(
+    "multimodal_dhash_dedup",
+    """WITH d AS (SELECT doc_id, hex(encode(text)) AS hx,
+      |    octet_length(encode(text)) AS nb
+      |  FROM documents WHERE octet_length(encode(text)) > 0),
+      |dim AS (SELECT doc_id, hx, nb,
+      |    16 + nb % 17 AS w, 16 + nb % 13 AS h FROM d),
+      |g AS (SELECT doc_id, w, h, ys.y AS y, xs.x AS x,
+      |    CAST('0x' || substr(hx,
+      |      2 * ((LEAST((2*ys.y+1)*h//16, h-1) * w
+      |            + LEAST((2*xs.x+1)*w//18, w-1)) % nb) + 1, 2) AS INT)
+      |      AS lum
+      |  FROM dim, range(0, 8) ys(y), range(0, 9) xs(x)),
+      |bits AS (SELECT l.doc_id, l.y * 8 + l.x AS i,
+      |    CASE WHEN r.lum > l.lum
+      |         THEN CAST(1 AS INT) << CAST((l.y * 8 + l.x) % 16 AS INT)
+      |         ELSE 0 END AS bit
+      |  FROM g l JOIN g r ON l.doc_id = r.doc_id AND l.y = r.y
+      |                    AND r.x = l.x + 1
+      |  WHERE l.x < 8),
+      |bands AS (SELECT doc_id, CAST(i // 16 AS INT) AS band,
+      |    CAST(sum(bit) AS INT) AS mask
+      |  FROM bits GROUP BY doc_id, i // 16),
+      |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    count(*) AS shared
+      |  FROM bands a JOIN bands b
+      |    ON a.band = b.band AND a.mask = b.mask AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |ham AS (SELECT c.doc_a, c.doc_b, c.shared,
+      |    CAST(sum(bit_count(xor(x.mask, y.mask))) AS INT) AS hamming
+      |  FROM cand c
+      |  JOIN bands x ON x.doc_id = c.doc_a
+      |  JOIN bands y ON y.doc_id = c.doc_b AND y.band = x.band
+      |  GROUP BY 1, 2, 3)
+      |SELECT doc_a, doc_b, CAST(shared AS INT) AS shared_bands, hamming
+      |FROM ham ORDER BY hamming, doc_a, doc_b LIMIT 20""".stripMargin
+  ) { (s, d) =>
+    val bands = dhashFrame(s, d)
+      .select(col("doc_id"),
+        posexplode(array((0 until 4).map(k =>
+          shiftrightunsigned(col("dhash"), 16 * k)
+            .bitwiseAND(lit(0xFFFFL)).cast("int")): _*))
+          .as(Seq("band", "mask")))
+      .localCheckpoint() // three consumers (join sides + verify) share it
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.mask") === col("b.mask") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+    cand
+      .join(bands.select(col("doc_id").as("doc_a"), col("band"),
+                         col("mask").as("ma")), Seq("doc_a"))
+      .join(bands.select(col("doc_id").as("doc_b"), col("band"),
+                         col("mask").as("mb")), Seq("doc_b", "band"))
+      .groupBy("doc_a", "doc_b", "shared")
+      .agg(sum(bit_count(col("ma").bitwiseXOR(col("mb")))).cast("int")
+        .as("hamming"))
+      .select(col("doc_a"), col("doc_b"),
+        col("shared").cast("int").as("shared_bands"), col("hamming"))
+      .orderBy(asc("hamming"), asc("doc_a"), asc("doc_b")).limit(20)
+  }.copy(eager = true) // band-frame materialization runs at plan build
+
   val all: Seq[Q] = Seq(multimodalMeta, multimodalFeatures, multimodalDhash,
-    multimodalWav, multimodalWavFrames)
+    multimodalWav, multimodalWavFrames, multimodalDhashDedup)
 }

@@ -1881,6 +1881,101 @@ object Relational {
       .orderBy("event_type")
   }
 
+  /** INTERVAL × INTERVAL OVERLAP JOIN — the missing member of the
+    * temporal-join family ([[joinRange]] is point-in-range,
+    * [[joinIntervalBin]] is interval-vs-FIXED-grid; this is two interval
+    * SETS, both derived from data): user activity sessions overlapped
+    * with error-incident windows — "whose sessions were exposed to which
+    * outages, and for how long?". Neither side is assumed broadcastable;
+    * the scalable shape is the BIN-REPLICATION equi join: each interval
+    * replicates to the 1-hour bins it touches, the join keys on the bin,
+    * and each qualifying pair is counted EXACTLY ONCE by the standard
+    * guard `bin == floor(max(start_a, start_b) / W)` — the bin where the
+    * overlap begins. Replication factor = interval span / W (sessions
+    * span minutes, incidents span minutes-to-hours ⇒ ~1), and the join
+    * fan-out per bin is bounded by per-bin interval counts, never
+    * |A|×|B|.
+    *
+    * Determinism: all epoch-ms integers; overlap length is exact; the
+    * census keys on the overlap-start day. The only unpartitioned window
+    * is the gaps-islands merge over ERROR MINUTES — calendar-bounded
+    * (≤ 44640 rows/month), the [[graft.operators.TimeSeries]] series
+    * discipline. */
+  val joinIntervalOverlap: Q = Q(
+    "join_interval_overlap",
+    """WITH g AS (SELECT user_id, event_id, epoch_ms(ts) AS ms,
+      |    CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts))
+      |           OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |         > 300000 THEN 1 ELSE 0 END AS brk
+      |  FROM events),
+      |s AS (SELECT user_id, ms,
+      |    sum(brk) OVER (PARTITION BY user_id ORDER BY ms
+      |                   ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM g),
+      |sess AS (SELECT user_id, sid, min(ms) AS st, max(ms) AS en
+      |         FROM s GROUP BY 1, 2),
+      |em AS (SELECT DISTINCT epoch_ms(ts) // 60000 AS mnt FROM events
+      |       WHERE event_type = 'error'),
+      |gi AS (SELECT mnt, mnt - row_number() OVER (ORDER BY mnt) AS grp
+      |       FROM em),
+      |inc AS (SELECT min(mnt) * 60000 AS bs,
+      |               (max(mnt) + 1) * 60000 - 1 AS be
+      |        FROM gi GROUP BY grp),
+      |sb AS (SELECT user_id, st, en,
+      |    unnest(generate_series(st // 3600000, en // 3600000)) AS bin
+      |  FROM sess),
+      |ib AS (SELECT bs, be,
+      |    unnest(generate_series(bs // 3600000, be // 3600000)) AS bin
+      |  FROM inc),
+      |ov AS (SELECT greatest(sb.st, ib.bs) AS os,
+      |              least(sb.en, ib.be) AS oe
+      |  FROM sb JOIN ib USING (bin)
+      |  WHERE sb.st <= ib.be AND ib.bs <= sb.en
+      |    AND bin = greatest(sb.st, ib.bs) // 3600000)
+      |SELECT DATE '1970-01-01' + CAST(os // 86400000 AS INT) AS day,
+      |  CAST(count(*) AS BIGINT) AS n_pairs,
+      |  CAST(sum(oe - os + 1) AS BIGINT) AS overlap_ms
+      |FROM ov GROUP BY 1 ORDER BY day""".stripMargin
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, d)
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val wMs = Window.partitionBy("user_id").orderBy("ms")
+      .rowsBetween(Long.MinValue, 0)
+    val sess = ev
+      .select(col("user_id"), col("ts"), col("event_id"),
+              unix_millis(col("ts")).as("ms"))
+      .withColumn("brk",
+        when(col("ms") - lag(col("ms"), 1).over(w) > 300000L, 1).otherwise(0))
+      .withColumn("sid", sum(col("brk")).over(wMs))
+      .groupBy("user_id", "sid")
+      .agg(min(col("ms")).as("st"), max(col("ms")).as("en"))
+    val inc = ev.filter(col("event_type") === "error")
+      .select(expr("unix_millis(ts) DIV 60000").as("mnt"))
+      .distinct()
+      .withColumn("grp",
+        col("mnt") - row_number().over(Window.orderBy("mnt")))
+      .groupBy("grp")
+      .agg((min(col("mnt")) * 60000L).as("bs"),
+           ((max(col("mnt")) + 1) * 60000L - 1).as("be"))
+    val sb = sess.select(col("st"), col("en"),
+      explode(sequence(expr("st DIV 3600000"), expr("en DIV 3600000")))
+        .as("bin"))
+    val ib = inc.select(col("bs"), col("be"),
+      explode(sequence(expr("bs DIV 3600000"), expr("be DIV 3600000")))
+        .as("bin"))
+    sb.join(ib, Seq("bin"))
+      .filter(col("st") <= col("be") && col("bs") <= col("en") &&
+        col("bin") === expr("greatest(st, bs) DIV 3600000"))
+      .select(greatest(col("st"), col("bs")).as("os"),
+              least(col("en"), col("be")).as("oe"))
+      .groupBy(date_add(lit("1970-01-01").cast("date"),
+                 expr("os DIV 86400000").cast("int")).as("day"))
+      .agg(count(lit(1)).as("n_pairs"),
+           sum(col("oe") - col("os") + 1).as("overlap_ms"))
+      .orderBy("day")
+  }
+
   /** HIGHER-MOMENT shape statistics — population skewness g1 and excess
     * kurtosis g2 of l_quantity per return flag, the distribution-shape
     * census behind [[outlierZscore]]'s symmetric-tails assumption and
@@ -1972,6 +2067,7 @@ object Relational {
     aggHistogramEqd,
     joinAsofTol, joinAsofFwd, joinAsofNearest, generatorOuter, aggHllUnion,
     aggThetaSetops,
-    joinBloom, sampleReservoir, joinIntervalBin, aggBitmapDistinct,
+    joinBloom, sampleReservoir, joinIntervalBin, joinIntervalOverlap,
+    aggBitmapDistinct,
     aggRegression, skylinePareto, joinFuzzy, aggIncremental)
 }

@@ -685,8 +685,104 @@ object Streaming {
       .orderBy("event_id")
   }
 
+  /** CONCURRENCY SWEEP-LINE over the [[sessionizeGaps]] sessions — peak
+    * simultaneous active sessions per day and when it happened, the
+    * capacity-planning census (how many live contexts must the serving
+    * tier hold?). The scalable shape is NOT an interval self-join
+    * (quadratic in overlap): each session contributes a +1 delta at its
+    * clipped start and a −1 just after its clipped end, per day it
+    * touches; concurrency is the running sum of per-instant delta
+    * totals — the classic sweep-line, distributed.
+    *
+    * Determinism: all integers; deltas aggregate per (day, ms) BEFORE
+    * the running sum, so the prefix is a function of the timeline, not
+    * of tie order; the peak row breaks ties to the earliest instant.
+    *
+    * Scale posture: sessions come from the one user-keyed exchange
+    * sessionization already pays; the day explode is a narrow
+    * generator (sessions span ~1 day); the sweep windows partition BY
+    * DAY over per-instant delta totals. A day with ~10⁹ distinct
+    * instants would recurse the prefix sum two-level exactly like
+    * [[graft.operators.Corpus.corpusPack]] — noted, not needed at any
+    * benchable scale. */
+  val sessionConcurrency: Q = Q(
+    "session_concurrency",
+    """WITH g AS (SELECT user_id, epoch_ms(ts) AS ms,
+      |    CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts))
+      |           OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |         > 300000 THEN 1 ELSE 0 END AS brk
+      |  FROM events),
+      |s AS (SELECT user_id, ms,
+      |    sum(brk) OVER (PARTITION BY user_id ORDER BY ms
+      |                   ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM g),
+      |sess AS (SELECT user_id, sid, min(ms) AS st, max(ms) AS en
+      |         FROM s GROUP BY 1, 2),
+      |sd AS (SELECT st, en, unnest(generate_series(st // 86400000,
+      |                                             en // 86400000)) AS di
+      |       FROM sess),
+      |clip AS (SELECT di,
+      |    greatest(st, di * 86400000) AS cst,
+      |    least(en, di * 86400000 + 86399999) + 1 AS cen
+      |  FROM sd),
+      |delta AS (SELECT di, cst AS ms, 1 AS d FROM clip
+      |          UNION ALL SELECT di, cen, -1 FROM clip),
+      |tl AS (SELECT di, ms, sum(d) AS dd FROM delta GROUP BY 1, 2),
+      |conc AS (SELECT di, ms,
+      |    sum(dd) OVER (PARTITION BY di ORDER BY ms
+      |                  ROWS UNBOUNDED PRECEDING) AS c
+      |  FROM tl),
+      |pk AS (SELECT di, ms, c,
+      |    row_number() OVER (PARTITION BY di ORDER BY c DESC, ms) AS rn
+      |  FROM conc),
+      |ns AS (SELECT di, count(*) AS n_sessions FROM sd GROUP BY 1)
+      |SELECT DATE '1970-01-01' + CAST(pk.di AS INT) AS day,
+      |  CAST(ns.n_sessions AS BIGINT) AS n_sessions,
+      |  CAST(pk.c AS BIGINT) AS peak_concurrency,
+      |  CAST(pk.ms AS BIGINT) AS peak_ms
+      |FROM pk JOIN ns ON pk.di = ns.di
+      |WHERE pk.rn = 1 ORDER BY day""".stripMargin
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val wMs = Window.partitionBy("user_id").orderBy("ms")
+      .rowsBetween(Long.MinValue, 0)
+    val sess = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"),
+              unix_millis(col("ts")).as("ms"))
+      .withColumn("brk",
+        when(col("ms") - lag(col("ms"), 1).over(w) > 300000L, 1).otherwise(0))
+      .withColumn("sid", sum(col("brk")).over(wMs))
+      .groupBy("user_id", "sid")
+      .agg(min(col("ms")).as("st"), max(col("ms")).as("en"))
+    val sd = sess.select(col("st"), col("en"),
+      explode(sequence(expr("st DIV 86400000"), expr("en DIV 86400000")))
+        .as("di"))
+    val clip = sd.select(col("di"),
+      greatest(col("st"), col("di") * 86400000L).as("cst"),
+      (least(col("en"), col("di") * 86400000L + 86399999L) + 1).as("cen"))
+    val delta = clip.select(col("di"), col("cst").as("ms"), lit(1).as("d"))
+      .unionByName(clip.select(col("di"), col("cen").as("ms"),
+                               lit(-1).as("d")))
+    val wDay = Window.partitionBy("di").orderBy("ms")
+      .rowsBetween(Long.MinValue, 0)
+    val conc = delta.groupBy("di", "ms").agg(sum(col("d")).as("dd"))
+      .withColumn("c", sum(col("dd")).over(wDay))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("di").orderBy(desc("c"), asc("ms"))))
+      .filter(col("rn") === 1)
+    val ns = sd.groupBy("di").agg(count(lit(1)).as("n_sessions"))
+    conc.join(ns, Seq("di"))
+      .select(date_add(lit("1970-01-01").cast("date"), col("di").cast("int"))
+          .as("day"),
+        col("n_sessions"), col("c").as("peak_concurrency"),
+        col("ms").as("peak_ms"))
+      .orderBy("day")
+  }
+
   val all: Seq[Q] = Seq(streamTumbling, streamHopping, streamSession,
     resampleGapfill, resampleInterp, funnel, eventPaths, retentionCohort,
     eventTransitions, ohlcBars, sessionizeGaps, patternSeq,
-    attributionLastclick, attributionLinear, scd2, joinPit)
+    attributionLastclick, attributionLinear, scd2, joinPit,
+    sessionConcurrency)
 }

@@ -1147,10 +1147,56 @@ object TextAnalysis {
       .orderBy("decile")
   }
 
+  /** RAKE-style KEYWORD scoring — degree/frequency ranking (Rose et al.
+    * 2010): a word's degree is its co-occurrence count with neighbors
+    * within distance ≤ 2, and deg/freq rewards words that appear in
+    * dense contexts over words that merely appear often — the classic
+    * unsupervised keyword extractor, here corpus-level (the companion to
+    * [[textCollocations]]' pair-level lift).
+    *
+    * The scale trick: the degree needs NO pair explosion — for the
+    * occurrence at position i of an L-token document the neighbor count
+    * is min(i−1,2) + min(L−i,2), pure per-token arithmetic, so degree is
+    * one integer sum beside the frequency count in the same aggregate.
+    * Score is one double division of two exact BIGINTs.
+    *
+    * Plan: one token-keyed partial+final aggregate over a zipped
+    * (token, neighbor-count) explode; TakeOrderedAndProject cuts the
+    * top 30. Nothing else. */
+  val textRakeKeywords: Q = Q(
+    "text_rake_keywords",
+    """WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
+      |tokp AS (SELECT unnest(toks) AS token,
+      |    unnest([least(i-1, 2) + least(len(toks)-i, 2)
+      |            FOR i IN range(1, len(toks)+1)]) AS nb
+      |  FROM t),
+      |a AS (SELECT token, count(*) AS freq,
+      |        CAST(sum(nb) AS BIGINT) AS deg
+      |      FROM tokp GROUP BY 1 HAVING count(*) >= 5)
+      |SELECT token, CAST(freq AS BIGINT) AS freq, deg,
+      |  CAST(deg AS DOUBLE) / CAST(freq AS DOUBLE) AS rake_score
+      |FROM a ORDER BY rake_score DESC, token LIMIT 30""".stripMargin
+  ) { (s, d) =>
+    Tables.documents(s, d)
+      .select(split(col("text"), " ").as("toks"))
+      .select(posexplode(col("toks")).as(Seq("pos", "token")),
+              size(col("toks")).as("len"))
+      .select(col("token"),
+        (least(col("pos"), lit(2)) +
+          least(col("len") - 1 - col("pos"), lit(2))).as("nb"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("freq"), sum(col("nb")).cast("long").as("deg"))
+      .filter(col("freq") >= 5)
+      .select(col("token"), col("freq"), col("deg"),
+        (col("deg").cast("double") / col("freq").cast("double"))
+          .as("rake_score"))
+      .orderBy(desc("rake_score"), asc("token")).limit(30)
+  }
+
   val all: Seq[Q] = Seq(textTokens, textQuality, langId, textFingerprint,
     textTfidf, textNormalize, textRepetition, piiRedact, ngramFreq,
     textContamination, textTokenBpe, textPerplexity, spanDedup,
     textHeavyHitters, textQualityClassifier, textCountmin, textCollocations,
     textLangidEval, textBm25, textBoilerplate, textInvertedIndex,
-    textIndexDelta, textHashingVec, textVocabGrowth)
+    textIndexDelta, textHashingVec, textVocabGrowth, textRakeKeywords)
 }

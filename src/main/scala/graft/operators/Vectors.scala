@@ -1749,10 +1749,120 @@ object Vectors {
       .orderBy("query_id", "rnk")
   }
 
+  /** DuckDB mirror of [[vectorIvfProbeSweep]]: trained centroids inlined
+    * post-run, the same assignment / probe-rank / candidate arithmetic,
+    * recall joined against the exact top-20 — the [[ivfOracleSql]]
+    * discipline extended across the whole nprobe grid. */
+  private def probeSweepOracleSql(cents: Seq[Seq[Double]]): String =
+    s"""WITH cents AS (SELECT j AS cid, pv AS cv FROM (VALUES
+       |    ${planesSql(cents)}) c(j, pv)),
+       |e AS (SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v
+       |      FROM embeddings WHERE vec_id <> 0),
+       |q AS (SELECT [CAST(x AS DOUBLE) FOR x IN embedding] AS qv
+       |      FROM embeddings WHERE vec_id = 0),
+       |asg AS (SELECT vec_id, arg_max(cid, cs) AS cell, first(v) AS v
+       |        FROM (SELECT vec_id, v, cid, ${cosSql("v", "cv")} AS cs
+       |              FROM e CROSS JOIN cents)
+       |        GROUP BY vec_id),
+       |crank AS (SELECT cid AS cell, qv,
+       |            row_number() OVER (ORDER BY cs DESC, cid) AS r
+       |          FROM (SELECT qv, cid, ${cosSql("qv", "cv")} AS cs
+       |                FROM q CROSS JOIN cents)),
+       |probes AS (SELECT unnest([1, 2, 4, 8]) AS np),
+       |cand AS (SELECT p.np, a.vec_id, ${cosSql("a.v", "c.qv")} AS cosine
+       |         FROM asg a JOIN crank c USING (cell)
+       |         CROSS JOIN probes p WHERE c.r <= p.np),
+       |sc AS (SELECT np, vec_id, cosine,
+       |         count(*) OVER (PARTITION BY np) AS n_scanned,
+       |         row_number() OVER (PARTITION BY np
+       |                            ORDER BY cosine DESC, vec_id) AS rn
+       |       FROM cand),
+       |ex AS (SELECT vec_id FROM (
+       |    SELECT e.vec_id,
+       |      row_number() OVER (ORDER BY ${cosSql("e.v", "q.qv")} DESC,
+       |                         e.vec_id) AS rn
+       |    FROM e CROSS JOIN q) WHERE rn <= 20),
+       |n AS (SELECT count(*) AS nc FROM e)
+       |SELECT CAST(s.np AS INT) AS nprobe,
+       |  CAST(max(s.n_scanned) AS BIGINT) AS n_scanned,
+       |  (1000000 * CAST(max(s.n_scanned) AS BIGINT)) // (SELECT nc FROM n)
+       |    AS scan_ppm,
+       |  CAST(COALESCE(sum(CASE WHEN ex.vec_id IS NOT NULL THEN 1 ELSE 0 END),
+       |       0) AS BIGINT) AS n_hit,
+       |  CAST(COALESCE(sum(CASE WHEN ex.vec_id IS NOT NULL THEN 1 ELSE 0 END),
+       |       0) AS DOUBLE) / 20 AS recall
+       |FROM sc s LEFT JOIN ex ON s.vec_id = ex.vec_id
+       |WHERE s.rn <= 20
+       |GROUP BY s.np ORDER BY nprobe""".stripMargin
+
+  /** NPROBE SWEEP — the IVF cost/quality curve an ANN serving team reads
+    * before picking an operating point: for nprobe ∈ {1,2,4,8}, how much
+    * of the corpus a probe scans (exact ppm) and what recall@20 it buys
+    * against the exact top-20. [[vectorRecallEval]] grades ONE LSH
+    * configuration; this sweeps the IVF dial — together with
+    * [[vectorIndexStats]] (is the index healthy?) and
+    * [[vectorIndexDelta]] (can I reuse it?) it completes the
+    * operate-an-index loop.
+    *
+    * Plan: ONE assignment pass (the shared memoized centroids), one
+    * 16-row probe-rank window, and the candidate frame materialized ONCE
+    * for the largest nprobe — each sweep point is a filter `r ≤ np` over
+    * it, so adding a grid point adds a predicate, never a corpus pass.
+    * Recall joins against the 20-row exact-truth broadcast. Determinism:
+    * cosines are the shared left-fold kernel; counts/ppm exact integers;
+    * recall is one division of exact ints. */
+  val vectorIvfProbeSweep: Q = Q.noOracle("vector_ivf_probe_sweep") { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"), toDouble(col("embedding")).as("v"))
+    val e = emb.filter(col("vec_id") =!= 0)
+    val centroids = ivfCentroids(e, cacheKey = Some(embeddingsFingerprint(s, d)))
+    val q = emb.filter(col("vec_id") === 0).select(col("v").as("qv"))
+    val cells = assignCells(e, centroids)
+    val crank = q.crossJoin(broadcast(centroids))
+      .select(col("qv"), col("cid"),
+              cosine(col("qv"), col("cv")).as("csim"))
+      .withColumn("r", row_number().over(
+        Window.orderBy(desc("csim"), asc("cid"))))
+      .select(col("cid").as("cell"), col("qv"), col("r"))
+    val probes = Seq(1, 2, 4, 8).toDF("np")
+    val exact = e.crossJoin(broadcast(q))
+      .select(col("vec_id"), cosine(col("v"), col("qv")).as("cosine"))
+      .withColumn("rn", row_number().over(
+        Window.orderBy(desc("cosine"), asc("vec_id"))))
+      .filter(col("rn") <= 20)
+      .select(col("vec_id"), lit(1).as("hit"))
+    val nCorp = e.agg(count(lit(1)).as("nc"))
+    val wNp = Window.partitionBy("np")
+    cells.join(broadcast(crank), Seq("cell"))
+      .crossJoin(broadcast(probes))
+      .filter(col("r") <= col("np"))
+      .select(col("np"), col("vec_id"),
+              cosine(col("v"), col("qv")).as("cosine"))
+      .withColumn("n_scanned", count(lit(1)).over(wNp))
+      .withColumn("rn", row_number().over(
+        wNp.orderBy(desc("cosine"), asc("vec_id"))))
+      .filter(col("rn") <= 20)
+      .join(broadcast(exact), Seq("vec_id"), "left")
+      .groupBy("np")
+      .agg(max(col("n_scanned")).as("n_scanned"),
+           coalesce(sum(col("hit")), lit(0)).cast("long").as("n_hit"))
+      .crossJoin(broadcast(nCorp))
+      .select(col("np").cast("int").as("nprobe"), col("n_scanned"),
+        expr("(1000000 * n_scanned) DIV nc").as("scan_ppm"),
+        col("n_hit"),
+        (col("n_hit").cast("double") / lit(20)).as("recall"))
+      .orderBy("nprobe")
+  }.copy(
+    eager = true, // shares the memoized IVF training collect
+    oracleGen = Some(() =>
+      cachedIvfCentroids.map(cs => probeSweepOracleSql(cs.map(_.toSeq).toSeq))))
+
   val all: Seq[Q] = Seq(vectorTopk, vectorAnnLsh, vectorAnnIvf,
     vectorTopkBatch, vectorQuantize, vectorCentroid, knnJoinLsh,
     sqlVectorTopk, vectorIndexStats, vectorPq, vectorIvfPq,
     vectorIndexDelta, vectorMips, vectorRecallEval, vectorRecallEvalMt,
     vectorSq8Topk, vectorHammingTopk, vectorMatryoshkaTopk,
-    vectorFilteredTopk, vectorRangeSearch)
+    vectorFilteredTopk, vectorRangeSearch, vectorIvfProbeSweep)
 }

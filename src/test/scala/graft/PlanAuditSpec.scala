@@ -24,7 +24,8 @@ class PlanAuditSpec extends SparkSpec {
           "graph_triangles", "join_bloom", "vector_pq", "dedup_semantic",
           "vector_ivf_pq", "vector_index_delta", "text_countmin",
           "dedup_cluster_rep", "store_pruning_stats", "graph_kcore",
-          "graph_shortest_path", "graph_clustering_coeff",
+          "graph_shortest_path", "graph_clustering_coeff", "dedup_cluster_incr",
+          "vector_ivf_probe_sweep", "multimodal_dhash_dedup",
           "graph_assortativity"),
       "new Q entries that run jobs at plan-build time must set eager=true")
   }
@@ -706,5 +707,28 @@ class PlanAuditSpec extends SparkSpec {
     assert(winIdx >= 0 && genIdx > winIdx,
       s"window must consume the aggregated histogram, not token rows:\n" +
         p.take(1200))
+  }
+  test("text_rake_keywords: explode -> partial+final agg -> top-k merge") {
+    val p = plan(graft.operators.TextAnalysis.textRakeKeywords)
+    assert(p.contains("Generate"), "expected the zipped token explode")
+    assert("HashAggregate".r.findAllIn(p).size >= 2)
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-30 must be a per-partition merge, not a global sort:\n${p.take(600)}")
+  }
+
+  test("session_concurrency: every sweep window is user- or day-keyed") {
+    val p = plan(graft.operators.Streaming.sessionConcurrency)
+    assert(!p.linesIterator.exists(l =>
+        l.trim.startsWith("Window") && !l.contains("user_id") &&
+          !l.contains("di")),
+      s"no unpartitioned window may touch the event/delta timeline:\n${p.take(1000)}")
+  }
+
+  test("corpus_mix_temperature: shares ride the |langs|-row aggregate") {
+    val p = plan(graft.operators.Corpus.corpusMixTemperature)
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "per-lang counts must partial+final aggregate")
+    assert(!p.contains("Generate"),
+      "no explode anywhere — the mix is pure aggregate arithmetic")
   }
 }
