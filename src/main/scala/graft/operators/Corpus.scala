@@ -848,8 +848,68 @@ object Corpus {
       .orderBy("lang")
   }
 
+  /** QUALITY-PRUNE THRESHOLD SWEEP — the corpus-curation dial tuned the
+    * way [[graft.operators.Dedup.dedupThresholdSweep]] tunes Jaccard and
+    * [[graft.operators.Vectors.vectorIvfProbeSweep]] tunes nprobe: for
+    * each stopword-density floor τ (a natural-language-ness proxy — too
+    * few stopwords means code/tables/boilerplate), how many documents and
+    * tokens survive and what share of the corpus that is. The curator
+    * reads the knee of this curve before committing a filter.
+    *
+    * Determinism: per-doc density is EXACT integer ppm ((10⁶·n_stop) DIV
+    * n_tok); kept counts/tokens are exact sums; the share is one integer
+    * division against a broadcast total. No floats anywhere.
+    *
+    * Plan: ONE pass computes per-doc (ppm, n_tok); the 5-row threshold
+    * grid joins by generator explode (each grid point is a predicate,
+    * never a second corpus pass — the sweep-family discipline); one
+    * partial+final aggregate per (τ). */
+  val corpusPruneSweep: Q = Q(
+    "corpus_prune_sweep",
+    s"""WITH m AS (SELECT doc_id,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+       |    CAST(len(list_filter(string_split(text, ' '),
+       |      t -> t IN (${graft.operators.TextAnalysis.stopwords
+                .map("'" + _ + "'").mkString(",")}))) AS BIGINT) AS n_stop
+       |  FROM documents),
+       |p AS (SELECT doc_id, n_tok,
+       |        (1000000 * n_stop) // n_tok AS stop_ppm FROM m),
+       |tot AS (SELECT CAST(sum(n_tok) AS BIGINT) AS t,
+       |               count(*) AS nd FROM p),
+       |g AS (SELECT p.*, unnest([0, 50000, 100000, 150000, 200000]) AS tau
+       |      FROM p)
+       |SELECT CAST(tau AS BIGINT) AS tau_ppm,
+       |  CAST(count(*) FILTER (WHERE stop_ppm >= tau) AS BIGINT) AS n_kept,
+       |  CAST(COALESCE(sum(n_tok) FILTER (WHERE stop_ppm >= tau), 0)
+       |    AS BIGINT) AS kept_tokens,
+       |  (1000000 * CAST(COALESCE(sum(n_tok) FILTER (WHERE stop_ppm >= tau),
+       |     0) AS BIGINT)) // (SELECT t FROM tot) AS kept_share_ppm
+       |FROM g GROUP BY 1 ORDER BY tau_ppm""".stripMargin
+  ) { (s, d) =>
+    val toks = split(col("text"), " ")
+    val p = Tables.documents(s, d)
+      .select(col("doc_id"), size(toks).cast("long").as("n_tok"),
+        size(filter(toks,
+          t => t.isin(graft.operators.TextAnalysis.stopwords: _*)))
+          .cast("long").as("n_stop"))
+      .select(col("doc_id"), col("n_tok"),
+        expr("(1000000 * n_stop) DIV n_tok").as("stop_ppm"))
+    val tot = p.agg(sum(col("n_tok")).as("t"))
+    p.select(col("n_tok"), col("stop_ppm"),
+        explode(typedlit(Seq(0L, 50000L, 100000L, 150000L, 200000L)))
+          .as("tau"))
+      .groupBy("tau")
+      .agg(count(when(col("stop_ppm") >= col("tau"), 1)).as("n_kept"),
+           coalesce(sum(when(col("stop_ppm") >= col("tau"), col("n_tok"))),
+                    lit(0L)).as("kept_tokens"))
+      .crossJoin(broadcast(tot))
+      .select(col("tau").as("tau_ppm"), col("n_kept"), col("kept_tokens"),
+        expr("(1000000 * kept_tokens) DIV t").as("kept_share_ppm"))
+      .orderBy("tau_ppm")
+  }
+
   val all: Seq[Q] = Seq(corpusSplit, corpusPack, corpusSelect, docChunk,
     corpusDecontaminate, corpusMix, corpusShuffle, trainingManifest,
     corpusEntropy, corpusPipeline, corpusSplitLeakage, corpusSampleWeighted,
-    corpusSampleBalanced, corpusMixTemperature)
+    corpusSampleBalanced, corpusMixTemperature, corpusPruneSweep)
 }

@@ -3,7 +3,7 @@ package graft.operators
 import graft.{Q, Tables}
 import graft.Tables.{asDouble, money}
 import graft.plans.SchemaFlattener
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Reference-shaped ETL pipeline operators (SURVEY.md §2.1–§2.3, §7.2 step
@@ -498,7 +498,11 @@ object Pipeline {
     * as a row_number window (different algorithm, same total order). At
     * 100 TB: persist the src-partitioned edge list once (here: cached),
     * checkpoint labels every few rounds — the pagerank posture. */
-  val graphLabelProp: Q = {
+  /** Shared label-propagation SQL prologue — the co-purchase edge CTEs
+    * plus the [[LpIters]] unrolled vote rounds, ending at `l$LpIters`.
+    * ONE renderer for [[graphLabelProp]] and [[graphModularity]] so the
+    * two oracles cannot drift. */
+  private def lpCteSql: String = {
     def stepSql(prev: String, cur: String): String =
       s"""$cur AS (SELECT vid, lbl FROM (
          |    SELECT vid, lbl,
@@ -508,47 +512,131 @@ object Pipeline {
          |  WHERE rn = 1)""".stripMargin
     val steps = (1 to LpIters)
       .map(i => stepSql(s"l${i - 1}", s"l$i")).mkString(",\n")
+    s"""pairs AS (
+       |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       |  WHERE o_orderdate >= DATE '1995-01-01'
+       |    AND o_orderdate < DATE '1995-04-01'),
+       |e AS (SELECT c AS src, s AS dst FROM pairs
+       |      UNION ALL SELECT s, c FROM pairs),
+       |l0 AS (SELECT DISTINCT src AS vid, src AS lbl FROM e),
+       |$steps""".stripMargin
+  }
+
+  /** Spark side of the shared prologue: the cached directed edge list
+    * and the [[LpIters]]-round vote loop (one declarative plan). */
+  private def lpEdgesLabels(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
+    val pairs = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1995-01-01") &&
+              col("o_orderdate") < lit("1995-04-01"))
+      .join(Tables.lineitem(s, d),
+            col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("c"),
+              (col("l_suppkey") * 2 + 1).as("s"))
+      .distinct()
+    val e = pairs.select(col("c").as("src"), col("s").as("dst"))
+      .unionByName(pairs.select(col("s").as("src"), col("c").as("dst")))
+      .cache() // all rounds reference this one frame (pagerank posture)
+    var lbl = e.select(col("src").as("vid")).distinct()
+      .withColumn("lbl", col("vid"))
+    for (_ <- 1 to LpIters) {
+      lbl = e.join(lbl, col("src") === col("vid"))
+        .groupBy(col("dst"), col("lbl"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy("dst")
+        // struct max = (most votes, then smallest label): the tie rule
+        // rides INSIDE a partial+final aggregate — no per-round window
+        .agg(max(struct(col("c"), (-col("lbl")).as("nl"))).as("m"))
+        .select(col("dst").as("vid"), (-col("m.nl")).as("lbl"))
+    }
+    (e, lbl)
+  }
+
+  val graphLabelProp: Q =
     Q(
       "graph_label_prop",
-      s"""WITH pairs AS (
-         |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
-         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-         |  WHERE o_orderdate >= DATE '1995-01-01'
-         |    AND o_orderdate < DATE '1995-04-01'),
-         |e AS (SELECT c AS src, s AS dst FROM pairs
-         |      UNION ALL SELECT s, c FROM pairs),
-         |l0 AS (SELECT DISTINCT src AS vid, src AS lbl FROM e),
-         |$steps
+      s"""WITH $lpCteSql
          |SELECT lbl AS community, CAST(count(*) AS BIGINT) AS n_members
          |FROM l$LpIters GROUP BY 1 ORDER BY community""".stripMargin
     ) { (s, d) =>
-      val pairs = Tables.orders(s, d)
-        .filter(col("o_orderdate") >= lit("1995-01-01") &&
-                col("o_orderdate") < lit("1995-04-01"))
-        .join(Tables.lineitem(s, d),
-              col("o_orderkey") === col("l_orderkey"))
-        .select((col("o_custkey") * 2).as("c"),
-                (col("l_suppkey") * 2 + 1).as("s"))
-        .distinct()
-      val e = pairs.select(col("c").as("src"), col("s").as("dst"))
-        .unionByName(pairs.select(col("s").as("src"), col("c").as("dst")))
-        .cache() // all rounds reference this one frame (pagerank posture)
-      var lbl = e.select(col("src").as("vid")).distinct()
-        .withColumn("lbl", col("vid"))
-      for (_ <- 1 to LpIters) {
-        lbl = e.join(lbl, col("src") === col("vid"))
-          .groupBy(col("dst"), col("lbl"))
-          .agg(count(lit(1)).as("c"))
-          .groupBy("dst")
-          // struct max = (most votes, then smallest label): the tie rule
-          // rides INSIDE a partial+final aggregate — no per-round window
-          .agg(max(struct(col("c"), (-col("lbl")).as("nl"))).as("m"))
-          .select(col("dst").as("vid"), (-col("m.nl")).as("lbl"))
-      }
+      val (_, lbl) = lpEdgesLabels(s, d)
       lbl.groupBy("lbl").agg(count(lit(1)).as("n_members"))
         .select(col("lbl").as("community"), col("n_members"))
         .orderBy("community")
     }
+
+  /** MODULARITY of the [[graphLabelProp]] communities — the one-number
+    * answer to "did label propagation find real structure?": Newman's
+    * Q = Σ_c [e_c/2m − (deg_c/2m)²] over the SAME edge list and the SAME
+    * four vote rounds (shared [[lpCteSql]]/[[lpEdgesLabels]] prologue, so
+    * the partition being scored is definitionally the one the community
+    * query reports). Q ≈ 0 means the partition is no better than random
+    * wiring; the companion to [[graphLabelProp]] exactly as
+    * [[graft.operators.Dedup.dedupRecallEval]] is to the banding dedup.
+    *
+    * Determinism for a float functional over an integer partition: each
+    * community's contribution is computed by ONE shared double sequence
+    * from exact BIGINTs (within-edges, degree mass, 2m), quantized to
+    * integer nano-units (floor ×10⁹) BEFORE the cross-community sum — so
+    * the only order-sensitive accumulation is an exact BIGINT sum (the
+    * [[graft.operators.Corpus.corpusMixTemperature]] discipline).
+    *
+    * Plan: labels decorate the edge list through two vid-keyed equi
+    * joins (within-community count) and one vid-keyed join (degree
+    * mass); everything downstream is |communities| rows. The 2m scalar
+    * rides a broadcast, not a window over corpus-sized frames. */
+  val graphModularity: Q = Q(
+    "graph_modularity",
+    s"""WITH $lpCteSql,
+       |lab AS (SELECT vid, lbl FROM l$LpIters),
+       |m2 AS (SELECT count(*) AS m FROM e),
+       |deg AS (SELECT src AS vid, count(*) AS dg FROM e GROUP BY 1),
+       |ec AS (SELECT la.lbl, count(*) AS ec
+       |       FROM e JOIN lab la ON e.src = la.vid
+       |              JOIN lab lb ON e.dst = lb.vid
+       |       WHERE la.lbl = lb.lbl GROUP BY 1),
+       |dc AS (SELECT lab.lbl, CAST(sum(deg.dg) AS BIGINT) AS dc
+       |       FROM lab JOIN deg ON lab.vid = deg.vid GROUP BY 1),
+       |c AS (SELECT dc.lbl, COALESCE(ec.ec, 0) AS ec, dc.dc
+       |      FROM dc LEFT JOIN ec ON dc.lbl = ec.lbl),
+       |q AS (SELECT lbl,
+       |    CAST(floor(1000000000 * (
+       |      CAST(ec AS DOUBLE) / (SELECT m FROM m2)
+       |      - (CAST(dc AS DOUBLE) / (SELECT m FROM m2))
+       |        * (CAST(dc AS DOUBLE) / (SELECT m FROM m2)))) AS BIGINT)
+       |      AS ppb
+       |  FROM c)
+       |SELECT CAST((SELECT count(*) FROM q) AS BIGINT) AS n_communities,
+       |  CAST((SELECT m FROM m2) AS BIGINT) AS n_dir_edges,
+       |  CAST(sum(ppb) AS BIGINT) AS modularity_ppb
+       |FROM q""".stripMargin
+  ) { (s, d) =>
+    val (e, lbl) = lpEdgesLabels(s, d)
+    val m2 = e.agg(count(lit(1)).as("m"))
+    val deg = e.groupBy(col("src").as("dvid")).agg(count(lit(1)).as("dg"))
+    val ec = e
+      .join(lbl.select(col("vid"), col("lbl").as("la")),
+            col("src") === col("vid"))
+      .drop("vid")
+      .join(lbl.select(col("vid"), col("lbl").as("lb")),
+            col("dst") === col("vid"))
+      .filter(col("la") === col("lb"))
+      .groupBy(col("la").as("lbl")).agg(count(lit(1)).as("ec"))
+    val dc = lbl.join(deg, col("vid") === col("dvid"))
+      .groupBy("lbl").agg(sum(col("dg")).as("dc"))
+    val contrib = dc.join(ec, Seq("lbl"), "left")
+      .select(col("lbl"), coalesce(col("ec"), lit(0L)).as("ec"), col("dc"))
+      .crossJoin(broadcast(m2))
+      .select(floor(lit(1000000000L) * (
+          col("ec").cast("double") / col("m")
+            - (col("dc").cast("double") / col("m"))
+              * (col("dc").cast("double") / col("m"))))
+        .cast("long").as("ppb"))
+    contrib.agg(count(lit(1)).as("n_communities"), sum(col("ppb")).as("p"))
+      .crossJoin(broadcast(m2))
+      .select(col("n_communities"), col("m").as("n_dir_edges"),
+              col("p").as("modularity_ppb"))
   }
 
   private val KcoreK = 3
@@ -1108,5 +1196,5 @@ object Pipeline {
     graphTwohop, discoverySummary, ingestNdjson, snapshotExport, dqChecks,
     dqSkew, dqDriftKs, dqFreshness, graphPagerank, graphLabelProp,
     graphKcore, graphShortestPath, dqReferential, dqUniqueness,
-    graphJaccard, graphDegreeDist, storePruningStats)
+    graphJaccard, graphDegreeDist, storePruningStats, graphModularity)
 }

@@ -15,7 +15,7 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  private val stopwords = Seq("the", "a", "of", "and", "is")
+  private[operators] val stopwords = Seq("the", "a", "of", "and", "is")
 
   /** Term/document frequency — whitespace tokenization + explode + two-level
     * count (token counting over 100 TB is exactly this plan). */

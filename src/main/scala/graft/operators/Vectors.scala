@@ -1859,10 +1859,99 @@ object Vectors {
     oracleGen = Some(() =>
       cachedIvfCentroids.map(cs => probeSweepOracleSql(cs.map(_.toSeq).toSeq))))
 
+  /** MMR DIVERSITY RE-RANKING (Carbonell & Goldstein 1998) — the
+    * retrieval post-processor that trades relevance against redundancy:
+    * from the exact top-20 for query 0, greedily select 5 results
+    * maximizing λ·rel − (1−λ)·max-sim-to-already-selected with λ = 1/2.
+    * Pure top-k returns near-duplicate neighbors (this corpus HAS
+    * near-dup embeddings by construction — that's the dedup family's
+    * point); MMR is the standard fix, and belongs beside top-k in any
+    * retrieval engine.
+    *
+    * Determinism: λ = 1/2 makes both multiplies EXACT (the ts_ewma α
+    * trick); the penalty is a MAX over ≤4 shared-kernel cosines (an
+    * order-independent selection, not a sum); each greedy argmax is
+    * total-ordered by (mmr DESC, vec_id). The oracle unrolls the same
+    * 5 selections as chained CTEs.
+    *
+    * Scale posture: the candidate pool is the TakeOrderedAndProject
+    * top-20 — the expensive part is the retrieval already audited in
+    * [[vectorTopk]]; the greedy loop runs over 20-row checkpointed
+    * frames (k × pool cosines total), which is why greedy MMR is
+    * serving-tier-cheap at ANY corpus size: its cost depends on the
+    * pool, never the corpus. */
+  val vectorMmrRerank: Q = {
+    def mmrOracleSql: String = {
+      val steps = (2 to 5).map { k =>
+        val prev = s"sel${k - 1}"
+        s"""s$k AS (SELECT c.vec_id, c.v, c.rel, max(${cosSql("c.v", "s.v")})
+           |    AS pen
+           |  FROM cand c, $prev s
+           |  WHERE c.vec_id NOT IN (SELECT vec_id FROM $prev)
+           |  GROUP BY c.vec_id, c.v, c.rel),
+           |pick$k AS (SELECT vec_id, v, rel, pen,
+           |    CAST(0.5 AS DOUBLE) * rel - CAST(0.5 AS DOUBLE) * pen AS mmr,
+           |    $k AS rnk
+           |  FROM s$k ORDER BY mmr DESC, vec_id LIMIT 1),
+           |sel$k AS (SELECT * FROM $prev UNION ALL SELECT * FROM pick$k)"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH q AS (SELECT [CAST(x AS DOUBLE) FOR x IN embedding] AS qv
+         |           FROM embeddings WHERE vec_id = 0),
+         |e AS (SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v
+         |      FROM embeddings WHERE vec_id <> 0),
+         |cand AS (SELECT vec_id, v, ${cosSql("v", "qv")} AS rel
+         |         FROM e, q ORDER BY rel DESC, vec_id LIMIT 20),
+         |sel1 AS (SELECT vec_id, v, rel, CAST(0 AS DOUBLE) AS pen,
+         |    CAST(0.5 AS DOUBLE) * rel AS mmr, 1 AS rnk
+         |  FROM cand ORDER BY rel DESC, vec_id LIMIT 1),
+         |$steps
+         |SELECT CAST(rnk AS INT) AS rnk, vec_id, rel, pen, mmr
+         |FROM sel5 ORDER BY rnk""".stripMargin
+    }
+    Q(
+      "vector_mmr_rerank",
+      mmrOracleSql
+    ) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val q = emb.filter(col("vec_id") === 0)
+        .select(toDouble(col("embedding")).as("qv"))
+      val cand = emb.filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"), col("v"),
+                cosine(col("v"), col("qv")).as("rel"))
+        .orderBy(desc("rel"), asc("vec_id")).limit(20)
+        .localCheckpoint() // the greedy loop re-reads this 20-row pool
+      var sel = cand.orderBy(desc("rel"), asc("vec_id")).limit(1)
+        .select(col("vec_id"), col("v"), col("rel"),
+          lit(0.0).as("pen"), (lit(0.5) * col("rel")).as("mmr"),
+          lit(1).as("rnk"))
+      for (k <- 2 to 5) {
+        val pens = cand
+          .join(sel.select("vec_id"), Seq("vec_id"), "left_anti")
+          .crossJoin(sel.select(col("v").as("sv")))
+          .groupBy("vec_id", "rel")
+          .agg(first(col("v")).as("v"),
+               max(cosine(col("v"), col("sv"))).as("pen"))
+        sel = sel.unionByName(pens
+          .select(col("vec_id"), col("v"), col("rel"), col("pen"),
+            (lit(0.5) * col("rel") - lit(0.5) * col("pen")).as("mmr"),
+            lit(k).as("rnk"))
+          .orderBy(desc("mmr"), asc("vec_id")).limit(1))
+          .localCheckpoint() // tiny; truncates the per-round lineage
+      }
+      sel.select(col("rnk").cast("int").as("rnk"), col("vec_id"),
+                 col("rel"), col("pen"), col("mmr"))
+        .orderBy("rnk")
+    }.copy(eager = true) // pool checkpoint + greedy rounds run at build
+  }
+
   val all: Seq[Q] = Seq(vectorTopk, vectorAnnLsh, vectorAnnIvf,
     vectorTopkBatch, vectorQuantize, vectorCentroid, knnJoinLsh,
     sqlVectorTopk, vectorIndexStats, vectorPq, vectorIvfPq,
     vectorIndexDelta, vectorMips, vectorRecallEval, vectorRecallEvalMt,
     vectorSq8Topk, vectorHammingTopk, vectorMatryoshkaTopk,
-    vectorFilteredTopk, vectorRangeSearch, vectorIvfProbeSweep)
+    vectorFilteredTopk, vectorRangeSearch, vectorIvfProbeSweep,
+    vectorMmrRerank)
 }

@@ -26,6 +26,7 @@ class PlanAuditSpec extends SparkSpec {
           "dedup_cluster_rep", "store_pruning_stats", "graph_kcore",
           "graph_shortest_path", "graph_clustering_coeff", "dedup_cluster_incr",
           "vector_ivf_probe_sweep", "multimodal_dhash_dedup",
+          "vector_mmr_rerank",
           "graph_assortativity"),
       "new Q entries that run jobs at plan-build time must set eager=true")
   }
@@ -730,5 +731,19 @@ class PlanAuditSpec extends SparkSpec {
       "per-lang counts must partial+final aggregate")
     assert(!p.contains("Generate"),
       "no explode anywhere — the mix is pure aggregate arithmetic")
+  }
+  test("graph_modularity: labels decorate edges by equi joins; no window") {
+    val p = plan(Pipeline.graphModularity)
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("BroadcastExchange"),
+      "the 2m scalar and vote argmaxes must broadcast, never shuffle wide")
+  }
+
+  test("corpus_prune_sweep: one corpus pass; grid points are predicates") {
+    val p = plan(graft.operators.Corpus.corpusPruneSweep)
+    // exactly one scan of documents — the threshold grid must not
+    // re-read the corpus per tau
+    assert("Scan parquet".r.findAllIn(p).size <= 2,
+      s"per-doc metrics + total scan only:\n${p.take(800)}")
   }
 }
