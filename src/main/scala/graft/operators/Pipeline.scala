@@ -1192,9 +1192,89 @@ object Pipeline {
       .orderBy("event_type")
   }
 
+  /** PSI DRIFT between the first and second half of the stream — the
+    * Population Stability Index companion to [[dqDriftKs]]: KS answers
+    * "did the distribution move?" with a sup-norm on the CDF; PSI is the
+    * per-bin attribution credit-risk teams act on (which bins moved, how
+    * much), Σ (p−q)·ln(p/q) over a dense 10-bin value grid with add-one
+    * smoothing (empty bins still contribute — a bin that APPEARED is
+    * drift, not noise). Split point = the data's own midpoint epoch-day
+    * (broadcast scalar), so the query is fixture- and scale-agnostic.
+    *
+    * Determinism: p and q are exact rationals of BIGINT counts; each
+    * bin's contribution is ONE shared double sequence quantized to
+    * integer nano-units BEFORE the cross-bin sum (the
+    * [[graphModularity]] discipline). The `ln` is correctly rounded in
+    * both engines; a last-ulp divergence would have to land within 1e-9
+    * of a floor boundary to matter (the text_perplexity argument).
+    *
+    * Plan: one partial+final (type, half, bin) count over a narrow
+    * 3-column scan; everything downstream is |types|×10 rows. */
+  val dqDriftPsi: Q = Q(
+    "dq_drift_psi",
+    """WITH b AS (SELECT event_type,
+      |    epoch_ms(ts) // 86400000 AS di,
+      |    least(9, CAST(floor(value / 50) AS INT)) AS bin
+      |  FROM events),
+      |mid AS (SELECT (min(di) + max(di)) // 2 AS m FROM b),
+      |c AS (SELECT event_type, bin,
+      |    count(*) FILTER (WHERE di <= (SELECT m FROM mid)) AS ca,
+      |    count(*) FILTER (WHERE di > (SELECT m FROM mid)) AS cb
+      |  FROM b GROUP BY 1, 2),
+      |n AS (SELECT event_type, CAST(sum(ca) AS BIGINT) AS na,
+      |        CAST(sum(cb) AS BIGINT) AS nb FROM c GROUP BY 1),
+      |g AS (SELECT event_type, na, nb,
+      |        unnest(generate_series(0, 9)) AS bin FROM n),
+      |j AS (SELECT g.event_type, g.na, g.nb, g.bin,
+      |        COALESCE(c.ca, 0) AS ca, COALESCE(c.cb, 0) AS cb
+      |      FROM g LEFT JOIN c ON g.event_type = c.event_type
+      |                         AND g.bin = c.bin),
+      |p AS (SELECT event_type, na, nb,
+      |    CAST(floor(1000000000 * (
+      |      (CAST(ca + 1 AS DOUBLE) / (na + 10)
+      |       - CAST(cb + 1 AS DOUBLE) / (nb + 10))
+      |      * ln((CAST(ca + 1 AS DOUBLE) / (na + 10))
+      |           / (CAST(cb + 1 AS DOUBLE) / (nb + 10)))))
+      |      AS BIGINT) AS nano
+      |  FROM j)
+      |SELECT event_type, na AS n_first, nb AS n_second,
+      |  CAST(sum(nano) AS BIGINT) AS psi_nano,
+      |  CAST(sum(nano) AS BIGINT) > 100000000 AS drifted
+      |FROM p GROUP BY 1, 2, 3 ORDER BY event_type""".stripMargin
+  ) { (s, d) =>
+    val b = Tables.events(s, d)
+      .select(col("event_type"),
+        expr("unix_millis(ts) DIV 86400000").as("di"),
+        least(lit(9), floor(col("value") / lit(50)).cast("int")).as("bin"))
+    val mid = b.agg(expr("(min(di) + max(di)) DIV 2").as("m"))
+    val c = b.crossJoin(broadcast(mid))
+      .groupBy("event_type", "bin")
+      .agg(count(when(col("di") <= col("m"), 1)).as("ca"),
+           count(when(col("di") > col("m"), 1)).as("cb"))
+    val n = c.groupBy("event_type")
+      .agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+    val g = n.withColumn("bin", explode(sequence(lit(0), lit(9))))
+    val j = g.join(c, Seq("event_type", "bin"), "left")
+      .select(col("event_type"), col("na"), col("nb"), col("bin"),
+        coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+    val pa = (col("ca") + 1).cast("double") / (col("na") + 10)
+    val pb = (col("cb") + 1).cast("double") / (col("nb") + 10)
+    j.select(col("event_type"), col("na"), col("nb"),
+        floor(lit(1000000000L) * ((pa - pb) * log(pa / pb)))
+          .cast("long").as("nano"))
+      .groupBy("event_type", "na", "nb")
+      .agg(sum(col("nano")).as("psi_nano"))
+      .select(col("event_type"), col("na").as("n_first"),
+        col("nb").as("n_second"), col("psi_nano"),
+        (col("psi_nano") > 100000000L).as("drifted"))
+      .orderBy("event_type")
+  }
+
   val all: Seq[Q] = Seq(simplifyFlatten, denormalizePatient, graphEdges,
     graphTwohop, discoverySummary, ingestNdjson, snapshotExport, dqChecks,
     dqSkew, dqDriftKs, dqFreshness, graphPagerank, graphLabelProp,
     graphKcore, graphShortestPath, dqReferential, dqUniqueness,
-    graphJaccard, graphDegreeDist, storePruningStats, graphModularity)
+    graphJaccard, graphDegreeDist, storePruningStats, graphModularity,
+    dqDriftPsi)
 }

@@ -232,6 +232,45 @@ object Windows {
       .orderBy("user_id", "event_id")
   }
 
+  /** RUNNING DISTINCT COUNT per user — "how many distinct event types has
+    * this user touched so far?", the engagement-breadth curve. SQL has no
+    * `count(DISTINCT) OVER (ORDER BY ...)`; the distributed idiom is the
+    * FIRST-OCCURRENCE FLAG: rank within (user, type) by time, flag rank 1,
+    * running-sum the flags — two windows, both partitioned by the same
+    * user key (and the second also ordered by it), so they ride ONE
+    * user-keyed exchange. Every ORDER BY carries the (ts, event_id) total
+    * order (the lineitem-ties lesson: ts alone leaves first-occurrence
+    * assignment engine-dependent on equal timestamps).
+    *
+    * Output keys on event_id, so the driver value-checks the whole
+    * per-event trajectory, not a summary. */
+  val windowCumDistinct: Q = Q(
+    "window_cum_distinct",
+    """WITH f AS (SELECT user_id, event_id, ts, event_type,
+      |    CASE WHEN row_number() OVER (PARTITION BY user_id, event_type
+      |                                 ORDER BY ts, event_id) = 1
+      |         THEN 1 ELSE 0 END AS is_first
+      |  FROM events)
+      |SELECT user_id, event_id, event_type,
+      |  CAST(sum(is_first) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |       ROWS UNBOUNDED PRECEDING) AS INT) AS cum_distinct_types
+      |FROM f ORDER BY user_id, event_id""".stripMargin
+  ) { (s, d) =>
+    val wFirst = Window.partitionBy("user_id", "event_type")
+      .orderBy("ts", "event_id")
+    val wRun = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("is_first",
+        when(row_number().over(wFirst) === 1, 1).otherwise(0))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        sum(col("is_first")).over(wRun).cast("int")
+          .as("cum_distinct_types"))
+      .orderBy("user_id", "event_id")
+  }
+
   val all: Seq[Q] = Seq(windowRank, windowRunning, udafWeighted,
-    windowDistribution, windowMoving, windowRangeFrame, windowNavigation)
+    windowDistribution, windowMoving, windowRangeFrame, windowNavigation,
+    windowCumDistinct)
 }

@@ -105,6 +105,16 @@ case class RetEdge(user_id: Long, cohort_day: java.sql.Date, day_offset: Int)
   * (bounded: only offsets ≤ the horizon are recorded, ≤ 8 entries). */
 case class RetState(cohortDay: Int, seen: Seq[Int])
 
+/** One sweep-line delta instant for [[Streams.concurrencyPeaks]]: at
+  * epoch-ms `ms` on epoch-day `di`, the active-session level changes by
+  * `d` (+1 start / −1 end, pre-clipped to the day like the batch query). */
+case class ConcDelta(di: Long, ms: Long, d: Int)
+/** Live per-day concurrency summary: current level, running peak, and
+  * the earliest instant that peak was reached. */
+case class ConcPeak(di: Long, cur: Long, peak: Long, peak_ms: Long)
+/** O(1) per-day sweep state. */
+case class ConcState(cur: Long, peak: Long, peakMs: Long, lastMs: Long)
+
 /** One shingle-hash observation from a source feed (running-signature
   * input). */
 case class CorrBucket(series_id: Long, bkt: java.sql.Timestamp,
@@ -928,6 +938,45 @@ object Streams {
           }
           if (s != null) state.update(s)
           out.result().iterator
+      }
+  }
+
+  /** Streaming concurrency sweep — the incremental counterpart of the
+    * batch `session_concurrency` peak scan (sixteenth twin): per
+    * epoch-day state holds (current level, running peak, earliest peak
+    * instant); each micro-batch folds its delta instants into it and
+    * Update mode emits the live per-day summary (last emitted row per
+    * day = the current answer, the `sourceSignatures` read discipline).
+    *
+    * In-order arrival contract is PER DAY at instant granularity: delta
+    * instants arrive in ms order and a micro-batch boundary never splits
+    * one instant's deltas (the `transitions` contract family — violated
+    * loudly by the require, never a silent divergence). Same-instant
+    * deltas are summed BEFORE applying — the batch query's per-instant
+    * total — so the level trajectory is a function of the timeline, not
+    * of tie order, and `>` (strict) keeps the EARLIEST peak instant
+    * exactly like the batch `ORDER BY c DESC, ms` tie-break. State is
+    * O(1) per day regardless of stream length. */
+  def concurrencyPeaks(ds: Dataset[ConcDelta]): Dataset[ConcPeak] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.di)
+      .flatMapGroupsWithState(OutputMode.Update,
+                              GroupStateTimeout.NoTimeout) {
+        (di: Long, rows: Iterator[ConcDelta],
+         state: GroupState[ConcState]) =>
+          var s = state.getOption.getOrElse(
+            ConcState(0L, Long.MinValue, Long.MinValue, Long.MinValue))
+          rows.toSeq.groupBy(_.ms).toSeq.sortBy(_._1).foreach {
+            case (ms, dd) =>
+              require(ms > s.lastMs,
+                s"day $di: delta instant $ms arrived after ${s.lastMs} — " +
+                  "per-day in-order contract violated")
+              val cur = s.cur + dd.map(_.d.toLong).sum
+              s = if (cur > s.peak) ConcState(cur, cur, ms, ms)
+                  else s.copy(cur = cur, lastMs = ms)
+          }
+          state.update(s)
+          Iterator(ConcPeak(di, s.cur, s.peak, s.peakMs))
       }
   }
 

@@ -1061,4 +1061,52 @@ class StreamingSpec extends SparkSpec {
       s"streamed candidates + exact recount diverged from the batch " +
         s"answer: $recount vs $naive")
   }
+
+  test("streaming concurrency peaks equal the batch sweep across batches") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.{Streams, ConcDelta, ConcPeak}
+    // day 0 reaches level 3 at ms 40 (two same-instant starts — must be
+    // summed before applying) and touches 3 again via a later rebound
+    // path at 70 only if tie handling were wrong; day 1 peaks at 2. The
+    // micro-batch boundary splits day 0 mid-timeline.
+    val b1 = Seq(ConcDelta(0, 10, 1), ConcDelta(0, 20, 1),
+                 ConcDelta(0, 30, -1), ConcDelta(0, 40, 1),
+                 ConcDelta(0, 40, 1), ConcDelta(0, 45, -1),
+                 ConcDelta(1, 15, 1))
+    val b2 = Seq(ConcDelta(0, 60, -1), ConcDelta(0, 70, 1),
+                 ConcDelta(0, 80, -1), ConcDelta(0, 90, -1),
+                 ConcDelta(1, 25, 1), ConcDelta(1, 35, -1),
+                 ConcDelta(1, 60, -1))
+    val mem = MemoryStream[ConcDelta]
+    val name = s"conc_${System.nanoTime()}"
+    val q = Streams.concurrencyPeaks(mem.toDS()).writeStream
+      .format("memory").queryName(name).outputMode("update").start()
+    val got = try {
+      mem.addData(b1); q.processAllAvailable()
+      mem.addData(b2); q.processAllAvailable()
+      // Update mode: the LAST emitted row per day is the live answer
+      spark.table(name).as[ConcPeak].collect()
+        .zipWithIndex.groupBy(_._1.di)
+        .map { case (d, rows) => d -> rows.maxBy(_._2)._1 }
+    } finally q.stop()
+    // batch oracle: the sweep in plain Scala — per-instant totals in ms
+    // order, running level, strict-> peak keeps the earliest instant
+    val want = (b1 ++ b2).groupBy(_.di).map { case (d, ds0) =>
+      var cur = 0L; var peak = Long.MinValue; var peakMs = Long.MinValue
+      ds0.groupBy(_.ms).toSeq.sortBy(_._1).foreach { case (ms, dd) =>
+        cur += dd.map(_.d.toLong).sum
+        if (cur > peak) { peak = cur; peakMs = ms }
+      }
+      d -> (cur, peak, peakMs)
+    }
+    assert(got.keySet === want.keySet)
+    got.foreach { case (d, p0) =>
+      assert((p0.cur, p0.peak, p0.peak_ms) === want(d), s"day $d diverged")
+    }
+    // the cross-batch merge really happened: day 0's peak instant is in
+    // batch 1 while its final level only resolves in batch 2
+    assert(got(0L).peak == 3 && got(0L).peak_ms == 40 && got(0L).cur == 0)
+  }
 }
