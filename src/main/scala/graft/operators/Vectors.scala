@@ -1947,11 +1947,130 @@ object Vectors {
     }.copy(eager = true) // pool checkpoint + greedy rounds run at build
   }
 
+  /** HYBRID RETRIEVAL via Reciprocal Rank Fusion (Cormack et al. 2009) —
+    * the RAG-serving composition of this engine's two retrieval halves:
+    * the BM25 lexical ranker ([[graft.operators.TextAnalysis.textBm25]]'s
+    * exact scoring pipeline, per-doc-totaled) and the dense cosine ranker
+    * ([[vectorTopk]]'s kernel), fused by RRF = Σ 1/(60 + rank) over each
+    * list's top-50. RRF needs no score calibration between the two
+    * systems — only ranks — which is exactly why it is the default hybrid
+    * fusion in production search stacks.
+    *
+    * Determinism: per-doc lexical totals sum the ≤3 term scores in a
+    * FIXED coalesce chain (never an engine-ordered float SUM); both rank
+    * lists are total-ordered (score DESC, id); each RRF contribution is
+    * one division of exact ints and the fusion adds the two terms in
+    * fixed (text, vector) order.
+    *
+    * Scale posture: each side is its own audited top-k
+    * (TakeOrderedAndProject; the rank windows run over the 50-row cuts,
+    * never the corpus); the fusion is a full outer join of two 50-row
+    * frames. The doc_id ↔ vec_id identity is the fixture's 1:1 text/
+    * embedding pairing — exactly a RAG corpus's shape. */
+  val searchHybridRrf: Q = Q(
+    "search_hybrid_rrf",
+    """WITH dl AS (SELECT doc_id, len(string_split(text,' ')) AS dl
+      |            FROM documents),
+      |c AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+      |             CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+      |tf AS (SELECT doc_id, token, count(*) AS tf
+      |       FROM (SELECT doc_id, unnest(string_split(text,' ')) AS token
+      |             FROM documents)
+      |       WHERE token IN ('spark','merge','window') GROUP BY 1, 2),
+      |df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+      |s AS (SELECT tf.doc_id, tf.token,
+      |        ((n_docs - df.df + CAST(0.5 AS DOUBLE))
+      |          / (df.df + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE))
+      |        * (tf.tf * CAST(2.2 AS DOUBLE)
+      |          / (tf.tf + CAST(1.2 AS DOUBLE) * (CAST(1.0 AS DOUBLE)
+      |             - CAST(0.75 AS DOUBLE)
+      |             + CAST(0.75 AS DOUBLE) * dl.dl / avgdl))) AS sc
+      |      FROM tf JOIN df ON tf.token = df.token
+      |      JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN c),
+      |ts AS (SELECT doc_id,
+      |    COALESCE(max(CASE WHEN token = 'spark' THEN sc END), 0)
+      |    + COALESCE(max(CASE WHEN token = 'merge' THEN sc END), 0)
+      |    + COALESCE(max(CASE WHEN token = 'window' THEN sc END), 0) AS tsc
+      |  FROM s GROUP BY doc_id),
+      |tt AS (SELECT doc_id, tsc FROM ts ORDER BY tsc DESC, doc_id LIMIT 50),
+      |tr AS (SELECT doc_id, tsc,
+      |         row_number() OVER (ORDER BY tsc DESC, doc_id) AS trank
+      |       FROM tt),
+      |q AS (SELECT [CAST(x AS DOUBLE) FOR x IN embedding] AS qv
+      |      FROM embeddings WHERE vec_id = 0),
+      |e AS (SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v
+      |      FROM embeddings WHERE vec_id <> 0),
+      |vv AS (SELECT vec_id,
+      |    list_sum([v[i]*qv[i] FOR i IN range(1, len(v)+1)]) /
+      |    (sqrt(list_sum([x*x FOR x IN v])) * sqrt(list_sum([x*x FOR x IN qv])))
+      |      AS cosine
+      |  FROM e, q ORDER BY cosine DESC, vec_id LIMIT 50),
+      |vr AS (SELECT vec_id AS vid, cosine,
+      |         row_number() OVER (ORDER BY cosine DESC, vec_id) AS vrank
+      |       FROM vv),
+      |f AS (SELECT COALESCE(tr.doc_id, vr.vid) AS doc_id,
+      |        tr.trank, vr.vrank,
+      |        COALESCE(CAST(1 AS DOUBLE) / (60 + tr.trank), CAST(0 AS DOUBLE))
+      |        + COALESCE(CAST(1 AS DOUBLE) / (60 + vr.vrank), CAST(0 AS DOUBLE))
+      |          AS rrf
+      |      FROM tr FULL OUTER JOIN vr ON tr.doc_id = vr.vid)
+      |SELECT doc_id, CAST(trank AS INT) AS t_rank, CAST(vrank AS INT) AS v_rank,
+      |  rrf
+      |FROM f ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+    val dl = docs.select(col("doc_id"), size(split(col("text"), " ")).as("dl"))
+    val c = dl.agg(count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .filter(col("token").isin("spark", "merge", "window"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val sc = ((col("n_docs") - col("df") + lit(0.5)) /
+        (col("df") + lit(0.5)) + lit(1.0)) *
+      (col("tf") * lit(2.2) /
+        (col("tf") + lit(1.2) *
+          (lit(1.0) - lit(0.75) + lit(0.75) * col("dl") / col("avgdl"))))
+    val ts = tf.join(broadcast(df), Seq("token"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(c))
+      .select(col("doc_id"), col("token"), sc.as("sc"))
+      .groupBy("doc_id")
+      .agg((coalesce(max(when(col("token") === "spark", col("sc"))), lit(0.0))
+        + coalesce(max(when(col("token") === "merge", col("sc"))), lit(0.0))
+        + coalesce(max(when(col("token") === "window", col("sc"))), lit(0.0)))
+        .as("tsc"))
+    val tr = ts.orderBy(desc("tsc"), asc("doc_id")).limit(50)
+      .withColumn("trank",
+        row_number().over(Window.orderBy(desc("tsc"), asc("doc_id"))))
+    val emb = Tables.embeddings(s, d)
+    val q = emb.filter(col("vec_id") === 0)
+      .select(toDouble(col("embedding")).as("qv"))
+    val vr = emb.filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      .crossJoin(broadcast(q))
+      .select(col("vec_id").as("vid"),
+              cosine(col("v"), col("qv")).as("cosine"))
+      .orderBy(desc("cosine"), asc("vid")).limit(50)
+      .withColumn("vrank",
+        row_number().over(Window.orderBy(desc("cosine"), asc("vid"))))
+    tr.join(vr, col("doc_id") === col("vid"), "full_outer")
+      .select(coalesce(col("doc_id"), col("vid")).as("doc_id"),
+        col("trank").cast("int").as("t_rank"),
+        col("vrank").cast("int").as("v_rank"),
+        (coalesce(lit(1.0) / (lit(60) + col("trank")), lit(0.0))
+          + coalesce(lit(1.0) / (lit(60) + col("vrank")), lit(0.0)))
+          .as("rrf"))
+      .orderBy(desc("rrf"), asc("doc_id")).limit(10)
+  }
+
   val all: Seq[Q] = Seq(vectorTopk, vectorAnnLsh, vectorAnnIvf,
     vectorTopkBatch, vectorQuantize, vectorCentroid, knnJoinLsh,
     sqlVectorTopk, vectorIndexStats, vectorPq, vectorIvfPq,
     vectorIndexDelta, vectorMips, vectorRecallEval, vectorRecallEvalMt,
     vectorSq8Topk, vectorHammingTopk, vectorMatryoshkaTopk,
     vectorFilteredTopk, vectorRangeSearch, vectorIvfProbeSweep,
-    vectorMmrRerank)
+    vectorMmrRerank, searchHybridRrf)
 }

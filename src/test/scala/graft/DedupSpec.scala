@@ -548,4 +548,37 @@ class DedupSpec extends SparkSpec {
       assert(ni <= math.min(na, nb), "intersection exceeds a side")
     }
   }
+
+  test("incremental cluster seeding: labels equal full recompute, star " +
+       "seeds converge at least as fast") {
+    import org.apache.spark.sql.functions._
+    val d = sf0001
+    val docs = graft.Tables.documents(spark, d).select("doc_id")
+    val h = substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2)
+    val baseIds = graft.Tables.documents(spark, d)
+      .select(col("doc_id")).filter(h < "cc")
+    val p = Dedup.dedupNgram.fn(spark, d).select("doc_a", "doc_b")
+      .localCheckpoint()
+    val basePairs = p
+      .join(baseIds.withColumnRenamed("doc_id", "doc_a"),
+            Seq("doc_a"), "left_semi")
+      .join(baseIds.withColumnRenamed("doc_id", "doc_b"),
+            Seq("doc_b"), "left_semi")
+    val (baseLabels, _) = Dedup.componentsHashToMin(basePairs, baseIds)
+    val newPairs = p.join(basePairs, Seq("doc_a", "doc_b"), "left_anti")
+    val stars = baseLabels
+      .select(col("doc_id").as("doc_a"), col("cluster_id").as("doc_b"))
+    val (incr, roundsIncr) =
+      Dedup.componentsHashToMin(newPairs.unionByName(stars), docs)
+    val (full, roundsFull) = Dedup.componentsHashToMin(p, docs)
+    // identical labeling — the incremental path IS the full answer
+    val diff = incr.join(full.withColumnRenamed("cluster_id", "c2"),
+                         Seq("doc_id"))
+      .filter(col("cluster_id") =!= col("c2")).count()
+    assert(diff === 0L, "incremental labels diverged from full recompute")
+    // the operational claim: star-collapsed seeds never need MORE rounds
+    // than the raw pair graph (diameter-2 components + only new edges)
+    assert(roundsIncr <= roundsFull,
+      s"incremental took $roundsIncr rounds vs full $roundsFull")
+  }
 }
