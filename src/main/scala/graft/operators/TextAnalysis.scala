@@ -850,6 +850,11 @@ object TextAnalysis {
     val c = dl.agg(count(lit(1)).as("n_docs"),
       (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
     val tf = docs
+      // substring prefilter (a SUPERSET of the exact token match — e.g.
+      // it also admits 'sparky', which the isin below then drops) pushes
+      // into the parquet scan as a row-group-skippable predicate, so the
+      // explode runs over matching docs only instead of the whole corpus
+      .filter(terms.map(t => col("text").contains(t)).reduce(_ || _))
       .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
       .filter(col("token").isin(terms: _*))
       .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))

@@ -2024,6 +2024,9 @@ object Vectors {
     val c = dl.agg(count(lit(1)).as("n_docs"),
       (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
     val tf = docs
+      // superset substring prefilter before the explode — see textBm25
+      .filter(col("text").contains("spark") || col("text").contains("merge")
+        || col("text").contains("window"))
       .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
       .filter(col("token").isin("spark", "merge", "window"))
       .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
