@@ -106,6 +106,29 @@ object Multimodal {
     * bytes, round-trip it through the REAL codec (ImageIO), perceptual-
     * hash the decoded pixels. Narrow mapPartitions — blobs never
     * shuffle; only the 64-bit hash leaves the task. */
+  /** Synthesize the deterministic gray BMP for a document's bytes (the
+    * luma-identity trick that makes real-codec passes SQL-oracle-able:
+    * gray pixels ⇒ decoded luma == source byte). Returns (w, h, bmp). */
+  private def synthBmp(bytes: Array[Byte]): (Int, Int, Array[Byte]) = {
+    val w = 16 + (bytes.length % 17)
+    val h = 16 + (bytes.length % 13)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val b = bytes((y * w + x) % bytes.length) & 0xFF
+        img.setRGB(x, y, (b << 16) | (b << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "bmp", bos)
+    (w, h, bos.toByteArray)
+  }
+
   private def dhashFrame(s: org.apache.spark.sql.SparkSession,
                          d: String): DataFrame = {
     import s.implicits._
@@ -117,24 +140,9 @@ object Multimodal {
       .mapPartitions { rows =>
         rows.map { case (id, text) =>
           val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-          val w = 16 + (bytes.length % 17)
-          val h = 16 + (bytes.length % 13)
-          val img = new java.awt.image.BufferedImage(
-            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              val b = bytes((y * w + x) % bytes.length) & 0xFF
-              img.setRGB(x, y, (b << 16) | (b << 8) | b)
-              x += 1
-            }
-            y += 1
-          }
-          val bos = new java.io.ByteArrayOutputStream()
-          javax.imageio.ImageIO.write(img, "bmp", bos)
+          val (w, h, bmp) = synthBmp(bytes)
           // the REAL path: container bytes -> ImageIO decode -> grid -> hash
-          val hash = Media.dHash64(bos.toByteArray).get
+          val hash = Media.dHash64(bmp).get
           (id, w, h, hash)
         }
       }
@@ -372,6 +380,86 @@ object Multimodal {
       .orderBy(asc("hamming"), asc("doc_a"), asc("doc_b")).limit(20)
   }.copy(eager = true) // band-frame materialization runs at plan build
 
+  /** THUMBNAIL (2×2 box-average downscale) through the REAL codec path —
+    * the resize stage of an image-preprocessing pipeline, value-checked
+    * end to end: synthesize the gray BMP, DECODE it with ImageIO (the
+    * real container → pixels hop), average each 2×2 block in integer
+    * arithmetic, and emit the thumbnail's exact checksum plus its corner
+    * pixels. The oracle recomputes every averaged block from the source
+    * bytes in pure SQL (gray luma identity, the [[multimodalDhash]]
+    * trick) — so a codec regression, an off-by-one in the block walk, or
+    * a rounding change all hash-mismatch.
+    *
+    * Plan: narrow batched mapPartitions (blobs never shuffle; only the
+    * per-doc summary row leaves the task) + one output sort. Odd
+    * trailing rows/columns are cropped (floor dims), the standard
+    * box-filter contract. */
+  val multimodalThumbnail: Q = Q(
+    "multimodal_thumbnail",
+    """WITH d AS (SELECT doc_id, hex(encode(text)) AS hx,
+      |    octet_length(encode(text)) AS nb
+      |  FROM documents WHERE octet_length(encode(text)) > 0),
+      |dim AS (SELECT doc_id, hx, nb,
+      |    16 + nb % 17 AS w, 16 + nb % 13 AS h FROM d),
+      |g AS (SELECT doc_id, w, h, w // 2 AS w2, h // 2 AS h2,
+      |    ys.y AS y2, xs.x AS x2,
+      |    (CAST('0x' || substr(hx, 2*(((2*ys.y)*w + 2*xs.x) % nb) + 1, 2)
+      |        AS INT)
+      |     + CAST('0x' || substr(hx, 2*(((2*ys.y)*w + 2*xs.x+1) % nb) + 1, 2)
+      |        AS INT)
+      |     + CAST('0x' || substr(hx, 2*(((2*ys.y+1)*w + 2*xs.x) % nb) + 1, 2)
+      |        AS INT)
+      |     + CAST('0x' || substr(hx, 2*(((2*ys.y+1)*w + 2*xs.x+1) % nb) + 1, 2)
+      |        AS INT)) // 4 AS v
+      |  FROM dim, range(0, 16) ys(y), range(0, 16) xs(x)
+      |  WHERE ys.y < h // 2 AND xs.x < w // 2)
+      |SELECT doc_id, CAST(w2 AS INT) AS w2, CAST(h2 AS INT) AS h2,
+      |  CAST(sum(v) AS BIGINT) AS checksum,
+      |  CAST(max(CASE WHEN x2 = 0 AND y2 = 0 THEN v END) AS INT) AS first_px,
+      |  CAST(max(CASE WHEN x2 = w2 - 1 AND y2 = h2 - 1 THEN v END) AS INT)
+      |    AS last_px
+      |FROM g GROUP BY doc_id, w2, h2 ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    Tables.documents(s, d)
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, text) =>
+          val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val (w, h, bmp) = synthBmp(bytes)
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bmp)) // REAL decode
+          val (w2, h2) = (w / 2, h / 2)
+          var sum = 0L; var first = -1; var last = -1
+          var y2 = 0
+          while (y2 < h2) {
+            var x2 = 0
+            while (x2 < w2) {
+              def lum(x: Int, y: Int): Int = img.getRGB(x, y) & 0xFF
+              val v = (lum(2 * x2, 2 * y2) + lum(2 * x2 + 1, 2 * y2) +
+                       lum(2 * x2, 2 * y2 + 1) +
+                       lum(2 * x2 + 1, 2 * y2 + 1)) / 4
+              sum += v
+              if (x2 == 0 && y2 == 0) first = v
+              if (x2 == w2 - 1 && y2 == h2 - 1) last = v
+              x2 += 1
+            }
+            y2 += 1
+          }
+          (id, w2, h2, sum, first, last)
+        }
+      }
+      .toDF("doc_id", "w2", "h2", "checksum", "first_px", "last_px")
+      .select(col("doc_id"), col("w2").cast("int").as("w2"),
+        col("h2").cast("int").as("h2"), col("checksum"),
+        col("first_px").cast("int").as("first_px"),
+        col("last_px").cast("int").as("last_px"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(multimodalMeta, multimodalFeatures, multimodalDhash,
-    multimodalWav, multimodalWavFrames, multimodalDhashDedup)
+    multimodalWav, multimodalWavFrames, multimodalDhashDedup,
+    multimodalThumbnail)
 }
