@@ -581,6 +581,80 @@ object TimeSeries {
       .orderBy("event_type")
   }
 
+  /** FORECAST BACKTEST — [[tsHolt]] graded on its own data: the one-step-
+    * ahead forecast ŷ_t = l_{t−1} + b_{t−1} scored against the realized
+    * value, per user — the walk-forward evaluation that decides whether
+    * the smoother's parameters are fit to serve ("how wrong would we
+    * have been?"), completing the model loop the way
+    * [[graft.operators.Vectors.vectorRecallEval]] completes ANN's.
+    *
+    * Determinism: the recurrence is [[tsHolt]]'s α=β=1/2 exact-multiply
+    * chain verbatim; each absolute error is one subtract + abs of
+    * identically-produced doubles, quantized to integer micro-units
+    * BEFORE the per-user sum (the repo's quantize-then-sum discipline),
+    * and MAE is one integer division.
+    *
+    * Plan: the same per-user secondary-sort pass as tsHolt (ONE
+    * user-keyed exchange; the sequential fold is the operator), then a
+    * partial+final per-user aggregate. */
+  val tsBacktestMae: Q = Q(
+    "ts_backtest_mae",
+    """WITH RECURSIVE x AS (
+      |  SELECT user_id, event_id,
+      |    CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS v,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      |  FROM events),
+      |r AS (
+      |  SELECT user_id, rn, v, v AS l, CAST(0 AS DOUBLE) AS b
+      |  FROM x WHERE rn = 1
+      |  UNION ALL
+      |  SELECT x.user_id, x.rn, x.v,
+      |    0.5 * x.v + 0.5 * (r.l + r.b),
+      |    0.5 * ((0.5 * x.v + 0.5 * (r.l + r.b)) - r.l) + 0.5 * r.b
+      |  FROM x JOIN r ON x.user_id = r.user_id AND x.rn = r.rn + 1),
+      |e AS (SELECT user_id, v,
+      |        lag(l + b) OVER (PARTITION BY user_id ORDER BY rn) AS fc
+      |      FROM r)
+      |SELECT user_id,
+      |  CAST(count(fc) AS BIGINT) AS n_preds,
+      |  CAST(sum(CAST(floor(1000000 * abs(v - fc)) AS BIGINT)) AS BIGINT)
+      |    AS sum_abs_err_micro,
+      |  CAST(sum(CAST(floor(1000000 * abs(v - fc)) AS BIGINT)) AS BIGINT)
+      |    // count(fc) AS mae_micro
+      |FROM e WHERE fc IS NOT NULL
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        Tables.asDouble(Tables.money(col("value"))).as("v"))
+      .repartition(col("user_id"))
+      .sortWithinPartitions("user_id", "ts", "event_id")
+      .select("user_id", "v").as[(Long, Double)]
+      .mapPartitions { it =>
+        var curUser = Long.MinValue
+        var l = 0.0
+        var b = 0.0
+        it.flatMap { case (u, x) =>
+          if (u == curUser) {
+            val fc = l + b // yesterday's state forecasts today
+            val nl = 0.5 * x + 0.5 * (l + b)
+            b = 0.5 * (nl - l) + 0.5 * b
+            l = nl
+            Some((u, math.floor(1000000.0 * math.abs(x - fc)).toLong))
+          } else { curUser = u; l = x; b = 0.0; None }
+        }
+      }
+      .toDF("user_id", "err_micro")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_preds"),
+           sum(col("err_micro")).as("sum_abs_err_micro"))
+      .select(col("user_id"), col("n_preds"), col("sum_abs_err_micro"),
+        expr("sum_abs_err_micro DIV n_preds").as("mae_micro"))
+      .orderBy("user_id")
+  }
+
   val all: Seq[Q] = Seq(tsAutocorr, tsChangepoint, tsEwma, tsDecompose,
-    tsHolt, tsMkTrend, tsAnomaly, tsRollingCorr, tsCrossCorr, tsTheilSen)
+    tsHolt, tsMkTrend, tsAnomaly, tsRollingCorr, tsCrossCorr, tsTheilSen,
+    tsBacktestMae)
 }
