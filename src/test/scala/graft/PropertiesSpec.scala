@@ -226,4 +226,82 @@ class PropertiesSpec extends SparkSpec {
       .filter(col("n_users") =!= col("n_exact")).count() === 0)
     assert(bitmap.count() > 0)
   }
+
+  test("sweep-line peak equals brute-force max interval overlap") {
+    // the session_concurrency kernel, checked against the O(n*m)
+    // definition on random interval sets (one day, integer ms)
+    val ivGen = Gen.listOfN(40, for {
+      st <- Gen.chooseNum(0L, 1000L)
+      len <- Gen.chooseNum(0L, 200L)
+    } yield (st, st + len))
+    check(Prop.forAll(ivGen) { ivs =>
+      // sweep: +1 at st, -1 at en+1, per-instant totals in order
+      val deltas = ivs.flatMap { case (s0, e0) => Seq((s0, 1), (e0 + 1, -1)) }
+        .groupBy(_._1).toSeq.sortBy(_._1)
+        .map { case (ms, dd) => (ms, dd.map(_._2).sum) }
+      var cur = 0; var peak = 0
+      deltas.foreach { case (_, dd) => cur += dd; if (cur > peak) peak = cur }
+      // brute force: max over all interval endpoints of containing count
+      val points = ivs.flatMap { case (s0, e0) => Seq(s0, e0) }.distinct
+      val brute =
+        if (points.isEmpty) 0
+        else points.map(t => ivs.count { case (s0, e0) =>
+          s0 <= t && t <= e0 }).max
+      peak == brute
+    }, n = 60)
+  }
+
+  test("Theil-Sen slope shrugs off an outlier that drags OLS") {
+    // y = 2x on 20 points plus one massive outlier: the median slope
+    // stays near 2 while the OLS slope is pulled far away
+    val xs = (0 until 20).map(_.toLong)
+    val ys = xs.map(_ * 2)
+    val (ox, oy) = (30L, 100000L)
+    val ax = xs :+ ox
+    val ay = ys :+ oy
+    val slopes = for {
+      i <- ax.indices; j <- ax.indices if ax(i) < ax(j)
+    } yield (ay(j) - ay(i)).toDouble / (ax(j) - ax(i)).toDouble
+    val sorted = slopes.sorted
+    val sen =
+      if (sorted.size % 2 == 1) sorted(sorted.size / 2)
+      else (sorted(sorted.size / 2 - 1) + sorted(sorted.size / 2)) / 2
+    val n = ax.size.toDouble
+    val (sx, sy) = (ax.sum.toDouble, ay.sum.toDouble)
+    val sxy = ax.zip(ay).map { case (a, b) => a.toDouble * b }.sum
+    val sxx = ax.map(a => a.toDouble * a).sum
+    val ols = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert(math.abs(sen - 2.0) < 0.5, s"sen=$sen")
+    assert(ols > 100, s"ols=$ols should be dragged by the outlier")
+  }
+
+  test("MMR selection is more diverse than pure top-k") {
+    // on a pool with two tight clusters, the greedy lambda=1/2 MMR pick
+    // must have a lower max pairwise similarity than the top-k prefix
+    def cosv(a: Seq[Double], b: Seq[Double]): Double = cos(a, b)
+    val clusterA = (0 until 5).map(i =>
+      Seq(1.0, 0.001 * i, 0.0, 0.0))          // near-dups, highest rel
+    val clusterB = (0 until 5).map(i =>
+      Seq(0.0, 0.0, 1.0, 0.001 * i))          // orthogonal cluster
+    val q = Seq(1.0, 0.0, 0.2, 0.0)
+    val pool = (clusterA ++ clusterB).zipWithIndex
+      .map { case (v, i) => (i.toLong, v, cosv(v, q)) }
+      .sortBy { case (id, _, rel) => (-rel, id) }
+    def maxPairSim(sel: Seq[(Long, Seq[Double], Double)]): Double =
+      (for { i <- sel.indices; j <- sel.indices if i < j }
+        yield cosv(sel(i)._2, sel(j)._2)).max
+    val topk = pool.take(3)
+    // greedy MMR, k=3
+    var sel = Seq(pool.head)
+    while (sel.size < 3) {
+      val rem = pool.filterNot(p => sel.exists(_._1 == p._1))
+      val pick = rem.map { c =>
+        val pen = sel.map(s0 => cosv(c._2, s0._2)).max
+        (c, 0.5 * c._3 - 0.5 * pen)
+      }.maxBy { case (c, m) => (m, -c._1) }._1
+      sel = sel :+ pick
+    }
+    assert(maxPairSim(sel) < maxPairSim(topk),
+      s"mmr=${maxPairSim(sel)} topk=${maxPairSim(topk)}")
+  }
 }
