@@ -1976,6 +1976,64 @@ object Relational {
       .orderBy("day")
   }
 
+  /** MARKET-BASKET ASSOCIATION RULES — support / confidence / lift over
+    * parts co-ordered in the same order (Agrawal-Srikant shape, the
+    * recommender/affinity primitive): for each unordered part pair with
+    * support ≥ 2, both directed confidences and the symmetric lift,
+    * top-20 by lift. [[graft.operators.Pipeline.graphJaccard]] asks "are
+    * these nodes' neighborhoods similar?"; this asks the RULE question —
+    * "does buying a make buying b more likely than chance?" — a
+    * different functional over a different (order-keyed) co-occurrence.
+    *
+    * Scale posture: baskets are tiny (≤ 7 lineitems per order), so the
+    * pair generator is a self-join KEYED BY ORDER with per-key fan-out
+    * ≤ |basket|² — never a corpus-wide product; pair/item counts are
+    * partial+final aggregates; item counts join back by part key. The
+    * n_orders scalar broadcasts. Determinism: all counts exact BIGINT,
+    * each ratio ONE double division, lift's two divisions in a fixed
+    * written order, top-20 total-ordered.
+    */
+  val marketBasket: Q = Q(
+    "market_basket",
+    """WITH b AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+      |           FROM lineitem),
+      |n AS (SELECT count(DISTINCT ok) AS n_orders FROM b),
+      |ic AS (SELECT pk, count(*) AS c FROM b GROUP BY 1),
+      |pr AS (SELECT a.pk AS pa, bb.pk AS pb, count(*) AS sup
+      |       FROM b a JOIN b bb ON a.ok = bb.ok AND a.pk < bb.pk
+      |       GROUP BY 1, 2 HAVING count(*) >= 2)
+      |SELECT pr.pa, pr.pb, CAST(pr.sup AS BIGINT) AS support,
+      |  CAST(ia.c AS BIGINT) AS n_a, CAST(ib.c AS BIGINT) AS n_b,
+      |  CAST(pr.sup AS DOUBLE) / ia.c AS conf_a_b,
+      |  CAST(pr.sup AS DOUBLE) / ib.c AS conf_b_a,
+      |  (CAST(pr.sup AS DOUBLE) / ia.c)
+      |    / (CAST(ib.c AS DOUBLE) / (SELECT n_orders FROM n)) AS lift
+      |FROM pr JOIN ic ia ON pr.pa = ia.pk JOIN ic ib ON pr.pb = ib.pk
+      |ORDER BY lift DESC, pa, pb LIMIT 20""".stripMargin
+  ) { (s, d) =>
+    val b = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val n = b.agg(countDistinct(col("ok")).as("n_orders"))
+    val ic = b.groupBy("pk").agg(count(lit(1)).as("c"))
+    val pr = b.as("a")
+      .join(b.as("bb"),
+        col("a.ok") === col("bb.ok") && col("a.pk") < col("bb.pk"))
+      .groupBy(col("a.pk").as("pa"), col("bb.pk").as("pb"))
+      .agg(count(lit(1)).as("sup"))
+      .filter(col("sup") >= 2)
+    pr.join(ic.select(col("pk").as("pa"), col("c").as("ca")), Seq("pa"))
+      .join(ic.select(col("pk").as("pb"), col("c").as("cb")), Seq("pb"))
+      .crossJoin(broadcast(n))
+      .select(col("pa"), col("pb"), col("sup").as("support"),
+        col("ca").as("n_a"), col("cb").as("n_b"),
+        (col("sup").cast("double") / col("ca")).as("conf_a_b"),
+        (col("sup").cast("double") / col("cb")).as("conf_b_a"),
+        ((col("sup").cast("double") / col("ca")) /
+          (col("cb").cast("double") / col("n_orders"))).as("lift"))
+      .orderBy(desc("lift"), asc("pa"), asc("pb")).limit(20)
+  }
+
   /** HIGHER-MOMENT shape statistics — population skewness g1 and excess
     * kurtosis g2 of l_quantity per return flag, the distribution-shape
     * census behind [[outlierZscore]]'s symmetric-tails assumption and
@@ -2069,5 +2127,5 @@ object Relational {
     aggThetaSetops,
     joinBloom, sampleReservoir, joinIntervalBin, joinIntervalOverlap,
     aggBitmapDistinct,
-    aggRegression, skylinePareto, joinFuzzy, aggIncremental)
+    aggRegression, skylinePareto, joinFuzzy, aggIncremental, marketBasket)
 }
