@@ -780,9 +780,60 @@ object Streaming {
       .orderBy("day")
   }
 
+  /** TWO-STEP MARKOV CLOSURE of the [[eventTransitions]] chain — "where
+    * is a user two events from now?": P²(a→c) = Σ_b P(a→b)·P(b→c) over
+    * the per-user next-event transition matrix, the reachability /
+    * journey-prediction companion to the one-step census and the
+    * [[eventPaths]] top journeys.
+    *
+    * Determinism — a matrix product with NO floats: one-step
+    * probabilities are exact integer ppm ((10⁶·n) DIV row-total);
+    * each product term is ppm×ppm (≤ 10¹², exact BIGINT); the Σ over
+    * middle states is an exact BIGINT sum; the final DIV 10⁶ returns to
+    * ppm. The float-sum problem of a naive matrix multiply never arises.
+    *
+    * Plan: the transition counts ride ONE user-keyed lead window +
+    * partial+final aggregate (the eventTransitions shape); the closure
+    * is a |types|²-row self-join on the middle state — broadcast-sized
+    * at any corpus (types, not events, bound it). */
+  val markovTwoStep: Q = Q(
+    "markov_two_step",
+    """WITH o AS (SELECT user_id, event_type,
+      |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      AS next_type
+      |  FROM events),
+      |c AS (SELECT event_type AS a, next_type AS b, count(*) AS n
+      |      FROM o WHERE next_type IS NOT NULL GROUP BY 1, 2),
+      |t AS (SELECT a, CAST(sum(n) AS BIGINT) AS tot FROM c GROUP BY 1),
+      |p AS (SELECT c.a, c.b, (1000000 * c.n) // t.tot AS ppm
+      |      FROM c JOIN t ON c.a = t.a)
+      |SELECT p1.a AS from_type, p2.b AS to_type,
+      |  CAST(sum(p1.ppm * p2.ppm) // 1000000 AS BIGINT) AS p2_ppm
+      |FROM p p1 JOIN p p2 ON p1.b = p2.a
+      |GROUP BY 1, 2 ORDER BY from_type, to_type""".stripMargin
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val c = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("a"), col("next_type").as("b"))
+      .agg(count(lit(1)).as("n"))
+    val t = c.groupBy("a").agg(sum(col("n")).as("tot"))
+    val p = c.join(t, Seq("a"))
+      .select(col("a"), col("b"), expr("(1000000 * n) DIV tot").as("ppm"))
+    p.as("p1")
+      .join(p.as("p2"), col("p1.b") === col("p2.a"))
+      .groupBy(col("p1.a").as("from_type"), col("p2.b").as("to_type"))
+      .agg(expr("CAST(sum(p1.ppm * p2.ppm) DIV 1000000 AS BIGINT)")
+        .as("p2_ppm"))
+      .orderBy("from_type", "to_type")
+  }
+
   val all: Seq[Q] = Seq(streamTumbling, streamHopping, streamSession,
     resampleGapfill, resampleInterp, funnel, eventPaths, retentionCohort,
     eventTransitions, ohlcBars, sessionizeGaps, patternSeq,
     attributionLastclick, attributionLinear, scd2, joinPit,
-    sessionConcurrency)
+    sessionConcurrency, markovTwoStep)
 }
