@@ -654,7 +654,87 @@ object TimeSeries {
       .orderBy("user_id")
   }
 
+  /** SEASONALITY STRENGTH — the one-number readout of [[tsDecompose]]'s
+    * hour-of-day profile: ANOVA η² = SS_between / SS_total, the fraction
+    * of value variance the hour-of-day explains per event_type (≈0 says
+    * the seasonal profile is noise; near 1 says the hour IS the signal —
+    * the decide-whether-to-deseasonalize diagnostic).
+    *
+    * Determinism at ANY scale: everything is computed in NORMALIZED
+    * (per-event) units, so magnitudes never grow with the corpus —
+    * per-hour terms (n_h/N)·mean_h², the grand mean², and S2/N all sit
+    * near mean², are produced by ONE shared double sequence from exact
+    * BIGINT cent sums, and are quantized to integer micro-units BEFORE
+    * the only cross-hour sum (the [[graphModularity]] discipline; a
+    * cents²-scale formulation would overflow int64 at sf1000 — the
+    * normalization is what makes the quantization scale-stable).
+    *
+    * Plan: one partial+final (type, hod) aggregate over a 3-column scan;
+    * everything downstream is |types|×24 rows. */
+  val tsSeasonalStrength: Q = Q(
+    "ts_seasonal_strength",
+    """WITH h AS (SELECT event_type, CAST(hour(ts) AS INT) AS hod,
+      |    count(*) AS n,
+      |    CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |      AS BIGINT) AS s1,
+      |    CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |           * CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |      AS BIGINT) AS s2
+      |  FROM events GROUP BY 1, 2),
+      |t AS (SELECT event_type,
+      |    CAST(sum(n) AS BIGINT) AS nn, CAST(sum(s1) AS BIGINT) AS ts1,
+      |    CAST(sum(s2) AS BIGINT) AS ts2
+      |  FROM h GROUP BY 1),
+      |q AS (SELECT h.event_type,
+      |    CAST(floor(1000000 * (CAST(h.n AS DOUBLE) / t.nn
+      |        * (CAST(h.s1 AS DOUBLE) / h.n)
+      |        * (CAST(h.s1 AS DOUBLE) / h.n))) AS BIGINT)
+      |      AS term_q
+      |  FROM h JOIN t ON h.event_type = t.event_type),
+      |f AS (SELECT q.event_type, t.nn,
+      |    CAST(sum(q.term_q) AS BIGINT)
+      |      - CAST(floor(1000000 * ((CAST(t.ts1 AS DOUBLE) / t.nn)
+      |          * (CAST(t.ts1 AS DOUBLE) / t.nn))) AS BIGINT) AS ssbn_q,
+      |    CAST(floor(1000000 * (CAST(t.ts2 AS DOUBLE) / t.nn)) AS BIGINT)
+      |      - CAST(floor(1000000 * ((CAST(t.ts1 AS DOUBLE) / t.nn)
+      |          * (CAST(t.ts1 AS DOUBLE) / t.nn))) AS BIGINT) AS sstn_q
+      |  FROM q JOIN t ON q.event_type = t.event_type
+      |  GROUP BY 1, 2, t.ts1, t.ts2)
+      |SELECT event_type, CAST(nn AS BIGINT) AS n_events,
+      |  ssbn_q AS ssb_norm_micro, sstn_q AS sst_norm_micro,
+      |  CAST(ssbn_q AS DOUBLE) / sstn_q AS eta2
+      |FROM f ORDER BY event_type""".stripMargin
+  ) { (s, d) =>
+    val cents = (col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2))
+      * 100).cast("long")
+    val h = Tables.events(s, d)
+      .groupBy(col("event_type"), hour(col("ts")).cast("int").as("hod"))
+      .agg(count(lit(1)).as("n"), sum(cents).as("s1"),
+           sum(cents * cents).as("s2"))
+    val t = h.groupBy("event_type")
+      .agg(sum(col("n")).as("nn"), sum(col("s1")).as("ts1"),
+           sum(col("s2")).as("ts2"))
+    val termQ = floor(lit(1000000) * (col("n").cast("double") / col("nn")
+        * (col("s1").cast("double") / col("n"))
+        * (col("s1").cast("double") / col("n")))).cast("long")
+    val grandQ = floor(lit(1000000) * ((col("ts1").cast("double") / col("nn"))
+        * (col("ts1").cast("double") / col("nn")))).cast("long")
+    val sstQ = (floor(lit(1000000) * (col("ts2").cast("double") / col("nn")))
+      .cast("long") - grandQ)
+    h.join(t, Seq("event_type"))
+      .select(col("event_type"), col("nn"), col("ts1"), col("ts2"),
+              termQ.as("term_q"))
+      .groupBy("event_type", "nn", "ts1", "ts2")
+      .agg(sum(col("term_q")).as("sum_term_q"))
+      .select(col("event_type"), col("nn").as("n_events"),
+        (col("sum_term_q") - grandQ).as("ssb_norm_micro"),
+        sstQ.as("sst_norm_micro"))
+      .withColumn("eta2",
+        col("ssb_norm_micro").cast("double") / col("sst_norm_micro"))
+      .orderBy("event_type")
+  }
+
   val all: Seq[Q] = Seq(tsAutocorr, tsChangepoint, tsEwma, tsDecompose,
     tsHolt, tsMkTrend, tsAnomaly, tsRollingCorr, tsCrossCorr, tsTheilSen,
-    tsBacktestMae)
+    tsBacktestMae, tsSeasonalStrength)
 }
