@@ -1976,6 +1976,58 @@ object Relational {
       .orderBy("day")
   }
 
+  /** GINI CONCENTRATION of order value per priority class — the
+    * inequality/concentration audit (revenue concentration, partition
+    * skew, hot-key risk all read off the same number): G = (2·Σᵢ i·x₍ᵢ₎
+    * − (n+1)·Σx) / (n·Σx) over the value-sorted sequence. EXACT until
+    * the final division: values in integer cents, ranks from a
+    * group-keyed row_number, every product and sum a BIGINT — and the
+    * formula is tie-order-invariant (swapping equal values across ranks
+    * leaves Σ i·x unchanged), so no tie-break column is even needed for
+    * determinism; one is added anyway to keep the sort total.
+    *
+    * Scale posture: ONE priority-keyed exchange carries the rank window
+    * and the partial+final aggregate; frames are per-class. A class big
+    * enough to overflow Σ i·x in int64 (≈ 10¹⁰ rows at these magnitudes)
+    * moves the sums to DECIMAL(38,0) — noted, far beyond any benchable
+    * scale. The rank itself at extreme scale recurses two-level exactly
+    * like [[graft.operators.Corpus.corpusPack]]'s prefix sum. */
+  val aggGini: Q = Q(
+    "agg_gini",
+    """WITH x AS (SELECT o_orderpriority AS pri,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c,
+      |    o_orderkey
+      |  FROM orders),
+      |r AS (SELECT pri, c,
+      |    row_number() OVER (PARTITION BY pri ORDER BY c, o_orderkey) AS i
+      |  FROM x),
+      |s AS (SELECT pri, count(*) AS n,
+      |    CAST(sum(c) AS BIGINT) AS sx,
+      |    CAST(sum(i * c) AS BIGINT) AS six
+      |  FROM r GROUP BY 1)
+      |SELECT pri AS priority, CAST(n AS BIGINT) AS n_orders, sx AS sum_cents,
+      |  CAST(2 * six - (n + 1) * sx AS DOUBLE) / (CAST(n AS DOUBLE) * sx)
+      |    AS gini
+      |FROM s ORDER BY priority""".stripMargin
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val c = (col("o_totalprice")
+      .cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
+      .cast("long")
+    Tables.orders(s, d)
+      .select(col("o_orderpriority").as("pri"), c.as("c"), col("o_orderkey"))
+      .withColumn("i", row_number().over(
+        Window.partitionBy("pri").orderBy(asc("c"), asc("o_orderkey"))))
+      .groupBy("pri")
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("sx"),
+           sum(col("i") * col("c")).as("six"))
+      .select(col("pri").as("priority"), col("n").as("n_orders"),
+        col("sx").as("sum_cents"),
+        ((lit(2) * col("six") - (col("n") + 1) * col("sx")).cast("double") /
+          (col("n").cast("double") * col("sx"))).as("gini"))
+      .orderBy("priority")
+  }
+
   /** MARKET-BASKET ASSOCIATION RULES — support / confidence / lift over
     * parts co-ordered in the same order (Agrawal-Srikant shape, the
     * recommender/affinity primitive): for each unordered part pair with
@@ -2127,5 +2179,6 @@ object Relational {
     aggThetaSetops,
     joinBloom, sampleReservoir, joinIntervalBin, joinIntervalOverlap,
     aggBitmapDistinct,
-    aggRegression, skylinePareto, joinFuzzy, aggIncremental, marketBasket)
+    aggRegression, skylinePareto, joinFuzzy, aggIncremental, marketBasket,
+    aggGini)
 }
