@@ -885,7 +885,7 @@ object Relational {
   val aggWeightedMedian: Q = Q(
     "agg_weighted_median",
     """WITH c AS (SELECT l_returnflag AS flag, l_extendedprice AS price,
-      |             CAST(l_quantity AS BIGINT) AS wgt FROM lineitem),
+      |             CAST(round(l_quantity) AS BIGINT) AS wgt FROM lineitem),
       |s AS (SELECT flag, price,
       |        sum(wgt) OVER (PARTITION BY flag ORDER BY price) AS cum,
       |        sum(wgt) OVER (PARTITION BY flag) AS total
@@ -900,7 +900,7 @@ object Relational {
     Tables.lineitem(s, d)
       .select(col("l_returnflag").as("flag"),
               col("l_extendedprice").as("price"),
-              col("l_quantity").cast("long").as("wgt"))
+              round(col("l_quantity"), 0).cast("long").as("wgt"))
       .withColumn("cum", sum(col("wgt")).over(cum))
       .withColumn("total", sum(col("wgt")).over(tot))
       .filter(lit(2) * col("cum") >= col("total"))
@@ -1909,7 +1909,7 @@ object Relational {
       |         > 300000 THEN 1 ELSE 0 END AS brk
       |  FROM events),
       |s AS (SELECT user_id, ms,
-      |    sum(brk) OVER (PARTITION BY user_id ORDER BY ms
+      |    sum(brk) OVER (PARTITION BY user_id ORDER BY ms, event_id
       |                   ROWS UNBOUNDED PRECEDING) AS sid
       |  FROM g),
       |sess AS (SELECT user_id, sid, min(ms) AS st, max(ms) AS en
@@ -1940,7 +1940,7 @@ object Relational {
     import org.apache.spark.sql.expressions.Window
     val ev = Tables.events(s, d)
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    val wMs = Window.partitionBy("user_id").orderBy("ms")
+    val wMs = Window.partitionBy("user_id").orderBy("ms", "event_id")
       .rowsBetween(Long.MinValue, 0)
     val sess = ev
       .select(col("user_id"), col("ts"), col("event_id"),
@@ -1987,15 +1987,22 @@ object Relational {
     * determinism; one is added anyway to keep the sort total.
     *
     * Scale posture: ONE priority-keyed exchange carries the rank window
-    * and the partial+final aggregate; frames are per-class. A class big
-    * enough to overflow Σ i·x in int64 (≈ 10¹⁰ rows at these magnitudes)
-    * moves the sums to DECIMAL(38,0) — noted, far beyond any benchable
-    * scale. The rank itself at extreme scale recurses two-level exactly
+    * and the partial+final aggregate; frames are per-class. Σ i·x is
+    * accumulated WIDE on both engines — Spark DECIMAL(38,0), DuckDB
+    * HUGEINT — because the int64 ceiling for that sum arrives at only
+    * ~10⁶ rows per class at these cent magnitudes (i·c ~ rank·5·10⁷);
+    * the final 2·six − (n+1)·sx numerator is likewise computed wide and
+    * converted to double ONCE (both engines correctly-rounded from an
+    * exact integer value). The cents conversion rounds EXPLICITLY
+    * (round-then-cast on both sides) so the decimal→long step never
+    * relies on Spark-truncate ≡ DuckDB-round holding only for integral
+    * inputs. The rank itself at extreme scale recurses two-level exactly
     * like [[graft.operators.Corpus.corpusPack]]'s prefix sum. */
   val aggGini: Q = Q(
     "agg_gini",
     """WITH x AS (SELECT o_orderpriority AS pri,
-      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c,
+      |    CAST(round(CAST(o_totalprice AS DECIMAL(18,2)) * 100)
+      |      AS BIGINT) AS c,
       |    o_orderkey
       |  FROM orders),
       |r AS (SELECT pri, c,
@@ -2003,16 +2010,18 @@ object Relational {
       |  FROM x),
       |s AS (SELECT pri, count(*) AS n,
       |    CAST(sum(c) AS BIGINT) AS sx,
-      |    CAST(sum(i * c) AS BIGINT) AS six
+      |    sum(CAST(i AS HUGEINT) * c) AS six
       |  FROM r GROUP BY 1)
       |SELECT pri AS priority, CAST(n AS BIGINT) AS n_orders, sx AS sum_cents,
-      |  CAST(2 * six - (n + 1) * sx AS DOUBLE) / (CAST(n AS DOUBLE) * sx)
-      |    AS gini
+      |  CAST(2 * six - (CAST(n AS HUGEINT) + 1) * CAST(sx AS HUGEINT)
+      |       AS DOUBLE)
+      |    / (CAST(n AS DOUBLE) * sx) AS gini
       |FROM s ORDER BY priority""".stripMargin
   ) { (s, d) =>
     import org.apache.spark.sql.expressions.Window
-    val c = (col("o_totalprice")
-      .cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
+    import org.apache.spark.sql.types.DecimalType
+    val dec38 = DecimalType(38, 0)
+    val c = round(col("o_totalprice").cast(DecimalType(18, 2)) * 100, 0)
       .cast("long")
     Tables.orders(s, d)
       .select(col("o_orderpriority").as("pri"), c.as("c"), col("o_orderkey"))
@@ -2020,10 +2029,12 @@ object Relational {
         Window.partitionBy("pri").orderBy(asc("c"), asc("o_orderkey"))))
       .groupBy("pri")
       .agg(count(lit(1)).as("n"), sum(col("c")).as("sx"),
-           sum(col("i") * col("c")).as("six"))
+           sum(col("i").cast(dec38) * col("c")).as("six"))
       .select(col("pri").as("priority"), col("n").as("n_orders"),
         col("sx").as("sum_cents"),
-        ((lit(2) * col("six") - (col("n") + 1) * col("sx")).cast("double") /
+        ((lit(2) * col("six") -
+            (col("n") + 1).cast(dec38) * col("sx").cast(dec38))
+           .cast("double") /
           (col("n").cast("double") * col("sx"))).as("gini"))
       .orderBy("priority")
   }
@@ -2094,8 +2105,10 @@ object Relational {
     * sample-correction conventions differ across engines — the same
     * reason [[aggStats]] pins its own stddev form).
     *
-    * Determinism: l_quantity is integral in this schema (asserted by the
-    * WHERE in neither engine — it's DECIMAL(15,2) with .00 fraction), so
+    * Determinism: l_quantity is integral in this schema (DECIMAL(15,2)
+    * with .00 fraction), and the decimal→long step ROUNDS EXPLICITLY on
+    * both engines (round-then-cast) rather than relying on
+    * Spark-truncate ≡ DuckDB-round agreeing only on integral inputs, so
     * all four power sums are exact BIGINTs under partial+final
     * aggregation in any order (q ≤ 50 ⇒ Σq⁴ < 2⁶³ until ~10¹² rows);
     * every double then comes from ONE shared, fully-parenthesized
@@ -2110,13 +2123,13 @@ object Relational {
     "agg_moments",
     """WITH s AS (SELECT l_returnflag,
       |    count(*) AS n,
-      |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS s1,
-      |    CAST(sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
+      |    CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS s1,
+      |    CAST(sum(CAST(round(l_quantity) AS BIGINT) * CAST(round(l_quantity) AS BIGINT))
       |      AS BIGINT) AS s2,
-      |    CAST(sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)
-      |           * CAST(l_quantity AS BIGINT)) AS BIGINT) AS s3,
-      |    CAST(sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)
-      |           * CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
+      |    CAST(sum(CAST(round(l_quantity) AS BIGINT) * CAST(round(l_quantity) AS BIGINT)
+      |           * CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS s3,
+      |    CAST(sum(CAST(round(l_quantity) AS BIGINT) * CAST(round(l_quantity) AS BIGINT)
+      |           * CAST(round(l_quantity) AS BIGINT) * CAST(round(l_quantity) AS BIGINT))
       |      AS BIGINT) AS s4
       |  FROM lineitem GROUP BY 1),
       |m AS (SELECT l_returnflag, n, s1,
@@ -2137,7 +2150,7 @@ object Relational {
       |  m4 / nullif(m2 * m2, 0) - 3 AS kurtosis_excess
       |FROM c ORDER BY l_returnflag""".stripMargin
   ) { (s, d) =>
-    val q = col("l_quantity").cast("long")
+    val q = round(col("l_quantity"), 0).cast("long")
     Tables.lineitem(s, d)
       .groupBy("l_returnflag")
       .agg(count(lit(1)).as("n"), sum(q).as("s1"), sum(q * q).as("s2"),

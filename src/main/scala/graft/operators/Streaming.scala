@@ -372,13 +372,13 @@ object Streaming {
     * analysis) is this exact plan. */
   val sessionizeGaps: Q = Q(
     "sessionize_gaps",
-    """WITH g AS (SELECT user_id, epoch_ms(ts) AS ms,
+    """WITH g AS (SELECT user_id, event_id, epoch_ms(ts) AS ms,
       |    CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts))
       |           OVER (PARTITION BY user_id ORDER BY ts, event_id)
       |         > 300000 THEN 1 ELSE 0 END AS brk
       |  FROM events),
       |s AS (SELECT user_id, ms,
-      |    sum(brk) OVER (PARTITION BY user_id ORDER BY ms
+      |    sum(brk) OVER (PARTITION BY user_id ORDER BY ms, event_id
       |                   ROWS UNBOUNDED PRECEDING) AS session_id
       |  FROM g)
       |SELECT user_id, CAST(session_id AS INT) AS session_id,
@@ -390,7 +390,8 @@ object Streaming {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("user_id").orderBy("ts", "event_id")
     val wMs = org.apache.spark.sql.expressions.Window
-      .partitionBy("user_id").orderBy("ms").rowsBetween(Long.MinValue, 0)
+      .partitionBy("user_id").orderBy("ms", "event_id")
+      .rowsBetween(Long.MinValue, 0)
     Tables.events(s, d)
       .select(col("user_id"), col("ts"), col("event_id"),
               unix_millis(col("ts")).as("ms"))
@@ -707,13 +708,13 @@ object Streaming {
     * benchable scale. */
   val sessionConcurrency: Q = Q(
     "session_concurrency",
-    """WITH g AS (SELECT user_id, epoch_ms(ts) AS ms,
+    """WITH g AS (SELECT user_id, event_id, epoch_ms(ts) AS ms,
       |    CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts))
       |           OVER (PARTITION BY user_id ORDER BY ts, event_id)
       |         > 300000 THEN 1 ELSE 0 END AS brk
       |  FROM events),
       |s AS (SELECT user_id, ms,
-      |    sum(brk) OVER (PARTITION BY user_id ORDER BY ms
+      |    sum(brk) OVER (PARTITION BY user_id ORDER BY ms, event_id
       |                   ROWS UNBOUNDED PRECEDING) AS sid
       |  FROM g),
       |sess AS (SELECT user_id, sid, min(ms) AS st, max(ms) AS en
@@ -745,7 +746,7 @@ object Streaming {
   ) { (s, d) =>
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    val wMs = Window.partitionBy("user_id").orderBy("ms")
+    val wMs = Window.partitionBy("user_id").orderBy("ms", "event_id")
       .rowsBetween(Long.MinValue, 0)
     val sess = Tables.events(s, d)
       .select(col("user_id"), col("ts"), col("event_id"),
