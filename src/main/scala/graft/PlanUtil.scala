@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Lineage truncation for ITERATIVE loops.
+  *
+  * `localCheckpoint()` truncates the physical lineage, but Spark rewrites
+  * the checkpointed `LogicalRDD`'s STATISTICS from the original plan
+  * (`LogicalRDD.rewriteStatsAndConstraints`) — so the estimated
+  * sizeInBytes compounds across rounds. A loop whose next round joins the
+  * checkpoint against itself (k-core's two endpoint restrictions,
+  * hash-to-min's min-table + rewrite join) therefore DOUBLES the
+  * sizeInBytes bit-length every round — join estimates multiply — and
+  * `BigInteger would overflow supported range` kills the loop at ~31
+  * rounds, exactly on the deep graphs the convergence guards exist for
+  * (caught by GraphConvergenceSpec's 40-deep peel).
+  *
+  * Rebuilding the frame from the checkpointed RDD resets the statistics
+  * to the session default as well: per-round stats stay constant in round
+  * count, at the cost of one Row↔InternalRow conversion on each read of
+  * the checkpoint — negligible for the narrow (id, value) frames these
+  * loops carry, and the conservative default size keeps the per-round
+  * joins on the shuffle path, which is what an iteration over a
+  * 100 TB-derived edge list wants anyway.
+  */
+object PlanUtil {
+  def checkpointTruncated(df: DataFrame): DataFrame = {
+    val cp = df.localCheckpoint()
+    cp.sparkSession.createDataFrame(cp.rdd, cp.schema)
+  }
+}

@@ -69,6 +69,34 @@ object Tables {
     s"$dir/$name@${listing.hashCode}"
   }
 
+  private val rowCountCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  /** Driver-side parquet-footer row count — NO Spark job: sums the
+    * footer record counts of the table's files, memoized by
+    * [[fingerprint]]. This is what lets data-dependent plan parameters
+    * (the LSH band width in [[graft.operators.Dedup]]) auto-size from
+    * the corpus cardinality while plan builders stay pure; cost is one
+    * footer read per file per fixture generation, O(#files) metadata IO
+    * — the same price a NumRowGroups/statistics planner pays. */
+  def metadataRowCount(s: SparkSession, dir: String, name: String): Long =
+    rowCountCache.computeIfAbsent(fingerprint(s, dir, name), { _ =>
+      val conf = s.sparkContext.hadoopConfiguration
+      val p = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
+      val fs = p.getFileSystem(conf)
+      val files =
+        if (fs.getFileStatus(p).isDirectory)
+          fs.listStatus(p).toSeq
+            .filter(_.getPath.getName.endsWith(".parquet"))
+        else Seq(fs.getFileStatus(p))
+      files.map { st =>
+        val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromPath(st.getPath, conf))
+        try rdr.getRecordCount finally rdr.close()
+      }.sum
+    })
+
   /** Money arithmetic done in exact decimal, surfaced as double.
     *
     * Summing doubles is order-dependent, and Spark's shuffle order differs

@@ -477,18 +477,38 @@ object Dedup {
   private val CosLshTables = 8        // OR: candidate if ANY table collides
   private val CosLshPlanesPerTable = 6 // AND: 6 sign bits per table
 
-  /** Per-table sign-bit count, session-tunable. Candidate volume per
-    * bucket is quadratic in bucket occupancy ≈ n / 2^bits, so bits must
-    * grow with log2(n) to hold the pair stage linear: the sf1 soak
-    * (docs/SCALE.md) measured `knn_join_lsh` at exponent 1.28 with the
-    * fixed 6-bit default (10× data → 19× time) and back to ~linear at 10
-    * bits. 6 bits is sized for the driver fixtures (n ≤ 2000: ~30
-    * vectors/bucket); production sets `graft.lsh.planesPerTable` ≈
-    * log2(n/32). A session conf, not auto-from-count(): plan builders
-    * stay pure (no job at construction), and the declared queries keep
-    * the default so the inlined-plane oracles stay bit-exact. */
-  private[graft] def cosLshPpt(s: SparkSession): Int =
-    s.conf.get("graft.lsh.planesPerTable", CosLshPlanesPerTable.toString).toInt
+  /** Per-table sign-bit count — AUTO-SIZED from the corpus cardinality.
+    * Candidate volume per bucket is quadratic in bucket occupancy ≈
+    * n / 2^bits, so bits must grow with log2(n) to hold the pair stage
+    * linear: the sf1 soak (docs/SCALE.md) measured `knn_join_lsh` at
+    * exponent 1.28 with a fixed 6-bit width (10× data → 19× time) and
+    * back to ~linear at 10 bits, flattening right at the measured sizing
+    * rule bits ≈ log2(n/32). That rule IS the default now: bits =
+    * max(6, ⌈log2(n/32)⌉) from the parquet-footer row count
+    * ([[Tables.metadataRowCount]] — metadata IO, no Spark job, so plan
+    * builders stay pure). The floor of 6 keeps every driver fixture
+    * (n ≤ 2000 ⟹ auto ≤ 6) on the same seeded plane pool as before;
+    * `graft.lsh.planesPerTable` remains as an explicit OVERRIDE for
+    * recall/cost tuning, no longer the lifeline that linearity at scale
+    * depends on. Oracles stay bit-exact at any width because the
+    * consuming queries render their oracle SQL post-run from the width
+    * actually used ([[lastCosLshPpt]]). */
+  private[graft] def cosLshPpt(s: SparkSession, d: String): Int = {
+    val ppt = s.conf.getOption("graft.lsh.planesPerTable").map(_.toInt)
+      .getOrElse {
+        val n = math.max(Tables.metadataRowCount(s, d, "embeddings"), 1L)
+        math.max(CosLshPlanesPerTable,
+          math.ceil(math.log(n.toDouble / 32) / math.log(2)).toInt)
+      }
+    lastCosLshPpt.set(Some(ppt))
+    ppt
+  }
+
+  /** The band width the last cosine-LSH query in this JVM actually used
+    * — the artifact the post-run oracle renderers unroll, exactly like
+    * the measured round counts in [[Pipeline.graphKcore]]. */
+  private[graft] val lastCosLshPpt =
+    new java.util.concurrent.atomic.AtomicReference[Option[Int]](None)
 
   /** Seeded hyperplanes for the multi-table cosine LSH: 8 independent
     * tables × ppt planes × 64 dims. A fixed trained artifact (like
@@ -513,22 +533,23 @@ object Dedup {
     * their own final SELECT — [[dedupCosineLsh]] here, `knn_join_lsh` in
     * [[Vectors]]; a drifting second copy of this core would silently
     * break one oracle's bit-exact compare. */
-  private[operators] def cosLshCandSql(idPred: String, aAlias: String,
-                                       bAlias: String): String = {
-    val planeRows = Vectors.planesSql(cosLshPlanes)
+  private[operators] def cosLshCandSql(
+      idPred: String, aAlias: String, bAlias: String,
+      ppt: Int = CosLshPlanesPerTable): String = {
+    val planeRows = Vectors.planesSql(cosLshPlanesFor(ppt))
     s"""planes AS (SELECT j, pv FROM (VALUES
        |    $planeRows) p(j, pv)),
        |e AS (SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v,
        |        sqrt(list_sum([x*x FOR x IN [CAST(x AS DOUBLE) FOR x IN embedding]])) AS nrm
        |      FROM embeddings),
        |sg AS (SELECT vec_id, first(v) AS v, first(nrm) AS nrm,
-       |         j // $CosLshPlanesPerTable AS tbl,
+       |         j // $ppt AS tbl,
        |         CAST(sum(CASE WHEN dotp > 0
-       |           THEN (1 << (j % $CosLshPlanesPerTable)) ELSE 0 END) AS BIGINT) AS sig
+       |           THEN (1 << (j % $ppt)) ELSE 0 END) AS BIGINT) AS sig
        |       FROM (SELECT vec_id, v, nrm, j,
        |               list_sum([v[i]*pv[i] FOR i IN range(1, len(v)+1)]) AS dotp
        |             FROM e CROSS JOIN planes)
-       |       GROUP BY vec_id, j // $CosLshPlanesPerTable),
+       |       GROUP BY vec_id, j // $ppt),
        |cand AS (SELECT DISTINCT a.vec_id AS $aAlias, b.vec_id AS $bAlias,
        |    list_sum([a.v[i]*b.v[i] FOR i IN range(1, len(a.v)+1)]) /
        |    (a.nrm * b.nrm) AS cosine
@@ -536,8 +557,8 @@ object Dedup {
        |    ON a.tbl = b.tbl AND a.sig = b.sig AND a.vec_id $idPred b.vec_id)""".stripMargin
   }
 
-  private def cosineLshOracleSql: String =
-    s"""WITH ${cosLshCandSql("<", "vec_a", "vec_b")}
+  private def cosineLshOracleSql(ppt: Int): String =
+    s"""WITH ${cosLshCandSql("<", "vec_a", "vec_b", ppt)}
        |SELECT vec_a, vec_b, cosine FROM cand WHERE cosine >= 0.45
        |ORDER BY vec_a, vec_b""".stripMargin
 
@@ -583,11 +604,14 @@ object Dedup {
               col("bk.tbl").as("tbl"), col("bk.sig").as("sig"))
   }
 
-  val dedupCosineLsh: Q = Q("dedup_cosine_lsh", cosineLshOracleSql) { (s, d) =>
+  val dedupCosineLsh: Q = Q(
+    "dedup_cosine_lsh",
+    cosineLshOracleSql(CosLshPlanesPerTable)
+  ) { (s, d) =>
     import graft.functions.VectorOps._
     val e = Tables.embeddings(s, d).select(col("vec_id"),
       toDouble(col("embedding")).as("v"))
-    val bands = cosLshBands(e, cosLshPpt(s))
+    val bands = cosLshBands(e, cosLshPpt(s, d))
     bands.as("a").join(bands.as("b"),
         col("a.tbl") === col("b.tbl") && col("a.sig") === col("b.sig") &&
         col("a.vec_id") < col("b.vec_id"))
@@ -604,7 +628,10 @@ object Dedup {
       .filter(col("cosine") >= 0.45)
       .dropDuplicates("vec_a", "vec_b")
       .orderBy("vec_a", "vec_b")
-  }
+  }.copy(oracleGen = Some(() => Some(cosineLshOracleSql(
+    // render from the auto-sized width the query actually used (floor 6
+    // = the static oracle, so pre-run consumers see today's SQL)
+    lastCosLshPpt.get().getOrElse(CosLshPlanesPerTable)))))
 
   /** Near-dup CLUSTER resolution: the step after pair generation that
     * every dedup pipeline actually needs — near-duplication is transitive
@@ -739,6 +766,21 @@ object Dedup {
     * members with l(u) ≤ u, so an edge-constant labeling is exactly
     * "every node carries its component minimum".
     *
+    * Probe SCHEDULE: the sum probe is its own aggregate job, so probing
+    * every round doubles the per-round job count — at 100 TB that is
+    * real driver/scheduler overhead on a loop that already runs one
+    * shuffle-join job per round. Monotonicity makes sparse probing
+    * sound: equal sums at ANY two probed rounds certify zero change in
+    * every round between them. Rounds 1-4 probe densely (shallow dup
+    * graphs — the common case — converge there with no overshoot);
+    * past 4 the probe interval doubles, CAPPED at 4 rounds, so a deep
+    * convergence pays ~rounds/4 probe jobs instead of ~rounds while the
+    * detection overshoot (extra loop rounds run after the actual
+    * fixpoint) stays bounded by the cap — an uncapped doubling schedule
+    * would halve probes again but waste up to `rounds` post-fixpoint
+    * shuffles, which cost more than the probes they save.
+    * [[lastHashToMinProbes]] records the probe count for the spec.
+    *
     * Returns (labels, rounds). Caller must pass MATERIALIZED pairs (the
     * loop re-reads them every round). */
   private[graft] def componentsHashToMin(
@@ -754,39 +796,60 @@ object Dedup {
       .unionByName(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
       .unionByName(nodes.select(col("doc_id").as("u"),
                                 col("doc_id").as("v")))
-      .distinct().localCheckpoint()
+      .distinct().transform(graft.PlanUtil.checkpointTruncated)
     def decSum(df: DataFrame, c: String): java.math.BigDecimal =
       df.agg(sum(col(c).cast("decimal(38,0)"))).first().getDecimal(0)
     var prevSum: java.math.BigDecimal = null
     var m: DataFrame = null
     var rounds = 0
     var done = false
+    var probes = 0
+    var interval = 1
+    var nextProbe = 1
     while (!done && rounds < maxRounds) {
       m = rel.groupBy("u").agg(min(col("v")).as("m"))
-      val s = decSum(m, "m")
-      if (prevSum != null && s.compareTo(prevSum) == 0) {
-        // plateau — confirm the labeling is constant across edges
-        val bad = origEdges
-          .join(m.select(col("u").as("doc_a"), col("m").as("la")), Seq("doc_a"))
-          .join(m.select(col("u").as("doc_b"), col("m").as("lb")), Seq("doc_b"))
-          .filter(col("la") =!= col("lb")).count()
-        done = bad == 0
+      val r1 = rounds + 1
+      if (r1 == nextProbe || r1 == maxRounds) {
+        probes += 1
+        val s = decSum(m, "m")
+        if (prevSum != null && s.compareTo(prevSum) == 0) {
+          // plateau — confirm the labeling is constant across edges
+          val bad = origEdges
+            .join(m.select(col("u").as("doc_a"), col("m").as("la")),
+                  Seq("doc_a"))
+            .join(m.select(col("u").as("doc_b"), col("m").as("lb")),
+                  Seq("doc_b"))
+            .filter(col("la") =!= col("lb")).count()
+          done = bad == 0
+        }
+        prevSum = s
+        if (r1 >= 4) interval = math.min(interval * 2, 4)
+        nextProbe = r1 + interval
       }
       if (!done) {
         val withM = rel.join(m, Seq("u"))
         rel = withM.select(col("v").as("u"), col("m").as("v"))
           .unionByName(withM.select(col("m").as("u"), col("v")))
-          .distinct().localCheckpoint()
+          // stats-truncating checkpoint: the next round reads `rel`
+          // TWICE (min table + rewrite join), so preserved statistics
+          // would double their bit-length per round and overflow
+          // BigInteger at ~31 rounds (graft.PlanUtil)
+          .distinct().transform(graft.PlanUtil.checkpointTruncated)
       }
-      prevSum = s
       rounds += 1
     }
+    lastHashToMinProbes.set(probes)
     require(done,
       s"hash-to-min did not converge in $maxRounds rounds")
     val labels = m.select(col("u").as("doc_id"), col("m").as("cluster_id"))
       .localCheckpoint()
     (labels, rounds)
   }
+
+  /** Probe-job count of the last [[componentsHashToMin]] run — the
+    * observable the probe-schedule spec asserts on. */
+  private[graft] val lastHashToMinProbes =
+    new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** [[dedupCluster]]'s output computed by [[componentsHashToMin]] —
     * same survivors, same oracle, O(log diameter) rounds. DedupSpec

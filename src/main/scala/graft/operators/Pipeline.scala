@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.{Q, Tables}
+import graft.{PlanUtil, Q, Tables}
 import graft.Tables.{asDouble, money}
 import graft.plans.SchemaFlattener
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -646,172 +646,255 @@ object Pipeline {
   }
 
   private val KcoreK = 3
-  private val KcoreRounds = 8
+  private val KcoreMaxRounds = 64
 
-  /** K-CORE DECOMPOSITION ([[KcoreK]]-core via [[KcoreRounds]] peeling
-    * rounds) over the customer↔supplier graph — the robustness census
-    * that separates a graph's load-bearing core from its periphery
-    * (degree alone overcounts: a degree-10 vertex whose neighbors are
-    * all leaves dies in round 2). Each round restricts edges to
-    * currently-alive endpoints, recomputes degrees, and peels vertices
-    * below k; survivors after the fixed rounds report per side.
+  /** Measured peel-round count of the last [[graphKcore]] run in this
+    * JVM — the artifact [[kcoreOracleSql]] unrolls (the vector_ann_ivf
+    * oracleGen discipline applied to an iteration count). */
+  private val kcoreMeasuredRounds =
+    new java.util.concurrent.atomic.AtomicReference[Option[Int]](None)
+
+  /** CONVERGENCE-GUARDED k-core peel: each round restricts edges to
+    * currently-alive endpoints, recomputes exact integer degrees, and
+    * peels vertices below k — iterating TO THE FIXPOINT, not to a
+    * fixture-calibrated constant. The alive set shrinks monotonically
+    * (each round's degree domain is the previous alive set), so an
+    * unchanged alive COUNT is an exact fixpoint certificate: same
+    * cardinality ⟹ same set ⟹ next round's degrees are identical.
+    * `require`s convergence within `maxRounds` — a graph whose peel
+    * depth exceeds the cap fails loudly instead of silently returning an
+    * unconverged core (the [[graft.operators.Dedup]] hash-to-min
+    * discipline). Returns (fixpoint degree table, rounds executed).
     *
-    * Determinism: fixed round count + exact integer degrees — no
-    * convergence heuristic, both engines run the same peel. On this
-    * fixture the peel reaches its fixpoint well inside 8 rounds (the
-    * classic O(peel-depth) bound, NOT O(V) — degeneracy ordering peels
-    * whole layers per round); at 100 TB the production form adds the
-    * dedup_cluster-style plateau check between rounds.
-    *
-    * Plan: per round, TWO vid-keyed semi-restrictions of the edge list
-    * + one partial+final degree aggregate; the alive set is
-    * localCheckpointed each round because the next round references it
-    * on both edge endpoints (the dedup_cluster_star lineage-truncation
-    * discipline — without it the logical plan doubles per round), which
-    * makes the query `eager`. The edge list itself is cached once. */
-  val graphKcore: Q = {
+    * Plan per round: TWO vid-keyed semi-restrictions of the edge list +
+    * one partial+final degree aggregate; the degree table is
+    * localCheckpointed (the next round references it via `alive` on both
+    * edge endpoints — without truncation the logical plan doubles per
+    * round) and the count probe reads only the checkpointed blocks. */
+  private[graft] def kcorePeel(e: DataFrame, k: Int,
+                               maxRounds: Int): (DataFrame, Int) = {
+    var alive = PlanUtil.checkpointTruncated(
+      e.select(col("src").as("vid")).distinct())
+    var aliveCount = alive.count()
+    var deg: DataFrame = alive.withColumn("d", lit(0L)) // overwritten rnd 1
+    var rounds = 0
+    var done = false
+    while (!done && rounds < maxRounds) {
+      deg = e
+        .join(alive.select(col("vid").as("src")), Seq("src"))
+        .join(alive.select(col("vid").as("dst")), Seq("dst"))
+        .groupBy("src").agg(count(lit(1)).as("d"))
+        .withColumnRenamed("src", "vid")
+        // checkpoint WITH stats truncation: the next round references
+        // this frame via `alive` on both edge endpoints, so preserved
+        // stats would double their bit-length per round (PlanUtil)
+        .transform(PlanUtil.checkpointTruncated)
+      alive = deg.filter(col("d") >= k).select("vid")
+      val n = alive.count()
+      rounds += 1
+      done = n == aliveCount // monotone shrink: equal count ⟹ fixpoint
+      aliveCount = n
+    }
+    require(done,
+      s"k-core peel did not converge in $maxRounds rounds — peel depth " +
+      "exceeds the cap; raise maxRounds")
+    (deg, rounds)
+  }
+
+  /** DuckDB mirror of the converged peel, unrolled to the MEASURED round
+    * count: the engine iterates to the fixpoint and the oracle replays
+    * exactly those rounds, so the hash match certifies the true k-core
+    * (extra unrolled rounds past the fixpoint would be identity anyway —
+    * the peel is monotone — but the measured count keeps the oracle
+    * minimal and the claim honest). */
+  private def kcoreOracleSql(r: Int): String = {
     def stepSql(prev: String, i: Int): String =
       s"""d$i AS (SELECT e.src AS vid, count(*) AS d
          |  FROM e JOIN $prev x ON e.src = x.vid
          |         JOIN $prev y ON e.dst = y.vid
          |  GROUP BY 1),
          |a$i AS (SELECT vid FROM d$i WHERE d >= $KcoreK)""".stripMargin
-    val steps = (1 to KcoreRounds)
+    val steps = (1 to r)
       .map(i => stepSql(if (i == 1) "a0" else s"a${i - 1}", i))
       .mkString(",\n")
-    Q(
-      "graph_kcore",
-      s"""WITH pairs AS (
-         |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
-         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-         |  WHERE o_orderdate >= DATE '1995-01-01'
-         |    AND o_orderdate < DATE '1995-04-01'),
-         |e AS (SELECT c AS src, s AS dst FROM pairs
-         |      UNION ALL SELECT s, c FROM pairs),
-         |a0 AS (SELECT DISTINCT src AS vid FROM e),
-         |$steps
-         |SELECT CASE WHEN vid % 2 = 0 THEN 'customer' ELSE 'supplier' END
-         |    AS side,
-         |  CAST(count(*) AS BIGINT) AS n_core,
-         |  CAST(sum(d) AS BIGINT) AS core_degree_sum,
-         |  CAST(min(d) AS BIGINT) AS min_degree
-         |FROM d$KcoreRounds WHERE d >= $KcoreK
-         |GROUP BY 1 ORDER BY side""".stripMargin
-    ) { (s, d) =>
-      val pairs = Tables.orders(s, d)
-        .filter(col("o_orderdate") >= lit("1995-01-01") &&
-                col("o_orderdate") < lit("1995-04-01"))
-        .join(Tables.lineitem(s, d),
-              col("o_orderkey") === col("l_orderkey"))
-        .select((col("o_custkey") * 2).as("c"),
-                (col("l_suppkey") * 2 + 1).as("s"))
-        .distinct()
-      val e = pairs.select(col("c").as("src"), col("s").as("dst"))
-        .unionByName(pairs.select(col("s").as("src"), col("c").as("dst")))
-        .cache()
-      var alive = e.select(col("src").as("vid")).distinct().localCheckpoint()
-      var deg = alive.withColumn("d", lit(0L)) // overwritten round 1
-      for (_ <- 1 to KcoreRounds) {
-        deg = e
-          .join(alive.select(col("vid").as("src")), Seq("src"))
-          .join(alive.select(col("vid").as("dst")), Seq("dst"))
-          .groupBy("src").agg(count(lit(1)).as("d"))
-          .withColumnRenamed("src", "vid")
-          .localCheckpoint() // next round references it via alive twice
-        alive = deg.filter(col("d") >= KcoreK).select("vid")
-      }
-      deg.filter(col("d") >= KcoreK)
-        .groupBy(when(col("vid") % 2 === 0, "customer").otherwise("supplier")
-          .as("side"))
-        .agg(count(lit(1)).as("n_core"),
-             sum(col("d")).as("core_degree_sum"),
-             min(col("d")).as("min_degree"))
-        .orderBy("side")
-    }.copy(eager = true) // per-round localCheckpoint runs jobs at build
+    s"""WITH pairs AS (
+       |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       |  WHERE o_orderdate >= DATE '1995-01-01'
+       |    AND o_orderdate < DATE '1995-04-01'),
+       |e AS (SELECT c AS src, s AS dst FROM pairs
+       |      UNION ALL SELECT s, c FROM pairs),
+       |a0 AS (SELECT DISTINCT src AS vid FROM e),
+       |$steps
+       |SELECT CASE WHEN vid % 2 = 0 THEN 'customer' ELSE 'supplier' END
+       |    AS side,
+       |  CAST(count(*) AS BIGINT) AS n_core,
+       |  CAST(sum(d) AS BIGINT) AS core_degree_sum,
+       |  CAST(min(d) AS BIGINT) AS min_degree
+       |FROM d$r WHERE d >= $KcoreK
+       |GROUP BY 1 ORDER BY side""".stripMargin
   }
 
-  private val BfsRounds = 6
+  /** K-CORE DECOMPOSITION ([[KcoreK]]-core) over the customer↔supplier
+    * graph — the robustness census that separates a graph's load-bearing
+    * core from its periphery (degree alone overcounts: a degree-10
+    * vertex whose neighbors are all leaves dies in round 2). The peel
+    * runs [[kcorePeel]]'s convergence-guarded loop: it iterates until a
+    * round peels nothing (the exact fixpoint certificate), `require`s
+    * convergence within [[KcoreMaxRounds]], and records the measured
+    * round count, which [[kcoreOracleSql]] unrolls post-run — so the
+    * DuckDB hash match certifies the TRUE 3-core at every scale, not an
+    * 8-round approximation that happens to coincide on the fixture
+    * (GraphConvergenceSpec proves the old fixed constant under-converges
+    * on a deep-peel chain). Round count is O(peel depth), NOT O(V) —
+    * whole layers peel per round. The edge list is cached once; the
+    * per-round localCheckpoint makes the query `eager`. */
+  val graphKcore: Q = Q.noOracle("graph_kcore") { (s, d) =>
+    val pairs = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1995-01-01") &&
+              col("o_orderdate") < lit("1995-04-01"))
+      .join(Tables.lineitem(s, d),
+            col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("c"),
+              (col("l_suppkey") * 2 + 1).as("s"))
+      .distinct()
+    val e = pairs.select(col("c").as("src"), col("s").as("dst"))
+      .unionByName(pairs.select(col("s").as("src"), col("c").as("dst")))
+      .cache()
+    val (deg, rounds) = kcorePeel(e, KcoreK, KcoreMaxRounds)
+    kcoreMeasuredRounds.set(Some(rounds))
+    deg.filter(col("d") >= KcoreK)
+      .groupBy(when(col("vid") % 2 === 0, "customer").otherwise("supplier")
+        .as("side"))
+      .agg(count(lit(1)).as("n_core"),
+           sum(col("d")).as("core_degree_sum"),
+           min(col("d")).as("min_degree"))
+      .orderBy("side")
+  }.copy(
+    eager = true, // per-round localCheckpoint + count probes run at build
+    oracleGen = Some(() => kcoreMeasuredRounds.get().map(kcoreOracleSql)))
 
-  /** SINGLE-SOURCE SHORTEST PATHS (BFS hop distance) over the same
-    * customer↔supplier graph as [[graphKcore]]: the source is the
-    * lowest-id supplier vertex present in the graph (deterministic and
-    * non-empty at every scale, unlike an attribute-picked seed set —
-    * nation-0 suppliers vanish from the sf0.001 quarter entirely); after
-    * [[BfsRounds]] relaxation rounds the reached set reports a
-    * (side, dist) histogram — the reachability census behind "how far is
-    * every account from a flagged vertex" investigations (fraud rings,
-    * recall blast radius).
+  private val BfsMaxRounds = 64
+
+  /** Measured relaxation-round count of the last [[graphShortestPath]]
+    * run in this JVM, unrolled by [[bfsOracleSql]] post-run. */
+  private val bfsMeasuredRounds =
+    new java.util.concurrent.atomic.AtomicReference[Option[Int]](None)
+
+  /** CONVERGENCE-GUARDED BFS min-relaxation: per round, ONE src-keyed
+    * join (edges × current distances) and ONE vid-keyed min aggregate,
+    * iterating until the distance table is a fixpoint. The plateau probe
+    * is the exact pair (row count, Σdist): the reached set only grows
+    * (count strictly increases on new reaches) and, count being equal,
+    * any distance improvement strictly decreases the sum — so an
+    * unchanged pair is an exact fixpoint certificate, not a heuristic.
+    * `require`s convergence within `maxRounds`: a graph whose diameter
+    * exceeds the cap fails loudly instead of silently reporting a
+    * truncated reachability census. Returns (distance table, rounds).
     *
-    * Determinism: BFS distance is a pure min over path lengths, so a
-    * FIXED round count needs no convergence heuristic — once the frontier
-    * stops growing, further rounds are identity (min is idempotent), and
-    * this graph's diameter is far below 6. Both engines run the exact
-    * same rounds on exact integers.
-    *
-    * Plan: per round ONE src-keyed join (edges × current distances) and
-    * ONE vid-keyed min aggregate; the distance set is localCheckpointed
-    * per round (lineage otherwise doubles — the [[graphKcore]]
-    * discipline), making the query `eager`. This is the simple
-    * re-relax-everything form: at 100 TB the production variant joins
-    * only the NEWLY settled frontier (delta BFS — same answers, |frontier|
-    * not |reached| join input per round) and checkpoints to storage every
-    * few rounds; documented here, not needed at fixture diameter. */
-  val graphShortestPath: Q = {
+    * The distance set is localCheckpointed per round (lineage otherwise
+    * doubles — the [[kcorePeel]] discipline); the probe aggregates only
+    * the checkpointed blocks. This is the re-relax-everything form: at
+    * 100 TB the production variant joins only the newly settled frontier
+    * (delta BFS — same answers, |frontier| not |reached| join input per
+    * round) and checkpoints to storage every few rounds. */
+  private[graft] def bfsDistances(e: DataFrame, source: DataFrame,
+                                  maxRounds: Int): (DataFrame, Int) = {
+    var dist = PlanUtil.checkpointTruncated(source)
+    def sig(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)), sum(col("dist"))).first()
+      (r.getLong(0), r.getLong(1))
+    }
+    var prev = sig(dist)
+    var rounds = 0
+    var done = false
+    while (!done && rounds < maxRounds) {
+      dist = dist
+        .unionByName(
+          e.join(dist.withColumnRenamed("vid", "src"), Seq("src"))
+            .select(col("dst").as("vid"), (col("dist") + 1).as("dist")))
+        .groupBy("vid").agg(min(col("dist")).as("dist"))
+        .transform(PlanUtil.checkpointTruncated)
+      val cur = sig(dist)
+      rounds += 1
+      done = cur == prev // exact: count grows on reach, sum drops on improve
+      prev = cur
+    }
+    require(done,
+      s"BFS did not converge in $maxRounds rounds — graph diameter " +
+      "exceeds the cap; raise maxRounds")
+    (dist, rounds)
+  }
+
+  /** DuckDB mirror of the converged BFS, unrolled to the MEASURED round
+    * count (min-relaxation is idempotent past the fixpoint, so the
+    * measured unroll is exactly the fixpoint the engine certified). */
+  private def bfsOracleSql(r: Int): String = {
     def stepSql(i: Int): String =
       s"""d$i AS (SELECT vid, min(dist) AS dist FROM (
          |  SELECT vid, dist FROM d${i - 1}
          |  UNION ALL
          |  SELECT e.dst AS vid, x.dist + 1 AS dist
          |  FROM e JOIN d${i - 1} x ON e.src = x.vid) u GROUP BY vid)""".stripMargin
-    val steps = (1 to BfsRounds).map(stepSql).mkString(",\n")
-    Q(
-      "graph_shortest_path",
-      s"""WITH pairs AS (
-         |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
-         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-         |  WHERE o_orderdate >= DATE '1995-01-01'
-         |    AND o_orderdate < DATE '1995-04-01'),
-         |e AS (SELECT c AS src, s AS dst FROM pairs
-         |      UNION ALL SELECT s, c FROM pairs),
-         |d0 AS (SELECT min(src) AS vid, CAST(0 AS BIGINT) AS dist
-         |       FROM e WHERE src % 2 = 1),
-         |$steps
-         |SELECT CASE WHEN vid % 2 = 0 THEN 'customer' ELSE 'supplier' END
-         |    AS side,
-         |  CAST(dist AS BIGINT) AS dist, CAST(count(*) AS BIGINT) AS n
-         |FROM d$BfsRounds GROUP BY 1, 2 ORDER BY side, dist""".stripMargin
-    ) { (s, d) =>
-      val pairs = Tables.orders(s, d)
-        .filter(col("o_orderdate") >= lit("1995-01-01") &&
-                col("o_orderdate") < lit("1995-04-01"))
-        .join(Tables.lineitem(s, d),
-              col("o_orderkey") === col("l_orderkey"))
-        .select((col("o_custkey") * 2).as("c"),
-                (col("l_suppkey") * 2 + 1).as("s"))
-        .distinct()
-      val e = pairs.select(col("c").as("src"), col("s").as("dst"))
-        .unionByName(pairs.select(col("s").as("src"), col("c").as("dst")))
-        .cache()
-      var dist = e.filter(col("src") % 2 === 1)
-        .agg(min(col("src")).as("vid"))
-        .withColumn("dist", lit(0L))
-        .localCheckpoint()
-      for (_ <- 1 to BfsRounds) {
-        dist = dist
-          .unionByName(
-            e.join(dist.withColumnRenamed("vid", "src"), Seq("src"))
-              .select(col("dst").as("vid"), (col("dist") + 1).as("dist")))
-          .groupBy("vid").agg(min(col("dist")).as("dist"))
-          .localCheckpoint()
-      }
-      dist
-        .groupBy(when(col("vid") % 2 === 0, "customer").otherwise("supplier")
-                   .as("side"),
-                 col("dist"))
-        .agg(count(lit(1)).as("n"))
-        .orderBy("side", "dist")
-    }.copy(eager = true) // per-round localCheckpoint runs jobs at build
+    val steps = (1 to r).map(stepSql).mkString(",\n")
+    s"""WITH pairs AS (
+       |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       |  WHERE o_orderdate >= DATE '1995-01-01'
+       |    AND o_orderdate < DATE '1995-04-01'),
+       |e AS (SELECT c AS src, s AS dst FROM pairs
+       |      UNION ALL SELECT s, c FROM pairs),
+       |d0 AS (SELECT min(src) AS vid, CAST(0 AS BIGINT) AS dist
+       |       FROM e WHERE src % 2 = 1),
+       |$steps
+       |SELECT CASE WHEN vid % 2 = 0 THEN 'customer' ELSE 'supplier' END
+       |    AS side,
+       |  CAST(dist AS BIGINT) AS dist, CAST(count(*) AS BIGINT) AS n
+       |FROM d$r GROUP BY 1, 2 ORDER BY side, dist""".stripMargin
   }
+
+  /** SINGLE-SOURCE SHORTEST PATHS (BFS hop distance) over the same
+    * customer↔supplier graph as [[graphKcore]]: the source is the
+    * lowest-id supplier vertex present in the graph (deterministic and
+    * non-empty at every scale, unlike an attribute-picked seed set —
+    * nation-0 suppliers vanish from the sf0.001 quarter entirely); the
+    * reached set reports a (side, dist) histogram — the reachability
+    * census behind "how far is every account from a flagged vertex"
+    * investigations (fraud rings, recall blast radius). Relaxation runs
+    * [[bfsDistances]]'s convergence-guarded loop to the exact fixpoint
+    * (`require`d within [[BfsMaxRounds]]); the measured round count is
+    * recorded and [[bfsOracleSql]] unrolls exactly those rounds
+    * post-run, so the hash match certifies full-diameter reachability at
+    * every scale — not a 6-round horizon that happens to cover the
+    * fixture (GraphConvergenceSpec proves the old fixed constant
+    * under-converges on a long-diameter chain). Eager: per-round
+    * localCheckpoint + probes run jobs at plan-build. */
+  val graphShortestPath: Q = Q.noOracle("graph_shortest_path") { (s, d) =>
+    val pairs = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1995-01-01") &&
+              col("o_orderdate") < lit("1995-04-01"))
+      .join(Tables.lineitem(s, d),
+            col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("c"),
+              (col("l_suppkey") * 2 + 1).as("s"))
+      .distinct()
+    val e = pairs.select(col("c").as("src"), col("s").as("dst"))
+      .unionByName(pairs.select(col("s").as("src"), col("c").as("dst")))
+      .cache()
+    val src = e.filter(col("src") % 2 === 1)
+      .agg(min(col("src")).as("vid"))
+      .withColumn("dist", lit(0L))
+    val (dist, rounds) = bfsDistances(e, src, BfsMaxRounds)
+    bfsMeasuredRounds.set(Some(rounds))
+    dist
+      .groupBy(when(col("vid") % 2 === 0, "customer").otherwise("supplier")
+                 .as("side"),
+               col("dist"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("side", "dist")
+  }.copy(
+    eager = true, // per-round localCheckpoint + sig probes run at build
+    oracleGen = Some(() => bfsMeasuredRounds.get().map(bfsOracleSql)))
 
   /** The star schema's FK edges: (edge label, child table, FK column,
     * parent table, PK column). One spec row drives BOTH the Spark plan
@@ -969,28 +1052,24 @@ object Pipeline {
     * 4.07 → 3.9s at sf0.1 — the dominant cost is inherent: 8.7M
     * generated pairs aggregating into the complete 499,500-pair
     * supplier graph at this density). */
-  val graphJaccard: Q = Q(
-    "graph_jaccard",
-    """WITH adj AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem),
-      |deg AS (SELECT s, count(*) AS dg FROM adj GROUP BY 1),
-      |ex AS (SELECT a.s AS s_a, b.s AS s_b, count(*) AS inter
-      |       FROM adj a JOIN adj b ON a.p = b.p AND a.s < b.s
-      |       GROUP BY 1, 2)
-      |SELECT s_a, s_b, CAST(inter AS BIGINT) AS inter,
-      |  CAST(inter AS DOUBLE) / (da.dg + db.dg - inter) AS jaccard
-      |FROM ex JOIN deg da ON s_a = da.s JOIN deg db ON s_b = db.s
-      |WHERE inter >= 2
-      |ORDER BY jaccard DESC, s_a, s_b LIMIT 30""".stripMargin
-  ) { (s, d) =>
+  /** The shared posting-list Jaccard plan: per-supplier part sets (ONE
+    * supplier-keyed `collect_set` — the set is the distinct, its size
+    * the degree), re-melted, per-part posting lists capped at `cap`,
+    * pairs streamed by the native OrderedPairs generator, one pair
+    * aggregate. `pExpr` maps the raw part key (identity for
+    * [[graphJaccard]], hub-collapsing for [[graphJaccardHot]]). */
+  private[graft] def jaccardTop30(s: SparkSession, d: String,
+                                  pExpr: org.apache.spark.sql.Column,
+                                  cap: Int): DataFrame = {
     val adj = Tables.lineitem(s, d)
       .groupBy(col("l_suppkey").as("s"))
-      .agg(collect_set(col("l_partkey")).as("parts"))
+      .agg(collect_set(pExpr).as("parts"))
       .select(col("s"), size(col("parts")).as("dg"),
         explode(col("parts")).as("p"))
     val posting = adj
       .groupBy("p")
       .agg(array_sort(collect_list(struct(col("s"), col("dg")))).as("sups"))
-      .filter(size(col("sups")).between(2, 1024))
+      .filter(size(col("sups")).between(2, cap))
     val pairGen = {
       import org.apache.spark.sql.graft.Bridge
       Bridge.column(graft.functions.expressions.OrderedPairs(
@@ -1004,6 +1083,57 @@ object Pipeline {
         (col("inter").cast("double") /
           (col("da") + col("db") - col("inter"))).as("jaccard"))
       .orderBy(desc("jaccard"), asc("s_a"), asc("s_b")).limit(30)
+  }
+
+  val graphJaccard: Q = Q(
+    "graph_jaccard",
+    """WITH adj AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem),
+      |deg AS (SELECT s, count(*) AS dg FROM adj GROUP BY 1),
+      |ex AS (SELECT a.s AS s_a, b.s AS s_b, count(*) AS inter
+      |       FROM adj a JOIN adj b ON a.p = b.p AND a.s < b.s
+      |       GROUP BY 1, 2)
+      |SELECT s_a, s_b, CAST(inter AS BIGINT) AS inter,
+      |  CAST(inter AS DOUBLE) / (da.dg + db.dg - inter) AS jaccard
+      |FROM ex JOIN deg da ON s_a = da.s JOIN deg db ON s_b = db.s
+      |WHERE inter >= 2
+      |ORDER BY jaccard DESC, s_a, s_b LIMIT 30""".stripMargin
+  ) { (s, d) => jaccardTop30(s, d, col("l_partkey"), 1024) }
+
+  /** The posting cap on trial: [[graphJaccard]] on an ADVERSARIAL
+    * hot-hub adjacency — every 5th part key collapses to one mega-part
+    * (the join_salted_hot fixture discipline applied to the posting-list
+    * family), whose supplier list (100 at sf0.01, 1000 at sf0.1) blows
+    * past the capped width of 64, so the cap BINDS instead of sitting
+    * untested below fixture density. Cap semantics are MIRRORED in the
+    * oracle (parts outside [2, 64] distinct suppliers are excluded from
+    * pair generation; degrees stay full-adjacency), so the green hash
+    * certifies the capped answer both engines define — a commodity hub
+    * shared by everyone carries no similarity signal, and dropping it is
+    * what keeps Σ|posting|² sub-quadratic when a 100× corpus makes hubs
+    * the norm. PostingCapSpec asserts the bound quantitatively: with the
+    * cap the candidate pair volume is a small fraction of the uncapped
+    * hub-quadratic volume. */
+  val graphJaccardHot: Q = Q(
+    "graph_jaccard_hot",
+    """WITH adj AS (SELECT DISTINCT l_suppkey AS s,
+      |    CASE WHEN l_partkey % 5 = 0 THEN 0 ELSE l_partkey END AS p
+      |  FROM lineitem),
+      |deg AS (SELECT s, count(*) AS dg FROM adj GROUP BY 1),
+      |psz AS (SELECT p, count(*) AS np FROM adj GROUP BY 1),
+      |cp AS (SELECT adj.s, adj.p FROM adj JOIN psz USING (p)
+      |       WHERE np BETWEEN 2 AND 64),
+      |ex AS (SELECT a.s AS s_a, b.s AS s_b, count(*) AS inter
+      |       FROM cp a JOIN cp b ON a.p = b.p AND a.s < b.s
+      |       GROUP BY 1, 2)
+      |SELECT s_a, s_b, CAST(inter AS BIGINT) AS inter,
+      |  CAST(inter AS DOUBLE) / (da.dg + db.dg - inter) AS jaccard
+      |FROM ex JOIN deg da ON s_a = da.s JOIN deg db ON s_b = db.s
+      |WHERE inter >= 2
+      |ORDER BY jaccard DESC, s_a, s_b LIMIT 30""".stripMargin
+  ) { (s, d) =>
+    jaccardTop30(s, d,
+      when(col("l_partkey") % 5 === 0, 0L).otherwise(col("l_partkey")),
+      cap = 64)
   }
 
   /** DEGREE DISTRIBUTION of the supplier↔part bipartite graph — the
@@ -1281,6 +1411,7 @@ object Pipeline {
     graphTwohop, discoverySummary, ingestNdjson, snapshotExport, dqChecks,
     dqSkew, dqDriftKs, dqFreshness, graphPagerank, graphLabelProp,
     graphKcore, graphShortestPath, dqReferential, dqUniqueness,
-    graphJaccard, graphDegreeDist, storePruningStats, graphModularity,
+    graphJaccard, graphJaccardHot, graphDegreeDist, storePruningStats,
+    graphModularity,
     dqDriftPsi)
 }

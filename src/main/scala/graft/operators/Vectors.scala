@@ -165,8 +165,8 @@ object Vectors {
             |ORDER BY cosine DESC, vec_id LIMIT 20""".stripMargin)
   }
 
-  private def knnLshOracleSql: String =
-    s"""WITH ${Dedup.cosLshCandSql("<>", "vec_id", "nn_id")},
+  private def knnLshOracleSql(ppt: Int): String =
+    s"""WITH ${Dedup.cosLshCandSql("<>", "vec_id", "nn_id", ppt)},
        |r AS (SELECT vec_id, nn_id, cosine,
        |        CAST(row_number() OVER (PARTITION BY vec_id
        |          ORDER BY cosine DESC, nn_id) AS INT) AS nn_rank
@@ -193,13 +193,18 @@ object Vectors {
     * shared LSH SQL core with both pair orientations + the same ranked
     * window in DuckDB — bit-exact cosines, deterministic nn_id
     * tie-break. */
-  val knnJoinLsh: Q = Q("knn_join_lsh", knnLshOracleSql) { (s, d) =>
+  val knnJoinLsh: Q = Q(
+    "knn_join_lsh",
+    knnLshOracleSql(6)
+  ) { (s, d) =>
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
-    // bits-per-table follows `graft.lsh.planesPerTable` (default 6 = the
-    // oracle's inlined planes; grow with log2(n) at scale — docs/SCALE.md
-    // has the measured exponent with and without)
-    val bands = Dedup.cosLshBands(e, Dedup.cosLshPpt(s))
+    // bits-per-table AUTO-SIZES from the corpus footer count — max(6,
+    // ⌈log2(n/32)⌉), the rule docs/SCALE.md measured (exponent 1.28 at a
+    // fixed 6 bits at sf1, 0.79 once sized); `graft.lsh.planesPerTable`
+    // is the explicit override, and the oracle re-renders post-run from
+    // the width actually used
+    val bands = Dedup.cosLshBands(e, Dedup.cosLshPpt(s, d))
     // each unordered pair joins and pays its cosine ONCE (a < b, as in
     // dedupCosineLsh), then both directed edges emit from a one-pass
     // explode — bit-exact vs the oracle's <> join because cosine is
@@ -241,7 +246,8 @@ object Vectors {
       .filter(col("nn_rank") <= 3)
       .select(col("vec_id"), col("nn_rank"), col("nn_id"), col("cosine"))
       .orderBy("vec_id", "nn_rank")
-  }
+  }.copy(oracleGen = Some(() => Some(knnLshOracleSql(
+    Dedup.lastCosLshPpt.get().getOrElse(6)))))
 
   private val IvfK = 16
   private val IvfIters = 5

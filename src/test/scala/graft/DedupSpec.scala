@@ -437,7 +437,17 @@ class DedupSpec extends SparkSpec {
     val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got.size == n + 1 && got.values.forall(_ == 0L),
       "every node of the chain must label to the component min 0")
-    assert(rounds <= 12, s"expected logarithmic convergence, took $rounds")
+    // logarithmic reach-doubling plus the capped-interval probe
+    // schedule's bounded detection overshoot (≤ 4 rounds past the
+    // fixpoint before the sparse probe pair certifies it)
+    assert(rounds <= 18, s"expected logarithmic convergence, took $rounds")
+    // the probe schedule is the point: sum probes are their own jobs,
+    // and on a deep convergence they must be sparser than the rounds
+    val probes = Dedup.lastHashToMinProbes.get()
+    assert(probes < rounds,
+      s"probe schedule must thin out on deep runs: $probes probes in $rounds rounds")
+    assert(probes <= rounds / 2 + 4,
+      s"capped doubling should give ~rounds/4 probes, got $probes/$rounds")
   }
 
   test("dedup_cluster_star equals min-label dedup_cluster on the corpus") {
@@ -496,8 +506,10 @@ class DedupSpec extends SparkSpec {
     import graft.functions.VectorOps._
     val e = graft.Tables.embeddings(spark, sf0001)
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
-    // default: conf absent → the oracle's 6-bit plane pool
-    assert(Dedup.cosLshPpt(spark) == 6)
+    // auto default: conf absent → max(6, ceil(log2(n/32))); the fixture
+    // corpus (n=500) sits below the floor, so the driver oracles keep
+    // the seeded 6-bit plane pool
+    assert(Dedup.cosLshPpt(spark, sf0001) == 6)
     // more bits → geometrically larger signature space (the linearity
     // knob: bucket occupancy ≈ n/2^bits — docs/SCALE.md measured
     // knn_join_lsh at exponent 1.28 with 6 bits at sf1, ~linear at 10)
@@ -508,7 +520,7 @@ class DedupSpec extends SparkSpec {
     assert(mx.getLong(1) == 8, "table count is the recall knob, unchanged")
     try {
       spark.conf.set("graft.lsh.planesPerTable", "4")
-      assert(Dedup.cosLshPpt(spark) == 4)
+      assert(Dedup.cosLshPpt(spark, sf0001) == 4)
       // the conf reaches the declared query, and every emitted neighbor
       // still carries its EXACT cosine (precision is bit-independent of
       // the banding config — only recall moves)
@@ -527,6 +539,29 @@ class DedupSpec extends SparkSpec {
         assert(truth(k) == c, s"inexact cosine for $k under ppt=4")
       }
     } finally spark.conf.unset("graft.lsh.planesPerTable")
+  }
+
+  test("LSH band width auto-sizes from the corpus footer count above the floor") {
+    // a corpus big enough that the measured rule max(6, ceil(log2(n/32)))
+    // exceeds the fixture floor: n=5000 -> ceil(log2(156.25)) = 8. The
+    // width is derived from parquet FOOTERS (no Spark job) and the
+    // post-run oracle renderer unrolls the same width, so the engine no
+    // longer needs an operator to remember a session conf to stay
+    // sub-quadratic at scale (the round-5 scale-killer).
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_autoppt").toString
+    spark.range(5000)
+      .select(col("id").as("vec_id"),
+        array(lit(0.1f), lit(0.2f)).as("embedding"))
+      .coalesce(1).write.parquet(s"$tmp/embeddings.parquet")
+    assert(Dedup.cosLshPpt(spark, tmp) == 8,
+      "n=5000 must auto-size to 8 bits per table")
+    // and the recorded width drives the generated oracle SQL
+    assert(Dedup.lastCosLshPpt.get().contains(8))
+    assert(Dedup.dedupCosineLsh.oracleNow.exists(_.contains("j // 8")),
+      "post-run oracle must unroll the width actually used")
+    // restore: driver fixtures re-record the floor width
+    assert(Dedup.cosLshPpt(spark, sf0001) == 6)
   }
 
   test("dedup_source_sim: estimate tracks exact source Jaccard, all pairs present") {
