@@ -192,8 +192,8 @@ object Dedup {
     * parity is unaffected there. */
   private val PostingCap = 1024
 
-  private val MinhashK = 32          // signature length
-  private val Bands = 8              // bands of r = 4 rows each
+  private[graft] val MinhashK = 32   // signature length
+  private[graft] val Bands = 8       // bands of r = 4 rows each
   private[graft] val MinhashP = 2147483647L // 2^31 - 1, prime modulus
 
   /** Deterministic affine hash family (a_j, b_j) for the 32 MinHash

@@ -648,8 +648,8 @@ object Vectors {
   private val PqSub = Dim / PqM // dims per subspace
   private val PqK = 32       // centroids per subspace codebook
   private val PqIters = 5
-  private val PqCand = 100   // ADC candidate pool
-  private val PqTopK = 10    // exact-reranked output
+  private[graft] val PqCand = 100   // ADC candidate pool
+  private[graft] val PqTopK = 10    // exact-reranked output
 
   /** Plain-L2 Lloyd's k-means with deterministic farthest-first seeding —
     * the PQ codebook trainer. Unlike [[trainCentroids]] (spherical,

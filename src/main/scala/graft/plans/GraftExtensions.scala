@@ -1,10 +1,11 @@
 package graft.plans
 
-import graft.functions.expressions.{CosineSimilarity, InterleaveBits, MinHashSig, NgramTokens, OrderedPairs, ShingleHashes, SimHash64}
+import graft.functions.expressions.{BloomMightContain, CosineSimilarity, DotProduct, InterleaveBits, L2Squared, MinHashSig, NearestCentroid, NgramTokens, OrderedPairs, PqAdc, ShingleHashes, SimHash64}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
-import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, BinaryType, BooleanType, DoubleType, IntegerType, LongType}
 
 /** SparkSessionExtensions entry point — registers the engine's native
   * expressions for SQL use:
@@ -12,39 +13,60 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType}
   * `spark.sql("SELECT doc_id, sgl FROM docs LATERAL VIEW
   * shingle_hashes(text, 3) AS sgl, n_sgl")`.
   *
+  * Index-geometry arguments (PQ codebooks/LUT, IVF centroids, a
+  * serialized bloom filter) arrive as FOLDABLE LITERALS and are
+  * evaluated once at plan build — the SQL surface mirrors how the
+  * DataFrame queries inline trained artifacts, so a SQL author can run
+  * the same serving plans (SqlSurfaceSpec proves bit-equality per
+  * kernel and per query).
+  *
   * Wire up either at session build
   * (`.config("spark.sql.extensions", "graft.plans.GraftExtensions")`) or
   * post-hoc on an existing session via [[GraftExtensions.register]].
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction(GraftExtensions.cosineDescriptor)
-    ext.injectFunction(GraftExtensions.shingleDescriptor)
-    ext.injectFunction(GraftExtensions.simhashDescriptor)
-    ext.injectFunction(GraftExtensions.orderedPairsDescriptor)
-    ext.injectFunction(GraftExtensions.ngramTokensDescriptor)
-    ext.injectFunction(GraftExtensions.interleaveBitsDescriptor)
-    ext.injectFunction(GraftExtensions.minhashSigDescriptor)
-  }
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.descriptors.foreach(ext.injectFunction)
 }
 
 object GraftExtensions {
-  private val cosineDescriptor = (
-    FunctionIdentifier("cosine_sim"),
-    new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
-    // explicit cast: any numeric array (e.g. array<float> embeddings)
-    // coerces to array<double> at the call site
-    (args: Seq[Expression]) => CosineSimilarity(
-      Cast(args(0), ArrayType(DoubleType)),
-      Cast(args(1), ArrayType(DoubleType))))
+  private type Descriptor =
+    (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
+
+  private def descriptor(name: String, clazz: Class[_])(
+      builder: Seq[Expression] => Expression): Descriptor =
+    (FunctionIdentifier(name), new ExpressionInfo(clazz.getName, name),
+     builder)
+
+  private val cosineDescriptor =
+    descriptor("cosine_sim", classOf[CosineSimilarity]) { args =>
+      // explicit cast: any numeric array (e.g. array<float> embeddings)
+      // coerces to array<double> at the call site
+      CosineSimilarity(Cast(args(0), ArrayType(DoubleType)),
+                       Cast(args(1), ArrayType(DoubleType)))
+    }
+
+  private val dotDescriptor =
+    descriptor("dot_product", classOf[DotProduct]) { args =>
+      DotProduct(Cast(args(0), ArrayType(DoubleType)),
+                 Cast(args(1), ArrayType(DoubleType)))
+    }
+
+  private val l2Descriptor =
+    descriptor("l2_sq", classOf[L2Squared]) { args =>
+      L2Squared(Cast(args(0), ArrayType(DoubleType)),
+                Cast(args(1), ArrayType(DoubleType)))
+    }
 
   /** Extract the generators' `n` argument: must be a foldable integral
     * literal — it shapes the generator's output schema, not the data.
     * Checks arity and foldability up front so SQL misuse fails with the
     * intended message, not an IndexOutOfBounds / unresolved-eval error. */
-  private def intLiteralArg(args: Seq[Expression], fn: String): Int = {
-    if (args.length != 2) throw new IllegalArgumentException(
-      s"$fn(text, n) expects 2 arguments, got ${args.length}")
+  private def intLiteralArg(args: Seq[Expression], fn: String,
+                            maxArity: Int = 2): Int = {
+    if (args.length < 2 || args.length > maxArity)
+      throw new IllegalArgumentException(
+        s"$fn(text, n) expects 2 arguments, got ${args.length}")
     if (!args(1).foldable) throw new IllegalArgumentException(
       s"$fn(text, n): n must be an integer literal, got ${args(1).sql}")
     args(1).eval() match {
@@ -57,50 +79,123 @@ object GraftExtensions {
     }
   }
 
-  private val shingleDescriptor = (
-    FunctionIdentifier("shingle_hashes"),
-    new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
-    (args: Seq[Expression]) =>
-      ShingleHashes(args(0), intLiteralArg(args, "shingle_hashes")))
+  /** Evaluate a foldable literal argument after casting it to `tpe` —
+    * the route every index-geometry argument (codebooks, centroids,
+    * serialized sketches) takes from SQL text into the expression's
+    * plan-time constant. */
+  private def literalArg(e: Expression, tpe: org.apache.spark.sql.types.DataType,
+                         fn: String): Any = {
+    val cast = Cast(e, tpe)
+    if (!cast.foldable) throw new IllegalArgumentException(
+      s"$fn: argument must be a literal, got ${e.sql}")
+    val v = cast.eval()
+    if (v == null) throw new IllegalArgumentException(
+      s"$fn: literal argument evaluated to null")
+    v
+  }
 
-  private val simhashDescriptor = (
-    FunctionIdentifier("simhash64"),
-    new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
-    (args: Seq[Expression]) => SimHash64(args(0)))
+  private def doubles2(e: Expression, fn: String): Array[Array[Double]] = {
+    val ad = literalArg(e, ArrayType(ArrayType(DoubleType)), fn)
+      .asInstanceOf[ArrayData]
+    Array.tabulate(ad.numElements())(i => ad.getArray(i).toDoubleArray())
+  }
 
-  private val orderedPairsDescriptor = (
-    FunctionIdentifier("ordered_pairs"),
-    new ExpressionInfo(classOf[OrderedPairs].getName, "ordered_pairs"),
-    (args: Seq[Expression]) => OrderedPairs(args(0)))
-
-  private val ngramTokensDescriptor = (
-    FunctionIdentifier("ngram_tokens"),
-    new ExpressionInfo(classOf[NgramTokens].getName, "ngram_tokens"),
-    (args: Seq[Expression]) =>
-      NgramTokens(args(0), intLiteralArg(args, "ngram_tokens")))
-
-  private val interleaveBitsDescriptor = (
-    FunctionIdentifier("interleave_bits"),
-    new ExpressionInfo(classOf[InterleaveBits].getName, "interleave_bits"),
-    (args: Seq[Expression]) => InterleaveBits(
-      Cast(args(0), IntegerType), Cast(args(1), IntegerType)))
-
-  private val minhashSigDescriptor = (
-    FunctionIdentifier("minhash_sig"),
-    new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
-    // SQL form minhash_sig(text, n): the hash family is the engine's
-    // standard one (the same constants the dedup oracles inline), so SQL
-    // users get signatures join-compatible with every dedup query
-    (args: Seq[Expression]) => MinHashSig(
-      args(0), intLiteralArg(args, "minhash_sig"),
-      graft.operators.Dedup.MinhashAB, graft.operators.Dedup.MinhashP))
-
-  /** Idempotent registration on an already-built session. */
-  def register(spark: SparkSession): Unit = {
-    Seq(cosineDescriptor, shingleDescriptor, simhashDescriptor,
-        orderedPairsDescriptor, ngramTokensDescriptor,
-        interleaveBitsDescriptor, minhashSigDescriptor).foreach { d =>
-      spark.sessionState.functionRegistry.registerFunction(d._1, d._2, d._3)
+  private def doubles3(e: Expression,
+                       fn: String): Array[Array[Array[Double]]] = {
+    val ad = literalArg(e, ArrayType(ArrayType(ArrayType(DoubleType))), fn)
+      .asInstanceOf[ArrayData]
+    Array.tabulate(ad.numElements()) { i =>
+      val in = ad.getArray(i)
+      Array.tabulate(in.numElements())(j => in.getArray(j).toDoubleArray())
     }
   }
+
+  private def longs2(e: Expression, fn: String): Array[Array[Long]] = {
+    val ad = literalArg(e, ArrayType(ArrayType(LongType)), fn)
+      .asInstanceOf[ArrayData]
+    Array.tabulate(ad.numElements())(i => ad.getArray(i).toLongArray())
+  }
+
+  private val shingleDescriptor =
+    descriptor("shingle_hashes", classOf[ShingleHashes]) { args =>
+      // optional third arg: portable = the 60-bit MD5-prefix family
+      // (`shingle_hashes(text, 3, true)`), hash-compatible with the
+      // dedup oracles' shingle CTEs
+      ShingleHashes(args(0), intLiteralArg(args, "shingle_hashes", 3),
+        portable = args.lift(2).exists(a =>
+          literalArg(a, BooleanType, "shingle_hashes") == true))
+    }
+
+  private val simhashDescriptor =
+    descriptor("simhash64", classOf[SimHash64]) { args =>
+      // optional second arg: portable = use the 60-bit MD5-prefix hash
+      // family (`simhash64(text, true)`) so SQL authors can build
+      // signatures band-compatible with dedup_simhash and its oracle
+      val portable = args.lift(1).exists(a =>
+        literalArg(a, BooleanType, "simhash64") == true)
+      SimHash64(args(0), portable)
+    }
+
+  private val orderedPairsDescriptor =
+    descriptor("ordered_pairs", classOf[OrderedPairs])(args =>
+      OrderedPairs(args(0)))
+
+  private val ngramTokensDescriptor =
+    descriptor("ngram_tokens", classOf[NgramTokens]) { args =>
+      NgramTokens(args(0), intLiteralArg(args, "ngram_tokens"))
+    }
+
+  private val interleaveBitsDescriptor =
+    descriptor("interleave_bits", classOf[InterleaveBits]) { args =>
+      InterleaveBits(Cast(args(0), IntegerType), Cast(args(1), IntegerType))
+    }
+
+  private val minhashSigDescriptor =
+    descriptor("minhash_sig", classOf[MinHashSig]) { args =>
+      // SQL form minhash_sig(text, n): the hash family is the engine's
+      // standard one (the same constants the dedup oracles inline), so SQL
+      // users get signatures join-compatible with every dedup query
+      MinHashSig(args(0), intLiteralArg(args, "minhash_sig"),
+                 graft.operators.Dedup.MinhashAB,
+                 graft.operators.Dedup.MinhashP)
+    }
+
+  private val nearestCentroidDescriptor =
+    descriptor("nearest_centroid", classOf[NearestCentroid]) { args =>
+      NearestCentroid(Cast(args(0), ArrayType(DoubleType)),
+                      doubles2(args(1), "nearest_centroid"))
+    }
+
+  private val pqAdcDescriptor =
+    descriptor("pq_adc", classOf[PqAdc]) { args =>
+      PqAdc(Cast(args(0), ArrayType(DoubleType)),
+            doubles3(args(1), "pq_adc"), longs2(args(2), "pq_adc"))
+    }
+
+  private val bloomDescriptor =
+    descriptor("bloom_might_contain", classOf[BloomMightContain]) { args =>
+      // bloom_might_contain(key, bloom_bytes): the second argument is the
+      // serialized filter (BloomFilter.writeTo) as a binary literal,
+      // deserialized once at plan build and shipped as a torrent
+      // broadcast exactly like the DataFrame path — the literal crosses
+      // the SQL boundary once, not per task
+      val bytes = literalArg(args(1), BinaryType, "bloom_might_contain")
+        .asInstanceOf[Array[Byte]]
+      val bloom = org.apache.spark.util.sketch.BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(bytes))
+      val bc = SparkSession.active.sparkContext.broadcast(bloom)
+      BloomMightContain(Cast(args(0), LongType), bc)
+    }
+
+  private def descriptors: Seq[Descriptor] = Seq(
+    cosineDescriptor, dotDescriptor, l2Descriptor, shingleDescriptor,
+    simhashDescriptor, orderedPairsDescriptor, ngramTokensDescriptor,
+    interleaveBitsDescriptor, minhashSigDescriptor,
+    nearestCentroidDescriptor, pqAdcDescriptor, bloomDescriptor)
+
+  /** Idempotent registration on an already-built session. */
+  def register(spark: SparkSession): Unit =
+    descriptors.foreach { d =>
+      spark.sessionState.functionRegistry.registerFunction(d._1, d._2, d._3)
+    }
 }
