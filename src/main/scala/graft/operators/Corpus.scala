@@ -908,8 +908,75 @@ object Corpus {
       .orderBy("tau_ppm")
   }
 
+  /** MID-EPOCH RESUME of the deterministic shuffle — the property that
+    * makes [[corpusShuffle]]'s salted permutation operationally better
+    * than a materialized shuffled copy: a training job that died after
+    * consuming the first K positions of each shard resumes by
+    * RECOMPUTING the permutation and filtering pos > K — no consumed-id
+    * ledger, no replay, because the (hash, doc_id) rank is a pure
+    * function of (corpus, epoch salt). Emits the per-shard resume
+    * manifest: total/skipped/remaining counts, the exact resume position
+    * and its document, and an order-invariant DECIMAL(38,0) digest of the
+    * remaining ids (sum of 40-bit salted hashes — exact under any
+    * partial-aggregation order) that lets the trainer ASSERT the resumed
+    * remainder equals the planned remainder before spending GPU time.
+    *
+    * Plan: the same ONE shard-keyed exchange as [[corpusShuffle]] (rank
+    * window + per-shard aggregate share it); the digest folds map-side.
+    * K is a constant here; in production it is the checkpoint's consumed
+    * count per shard, joined in as a tiny dimension. */
+  val corpusResumeSkip: Q = Q(
+    "corpus_resume_skip",
+    s"""WITH h AS (SELECT doc_id,
+      |    ${graft.functions.expressions.PortableHash
+               .duckdbSaltedSql("doc_id", ":epoch1", 15)} AS hv
+      |  FROM documents),
+      |sp AS (SELECT doc_id, CAST(hv % 8 AS INT) AS shard,
+      |    CAST(row_number() OVER (PARTITION BY hv % 8 ORDER BY hv, doc_id)
+      |      AS INT) AS pos
+      |  FROM h),
+      |dg AS (SELECT doc_id, shard, pos,
+      |    ${graft.functions.expressions.PortableHash
+               .duckdbSaltedSql("doc_id", ":resume", 10)} AS dh
+      |  FROM sp)
+      |SELECT shard, CAST(count(*) AS BIGINT) AS n_total,
+      |  CAST(count(*) FILTER (WHERE pos <= 16) AS BIGINT) AS n_skipped,
+      |  CAST(count(*) FILTER (WHERE pos > 16) AS BIGINT) AS n_remaining,
+      |  CAST(min(pos) FILTER (WHERE pos > 16) AS INT) AS resume_pos,
+      |  CAST(arg_min(doc_id, pos) FILTER (WHERE pos > 16) AS BIGINT)
+      |    AS resume_doc,
+      |  CAST(sum(dh) FILTER (WHERE pos > 16) AS DECIMAL(38,0))
+      |    AS remainder_digest
+      |FROM dg GROUP BY 1 ORDER BY shard""".stripMargin
+  ) { (s, d) =>
+    import graft.functions.TextFns.saltedHash
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy("hv", "doc_id")
+    val sp = Tables.documents(s, d)
+      .select(col("doc_id"), saltedHash(col("doc_id"), ":epoch1", 15).as("hv"))
+      .withColumn("shard", (col("hv") % 8).cast("int"))
+      .withColumn("pos", row_number().over(w))
+      .withColumn("dh", saltedHash(col("doc_id"), ":resume", 10))
+    val rem = col("pos") > 16
+    sp.groupBy("shard")
+      .agg(count(lit(1)).as("n_total"),
+           count(when(!rem, 1)).as("n_skipped"),
+           count(when(rem, 1)).as("n_remaining"),
+           min(when(rem, col("pos"))).as("resume_pos"),
+           min_by(when(rem, col("doc_id")), when(rem, col("pos")))
+             .as("resume_doc"),
+           // DECIMAL(38,0) accumulation: a 40-bit term summed over a
+           // 10¹²-doc shard clears int64; wide exact sums on both
+           // engines keep the digest well-defined at any scale
+           sum(when(rem, col("dh"))
+             .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+             .as("remainder_digest"))
+      .orderBy("shard")
+  }
+
   val all: Seq[Q] = Seq(corpusSplit, corpusPack, corpusSelect, docChunk,
     corpusDecontaminate, corpusMix, corpusShuffle, trainingManifest,
     corpusEntropy, corpusPipeline, corpusSplitLeakage, corpusSampleWeighted,
-    corpusSampleBalanced, corpusMixTemperature, corpusPruneSweep)
+    corpusSampleBalanced, corpusMixTemperature, corpusPruneSweep,
+    corpusResumeSkip)
 }

@@ -482,12 +482,16 @@ object Dedup {
     * n / 2^bits, so bits must grow with log2(n) to hold the pair stage
     * linear: the sf1 soak (docs/SCALE.md) measured `knn_join_lsh` at
     * exponent 1.28 with a fixed 6-bit width (10× data → 19× time) and
-    * back to ~linear at 10 bits, flattening right at the measured sizing
-    * rule bits ≈ log2(n/32). That rule IS the default now: bits =
-    * max(6, ⌈log2(n/32)⌉) from the parquet-footer row count
+    * back to ~linear once bits track log2(n). That rule IS the default
+    * now: bits = max(6, ⌈log2(n/16)⌉) from the parquet-footer row count
     * ([[Tables.metadataRowCount]] — metadata IO, no Spark job, so plan
-    * builders stay pure). The floor of 6 keeps every driver fixture
-    * (n ≤ 2000 ⟹ auto ≤ 6) on the same seeded plane pool as before;
+    * builders stay pure). Target occupancy is ~16/bucket rather than the
+    * round-5 table's ~32 because the round-6 re-measure on a regenerated
+    * (replica-correlated) sf1 corpus moved the cost knee one bit: 19.4s
+    * at 10 bits vs 13.6s at 11 — correlated corpora skew bucket loads,
+    * and one extra bit is cheap insurance (recall is the TABLES knob).
+    * The floor of 6 keeps every driver gate fixture (n ≤ 500 at sf0.01
+    * ⟹ auto ≤ 6) on the same seeded plane pool as before;
     * `graft.lsh.planesPerTable` remains as an explicit OVERRIDE for
     * recall/cost tuning, no longer the lifeline that linearity at scale
     * depends on. Oracles stay bit-exact at any width because the
@@ -498,7 +502,7 @@ object Dedup {
       .getOrElse {
         val n = math.max(Tables.metadataRowCount(s, d, "embeddings"), 1L)
         math.max(CosLshPlanesPerTable,
-          math.ceil(math.log(n.toDouble / 32) / math.log(2)).toInt)
+          math.ceil(math.log(n.toDouble / 16) / math.log(2)).toInt)
       }
     lastCosLshPpt.set(Some(ppt))
     ppt

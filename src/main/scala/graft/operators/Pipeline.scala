@@ -1407,11 +1407,94 @@ object Pipeline {
       .orderBy("event_type")
   }
 
+  /** The profiled columns: one spec row drives BOTH the Spark melt and
+    * the oracle SQL (the [[FkEdges]]/[[UniqKeys]] discipline). Every
+    * column profiles through an injective string cast, so null and
+    * distinct counts are representation-independent across engines. */
+  private val ProfileCols: Seq[String] =
+    Seq("event_type", "props", "user_id", "value")
+
+  /** PER-COLUMN PROFILE DRIFT between the stream's two halves — the
+    * structural companion to [[dqDriftKs]]/[[dqDriftPsi]] (those test
+    * the VALUE distribution of one numeric column; this audits every
+    * declared column's shape: volume, null rate, distinct cardinality),
+    * the census a data-contract monitor runs per ingest window to catch
+    * a feed that started sending nulls, an enum that grew a value, an id
+    * column whose cardinality collapsed. Exact integers throughout:
+    * counts are BIGINTs, null rates exact floor-DIV ppm, and the
+    * half-split is the same integer day midpoint as the drift pair.
+    *
+    * Plan: ONE melted scan (each row explodes to |cols| (column, value)
+    * entries) into one column-keyed aggregate — conditional counts fold
+    * map-side, the exact distinct-per-half pair rides the same exchange
+    * via Expand; output is |cols| rows. At 100 TB the melt is the
+    * honest cost (|cols|× the scan rows, all narrow); a per-column
+    * loop of separate scans would read the table |cols| times
+    * instead. */
+  val dqProfileDrift: Q = Q(
+    "dq_profile_drift",
+    {
+      val melt = ProfileCols.map { c =>
+        s"SELECT '$c' AS colname, CAST($c AS VARCHAR) AS sval, di FROM e"
+      }.mkString("\n  UNION ALL ")
+      s"""WITH e AS (SELECT epoch_ms(ts) // 86400000 AS di, user_id,
+         |    event_type, value, props FROM events),
+         |mid AS (SELECT (min(di) + max(di)) // 2 AS m FROM e),
+         |mlt AS (
+         |  $melt),
+         |a AS (SELECT colname,
+         |    count(*) FILTER (WHERE di <= (SELECT m FROM mid)) AS nr,
+         |    count(*) FILTER (WHERE di > (SELECT m FROM mid)) AS nc,
+         |    count(sval) FILTER (WHERE di <= (SELECT m FROM mid)) AS vr,
+         |    count(sval) FILTER (WHERE di > (SELECT m FROM mid)) AS vc,
+         |    count(DISTINCT sval)
+         |      FILTER (WHERE di <= (SELECT m FROM mid)) AS dr,
+         |    count(DISTINCT sval)
+         |      FILTER (WHERE di > (SELECT m FROM mid)) AS dc
+         |  FROM mlt GROUP BY 1)
+         |SELECT colname AS column_name,
+         |  CAST(nr AS BIGINT) AS n_ref, CAST(nc AS BIGINT) AS n_cur,
+         |  CAST((1000000 * (nr - vr)) // nr AS BIGINT) AS null_ppm_ref,
+         |  CAST((1000000 * (nc - vc)) // nc AS BIGINT) AS null_ppm_cur,
+         |  CAST(dr AS BIGINT) AS distinct_ref,
+         |  CAST(dc AS BIGINT) AS distinct_cur,
+         |  CAST(dc - dr AS BIGINT) AS distinct_delta
+         |FROM a ORDER BY column_name""".stripMargin
+    }
+  ) { (s, d) =>
+    val e = Tables.events(s, d)
+      .select(expr("unix_millis(ts) DIV 86400000").as("di"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+    val mid = e.agg(expr("(min(di) + max(di)) DIV 2").as("m"))
+    val mlt = e.crossJoin(broadcast(mid))
+      .select(col("di"), col("m"),
+        explode(array(ProfileCols.map(c =>
+          struct(lit(c).as("colname"),
+                 col(c).cast("string").as("sval"))): _*)).as("kv"))
+      .select(col("di"), col("m"),
+        col("kv.colname").as("colname"), col("kv.sval").as("sval"))
+    val ref = col("di") <= col("m")
+    mlt.groupBy("colname")
+      .agg(count(when(ref, 1)).as("nr"),
+           count(when(!ref, 1)).as("nc"),
+           count(when(ref, col("sval"))).as("vr"),
+           count(when(!ref, col("sval"))).as("vc"),
+           countDistinct(when(ref, col("sval"))).as("dr"),
+           countDistinct(when(!ref, col("sval"))).as("dc"))
+      .select(col("colname").as("column_name"),
+        col("nr").as("n_ref"), col("nc").as("n_cur"),
+        expr("(1000000 * (nr - vr)) DIV nr").as("null_ppm_ref"),
+        expr("(1000000 * (nc - vc)) DIV nc").as("null_ppm_cur"),
+        col("dr").as("distinct_ref"), col("dc").as("distinct_cur"),
+        (col("dc") - col("dr")).as("distinct_delta"))
+      .orderBy("column_name")
+  }
+
   val all: Seq[Q] = Seq(simplifyFlatten, denormalizePatient, graphEdges,
     graphTwohop, discoverySummary, ingestNdjson, snapshotExport, dqChecks,
     dqSkew, dqDriftKs, dqFreshness, graphPagerank, graphLabelProp,
     graphKcore, graphShortestPath, dqReferential, dqUniqueness,
     graphJaccard, graphJaccardHot, graphDegreeDist, storePruningStats,
     graphModularity,
-    dqDriftPsi)
+    dqDriftPsi, dqProfileDrift)
 }

@@ -832,9 +832,126 @@ object Streaming {
       .orderBy("from_type", "to_type")
   }
 
+  // the chain's spectral gap sets the transient length: at ppm
+  // resolution a second eigenvalue of ~0.95 needs ~270 rounds to settle,
+  // and each round is a |types|²-entry driver-side map — thousands are
+  // free, so the cap is sized for slow-mixing chains, not for cost
+  private val MarkovMaxRounds = 4096
+
+  /** Measured power-iteration round count of the last
+    * [[markovStationary]] run — unrolled by [[markovOracleSql]]
+    * post-run (the graph_kcore oracleGen discipline). */
+  private val markovMeasuredRounds =
+    new java.util.concurrent.atomic.AtomicReference[Option[Int]](None)
+
+  private def markovOracleSql(r: Int): String = {
+    val steps = (1 to r).map { i =>
+      s"""r$i AS (SELECT p.b AS t,
+         |  CAST(sum(pi${i - 1}.v * p.ppm) // 1000000 AS BIGINT) AS v
+         |  FROM pi${i - 1} JOIN p ON pi${i - 1}.t = p.a GROUP BY 1),
+         |pi$i AS (SELECT t,
+         |  CAST((v * 1000000) // (SELECT sum(v) FROM r$i) AS BIGINT) AS v
+         |  FROM r$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH o AS (SELECT user_id, event_type,
+       |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+       |      AS next_type
+       |  FROM events),
+       |c AS (SELECT event_type AS a, next_type AS b, count(*) AS n
+       |      FROM o WHERE next_type IS NOT NULL GROUP BY 1, 2),
+       |t AS (SELECT a, CAST(sum(n) AS BIGINT) AS tot FROM c GROUP BY 1),
+       |p AS (SELECT c.a, c.b, (1000000 * c.n) // t.tot AS ppm
+       |      FROM c JOIN t ON c.a = t.a),
+       |ty AS (SELECT DISTINCT event_type AS t FROM events),
+       |pi0 AS (SELECT t,
+       |  CAST(1000000 // (SELECT count(*) FROM ty) AS BIGINT) AS v FROM ty),
+       |$steps
+       |SELECT t AS event_type, CAST(v AS BIGINT) AS pi_ppm
+       |FROM pi$r ORDER BY event_type""".stripMargin
+  }
+
+  /** STATIONARY DISTRIBUTION of the event-type Markov chain — the
+    * long-run visit share each event type commands, the journey-level
+    * summary [[eventTransitions]]'s one-step probabilities and
+    * [[markovTwoStep]]'s P² feed into: power-iterate π ← normalize(πP)
+    * from the uniform start in EXACT ppm arithmetic (BIGINT products,
+    * one floor DIV per entry — [[markovTwoStep]]'s quantization — then
+    * an exact integer renormalization back to Σ≈10⁶, without which the
+    * per-entry floors DRAIN ~|types| ppm of mass per round and the
+    * iteration decreases forever instead of stabilizing) until the
+    * vector is a FIXPOINT, `require`d within [[MarkovMaxRounds]]. A
+    * ±1-ppm limit cycle (possible in floored integer iteration) stops
+    * DETERMINISTICALLY at the first revisited state — the oracle
+    * replays the same rounds either way, so the stopping rule is part
+    * of the certified semantics, not a heuristic.
+    *
+    * Scale posture: P comes from ONE corpus-sized partial+final
+    * aggregate (the [[eventTransitions]] plan); the iteration state is
+    * bounded by the TYPE DOMAIN (|types|² entries), so it runs
+    * driver-side — the [[Bpe]] bounded-collect discipline, identical at
+    * any corpus size because types, not events, bound it. The measured
+    * round count is recorded and the DuckDB oracle replays exactly those
+    * rounds as chained CTEs over its own independently-computed P, so
+    * the hash match certifies transition extraction AND every iteration
+    * round across engines. */
+  val markovStationary: Q = Q.noOracle("markov_stationary") { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val c = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("a"), col("next_type").as("b"))
+      .agg(count(lit(1)).as("n"))
+    val t = c.groupBy("a").agg(sum(col("n")).as("tot"))
+    // the bounded collects: |types|² transition entries + the type list
+    val p = c.join(t, Seq("a"))
+      .select(col("a"), col("b"), expr("(1000000 * n) DIV tot").as("ppm"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val types = Tables.events(s, d).select(col("event_type"))
+      .distinct().collect().map(_.getString(0)).sorted
+    var pi: Map[String, Long] =
+      types.map(_ -> java.lang.Math.floorDiv(1000000L, types.length.toLong))
+        .toMap
+    val targets = p.map(_._2).distinct
+    def step(cur: Map[String, Long]): Map[String, Long] = {
+      val raw = targets.flatMap { b =>
+        val terms = p.filter(e => e._2 == b && cur.contains(e._1))
+        if (terms.isEmpty) None
+        else Some(b -> java.lang.Math.floorDiv(
+          terms.map(e => cur(e._1) * e._3).sum, 1000000L))
+      }.toMap
+      // renormalize: per-entry floors drain ~|types| ppm per round —
+      // without this the vector strictly decreases and never stabilizes
+      val mass = raw.values.sum
+      if (mass == 0) raw
+      else raw.map { case (k, v) =>
+        k -> java.lang.Math.floorDiv(v * 1000000L, mass)
+      }
+    }
+    val seen = scala.collection.mutable.Set[Map[String, Long]](pi)
+    var rounds = 0
+    var done = false
+    while (!done && rounds < MarkovMaxRounds) {
+      val next = step(pi)
+      rounds += 1
+      if (next == pi) done = true
+      else if (!seen.add(next)) { pi = next; done = true } // limit cycle:
+        // stop deterministically at the first revisited state
+      else pi = next
+    }
+    require(done,
+      s"markov_stationary did not converge in $MarkovMaxRounds rounds")
+    markovMeasuredRounds.set(Some(rounds))
+    import s.implicits._
+    pi.toSeq.sortBy(_._1).toDF("event_type", "pi_ppm")
+  }.copy(
+    eager = true, // transition collect + driver iteration at plan build
+    oracleGen = Some(() => markovMeasuredRounds.get().map(markovOracleSql)))
+
   val all: Seq[Q] = Seq(streamTumbling, streamHopping, streamSession,
     resampleGapfill, resampleInterp, funnel, eventPaths, retentionCohort,
     eventTransitions, ohlcBars, sessionizeGaps, patternSeq,
     attributionLastclick, attributionLinear, scd2, joinPit,
-    sessionConcurrency, markovTwoStep)
+    sessionConcurrency, markovTwoStep, markovStationary)
 }

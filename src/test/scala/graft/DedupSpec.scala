@@ -542,8 +542,8 @@ class DedupSpec extends SparkSpec {
   }
 
   test("LSH band width auto-sizes from the corpus footer count above the floor") {
-    // a corpus big enough that the measured rule max(6, ceil(log2(n/32)))
-    // exceeds the fixture floor: n=5000 -> ceil(log2(156.25)) = 8. The
+    // a corpus big enough that the measured rule max(6, ceil(log2(n/16)))
+    // exceeds the fixture floor: n=5000 -> ceil(log2(312.5)) = 9. The
     // width is derived from parquet FOOTERS (no Spark job) and the
     // post-run oracle renderer unrolls the same width, so the engine no
     // longer needs an operator to remember a session conf to stay
@@ -554,11 +554,11 @@ class DedupSpec extends SparkSpec {
       .select(col("id").as("vec_id"),
         array(lit(0.1f), lit(0.2f)).as("embedding"))
       .coalesce(1).write.parquet(s"$tmp/embeddings.parquet")
-    assert(Dedup.cosLshPpt(spark, tmp) == 8,
-      "n=5000 must auto-size to 8 bits per table")
+    assert(Dedup.cosLshPpt(spark, tmp) == 9,
+      "n=5000 must auto-size to 9 bits per table")
     // and the recorded width drives the generated oracle SQL
-    assert(Dedup.lastCosLshPpt.get().contains(8))
-    assert(Dedup.dedupCosineLsh.oracleNow.exists(_.contains("j // 8")),
+    assert(Dedup.lastCosLshPpt.get().contains(9))
+    assert(Dedup.dedupCosineLsh.oracleNow.exists(_.contains("j // 9")),
       "post-run oracle must unroll the width actually used")
     // restore: driver fixtures re-record the floor width
     assert(Dedup.cosLshPpt(spark, sf0001) == 6)
