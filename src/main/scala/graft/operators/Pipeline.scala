@@ -3,7 +3,7 @@ package graft.operators
 import graft.{PlanUtil, Q, Tables}
 import graft.Tables.{asDouble, money}
 import graft.plans.SchemaFlattener
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Reference-shaped ETL pipeline operators (SURVEY.md §2.1–§2.3, §7.2 step
@@ -1490,11 +1490,113 @@ object Pipeline {
       .orderBy("column_name")
   }
 
+  /** WELCH T-TEST mean-shift drift per event type between the stream's
+    * halves — the third member of the drift triad: [[dqDriftKs]] tests
+    * the whole DISTRIBUTION, [[dqDriftPsi]] attributes drift to BINS,
+    * this one answers the first question an on-call asks — "did the
+    * MEAN move, and is the move larger than the noise?" — with the
+    * classical unequal-variance t statistic.
+    *
+    * Determinism: the sufficient statistics are exact — counts BIGINT,
+    * Σvalue and Σvalue² in integer cents accumulated in DECIMAL(38,0)
+    * (cent-squared sums clear int64 around 10¹¹ rows — the [[Relational
+    * .aggGini]] wide-sum discipline, applied before it bites rather than
+    * after); every double then derives from ONE shared fully-
+    * parenthesized expression over exact-integer casts, so both engines
+    * round identically (the [[graft.operators.TimeSeries]] rule). The
+    * half split is the same integer day midpoint as the other two drift
+    * queries, so the triad audits the same two windows.
+    *
+    * Plan: one partial+final aggregate over a 3-column scan; output is
+    * |types| rows. t is reported in micro-units (floor-quantized from
+    * the one shared double) alongside the raw double means, and the
+    * |t| > 3 flag is computed on the exact micro value so the boolean
+    * cannot straddle an engine rounding difference. */
+  val dqDriftTtest: Q = Q(
+    "dq_drift_ttest",
+    """WITH e AS (SELECT event_type,
+      |    epoch_ms(ts) // 86400000 AS di,
+      |    CAST(round(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT) AS c
+      |  FROM events WHERE value IS NOT NULL),
+      |mid AS (SELECT (min(di) + max(di)) // 2 AS m FROM e),
+      |s AS (SELECT event_type,
+      |    count(*) FILTER (WHERE di <= (SELECT m FROM mid)) AS n1,
+      |    count(*) FILTER (WHERE di > (SELECT m FROM mid)) AS n2,
+      |    CAST(sum(c) FILTER (WHERE di <= (SELECT m FROM mid))
+      |      AS DECIMAL(38,0)) AS s1,
+      |    CAST(sum(c) FILTER (WHERE di > (SELECT m FROM mid))
+      |      AS DECIMAL(38,0)) AS s2,
+      |    sum(CAST(c AS HUGEINT) * c)
+      |      FILTER (WHERE di <= (SELECT m FROM mid)) AS q1,
+      |    sum(CAST(c AS HUGEINT) * c)
+      |      FILTER (WHERE di > (SELECT m FROM mid)) AS q2
+      |  FROM e GROUP BY 1),
+      |d AS (SELECT event_type, n1, n2,
+      |    CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS m1,
+      |    CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS m2,
+      |    (CAST(q1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+      |      - (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+      |        * (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)))
+      |      * (CAST(n1 AS DOUBLE) / CAST(n1 - 1 AS DOUBLE)) AS v1,
+      |    (CAST(q2 AS DOUBLE) / CAST(n2 AS DOUBLE)
+      |      - (CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+      |        * (CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE)))
+      |      * (CAST(n2 AS DOUBLE) / CAST(n2 - 1 AS DOUBLE)) AS v2
+      |  FROM s WHERE n1 > 1 AND n2 > 1)
+      |SELECT event_type,
+      |  CAST(n1 AS BIGINT) AS n_first, CAST(n2 AS BIGINT) AS n_second,
+      |  m1 AS mean_first_cents, m2 AS mean_second_cents,
+      |  CAST(floor(1000000 * ((m1 - m2)
+      |    / sqrt(v1 / CAST(n1 AS DOUBLE) + v2 / CAST(n2 AS DOUBLE))))
+      |    AS BIGINT) AS t_micro,
+      |  abs(CAST(floor(1000000 * ((m1 - m2)
+      |    / sqrt(v1 / CAST(n1 AS DOUBLE) + v2 / CAST(n2 AS DOUBLE))))
+      |    AS BIGINT)) > 3000000 AS mean_shifted
+      |FROM d ORDER BY event_type""".stripMargin
+  ) { (s, d) =>
+    import org.apache.spark.sql.types.DecimalType
+    val dec38 = DecimalType(38, 0)
+    val e = Tables.events(s, d)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"),
+        expr("unix_millis(ts) DIV 86400000").as("di"),
+        round(col("value").cast(DecimalType(18, 2)) * 100, 0)
+          .cast("long").as("c"))
+    val mid = e.agg(expr("(min(di) + max(di)) DIV 2").as("m"))
+    val ref = col("di") <= col("m")
+    val st = e.crossJoin(broadcast(mid))
+      .groupBy("event_type")
+      .agg(count(when(ref, 1)).as("n1"), count(when(!ref, 1)).as("n2"),
+           sum(when(ref, col("c")).cast(dec38)).as("s1"),
+           sum(when(!ref, col("c")).cast(dec38)).as("s2"),
+           sum(when(ref, col("c").cast(dec38) * col("c"))).as("q1"),
+           sum(when(!ref, col("c").cast(dec38) * col("c"))).as("q2"))
+      .filter(col("n1") > 1 && col("n2") > 1)
+    val m1 = col("s1").cast("double") / col("n1").cast("double")
+    val m2 = col("s2").cast("double") / col("n2").cast("double")
+    def variance(q: Column, sm: Column, n: Column): Column =
+      (q.cast("double") / n.cast("double")
+        - (sm.cast("double") / n.cast("double"))
+          * (sm.cast("double") / n.cast("double"))) *
+        (n.cast("double") / (n - 1).cast("double"))
+    val v1 = variance(col("q1"), col("s1"), col("n1"))
+    val v2 = variance(col("q2"), col("s2"), col("n2"))
+    val tMicro = floor(lit(1000000) * ((m1 - m2) /
+      sqrt(v1 / col("n1").cast("double") + v2 / col("n2").cast("double"))))
+      .cast("long")
+    st.select(col("event_type"),
+        col("n1").as("n_first"), col("n2").as("n_second"),
+        m1.as("mean_first_cents"), m2.as("mean_second_cents"),
+        tMicro.as("t_micro"),
+        (abs(tMicro) > 3000000L).as("mean_shifted"))
+      .orderBy("event_type")
+  }
+
   val all: Seq[Q] = Seq(simplifyFlatten, denormalizePatient, graphEdges,
     graphTwohop, discoverySummary, ingestNdjson, snapshotExport, dqChecks,
     dqSkew, dqDriftKs, dqFreshness, graphPagerank, graphLabelProp,
     graphKcore, graphShortestPath, dqReferential, dqUniqueness,
     graphJaccard, graphJaccardHot, graphDegreeDist, storePruningStats,
     graphModularity,
-    dqDriftPsi, dqProfileDrift)
+    dqDriftPsi, dqProfileDrift, dqDriftTtest)
 }
