@@ -28,26 +28,30 @@ object Bench {
     //    training here and serve from cache in later passes; publishing
     //    both columns keeps round-over-round comparisons honest instead
     //    of letting cache order masquerade as a plan win (VERDICT r4).
-    def onePass(): Seq[(String, Double)] =
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-        val t0 = System.nanoTime()
-        // noop sink forces full evaluation of every column (count() lets
-        // Catalyst prune the projections away)
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
-        name -> (System.nanoTime() - t0) / 1e9
-      }
+    val qs = SparkEntry.queries
+    val names = qs.keys.toSeq.sorted
+    // noop sink forces full evaluation of every column (count() lets
+    // Catalyst prune the projections away). Failed queries get NO time
+    // entry and land in `errors` instead (BenchHarness contract).
+    def onePass(): (Seq[(String, Double)], Map[String, String]) =
+      BenchHarness.pass(names,
+        n => qs(n)(spark, sfDir).write.format("noop").mode("overwrite").save(),
+        "bench")
     val passes = Seq.fill(3)(onePass())
-    val cold = passes.head.toMap
-    val results = passes.flatten.groupMapReduce(_._1)(_._2)(math.min)
+    val errors = BenchHarness.mergeErrors(passes.map(_._2))
+    val cold = passes.head._1.toMap
+    val results = passes.flatMap(_._1).groupMapReduce(_._1)(_._2)(math.min)
     def jmap(m: Map[String, Double]): String =
       m.toSeq.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + v }
         .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val totalCold = if (cold.nonEmpty) cold.values.sum else 0.0
+    val errJson = BenchHarness.errorsJson(errors)
+    val heap = BenchHarness.heapMaxMb
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},""" +
-      s""""total_cold":$totalCold,"queries":${jmap(results)},""" +
+      s""""total_cold":$totalCold,"errors":$errJson,"heap_max_mb":$heap,""" +
+      s""""queries":${jmap(results)},""" +
       s""""queries_cold":${jmap(cold)},"sf":"$sfDir"}"""
     // Full per-query artifact goes to a FILE: at 171 queries the JSON is
     // ~10 KB and the driver's bounded tail capture truncates it mid-line
@@ -63,9 +67,13 @@ object Bench {
     val top10 = results.toSeq.sortBy(-_._2).take(10).toMap
     val short =
       s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},""" +
-      s""""total_cold":$totalCold,"queries":${jmap(top10)},""" +
+      s""""total_cold":$totalCold,"errors":$errJson,"heap_max_mb":$heap,""" +
+      s""""queries":${jmap(top10)},""" +
       s""""detail":"$outFile","sf":"$sfDir"}"""
     println(short)
     spark.stop()
+    // A bench with failed queries is a truncated artifact — say so in the
+    // exit code, not just stderr (the round-6 sf10 OOM hid behind rc=0).
+    if (errors.nonEmpty) sys.exit(1)
   }
 }

@@ -1,0 +1,69 @@
+package graft
+
+/** Shared pass-runner for [[Bench]] and [[tools.Soak]].
+  *
+  * Round-6 post-mortem: both tools caught per-query exceptions and printed
+  * them to stderr only, so a query that OOM'd or threw appeared in the JSON
+  * artifact as a missing (or implausibly fast) entry under `rc=0` — an
+  * sf10 soak at the default 8 GB heap silently lost queries mid-round and
+  * cost a debugging cycle. The contract now: a failed query gets NO time
+  * entry (never a bogus fast one), DOES get an entry in the `errors` map
+  * that is embedded in the JSON artifact, and the tool exits non-zero when
+  * any query failed — so a truncated artifact can no longer look complete.
+  */
+object BenchHarness {
+
+  /** One timing pass over `names`. `run` must fully evaluate the query
+    * (noop-sink write). Returns times for the queries that succeeded and
+    * a message per query that threw. */
+  def pass(names: Seq[String], run: String => Unit, tag: String)
+      : (Seq[(String, Double)], Map[String, String]) = {
+    val times = Seq.newBuilder[(String, Double)]
+    val errs = Map.newBuilder[String, String]
+    names.foreach { name =>
+      val t0 = System.nanoTime()
+      try {
+        run(name)
+        times += name -> (System.nanoTime() - t0) / 1e9
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[$tag] $name: $e")
+          errs += name ->
+            s"${e.getClass.getName}: ${String.valueOf(e.getMessage).take(300)}"
+      }
+    }
+    (times.result(), errs.result())
+  }
+
+  /** Merge per-pass error maps; the FIRST message per query wins (the
+    * cold-pass failure is usually the informative one — later passes often
+    * fail with a follow-on symptom of the same root cause). */
+  def mergeErrors(perPass: Seq[Map[String, String]]): Map[String, String] =
+    perPass.foldLeft(Map.empty[String, String])((acc, m) => m ++ acc)
+
+  /** Minimal JSON string escaping — error messages routinely carry quotes,
+    * backslashes (Windows-style paths never, but regexes yes) and
+    * newlines from multi-line Spark exceptions. */
+  def jsonStr(s: String): String = {
+    val b = new StringBuilder("\"")
+    s.foreach {
+      case '"' => b.append("\\\"")
+      case '\\' => b.append("\\\\")
+      case '\n' => b.append("\\n")
+      case '\r' => b.append("\\r")
+      case '\t' => b.append("\\t")
+      case c if c < ' ' => b.append(f"\\u${c.toInt}%04x")
+      case c => b.append(c)
+    }
+    b.append('"').toString
+  }
+
+  def errorsJson(errors: Map[String, String]): String =
+    errors.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"${jsonStr(k)}:${jsonStr(v)}" }
+      .mkString("{", ",", "}")
+
+  /** -Xmx actually in effect, recorded in every artifact so a SCALE.md
+    * column can never again silently mix 8 GB and 64 GB runs. */
+  def heapMaxMb: Long = Runtime.getRuntime.maxMemory() >> 20
+}

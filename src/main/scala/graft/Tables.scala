@@ -84,11 +84,24 @@ object Tables {
       val conf = s.sparkContext.hadoopConfiguration
       val p = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
       val fs = p.getFileSystem(conf)
-      val files =
-        if (fs.getFileStatus(p).isDirectory)
-          fs.listStatus(p).toSeq
-            .filter(_.getPath.getName.endsWith(".parquet"))
-        else Seq(fs.getFileStatus(p))
+      // RECURSIVE listing: a partitioned/bucketed layout nests its part
+      // files under key=value subdirectories — a flat listStatus would see
+      // zero footers, silently report 0 rows, and auto-sized parameters
+      // (the LSH band width) would collapse to their floor, reintroducing
+      // the exact super-linear regression auto-sizing exists to prevent.
+      val files: Seq[org.apache.hadoop.fs.FileStatus] =
+        if (fs.getFileStatus(p).isDirectory) {
+          val it = fs.listFiles(p, true)
+          val b = Seq.newBuilder[org.apache.hadoop.fs.FileStatus]
+          while (it.hasNext) {
+            val st = it.next()
+            if (st.getPath.getName.endsWith(".parquet")) b += st
+          }
+          b.result()
+        } else Seq(fs.getFileStatus(p))
+      require(files.nonEmpty,
+        s"metadataRowCount: no .parquet files under $p — an unreadable " +
+        "layout must fail loudly, not under-size data-dependent plan knobs")
       files.map { st =>
         val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
           org.apache.parquet.hadoop.util.HadoopInputFile

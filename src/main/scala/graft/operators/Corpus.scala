@@ -943,7 +943,8 @@ object Corpus {
       |  CAST(count(*) FILTER (WHERE pos <= 16) AS BIGINT) AS n_skipped,
       |  CAST(count(*) FILTER (WHERE pos > 16) AS BIGINT) AS n_remaining,
       |  CAST(min(pos) FILTER (WHERE pos > 16) AS INT) AS resume_pos,
-      |  CAST(arg_min(doc_id, pos) FILTER (WHERE pos > 16) AS BIGINT)
+      |  CAST(arg_min(CASE WHEN pos > 16 THEN doc_id END,
+      |               CASE WHEN pos > 16 THEN pos END) AS BIGINT)
       |    AS resume_doc,
       |  CAST(sum(dh) FILTER (WHERE pos > 16) AS DECIMAL(38,0))
       |    AS remainder_digest

@@ -1042,8 +1042,11 @@ object Pipeline {
     * counts aggregate per pair, and J needs no post-joins because
     * degrees ride inside the lists. Pair fan-out per part is bounded by
     * the same stop-cap discipline (a part supplied by thousands of
-    * suppliers is a commodity hub, not a similarity signal); the cap
-    * never binds at test scale, so the plain self-join oracle agrees.
+    * suppliers is a commodity hub, not a similarity signal); the [2,
+    * 1024] posting width is MIRRORED in the oracle's pair-generation CTE
+    * (degrees stay full-adjacency) — the [[graphJaccardHot]] discipline
+    * — so the certified semantics stay identical above fixture density
+    * instead of silently diverging when a part crosses 1024 suppliers.
     * Adjacency, dedup, and degrees all come from ONE supplier-keyed
     * `collect_set` aggregate (the set IS the distinct, its size IS the
     * degree — map-side partial sets also shrink the exchange), re-melted
@@ -1089,8 +1092,11 @@ object Pipeline {
     "graph_jaccard",
     """WITH adj AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem),
       |deg AS (SELECT s, count(*) AS dg FROM adj GROUP BY 1),
+      |psz AS (SELECT p, count(*) AS np FROM adj GROUP BY 1),
+      |cp AS (SELECT adj.s, adj.p FROM adj JOIN psz USING (p)
+      |       WHERE np BETWEEN 2 AND 1024),
       |ex AS (SELECT a.s AS s_a, b.s AS s_b, count(*) AS inter
-      |       FROM adj a JOIN adj b ON a.p = b.p AND a.s < b.s
+      |       FROM cp a JOIN cp b ON a.p = b.p AND a.s < b.s
       |       GROUP BY 1, 2)
       |SELECT s_a, s_b, CAST(inter AS BIGINT) AS inter,
       |  CAST(inter AS DOUBLE) / (da.dg + db.dg - inter) AS jaccard
@@ -1454,8 +1460,10 @@ object Pipeline {
          |  FROM mlt GROUP BY 1)
          |SELECT colname AS column_name,
          |  CAST(nr AS BIGINT) AS n_ref, CAST(nc AS BIGINT) AS n_cur,
-         |  CAST((1000000 * (nr - vr)) // nr AS BIGINT) AS null_ppm_ref,
-         |  CAST((1000000 * (nc - vc)) // nc AS BIGINT) AS null_ppm_cur,
+         |  CAST((1000000 * (nr - vr)) // nullif(nr, 0) AS BIGINT)
+         |    AS null_ppm_ref,
+         |  CAST((1000000 * (nc - vc)) // nullif(nc, 0) AS BIGINT)
+         |    AS null_ppm_cur,
          |  CAST(dr AS BIGINT) AS distinct_ref,
          |  CAST(dc AS BIGINT) AS distinct_cur,
          |  CAST(dc - dr AS BIGINT) AS distinct_delta
@@ -1483,8 +1491,12 @@ object Pipeline {
            countDistinct(when(!ref, col("sval"))).as("dc"))
       .select(col("colname").as("column_name"),
         col("nr").as("n_ref"), col("nc").as("n_cur"),
-        expr("(1000000 * (nr - vr)) DIV nr").as("null_ppm_ref"),
-        expr("(1000000 * (nc - vc)) DIV nc").as("null_ppm_cur"),
+        // nullif guard: a stream whose events all land in ONE half makes
+        // the other half's count 0 — Spark DIV yields NULL but DuckDB //
+        // raises, so the guard (mirrored in the oracle) makes degenerate
+        // data produce identical NULL rows on both engines
+        expr("(1000000 * (nr - vr)) DIV nullif(nr, 0)").as("null_ppm_ref"),
+        expr("(1000000 * (nc - vc)) DIV nullif(nc, 0)").as("null_ppm_cur"),
         col("dr").as("distinct_ref"), col("dc").as("distinct_cur"),
         (col("dc") - col("dr")).as("distinct_delta"))
       .orderBy("column_name")
@@ -1552,7 +1564,9 @@ object Pipeline {
       |  abs(CAST(floor(1000000 * ((m1 - m2)
       |    / sqrt(v1 / CAST(n1 AS DOUBLE) + v2 / CAST(n2 AS DOUBLE))))
       |    AS BIGINT)) > 3000000 AS mean_shifted
-      |FROM d ORDER BY event_type""".stripMargin
+      |FROM d
+      |WHERE v1 / CAST(n1 AS DOUBLE) + v2 / CAST(n2 AS DOUBLE) > 0
+      |ORDER BY event_type""".stripMargin
   ) { (s, d) =>
     import org.apache.spark.sql.types.DecimalType
     val dec38 = DecimalType(38, 0)
@@ -1584,7 +1598,14 @@ object Pipeline {
     val tMicro = floor(lit(1000000) * ((m1 - m2) /
       sqrt(v1 / col("n1").cast("double") + v2 / col("n2").cast("double"))))
       .cast("long")
-    st.select(col("event_type"),
+    // degenerate-data guard (mirrored in the oracle's WHERE): a
+    // zero-variance event type makes t = ±∞ or 0/0 = NaN, and the
+    // engines disagree on casting those to BIGINT (Spark saturates/zeros,
+    // DuckDB raises) — excluding the undefined-t rows keeps the two
+    // engines identical on ANY data, not just the fixture
+    st.filter(v1 / col("n1").cast("double")
+        + v2 / col("n2").cast("double") > 0)
+      .select(col("event_type"),
         col("n1").as("n_first"), col("n2").as("n_second"),
         m1.as("mean_first_cents"), m2.as("mean_second_cents"),
         tMicro.as("t_micro"),

@@ -838,6 +838,11 @@ object Streaming {
   // free, so the cap is sized for slow-mixing chains, not for cost
   private val MarkovMaxRounds = 4096
 
+  // the bounded-collect bound itself (VERDICT r6 #3): |types|² ppm
+  // entries at 1024 types is ~1M tuples — comfortably driver-sized; past
+  // that the operator must refuse loudly instead of OOMing the driver
+  private[operators] val MarkovMaxTypes = 1024L
+
   /** Measured power-iteration round count of the last
     * [[markovStationary]] run — unrolled by [[markovOracleSql]]
     * post-run (the graph_kcore oracleGen discipline). */
@@ -904,6 +909,19 @@ object Streaming {
       .groupBy(col("event_type").as("a"), col("next_type").as("b"))
       .agg(count(lit(1)).as("n"))
     val t = c.groupBy("a").agg(sum(col("n")).as("tot"))
+    // GUARD the bound before collecting: the |types|² design is only
+    // driver-safe while the state domain is a type enum. On a frame whose
+    // event_type is effectively high-cardinality (ids, URLs) this must
+    // fail with a message, not OOM the driver mid-collect.
+    val nTypes = Tables.events(s, d)
+      .agg(count_distinct(col("event_type"))).head().getLong(0)
+    require(nTypes <= MarkovMaxTypes,
+      s"markov_stationary collects the |types|^2 transition matrix " +
+      s"driver-side (bounded-collect discipline); $nTypes distinct " +
+      s"event_type values exceeds the $MarkovMaxTypes cap. For a " +
+      "high-cardinality state domain keep the iteration distributed: " +
+      "join the pi vector against the transition DataFrame per round " +
+      "with checkpointTruncated (the graph_pagerank plan shape).")
     // the bounded collects: |types|² transition entries + the type list
     val p = c.join(t, Seq("a"))
       .select(col("a"), col("b"), expr("(1000000 * n) DIV tot").as("ppm"))

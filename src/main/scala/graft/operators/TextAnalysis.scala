@@ -900,8 +900,8 @@ object TextAnalysis {
       |      FROM seg s JOIN d2 USING (seg))
       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segs,
       |  CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
-      |  coalesce(array_to_string(list(seg ORDER BY seg_pos)
-      |             FILTER (WHERE df < 2), ' '), '') AS clean_text
+      |  coalesce(string_agg(CASE WHEN df < 2 THEN seg END, ' '
+      |             ORDER BY seg_pos), '') AS clean_text
       |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
   ) { (s, d) =>
     val toks = split(col("text"), " ")

@@ -200,8 +200,9 @@ object Vectors {
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
     // bits-per-table AUTO-SIZES from the corpus footer count — max(6,
-    // ⌈log2(n/32)⌉), the rule docs/SCALE.md measured (exponent 1.28 at a
-    // fixed 6 bits at sf1, 0.79 once sized); `graft.lsh.planesPerTable`
+    // ⌈log2(n/16)⌉) (Dedup.cosLshPpt), the rule docs/SCALE.md measured
+    // (exponent 1.28 at a fixed 6 bits at sf1, 0.79 once sized, 0.75
+    // across sf1→sf10 at auto 14 bits); `graft.lsh.planesPerTable`
     // is the explicit override, and the oracle re-renders post-run from
     // the width actually used
     val bands = Dedup.cosLshBands(e, Dedup.cosLshPpt(s, d))

@@ -63,12 +63,16 @@ object Authz {
     check(user, program, project, "read-storage", logs)
 
   /** `project_id` must be `<program>-<project>` (reference asserts and
-    * splits on '-', :55-59). */
+    * splits on '-', :55-59). STRICT two-part unpack, matching the
+    * reference's `program, project = project_id.split('-')`: a second
+    * dash raises there (too many values to unpack), so `a-b-c` is
+    * rejected here too rather than generalized to (a, b-c). */
   def splitProjectId(projectId: String): (String, String) = {
-    val i = projectId.indexOf('-')
-    require(i > 0 && i < projectId.length - 1,
-      s"project_id must be <program>-<project>, got '$projectId'")
-    (projectId.substring(0, i), projectId.substring(i + 1))
+    val parts = projectId.split("-", -1)
+    require(parts.length == 2 && parts(0).nonEmpty && parts(1).nonEmpty,
+      s"project_id must be <program>-<project> (exactly one '-'), " +
+      s"got '$projectId'")
+    (parts(0), parts(1))
   }
 
   /** Parse an arborist-shaped profile JSON:

@@ -64,9 +64,11 @@ object GraftExtensions {
     * intended message, not an IndexOutOfBounds / unresolved-eval error. */
   private def intLiteralArg(args: Seq[Expression], fn: String,
                             maxArity: Int = 2): Int = {
-    if (args.length < 2 || args.length > maxArity)
+    if (args.length < 2 || args.length > maxArity) {
+      val arity = if (maxArity > 2) s"2 to $maxArity" else "2"
       throw new IllegalArgumentException(
-        s"$fn(text, n) expects 2 arguments, got ${args.length}")
+        s"$fn(text, n, ...) expects $arity arguments, got ${args.length}")
+    }
     if (!args(1).foldable) throw new IllegalArgumentException(
       s"$fn(text, n): n must be an integer literal, got ${args(1).sql}")
     args(1).eval() match {
@@ -172,19 +174,64 @@ object GraftExtensions {
             doubles3(args(1), "pq_adc"), longs2(args(2), "pq_adc"))
     }
 
+  private type BloomBc =
+    org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter]
+
+  /** Function builders run PER ANALYSIS: every `spark.sql` call — and
+    * every re-analysis of a view that uses the function — re-invokes the
+    * builder, so broadcasting unconditionally here would accumulate one
+    * never-destroyed broadcast per parse: an unbounded driver/executor
+    * memory leak in a long-lived SQL session. Broadcasts are therefore
+    * memoized by (application, filter-bytes digest) in an access-ordered
+    * LRU whose evicted entries are destroyed. The cap is sized for "many
+    * distinct trained filters live in one session"; SparkContext is a JVM
+    * singleton, so keying by applicationId also invalidates entries across
+    * a context restart instead of serving a dead broadcast. */
+  private val BloomBroadcastCap = 64
+  private val bloomBroadcasts =
+    new java.util.LinkedHashMap[String, BloomBc](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, BloomBc]): Boolean =
+        (size() > BloomBroadcastCap) && {
+          // best-effort: the context owning an old entry may be stopped
+          try e.getValue.destroy() catch { case _: Exception => () }
+          true
+        }
+    }
+
+  private[graft] def bloomBroadcast(bytes: Array[Byte]): BloomBc = {
+    val sc = SparkSession.active.sparkContext
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(bytes).map("%02x".format(_)).mkString
+    val key = s"${sc.applicationId}:$digest"
+    bloomBroadcasts.synchronized {
+      val hit = bloomBroadcasts.get(key)
+      if (hit != null) hit
+      else {
+        val bloom = org.apache.spark.util.sketch.BloomFilter.readFrom(
+          new java.io.ByteArrayInputStream(bytes))
+        val bc = sc.broadcast(bloom)
+        bloomBroadcasts.put(key, bc)
+        bc
+      }
+    }
+  }
+
+  /** Live broadcast count for the leak-regression spec. */
+  private[graft] def bloomBroadcastCount: Int =
+    bloomBroadcasts.synchronized(bloomBroadcasts.size())
+
   private val bloomDescriptor =
     descriptor("bloom_might_contain", classOf[BloomMightContain]) { args =>
       // bloom_might_contain(key, bloom_bytes): the second argument is the
       // serialized filter (BloomFilter.writeTo) as a binary literal,
-      // deserialized once at plan build and shipped as a torrent
-      // broadcast exactly like the DataFrame path — the literal crosses
-      // the SQL boundary once, not per task
+      // deserialized once per DISTINCT filter (memoized above) and shipped
+      // as a torrent broadcast exactly like the DataFrame path — the
+      // literal crosses the SQL boundary once, not per task and not per
+      // re-analysis
       val bytes = literalArg(args(1), BinaryType, "bloom_might_contain")
         .asInstanceOf[Array[Byte]]
-      val bloom = org.apache.spark.util.sketch.BloomFilter.readFrom(
-        new java.io.ByteArrayInputStream(bytes))
-      val bc = SparkSession.active.sparkContext.broadcast(bloom)
-      BloomMightContain(Cast(args(0), LongType), bc)
+      BloomMightContain(Cast(args(0), LongType), bloomBroadcast(bytes))
     }
 
   private def descriptors: Seq[Descriptor] = Seq(

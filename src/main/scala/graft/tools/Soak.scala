@@ -29,23 +29,27 @@ object Soak {
     })
     spark.sparkContext.setLogLevel("WARN")
     val qs = graft.SparkEntry.queries
-    def onePass(): Seq[(String, Double)] = names.map { name =>
-      val t0 = System.nanoTime()
-      try qs(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable => System.err.println(s"[soak] $name: $e") }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
+    def onePass(): (Seq[(String, Double)], Map[String, String]) =
+      graft.BenchHarness.pass(names,
+        n => qs(n)(spark, sfDir).write.format("noop").mode("overwrite").save(),
+        "soak")
     val passes = Seq.fill(2)(onePass())
-    val cold = passes.head.toMap
-    val best = passes.flatten.groupMapReduce(_._1)(_._2)(math.min)
+    val errors = graft.BenchHarness.mergeErrors(passes.map(_._2))
+    val cold = passes.head._1.toMap
+    val best = passes.flatMap(_._1).groupMapReduce(_._1)(_._2)(math.min)
     def jmap(m: Map[String, Double]): String =
       m.toSeq.sortBy(_._1).map { case (k, v) =>
         s"\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val line =
       s"""{"sf":"$sfDir","total":${best.values.sum},""" +
+      s""""errors":${graft.BenchHarness.errorsJson(errors)},""" +
+      s""""heap_max_mb":${graft.BenchHarness.heapMaxMb},""" +
       s""""queries":${jmap(best)},"queries_cold":${jmap(cold)}}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), line + "\n")
     println(line)
     spark.stop()
+    // Failed queries must fail the soak (round-6: an 8 GB-heap sf10 OOM
+    // produced a clean-looking artifact with rc=0).
+    if (errors.nonEmpty) sys.exit(1)
   }
 }

@@ -154,8 +154,14 @@ class JobRunnerSpec extends SparkSpec {
     assert(logs.exists(_.startsWith("HAS RESOURCE /programs/p1")))
     assert(logs.exists(_.contains("HAS SERVICE create")))
 
-    assert(Authz.splitProjectId("aced-my-proj") === ("aced", "my-proj"))
+    assert(Authz.splitProjectId("aced-myproj") === ("aced", "myproj"))
     intercept[IllegalArgumentException](Authz.splitProjectId("noseparator"))
+    // strict two-part unpack, matching the reference's
+    // `program, project = project_id.split('-')` which raises on a
+    // second dash (fhir_import_export.py:55-59)
+    intercept[IllegalArgumentException](Authz.splitProjectId("aced-my-proj"))
+    intercept[IllegalArgumentException](Authz.splitProjectId("-proj"))
+    intercept[IllegalArgumentException](Authz.splitProjectId("prog-"))
   }
 
   test("runFromEnv: INPUT_DATA in, final [out] JSON line out") {

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, Relational, Vectors}
+import graft.operators.{Dedup, Relational, Streaming, Vectors, Windows}
 import graft.plans.GraftExtensions
 
 /** The SQL API surface beyond `sql_vector_topk`: for each family whose
@@ -27,6 +27,7 @@ class SqlSurfaceSpec extends SparkSpec {
     Tables.embeddings(spark, sf0001).createOrReplaceTempView("graft_emb")
     Tables.orders(spark, sf0001).createOrReplaceTempView("graft_orders")
     Tables.customer(spark, sf0001).createOrReplaceTempView("graft_cust")
+    Tables.events(spark, sf0001).createOrReplaceTempView("graft_events")
   }
 
   test("dedup_simhash authored in SQL equals the DataFrame plan") {
@@ -107,6 +108,17 @@ class SqlSurfaceSpec extends SparkSpec {
          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
     val df = Relational.joinBloom.fn(spark, sf0001)
     assert(rows(sql) === rows(df))
+    // LEAK REGRESSION (ADVICE r6): builders run per analysis, so each
+    // spark.sql used to broadcast a fresh copy of the filter — repeated
+    // parses of the same literal must now hit the digest-keyed memo and
+    // leave the live-broadcast count flat
+    val before = GraftExtensions.bloomBroadcastCount
+    (1 to 3).foreach { _ =>
+      spark.sql(s"SELECT count(*) FROM graft_orders " +
+        s"WHERE bloom_might_contain(o_custkey, X'$hex')").collect()
+    }
+    assert(GraftExtensions.bloomBroadcastCount === before,
+      "re-analysis of the same bloom literal must not broadcast again")
   }
 
   test("vector_pq serving authored in SQL equals the DataFrame plan") {
@@ -132,6 +144,44 @@ class SqlSurfaceSpec extends SparkSpec {
          |SELECT vec_id, label, adc_micro, l2_sq(v, $qvSql) AS l2_sq
          |FROM s ORDER BY l2_sq, vec_id LIMIT ${Vectors.PqTopK}""".stripMargin)
     val df = Vectors.vectorPq.fn(spark, sf0001)
+    assert(rows(sql) === rows(df))
+  }
+
+  test("window_range_frame authored in SQL equals the DataFrame plan") {
+    init()
+    // the SQL surface spans VALUE-based window frames: the trailing-30-day
+    // RANGE frame over an integer day key, authored as text, must produce
+    // the bit-identical exact-decimal sums the DataFrame plan produces
+    val sql = spark.sql(
+      """SELECT o_custkey, o_orderkey,
+        |  datediff(o_orderdate, DATE '1970-01-01') AS day_n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY o_custkey
+        |    ORDER BY datediff(o_orderdate, DATE '1970-01-01')
+        |    RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    AS trailing_30d
+        |FROM graft_orders
+        |ORDER BY o_custkey, day_n, o_orderkey""".stripMargin)
+    val df = Windows.windowRangeFrame.fn(spark, sf0001)
+    assert(rows(sql) === rows(df))
+  }
+
+  test("stream_session (session windows) authored in SQL equals the " +
+       "DataFrame plan") {
+    init()
+    // the SQL surface spans SESSION windows: the same 5-minute-gap
+    // session aggregate the batch/stream twin runs (Streams.session),
+    // authored via the session_window SQL function
+    val sql = spark.sql(
+      """SELECT session_window.start AS session_start,
+        |  session_window.end AS session_end,
+        |  user_id, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM graft_events
+        |GROUP BY session_window(ts, '5 minutes'), user_id
+        |ORDER BY user_id, session_start""".stripMargin)
+    val df = Streaming.streamSession.fn(spark, sf0001)
+    assert(rows(sql).nonEmpty)
     assert(rows(sql) === rows(df))
   }
 
