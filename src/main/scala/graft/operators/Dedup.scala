@@ -855,6 +855,51 @@ object Dedup {
   private[graft] val lastHashToMinProbes =
     new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** DUPLICATE-FAMILY SIZE CENSUS — the one-page summary a 100 TB dedup
+    * run reports before anyone acts on it: for each cluster size, how
+    * many families exist, how many documents they hold, and how many are
+    * REMOVABLE (size − 1 per family — the dedup yield). This is the
+    * statistic that distinguishes a web-crawl-shaped corpus (mostly
+    * singletons, thin tail of small families) from a mirror-heavy one
+    * (mass in large families), and the exact number the storage/compute
+    * savings estimate comes from. It is also the fixture audit for the
+    * scale soak: the realistic-duplication generator (ScaleGen docs
+    * mode) is DEFINED by this histogram staying `{1: ~60%, 2..5: tail}`
+    * while the default K-way fan-out degenerates to one size-K spike.
+    *
+    * Plan: reuses the SESSION-CACHED converged labels ([[clusterLabels]]
+    * — [[dedupCluster]] and this query share one convergence run), then
+    * two tiny partial+final aggregates: labels → per-cluster size →
+    * size histogram. Output is O(max family size) rows. Oracle: the
+    * shared recursive-CTE closure, histogrammed the same way. */
+  val dedupClusterSizes: Q = Q(
+    "dedup_cluster_sizes",
+    s"""WITH RECURSIVE
+      |$pairsCteSql,
+      |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+      |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+      |reach(doc_id, lbl) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON r.doc_id = e.src),
+      |lab AS (SELECT doc_id, min(lbl) AS cluster_id
+      |        FROM reach GROUP BY doc_id),
+      |fsz AS (SELECT cluster_id, count(*) AS csize FROM lab GROUP BY 1)
+      |SELECT CAST(csize AS BIGINT) AS cluster_size,
+      |  CAST(count(*) AS BIGINT) AS n_clusters,
+      |  CAST(csize * count(*) AS BIGINT) AS n_docs,
+      |  CAST((csize - 1) * count(*) AS BIGINT) AS n_removable
+      |FROM fsz GROUP BY csize ORDER BY cluster_size""".stripMargin
+  ) { (s, d) =>
+    clusterLabels(s, d)
+      .groupBy("cluster_id").agg(count(lit(1)).as("csize"))
+      .groupBy("csize").agg(count(lit(1)).as("n_clusters"))
+      .select(col("csize").as("cluster_size"), col("n_clusters"),
+        (col("csize") * col("n_clusters")).as("n_docs"),
+        ((col("csize") - 1) * col("n_clusters")).as("n_removable"))
+      .orderBy("cluster_size")
+  }.copy(eager = true) // shares the cached convergence run
+
   /** [[dedupCluster]]'s output computed by [[componentsHashToMin]] —
     * same survivors, same oracle, O(log diameter) rounds. DedupSpec
     * additionally proves the logarithmic round count on a deep synthetic
@@ -1558,7 +1603,8 @@ object Dedup {
 
   val all: Seq[Q] = Seq(dedupExact, dedupNgram, dedupMinhash,
     dedupIncremental, dedupSimhash, dedupCosine, dedupCosineLsh,
-    dedupCluster, dedupClusterStar, dedupClusterIncr, graphTriangles,
+    dedupCluster, dedupClusterSizes, dedupClusterStar, dedupClusterIncr,
+    graphTriangles,
     graphClusteringCoeff,
     graphAssortativity, dedupSourceSim,
     dedupContainment, dedupSemantic, dedupClusterRep, dedupThresholdSweep,

@@ -19,7 +19,8 @@ class PlanAuditSpec extends SparkSpec {
 
   test("the eager set is exactly the declared convergence/training queries") {
     assert(SparkEntry.catalog.filter(_.eager).map(_.name).toSet ===
-      Set("dedup_cluster", "dedup_cluster_star", "vector_ann_ivf",
+      Set("dedup_cluster", "dedup_cluster_sizes", "dedup_cluster_star",
+          "vector_ann_ivf",
           "vector_index_stats", "bpe_train", "bpe_encode",
           "graph_triangles", "join_bloom", "vector_pq", "dedup_semantic",
           "vector_ivf_pq", "vector_index_delta", "text_countmin",
