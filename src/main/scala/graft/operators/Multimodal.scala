@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{Q, Tables}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal binary-column queries over testdata (document text cast to
@@ -273,7 +273,13 @@ object Multimodal {
       |  CAST(sum(abs(smp)) AS BIGINT) AS sum_abs,
       |  CAST(max(abs(smp)) AS INT) AS peak
       |FROM v GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
-  ) { (s, d) =>
+  ) { (s, d) => wavFrameStats(s, d).orderBy("doc_id", "frame_no") }
+
+  /** Shared decode→frame pipeline for [[multimodalWavFrames]] and
+    * [[multimodalWavVad]]: synth WAV per doc through the REAL codec
+    * round-trip, split into 256-sample frames, exact integer energy
+    * stats per frame. */
+  private def wavFrameStats(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     import graft.multimodal.Media
     Tables.documents(s, d)
@@ -297,7 +303,78 @@ object Multimodal {
         }
       }
       .toDF("doc_id", "frame_no", "n_samples", "sum_abs", "peak")
-      .orderBy("doc_id", "frame_no")
+  }
+
+  /** ENERGY-BASED ACTIVITY SEGMENTATION (VAD shape) over the decoded
+    * frames — the segmentation operator every speech-data curation
+    * pipeline runs between decode and transcription: frames whose mean
+    * absolute amplitude clears an exact integer floor (`sum_abs DIV n ≥
+    * 8600` — UTF-8 text bytes sit in the ASCII band, so per-frame means
+    * cluster tightly around ~8560; the floor at the ~60th percentile
+    * yields a realistic active/inactive mix with real gaps) are ACTIVE, and active frames merge into segments
+    * across gaps of at most one inactive frame (single-frame silences —
+    * plosives, breaths — stay inside a segment; longer silence closes
+    * it). Per segment: frame span, frame count, exact total energy.
+    *
+    * This is [[graft.operators.Streaming]]'s sessionize-gaps shape
+    * applied to the signal domain: activity threshold = event presence,
+    * frame index = time, gap tolerance = session gap. All arithmetic is
+    * exact integers (the amplitude floor is a floor-DIV, energies are
+    * BIGINT sums), the lag/cumsum windows order by the unique (doc,
+    * frame_no), so both engines segment identically. Plan: the narrow
+    * decode mapPartitions (shared with [[multimodalWavFrames]] — blobs
+    * never shuffle, only (doc_id, frame stats) rows do) into one
+    * doc-keyed window pair and one segment aggregate: a single exchange
+    * past the decode, output rows bounded by segment count. */
+  val multimodalWavVad: Q = Q(
+    "multimodal_wav_vad",
+    """WITH d AS (SELECT doc_id, hex(encode(text)) AS hx,
+      |    octet_length(encode(text)) AS nb
+      |  FROM documents WHERE octet_length(encode(text)) > 0),
+      |s AS (SELECT doc_id, nb, unnest(range(nb)) AS i, hx FROM d),
+      |v AS (SELECT doc_id, CAST(i // 256 AS INT) AS frame_no,
+      |    abs((CAST('0x' || substr(hx, CAST(2*i+1 AS INT), 2) AS INT) - 128)
+      |        * 256) AS a
+      |  FROM s),
+      |f AS (SELECT doc_id, frame_no, count(*) AS n, sum(a) AS sum_abs
+      |      FROM v GROUP BY 1, 2),
+      |act AS (SELECT doc_id, frame_no, sum_abs
+      |        FROM f WHERE sum_abs // n >= 8600),
+      |b AS (SELECT doc_id, frame_no, sum_abs,
+      |    CASE WHEN lag(frame_no) OVER w IS NULL
+      |           OR frame_no - lag(frame_no) OVER w > 2 THEN 1 ELSE 0 END
+      |      AS brk
+      |  FROM act WINDOW w AS (PARTITION BY doc_id ORDER BY frame_no)),
+      |g AS (SELECT doc_id, frame_no, sum_abs,
+      |    sum(brk) OVER (PARTITION BY doc_id ORDER BY frame_no
+      |                   ROWS UNBOUNDED PRECEDING) AS seg
+      |  FROM b)
+      |SELECT doc_id, CAST(seg AS INT) AS seg_no,
+      |  CAST(min(frame_no) AS INT) AS start_frame,
+      |  CAST(max(frame_no) AS INT) AS end_frame,
+      |  CAST(count(*) AS BIGINT) AS n_active_frames,
+      |  CAST(sum(sum_abs) AS BIGINT) AS energy
+      |FROM g GROUP BY 1, 2 ORDER BY doc_id, seg_no""".stripMargin
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("doc_id").orderBy("frame_no")
+    wavFrameStats(s, d)
+      .filter(expr("sum_abs DIV n_samples >= 8600"))
+      .withColumn("brk",
+        when(lag(col("frame_no"), 1).over(w).isNull ||
+             col("frame_no") - lag(col("frame_no"), 1).over(w) > 2, 1)
+          .otherwise(0))
+      .withColumn("seg", sum(col("brk"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("doc_id", "seg")
+      .agg(min(col("frame_no")).as("start_frame"),
+           max(col("frame_no")).as("end_frame"),
+           count(lit(1)).as("n_active_frames"),
+           sum(col("sum_abs")).as("energy"))
+      .select(col("doc_id"), col("seg").cast("int").as("seg_no"),
+        col("start_frame"), col("end_frame"), col("n_active_frames"),
+        col("energy"))
+      .orderBy("doc_id", "seg_no")
   }
 
   /** IMAGE NEAR-DUP detection — the [[graft.operators.Dedup.dedupSimhash]]
@@ -460,6 +537,6 @@ object Multimodal {
   }
 
   val all: Seq[Q] = Seq(multimodalMeta, multimodalFeatures, multimodalDhash,
-    multimodalWav, multimodalWavFrames, multimodalDhashDedup,
-    multimodalThumbnail)
+    multimodalWav, multimodalWavFrames, multimodalWavVad,
+    multimodalDhashDedup, multimodalThumbnail)
 }
