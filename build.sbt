@@ -36,4 +36,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+) ++
+  // extra forked-JVM flags for rig experiments (e.g.
+  // SPARK_GRAFT_JAVA_OPTS="-XX:+UseParallelGC" for the allocator-churn
+  // soaks in docs/SCALE.md) without editing the build
+  sys.env.get("SPARK_GRAFT_JAVA_OPTS").toSeq.flatMap(_.split("\\s+").toSeq)
