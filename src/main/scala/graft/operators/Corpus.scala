@@ -975,9 +975,62 @@ object Corpus {
       .orderBy("shard")
   }
 
+  /** Deterministic round-robin source interleave — the training-stream
+    * ORDER a multi-source mix actually ships with (one doc from each
+    * source in turn, so no source floods any contiguous stretch of the
+    * stream; the within-source order is the usual salted-hash epoch
+    * permutation). Output: each doc's position within its source
+    * (`src_pos`) and its GLOBAL interleave position (`pos` — the rank of
+    * (src_pos, source) in lexicographic order).
+    *
+    * The scale point is HOW `pos` is computed: the naive plan is a
+    * corpus-wide `row_number() OVER (ORDER BY src_pos, source)` — a
+    * single-partition global sort, the one window shape this codebase
+    * bans. Instead the global rank is ARITHMETIC: docs before (r, s) =
+    * Σ_{s'} min(cnt_{s'}, r−1) + |{s' < s : cnt_{s'} ≥ r}|, which needs
+    * only the per-source count table (|sources| rows, broadcast) crossed
+    * against the doc frame and one per-doc sum — every stage distributed,
+    * no global exchange-to-one. The DuckDB oracle USES the naive global
+    * window (single-node, where it is the right plan), so the driver's
+    * hash compare is exactly the proof that the distributed arithmetic
+    * equals the global sort. */
+  val corpusInterleave: Q = Q(
+    "corpus_interleave",
+    s"""WITH h AS (SELECT doc_id, source,
+      |    ${graft.functions.expressions.PortableHash
+               .duckdbSaltedSql("doc_id", ":interleave", 15)} AS hv
+      |  FROM documents),
+      |r AS (SELECT doc_id, source,
+      |        row_number() OVER (PARTITION BY source ORDER BY hv, doc_id) AS rn
+      |      FROM h)
+      |SELECT doc_id, source, CAST(rn AS INT) AS src_pos,
+      |  CAST(row_number() OVER (ORDER BY rn, source) AS BIGINT) AS pos
+      |FROM r ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    val hv = graft.functions.TextFns.saltedHash(col("doc_id"), ":interleave", 15)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("hv", "doc_id")
+    val r = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), hv.as("hv"))
+      .withColumn("src_pos", row_number().over(w))
+      .select(col("doc_id"), col("source"), col("src_pos"))
+    val cnts = r.groupBy(col("source").as("src2"))
+      .agg(count(lit(1)).as("cnt"))
+    r.crossJoin(broadcast(cnts))
+      .groupBy(col("doc_id"), col("source"), col("src_pos"))
+      .agg(sum(
+        least(col("cnt"), col("src_pos") - 1) +
+          when(col("src2") < col("source") && col("cnt") >= col("src_pos"),
+            1).otherwise(0)).as("before"))
+      .select(col("doc_id"), col("source"),
+        col("src_pos").cast("int").as("src_pos"),
+        (col("before") + 1).cast("long").as("pos"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(corpusSplit, corpusPack, corpusSelect, docChunk,
     corpusDecontaminate, corpusMix, corpusShuffle, trainingManifest,
     corpusEntropy, corpusPipeline, corpusSplitLeakage, corpusSampleWeighted,
     corpusSampleBalanced, corpusMixTemperature, corpusPruneSweep,
-    corpusResumeSkip)
+    corpusResumeSkip, corpusInterleave)
 }

@@ -1601,6 +1601,160 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** C4-style keep-first SEGMENT dedup — the REWRITE decision that
+    * [[graft.operators.TextAnalysis.spanDedup]]'s census feeds: the
+    * corpus is segmented into non-overlapping 8-token windows and each
+    * distinct segment text survives exactly once, at its globally first
+    * occurrence (ordered by doc_id, then position within the doc; later
+    * occurrences — including repeats inside the same document — are
+    * dropped). Per document the query reports how much text survives
+    * (`n_kept` / `n_tokens_kept`) plus an md5 digest of the retained
+    * text reconstructed in segment order, so the driver hash-verifies
+    * the REWRITTEN corpus itself, not just the drop counts; a document
+    * whose every segment already occurred earlier digests to NULL on
+    * both engines (NULL-skipping ordered aggregation).
+    *
+    * Plan shape at 100 TB: the segment explode is a narrow generator
+    * (corpus tokens / 8 rows); keep-first is ONE shuffle keyed by the
+    * segment text (row_number over a total (doc_id, seg_idx) order —
+    * Spark hashes the key, so the exchange is as distributed as a
+    * digest groupBy); the per-doc rollup is the second and last
+    * shuffle. No joins, no quadratic term — the same two-exchange
+    * budget as [[graft.operators.TextAnalysis.spanDedup]], but keyed on
+    * 8-token segments whose expected duplicate mass is what C4's line
+    * dedup actually removes. */
+  val dedupKeepfirst: Q = Q(
+    "dedup_keepfirst",
+    """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+      |s AS (SELECT doc_id, toks, unnest(range(0, len(toks), 8)) AS start FROM t),
+      |seg AS (SELECT doc_id, CAST(start // 8 AS INT) AS seg_idx,
+      |    array_to_string(toks[CAST(start+1 AS INT):CAST(start+8 AS INT)], ' ') AS seg_text,
+      |    CAST(len(toks[CAST(start+1 AS INT):CAST(start+8 AS INT)]) AS INT) AS seg_len
+      |  FROM s),
+      |k AS (SELECT *, row_number() OVER (PARTITION BY seg_text
+      |                                   ORDER BY doc_id, seg_idx) AS rn
+      |      FROM seg)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segs,
+      |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  CAST(sum(CASE WHEN rn = 1 THEN seg_len ELSE 0 END) AS BIGINT)
+      |    AS n_tokens_kept,
+      |  md5(string_agg(CASE WHEN rn = 1 THEN seg_text END, ' '
+      |                 ORDER BY seg_idx)) AS kept_digest
+      |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    val SegTokens = 8
+    val t = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val seg = t
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0), size(col("toks")) - 1, lit(SegTokens)))
+          .as("start"))
+      .select(col("doc_id"),
+        (col("start") / SegTokens).cast("int").as("seg_idx"),
+        concat_ws(" ", slice(col("toks"), col("start") + 1, lit(SegTokens)))
+          .as("seg_text"),
+        size(slice(col("toks"), col("start") + 1, lit(SegTokens)))
+          .as("seg_len"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("seg_text").orderBy("doc_id", "seg_idx")
+    val kept = seg.withColumn("keep", row_number().over(w) === 1)
+    kept.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_segs"),
+        sum(when(col("keep"), 1).otherwise(0)).as("n_kept"),
+        sum(when(col("keep"), col("seg_len")).otherwise(0))
+          .as("n_tokens_kept"),
+        // ordered reconstruction: collect_list skips the NULLs of
+        // dropped segments; the struct sort restores segment order
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("keep"), struct(col("seg_idx"), col("seg_text"))))),
+            x => x.getField("seg_text")),
+          " ").as("kept_text"))
+      .select(col("doc_id"), col("n_segs"), col("n_kept"),
+        col("n_tokens_kept"),
+        when(col("n_kept") > 0, md5(col("kept_text").cast("binary")))
+          .as("kept_digest"))
+      .orderBy("doc_id")
+  }
+
+  /** Sorted-neighborhood near-dup join (SNM — the third classic blocking
+    * family next to [[dedupMinhash]]'s banding and
+    * [[graft.operators.Relational]]'s deletion-neighborhood fuzzy join):
+    * documents are sorted by a cheap sort key (their first 4 tokens),
+    * each document is paired with its next 3 neighbors in that order,
+    * and candidates are verified by exact 3-shingle Jaccard ≥ 0.5. The
+    * trade SNM makes is explicit and honest: candidates are (w−1)·n
+    * regardless of duplicate-family structure — no posting-list or
+    * band-bucket skew to cap — at the price of missing pairs whose
+    * perturbation touched the sort key (recall is a function of key
+    * choice; on this corpus the prefix key co-locates every
+    * 0.5-Jaccard pair, which [[dedupRecallEval]]-style judgment would
+    * surface if it drifted).
+    *
+    * Plan shape at 100 TB: the sequence is windowed WITHIN prefix
+    * blocks (first 2 tokens) rather than one global ORDER BY — the
+    * classic single-sort bottleneck is replaced by a hash exchange on
+    * the block key, and the window's lead() chain is a streaming pass
+    * per block. Verification joins the candidate ids back to the
+    * shingle sets (candidate-sized frames, never corpus×corpus). */
+  val dedupSortedWindow: Q = Q(
+    "dedup_sorted_window",
+    """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+      |seq AS (SELECT doc_id, array_to_string(toks[1:2],' ') AS blk,
+      |               array_to_string(toks[1:4],' ') AS sk FROM t),
+      |nb AS (SELECT doc_id,
+      |        [lead(doc_id,1) OVER w, lead(doc_id,2) OVER w,
+      |         lead(doc_id,3) OVER w] AS nxt
+      |       FROM seq WINDOW w AS (PARTITION BY blk ORDER BY sk, doc_id)),
+      |cand AS (SELECT doc_id AS a, unnest(nxt) AS b FROM nb),
+      |cn AS (SELECT least(a,b) AS doc_a, greatest(a,b) AS doc_b
+      |       FROM cand WHERE b IS NOT NULL),
+      |sh AS (SELECT doc_id,
+      |  list_distinct([array_to_string(toks[i:i+2],' ')
+      |                 FOR i IN range(1, len(toks)-1)]) AS shingles
+      |  FROM t WHERE len(toks) >= 3),
+      |p AS (SELECT doc_a, doc_b,
+      |        len(list_intersect(x.shingles, y.shingles)) AS inter,
+      |        len(x.shingles) AS na, len(y.shingles) AS nb
+      |      FROM cn JOIN sh x ON cn.doc_a = x.doc_id
+      |               JOIN sh y ON cn.doc_b = y.doc_id)
+      |SELECT doc_a, doc_b,
+      |  CAST(inter AS DOUBLE) / (na + nb - inter) AS jaccard
+      |FROM p WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.5
+      |ORDER BY doc_a, doc_b""".stripMargin
+  ) { (s, d) =>
+    val WinNbrs = 3
+    val t = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val seq = t.select(col("doc_id"),
+      concat_ws(" ", slice(col("toks"), 1, 2)).as("blk"),
+      concat_ws(" ", slice(col("toks"), 1, 4)).as("sk"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("blk").orderBy("sk", "doc_id")
+    val cand = seq
+      .select(col("doc_id").as("a"),
+        array((1 to WinNbrs).map(i =>
+          lead(col("doc_id"), i).over(w)): _*).as("nxt"))
+      .select(col("a"), explode(col("nxt")).as("b"))
+      .filter(col("b").isNotNull)
+      .select(least(col("a"), col("b")).as("doc_a"),
+              greatest(col("a"), col("b")).as("doc_b"))
+    val sh = shingleHashesPortable(s, d)
+      .groupBy("doc_id").agg(collect_set(col("sgl")).as("shingles"))
+    val inter = size(array_intersect(col("sh_a"), col("sh_b")))
+    val uni = size(col("sh_a")) + size(col("sh_b")) - inter
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"),
+                      col("shingles").as("sh_a")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"),
+                      col("shingles").as("sh_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (inter.cast("double") / uni).as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+      .orderBy("doc_a", "doc_b")
+  }
+
   val all: Seq[Q] = Seq(dedupExact, dedupNgram, dedupMinhash,
     dedupIncremental, dedupSimhash, dedupCosine, dedupCosineLsh,
     dedupCluster, dedupClusterSizes, dedupClusterStar, dedupClusterIncr,
@@ -1608,5 +1762,5 @@ object Dedup {
     graphClusteringCoeff,
     graphAssortativity, dedupSourceSim,
     dedupContainment, dedupSemantic, dedupClusterRep, dedupThresholdSweep,
-    dedupRecallEval, dedupEstimatorEval)
+    dedupRecallEval, dedupEstimatorEval, dedupKeepfirst, dedupSortedWindow)
 }

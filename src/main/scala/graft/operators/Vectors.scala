@@ -588,6 +588,49 @@ object Vectors {
     ).orderBy("vec_id")
   }
 
+  /** Per-DIMENSION embedding health census — the pre-indexing audit a
+    * vector corpus gets before anyone trains IVF/PQ on it: for each of
+    * the 64 dimensions, the count, exact quantized sum and sum-of-squares
+    * (mean/variance derive exactly), the min/max, and how many values sit
+    * within ±0.01 of zero. Dead dimensions (all near zero), rogue
+    * dimensions (extreme max), and collapsed variance all show up here —
+    * the failure modes that silently ruin PQ codebooks and cosine
+    * separability. Parity discipline: every value is quantized ONCE to
+    * integer milli-units (`floor(1000·x)`, exact in IEEE doubles on both
+    * engines) and all aggregates are then BIGINT sums — order-independent
+    * and engine-exact, the integer-sufficient-statistics idiom the DQ
+    * family uses.
+    *
+    * Plan: posexplode to (dim, q) — a 64× narrow fan-out of a 2-column
+    * projection — then one partial+final aggregation on the 64-value
+    * `dim` key. Output is O(dims) rows regardless of corpus size; at
+    * 100 TB this is a single map-combine pass. */
+  val vectorDimStats: Q = Q(
+    "vector_dim_stats",
+    """WITH x AS (SELECT CAST(i AS INT) AS dim,
+      |  CAST(floor(1000 * CAST(embedding[CAST(i AS INT)] AS DOUBLE)) AS BIGINT) AS q
+      |  FROM embeddings CROSS JOIN range(1, 65) t(i))
+      |SELECT dim, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(q) AS BIGINT) AS sum_milli,
+      |  CAST(sum(q * q) AS BIGINT) AS sumsq_milli,
+      |  min(q) AS min_milli, max(q) AS max_milli,
+      |  CAST(sum(CASE WHEN abs(q) <= 10 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_near_zero
+      |FROM x GROUP BY dim ORDER BY dim""".stripMargin
+  ) { (s, d) =>
+    Tables.embeddings(s, d)
+      .select(posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select((col("pos") + 1).cast("int").as("dim"),
+        floor(lit(1000) * col("x").cast("double")).cast("long").as("q"))
+      .groupBy("dim")
+      .agg(count(lit(1)).as("n"),
+        sum(col("q")).as("sum_milli"),
+        sum(col("q") * col("q")).as("sumsq_milli"),
+        min(col("q")).as("min_milli"), max(col("q")).as("max_milli"),
+        sum(when(abs(col("q")) <= 10, 1).otherwise(0)).as("n_near_zero"))
+      .orderBy("dim")
+  }
+
   /** Per-label embedding centroid (class prototypes — the building block
     * for centroid classification, cluster drift monitoring, and IVF
     * seeding): mean of each dimension over the label's vectors.
@@ -2082,5 +2125,5 @@ object Vectors {
     vectorIndexDelta, vectorMips, vectorRecallEval, vectorRecallEvalMt,
     vectorSq8Topk, vectorHammingTopk, vectorMatryoshkaTopk,
     vectorFilteredTopk, vectorRangeSearch, vectorIvfProbeSweep,
-    vectorMmrRerank, searchHybridRrf)
+    vectorMmrRerank, searchHybridRrf, vectorDimStats)
 }

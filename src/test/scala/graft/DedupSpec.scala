@@ -616,4 +616,17 @@ class DedupSpec extends SparkSpec {
     assert(roundsIncr <= roundsFull,
       s"incremental took $roundsIncr rounds vs full $roundsFull")
   }
+
+  test("sorted-neighborhood window: precision 1.0 (subset of exact pairs), recall >= 0.8") {
+    // the SNM emits only candidates that passed the exact-Jaccard verify,
+    // so every pair must belong to dedup_ngram's complete tau=0.5 set;
+    // recall is the sort-key quality claim — the prefix key co-locates
+    // near-dups on this corpus (perturbations rarely hit tokens 1-4)
+    val exact = pairs(Dedup.dedupNgram)
+    val snm = pairs(Dedup.dedupSortedWindow)
+    assert(exact.nonEmpty, "testdata should contain ngram near-dups")
+    assert(snm.subsetOf(exact), s"false positives: ${snm.diff(exact)}")
+    assert(snm.size >= 0.8 * exact.size,
+      s"SNM recall too low: ${snm.size}/${exact.size}")
+  }
 }

@@ -304,4 +304,69 @@ class PropertiesSpec extends SparkSpec {
     assert(maxPairSim(sel) < maxPairSim(topk),
       s"mmr=${maxPairSim(sel)} topk=${maxPairSim(topk)}")
   }
+
+  /** Writes a minimal documents fixture and returns its directory. */
+  private def docsFixture(rows: Seq[(Long, String, String)]): String = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, length, lit}
+    val dir = java.nio.file.Files.createTempDirectory("props-docs")
+    rows.toDF("doc_id", "text", "source")
+      .select(col("doc_id"), col("text"), lit("en").as("lang"),
+        col("source"), length(col("text")).cast("long").as("n_chars"))
+      .write.parquet(s"$dir/documents.parquet")
+    dir.toString
+  }
+
+  test("corpus_interleave: arithmetic rank is a permutation equal to the global sort, unbalanced sources") {
+    // the driver fixture has EQUAL source sizes, which never exercises
+    // the min(cnt, r-1) truncation — this fixture does: 5/3/1 docs
+    val rows = (1L to 5L).map(i => (i, s"a text $i", "src_a")) ++
+      (6L to 8L).map(i => (i, s"b text $i", "src_b")) ++
+      Seq((9L, "c text 9", "src_c"))
+    val out = operators.Corpus.corpusInterleave
+      .fn(spark, docsFixture(rows))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getLong(3)))
+    // pos is a permutation of 1..n
+    assert(out.map(_._4).sorted.toSeq == (1L to 9L).toSeq)
+    // and equals the rank of (src_pos, source) under the global sort —
+    // the single-partition plan the arithmetic replaces
+    val expected = out.sortBy { case (_, src, r, _) => (r, src) }
+      .zipWithIndex.map { case ((id, _, _, _), i) => id -> (i + 1L) }.toMap
+    out.foreach { case (id, _, _, pos) =>
+      assert(pos == expected(id), s"doc $id: pos $pos != ${expected(id)}")
+    }
+    // round-robin law: every source with >= r docs appears exactly once
+    // among any full rotation (positions of rank r form a contiguous run)
+    val byRank = out.groupBy(_._3)
+    byRank.foreach { case (_, docs) =>
+      val ps = docs.map(_._4).sorted
+      assert(ps.last - ps.head == ps.length - 1,
+        s"rank positions not contiguous: ${ps.mkString(",")}")
+    }
+  }
+
+  test("dedup_keepfirst: within/cross-doc drops and the NULL digest of a fully-deduped doc") {
+    val seg = (1 to 8).map(i => s"w$i").mkString(" ")
+    val other = (9 to 16).map(i => s"w$i").mkString(" ")
+    // doc 1: segment repeated twice -> the second instance drops
+    // doc 2: both segments already seen -> zero kept, digest NULL
+    // doc 3: fresh text -> fully kept
+    val dir = docsFixture(Seq(
+      (1L, s"$seg $seg", "s"), (2L, s"$other $seg", "s"),
+      (3L, (17 to 20).map(i => s"w$i").mkString(" "), "s"),
+      (4L, other, "s")))
+    val out = operators.Dedup.dedupKeepfirst.fn(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.isNullAt(4)))
+      .toMap
+    assert(out(1L) == ((2L, 1L, 8L, false)))  // second copy dropped in-doc
+    assert(out(2L) == ((2L, 1L, 8L, false)))  // 'other' is doc 2's to keep:
+    // doc 2 precedes doc 4 and introduces 'other' first globally
+    assert(out(3L) == ((1L, 1L, 4L, false)))  // short doc = one segment
+    assert(out(4L) == ((1L, 0L, 0L, true)),   // everything seen before
+      s"doc 4 should digest to NULL: ${out(4L)}")
+    // conservation: total kept across docs = distinct segment count
+    assert(out.values.map(_._2).sum == 3) // seg, other, doc-3 text
+  }
 }
