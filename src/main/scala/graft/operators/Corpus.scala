@@ -975,6 +975,75 @@ object Corpus {
       .orderBy("shard")
   }
 
+  /** Token-budget mixture planning with EPOCH CAPS — the arithmetic a
+    * data-curation run does before any sampling: given per-source token
+    * counts, a √-weighted target mixture (the temperature-sampling
+    * shape: big sources damped, small sources boosted), and a total
+    * budget of 2× the corpus, how many epochs of each source does the
+    * target imply (`epochs_ppm`), which sources hit the 4-epoch repeat
+    * cap (`capped`), and what token counts/shares actually ship after
+    * capping. All arithmetic is exact: the √ weight is quantized once
+    * (floor of a correctly-rounded IEEE sqrt — deterministic on both
+    * engines), everything after is BIGINT multiply/floor-divide.
+    *
+    * Plan: ONE corpus pass to the per-source token aggregate
+    * (partial+final, |sources| rows), then the whole budget calculation
+    * rides UNPARTITIONED windows over that O(sources) frame — a
+    * single-partition tail is exactly right when the frame is
+    * guaranteed tiny (the ban on global windows is about corpus-sized
+    * frames, and this one is bounded by the source-domain cardinality,
+    * never by data volume). */
+  val corpusTokenBudget: Q = Q(
+    "corpus_token_budget",
+    """WITH s AS (SELECT source,
+      |    CAST(sum(len(string_split(text,' '))) AS BIGINT) AS tokens
+      |  FROM documents GROUP BY 1),
+      |w AS (SELECT source, tokens,
+      |    CAST(floor(1000000 * sqrt(CAST(tokens AS DOUBLE))) AS BIGINT) AS wt
+      |  FROM s),
+      |a AS (SELECT source, tokens,
+      |    (2 * sum(tokens) OVER () * wt) // sum(wt) OVER () AS target_tokens
+      |  FROM w),
+      |f AS (SELECT source, tokens, target_tokens,
+      |    (target_tokens * 1000000) // tokens AS epochs_ppm,
+      |    CASE WHEN (target_tokens * 1000000) // tokens > 4000000
+      |         THEN 1 ELSE 0 END AS capped,
+      |    least(target_tokens, 4 * tokens) AS achieved_tokens
+      |  FROM a)
+      |SELECT source, tokens, target_tokens, epochs_ppm, capped,
+      |  achieved_tokens,
+      |  (achieved_tokens * 1000000) // sum(achieved_tokens) OVER ()
+      |    AS achieved_share_ppm
+      |FROM f ORDER BY source""".stripMargin
+  ) { (s, d) =>
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy() // O(sources) frame — see scaladoc
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+                   org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    Tables.documents(s, d)
+      .groupBy("source")
+      .agg(sum(size(split(col("text"), " "))).cast("long").as("tokens"))
+      .withColumn("wt",
+        floor(lit(1000000) * sqrt(col("tokens").cast("double")))
+          .cast("long"))
+      .withColumn("tot_tokens", sum(col("tokens")).over(win))
+      .withColumn("tot_w", sum(col("wt")).over(win))
+      .withColumn("target_tokens",
+        expr("(2 * tot_tokens * wt) div tot_w"))
+      .withColumn("epochs_ppm",
+        expr("(target_tokens * 1000000) div tokens"))
+      .withColumn("capped",
+        when(col("epochs_ppm") > 4000000, 1).otherwise(0))
+      .withColumn("achieved_tokens",
+        least(col("target_tokens"), col("tokens") * 4))
+      .withColumn("tot_ach", sum(col("achieved_tokens")).over(win))
+      .select(col("source"), col("tokens"), col("target_tokens"),
+        col("epochs_ppm"), col("capped"), col("achieved_tokens"),
+        expr("(achieved_tokens * 1000000) div tot_ach")
+          .as("achieved_share_ppm"))
+      .orderBy("source")
+  }
+
   /** Deterministic round-robin source interleave — the training-stream
     * ORDER a multi-source mix actually ships with (one doc from each
     * source in turn, so no source floods any contiguous stretch of the
@@ -1032,5 +1101,5 @@ object Corpus {
     corpusDecontaminate, corpusMix, corpusShuffle, trainingManifest,
     corpusEntropy, corpusPipeline, corpusSplitLeakage, corpusSampleWeighted,
     corpusSampleBalanced, corpusMixTemperature, corpusPruneSweep,
-    corpusResumeSkip, corpusInterleave)
+    corpusResumeSkip, corpusInterleave, corpusTokenBudget)
 }

@@ -585,6 +585,83 @@ object Streaming {
       .orderBy("campaign")
   }
 
+  /** TIME-DECAY attribution — the triad's third member after last-touch
+    * ([[attributionLastclick]]) and equal-split ([[attributionLinear]]):
+    * each purchase's revenue divides over its preceding clicks with
+    * weight 2^(−days between) — yesterday's click earns twice the credit
+    * of the day before's. Weights are DYADIC on whole-day gaps, so
+    * `w_ppm = 1000000 div 2^d` is exact integer on both engines (no
+    * pow/ln rounding in the value path), and each pair's credit is one
+    * BIGINT floor division of cents·10⁶·w by the purchase's weight sum.
+    *
+    * Plan-shape note — why this is a bounded PAIR JOIN when
+    * [[attributionLinear]] rides suffix-sum windows: the decay kernel
+    * factorizes (2^{−(tₚ−t_c)} = 2^{−tₚ}·2^{t_c}), so a window form
+    * exists, but its running factors grow as 2^{t/τ} — double overflow
+    * on any user whose history spans a few hundred halflives, i.e. a
+    * latent data-dependent bomb at 100 TB. The deployment-standard form
+    * is an explicit LOOKBACK window (d ≤ 19 days, where the ppm weight
+    * hits zero anyway): the join keys on user_id with a range predicate,
+    * fan-out is bounded by per-user clicks inside the lookback, and
+    * every downstream stage is pair- or purchase-keyed. */
+  val attributionTimedecay: Q = Q(
+    "attribution_timedecay",
+    """WITH e AS (SELECT user_id, event_id, ts, event_type,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+      |    CAST(json_extract_string(props, '$.k') AS BIGINT) % 4 AS campaign,
+      |    epoch_ms(ts) // 86400000 AS day
+      |  FROM events WHERE event_type IN ('click', 'purchase')),
+      |c AS (SELECT user_id, event_id, ts, campaign, day FROM e
+      |      WHERE event_type = 'click' AND campaign IS NOT NULL),
+      |p AS (SELECT user_id, event_id, ts, cents, day FROM e
+      |      WHERE event_type = 'purchase' AND cents > 0),
+      |pr AS (SELECT c.campaign, p.event_id AS purch_id, p.cents,
+      |         1000000 // CAST(power(2, p.day - c.day) AS BIGINT) AS w_ppm
+      |       FROM c JOIN p ON c.user_id = p.user_id
+      |        AND (c.ts < p.ts OR (c.ts = p.ts AND c.event_id < p.event_id))
+      |        AND p.day - c.day <= 19),
+      |z AS (SELECT purch_id, sum(w_ppm) AS z FROM pr GROUP BY 1),
+      |cr AS (SELECT pr.campaign,
+      |         (pr.cents * 1000000 * pr.w_ppm) // z.z AS credit
+      |       FROM pr JOIN z USING (purch_id))
+      |SELECT campaign, CAST(count(*) AS BIGINT) AS n_pairs,
+      |  CAST(sum(credit) AS BIGINT) AS credit_microcents,
+      |  CAST(sum(credit) AS DOUBLE) / 100000000 AS credit_usd
+      |FROM cr GROUP BY 1 ORDER BY 1""".stripMargin
+  ) { (s, d) =>
+    val e = Tables.events(s, d)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"),
+        (get_json_object(col("props"), "$.k").cast("long") % 4)
+          .as("campaign"),
+        expr("unix_millis(ts) div 86400000").as("day"))
+    val c = e.filter(col("event_type") === "click" &&
+        col("campaign").isNotNull)
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("cts"), col("campaign"), col("day").as("cday"))
+    val p = e.filter(col("event_type") === "purchase" && col("cents") > 0)
+      .select(col("user_id"), col("event_id").as("purch_id"),
+        col("ts").as("pts"), col("cents"), col("day").as("pday"))
+    val pr = c.join(p, Seq("user_id"))
+      .filter((col("cts") < col("pts") ||
+        (col("cts") === col("pts") && col("click_id") < col("purch_id"))) &&
+        col("pday") - col("cday") <= 19)
+      .select(col("campaign"), col("purch_id"), col("cents"),
+        expr("1000000 div cast(power(2, pday - cday) as bigint)")
+          .as("w_ppm"))
+    val z = pr.groupBy("purch_id").agg(sum(col("w_ppm")).as("z"))
+    pr.join(z, Seq("purch_id"))
+      .select(col("campaign"),
+        expr("(cents * 1000000 * w_ppm) div z").as("credit"))
+      .groupBy("campaign")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("credit")).as("credit_microcents"),
+        (sum(col("credit")).cast("double") / lit(100000000))
+          .as("credit_usd"))
+      .orderBy("campaign")
+  }
+
   /** Slowly-changing-dimension type-2 build from the event stream: per
     * user, change-capture on event_type (consecutive repeats collapse
     * into one validity interval), then each surviving change becomes a
@@ -970,6 +1047,7 @@ object Streaming {
   val all: Seq[Q] = Seq(streamTumbling, streamHopping, streamSession,
     resampleGapfill, resampleInterp, funnel, eventPaths, retentionCohort,
     eventTransitions, ohlcBars, sessionizeGaps, patternSeq,
-    attributionLastclick, attributionLinear, scd2, joinPit,
+    attributionLastclick, attributionLinear, attributionTimedecay,
+    scd2, joinPit,
     sessionConcurrency, markovTwoStep, markovStationary)
 }

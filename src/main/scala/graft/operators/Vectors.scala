@@ -631,6 +631,60 @@ object Vectors {
       .orderBy("dim")
   }
 
+  /** Embedding-distribution DRIFT between two index generations — the
+    * vector-space sibling of the dq drift triad: per dimension, the
+    * mean of the even-id generation vs the odd-id generation and the
+    * absolute shift in micro-units. A re-embedded corpus (new encoder
+    * checkpoint) whose per-dimension means move is the canonical "ANN
+    * index must be retrained" signal; this is the query that fires
+    * before recall silently degrades.
+    *
+    * Exactness under the engine-parity rules: values quantize once to
+    * milli-units OFFSET BY +1000 so every sum stays nonnegative —
+    * Spark's `div` truncates toward zero while DuckDB's `//` floors,
+    * and they agree only on nonnegative operands (the attributionLinear
+    * discipline); the offset cancels in the subtraction AFTER the
+    * division. One posexplode + one dim-keyed partial+final aggregate —
+    * the [[vectorDimStats]] plan with a generation split riding as
+    * conditional sums. */
+  val vectorCentroidDrift: Q = Q(
+    "vector_centroid_drift",
+    """WITH x AS (SELECT vec_id % 2 AS gen, CAST(i AS INT) AS dim,
+      |    CAST(floor(1000 * CAST(embedding[CAST(i AS INT)] AS DOUBLE))
+      |         AS BIGINT) + 1000 AS q
+      |  FROM embeddings CROSS JOIN range(1, 65) t(i)),
+      |g AS (SELECT dim,
+      |    CAST(sum(CASE WHEN gen = 0 THEN q END) AS BIGINT) AS sum0,
+      |    CAST(count(CASE WHEN gen = 0 THEN 1 END) AS BIGINT) AS n0,
+      |    CAST(sum(CASE WHEN gen = 1 THEN q END) AS BIGINT) AS sum1,
+      |    CAST(count(CASE WHEN gen = 1 THEN 1 END) AS BIGINT) AS n1
+      |  FROM x GROUP BY dim)
+      |SELECT dim, n0, n1,
+      |  (sum0 * 1000) // n0 - 1000000 AS mean0_micro,
+      |  (sum1 * 1000) // n1 - 1000000 AS mean1_micro,
+      |  abs((sum0 * 1000) // n0 - (sum1 * 1000) // n1) AS drift_micro
+      |FROM g ORDER BY dim""".stripMargin
+  ) { (s, d) =>
+    val m0 = expr("(sum0 * 1000) div n0")
+    val m1 = expr("(sum1 * 1000) div n1")
+    Tables.embeddings(s, d)
+      .select((col("vec_id") % 2).as("gen"),
+        posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select(col("gen"), (col("pos") + 1).cast("int").as("dim"),
+        (floor(lit(1000) * col("x").cast("double")).cast("long") + 1000)
+          .as("q"))
+      .groupBy("dim")
+      .agg(sum(when(col("gen") === 0, col("q"))).as("sum0"),
+        count(when(col("gen") === 0, 1)).as("n0"),
+        sum(when(col("gen") === 1, col("q"))).as("sum1"),
+        count(when(col("gen") === 1, 1)).as("n1"))
+      .select(col("dim"), col("n0"), col("n1"),
+        (m0 - 1000000).as("mean0_micro"),
+        (m1 - 1000000).as("mean1_micro"),
+        abs(m0 - m1).as("drift_micro"))
+      .orderBy("dim")
+  }
+
   /** Per-label embedding centroid (class prototypes — the building block
     * for centroid classification, cluster drift monitoring, and IVF
     * seeding): mean of each dimension over the label's vectors.
@@ -2125,5 +2179,5 @@ object Vectors {
     vectorIndexDelta, vectorMips, vectorRecallEval, vectorRecallEvalMt,
     vectorSq8Topk, vectorHammingTopk, vectorMatryoshkaTopk,
     vectorFilteredTopk, vectorRangeSearch, vectorIvfProbeSweep,
-    vectorMmrRerank, searchHybridRrf, vectorDimStats)
+    vectorMmrRerank, searchHybridRrf, vectorDimStats, vectorCentroidDrift)
 }

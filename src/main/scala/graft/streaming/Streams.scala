@@ -167,6 +167,14 @@ case class CandPair(doc_a: Long, doc_b: Long)
 /** Per-(band, bhash) bucket membership. */
 case class BucketState(ids: Seq[Long])
 
+/** One 8-token segment of a streamed document (keep-first dedup). */
+case class SegRow(doc_id: Long, seg_idx: Int, seg_len: Int, seg_text: String)
+/** The keep/drop decision for one streamed segment. */
+case class SegDecision(doc_id: Long, seg_idx: Int, seg_len: Int,
+                       keep: Boolean)
+/** The segment's first owner — the state a keep-first stream carries. */
+case class SegSeen(docId: Long, segIdx: Int)
+
 /** A token routed to its hash shard (streaming heavy hitters). */
 case class TokObs(shard: Int, token: String)
 /** One shard's Misra–Gries summary: surviving candidates with their
@@ -1063,6 +1071,57 @@ object Streams {
     * A pair colliding in several bands is emitted once per band (the
     * batch path pays a dropDuplicates for the same reason); downstream
     * consumers dedupe or verify idempotently. */
+  /** STREAMING keep-first segment dedup — the C4 rewrite decision
+    * ([[graft.operators.Dedup.dedupKeepfirst]]) made incrementally as
+    * documents arrive: each doc's non-overlapping 8-token segments ride
+    * the micro-batch; keyed state per segment text records the first
+    * owner, and every later occurrence — same batch or any later one —
+    * is emitted `keep = false`. Within one micro-batch the group's rows
+    * are ordered by (doc_id, seg_idx) before deciding, so a batch
+    * replayed as one micro-batch is BIT-equal to the batch operator;
+    * across micro-batches first-arrival wins, which equals the batch
+    * answer whenever the stream is fed in corpus order (the resume/
+    * append contract real ingest pipelines run — StreamingSpec asserts
+    * the per-doc rollup matches dedup_keepfirst exactly across a
+    * two-batch split). State is one (doc_id, seg_idx) pair per DISTINCT
+    * segment — the streaming form of the keep-first window's partition,
+    * sharded by the segment key like any keyed state. */
+  def keepFirstSegments(docs: Dataset[DocIn]): Dataset[SegDecision] = {
+    import docs.sparkSession.implicits._
+    val SegTokens = 8
+    val segs = docs.toDF()
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0), size(col("toks")) - 1, lit(SegTokens)))
+          .as("start"))
+      .select(col("doc_id"),
+        (col("start") / SegTokens).cast("int").as("seg_idx"),
+        size(slice(col("toks"), col("start") + 1, lit(SegTokens)))
+          .as("seg_len"),
+        concat_ws(" ", slice(col("toks"), col("start") + 1, lit(SegTokens)))
+          .as("seg_text"))
+      .as[SegRow]
+    segs
+      .groupByKey(_.seg_text)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[SegRow], state: GroupState[SegSeen]) =>
+          // the group's within-batch rows are bounded (occurrences of ONE
+          // segment text in one micro-batch); sorting restores the batch
+          // operator's (doc_id, seg_idx) keep-first order
+          val sorted = rows.toSeq.sortBy(r => (r.doc_id, r.seg_idx))
+          var seen = state.getOption
+          val out = sorted.map { r =>
+            val keep = seen.isEmpty
+            if (keep) {
+              seen = Some(SegSeen(r.doc_id, r.seg_idx))
+              state.update(seen.get)
+            }
+            SegDecision(r.doc_id, r.seg_idx, r.seg_len, keep)
+          }
+          out.iterator
+      }
+  }
+
   def nearDupCandidates(docs: Dataset[DocIn]): Dataset[CandPair] = {
     import docs.sparkSession.implicits._
     import graft.operators.Dedup

@@ -1109,4 +1109,56 @@ class StreamingSpec extends SparkSpec {
     // batch 1 while its final level only resolves in batch 2
     assert(got(0L).peak == 3 && got(0L).peak_ms == 40 && got(0L).cur == 0)
   }
+
+  test("streaming keep-first segment dedup equals batch dedup_keepfirst across micro-batches") {
+    import graft.streaming.{DocIn, SegDecision, Streams}
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // batch reference: the per-doc survival rollup of the catalog query
+    val batch = graft.operators.Dedup.dedupKeepfirst.fn(spark, sf0001)
+      .select("doc_id", "n_segs", "n_kept", "n_tokens_kept").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // fed in corpus order (the append-ingest contract), split in two
+    val docs = Tables.documents(spark, sf0001)
+      .select("doc_id", "text").orderBy("doc_id").collect()
+      .map(r => DocIn(r.getLong(0), r.getString(1)))
+    val (half1, half2) = docs.splitAt(docs.length / 2)
+    val mem = MemoryStream[DocIn]
+    val name = s"kf_${System.nanoTime()}"
+    val q = Streams.keepFirstSegments(mem.toDS()).writeStream
+      .format("memory").queryName(name).outputMode("append").start()
+    try {
+      mem.addData(half1.toSeq)
+      q.processAllAvailable()
+      val afterFirst = spark.table(name).count()
+      mem.addData(half2.toSeq)
+      q.processAllAvailable()
+      val decisions = spark.table(name).as[SegDecision].collect()
+      // every arriving segment got exactly one decision row
+      assert(decisions.length == batch.values.map(_._1).sum)
+      assert(afterFirst > 0 && afterFirst < decisions.length,
+        "decisions should arrive across micro-batches")
+      val got = decisions.groupBy(_.doc_id).map { case (id, ds) =>
+        id -> ((ds.length.toLong,
+          ds.count(_.keep).toLong,
+          ds.filter(_.keep).map(_.seg_len.toLong).sum))
+      }
+      assert(got.keySet === batch.keySet)
+      val diverged = got.collect {
+        case (id, v) if v != batch(id) => s"doc $id: stream=$v batch=${batch(id)}"
+      }
+      assert(diverged.isEmpty, diverged.mkString("; "))
+      // cross-batch state really decided: dozens of duplicate segments
+      // span the split on this fixture (first owner below the median
+      // doc_id, a later occurrence above), so the per-doc equality above
+      // could only hold if half-2 occurrences were dropped by state
+      // carried from half 1; this existence check just keeps the fixture
+      // honest about having half-2 drops at all
+      val h2ids = half2.map(_.doc_id).toSet
+      assert(decisions.exists(d => h2ids.contains(d.doc_id) && !d.keep),
+        "expected at least one drop among half-2 docs")
+    } finally q.stop()
+  }
 }
