@@ -740,6 +740,33 @@ class PlanAuditSpec extends SparkSpec {
       "the 2m scalar and vote argmaxes must broadcast, never shuffle wide")
   }
 
+  test("catalog-wide: every unpartitioned window rides a bounded frame") {
+    // The "No Partition Defined for Window" class of scale bug: a window
+    // with an empty partitionSpec serializes its whole input through ONE
+    // task. That is fine over a frame whose size is bounded by something
+    // other than the corpus — an aggregate keyed by a small domain
+    // (sources, langs, deciles) or a top-k GlobalLimit cut — and fatal
+    // over anything corpus-proportional. Lock the structural invariant
+    // for the WHOLE catalog: an unpartitioned window must sit above an
+    // Aggregate or a GlobalLimit. (Residual risk — an aggregate keyed by
+    // doc_id is corpus-sized and would still pass; the per-query audits
+    // above pin the grouping keys for the known heavy hitters.)
+    import org.apache.spark.sql.catalyst.plans.logical.{
+      Aggregate, GlobalLimit, Window => LWindow}
+    val offenders = SparkEntry.catalog.filterNot(_.eager).flatMap { q =>
+      val bare = q.fn(spark, sf0001).queryExecution.optimizedPlan.collect {
+        case w: LWindow if w.partitionSpec.isEmpty => w
+      }
+      bare.collect {
+        case w if w.child.collectFirst {
+              case _: Aggregate => (); case _: GlobalLimit => ()
+            }.isEmpty =>
+          s"${q.name}: unpartitioned window over an unbounded frame:\n$w"
+      }
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n\n"))
+  }
+
   test("corpus_prune_sweep: one corpus pass; grid points are predicates") {
     val p = plan(graft.operators.Corpus.corpusPruneSweep)
     // exactly one scan of documents — the threshold grid must not
