@@ -472,6 +472,112 @@ object Pipeline {
     }
   }
 
+  private val HitsIters = 4
+
+  /** HITS HUBS & AUTHORITIES over the directed customer→supplier
+    * purchase graph — the second classic link-analysis measure next to
+    * [[graphPagerank]], and the one that exercises a discipline PageRank
+    * never needs: per-round NORMALIZATION inside the plan. Customers
+    * are pure hubs (they only point), suppliers pure authorities (they
+    * are only pointed at); [[HitsIters]] mutual-reinforcement rounds
+    * alternate h = Σ a(dst) and a = Σ h(src), each rescaled so the top
+    * node sits at exactly 1,000,000.
+    *
+    * Determinism discipline: scores are exact BIGINTs; each round's
+    * rescale is `(raw · 10⁶) DIV max(raw)` with the product widened to
+    * DECIMAL(38,0)/HUGEINT so it cannot overflow at any corpus size, and
+    * integral division on nonnegative operands floors identically on
+    * both engines. The per-round max is a 1-row aggregate attached by
+    * broadcast (scalar subquery in the oracle) — the [[dqDriftTtest]]
+    * midpoint-attach shape, never a wide shuffle. Iteration count is
+    * FIXED, so the whole computation is ONE declarative plan (the
+    * unrolled-CTE oracle is generated by the same loop), and the final
+    * top-20 per side is an (score DESC, vid) deterministic cut.
+    *
+    * Scale posture: each half-round is an edge⋈score equi join plus a
+    * node-keyed partial+final aggregate — the PageRank round shape —
+    * plus an O(1) scalar attach. Unlike PageRank, the rescale references
+    * each round's frame TWICE (the max and the divide); an unrolled pure
+    * plan therefore de-shares exponentially in the optimizer (2⁸ copies
+    * of the edge subtree — measured: OOMs the driver at ANY data size),
+    * so each half-round is cut with [[graft.PlanUtil.checkpointTruncated]]
+    * — the k-core/hash-to-min iteration discipline — making the query
+    * eager. Top-20 cuts are TakeOrderedAndProject merges, never global
+    * sorts. */
+  val graphHits: Q = {
+    // the rescale max rides a window (`max(raw) OVER ()`), NOT a scalar
+    // subquery: a subquery would reference each hr/ar CTE twice and
+    // DuckDB inlines CTEs, so the oracle would de-share into 2^rounds
+    // copies of the edge pipeline — the same blowup the Spark side cuts
+    // with checkpointTruncated. Single-reference CTEs stay linear.
+    def roundSql(i: Int): String =
+      s"""hr$i AS (SELECT e.src AS vid, CAST(sum(a${i - 1}.score) AS BIGINT)
+         |    AS raw FROM e JOIN a${i - 1} ON e.dst = a${i - 1}.vid GROUP BY 1),
+         |h$i AS (SELECT vid, CAST(CAST(raw AS HUGEINT) * 1000000
+         |    // max(raw) OVER () AS BIGINT) AS score FROM hr$i),
+         |ar$i AS (SELECT e.dst AS vid, CAST(sum(h$i.score) AS BIGINT)
+         |    AS raw FROM e JOIN h$i ON e.src = h$i.vid GROUP BY 1),
+         |a$i AS (SELECT vid, CAST(CAST(raw AS HUGEINT) * 1000000
+         |    // max(raw) OVER () AS BIGINT) AS score FROM ar$i)"""
+        .stripMargin
+    val steps = (1 to HitsIters).map(roundSql).mkString(",\n")
+    Q(
+      "graph_hits",
+      s"""WITH e AS (
+         |  SELECT DISTINCT 'c:' || o_custkey AS src, 's:' || l_suppkey AS dst
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         |  WHERE o_orderdate >= DATE '1995-01-01'
+         |    AND o_orderdate < DATE '1995-04-01'),
+         |a0 AS (SELECT DISTINCT dst AS vid, CAST(1000000 AS BIGINT) AS score
+         |       FROM e),
+         |$steps
+         |SELECT * FROM (
+         |  SELECT 'hub' AS side, vid, score FROM
+         |    (SELECT vid, score FROM h$HitsIters
+         |     ORDER BY score DESC, vid LIMIT 20)
+         |  UNION ALL
+         |  SELECT 'authority' AS side, vid, score FROM
+         |    (SELECT vid, score FROM a$HitsIters
+         |     ORDER BY score DESC, vid LIMIT 20))
+         |ORDER BY side, score DESC, vid""".stripMargin
+    ) { (s, d) =>
+      val e = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1995-01-01") &&
+                col("o_orderdate") < lit("1995-04-01"))
+        .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .select(concat(lit("c:"), col("o_custkey")).as("src"),
+                concat(lit("s:"), col("l_suppkey")).as("dst"))
+        .distinct()
+        .cache() // every half-round joins this one frame (pagerank posture)
+      // each raw frame is referenced TWICE (its own max + the rescale):
+      // truncate the lineage per half-round or the optimizer de-shares
+      // the references into 2^rounds copies of the edge subtree
+      def rescale(rawDf: DataFrame): DataFrame = {
+        val raw = graft.PlanUtil.checkpointTruncated(rawDf)
+        raw.crossJoin(broadcast(raw.agg(max(col("raw")).as("mx"))))
+          .select(col("vid"),
+            expr("CAST(CAST(raw AS DECIMAL(38,0)) * 1000000 DIV mx" +
+              " AS BIGINT)").as("score"))
+      }
+      var a = e.select(col("dst").as("vid")).distinct()
+        .withColumn("score", lit(1000000L))
+      var h: DataFrame = null
+      for (_ <- 1 to HitsIters) {
+        h = rescale(e.join(a, col("dst") === col("vid"))
+          .groupBy(col("src")).agg(sum(col("score")).as("raw"))
+          .withColumnRenamed("src", "vid"))
+        a = rescale(e.join(h, col("src") === col("vid"))
+          .groupBy(col("dst")).agg(sum(col("score")).as("raw"))
+          .withColumnRenamed("dst", "vid"))
+      }
+      def side(df: DataFrame, tag: String): DataFrame =
+        df.orderBy(desc("score"), col("vid")).limit(20)
+          .select(lit(tag).as("side"), col("vid"), col("score"))
+      side(h, "hub").unionByName(side(a, "authority"))
+        .orderBy(col("side"), desc("score"), col("vid"))
+    }.copy(eager = true) // per-half-round localCheckpoint runs at build
+  }
+
   private val LpIters = 4
 
   /** LABEL-PROPAGATION COMMUNITY DETECTION over the customer↔supplier
@@ -1613,11 +1719,95 @@ object Pipeline {
       .orderBy("event_type")
   }
 
+  /** The nine Benford first-digit probabilities in exact ppm — they sum
+    * to exactly 1,000,000 so expected counts are a partition of n. The
+    * CONSTANTS are the spec (rounded log10(1+1/d)); both engines consume
+    * the same integer literals. */
+  private val BenfordPpm: Seq[(Int, Long)] = Seq(
+    1 -> 301030L, 2 -> 176091L, 3 -> 124939L, 4 -> 96910L, 5 -> 79181L,
+    6 -> 66947L, 7 -> 57992L, 8 -> 51153L, 9 -> 45757L)
+
+  /** BENFORD FIRST-DIGIT AUDIT over order totals — the classic
+    * fabricated-data / broken-feed detector: organically-grown amounts
+    * follow log10(1+1/d) first-digit frequencies, and a synthetic or
+    * truncated feed shows up as a chi-square blowout. Per digit: the
+    * observed count, the expected count in exact micro-units (n·ppm —
+    * BIGINT, no float), the digit's chi-square term quantized to nano
+    * units, plus the catalog-total chi² and a df=8 α=0.01 flag
+    * (critical value 20.09).
+    *
+    * Parity discipline: first digit comes from `floor(price)` cast to
+    * BIGINT then string — floor-then-cast is exact on both engines
+    * (DuckDB's direct double→BIGINT cast ROUNDS; Spark's truncates — the
+    * floor removes the divergence). Each chi-square term is a scalar
+    * IEEE expression over exact integers quantized once to nano units
+    * ([[dqDriftPsi]]'s discipline), so the cross-digit total is an exact
+    * BIGINT sum, not an order-dependent float reduction. The digit
+    * spine is generated 1..9 so absent digits still contribute their
+    * expected-count term.
+    *
+    * Plan: one scan → 9-group partial+final aggregate; everything after
+    * operates on ≤ 9 rows (the totals window is the one unpartitioned
+    * window, sitting above the aggregate per the catalog-wide lock). At
+    * 100 TB this is a single map-combine pass. */
+  val dqBenford: Q = Q(
+    "dq_benford",
+    s"""WITH d AS (SELECT CAST(substr(CAST(CAST(floor(o_totalprice)
+      |      AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+      |  FROM orders WHERE o_totalprice >= 1),
+      |c AS (SELECT digit, count(*) AS obs FROM d GROUP BY 1),
+      |n AS (SELECT CAST(sum(obs) AS BIGINT) AS n FROM c),
+      |spine AS (SELECT * FROM (VALUES
+      |    ${BenfordPpm.map { case (d, p) => s"($d, $p)" }.mkString(", ")})
+      |    t(digit, ppm)),
+      |t AS (SELECT s.digit, COALESCE(c.obs, 0) AS obs,
+      |    n.n * s.ppm AS exp_micro,
+      |    CAST(floor(1000000000 * (
+      |      (COALESCE(c.obs, 0) - CAST(n.n * s.ppm AS DOUBLE) / 1000000)
+      |      * (COALESCE(c.obs, 0) - CAST(n.n * s.ppm AS DOUBLE) / 1000000)
+      |      / (CAST(n.n * s.ppm AS DOUBLE) / 1000000))) AS BIGINT)
+      |      AS term_nano
+      |  FROM spine s CROSS JOIN n LEFT JOIN c ON s.digit = c.digit
+      |  WHERE n.n > 0)
+      |SELECT digit, CAST(obs AS BIGINT) AS obs,
+      |  CAST(exp_micro AS BIGINT) AS exp_micro, term_nano,
+      |  CAST(sum(term_nano) OVER () AS BIGINT) AS chi2_nano,
+      |  sum(term_nano) OVER () > 20090000000 AS benford_violated
+      |FROM t ORDER BY digit""".stripMargin
+  ) { (s, d) =>
+    val c = Tables.orders(s, d)
+      .filter(col("o_totalprice") >= 1)
+      .select(substring(floor(col("o_totalprice")).cast("long")
+        .cast("string"), 1, 1).cast("int").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("obs"))
+    val n = c.agg(sum(col("obs")).cast("long").as("n"))
+      .filter(col("n") > 0)
+    import s.implicits._
+    val spine = BenfordPpm.toDF("digit", "ppm")
+    val expD = (col("n") * col("ppm")).cast("double") / 1000000
+    val obs0 = coalesce(col("obs"), lit(0L))
+    val t = spine.crossJoin(broadcast(n))
+      .join(c, Seq("digit"), "left")
+      .select(col("digit"), obs0.as("obs"),
+        (col("n") * col("ppm")).as("exp_micro"),
+        floor(lit(1000000000L) *
+          ((obs0 - expD) * (obs0 - expD) / expD)).cast("long")
+          .as("term_nano"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy()
+    t.select(col("digit"), col("obs").cast("long").as("obs"),
+        col("exp_micro").cast("long").as("exp_micro"), col("term_nano"),
+        sum(col("term_nano")).over(w).cast("long").as("chi2_nano"),
+        (sum(col("term_nano")).over(w) > 20090000000L)
+          .as("benford_violated"))
+      .orderBy("digit")
+  }
+
   val all: Seq[Q] = Seq(simplifyFlatten, denormalizePatient, graphEdges,
     graphTwohop, discoverySummary, ingestNdjson, snapshotExport, dqChecks,
-    dqSkew, dqDriftKs, dqFreshness, graphPagerank, graphLabelProp,
+    dqSkew, dqDriftKs, dqFreshness, graphPagerank, graphHits, graphLabelProp,
     graphKcore, graphShortestPath, dqReferential, dqUniqueness,
     graphJaccard, graphJaccardHot, graphDegreeDist, storePruningStats,
     graphModularity,
-    dqDriftPsi, dqProfileDrift, dqDriftTtest)
+    dqDriftPsi, dqProfileDrift, dqDriftTtest, dqBenford)
 }

@@ -1044,10 +1044,112 @@ object Streaming {
     eager = true, // transition collect + driver iteration at plan build
     oracleGen = Some(() => markovMeasuredRounds.get().map(markovOracleSql)))
 
+  /** A/B EXPERIMENT LIFT with a two-proportion z-test — the readout an
+    * experimentation platform computes per assignment split: users hash
+    * into control/treatment (`user_id % 2`, the deterministic assignment
+    * both engines share), exposure is "saw a view event", conversion is
+    * "purchased within 24h of the FIRST view" (an attribution window, so
+    * the metric separates even on users whose full history touches every
+    * event type), and the output is one row of exact counts, floor-DIV
+    * ppm rates, the lift, and the pooled two-proportion z statistic in
+    * micro-units with a |z| > 1.96 significance flag.
+    *
+    * Parity discipline: the conversion window is pure epoch-millisecond
+    * integer arithmetic (no interval types — the dq-family epoch_ms
+    * discipline); all sufficient statistics (n₀, n₁, x₀, x₁) are exact
+    * BIGINT counts; rates and lift are nonneg floor-DIV ppm; the z
+    * statistic is a scalar IEEE expression over those exact integers —
+    * identical operation tree on both engines, so bit-equal doubles (the
+    * [[graft.operators.Pipeline]] dq_drift_ttest discipline). Degenerate
+    * splits (an empty arm, zero or total conversion — pooled variance 0,
+    * z undefined) are excluded by a mirrored WHERE instead of letting
+    * NaN/∞ casts diverge across engines.
+    *
+    * Plan: ONE user-keyed exchange carries both the first-view window
+    * and the per-user flag aggregate (the sessionize_gaps sharing), then
+    * a 1-row global aggregate — no join. At 100 TB: the per-user frame
+    * is the only corpus-sized shuffle and it carries 4 small columns;
+    * everything after is O(1). */
+  val abLiftZtest: Q = Q(
+    "ab_lift_ztest",
+    """WITH t AS (SELECT user_id, user_id % 2 AS grp, event_type,
+      |    epoch_ms(ts) AS ms,
+      |    min(CASE WHEN event_type = 'view' THEN epoch_ms(ts) END)
+      |      OVER (PARTITION BY user_id) AS t0
+      |  FROM events),
+      |u AS (SELECT user_id, grp,
+      |    max(CASE WHEN t0 IS NOT NULL THEN 1 ELSE 0 END) AS v,
+      |    max(CASE WHEN event_type = 'purchase' AND ms > t0
+      |             AND ms <= t0 + 86400000 THEN 1 ELSE 0 END) AS p
+      |  FROM t GROUP BY 1, 2),
+      |s AS (SELECT
+      |    CAST(sum(CASE WHEN grp = 0 THEN v END) AS BIGINT) AS n0,
+      |    CAST(sum(CASE WHEN grp = 1 THEN v END) AS BIGINT) AS n1,
+      |    CAST(sum(CASE WHEN grp = 0 THEN v * p END) AS BIGINT) AS x0,
+      |    CAST(sum(CASE WHEN grp = 1 THEN v * p END) AS BIGINT) AS x1
+      |  FROM u),
+      |z AS (SELECT n0, n1, x0, x1,
+      |    (CAST(x1 AS DOUBLE) / n1 - CAST(x0 AS DOUBLE) / n0)
+      |      / sqrt((CAST(x0 + x1 AS DOUBLE) / (n0 + n1))
+      |             * (1 - CAST(x0 + x1 AS DOUBLE) / (n0 + n1))
+      |             * (1.0 / n0 + 1.0 / n1)) AS zstat
+      |  FROM s WHERE n0 > 0 AND n1 > 0
+      |    AND x0 + x1 > 0 AND x0 + x1 < n0 + n1)
+      |SELECT n0 AS n_control, n1 AS n_treat,
+      |  x0 AS conv_control, x1 AS conv_treat,
+      |  (1000000 * x0) // n0 AS rate_control_ppm,
+      |  (1000000 * x1) // n1 AS rate_treat_ppm,
+      |  (1000000 * x1) // n1 - (1000000 * x0) // n0 AS lift_ppm,
+      |  CAST(floor(1000000 * zstat) AS BIGINT) AS z_micro,
+      |  abs(CAST(floor(1000000 * zstat) AS BIGINT)) > 1960000
+      |    AS significant
+      |FROM z""".stripMargin
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id")
+    val t = Tables.events(s, d)
+      .select(col("user_id"), (col("user_id") % 2).as("grp"),
+        col("event_type"), expr("unix_millis(ts)").as("ms"))
+      .withColumn("t0",
+        min(when(col("event_type") === "view", col("ms"))).over(byUser))
+    val u = t.groupBy(col("user_id"), col("grp"))
+      .agg(max(when(col("t0").isNotNull, 1).otherwise(0)).as("v"),
+           max(when(col("event_type") === "purchase" &&
+               col("ms") > col("t0") &&
+               col("ms") <= col("t0") + 86400000L, 1).otherwise(0))
+             .as("p"))
+    val st = u.agg(
+      sum(when(col("grp") === 0, col("v"))).cast("long").as("n0"),
+      sum(when(col("grp") === 1, col("v"))).cast("long").as("n1"),
+      sum(when(col("grp") === 0, col("v") * col("p"))).cast("long").as("x0"),
+      sum(when(col("grp") === 1, col("v") * col("p"))).cast("long").as("x1"))
+    // degenerate-split guard, mirrored in the oracle's WHERE: an empty
+    // arm or an all-or-nothing conversion zeroes the pooled variance and
+    // the engines disagree on casting the resulting NaN/∞
+    val pooled = (col("x0") + col("x1")).cast("double") /
+      (col("n0") + col("n1"))
+    val zstat = (col("x1").cast("double") / col("n1") -
+        col("x0").cast("double") / col("n0")) /
+      sqrt(pooled * (lit(1) - pooled) *
+        (lit(1.0) / col("n0") + lit(1.0) / col("n1")))
+    val zMicro = floor(lit(1000000) * zstat).cast("long")
+    st.filter(col("n0") > 0 && col("n1") > 0 &&
+        col("x0") + col("x1") > 0 &&
+        col("x0") + col("x1") < col("n0") + col("n1"))
+      .select(col("n0").as("n_control"), col("n1").as("n_treat"),
+        col("x0").as("conv_control"), col("x1").as("conv_treat"),
+        expr("(1000000 * x0) div n0").as("rate_control_ppm"),
+        expr("(1000000 * x1) div n1").as("rate_treat_ppm"),
+        expr("(1000000 * x1) div n1 - (1000000 * x0) div n0")
+          .as("lift_ppm"),
+        zMicro.as("z_micro"),
+        (abs(zMicro) > 1960000L).as("significant"))
+  }
+
   val all: Seq[Q] = Seq(streamTumbling, streamHopping, streamSession,
     resampleGapfill, resampleInterp, funnel, eventPaths, retentionCohort,
     eventTransitions, ohlcBars, sessionizeGaps, patternSeq,
     attributionLastclick, attributionLinear, attributionTimedecay,
-    scd2, joinPit,
+    scd2, joinPit, abLiftZtest,
     sessionConcurrency, markovTwoStep, markovStationary)
 }
