@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.{Q, Tables}
 import graft.functions.VectorOps._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Similarity search over the `embeddings` table (builder prompt
@@ -2173,11 +2173,101 @@ object Vectors {
       .orderBy(desc("rrf"), asc("doc_id")).limit(10)
   }
 
+  /** PAIRWISE DIMENSION CORRELATION over the leading 16 embedding
+    * dimensions — the redundancy audit that complements
+    * [[vectorDimStats]]'s per-dimension health census: highly-correlated
+    * dimension pairs mean the encoder wastes capacity (and that a PQ
+    * codebook's subspace split straddles correlated axes), so this is
+    * the go/no-go check before choosing PQ subvector boundaries or an
+    * OPQ-style rotation. One row per (i < j) pair with the exact pair
+    * count and the Pearson correlation in floor-quantized micro-units.
+    *
+    * Parity discipline: values quantize ONCE to milli-units
+    * ([[vectorDimStats]]), all five sufficient statistics (Σqᵢ, Σqⱼ,
+    * Σqᵢqⱼ, Σqᵢ², Σqⱼ²) are exact DECIMAL(38,0)/HUGEINT sums —
+    * order-independent — and the correlation is one shared scalar IEEE
+    * expression over those exact integers, floor-quantized so the
+    * output is BIGINT. Zero-variance dimensions (corr undefined, 0/0)
+    * are excluded by a mirrored WHERE (the dq_drift_ttest discipline).
+    *
+    * Plan: per vector, a nested-transform pair array explodes to 256
+    * rows, filtered to the 120 (i < j) pairs, feeding ONE partial+final
+    * hash aggregate — the fan-out collapses to 120 rows per partition
+    * map-side, so the shuffle carries O(d²·partitions), not O(d²·n).
+    * At 100 TB the honest cost is the narrow 120× generate; nothing
+    * downstream sees corpus-sized data. */
+  val vectorDimCorr: Q = Q(
+    "vector_dim_corr",
+    """WITH x AS (SELECT vec_id,
+      |    [CAST(floor(1000 * CAST(v AS DOUBLE)) AS BIGINT)
+      |     FOR v IN embedding[1:16]] AS q
+      |  FROM embeddings),
+      |p AS (SELECT CAST(i AS INT) AS dim_i, CAST(j AS INT) AS dim_j,
+      |    q[CAST(i AS INT)] AS qi, q[CAST(j AS INT)] AS qj
+      |  FROM x CROSS JOIN range(1, 17) t1(i) CROSS JOIN range(1, 17) t2(j)
+      |  WHERE j > i),
+      |s AS (SELECT dim_i, dim_j, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(qi) AS DECIMAL(38,0)) AS si,
+      |    CAST(sum(qj) AS DECIMAL(38,0)) AS sj,
+      |    sum(CAST(qi AS HUGEINT) * qj) AS sij,
+      |    sum(CAST(qi AS HUGEINT) * qi) AS sii,
+      |    sum(CAST(qj AS HUGEINT) * qj) AS sjj
+      |  FROM p GROUP BY 1, 2),
+      |c AS (SELECT dim_i, dim_j, n,
+      |    (CAST(n AS DOUBLE) * CAST(sij AS DOUBLE)
+      |       - CAST(si AS DOUBLE) * CAST(sj AS DOUBLE))
+      |    / sqrt((CAST(n AS DOUBLE) * CAST(sii AS DOUBLE)
+      |             - CAST(si AS DOUBLE) * CAST(si AS DOUBLE))
+      |         * (CAST(n AS DOUBLE) * CAST(sjj AS DOUBLE)
+      |             - CAST(sj AS DOUBLE) * CAST(sj AS DOUBLE))) AS corr
+      |  FROM s
+      |  WHERE CAST(n AS DOUBLE) * CAST(sii AS DOUBLE)
+      |          - CAST(si AS DOUBLE) * CAST(si AS DOUBLE) > 0
+      |    AND CAST(n AS DOUBLE) * CAST(sjj AS DOUBLE)
+      |          - CAST(sj AS DOUBLE) * CAST(sj AS DOUBLE) > 0)
+      |SELECT dim_i, dim_j, n,
+      |  CAST(floor(1000000 * corr) AS BIGINT) AS corr_micro
+      |FROM c ORDER BY dim_i, dim_j""".stripMargin
+  ) { (s, d) =>
+    import org.apache.spark.sql.types.DecimalType
+    val dec38 = DecimalType(38, 0)
+    val dims = 16
+    val q = slice(transform(col("embedding"),
+      v => floor(lit(1000) * v.cast("double")).cast("long")), 1, dims)
+    val pairs = Tables.embeddings(s, d)
+      .select(q.as("q"))
+      .select(explode(flatten(transform(
+        sequence(lit(1), lit(dims)), i =>
+          transform(sequence(lit(1), lit(dims)), j =>
+            struct(i.cast("int").as("dim_i"), j.cast("int").as("dim_j"),
+              element_at(col("q"), i).as("qi"),
+              element_at(col("q"), j).as("qj")))))).as("pr"))
+      .select(col("pr.*"))
+      .filter(col("dim_j") > col("dim_i"))
+    val st = pairs.groupBy("dim_i", "dim_j")
+      .agg(count(lit(1)).as("n"),
+        sum(col("qi")).cast(dec38).as("si"),
+        sum(col("qj")).cast(dec38).as("sj"),
+        sum(col("qi").cast(dec38) * col("qj")).as("sij"),
+        sum(col("qi").cast(dec38) * col("qi")).as("sii"),
+        sum(col("qj").cast(dec38) * col("qj")).as("sjj"))
+    def dbl(c: Column): Column = c.cast("double")
+    val vi = dbl(col("n")) * dbl(col("sii")) - dbl(col("si")) * dbl(col("si"))
+    val vj = dbl(col("n")) * dbl(col("sjj")) - dbl(col("sj")) * dbl(col("sj"))
+    val corr = (dbl(col("n")) * dbl(col("sij")) -
+      dbl(col("si")) * dbl(col("sj"))) / sqrt(vi * vj)
+    st.filter(vi > 0 && vj > 0)
+      .select(col("dim_i"), col("dim_j"), col("n"),
+        floor(lit(1000000) * corr).cast("long").as("corr_micro"))
+      .orderBy("dim_i", "dim_j")
+  }
+
   val all: Seq[Q] = Seq(vectorTopk, vectorAnnLsh, vectorAnnIvf,
     vectorTopkBatch, vectorQuantize, vectorCentroid, knnJoinLsh,
     sqlVectorTopk, vectorIndexStats, vectorPq, vectorIvfPq,
     vectorIndexDelta, vectorMips, vectorRecallEval, vectorRecallEvalMt,
     vectorSq8Topk, vectorHammingTopk, vectorMatryoshkaTopk,
     vectorFilteredTopk, vectorRangeSearch, vectorIvfProbeSweep,
-    vectorMmrRerank, searchHybridRrf, vectorDimStats, vectorCentroidDrift)
+    vectorMmrRerank, searchHybridRrf, vectorDimStats, vectorCentroidDrift,
+    vectorDimCorr)
 }

@@ -114,4 +114,22 @@ class GraphConvergenceSpec extends SparkSpec {
     assert(ko.exists(_.contains("d1 AS")), "kcore oracle must be rendered")
     assert(bo.exists(_.contains("d1 AS")), "bfs oracle must be rendered")
   }
+
+  test("graph_hits rescale invariant: every side tops at exactly 1e6") {
+    // the per-round normalization contract: after the final rescale,
+    // scores are positive, bounded by 1,000,000, and each side's max IS
+    // 1,000,000 (the top node defines the scale). A drifting rescale
+    // (overflow, lost DIV widening, max taken over the wrong frame)
+    // breaks one of these before it breaks the value oracle.
+    val out = Pipeline.graphHits.fn(spark, sf0001)
+      .groupBy("side")
+      .agg(min(col("score")).as("lo"), max(col("score")).as("hi"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(out.keySet === Set("hub", "authority"))
+    out.foreach { case (side, (lo, hi)) =>
+      assert(lo > 0, s"$side: scores must stay positive, got $lo")
+      assert(hi === 1000000L, s"$side: top score must be exactly 1e6, got $hi")
+    }
+  }
 }
