@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{Q, Tables}
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators over the `documents` table — the north-star
@@ -1198,10 +1199,106 @@ object TextAnalysis {
       .orderBy(desc("rake_score"), asc("token")).limit(30)
   }
 
+  /** ZIPF RANK-FREQUENCY FIT over the corpus vocabulary — the text-side
+    * sibling of the dq family's Benford audit: organic language follows
+    * freq ∝ rank^s with s ≈ −1 on a log-log plot, and synthetic,
+    * templated, or truncated text shows up as a slope far from −1. One
+    * row: the fitted-point count, the top frequency, the OLS log-log
+    * slope and intercept in micro-units, and a zipfian flag (slope in
+    * [−1.3, −0.7]). On the deliberately-uniform synthetic fixture the
+    * flag is FALSE (slope ≈ −0.18) — the detector detecting the
+    * generator, which is exactly the production use.
+    *
+    * Parity discipline: the fit runs over the top-100 tokens by the
+    * deterministic (freq DESC, token) cut; each ln(rank)/ln(freq) is
+    * floor-quantized ONCE to nano units (the dq_drift_psi ln
+    * discipline), the OLS sufficient statistics are exact
+    * DECIMAL(38,0)/HUGEINT sums of those integers, and slope/intercept
+    * are shared scalar IEEE expressions floor-quantized to micro units.
+    * Degenerate vocabularies (k ≤ 1 or zero x-variance) are excluded by
+    * a mirrored WHERE.
+    *
+    * Plan: vocab-keyed partial+final aggregate → top-100
+    * TakeOrderedAndProject → a ≤100-row rank window (unpartitioned, but
+    * above the GlobalLimit — the catalog-wide bounded-frame rule) → a
+    * 1-row aggregate. At 100 TB the only corpus-sized stage is the
+    * token count, which combines map-side. */
+  val textZipfFit: Q = Q(
+    "text_zipf_fit",
+    """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token
+      |  FROM documents),
+      |f AS (SELECT token, CAST(count(*) AS BIGINT) AS freq
+      |      FROM tok GROUP BY 1),
+      |top AS (SELECT token, freq FROM f ORDER BY freq DESC, token LIMIT 100),
+      |r AS (SELECT freq,
+      |    CAST(row_number() OVER (ORDER BY freq DESC, token) AS BIGINT)
+      |      AS rnk
+      |  FROM top),
+      |q AS (SELECT rnk, freq,
+      |    CAST(floor(1000000000 * ln(CAST(rnk AS DOUBLE))) AS BIGINT) AS x,
+      |    CAST(floor(1000000000 * ln(CAST(freq AS DOUBLE))) AS BIGINT) AS y
+      |  FROM r),
+      |s AS (SELECT CAST(count(*) AS BIGINT) AS k, max(freq) AS top_freq,
+      |    CAST(sum(x) AS DECIMAL(38,0)) AS sx,
+      |    CAST(sum(y) AS DECIMAL(38,0)) AS sy,
+      |    sum(CAST(x AS HUGEINT) * y) AS sxy,
+      |    sum(CAST(x AS HUGEINT) * x) AS sxx
+      |  FROM q),
+      |c AS (SELECT k, top_freq,
+      |    (CAST(k AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |    / (CAST(k AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope,
+      |    CAST(sx AS DOUBLE) / CAST(k AS DOUBLE) AS mx,
+      |    CAST(sy AS DOUBLE) / CAST(k AS DOUBLE) AS my
+      |  FROM s
+      |  WHERE k > 1 AND CAST(k AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0)
+      |SELECT k, top_freq,
+      |  CAST(floor(1000000 * slope) AS BIGINT) AS slope_micro,
+      |  CAST(floor((my - slope * mx) / 1000) AS BIGINT) AS intercept_micro,
+      |  CAST(floor(1000000 * slope) AS BIGINT)
+      |    BETWEEN -1300000 AND -700000 AS zipfian
+      |FROM c""".stripMargin
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val dec38 = DecimalType(38, 0)
+    val top = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("freq"))
+      .orderBy(desc("freq"), asc("token")).limit(100)
+    val r = top.withColumn("rnk",
+      row_number().over(Window.orderBy(desc("freq"), asc("token")))
+        .cast("long"))
+    val qf = r.select(col("freq"),
+      floor(lit(1000000000L) * log(col("rnk").cast("double")))
+        .cast("long").as("x"),
+      floor(lit(1000000000L) * log(col("freq").cast("double")))
+        .cast("long").as("y"))
+    val st = qf.agg(count(lit(1)).as("k"), max(col("freq")).as("top_freq"),
+      sum(col("x")).cast(dec38).as("sx"), sum(col("y")).cast(dec38).as("sy"),
+      sum(col("x").cast(dec38) * col("y")).as("sxy"),
+      sum(col("x").cast(dec38) * col("x")).as("sxx"))
+    def dbl(c: Column): Column = c.cast("double")
+    val denom = dbl(col("k")) * dbl(col("sxx")) - dbl(col("sx")) * dbl(col("sx"))
+    val slope = (dbl(col("k")) * dbl(col("sxy")) -
+      dbl(col("sx")) * dbl(col("sy"))) / denom
+    val mx = dbl(col("sx")) / dbl(col("k"))
+    val my = dbl(col("sy")) / dbl(col("k"))
+    val slopeMicro = floor(lit(1000000) * slope).cast("long")
+    st.filter(col("k") > 1 && denom > 0)
+      .select(col("k"), col("top_freq"),
+        slopeMicro.as("slope_micro"),
+        floor((my - slope * mx) / 1000).cast("long").as("intercept_micro"),
+        slopeMicro.between(-1300000L, -700000L).as("zipfian"))
+  }
+
   val all: Seq[Q] = Seq(textTokens, textQuality, langId, textFingerprint,
     textTfidf, textNormalize, textRepetition, piiRedact, ngramFreq,
     textContamination, textTokenBpe, textPerplexity, spanDedup,
     textHeavyHitters, textQualityClassifier, textCountmin, textCollocations,
     textLangidEval, textBm25, textBoilerplate, textInvertedIndex,
-    textIndexDelta, textHashingVec, textVocabGrowth, textRakeKeywords)
+    textIndexDelta, textHashingVec, textVocabGrowth, textRakeKeywords,
+    textZipfFit)
 }
