@@ -1199,6 +1199,60 @@ object TextAnalysis {
       .orderBy(desc("rake_score"), asc("token")).limit(30)
   }
 
+  /** N-GRAM NOVELTY CURVE across ingest batches — the training-data
+    * freshness readout: for each 100-document ingest batch, what
+    * fraction of its distinct bigrams has never appeared in an earlier
+    * batch. A crawl that keeps re-fetching the same content shows a
+    * collapsing curve (this fixture's uniform generator collapses after
+    * batch 0 — correctly); a healthy feed keeps a stable novelty floor.
+    * The corpus-level complement of [[textVocabGrowth]]'s unigram
+    * growth deciles and the leakage family's cross-split checks.
+    *
+    * Plan: every stage stays inside codegen hash aggregation — distinct
+    * (batch, bigram) pairs (the only corpus-sized shuffle, combining
+    * map-side), then per-bigram first-occurrence min, then two
+    * batch-keyed counts joined by BROADCAST. Two formulations this
+    * rejects, both measured at the docs10 rig: a bigram-keyed window
+    * min adds a full sort of the pair frame (45.9s), and folding the
+    * presence set into collect_set drags the whole corpus through
+    * ObjectHashAggregate (104.5s) — this shape runs 29s. Exact
+    * integers: counts are BIGINTs, novelty is floor-DIV ppm on
+    * nonnegative operands. */
+  val textNgramNovelty: Q = Q(
+    "text_ngram_novelty",
+    """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks
+      |  FROM documents),
+      |bg AS (SELECT doc_id // 100 AS batch,
+      |  unnest([array_to_string(toks[i:i+1],' ')
+      |          FOR i IN range(1, len(toks))]) AS bigram
+      |  FROM t WHERE len(toks) >= 2),
+      |p AS (SELECT DISTINCT batch, bigram FROM bg),
+      |w AS (SELECT batch, min(batch) OVER (PARTITION BY bigram) AS fb
+      |      FROM p)
+      |SELECT batch, CAST(count(*) AS BIGINT) AS n_bigrams,
+      |  CAST(sum(CASE WHEN batch = fb THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_new_bigrams,
+      |  (1000000 * sum(CASE WHEN batch = fb THEN 1 ELSE 0 END))
+      |    // count(*) AS novelty_ppm
+      |FROM w GROUP BY batch ORDER BY batch""".stripMargin
+  ) { (s, d) =>
+    // cached (lazily): both censuses read the deduped pair frame, and
+    // without the cache each branch would re-run the corpus-sized
+    // bigram explode + distinct (the pagerank shared-frame posture)
+    val pairs = bigramRows(s, d)
+      .select(expr("doc_id div 100").as("batch"), col("bigram"))
+      .distinct().cache()
+    val nb = pairs.groupBy("batch").agg(count(lit(1)).as("n_bigrams"))
+    val nnew = pairs.groupBy("bigram").agg(min(col("batch")).as("fb"))
+      .groupBy("fb").agg(count(lit(1)).as("nn"))
+    nb.join(broadcast(nnew), col("batch") === col("fb"), "left")
+      .select(col("batch"), col("n_bigrams"),
+        coalesce(col("nn"), lit(0L)).as("n_new_bigrams"))
+      .select(col("batch"), col("n_bigrams"), col("n_new_bigrams"),
+        expr("(1000000 * n_new_bigrams) div n_bigrams").as("novelty_ppm"))
+      .orderBy("batch")
+  }
+
   /** ZIPF RANK-FREQUENCY FIT over the corpus vocabulary — the text-side
     * sibling of the dq family's Benford audit: organic language follows
     * freq ∝ rank^s with s ≈ −1 on a log-log plot, and synthetic,
@@ -1300,5 +1354,5 @@ object TextAnalysis {
     textHeavyHitters, textQualityClassifier, textCountmin, textCollocations,
     textLangidEval, textBm25, textBoilerplate, textInvertedIndex,
     textIndexDelta, textHashingVec, textVocabGrowth, textRakeKeywords,
-    textZipfFit)
+    textZipfFit, textNgramNovelty)
 }
