@@ -1146,10 +1146,76 @@ object Streaming {
         (abs(zMicro) > 1960000L).as("significant"))
   }
 
+  /** KAPLAN-MEIER SURVIVAL curve over customer lifetimes — the
+    * churn-analytics staple [[retentionCohort]] doesn't cover: cohort
+    * retention counts who is still active per period; the KM estimator
+    * gives the survival FUNCTION S(t) = Π(1 − dᵢ/nᵢ) with its per-period
+    * hazard. Lifetime = 30-day buckets between a customer's first and
+    * last order; per bucket: churn count, the at-risk suffix count, the
+    * hazard in ppm, and S(t) in log-nano units.
+    *
+    * Parity discipline: the survival PRODUCT is the trap — a float
+    * running product (or exp-of-float-sum) is order- and libm-sensitive.
+    * Log domain fixes both: each bucket's ln(1 − d/n) quantizes ONCE to
+    * nano units (the PSI ln discipline — scalar per bucket, from exact
+    * integers), and the cumulative is an exact BIGINT window sum; the
+    * reader exponentiates. The terminal bucket (d = n, S = 0, ln
+    * undefined) is excluded by a mirrored WHERE — the
+    * standard KM curve support. Hazard is nonneg floor-DIV ppm.
+    *
+    * Plan: one customer-keyed partial+final aggregate (the only
+    * corpus-sized stage), then a ≤|buckets|-row frame carries the
+    * suffix-sum and cumulative windows (both above the aggregate — the
+    * catalog-wide bounded-frame rule). */
+  val retentionSurvivalKm: Q = Q(
+    "retention_survival_km",
+    """WITH u AS (SELECT o_custkey,
+      |    min(date_diff('day', DATE '1992-01-01', o_orderdate)) AS fd,
+      |    max(date_diff('day', DATE '1992-01-01', o_orderdate)) AS ld
+      |  FROM orders GROUP BY 1),
+      |l AS (SELECT (ld - fd) // 30 AS t FROM u),
+      |d AS (SELECT t, CAST(count(*) AS BIGINT) AS churned FROM l GROUP BY 1),
+      |r AS (SELECT t, churned,
+      |    CAST(sum(churned) OVER (ORDER BY t DESC) AS BIGINT) AS at_risk
+      |  FROM d),
+      |s AS (SELECT t, churned, at_risk,
+      |    (1000000 * churned) // at_risk AS hazard_ppm,
+      |    CAST(floor(1000000000
+      |      * ln(1.0 - CAST(churned AS DOUBLE) / at_risk)) AS BIGINT)
+      |      AS lognano
+      |  FROM r WHERE churned < at_risk)
+      |SELECT t, churned, at_risk, hazard_ppm,
+      |  CAST(sum(lognano) OVER (ORDER BY t) AS BIGINT)
+      |    AS log_survival_nano
+      |FROM s ORDER BY t""".stripMargin
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val u = Tables.orders(s, d)
+      .groupBy("o_custkey")
+      .agg(min(datediff(col("o_orderdate"), lit("1992-01-01").cast("date")))
+             .as("fd"),
+           max(datediff(col("o_orderdate"), lit("1992-01-01").cast("date")))
+             .as("ld"))
+    val dd = u.select(expr("(ld - fd) div 30").as("t"))
+      .groupBy("t").agg(count(lit(1)).as("churned"))
+    val r = dd.withColumn("at_risk",
+      sum(col("churned")).over(Window.orderBy(desc("t"))))
+    val sv = r.filter(col("churned") < col("at_risk"))
+      .select(col("t"), col("churned"), col("at_risk"),
+        expr("(1000000 * churned) div at_risk").as("hazard_ppm"),
+        floor(lit(1000000000L) *
+          log(lit(1.0) - col("churned").cast("double") / col("at_risk")))
+          .cast("long").as("lognano"))
+    sv.withColumn("log_survival_nano",
+        sum(col("lognano")).over(Window.orderBy("t")).cast("long"))
+      .drop("lognano")
+      .orderBy("t")
+  }
+
   val all: Seq[Q] = Seq(streamTumbling, streamHopping, streamSession,
     resampleGapfill, resampleInterp, funnel, eventPaths, retentionCohort,
     eventTransitions, ohlcBars, sessionizeGaps, patternSeq,
     attributionLastclick, attributionLinear, attributionTimedecay,
-    scd2, joinPit, abLiftZtest,
+    scd2, joinPit, abLiftZtest, retentionSurvivalKm,
     sessionConcurrency, markovTwoStep, markovStationary)
 }

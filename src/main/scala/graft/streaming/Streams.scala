@@ -105,6 +105,16 @@ case class RetEdge(user_id: Long, cohort_day: java.sql.Date, day_offset: Int)
   * (bounded: only offsets ≤ the horizon are recorded, ≤ 8 entries). */
 case class RetState(cohortDay: Int, seen: Seq[Int])
 
+/** Timestamped typed event for the streaming A/B flag twin. */
+case class AbEvent(user_id: Long, ts: java.sql.Timestamp,
+                   event_type: String)
+/** Live per-user experiment flags: assignment group, exposure (has a
+  * first view), conversion (purchase inside the 24 h window after it). */
+case class AbFlags(user_id: Long, grp: Int, exposed: Int, converted: Int)
+/** O(1) per-user state: first-view epoch ms (MaxValue = not yet
+  * exposed) and whether a qualifying purchase was seen. */
+case class AbState(t0: Long, converted: Boolean)
+
 /** One sweep-line delta instant for [[Streams.concurrencyPeaks]]: at
   * epoch-ms `ms` on epoch-day `di`, the active-session level changes by
   * `d` (+1 start / −1 end, pre-clipped to the day like the batch query). */
@@ -985,6 +995,44 @@ object Streams {
           }
           state.update(s)
           Iterator(ConcPeak(di, s.cur, s.peak, s.peakMs))
+      }
+  }
+
+  /** Streaming A/B experiment flags — the incremental counterpart of the
+    * batch `ab_lift_ztest` per-user stage: state carries (first-view ms,
+    * converted) per user; each micro-batch folds its events in and
+    * Update mode emits the live flag row (last emitted row per user =
+    * the current answer, the `sourceSignatures` read discipline). The
+    * z-test aggregation downstream is four conditional sums over these
+    * flags, identical to the batch query's 1-row stage.
+    *
+    * In-order arrival contract is PER USER at event-time granularity
+    * (the `transitions` family): under it the first view is processed
+    * before any later purchase, so the streaming t0 equals the batch
+    * global min(view ts) at every prefix, and a purchase with ts ≤ t0
+    * can never convert in either semantics — including the exact-tie
+    * case, which the batch strict `>` rejects no matter which side of
+    * the micro-batch boundary it lands on. State is O(1) per user. */
+  def abUserFlags(ds: Dataset[AbEvent]): Dataset[AbFlags] = {
+    import ds.sparkSession.implicits._
+    val WindowMs = 86400000L
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update,
+                              GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[AbEvent], state: GroupState[AbState]) =>
+          var s = state.getOption.getOrElse(AbState(Long.MaxValue, false))
+          rows.toSeq.sortBy(e => (e.ts.getTime, e.event_type)).foreach { e =>
+            val ms = e.ts.getTime
+            if (e.event_type == "view" && ms < s.t0)
+              s = AbState(ms, s.converted)
+            if (e.event_type == "purchase" && s.t0 != Long.MaxValue &&
+                ms > s.t0 && ms <= s.t0 + WindowMs)
+              s = s.copy(converted = true)
+          }
+          state.update(s)
+          Iterator(AbFlags(uid, (uid % 2).toInt,
+            if (s.t0 != Long.MaxValue) 1 else 0,
+            if (s.converted) 1 else 0))
       }
   }
 

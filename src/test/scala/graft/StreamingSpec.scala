@@ -1161,4 +1161,45 @@ class StreamingSpec extends SparkSpec {
         "expected at least one drop among half-2 docs")
     } finally q.stop()
   }
+
+  test("streaming A/B flags aggregate to the batch ab_lift_ztest counts") {
+    import graft.streaming.{AbEvent, AbFlags, Streams}
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // batch reference: the catalog query's exact sufficient statistics
+    val b = graft.operators.Streaming.abLiftZtest.fn(spark, sf0001)
+      .select("n_control", "n_treat", "conv_control", "conv_treat")
+      .collect().head
+    val batch = (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
+    // fed in global ts order (implies the per-user in-order contract),
+    // split mid-timeline so first views and their conversions straddle
+    // the micro-batch boundary
+    val evs = Tables.events(spark, sf0001)
+      .select("user_id", "ts", "event_type").orderBy("ts").collect()
+      .map(r => AbEvent(r.getLong(0), r.getTimestamp(1), r.getString(2)))
+    val (half1, half2) = evs.splitAt(evs.length / 2)
+    val mem = MemoryStream[AbEvent]
+    val name = s"ab_${System.nanoTime()}"
+    val q = Streams.abUserFlags(mem.toDS()).writeStream
+      .format("memory").queryName(name).outputMode("update").start()
+    val flags = try {
+      mem.addData(half1.toSeq); q.processAllAvailable()
+      mem.addData(half2.toSeq); q.processAllAvailable()
+      // Update mode: the LAST emitted row per user is the live answer
+      spark.table(name).as[AbFlags].collect().zipWithIndex
+        .groupBy(_._1.user_id).map { case (_, rows) => rows.maxBy(_._2)._1 }
+        .toSeq
+    } finally q.stop()
+    val got = (
+      flags.count(f => f.grp == 0 && f.exposed == 1).toLong,
+      flags.count(f => f.grp == 1 && f.exposed == 1).toLong,
+      flags.count(f => f.grp == 0 && f.exposed == 1 && f.converted == 1).toLong,
+      flags.count(f => f.grp == 1 && f.exposed == 1 && f.converted == 1).toLong)
+    assert(got === batch,
+      s"stream (n0,n1,x0,x1)=$got != batch $batch")
+    // downstream z arithmetic is a shared deterministic expression over
+    // these four integers, so count equality is full-query equality
+    assert(got._3 + got._4 > 0, "fixture should have conversions")
+  }
 }
