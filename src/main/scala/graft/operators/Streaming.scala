@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.{Q, Tables}
 import graft.streaming.Streams
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Batch-parity streaming queries (SURVEY.md §2.10): the same transforms
@@ -1146,6 +1146,114 @@ object Streaming {
         (abs(zMicro) > 1960000L).as("significant"))
   }
 
+  /** DELTA-METHOD RATIO-METRIC TEST — [[abLiftZtest]]'s sibling for the
+    * metrics experimentation actually ships on: revenue-per-event (any
+    * per-user ratio Σx/Σy) has no binomial variance, so the arm variance
+    * comes from the delta method — Var(R) ≈ (s²ₓ + R²s²ᵧ − 2R·sₓᵧ) /
+    * (n·ȳ²) — computed from six exact sufficient statistics per arm
+    * (n, Σx, Σy, Σx², Σy², Σxy in cents, DECIMAL(38,0)/HUGEINT). One
+    * row: per-arm sizes, the two ratios and the z statistic in
+    * micro-units.
+    *
+    * Parity discipline: the [[graft.operators.Pipeline]] dq_drift_ttest
+    * family's — integer sufficient statistics, every double from shared
+    * scalar expressions, degenerate frames (an arm with ≤1 user, zero
+    * total denominator, zero pooled variance) excluded by mirrored
+    * HAVING/filter instead of letting NaN/∞ casts diverge.
+    *
+    * Plan: one user-keyed partial+final aggregate (the only corpus-sized
+    * shuffle), a 2-row arm aggregate, a 1-row pivot — no joins, no
+    * windows. */
+  val abRatioDelta: Q = Q(
+    "ab_ratio_delta",
+    """WITH u AS (SELECT user_id, user_id % 2 AS grp,
+      |    CAST(sum(CASE WHEN event_type = 'purchase'
+      |        THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |        ELSE 0 END) AS BIGINT) AS x,
+      |    CAST(count(*) AS BIGINT) AS y
+      |  FROM events GROUP BY 1, 2),
+      |s AS (SELECT grp, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(x) AS DECIMAL(38,0)) AS sx,
+      |    CAST(sum(y) AS DECIMAL(38,0)) AS sy,
+      |    sum(CAST(x AS HUGEINT) * x) AS sxx,
+      |    sum(CAST(y AS HUGEINT) * y) AS syy,
+      |    sum(CAST(x AS HUGEINT) * y) AS sxy
+      |  FROM u GROUP BY 1),
+      |v AS (SELECT grp, n,
+      |    CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE) AS r,
+      |    (CAST(sxx AS DOUBLE)
+      |       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) / (n - 1) AS vx,
+      |    (CAST(syy AS DOUBLE)
+      |       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / n) / (n - 1) AS vy,
+      |    (CAST(sxy AS DOUBLE)
+      |       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n) / (n - 1) AS cxy,
+      |    CAST(sy AS DOUBLE) / n AS ybar
+      |  FROM s WHERE n > 1 AND sy > 0),
+      |w AS (SELECT grp, n, r,
+      |    (vx + r * r * vy - 2 * r * cxy) / (n * ybar * ybar) AS var_r
+      |  FROM v)
+      |SELECT
+      |  max(CASE WHEN grp = 0 THEN n END) AS n_control,
+      |  max(CASE WHEN grp = 1 THEN n END) AS n_treat,
+      |  CAST(floor(1000000 * max(CASE WHEN grp = 0 THEN r END)) AS BIGINT)
+      |    AS ratio_control_micro,
+      |  CAST(floor(1000000 * max(CASE WHEN grp = 1 THEN r END)) AS BIGINT)
+      |    AS ratio_treat_micro,
+      |  CAST(floor(1000000 * ((max(CASE WHEN grp = 1 THEN r END)
+      |      - max(CASE WHEN grp = 0 THEN r END))
+      |    / sqrt(max(CASE WHEN grp = 1 THEN var_r END)
+      |         + max(CASE WHEN grp = 0 THEN var_r END)))) AS BIGINT)
+      |    AS z_micro
+      |FROM w
+      |HAVING count(*) = 2
+      |  AND max(CASE WHEN grp = 1 THEN var_r END)
+      |    + max(CASE WHEN grp = 0 THEN var_r END) > 0""".stripMargin
+  ) { (s, d) =>
+    import org.apache.spark.sql.types.DecimalType
+    val dec38 = DecimalType(38, 0)
+    val u = Tables.events(s, d)
+      .groupBy(col("user_id"), (col("user_id") % 2).as("grp"))
+      .agg(sum(when(col("event_type") === "purchase",
+          (col("value").cast(DecimalType(18, 2)) * 100).cast("long"))
+          .otherwise(0L)).cast("long").as("x"),
+        count(lit(1)).as("y"))
+    val st = u.groupBy("grp")
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).cast(dec38).as("sx"),
+        sum(col("y")).cast(dec38).as("sy"),
+        sum(col("x").cast(dec38) * col("x")).as("sxx"),
+        sum(col("y").cast(dec38) * col("y")).as("syy"),
+        sum(col("x").cast(dec38) * col("y")).as("sxy"))
+    def dbl(c: Column): Column = c.cast("double")
+    val r = dbl(col("sx")) / dbl(col("sy"))
+    val vx = (dbl(col("sxx")) - dbl(col("sx")) * dbl(col("sx")) / col("n")) /
+      (col("n") - 1)
+    val vy = (dbl(col("syy")) - dbl(col("sy")) * dbl(col("sy")) / col("n")) /
+      (col("n") - 1)
+    val cxy = (dbl(col("sxy")) - dbl(col("sx")) * dbl(col("sy")) / col("n")) /
+      (col("n") - 1)
+    val ybar = dbl(col("sy")) / col("n")
+    val w = st.filter(col("n") > 1 && col("sy") > 0)
+      .select(col("grp"), col("n"), r.as("r"),
+        ((vx + r * r * vy - lit(2) * r * cxy) /
+          (col("n") * ybar * ybar)).as("var_r"))
+    def arm(g: Int, c: Column): Column = max(when(col("grp") === g, c))
+    val zden = sqrt(arm(1, col("var_r")) + arm(0, col("var_r")))
+    w.agg(
+        arm(0, col("n")).as("n_control"), arm(1, col("n")).as("n_treat"),
+        floor(lit(1000000) * arm(0, col("r"))).cast("long")
+          .as("ratio_control_micro"),
+        floor(lit(1000000) * arm(1, col("r"))).cast("long")
+          .as("ratio_treat_micro"),
+        floor(lit(1000000) *
+          ((arm(1, col("r")) - arm(0, col("r"))) / zden)).cast("long")
+          .as("z_micro"),
+        count(lit(1)).as("n_arms"),
+        (arm(1, col("var_r")) + arm(0, col("var_r"))).as("vsum"))
+      .filter(col("n_arms") === 2 && col("vsum") > 0)
+      .drop("n_arms", "vsum")
+  }
+
   /** KAPLAN-MEIER SURVIVAL curve over customer lifetimes — the
     * churn-analytics staple [[retentionCohort]] doesn't cover: cohort
     * retention counts who is still active per period; the KM estimator
@@ -1216,6 +1324,6 @@ object Streaming {
     resampleGapfill, resampleInterp, funnel, eventPaths, retentionCohort,
     eventTransitions, ohlcBars, sessionizeGaps, patternSeq,
     attributionLastclick, attributionLinear, attributionTimedecay,
-    scd2, joinPit, abLiftZtest, retentionSurvivalKm,
+    scd2, joinPit, abLiftZtest, abRatioDelta, retentionSurvivalKm,
     sessionConcurrency, markovTwoStep, markovStationary)
 }
