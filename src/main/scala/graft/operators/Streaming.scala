@@ -1254,6 +1254,145 @@ object Streaming {
       .drop("n_arms", "vsum")
   }
 
+  /** CUPED VARIANCE-REDUCED LIFT — the experimentation triad's third
+    * member ([[abLiftZtest]] proportions, [[abRatioDelta]] ratios, this
+    * one variance reduction): the experiment metric (second-half
+    * purchase cents per user) is adjusted by the pre-period covariate
+    * (first-half event count) with the pooled θ = cov(x,p)/var(p), and
+    * the arms compare on adjusted means — the industry-standard way to
+    * shrink experiment confidence intervals with pre-experiment data.
+    * The half split reuses the dq drift pair's integer day midpoint.
+    *
+    * Parity discipline: six exact cent-unit sufficient statistics per
+    * arm (DECIMAL(38,0)/HUGEINT); θ, adjusted means, adjusted variances
+    * (var(x) − 2θcov + θ²var(p) — derived from the same exact sums) and
+    * z are shared scalar IEEE expressions; degenerate frames (zero
+    * covariate variance, an arm with ≤1 user, zero adjusted variance)
+    * are excluded by mirrored WHERE/HAVING.
+    *
+    * Plan: one user-keyed partial+final aggregate (the only corpus-sized
+    * shuffle; the day midpoint broadcasts onto it), a 2-row arm
+    * aggregate, a 1-row θ frame broadcast back, a 1-row pivot. */
+  val abCuped: Q = Q(
+    "ab_cuped",
+    """WITH e AS (SELECT user_id, user_id % 2 AS grp, event_type,
+      |    epoch_ms(ts) // 86400000 AS di,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM events),
+      |mid AS (SELECT (min(di) + max(di)) // 2 AS m FROM e),
+      |u AS (SELECT user_id, grp,
+      |    CAST(count(CASE WHEN di <= (SELECT m FROM mid) THEN 1 END)
+      |      AS BIGINT) AS p,
+      |    CAST(sum(CASE WHEN di > (SELECT m FROM mid)
+      |        AND event_type = 'purchase' THEN cents ELSE 0 END)
+      |      AS BIGINT) AS x
+      |  FROM e GROUP BY 1, 2),
+      |s AS (SELECT grp, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(x) AS DECIMAL(38,0)) AS sx,
+      |    CAST(sum(p) AS DECIMAL(38,0)) AS sp,
+      |    sum(CAST(x AS HUGEINT) * x) AS sxx,
+      |    sum(CAST(p AS HUGEINT) * p) AS spp,
+      |    sum(CAST(x AS HUGEINT) * p) AS sxp
+      |  FROM u GROUP BY 1),
+      |g AS (SELECT CAST(sum(n) AS DOUBLE) AS gn,
+      |    CAST(sum(sx) AS DOUBLE) AS gsx, CAST(sum(sp) AS DOUBLE) AS gsp,
+      |    CAST(sum(sxx) AS DOUBLE) AS gsxx,
+      |    CAST(sum(spp) AS DOUBLE) AS gspp,
+      |    CAST(sum(sxp) AS DOUBLE) AS gsxp
+      |  FROM s),
+      |t AS (SELECT (gsxp - gsx * gsp / gn) / (gspp - gsp * gsp / gn)
+      |      AS theta,
+      |    gsp / gn AS pbar FROM g WHERE gspp - gsp * gsp / gn > 0),
+      |a AS (SELECT grp, n, theta,
+      |    CAST(sx AS DOUBLE) / n - theta * (CAST(sp AS DOUBLE) / n - pbar)
+      |      AS madj,
+      |    ((CAST(sxx AS DOUBLE)
+      |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
+      |     - 2 * theta * (CAST(sxp AS DOUBLE)
+      |        - CAST(sx AS DOUBLE) * CAST(sp AS DOUBLE) / n)
+      |     + theta * theta * (CAST(spp AS DOUBLE)
+      |        - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE) / n))
+      |    / (n - 1) AS vadj
+      |  FROM s CROSS JOIN t WHERE n > 1)
+      |SELECT
+      |  max(CASE WHEN grp = 0 THEN n END) AS n_control,
+      |  max(CASE WHEN grp = 1 THEN n END) AS n_treat,
+      |  CAST(floor(1000 * max(theta)) AS BIGINT) AS theta_milli,
+      |  CAST(floor(max(CASE WHEN grp = 0 THEN madj END)) AS BIGINT)
+      |    AS adj_mean_control_cents,
+      |  CAST(floor(max(CASE WHEN grp = 1 THEN madj END)) AS BIGINT)
+      |    AS adj_mean_treat_cents,
+      |  CAST(floor(1000000 * ((max(CASE WHEN grp = 1 THEN madj END)
+      |      - max(CASE WHEN grp = 0 THEN madj END))
+      |    / sqrt(max(CASE WHEN grp = 1 THEN vadj END)
+      |             / max(CASE WHEN grp = 1 THEN n END)
+      |         + max(CASE WHEN grp = 0 THEN vadj END)
+      |             / max(CASE WHEN grp = 0 THEN n END)))) AS BIGINT)
+      |    AS z_micro
+      |FROM a
+      |HAVING count(*) = 2
+      |  AND max(CASE WHEN grp = 1 THEN vadj END)
+      |        / max(CASE WHEN grp = 1 THEN n END)
+      |    + max(CASE WHEN grp = 0 THEN vadj END)
+      |        / max(CASE WHEN grp = 0 THEN n END) > 0""".stripMargin
+  ) { (s, d) =>
+    import org.apache.spark.sql.types.DecimalType
+    val dec38 = DecimalType(38, 0)
+    val e = Tables.events(s, d)
+      .select(col("user_id"), (col("user_id") % 2).as("grp"),
+        col("event_type"),
+        expr("unix_millis(ts) DIV 86400000").as("di"),
+        (col("value").cast(DecimalType(18, 2)) * 100).cast("long")
+          .as("cents"))
+    val mid = e.agg(expr("(min(di) + max(di)) DIV 2").as("m"))
+    val u = e.crossJoin(broadcast(mid))
+      .groupBy(col("user_id"), col("grp"))
+      .agg(count(when(col("di") <= col("m"), 1)).as("p"),
+        sum(when(col("di") > col("m") &&
+            col("event_type") === "purchase", col("cents"))
+          .otherwise(0L)).cast("long").as("x"))
+    val st = u.groupBy("grp")
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).cast(dec38).as("sx"),
+        sum(col("p")).cast(dec38).as("sp"),
+        sum(col("x").cast(dec38) * col("x")).as("sxx"),
+        sum(col("p").cast(dec38) * col("p")).as("spp"),
+        sum(col("x").cast(dec38) * col("p")).as("sxp"))
+    def dbl(c: Column): Column = c.cast("double")
+    val g = st.agg(dbl(sum(col("n"))).as("gn"), dbl(sum(col("sx"))).as("gsx"),
+      dbl(sum(col("sp"))).as("gsp"), dbl(sum(col("sxx"))).as("gsxx"),
+      dbl(sum(col("spp"))).as("gspp"), dbl(sum(col("sxp"))).as("gsxp"))
+    val t = g.filter(col("gspp") - col("gsp") * col("gsp") / col("gn") > 0)
+      .select(((col("gsxp") - col("gsx") * col("gsp") / col("gn")) /
+          (col("gspp") - col("gsp") * col("gsp") / col("gn"))).as("theta"),
+        (col("gsp") / col("gn")).as("pbar"))
+    val madj = dbl(col("sx")) / col("n") -
+      col("theta") * (dbl(col("sp")) / col("n") - col("pbar"))
+    val vadj = ((dbl(col("sxx")) - dbl(col("sx")) * dbl(col("sx")) / col("n"))
+      - lit(2) * col("theta") *
+        (dbl(col("sxp")) - dbl(col("sx")) * dbl(col("sp")) / col("n"))
+      + col("theta") * col("theta") *
+        (dbl(col("spp")) - dbl(col("sp")) * dbl(col("sp")) / col("n"))) /
+      (col("n") - 1)
+    val a = st.filter(col("n") > 1).crossJoin(broadcast(t))
+      .select(col("grp"), col("n"), col("theta"),
+        madj.as("madj"), vadj.as("vadj"))
+    def arm(gi: Int, c: Column): Column = max(when(col("grp") === gi, c))
+    val vz = arm(1, col("vadj")) / arm(1, col("n")) +
+      arm(0, col("vadj")) / arm(0, col("n"))
+    a.agg(
+        arm(0, col("n")).as("n_control"), arm(1, col("n")).as("n_treat"),
+        floor(lit(1000) * max(col("theta"))).cast("long").as("theta_milli"),
+        floor(arm(0, col("madj"))).cast("long").as("adj_mean_control_cents"),
+        floor(arm(1, col("madj"))).cast("long").as("adj_mean_treat_cents"),
+        floor(lit(1000000) *
+          ((arm(1, col("madj")) - arm(0, col("madj"))) / sqrt(vz)))
+          .cast("long").as("z_micro"),
+        count(lit(1)).as("n_arms"), vz.as("vsum"))
+      .filter(col("n_arms") === 2 && col("vsum") > 0)
+      .drop("n_arms", "vsum")
+  }
+
   /** KAPLAN-MEIER SURVIVAL curve over customer lifetimes — the
     * churn-analytics staple [[retentionCohort]] doesn't cover: cohort
     * retention counts who is still active per period; the KM estimator
@@ -1324,6 +1463,6 @@ object Streaming {
     resampleGapfill, resampleInterp, funnel, eventPaths, retentionCohort,
     eventTransitions, ohlcBars, sessionizeGaps, patternSeq,
     attributionLastclick, attributionLinear, attributionTimedecay,
-    scd2, joinPit, abLiftZtest, abRatioDelta, retentionSurvivalKm,
+    scd2, joinPit, abLiftZtest, abRatioDelta, abCuped, retentionSurvivalKm,
     sessionConcurrency, markovTwoStep, markovStationary)
 }
