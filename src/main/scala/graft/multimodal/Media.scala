@@ -237,6 +237,52 @@ object Media {
     }
   }
 
+  /** Per-row Shannon byte entropy in exact micro-bits — the fused form
+    * of histogram-then-HOF (the HOF lambda path does not whole-stage-
+    * codegen and re-walks a 256-bucket array per row; this single pass
+    * measured 34.7s -> 6.7s at the docs10 rig). Arithmetic matches the
+    * SQL oracle bit-for-bit: dyadic ratios (n/c a power of two — terms
+    * that sit ON a floor boundary where last-ulp ln drift flips
+    * engines) use pure Long arithmetic; all other terms floor-quantize
+    * a shared IEEE expression (Math.log ≡ both engines' ln up to the
+    * harmless-for-irrationals last ulp). Returns (media_id, n_bytes,
+    * entropy_micro_bits). */
+  case class EntropyRow(media_id: Long, n_bytes: Long,
+                        entropy_micro_bits: Long)
+  private val Ln2 = Math.log(2.0)
+  def byteEntropy(ds: Dataset[MediaRow]): Dataset[EntropyRow] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { rows =>
+      val hist = new Array[Long](256) // reused across the partition
+      rows.flatMap { r =>
+        if (r.content.isEmpty) Iterator.empty
+        else {
+          java.util.Arrays.fill(hist, 0L)
+          r.content.foreach { b => hist(b & 0xFF) += 1 }
+          val n = r.content.length.toLong
+          val lnN = Math.log(n.toDouble)
+          var sum = 0L
+          var i = 0
+          while (i < 256) {
+            val c = hist(i)
+            if (c > 0) {
+              val r0 = n / c
+              sum +=
+                (if (n % c == 0 && (r0 & (r0 - 1)) == 0) {
+                   val k = Math.round(Math.log(r0.toDouble) / Ln2)
+                   1000000L * c * k / n // nonneg Long division == DIV
+                 } else
+                   Math.floor(1000000d * (c.toDouble / n) *
+                     (lnN - Math.log(c.toDouble)) / Ln2).toLong)
+            }
+            i += 1
+          }
+          Iterator(EntropyRow(r.media_id, n, sum))
+        }
+      }
+    }
+  }
+
   /** "Resize": deterministic fake — keep every `factor`-th byte (a real
     * impl would be an image-library call in the same batched loop). */
   def resize(ds: Dataset[MediaRow], factor: Int): Dataset[MediaRow] = {
