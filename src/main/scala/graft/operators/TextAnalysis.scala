@@ -1253,6 +1253,96 @@ object TextAnalysis {
       .orderBy("batch")
   }
 
+  /** JENSEN-SHANNON DIVERGENCE between every source pair's unigram
+    * distributions — the mixture-design metric: which sources are
+    * near-duplicates distribution-wise (merge their sampling budgets)
+    * and which are genuinely distinct (protect their shares). The
+    * symmetric, bounded companion to [[graft.operators.Dedup]]'s
+    * shingle-Jaccard source similarity: Jaccard sees shared SPANS, JS
+    * sees shared WORD FREQUENCIES — templated sources with reshuffled
+    * wording separate the two.
+    *
+    * Parity discipline: per (pair, token) terms quantize ONCE to nano
+    * (the PSI ln discipline), summed exactly. Two term classes: tokens
+    * in both sources use p·(ln 2p − ln(p+q)) + q·(ln 2q − ln(p+q)) —
+    * irrational except the p=q case, which both engines compute as an
+    * EXACT 0 (identical ln arguments subtract) — and single-source
+    * tokens contribute exactly ½p with NO ln at all (their true term;
+    * division and multiplication are correctly rounded in IEEE, so no
+    * engine drift without a transcendental). Association order mirrors
+    * the oracle literally.
+    *
+    * Plan: one corpus pass to the (source, token) aggregate; everything
+    * after is vocab×sources-bounded — a token-keyed self-join for
+    * co-occurring pairs, a broadcast-sources anti-join for the
+    * single-source remainder, one final pair-keyed aggregate. Output is
+    * |sources|² rows. */
+  val textJsDivergence: Q = Q(
+    "text_js_divergence",
+    """WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS token
+      |  FROM documents),
+      |c AS (SELECT source, token, CAST(count(*) AS BIGINT) AS c
+      |      FROM tok GROUP BY 1, 2),
+      |n AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM c GROUP BY 1),
+      |j AS (SELECT a.source AS src_a, b.source AS src_b, a.token,
+      |    CAST(a.c AS DOUBLE) / na.n AS p, CAST(b.c AS DOUBLE) / nb.n AS q
+      |  FROM c a JOIN c b ON a.token = b.token AND a.source < b.source
+      |  JOIN n na ON na.source = a.source
+      |  JOIN n nb ON nb.source = b.source),
+      |only_a AS (SELECT a.source AS src_a, b_s.source AS src_b,
+      |    CAST(a.c AS DOUBLE) / na.n AS p
+      |  FROM c a JOIN n na ON na.source = a.source
+      |  CROSS JOIN (SELECT DISTINCT source FROM c) b_s
+      |  WHERE b_s.source <> a.source
+      |    AND NOT EXISTS (SELECT 1 FROM c b WHERE b.source = b_s.source
+      |                    AND b.token = a.token)),
+      |t AS (SELECT src_a, src_b,
+      |    CAST(floor(1000000000 * 0.5 * (
+      |        p * (ln(2 * p) - ln(p + q))
+      |        + q * (ln(2 * q) - ln(p + q))) / ln(2)) AS BIGINT) AS term
+      |  FROM j),
+      |o AS (SELECT LEAST(src_a, src_b) AS src_a,
+      |    GREATEST(src_a, src_b) AS src_b,
+      |    CAST(floor(1000000000 * 0.5 * p) AS BIGINT) AS term
+      |  FROM only_a),
+      |u AS (SELECT * FROM t UNION ALL SELECT * FROM o)
+      |SELECT src_a, src_b, CAST(sum(term) AS BIGINT) AS js_nano
+      |FROM u GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  ) { (s, d) =>
+    val c = Tables.documents(s, d)
+      .select(col("source"), explode(split(col("text"), " ")).as("token"))
+      .groupBy("source", "token").agg(count(lit(1)).as("c"))
+      .cache() // three consumers below (pagerank shared-frame posture)
+    val n = c.groupBy("source").agg(sum(col("c")).as("n"))
+    val cn = c.join(broadcast(n), Seq("source"))
+      .select(col("source"), col("token"),
+        (col("c").cast("double") / col("n")).as("p"))
+    val a = cn.select(col("source").as("src_a"), col("token"),
+      col("p").as("pa"))
+    val b = cn.select(col("source").as("src_b"), col("token"),
+      col("p").as("pb"))
+    val both = a.join(b,
+      a("token") === b("token") && col("src_a") < col("src_b"))
+    val tBoth = both.select(col("src_a"), col("src_b"),
+      floor(lit(1000000000d) * lit(0.5) * (
+          col("pa") * (log(lit(2) * col("pa")) - log(col("pa") + col("pb")))
+        + col("pb") * (log(lit(2) * col("pb")) - log(col("pa") + col("pb"))))
+        / log(lit(2.0))).cast("long").as("term"))
+    val sources = c.select(col("source").as("src_b")).distinct()
+    val onlyA = a.crossJoin(broadcast(sources))
+      .filter(col("src_b") =!= col("src_a"))
+      .join(cn.select(col("source").as("src_b"), col("token")),
+        Seq("src_b", "token"), "left_anti")
+      .select(least(col("src_a"), col("src_b")).as("src_a"),
+        greatest(col("src_a"), col("src_b")).as("src_b"),
+        floor(lit(1000000000d) * lit(0.5) * col("pa")).cast("long")
+          .as("term"))
+    tBoth.unionByName(onlyA)
+      .groupBy("src_a", "src_b").agg(sum(col("term")).cast("long")
+        .as("js_nano"))
+      .orderBy("src_a", "src_b")
+  }
+
   /** ZIPF RANK-FREQUENCY FIT over the corpus vocabulary — the text-side
     * sibling of the dq family's Benford audit: organic language follows
     * freq ∝ rank^s with s ≈ −1 on a log-log plot, and synthetic,
@@ -1354,5 +1444,5 @@ object TextAnalysis {
     textHeavyHitters, textQualityClassifier, textCountmin, textCollocations,
     textLangidEval, textBm25, textBoilerplate, textInvertedIndex,
     textIndexDelta, textHashingVec, textVocabGrowth, textRakeKeywords,
-    textZipfFit, textNgramNovelty)
+    textZipfFit, textNgramNovelty, textJsDivergence)
 }
