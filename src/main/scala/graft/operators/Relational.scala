@@ -2176,7 +2176,110 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** RFM CUSTOMER SEGMENTATION — the classic warehouse marketing
+    * census: per customer, Recency (days since last order, vs the
+    * corpus max date), Frequency (order count) and Monetary (exact cent
+    * total through the [[Tables]] money discipline), each scored 1–5
+    * against the customer population's interpolated quintile
+    * breakpoints, rolled up to the RFM cells with a champions/loyal/
+    * at-risk/hibernating label.
+    *
+    * Parity discipline: R/F/M are exact integers (the recency day diff
+    * is the [[scalarDatetimeExt]] date_diff twin); breakpoints use
+    * `percentile` ≡ `quantile_cont` (the long-green [[aggQuantile]]
+    * pairing — interpolation over exact integers is shared IEEE
+    * arithmetic); scores are mirrored CASE chains over those doubles;
+    * the cell rollup is exact counts and cent sums.
+    *
+    * Plan: one customer-keyed partial+final aggregate (the corpus
+    * stage), ONE 1-row exact-percentile aggregate over the customer
+    * frame broadcast back (at 100 TB swap in approx_percentile — same
+    * plan shape, sketch mergeable), then a ≤125-cell rollup. */
+  val rfmSegmentation: Q = Q(
+    "rfm_segmentation",
+    """WITH mx AS (SELECT max(o_orderdate) AS mx FROM orders),
+      |u AS (SELECT o_custkey,
+      |    date_diff('day', max(o_orderdate), (SELECT mx FROM mx)) AS r,
+      |    CAST(count(*) AS BIGINT) AS f,
+      |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+      |      AS BIGINT)) AS BIGINT) AS m
+      |  FROM orders GROUP BY 1),
+      |bp AS (SELECT
+      |    quantile_cont(r, 0.2) AS r20, quantile_cont(r, 0.4) AS r40,
+      |    quantile_cont(r, 0.6) AS r60, quantile_cont(r, 0.8) AS r80,
+      |    quantile_cont(f, 0.2) AS f20, quantile_cont(f, 0.4) AS f40,
+      |    quantile_cont(f, 0.6) AS f60, quantile_cont(f, 0.8) AS f80,
+      |    quantile_cont(m, 0.2) AS m20, quantile_cont(m, 0.4) AS m40,
+      |    quantile_cont(m, 0.6) AS m60, quantile_cont(m, 0.8) AS m80
+      |  FROM u),
+      |sc AS (SELECT o_custkey, m,
+      |    CASE WHEN r <= r20 THEN 5 WHEN r <= r40 THEN 4
+      |         WHEN r <= r60 THEN 3 WHEN r <= r80 THEN 2 ELSE 1 END
+      |      AS r_score,
+      |    CASE WHEN f <= f20 THEN 1 WHEN f <= f40 THEN 2
+      |         WHEN f <= f60 THEN 3 WHEN f <= f80 THEN 4 ELSE 5 END
+      |      AS f_score,
+      |    CASE WHEN m <= m20 THEN 1 WHEN m <= m40 THEN 2
+      |         WHEN m <= m60 THEN 3 WHEN m <= m80 THEN 4 ELSE 5 END
+      |      AS m_score
+      |  FROM u CROSS JOIN bp)
+      |SELECT r_score, f_score, m_score,
+      |  CASE WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4
+      |         THEN 'champion'
+      |       WHEN r_score >= 3 AND f_score >= 3 THEN 'loyal'
+      |       WHEN r_score <= 2 AND f_score >= 4 THEN 'at_risk'
+      |       WHEN r_score <= 2 AND f_score <= 2 THEN 'hibernating'
+      |       ELSE 'other' END AS segment,
+      |  CAST(count(*) AS BIGINT) AS n_customers,
+      |  CAST(sum(m) AS BIGINT) AS monetary_cents
+      |FROM sc GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+  ) { (s, d) =>
+    val mx = Tables.orders(s, d).agg(max(col("o_orderdate")).as("mx"))
+    val u = Tables.orders(s, d).crossJoin(broadcast(mx))
+      .groupBy("o_custkey")
+      .agg(min(datediff(col("mx"), col("o_orderdate"))).as("r"),
+        count(lit(1)).as("f"),
+        sum((col("o_totalprice").cast("decimal(18,2)") * 100)
+          .cast("long")).cast("long").as("m"))
+    val bp = u.agg(
+      expr("percentile(r, 0.2)").as("r20"), expr("percentile(r, 0.4)").as("r40"),
+      expr("percentile(r, 0.6)").as("r60"), expr("percentile(r, 0.8)").as("r80"),
+      expr("percentile(f, 0.2)").as("f20"), expr("percentile(f, 0.4)").as("f40"),
+      expr("percentile(f, 0.6)").as("f60"), expr("percentile(f, 0.8)").as("f80"),
+      expr("percentile(m, 0.2)").as("m20"), expr("percentile(m, 0.4)").as("m40"),
+      expr("percentile(m, 0.6)").as("m60"), expr("percentile(m, 0.8)").as("m80"))
+    def score(v: Column, b: Seq[String], asc: Boolean): Column = {
+      val s1 = when(v <= col(b(0)), if (asc) 1 else 5)
+        .when(v <= col(b(1)), if (asc) 2 else 4)
+        .when(v <= col(b(2)), 3)
+        .when(v <= col(b(3)), if (asc) 4 else 2)
+        .otherwise(if (asc) 5 else 1)
+      s1
+    }
+    val sc = u.crossJoin(broadcast(bp))
+      .select(col("m"),
+        score(col("r"), Seq("r20", "r40", "r60", "r80"), asc = false)
+          .as("r_score"),
+        score(col("f"), Seq("f20", "f40", "f60", "f80"), asc = true)
+          .as("f_score"),
+        score(col("m"), Seq("m20", "m40", "m60", "m80"), asc = true)
+          .as("m_score"))
+    sc.groupBy("r_score", "f_score", "m_score")
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("m")).cast("long").as("monetary_cents"))
+      .select(col("r_score"), col("f_score"), col("m_score"),
+        when(col("r_score") >= 4 && col("f_score") >= 4 &&
+             col("m_score") >= 4, "champion")
+          .when(col("r_score") >= 3 && col("f_score") >= 3, "loyal")
+          .when(col("r_score") <= 2 && col("f_score") >= 4, "at_risk")
+          .when(col("r_score") <= 2 && col("f_score") <= 2, "hibernating")
+          .otherwise("other").as("segment"),
+        col("n_customers"), col("monetary_cents"))
+      .orderBy("r_score", "f_score", "m_score")
+  }
+
   val all: Seq[Q] = Seq(
+    rfmSegmentation,
     countByProject, filterPred, aggGroupBy, aggRollup, aggMoments,
     aggDistinct, topk,
     joinInner, joinMultiway, semiAnti, setOps, scalarStringDate, jsonExtract,
