@@ -1044,6 +1044,136 @@ object Streaming {
     eager = true, // transition collect + driver iteration at plan build
     oracleGen = Some(() => markovMeasuredRounds.get().map(markovOracleSql)))
 
+  /** STRONGLY CONNECTED COMPONENTS of the dominant-transition skeleton —
+    * the journey CORE-LOOP detector: keep each event type's single most
+    * frequent successor (rank by count DESC then successor name — the
+    * deterministic cut every top-1 in the catalog uses) and decompose
+    * the resulting out-degree-1 graph into SCCs. The skeleton of a
+    * functional graph is ρ-shaped, so the decomposition splits the type
+    * domain into the recurrent CORE CYCLES users orbit (scc_size > 1,
+    * or a dominant self-loop) and the transient types that only feed
+    * them — the qualitative summary [[markovStationary]]'s π quantifies.
+    *
+    * Scale posture: the one corpus-sized stage is the transition count
+    * (user-keyed lead window + partial+final aggregate, the
+    * [[eventTransitions]] plan); the skeleton rank window partitions by
+    * source type over the |types|²-row count frame, and the SCC run is
+    * driver-side iterative Tarjan over ≤|types| edges — the
+    * [[markovStationary]] bounded-collect discipline, guarded by the
+    * same [[MarkovMaxTypes]] cap so a high-cardinality state domain
+    * fails loudly instead of OOMing the driver. The oracle recomputes
+    * mutual reachability from scratch: a recursive-CTE transitive
+    * closure over its own independently-ranked skeleton, SCC id = min
+    * type with reach in both directions — so the hash match certifies
+    * the extraction, the rank cut, AND the component structure. */
+  val graphScc: Q = Q(
+    "graph_scc",
+    """WITH RECURSIVE o AS (SELECT user_id, event_type,
+      |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      AS next_type
+      |  FROM events),
+      |c AS (SELECT event_type AS a, next_type AS b, count(*) AS n
+      |      FROM o WHERE next_type IS NOT NULL GROUP BY 1, 2),
+      |rk AS (SELECT a, b,
+      |    row_number() OVER (PARTITION BY a ORDER BY n DESC, b) AS r
+      |  FROM c),
+      |e AS (SELECT a, b FROM rk WHERE r = 1),
+      |ty AS (SELECT DISTINCT event_type AS t FROM events),
+      |reach AS (SELECT a, b FROM e
+      |          UNION
+      |          SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+      |m AS (SELECT t AS a, t AS b FROM ty
+      |      UNION
+      |      SELECT r1.a, r1.b FROM reach r1
+      |        JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a),
+      |comp AS (SELECT a AS event_type, min(b) AS scc_id FROM m GROUP BY 1),
+      |sz AS (SELECT scc_id, CAST(count(*) AS BIGINT) AS scc_size
+      |       FROM comp GROUP BY 1)
+      |SELECT c.event_type, c.scc_id, s.scc_size
+      |FROM comp c JOIN sz s ON c.scc_id = s.scc_id
+      |ORDER BY c.event_type""".stripMargin
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val counts = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("a"), col("next_type").as("b"))
+      .agg(count(lit(1)).as("n"))
+    val nTypes = Tables.events(s, d)
+      .agg(count_distinct(col("event_type"))).head().getLong(0)
+    require(nTypes <= MarkovMaxTypes,
+      s"graph_scc collects the dominant-transition skeleton driver-side " +
+      s"(bounded-collect discipline); $nTypes distinct event_type values " +
+      s"exceeds the $MarkovMaxTypes cap. For a high-cardinality state " +
+      "domain run SCC distributed (forward/backward hash-to-min label " +
+      "exchange, the dedup_cluster plan shape).")
+    // bounded collects: ≤|types| skeleton edges + the type list
+    val rk = Window.partitionBy("a").orderBy(desc("n"), asc("b"))
+    val edges = counts.withColumn("r", row_number().over(rk))
+      .filter(col("r") === 1).select(col("a"), col("b"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val types = Tables.events(s, d).select(col("event_type"))
+      .distinct().collect().map(_.getString(0)).sorted
+    // iterative Tarjan (explicit stack — no recursion-depth dependence on
+    // the type domain); components keyed by their minimum member name to
+    // match the oracle's min-over-mutual-reach labeling
+    val adj = edges.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    val index = scala.collection.mutable.Map[String, Int]()
+    val low = scala.collection.mutable.Map[String, Int]()
+    val onStack = scala.collection.mutable.Set[String]()
+    val stack = scala.collection.mutable.Stack[String]()
+    val sccOf = scala.collection.mutable.Map[String, String]()
+    var counter = 0
+    for (root <- types if !index.contains(root)) {
+      // work stack of (node, next-child offset)
+      val work = scala.collection.mutable.Stack[(String, Int)]((root, 0))
+      while (work.nonEmpty) {
+        val (v, ci) = work.pop()
+        if (ci == 0) {
+          index(v) = counter; low(v) = counter; counter += 1
+          stack.push(v); onStack += v
+        }
+        val children = adj.getOrElse(v, Array.empty[String])
+        var i = ci
+        var descended = false
+        while (i < children.length && !descended) {
+          val c = children(i)
+          if (!index.contains(c)) {
+            work.push((v, i + 1)); work.push((c, 0)); descended = true
+          } else {
+            if (onStack(c)) low(v) = math.min(low(v), index(c))
+            i += 1
+          }
+        }
+        if (!descended) {
+          if (low(v) == index(v)) {
+            val members = scala.collection.mutable.Buffer[String]()
+            var done = false
+            while (!done) {
+              val x = stack.pop(); onStack -= x; members += x
+              if (x == v) done = true
+            }
+            val id = members.min
+            members.foreach(m => sccOf(m) = id)
+          }
+          if (work.nonEmpty) {
+            val (p, _) = work.top
+            low(p) = math.min(low(p), low(v))
+          }
+        }
+      }
+    }
+    val sizes = sccOf.values.groupBy(identity).map { case (k, v) =>
+      k -> v.size.toLong
+    }
+    import s.implicits._
+    types.map(t => (t, sccOf(t), sizes(sccOf(t)))).toSeq
+      .toDF("event_type", "scc_id", "scc_size")
+      .orderBy("event_type")
+  }.copy(eager = true) // skeleton collect + driver Tarjan at plan build
+
   /** A/B EXPERIMENT LIFT with a two-proportion z-test — the readout an
     * experimentation platform computes per assignment split: users hash
     * into control/treatment (`user_id % 2`, the deterministic assignment
@@ -1393,6 +1523,66 @@ object Streaming {
       .drop("n_arms", "vsum")
   }
 
+  /** SAMPLE-RATIO MISMATCH audit — the pre-test gate every
+    * experimentation platform runs BEFORE reading [[abLiftZtest]] /
+    * [[abRatioDelta]] / [[abCuped]]: if the observed arm split deviates
+    * from the designed 50/50 beyond chance, the randomizer (or a
+    * logging path) is broken and every downstream readout is invalid.
+    * Per event-day: distinct active users per arm (`user_id % 2`, the
+    * triad's assignment) and the one-df chi-square against the equal
+    * split — for a 50/50 two-arm design it collapses to
+    * (n₀−n₁)²/(n₀+n₁) — flagged at the industry-standard p < 0.001
+    * alarm (χ²₁ = 10.8276). The per-day grain is the diagnostic form:
+    * a deploy that breaks assignment shows up as the flag flipping on
+    * from one day forward, which a single whole-experiment row hides.
+    *
+    * Parity discipline: the statistic is PURE INTEGER — the squared
+    * difference is nonnegative so the floor DIV never meets the
+    * engines' differing negative-division conventions, and there is no
+    * transcendental anywhere (the chi-square THRESHOLD constant carries
+    * the only real number, pre-quantized to micro units). The square is
+    * DECIMAL(38,0)/HUGEINT-widened so a billion-user day cannot
+    * overflow the 10⁶-scaled numerator.
+    *
+    * Plan: one exchange on the distinct (day, user) pair — arm is a
+    * function of user_id, so the per-arm counts are conditional sums in
+    * the same day-keyed partial+final aggregate, not a second distinct;
+    * the output is ≤|days| rows. */
+  val abSrm: Q = Q(
+    "ab_srm",
+    """WITH u AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
+      |           FROM events),
+      |c AS (SELECT day,
+      |    CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_control,
+      |    CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_treat
+      |  FROM u GROUP BY 1)
+      |SELECT day, n_control, n_treat,
+      |  CAST((1000000 * CAST(n_control - n_treat AS HUGEINT)
+      |        * (n_control - n_treat)) // (n_control + n_treat)
+      |    AS BIGINT) AS chi2_micro,
+      |  CAST((1000000 * CAST(n_control - n_treat AS HUGEINT)
+      |        * (n_control - n_treat)) // (n_control + n_treat)
+      |    AS BIGINT) > 10827600 AS srm
+      |FROM c ORDER BY day""".stripMargin
+  ) { (s, d) =>
+    val u = Tables.events(s, d)
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+      .distinct()
+    val c = u.groupBy("day").agg(
+      sum(when(col("user_id") % 2 === 0, 1L).otherwise(0L))
+        .cast("long").as("n_control"),
+      sum(when(col("user_id") % 2 === 1, 1L).otherwise(0L))
+        .cast("long").as("n_treat"))
+    val chi2 = expr(
+      "CAST(CAST(1000000 AS DECIMAL(38,0)) * (n_control - n_treat)" +
+      " * (n_control - n_treat) DIV (n_control + n_treat) AS BIGINT)")
+    c.select(col("day"), col("n_control"), col("n_treat"),
+        chi2.as("chi2_micro"), (chi2 > 10827600L).as("srm"))
+      .orderBy("day")
+  }
+
   /** KAPLAN-MEIER SURVIVAL curve over customer lifetimes — the
     * churn-analytics staple [[retentionCohort]] doesn't cover: cohort
     * retention counts who is still active per period; the KM estimator
@@ -1463,6 +1653,7 @@ object Streaming {
     resampleGapfill, resampleInterp, funnel, eventPaths, retentionCohort,
     eventTransitions, ohlcBars, sessionizeGaps, patternSeq,
     attributionLastclick, attributionLinear, attributionTimedecay,
-    scd2, joinPit, abLiftZtest, abRatioDelta, abCuped, retentionSurvivalKm,
-    sessionConcurrency, markovTwoStep, markovStationary)
+    scd2, joinPit, abLiftZtest, abRatioDelta, abCuped, abSrm,
+    retentionSurvivalKm,
+    sessionConcurrency, markovTwoStep, markovStationary, graphScc)
 }

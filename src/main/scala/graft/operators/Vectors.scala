@@ -2265,6 +2265,214 @@ object Vectors {
       .orderBy("dim_i", "dim_j")
   }
 
+  // vector_pca_power's driver-side iteration cap: 16 BigInt entries per
+  // round, so like the Markov cap it is sized for slow spectral gaps,
+  // not for cost
+  private val PcaMaxRounds = 4096
+  private val PcaDims = 16
+
+  /** Measured power-iteration round count of the last [[vectorPcaPower]]
+    * run — unrolled by [[pcaOracleSql]] post-run (the markov_stationary
+    * oracleGen discipline). */
+  private val pcaMeasuredRounds =
+    new java.util.concurrent.atomic.AtomicReference[Option[Int]](None)
+
+  /** Normalized-squaring count: the iteration matrix is C^(2^S), so an
+    * eigen-ratio r becomes r^1024 — a 0.999-gap chain that would need
+    * ~700 direct rounds (measured: 663 at sf0.01, which also overflows
+    * DuckDB's expression-depth limit when unrolled) converges in a
+    * handful. Each squaring renormalizes to the ±10⁶ fixed-point grid,
+    * so entries stay bounded at ANY corpus size and every step is exact
+    * integer arithmetic both engines replay identically. */
+  private val PcaSquarings = 10
+
+  private def pcaOracleSql(r: Int): String = {
+    // every matrix/round CTE is MATERIALIZED: each level references its
+    // predecessor twice (self-join / max + rescale), so the default
+    // inlining would de-share into 2^levels copies of the embeddings
+    // scan — the graph_hits de-sharing trap, fixed on the oracle side
+    // with the hint instead of checkpointTruncated
+    val sq = (1 to PcaSquarings).map { k =>
+      s"""q$k AS MATERIALIZED (SELECT a.i, b.j, sum(a.c * b.c) AS e
+         |  FROM c${k - 1} a JOIN c${k - 1} b ON a.j = b.i GROUP BY 1, 2),
+         |c$k AS MATERIALIZED (SELECT i, j,
+         |  CAST((CASE WHEN e < 0 THEN -1 ELSE 1 END)
+         |    * ((abs(e) * 1000000) //
+         |       NULLIF((SELECT max(abs(e)) FROM q$k), 0)) AS HUGEINT) AS c
+         |  FROM q$k)""".stripMargin
+    }.mkString(",\n")
+    val steps = (1 to r).map { k =>
+      s"""r$k AS MATERIALIZED (
+         |  SELECT cm.i AS d, sum(cm.c * v${k - 1}.v) AS raw
+         |  FROM c$PcaSquarings cm JOIN v${k - 1} ON cm.j = v${k - 1}.d
+         |  GROUP BY 1),
+         |m$k AS MATERIALIZED (SELECT max(abs(raw)) AS m,
+         |    (SELECT CASE WHEN raw < 0 THEN -1 ELSE 1 END
+         |     FROM r$k ORDER BY abs(raw) DESC, d LIMIT 1) AS sg
+         |  FROM r$k),
+         |v$k AS MATERIALIZED (SELECT d, CAST((SELECT sg FROM m$k)
+         |    * (CASE WHEN raw < 0 THEN -1 ELSE 1 END)
+         |    * ((abs(raw) * 1000000) // NULLIF((SELECT m FROM m$k), 0))
+         |    AS HUGEINT) AS v
+         |  FROM r$k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH x AS MATERIALIZED (SELECT
+       |    [CAST(floor(1000 * CAST(v AS DOUBLE)) AS BIGINT)
+       |     FOR v IN embedding[1:$PcaDims]] AS q
+       |  FROM embeddings),
+       |n_ AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM x),
+       |sv AS (SELECT CAST(i AS INT) AS i,
+       |    CAST(sum(q[CAST(i AS INT)]) AS HUGEINT) AS si
+       |  FROM x CROSS JOIN range(1, ${PcaDims + 1}) t(i) GROUP BY 1),
+       |p AS (SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j,
+       |    sum(CAST(q[CAST(i AS INT)] AS HUGEINT) * q[CAST(j AS INT)])
+       |      AS sij
+       |  FROM x CROSS JOIN range(1, ${PcaDims + 1}) t1(i)
+       |         CROSS JOIN range(1, ${PcaDims + 1}) t2(j)
+       |  GROUP BY 1, 2),
+       |cw AS MATERIALIZED (SELECT p.i, p.j,
+       |    (SELECT n FROM n_) * p.sij - a.si * b.si AS e
+       |  FROM p JOIN sv a ON a.i = p.i JOIN sv b ON b.i = p.j),
+       |c0 AS MATERIALIZED (SELECT i, j,
+       |  CAST((CASE WHEN e < 0 THEN -1 ELSE 1 END)
+       |    * ((abs(e) * 1000000) //
+       |       NULLIF((SELECT max(abs(e)) FROM cw), 0)) AS HUGEINT) AS c
+       |  FROM cw),
+       |$sq,
+       |v0 AS (SELECT CAST(i AS INT) AS d, CAST(1000000 AS HUGEINT) AS v
+       |       FROM range(1, ${PcaDims + 1}) t(i)),
+       |$steps
+       |SELECT d AS dim, CAST(v AS BIGINT) AS loading_micro
+       |FROM v$r ORDER BY d""".stripMargin
+  }
+
+  /** TOP PRINCIPAL COMPONENT of the embedding cloud by power iteration —
+    * the dominant-direction audit that closes the index-training triage
+    * triad: [[vectorDimStats]] finds sick dimensions, [[vectorDimCorr]]
+    * finds redundant PAIRS, and this finds the global direction the
+    * encoder concentrates variance into (a large top eigenvalue share
+    * means anisotropic embeddings — whitening/centering before cosine
+    * retrieval, and OPQ over PQ, are on the table). One row per leading
+    * dimension with its loading on the top eigenvector of the exact
+    * covariance, scaled so the largest-magnitude loading is ±10⁶.
+    *
+    * Parity discipline: the covariance never meets a float — values
+    * milli-quantize ONCE ([[vectorDimStats]]), the n²-scaled centered
+    * matrix C = n·Σqᵢqⱼ − Σqᵢ·Σqⱼ is exact DECIMAL(38,0)/HUGEINT
+    * arithmetic, and every iteration round is integer: BigInt
+    * matrix-vector product, then a rescale by the max-|entry| via
+    * NONNEGATIVE floor DIV with the sign carried separately (the
+    * engines disagree on negative integer division — splitting
+    * |raw|·10⁶ DIV m from sgn(raw) keeps every division nonnegative,
+    * the vector_centroid_drift discipline without the offset), and the
+    * whole vector sign-anchored so the max-|raw| entry (ties → lowest
+    * dim) is positive — eigenvectors are defined up to ±, the anchor
+    * makes the representative deterministic. The iteration matrix is
+    * C^(2^[[PcaSquarings]]) via normalized repeated squaring (each
+    * squaring renormalizes to the ±10⁶ grid, same sign-split DIV), so a
+    * near-unit eigen-ratio collapses BEFORE the vector loop — the
+    * direct iteration measured 663 rounds on the near-isotropic
+    * fixture, past DuckDB's unroll depth; squared, it fixpoints in a
+    * handful. Iteration runs to the integer FIXPOINT with
+    * first-revisit cycle detection and the measured round count replays
+    * in the oracle as chained CTEs over DuckDB's own
+    * independently-computed and independently-squared C (the
+    * [[pcaOracleSql]] unroll), so the hash match certifies the
+    * sufficient statistics, every squaring, every round, and the
+    * stopping rule.
+    *
+    * Plan: ONE corpus-sized no-group partial+final aggregate carries all
+    * 153 exact sums (the [[vectorDimCorr]] wide-buffer shape — O(d²)
+    * work per row, one O(d²)-column row per partition through the
+    * exchange); the iteration state is d² BigInts, driver-side under the
+    * BPE/Markov bounded-collect discipline — identical at any corpus
+    * size because the dimension count, not the row count, bounds it. */
+  val vectorPcaPower: Q = Q.noOracle("vector_pca_power") { (s, d) =>
+    import org.apache.spark.sql.types.DecimalType
+    val dec38 = DecimalType(38, 0)
+    val dims = PcaDims
+    val q = slice(transform(col("embedding"),
+      v => floor(lit(1000) * v.cast("double")).cast("long")), 1, dims)
+    def at(i: Int): Column = element_at(col("q"), i)
+    val pairIdx = for (i <- 1 to dims; j <- i to dims) yield (i, j)
+    val sums: Seq[Column] =
+      (1 to dims).map(i => sum(at(i)).cast(dec38).as(s"s$i")) ++
+      pairIdx.map { case (i, j) =>
+        sum(at(i).cast(dec38) * at(j)).as(s"p${i}_$j") }
+    val row = Tables.embeddings(s, d).select(q.as("q"))
+      .agg(count(lit(1)).as("n"), sums: _*)
+      .head() // the bounded collect: 1 row × (1 + d + d(d+1)/2) columns
+    val n = BigInt(row.getAs[Long]("n"))
+    def big(name: String): BigInt =
+      BigInt(row.getAs[java.math.BigDecimal](name).toBigInteger)
+    val sVec = (1 to dims).map(i => big(s"s$i"))
+    val cRaw = Array.tabulate(dims, dims) { (i0, j0) =>
+      val (i, j) = (i0 + 1, j0 + 1)
+      val sij = if (i <= j) big(s"p${i}_$j") else big(s"p${j}_$i")
+      n * sij - sVec(i0) * sVec(j0)
+    }
+    val million = BigInt(1000000)
+    // renormalize a matrix to the ±10⁶ fixed-point grid — sign carried
+    // separately so the floor DIV is always nonnegative (both engines
+    // agree), entries bounded at any corpus size
+    def normalize(m: Array[Array[BigInt]]): Array[Array[BigInt]] = {
+      val mx = m.flatten.map(_.abs).max
+      require(mx > BigInt(0),
+        "vector_pca_power: the centered covariance is identically zero " +
+        "(all-constant embeddings); no dominant direction exists.")
+      m.map(_.map { e =>
+        val sg = if (e < 0) BigInt(-1) else BigInt(1)
+        sg * ((e.abs * million) / mx)
+      })
+    }
+    // iterate with C^(2^PcaSquarings): each squaring renormalizes, so a
+    // near-unit eigen-ratio collapses before the vector loop starts
+    var cMat = normalize(cRaw)
+    for (_ <- 1 to PcaSquarings) {
+      val sqd = Array.tabulate(dims, dims) { (i, j) =>
+        (0 until dims).map(k => cMat(i)(k) * cMat(k)(j)).sum
+      }
+      cMat = normalize(sqd)
+    }
+    def step(cur: IndexedSeq[BigInt]): IndexedSeq[BigInt] = {
+      val raw = (0 until dims).map(i =>
+        (0 until dims).map(j => cMat(i)(j) * cur(j)).sum)
+      val m = raw.map(_.abs).max
+      require(m > BigInt(0),
+        "vector_pca_power: C·v vanished — the covariance matrix " +
+        "annihilates the iterate (degenerate all-constant embeddings); " +
+        "no dominant direction exists to report.")
+      // anchor = max-|raw| entry, ties to the lowest dim; its sign
+      // flips the whole vector so the representative is deterministic
+      val anchor = raw.zipWithIndex.minBy { case (v, i) => (-v.abs, i) }._1
+      val sg = if (anchor < 0) BigInt(-1) else BigInt(1)
+      raw.map { r =>
+        val s0 = if (r < 0) BigInt(-1) else BigInt(1)
+        sg * s0 * ((r.abs * million) / m)
+      }
+    }
+    var v: IndexedSeq[BigInt] = IndexedSeq.fill(dims)(million)
+    val seen = scala.collection.mutable.Set[IndexedSeq[BigInt]](v)
+    var rounds = 0
+    var done = false
+    while (!done && rounds < PcaMaxRounds) {
+      val next = step(v)
+      rounds += 1
+      if (next == v) done = true
+      else if (!seen.add(next)) { v = next; done = true } // limit cycle:
+        // stop deterministically at the first revisited state
+      else v = next
+    }
+    require(done,
+      s"vector_pca_power did not converge in $PcaMaxRounds rounds")
+    pcaMeasuredRounds.set(Some(rounds))
+    import s.implicits._
+    (1 to dims).map(i => (i, v(i - 1).toLong)).toDF("dim", "loading_micro")
+      .orderBy("dim")
+  }.copy(
+    eager = true, // sufficient-stat collect + driver iteration at build
+    oracleGen = Some(() => pcaMeasuredRounds.get().map(pcaOracleSql)))
+
   val all: Seq[Q] = Seq(vectorTopk, vectorAnnLsh, vectorAnnIvf,
     vectorTopkBatch, vectorQuantize, vectorCentroid, knnJoinLsh,
     sqlVectorTopk, vectorIndexStats, vectorPq, vectorIvfPq,
@@ -2272,5 +2480,5 @@ object Vectors {
     vectorSq8Topk, vectorHammingTopk, vectorMatryoshkaTopk,
     vectorFilteredTopk, vectorRangeSearch, vectorIvfProbeSweep,
     vectorMmrRerank, searchHybridRrf, vectorDimStats, vectorCentroidDrift,
-    vectorDimCorr)
+    vectorDimCorr, vectorPcaPower)
 }

@@ -28,7 +28,8 @@ class PlanAuditSpec extends SparkSpec {
           "graph_shortest_path", "graph_clustering_coeff", "dedup_cluster_incr",
           "vector_ivf_probe_sweep", "multimodal_dhash_dedup",
           "vector_mmr_rerank",
-          "graph_assortativity", "markov_stationary", "graph_hits"),
+          "graph_assortativity", "markov_stationary", "graph_hits",
+          "graph_scc", "vector_pca_power"),
       "new Q entries that run jobs at plan-build time must set eager=true")
   }
 
