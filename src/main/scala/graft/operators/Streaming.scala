@@ -1583,6 +1583,113 @@ object Streaming {
       .orderBy("day")
   }
 
+  /** SEQUENTIAL MONITORING scan with an O'Brien-Fleming-shaped boundary —
+    * the peeking correction that completes the experimentation suite:
+    * [[abSrm]] gates the assignment, [[abLiftZtest]]/[[abRatioDelta]]/
+    * [[abCuped]] read the fixed-horizon result, and THIS is the daily
+    * dashboard that may be read EVERY day without inflating false
+    * positives: per event-day the cumulative two-proportion z over all
+    * exposure/conversion data up to that day, the information fraction,
+    * and the OBF-shaped boundary C·√(1/t) that starts strict and relaxes
+    * toward C as information accrues (C fixed at the classical 2.0400;
+    * users calibrate C to their look count — the SHAPE is the
+    * operator's semantics). `crossed` marks days where early stopping
+    * is licensed.
+    *
+    * Parity discipline: cumulative counts are exact BIGINTs from one
+    * user-keyed aggregate; z and the boundary are shared scalar IEEE
+    * expressions over those integers using only correctly-rounded ops
+    * (÷, ×, √ — the [[abLiftZtest]] precedent; no libm transcendental),
+    * each floor-quantized ONCE to micro units so the crossing flag
+    * compares two integers and cannot straddle engine rounding.
+    * Degenerate days (an empty arm, all-or-nothing conversions) are
+    * excluded by the mirrored WHERE.
+    *
+    * Plan: ONE corpus-sized stage — the user-keyed first-event/
+    * first-purchase aggregate; the per-(arm, day, kind) census, the
+    * spine×census cumulative join (both sides post-aggregate,
+    * ≤|days|-bounded, so the broadcast nested loop is over two tiny
+    * frames), and the scalar math all run at day-domain cardinality. */
+  val abSequential: Q = Q(
+    "ab_sequential",
+    """WITH u AS (SELECT user_id, user_id % 2 AS grp,
+      |    min(CAST(ts AS DATE)) AS fe,
+      |    min(CASE WHEN event_type = 'purchase' THEN CAST(ts AS DATE) END)
+      |      AS fp
+      |  FROM events GROUP BY 1, 2),
+      |m AS (SELECT grp, fe AS d, 0 AS k FROM u
+      |      UNION ALL
+      |      SELECT grp, fp, 1 FROM u WHERE fp IS NOT NULL),
+      |ce AS (SELECT grp, k, d, count(*) AS c FROM m GROUP BY 1, 2, 3),
+      |sp AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events),
+      |cum AS (SELECT sp.day,
+      |    CAST(coalesce(sum(CASE WHEN grp = 0 AND k = 0 THEN c END), 0)
+      |      AS BIGINT) AS n0,
+      |    CAST(coalesce(sum(CASE WHEN grp = 1 AND k = 0 THEN c END), 0)
+      |      AS BIGINT) AS n1,
+      |    CAST(coalesce(sum(CASE WHEN grp = 0 AND k = 1 THEN c END), 0)
+      |      AS BIGINT) AS x0,
+      |    CAST(coalesce(sum(CASE WHEN grp = 1 AND k = 1 THEN c END), 0)
+      |      AS BIGINT) AS x1
+      |  FROM sp LEFT JOIN ce ON ce.d <= sp.day GROUP BY 1),
+      |tot AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM u),
+      |z AS (SELECT day, n0, n1, x0, x1, nn,
+      |    (CAST(x1 AS DOUBLE) / n1 - CAST(x0 AS DOUBLE) / n0)
+      |      / sqrt((CAST(x0 + x1 AS DOUBLE) / (n0 + n1))
+      |             * (1 - CAST(x0 + x1 AS DOUBLE) / (n0 + n1))
+      |             * (1.0 / n0 + 1.0 / n1)) AS zstat,
+      |    sqrt(CAST(nn AS DOUBLE) / (n0 + n1)) AS binv
+      |  FROM cum, tot
+      |  WHERE n0 > 0 AND n1 > 0 AND x0 + x1 > 0 AND x0 + x1 < n0 + n1)
+      |SELECT day, n0 AS n_control, n1 AS n_treat,
+      |  x0 AS conv_control, x1 AS conv_treat,
+      |  (1000000 * (n0 + n1)) // nn AS info_ppm,
+      |  CAST(floor(1000000 * zstat) AS BIGINT) AS z_micro,
+      |  CAST(floor(2040000 * binv) AS BIGINT) AS obf_boundary_micro,
+      |  abs(CAST(floor(1000000 * zstat) AS BIGINT)) >
+      |    CAST(floor(2040000 * binv) AS BIGINT) AS crossed
+      |FROM z ORDER BY day""".stripMargin
+  ) { (s, d) =>
+    val dayOf = to_date(col("ts"))
+    val u = Tables.events(s, d)
+      .groupBy(col("user_id"), (col("user_id") % 2).as("grp"))
+      .agg(min(dayOf).as("fe"),
+           min(when(col("event_type") === "purchase", dayOf)).as("fp"))
+    val m = u.select(col("grp"), col("fe").as("d"), lit(0).as("k"))
+      .union(u.filter(col("fp").isNotNull)
+        .select(col("grp"), col("fp").as("d"), lit(1).as("k")))
+    val ce = m.groupBy("grp", "k", "d").agg(count(lit(1)).as("c"))
+    val sp = Tables.events(s, d).select(dayOf.as("day")).distinct()
+    def cnt(g: Int, k: Int): Column =
+      coalesce(sum(when(col("grp") === g && col("k") === k, col("c"))),
+        lit(0L)).cast("long")
+    val cum = sp.join(broadcast(ce), col("d") <= col("day"), "left")
+      .groupBy("day")
+      .agg(cnt(0, 0).as("n0"), cnt(1, 0).as("n1"),
+           cnt(0, 1).as("x0"), cnt(1, 1).as("x1"))
+    val tot = u.agg(count(lit(1)).cast("long").as("nn"))
+    val pooled = (col("x0") + col("x1")).cast("double") /
+      (col("n0") + col("n1"))
+    val zstat = (col("x1").cast("double") / col("n1") -
+        col("x0").cast("double") / col("n0")) /
+      sqrt(pooled * (lit(1) - pooled) *
+        (lit(1.0) / col("n0") + lit(1.0) / col("n1")))
+    val binv = sqrt(col("nn").cast("double") / (col("n0") + col("n1")))
+    val zMicro = floor(lit(1000000) * zstat).cast("long")
+    val bMicro = floor(lit(2040000) * binv).cast("long")
+    cum.crossJoin(broadcast(tot))
+      .filter(col("n0") > 0 && col("n1") > 0 &&
+        col("x0") + col("x1") > 0 &&
+        col("x0") + col("x1") < col("n0") + col("n1"))
+      .select(col("day"), col("n0").as("n_control"),
+        col("n1").as("n_treat"),
+        col("x0").as("conv_control"), col("x1").as("conv_treat"),
+        expr("(1000000 * (n0 + n1)) div nn").as("info_ppm"),
+        zMicro.as("z_micro"), bMicro.as("obf_boundary_micro"),
+        (abs(zMicro) > bMicro).as("crossed"))
+      .orderBy("day")
+  }
+
   /** KAPLAN-MEIER SURVIVAL curve over customer lifetimes — the
     * churn-analytics staple [[retentionCohort]] doesn't cover: cohort
     * retention counts who is still active per period; the KM estimator
@@ -1654,6 +1761,6 @@ object Streaming {
     eventTransitions, ohlcBars, sessionizeGaps, patternSeq,
     attributionLastclick, attributionLinear, attributionTimedecay,
     scd2, joinPit, abLiftZtest, abRatioDelta, abCuped, abSrm,
-    retentionSurvivalKm,
+    abSequential, retentionSurvivalKm,
     sessionConcurrency, markovTwoStep, markovStationary, graphScc)
 }
