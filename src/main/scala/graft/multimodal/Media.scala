@@ -340,6 +340,69 @@ object Media {
       hash
     }
 
+  /** Walsh-Hadamard perceptual hash — the frequency-domain (pHash-class)
+    * complement of [[dHash64]]'s gradient hash, with the WHT standing in
+    * for pHash's DCT so EVERY step is exact integer arithmetic (the DCT's
+    * cosine basis would drag a libm transcendental into the value path):
+    * decode → 8×8 nearest-neighbor luma grid at cell centers → the 4×4
+    * low-frequency block of the 2-D WHT, coef(u,v) =
+    * Σ_{y,x} (−1)^(popcount(u&y)+popcount(v&x)) · lum(y,x) → bit i=4u+v
+    * (skipping the DC term i=0) set when its coefficient exceeds the
+    * exact MEDIAN (8th smallest of the 15 AC coefficients). Returns
+    * (dc, whash): the DC term is the total luma (brightness census),
+    * the 15-bit hash is the frequency signature. */
+  def wHash(content: Array[Byte]): Option[(Long, Long)] =
+    if (!isImageContainer(content)) None
+    else Option(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(content))).map { img =>
+      val (w, h) = (img.getWidth, img.getHeight)
+      val g = Array.ofDim[Long](8, 8)
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
+          val sx = ((2 * x + 1) * w / 16).min(w - 1)
+          val sy = ((2 * y + 1) * h / 16).min(h - 1)
+          val argb = img.getRGB(sx, sy)
+          g(y)(x) = (((argb >> 16) & 0xFF) * 299 +
+                     ((argb >> 8) & 0xFF) * 587 +
+                     (argb & 0xFF) * 114) / 1000
+          x += 1
+        }
+        y += 1
+      }
+      val coef = Array.ofDim[Long](4, 4)
+      var u = 0
+      while (u < 4) {
+        var v = 0
+        while (v < 4) {
+          var acc = 0L
+          var yy = 0
+          while (yy < 8) {
+            var xx = 0
+            while (xx < 8) {
+              val neg =
+                (Integer.bitCount(u & yy) + Integer.bitCount(v & xx)) % 2 == 1
+              acc += (if (neg) -g(yy)(xx) else g(yy)(xx))
+              xx += 1
+            }
+            yy += 1
+          }
+          coef(u)(v) = acc
+          v += 1
+        }
+        u += 1
+      }
+      val acs = for {
+        uu <- 0 until 4; vv <- 0 until 4 if !(uu == 0 && vv == 0)
+      } yield (uu * 4 + vv, coef(uu)(vv))
+      // 8th smallest of 15 = quantile_cont(0.5) with no interpolation —
+      // the oracle's median over ints is this exact order statistic
+      val med = acs.map(_._2).sorted.apply(7)
+      val hash = acs.collect { case (i, c) if c > med => 1L << i }.sum
+      (coef(0)(0), hash)
+    }
+
   /** Batched per-partition dHash pass over a media frame — same
     * mapPartitions shape as [[decode]]/[[features]]; null hash for
     * blobs that aren't decodable images. */

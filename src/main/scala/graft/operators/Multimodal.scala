@@ -600,7 +600,78 @@ object Multimodal {
       .orderBy("media_id")
   }
 
+  /** WALSH-HADAMARD PERCEPTUAL HASH — the frequency-domain (pHash-class)
+    * member of the image-dedup family, complementing [[multimodalDhash]]'s
+    * gradient hash: pHash thresholds the low-frequency block of a 2-D
+    * transform against its median, which survives brightness/contrast
+    * shifts and local edits that flip gradient bits. The WHT stands in
+    * for pHash's DCT so the WHOLE value path is exact integer — the
+    * DCT's cosine basis would put a libm transcendental per coefficient
+    * into a 64-term sum (an unquantizable parity risk); the WHT basis is
+    * ±1, coef(u,v) = Σ (−1)^(popcount(u&y)+popcount(v&x))·lum, and the
+    * threshold is the exact 8th-order-statistic median of the 15 AC
+    * coefficients (quantile_cont(0.5) over an odd count interpolates
+    * nothing — the long-green agg_quantile pairing). Per doc: the DC
+    * term (total luma census) and the 15-bit signature.
+    *
+    * Same real-codec discipline as [[multimodalDhash]]: bytes → gray BMP
+    * → REAL ImageIO decode → grid → hash in one narrow mapPartitions
+    * (blobs never shuffle; only (dc, whash) leaves the task), and the
+    * gray luma-identity makes the decoded pixels SQL-reachable so the
+    * oracle recomputes grid, transform, median, and bits from the raw
+    * bytes (`Media.wHash`; sampling mirrors `Media.dHash64:312`). */
+  val multimodalWhash: Q = Q(
+    "multimodal_whash",
+    """WITH d AS (SELECT doc_id, hex(encode(text)) AS hx,
+      |    octet_length(encode(text)) AS nb
+      |  FROM documents WHERE octet_length(encode(text)) > 0),
+      |dim AS (SELECT doc_id, hx, nb,
+      |    16 + nb % 17 AS w, 16 + nb % 13 AS h FROM d),
+      |g AS (SELECT doc_id, ys.y AS y, xs.x AS x,
+      |    CAST('0x' || substr(hx,
+      |      2 * ((LEAST((2*ys.y+1)*h//16, h-1) * w
+      |            + LEAST((2*xs.x+1)*w//16, w-1)) % nb) + 1, 2) AS INT)
+      |      AS lum
+      |  FROM dim, range(0, 8) ys(y), range(0, 8) xs(x)),
+      |c AS (SELECT doc_id, us.u AS u, vs.v AS v,
+      |    CAST(sum(CASE WHEN (bit_count(us.u & g.y)
+      |                        + bit_count(vs.v & g.x)) % 2 = 1
+      |             THEN -lum ELSE lum END) AS BIGINT) AS coef
+      |  FROM g, range(0, 4) us(u), range(0, 4) vs(v)
+      |  GROUP BY 1, 2, 3),
+      |a AS (SELECT doc_id, u * 4 + v AS i, coef FROM c
+      |      WHERE NOT (u = 0 AND v = 0)),
+      |m AS (SELECT doc_id, quantile_cont(coef, 0.5) AS med
+      |      FROM a GROUP BY 1),
+      |dc AS (SELECT doc_id, coef AS dcv FROM c WHERE u = 0 AND v = 0)
+      |SELECT a.doc_id, CAST(min(dc.dcv) AS BIGINT) AS dc,
+      |  CAST(sum(CASE WHEN a.coef > m.med
+      |           THEN CAST(1 AS BIGINT) << CAST(a.i AS INT) ELSE 0 END)
+      |    AS BIGINT) AS whash
+      |FROM a JOIN m ON a.doc_id = m.doc_id
+      |       JOIN dc ON a.doc_id = dc.doc_id
+      |GROUP BY 1 ORDER BY a.doc_id""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    import graft.multimodal.Media
+    Tables.documents(s, d)
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, text) =>
+          val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val (_, _, bmp) = synthBmp(bytes)
+          val (dc, wh) = Media.wHash(bmp).get
+          (id, dc, wh)
+        }
+      }
+      .toDF("doc_id", "dc", "whash")
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(multimodalMeta, multimodalFeatures, multimodalDhash,
     multimodalWav, multimodalWavFrames, multimodalWavVad,
-    multimodalDhashDedup, multimodalThumbnail, multimodalByteEntropy)
+    multimodalDhashDedup, multimodalThumbnail, multimodalByteEntropy,
+    multimodalWhash)
 }
