@@ -115,6 +115,14 @@ case class AbFlags(user_id: Long, grp: Int, exposed: Int, converted: Int)
   * exposed) and whether a qualifying purchase was seen. */
 case class AbState(t0: Long, converted: Boolean)
 
+/** First sighting of a (user, day) pair for the streaming SRM twin:
+  * one row per pair ever emitted, so a downstream per-day count over
+  * the emitted rows IS the batch distinct-user census. */
+case class SrmSeen(day: java.sql.Date, user_id: Long, grp: Int)
+/** Per-user SRM state: the set of epoch-days already emitted (bounded
+  * by the day domain, the RetState discipline). */
+case class SrmState(days: Seq[Int])
+
 /** One sweep-line delta instant for [[Streams.concurrencyPeaks]]: at
   * epoch-ms `ms` on epoch-day `di`, the active-session level changes by
   * `d` (+1 start / −1 end, pre-clipped to the day like the batch query). */
@@ -1013,6 +1021,37 @@ object Streams {
     * can never convert in either semantics — including the exact-tie
     * case, which the batch strict `>` rejects no matter which side of
     * the micro-batch boundary it lands on. State is O(1) per user. */
+  /** Streaming SRM census — the incremental counterpart of the batch
+    * `ab_srm` distinct stage: per-user state carries the set of
+    * epoch-days already seen (bounded by the day domain, like
+    * [[retention]]'s RetState), and each (user, day) pair emits EXACTLY
+    * ONCE, on first sight — so a per-(day, arm) count over the emitted
+    * rows equals the batch distinct-user census at every prefix,
+    * regardless of where micro-batch boundaries fall. The chi-square
+    * downstream is one integer expression over those counts, identical
+    * to the batch query's scalar stage. Day derivation is epoch-ms
+    * floor-division (UTC), the same day `to_date` yields under the
+    * session's UTC clock. */
+  def srmSeenDays(ds: Dataset[AbEvent]): Dataset[SrmSeen] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+                              GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[AbEvent], state: GroupState[SrmState]) =>
+          val seen = scala.collection.mutable.Set[Int](
+            state.getOption.map(_.days).getOrElse(Seq.empty): _*)
+          val fresh = rows.map { e =>
+            java.lang.Math.floorDiv(e.ts.getTime, 86400000L).toInt
+          }.filter(seen.add).toVector // add returns true on first sight
+          state.update(SrmState(seen.toSeq))
+          fresh.sorted.iterator.map { di =>
+            SrmSeen(java.sql.Date.valueOf(
+                java.time.LocalDate.ofEpochDay(di.toLong)),
+              uid, (uid % 2).toInt)
+          }
+      }
+  }
+
   def abUserFlags(ds: Dataset[AbEvent]): Dataset[AbFlags] = {
     import ds.sparkSession.implicits._
     val WindowMs = 86400000L

@@ -1202,4 +1202,41 @@ class StreamingSpec extends SparkSpec {
     // these four integers, so count equality is full-query equality
     assert(got._3 + got._4 > 0, "fixture should have conversions")
   }
+
+  test("streaming SRM census equals the batch ab_srm per-day arm counts") {
+    import graft.streaming.{AbEvent, SrmSeen, Streams}
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // batch reference: the catalog query's per-day distinct-user census
+    val batch = graft.operators.Streaming.abSrm.fn(spark, sf0001)
+      .select("day", "n_control", "n_treat").collect()
+      .map(r => r.getDate(0).toString ->
+        (r.getLong(1), r.getLong(2))).toMap
+    // split mid-timeline so users active on the boundary day have their
+    // (user, day) first sighting tested against re-arrival in batch 2
+    val evs = Tables.events(spark, sf0001)
+      .select("user_id", "ts", "event_type").orderBy("ts").collect()
+      .map(r => AbEvent(r.getLong(0), r.getTimestamp(1), r.getString(2)))
+    val (half1, half2) = evs.splitAt(evs.length / 2)
+    val mem = MemoryStream[AbEvent]
+    val name = s"srm_${System.nanoTime()}"
+    val q = Streams.srmSeenDays(mem.toDS()).writeStream
+      .format("memory").queryName(name).outputMode("append").start()
+    val rows = try {
+      mem.addData(half1.toSeq); q.processAllAvailable()
+      mem.addData(half2.toSeq); q.processAllAvailable()
+      spark.table(name).as[SrmSeen].collect()
+    } finally q.stop()
+    // Append mode emits each (user, day) exactly once — a duplicate
+    // emission would double-count an arm and break the census equality
+    assert(rows.map(r => (r.day.toString, r.user_id)).distinct.length ===
+      rows.length, "a (user, day) pair was emitted more than once")
+    val got = rows.groupBy(_.day.toString).map { case (d, rs) =>
+      d -> (rs.count(_.grp == 0).toLong, rs.count(_.grp == 1).toLong)
+    }
+    assert(got === batch,
+      "streaming per-day arm counts diverge from batch ab_srm")
+    // chi2/srm downstream are one integer expression over these counts
+  }
 }
