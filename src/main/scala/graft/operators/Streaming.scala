@@ -1523,6 +1523,64 @@ object Streaming {
       .drop("n_arms", "vsum")
   }
 
+  /** TRANSITION RECIPROCITY census — the journey-SYMMETRY readout over
+    * the directed type-transition graph, complementing [[graphScc]]'s
+    * structural decomposition: per unordered type pair, both directed
+    * transition counts and the weighted reciprocity
+    * 2·min(n_ab, n_ba)/(n_ab + n_ba) in ppm — 10⁶ for perfectly
+    * bidirectional browse loops (view↔click), 0 for strict one-way
+    * funnel edges (cart→purchase with no return). The per-pair grain is
+    * the diagnostic form: a global average hides which edges are
+    * funnels.
+    *
+    * Parity discipline: pure integer — exact BIGINT counts, a
+    * nonnegative floor DIV (min and sum of counts are nonnegative), no
+    * real number anywhere. Self-loops are excluded by the mirrored
+    * a ≠ b (reciprocity of a self-loop is degenerately 1).
+    *
+    * Plan: the one corpus-sized stage is the [[eventTransitions]]
+    * user-keyed lead-window count; the unordered-pair fold is a second
+    * aggregate over the |types|²-bounded frame — least/greatest
+    * canonicalization needs NO self-join, both directions land in the
+    * same group as conditional sums. */
+  val graphReciprocity: Q = Q(
+    "graph_reciprocity",
+    """WITH o AS (SELECT user_id, event_type,
+      |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      AS next_type
+      |  FROM events),
+      |c AS (SELECT event_type AS a, next_type AS b, count(*) AS n
+      |      FROM o WHERE next_type IS NOT NULL AND event_type <> next_type
+      |      GROUP BY 1, 2),
+      |u AS (SELECT LEAST(a, b) AS t_a, GREATEST(a, b) AS t_b,
+      |    CAST(sum(CASE WHEN a < b THEN n ELSE 0 END) AS BIGINT) AS n_ab,
+      |    CAST(sum(CASE WHEN a > b THEN n ELSE 0 END) AS BIGINT) AS n_ba
+      |  FROM c GROUP BY 1, 2)
+      |SELECT t_a, t_b, n_ab, n_ba,
+      |  (2000000 * LEAST(n_ab, n_ba)) // (n_ab + n_ba) AS recip_ppm
+      |FROM u ORDER BY t_a, t_b""".stripMargin
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val c = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull &&
+        col("event_type") =!= col("next_type"))
+      .groupBy(col("event_type").as("a"), col("next_type").as("b"))
+      .agg(count(lit(1)).as("n"))
+    c.groupBy(least(col("a"), col("b")).as("t_a"),
+        greatest(col("a"), col("b")).as("t_b"))
+      .agg(sum(when(col("a") < col("b"), col("n")).otherwise(0L))
+             .cast("long").as("n_ab"),
+           sum(when(col("a") > col("b"), col("n")).otherwise(0L))
+             .cast("long").as("n_ba"))
+      .select(col("t_a"), col("t_b"), col("n_ab"), col("n_ba"),
+        expr("(2000000 * least(n_ab, n_ba)) div (n_ab + n_ba)")
+          .as("recip_ppm"))
+      .orderBy("t_a", "t_b")
+  }
+
   /** SAMPLE-RATIO MISMATCH audit — the pre-test gate every
     * experimentation platform runs BEFORE reading [[abLiftZtest]] /
     * [[abRatioDelta]] / [[abCuped]]: if the observed arm split deviates
@@ -1762,5 +1820,6 @@ object Streaming {
     attributionLastclick, attributionLinear, attributionTimedecay,
     scd2, joinPit, abLiftZtest, abRatioDelta, abCuped, abSrm,
     abSequential, retentionSurvivalKm,
-    sessionConcurrency, markovTwoStep, markovStationary, graphScc)
+    sessionConcurrency, markovTwoStep, markovStationary, graphScc,
+    graphReciprocity)
 }
