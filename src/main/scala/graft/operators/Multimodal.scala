@@ -670,8 +670,86 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** AUTOCORRELATION PITCH per audio frame — the F0 detector that
+    * completes the audio-analysis set ([[multimodalWavFrames]] gives
+    * energy, [[multimodalWavVad]] gives speech/silence, this gives the
+    * fundamental): per full 256-sample frame, the lag τ ∈ [32, 128]
+    * (the F0 band at these rates) maximizing the exact integer
+    * autocorrelation R(τ) = Σ s[j]·s[j+τ], ties broken to the smallest
+    * lag — the classic time-domain pitch tracker, here with NO float
+    * anywhere (a frequency-domain tracker would need an FFT's
+    * twiddle-factor transcendentals). Tail frames shorter than the
+    * frame width are excluded on both engines — a short frame's
+    * truncated lag window measures the frame, not the signal.
+    *
+    * Same real-codec discipline as the other WAV queries: bytes → PCM16
+    * WAV container → REAL decode → frames, one narrow mapPartitions,
+    * only (lag, R) leaves the task; the PCM identity makes the samples
+    * SQL-reachable so the oracle recomputes every product from the raw
+    * bytes (`wavFrameStats` synthesis; samples = (byte−128)·256). */
+  val multimodalWavPitch: Q = Q(
+    "multimodal_wav_pitch",
+    """WITH d AS (SELECT doc_id, hex(encode(text)) AS hx,
+      |    octet_length(encode(text)) AS nb
+      |  FROM documents WHERE octet_length(encode(text)) > 0),
+      |s AS (SELECT doc_id, nb, unnest(range(nb)) AS i, hx FROM d),
+      |v AS (SELECT doc_id, CAST(i // 256 AS INT) AS frame_no,
+      |    CAST(i % 256 AS INT) AS j,
+      |    (CAST('0x' || substr(hx, CAST(2*i+1 AS INT), 2) AS INT) - 128)
+      |      * 256 AS smp
+      |  FROM s),
+      |f AS (SELECT doc_id, frame_no FROM v GROUP BY 1, 2
+      |      HAVING count(*) = 256),
+      |r AS (SELECT a.doc_id, a.frame_no, tt.tau AS tau,
+      |    CAST(sum(CAST(a.smp AS BIGINT) * b.smp) AS BIGINT) AS rv
+      |  FROM v a CROSS JOIN range(32, 129) tt(tau)
+      |       JOIN v b ON b.doc_id = a.doc_id AND b.frame_no = a.frame_no
+      |                AND b.j = a.j + tt.tau
+      |       JOIN f ON f.doc_id = a.doc_id AND f.frame_no = a.frame_no
+      |  GROUP BY 1, 2, 3),
+      |best AS (SELECT doc_id, frame_no, tau, rv,
+      |    row_number() OVER (PARTITION BY doc_id, frame_no
+      |                       ORDER BY rv DESC, tau) AS k
+      |  FROM r)
+      |SELECT doc_id, frame_no, CAST(tau AS INT) AS pitch_lag,
+      |  rv AS r_at_lag
+      |FROM best WHERE k = 1 ORDER BY doc_id, frame_no""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    import graft.multimodal.Media
+    Tables.documents(s, d)
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, text) =>
+          val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val rate = 8000 + (bytes.length % 5) * 2000
+          val samples = bytes.map(b => (((b & 0xFF) - 128) * 256).toShort)
+          val pcm = Media.decodeWav(Media.encodeWavPcm16(rate, samples)).get
+          pcm.samples.grouped(256).zipWithIndex
+            .filter(_._1.length == 256)
+            .map { case (frame, k) =>
+              var bestTau = 0; var bestR = Long.MinValue
+              var tau = 32
+              while (tau <= 128) {
+                var r = 0L; var j = 0
+                while (j + tau < 256) {
+                  r += frame(j).toLong * frame(j + tau); j += 1
+                }
+                if (r > bestR) { bestR = r; bestTau = tau }
+                tau += 1
+              }
+              (id, k, bestTau, bestR)
+            }
+        }
+      }
+      .toDF("doc_id", "frame_no", "pitch_lag", "r_at_lag")
+      .orderBy("doc_id", "frame_no")
+  }
+
   val all: Seq[Q] = Seq(multimodalMeta, multimodalFeatures, multimodalDhash,
     multimodalWav, multimodalWavFrames, multimodalWavVad,
     multimodalDhashDedup, multimodalThumbnail, multimodalByteEntropy,
-    multimodalWhash)
+    multimodalWhash, multimodalWavPitch)
 }
