@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -734,7 +735,117 @@ object TimeSeries {
       .orderBy("event_type")
   }
 
+  /** VARIANCE-RATIO random-walk test (Lo–MacKinlay) over each event
+    * type's hourly count series — the econometric complement of
+    * [[tsMkTrend]] (trend) and [[tsAutocorr]] (linear memory): under a
+    * random walk the variance of q-period differences is exactly q times
+    * the 1-period variance, so VR(q) = Var(x_t − x_{t−q}) / (q·Var(x_t −
+    * x_{t−1})) ≈ 1; VR < 1 flags mean-reversion, VR > 1 momentum. Per
+    * (event_type, q ∈ {2,4,8}): the pair count, VR in micro units, the
+    * homoskedastic z = (VR−1)/√(2(2q−1)(q−1)/(3q·n)), and the
+    * random-walk verdict at |z| ≤ 1.96.
+    *
+    * Parity discipline: both variances come from exact BIGINT
+    * sufficient statistics (n·Σd² − (Σd)² over integer count diffs);
+    * VR and z are shared scalar IEEE expressions (÷ × √ only, the
+    * ab_lift_ztest precedent) floor-quantized once to micro units so
+    * the verdict compares integers. Zero-variance base series (a type
+    * with a constant hourly count) excluded by the mirrored WHERE.
+    *
+    * Plan: the corpus-sized stage is the (type, hour) count aggregate
+    * (the [[tsAutocorr]] series); the lag windows partition by type
+    * over the bucket-domain frame (time-bounded, not corpus-bounded),
+    * and everything after the diff aggregates is |types|·3 rows. */
+  val tsVarRatio: Q = Q(
+    "ts_var_ratio",
+    """WITH c AS (SELECT event_type,
+      |    time_bucket(INTERVAL '1 hour', ts) AS bkt, count(*) AS x
+      |  FROM events GROUP BY 1, 2),
+      |l AS (SELECT event_type, x,
+      |    lag(x, 1) OVER w AS x1, lag(x, 2) OVER w AS x2,
+      |    lag(x, 4) OVER w AS x4, lag(x, 8) OVER w AS x8
+      |  FROM c WINDOW w AS (PARTITION BY event_type ORDER BY bkt)),
+      |p AS (SELECT event_type, 2 AS q, x - x2 AS dq FROM l
+      |        WHERE x2 IS NOT NULL
+      |      UNION ALL
+      |      SELECT event_type, 4, x - x4 FROM l WHERE x4 IS NOT NULL
+      |      UNION ALL
+      |      SELECT event_type, 8, x - x8 FROM l WHERE x8 IS NOT NULL),
+      |b AS (SELECT event_type, count(*) AS n1,
+      |    CAST(sum(x - x1) AS BIGINT) AS s1,
+      |    CAST(sum((x - x1) * (x - x1)) AS BIGINT) AS ss1
+      |  FROM l WHERE x1 IS NOT NULL GROUP BY 1),
+      |sq AS (SELECT event_type, q, count(*) AS nq,
+      |    CAST(sum(dq) AS BIGINT) AS sdq,
+      |    CAST(sum(dq * dq) AS BIGINT) AS ssq
+      |  FROM p GROUP BY 1, 2),
+      |j AS (SELECT s.event_type, s.q, CAST(s.nq AS BIGINT) AS n_pairs,
+      |    (CAST(s.nq AS DOUBLE) * s.ssq - CAST(s.sdq AS DOUBLE) * s.sdq)
+      |      / (CAST(s.nq AS DOUBLE) * s.nq) AS vq,
+      |    (CAST(b.n1 AS DOUBLE) * b.ss1 - CAST(b.s1 AS DOUBLE) * b.s1)
+      |      / (CAST(b.n1 AS DOUBLE) * b.n1) AS v1,
+      |    CAST(b.n1 AS BIGINT) AS n1
+      |  FROM sq s JOIN b ON s.event_type = b.event_type
+      |  WHERE b.n1 * b.ss1 - b.s1 * b.s1 > 0),
+      |z AS (SELECT event_type, q, n_pairs,
+      |    vq / (q * v1) AS vr,
+      |    (vq / (q * v1) - 1)
+      |      / sqrt(2.0 * (2 * q - 1) * (q - 1) / (3.0 * q * n1)) AS zst
+      |  FROM j)
+      |SELECT event_type, CAST(q AS INT) AS q, n_pairs,
+      |  CAST(floor(1000000 * vr) AS BIGINT) AS vr_micro,
+      |  CAST(floor(1000000 * zst) AS BIGINT) AS z_micro,
+      |  abs(CAST(floor(1000000 * zst) AS BIGINT)) <= 1960000
+      |    AS random_walk
+      |FROM z ORDER BY event_type, q""".stripMargin
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val c = Tables.events(s, d)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("bkt"))
+      .agg(count(lit(1)).as("x"))
+    val w = Window.partitionBy("event_type").orderBy("bkt")
+    val l = c.select(col("event_type"), col("x"),
+      lag(col("x"), 1).over(w).as("x1"), lag(col("x"), 2).over(w).as("x2"),
+      lag(col("x"), 4).over(w).as("x4"), lag(col("x"), 8).over(w).as("x8"))
+    def arm(q: Int): DataFrame =
+      l.filter(col(s"x$q").isNotNull)
+        .select(col("event_type"), lit(q).as("q"),
+          (col("x") - col(s"x$q")).as("dq"))
+    val p = arm(2).union(arm(4)).union(arm(8))
+    val b = l.filter(col("x1").isNotNull)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n1"),
+        sum(col("x") - col("x1")).cast("long").as("s1"),
+        sum((col("x") - col("x1")) * (col("x") - col("x1")))
+          .cast("long").as("ss1"))
+    val sq = p.groupBy("event_type", "q")
+      .agg(count(lit(1)).as("nq"),
+        sum(col("dq")).cast("long").as("sdq"),
+        sum(col("dq") * col("dq")).cast("long").as("ssq"))
+    def dbl(cn: Column): Column = cn.cast("double")
+    val vq = (dbl(col("nq")) * col("ssq") - dbl(col("sdq")) * col("sdq")) /
+      (dbl(col("nq")) * col("nq"))
+    val v1 = (dbl(col("n1")) * col("ss1") - dbl(col("s1")) * col("s1")) /
+      (dbl(col("n1")) * col("n1"))
+    val j = sq.join(broadcast(b), Seq("event_type"))
+      .filter(col("n1") * col("ss1") - col("s1") * col("s1") > 0)
+      .select(col("event_type"), col("q"),
+        col("nq").cast("long").as("n_pairs"),
+        vq.as("vq"), v1.as("v1"), col("n1").cast("long").as("n1"))
+    val vr = col("vq") / (col("q") * col("v1"))
+    val zst = (col("vq") / (col("q") * col("v1")) - lit(1)) /
+      sqrt(lit(2.0) * (lit(2) * col("q") - lit(1)) * (col("q") - lit(1)) /
+        (lit(3.0) * col("q") * col("n1")))
+    val zMicro = floor(lit(1000000) * zst).cast("long")
+    j.select(col("event_type"), col("q").cast("int").as("q"),
+        col("n_pairs"),
+        floor(lit(1000000) * vr).cast("long").as("vr_micro"),
+        zMicro.as("z_micro"),
+        (abs(zMicro) <= 1960000L).as("random_walk"))
+      .orderBy("event_type", "q")
+  }
+
   val all: Seq[Q] = Seq(tsAutocorr, tsChangepoint, tsEwma, tsDecompose,
     tsHolt, tsMkTrend, tsAnomaly, tsRollingCorr, tsCrossCorr, tsTheilSen,
-    tsBacktestMae, tsSeasonalStrength)
+    tsBacktestMae, tsSeasonalStrength, tsVarRatio)
 }
