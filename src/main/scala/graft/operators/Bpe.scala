@@ -223,6 +223,74 @@ object Bpe {
       lastRefKey.flatMap(k => Option(refCache.get(k)))
         .map(a => encodeOracleSql(a._2))))
 
+  /** DuckDB mirror of [[corpusTokenizerCompression]]: the reference
+    * vocab inlined (the [[encodeOracleSql]] discipline); split, byte
+    * census, join, and the per-source rollup are DuckDB's own SQL. */
+  private[operators] def compressionOracleSql(
+      vocab: Seq[(String, Int)]): String = {
+    val rows = vocab.map { case (w, n) => s"(${sqlStr(w)}, $n)" }
+      .mkString(",\n    ")
+    s"""WITH vocab AS (SELECT w, n_sym FROM (VALUES
+       |    $rows) v(w, n_sym)),
+       |words AS (SELECT doc_id, source,
+       |          unnest(string_split(text, ' ')) AS w
+       |          FROM documents)
+       |SELECT source, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       |  CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(octet_length(encode(w))) AS BIGINT) AS n_bytes,
+       |  CAST(sum(n_sym) AS BIGINT) AS n_pieces,
+       |  (1000 * CAST(sum(octet_length(encode(w))) AS BIGINT))
+       |    // CAST(sum(n_sym) AS BIGINT) AS bpt_milli,
+       |  (1000 * CAST(sum(n_sym) AS BIGINT))
+       |    // CAST(count(*) AS BIGINT) AS fertility_milli
+       |FROM words JOIN vocab USING (w)
+       |WHERE length(w) > 0
+       |GROUP BY source
+       |ORDER BY source""".stripMargin
+  }
+
+  /** TOKENIZER COMPRESSION by corpus source — the cross-domain
+    * efficiency readout tokenizer choices are judged by at the MIXTURE
+    * level, where [[bpeEncode]]'s per-document fertility judges them at
+    * the document level: UTF-8 bytes per BPE piece (bpt) and pieces per
+    * word per source. A source whose bpt sits far below the corpus norm
+    * is under-served by the vocabulary (its text shatters into short
+    * pieces — the classic non-English-tokenizer failure) and either
+    * needs vocab budget or burns training FLOPs on fragment tokens;
+    * this table is the input to that budget decision.
+    *
+    * Parity discipline: pure integer — exact byte and piece sums,
+    * nonnegative floor DIVs to milli units, no real number anywhere.
+    * Plan: the [[bpeEncode]] shape — word explode joined to the
+    * BROADCAST vocabulary-bounded (word → pieces) table, then ONE
+    * source-keyed partial+final aggregate (the distinct-doc count rides
+    * the same exchange); nothing after the explode is wider than the
+    * source domain. */
+  val corpusTokenizerCompression: Q =
+    Q.noOracle("corpus_tokenizer_compression") { (s, d) =>
+      val vocab = trained(s, d)._2
+        .select(col("w"), size(col("syms")).as("n_sym"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+        .join(broadcast(vocab), Seq("w"))
+        .groupBy("source")
+        .agg(count_distinct(col("doc_id")).cast("long").as("n_docs"),
+          count(lit(1)).cast("long").as("n_words"),
+          sum(octet_length(col("w"))).cast("long").as("n_bytes"),
+          sum(col("n_sym")).cast("long").as("n_pieces"))
+        .select(col("source"), col("n_docs"), col("n_words"),
+          col("n_bytes"), col("n_pieces"),
+          expr("(1000 * n_bytes) div n_pieces").as("bpt_milli"),
+          expr("(1000 * n_pieces) div n_words").as("fertility_milli"))
+        .orderBy("source")
+    }.copy(
+      eager = true, // vocab training at plan build (the bpeEncode cache)
+      oracleGen = Some(() =>
+        lastRefKey.flatMap(k => Option(refCache.get(k)))
+          .map(a => compressionOracleSql(a._2))))
+
   /** Apply learned merge RULES to an arbitrary word column — true
     * tokenizer application, which unlike the vocab-table join of
     * [[bpeEncode]] also segments words never seen at training time
@@ -278,5 +346,5 @@ object Bpe {
     out.result()
   }
 
-  val all: Seq[Q] = Seq(bpeTrain, bpeEncode)
+  val all: Seq[Q] = Seq(bpeTrain, bpeEncode, corpusTokenizerCompression)
 }
