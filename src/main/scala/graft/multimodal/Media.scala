@@ -403,6 +403,56 @@ object Media {
       (coef(0)(0), hash)
     }
 
+  /** 4×4 TILE-VARIANCE census — the blank/low-information image gate:
+    * decode, split the full-resolution luma plane into 16 tiles
+    * (tile(y) = 4y÷h, tile(x) = 4x÷w — every pixel lands in exactly one
+    * tile, no resampling), and per tile form the exact integer variance
+    * numerator n·Σl² − (Σl)². A tile is FLAT when that numerator is
+    * below 4·n² (variance < 4 gray levels²); a frame whose every tile
+    * is flat is a blank/synthetic fill the vision pipeline should drop
+    * before burning decode budget downstream. Returns
+    * (flat_tiles, min tile variance in milli gray-levels²) — all
+    * integer, no division until the final reported DIV. */
+  def tileVariance(content: Array[Byte]): Option[(Int, Long)] =
+    if (!isImageContainer(content)) None
+    else Option(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(content))).map { img =>
+      val (w, h) = (img.getWidth, img.getHeight)
+      val n = Array.ofDim[Long](4, 4)
+      val sm = Array.ofDim[Long](4, 4)
+      val ss = Array.ofDim[Long](4, 4)
+      var y = 0
+      while (y < h) {
+        val ty = 4 * y / h
+        var x = 0
+        while (x < w) {
+          val tx = 4 * x / w
+          val argb = img.getRGB(x, y)
+          val l = (((argb >> 16) & 0xFF) * 299 +
+                   ((argb >> 8) & 0xFF) * 587 +
+                   (argb & 0xFF) * 114) / 1000
+          n(ty)(tx) += 1; sm(ty)(tx) += l; ss(ty)(tx) += l.toLong * l
+          x += 1
+        }
+        y += 1
+      }
+      var flat = 0
+      var minVar = Long.MaxValue
+      var ty = 0
+      while (ty < 4) {
+        var tx = 0
+        while (tx < 4) {
+          val num = n(ty)(tx) * ss(ty)(tx) - sm(ty)(tx) * sm(ty)(tx)
+          if (num < 4L * n(ty)(tx) * n(ty)(tx)) flat += 1
+          val vm = 1000L * num / (n(ty)(tx) * n(ty)(tx))
+          if (vm < minVar) minVar = vm
+          tx += 1
+        }
+        ty += 1
+      }
+      (flat, minVar)
+    }
+
   /** Batched per-partition dHash pass over a media frame — same
     * mapPartitions shape as [[decode]]/[[features]]; null hash for
     * blobs that aren't decodable images. */

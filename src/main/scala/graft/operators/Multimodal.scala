@@ -748,8 +748,68 @@ object Multimodal {
       .orderBy("doc_id", "frame_no")
   }
 
+  /** TILE-VARIANCE blank-image gate — the vision-set data-quality check
+    * that drops blank/solid-fill/synthetic-padding frames before they
+    * burn feature-extraction budget: the full-resolution luma plane
+    * splits into a 4×4 tile grid (tile(y) = 4y÷h — every pixel in
+    * exactly one tile, NO resampling, unlike the hash family's 8×8
+    * sample grid), each tile carries the exact integer variance
+    * numerator n·Σl² − (Σl)², a tile is FLAT below 4·n² (variance < 4
+    * gray-levels²), and a frame with 16/16 flat tiles is `blank`. Also
+    * reports the minimum tile variance in milli units — the "how close
+    * to blank" margin.
+    *
+    * Parity discipline: pure integer (exact sums, one nonnegative floor
+    * DIV per tile); the flat threshold compares integers so the flag
+    * cannot straddle engine rounding. Same real-codec discipline as the
+    * hash family — REAL ImageIO decode in a narrow mapPartitions, the
+    * gray luma-identity making the decoded plane SQL-reachable
+    * (`Media.tileVariance`). */
+  val multimodalTileVariance: Q = Q(
+    "multimodal_tile_variance",
+    """WITH d AS (SELECT doc_id, hex(encode(text)) AS hx,
+      |    octet_length(encode(text)) AS nb
+      |  FROM documents WHERE octet_length(encode(text)) > 0),
+      |dim AS (SELECT doc_id, hx, nb,
+      |    16 + nb % 17 AS w, 16 + nb % 13 AS h FROM d),
+      |g AS (SELECT doc_id, (4 * ys.y) // h AS ty, (4 * xs.x) // w AS tx,
+      |    CAST('0x' || substr(hx, 2 * ((ys.y * w + xs.x) % nb) + 1, 2)
+      |      AS INT) AS lum
+      |  FROM dim JOIN range(0, 32) ys(y) ON ys.y < h
+      |           JOIN range(0, 32) xs(x) ON xs.x < w),
+      |t AS (SELECT doc_id, ty, tx, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(lum) AS BIGINT) AS s,
+      |    CAST(sum(lum * lum) AS BIGINT) AS ss
+      |  FROM g GROUP BY 1, 2, 3),
+      |v AS (SELECT doc_id,
+      |    CASE WHEN n * ss - s * s < 4 * n * n THEN 1 ELSE 0 END AS flat,
+      |    (1000 * (n * ss - s * s)) // (n * n) AS vm
+      |  FROM t)
+      |SELECT doc_id, CAST(sum(flat) AS INT) AS flat_tiles,
+      |  CAST(min(vm) AS BIGINT) AS min_tile_var_milli,
+      |  CAST(sum(flat) AS INT) = 16 AS blank
+      |FROM v GROUP BY 1 ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    import graft.multimodal.Media
+    Tables.documents(s, d)
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, text) =>
+          val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val (_, _, bmp) = synthBmp(bytes)
+          val (flat, minVar) = Media.tileVariance(bmp).get
+          (id, flat, minVar, flat == 16)
+        }
+      }
+      .toDF("doc_id", "flat_tiles", "min_tile_var_milli", "blank")
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(multimodalMeta, multimodalFeatures, multimodalDhash,
     multimodalWav, multimodalWavFrames, multimodalWavVad,
     multimodalDhashDedup, multimodalThumbnail, multimodalByteEntropy,
-    multimodalWhash, multimodalWavPitch)
+    multimodalWhash, multimodalWavPitch, multimodalTileVariance)
 }

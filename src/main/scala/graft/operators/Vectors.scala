@@ -2473,6 +2473,54 @@ object Vectors {
     eager = true, // sufficient-stat collect + driver iteration at build
     oracleGen = Some(() => pcaMeasuredRounds.get().map(pcaOracleSql)))
 
+  /** L2-NORM CENSUS over the embedding table — the row-level health gate
+    * that complements [[vectorDimStats]]'s per-dimension view: encoders
+    * that collapse emit near-zero vectors (cosine against them is
+    * noise), and scale bugs emit rogue-magnitude rows that dominate any
+    * un-normalized dot product — both invisible in per-dimension stats
+    * when the bad rows are few. One row per quarter-unit norm bucket
+    * with the count and the exact min/max norm inside it; the zero
+    * bucket IS the dead-vector count.
+    *
+    * Parity discipline: values milli-quantize ONCE ([[vectorDimStats]]);
+    * norm² is an exact BIGINT sum of squares; the only real-number op is
+    * one correctly-rounded `sqrt` per row, floor-quantized immediately
+    * (the PSI one-transcendental discipline — and √ is IEEE
+    * correctly-rounded, not even libm-risky); bucketing is a nonneg
+    * floor DIV of that integer. Plan: per-row narrow arithmetic (a
+    * codegen'd HOF fold, no explode), then ONE partial+final aggregate
+    * on the bounded bucket domain. */
+  val vectorNormCensus: Q = Q(
+    "vector_norm_census",
+    """WITH q AS (SELECT vec_id,
+      |    [CAST(floor(1000 * CAST(v AS DOUBLE)) AS BIGINT)
+      |     FOR v IN embedding] AS qs
+      |  FROM embeddings),
+      |n2 AS (SELECT vec_id,
+      |    CAST(list_sum([x * x FOR x IN qs]) AS BIGINT) AS norm2
+      |  FROM q),
+      |nm AS (SELECT vec_id,
+      |    CAST(floor(sqrt(CAST(norm2 AS DOUBLE))) AS BIGINT) AS norm_milli
+      |  FROM n2)
+      |SELECT norm_milli // 250 AS bucket, CAST(count(*) AS BIGINT) AS n,
+      |  min(norm_milli) AS min_norm_milli,
+      |  max(norm_milli) AS max_norm_milli
+      |FROM nm GROUP BY 1 ORDER BY 1""".stripMargin
+  ) { (s, d) =>
+    val q = transform(col("embedding"),
+      v => floor(lit(1000) * v.cast("double")).cast("long"))
+    val norm2 = aggregate(q, lit(0L), (acc, x) => acc + x * x)
+    val normMilli =
+      floor(sqrt(norm2.cast("double"))).cast("long").as("norm_milli")
+    Tables.embeddings(s, d)
+      .select(normMilli)
+      .groupBy(expr("norm_milli div 250").as("bucket"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        min(col("norm_milli")).as("min_norm_milli"),
+        max(col("norm_milli")).as("max_norm_milli"))
+      .orderBy("bucket")
+  }
+
   val all: Seq[Q] = Seq(vectorTopk, vectorAnnLsh, vectorAnnIvf,
     vectorTopkBatch, vectorQuantize, vectorCentroid, knnJoinLsh,
     sqlVectorTopk, vectorIndexStats, vectorPq, vectorIvfPq,
@@ -2480,5 +2528,5 @@ object Vectors {
     vectorSq8Topk, vectorHammingTopk, vectorMatryoshkaTopk,
     vectorFilteredTopk, vectorRangeSearch, vectorIvfProbeSweep,
     vectorMmrRerank, searchHybridRrf, vectorDimStats, vectorCentroidDrift,
-    vectorDimCorr, vectorPcaPower)
+    vectorDimCorr, vectorPcaPower, vectorNormCensus)
 }
