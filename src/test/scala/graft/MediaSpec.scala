@@ -152,6 +152,62 @@ class MediaSpec extends SparkSpec {
     assert(Media.decodeWav(broken).isEmpty)
   }
 
+  test("wHash: flat image hashes 0, textured image doesn't, re-encode " +
+       "invariant") {
+    // constant image: every WHT coefficient except DC is 0, median 0,
+    // strict > keeps every bit clear
+    val flat = {
+      val img = new java.awt.image.BufferedImage(
+        16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 16; x <- 0 until 16)
+        img.setRGB(x, y, 0x7F7F7F)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos); bos.toByteArray
+    }
+    val (dcF, whF) = Media.wHash(flat).get
+    assert(whF === 0L, "flat image must hash to 0")
+    assert(dcF === 127L * 64, "DC is the total luma")
+    // a pure 1-D gradient is the DEGENERATE case (all nonzero ACs share
+    // one sign, the median sits at 0, no bit exceeds it) — a 2-D
+    // texture must set bits, and the same pixels re-encoded through
+    // another real container must hash identically
+    val tex = {
+      val img = new java.awt.image.BufferedImage(
+        64, 64, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 64; x <- 0 until 64) {
+        val v = ((x * 37 + y * 11 + (x * y) % 29) % 256)
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos); bos.toByteArray
+    }
+    val (_, whT) = Media.wHash(tex).get
+    assert(whT !== 0L, "textured image must set frequency bits")
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(tex))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "bmp", bos)
+    assert(Media.wHash(bos.toByteArray).get._2 === whT,
+      "re-encode changed the perceptual hash")
+  }
+
+  test("tileVariance: flat image is blank (16/16 flat), gradient is not") {
+    val flat = {
+      val img = new java.awt.image.BufferedImage(
+        20, 12, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 12; x <- 0 until 20) img.setRGB(x, y, 0x404040)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "bmp", bos); bos.toByteArray
+    }
+    val (flatTiles, minVar) = Media.tileVariance(flat).get
+    assert(flatTiles === 16 && minVar === 0L)
+    val (gTiles, gMin) = Media.tileVariance(gradient(64, 64)).get
+    // a horizontal gradient varies inside every tile (64/4 = 16 distinct
+    // luma levels per tile column span)
+    assert(gTiles === 0, s"gradient flagged $gTiles flat tiles")
+    assert(gMin > 0L)
+  }
+
   test("frameSample emits one row per kept frame") {
     val out = Media.frameSample(ds, frameBytes = 16, stride = 2)
       .collect().map(r => (r.getLong(0), r.getInt(1)))
