@@ -1803,11 +1803,97 @@ object Pipeline {
       .orderBy("digit")
   }
 
+  /** CROSS-TABLE RECONCILIATION census — the warehouse closing-the-books
+    * check [[dqReferential]]'s key-existence audit doesn't cover: does
+    * the MONEY add up? Per order, the line-level charge
+    * Σ extendedprice·(1−discount)·(1+tax) is compared against the
+    * header's o_totalprice (the TPC-H consistency invariant), and the
+    * per-order discrepancies roll up into a magnitude histogram — one
+    * row per discrepancy DECADE (bucket −1 = exact to the pico-cent,
+    * 0 = sub-cent, k = k-digit whole-cent gap) with the count and the
+    * worst gap. On a feed whose header totals are computed upstream,
+    * any non-exact bucket is a billing-pipeline bug; on THIS fixture
+    * the generator draws totals independently of lines, and the census
+    * says so (the dq_benford/text_zipf discipline: the detector
+    * detecting the generator).
+    *
+    * Parity discipline: money enters through DECIMAL(18,2) cents (the
+    * [[graft.Tables.money]] rule) and the rates quantize ONCE to ppm
+    * via floor(x·10⁶ + ½) — after that every charge is an exact
+    * cents·ppm·ppm integer (DECIMAL(38,0)/HUGEINT, ~21 digits max), the
+    * diff an exact subtraction, and the bucket a digit count of a
+    * nonnegative floor DIV. No float survives past the first
+    * projection.
+    *
+    * Plan: one lineitem-keyed partial+final aggregate to per-order
+    * charges, one key join against the orders header (both sides
+    * order-key partitioned — the shuffle is the reconciliation's
+    * inherent cost), then a ≤14-bucket aggregate. */
+  val dqReconciliation: Q = Q(
+    "dq_reconciliation",
+    """WITH li AS (SELECT l_orderkey,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS cents,
+      |    CAST(floor(1000000 * l_discount + 0.5) AS BIGINT) AS d_ppm,
+      |    CAST(floor(1000000 * l_tax + 0.5) AS BIGINT) AS t_ppm
+      |  FROM lineitem),
+      |c AS (SELECT l_orderkey,
+      |    sum(CAST(cents AS HUGEINT) * (1000000 - d_ppm)
+      |        * (1000000 + t_ppm)) AS line_pico
+      |  FROM li GROUP BY 1),
+      |o AS (SELECT o_orderkey,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS o_cents
+      |  FROM orders),
+      |j AS (SELECT o.o_orderkey,
+      |    coalesce(c.line_pico, 0)
+      |      - CAST(o_cents AS HUGEINT) * 1000000 * 1000000 AS diff
+      |  FROM o LEFT JOIN c ON c.l_orderkey = o.o_orderkey),
+      |b AS (SELECT o_orderkey, diff,
+      |    CAST(abs(diff) // 1000000000000 AS BIGINT) AS cd
+      |  FROM j)
+      |SELECT CASE WHEN diff = 0 THEN -1 WHEN cd = 0 THEN 0
+      |       ELSE length(CAST(cd AS VARCHAR)) END AS bucket,
+      |  CAST(count(*) AS BIGINT) AS n_orders,
+      |  max(cd) AS max_diff_cents
+      |FROM b GROUP BY 1 ORDER BY 1""".stripMargin
+  ) { (s, d) =>
+    import org.apache.spark.sql.types.DecimalType
+    val dec38 = DecimalType(38, 0)
+    val li = Tables.lineitem(s, d).select(col("l_orderkey"),
+      (Tables.money(col("l_extendedprice")) * 100).cast("long").as("cents"),
+      floor(lit(1000000) * col("l_discount") + lit(0.5))
+        .cast("long").as("d_ppm"),
+      floor(lit(1000000) * col("l_tax") + lit(0.5))
+        .cast("long").as("t_ppm"))
+    val c = li.select(col("l_orderkey"),
+        (col("cents").cast(dec38) * (lit(1000000L) - col("d_ppm"))
+          * (lit(1000000L) + col("t_ppm"))).as("pico"))
+      .groupBy("l_orderkey").agg(sum(col("pico")).as("line_pico"))
+    val o = Tables.orders(s, d).select(col("o_orderkey"),
+      (Tables.money(col("o_totalprice")) * 100).cast("long").as("o_cents"))
+    val j = o.join(c, col("o_orderkey") === col("l_orderkey"), "left")
+      .select(col("o_orderkey"),
+        (coalesce(col("line_pico"), lit(0).cast(dec38))
+          - col("o_cents").cast(dec38) * lit(1000000L) * lit(1000000L))
+          .as("diff"))
+    val b = j.select(col("diff"),
+      expr("CAST(abs(diff) DIV 1000000000000 AS BIGINT)").as("cd"))
+    b.groupBy(
+        when(col("diff") === 0, -1)
+          .when(col("cd") === 0, 0)
+          .otherwise(length(col("cd").cast("string"))).cast("int")
+          .as("bucket"))
+      .agg(count(lit(1)).cast("long").as("n_orders"),
+        max(col("cd")).as("max_diff_cents"))
+      .orderBy("bucket")
+  }
+
   val all: Seq[Q] = Seq(simplifyFlatten, denormalizePatient, graphEdges,
     graphTwohop, discoverySummary, ingestNdjson, snapshotExport, dqChecks,
     dqSkew, dqDriftKs, dqFreshness, graphPagerank, graphHits, graphLabelProp,
     graphKcore, graphShortestPath, dqReferential, dqUniqueness,
     graphJaccard, graphJaccardHot, graphDegreeDist, storePruningStats,
     graphModularity,
-    dqDriftPsi, dqProfileDrift, dqDriftTtest, dqBenford)
+    dqDriftPsi, dqProfileDrift, dqDriftTtest, dqBenford, dqReconciliation)
 }
