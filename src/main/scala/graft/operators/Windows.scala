@@ -270,7 +270,61 @@ object Windows {
       .orderBy("user_id", "event_id")
   }
 
+  /** GAPS-AND-ISLANDS streak census — the canonical consecutive-run
+    * decomposition ([[windowCumDistinct]]'s flag trick applied to
+    * CONTIGUITY): a user's distinct activity days split into maximal
+    * runs of consecutive days via the day−row_number invariant (inside
+    * a run the difference is constant; a gap shifts it), and the
+    * catalog reports the engagement distribution — per longest-streak
+    * length, how many users top out there and the most islands any of
+    * them fragmented into. This is the retention-adjacent readout
+    * [[graft.operators.Streaming.retentionCohort]] doesn't give:
+    * cohort curves count who returns, streaks measure HABIT.
+    *
+    * Parity discipline: pure integer — datediff day numbers minus
+    * row_number, exact counts, no real number anywhere; every window
+    * ORDER BY is total (distinct (user, day) rows).
+    *
+    * Plan: one exchange on the distinct (user, day) pair; the rank
+    * window, island group-by, and per-user rollup are all keyed by the
+    * same user hash (no further shuffle — the island key is
+    * (user_id, day−rn)), then a bounded streak-length aggregate. */
+  val windowIslands: Q = Q(
+    "window_islands",
+    """WITH a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+      |           FROM events),
+      |r AS (SELECT user_id,
+      |    date_diff('day', DATE '2024-01-01', day)
+      |      - row_number() OVER (PARTITION BY user_id ORDER BY day)
+      |      AS island
+      |  FROM a),
+      |i AS (SELECT user_id, island, count(*) AS len
+      |      FROM r GROUP BY 1, 2),
+      |u AS (SELECT user_id, CAST(max(len) AS BIGINT) AS longest,
+      |      CAST(count(*) AS BIGINT) AS islands
+      |      FROM i GROUP BY 1)
+      |SELECT longest AS streak_len, CAST(count(*) AS BIGINT) AS n_users,
+      |  max(islands) AS max_islands
+      |FROM u GROUP BY 1 ORDER BY 1""".stripMargin
+  ) { (s, d) =>
+    val a = Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    val w = Window.partitionBy("user_id").orderBy("day")
+    val i = a.select(col("user_id"),
+        (datediff(col("day"), to_date(lit("2024-01-01")))
+          - row_number().over(w)).as("island"))
+      .groupBy("user_id", "island").agg(count(lit(1)).as("len"))
+    val u = i.groupBy("user_id")
+      .agg(max(col("len")).cast("long").as("longest"),
+           count(lit(1)).cast("long").as("islands"))
+    u.groupBy(col("longest").as("streak_len"))
+      .agg(count(lit(1)).cast("long").as("n_users"),
+           max(col("islands")).as("max_islands"))
+      .orderBy("streak_len")
+  }
+
   val all: Seq[Q] = Seq(windowRank, windowRunning, udafWeighted,
     windowDistribution, windowMoving, windowRangeFrame, windowNavigation,
-    windowCumDistinct)
+    windowCumDistinct, windowIslands)
 }
