@@ -1709,10 +1709,15 @@ object Streaming {
       |FROM z ORDER BY day""".stripMargin
   ) { (s, d) =>
     val dayOf = to_date(col("ts"))
+    // cache: the user aggregate has THREE consumers (both melt branches
+    // + the total) — without it each one re-runs the corpus-sized stage
+    // (lazy cache keeps the query a pure plan; the graph_modularity
+    // reuse discipline)
     val u = Tables.events(s, d)
       .groupBy(col("user_id"), (col("user_id") % 2).as("grp"))
       .agg(min(dayOf).as("fe"),
            min(when(col("event_type") === "purchase", dayOf)).as("fp"))
+      .cache()
     val m = u.select(col("grp"), col("fe").as("d"), lit(0).as("k"))
       .union(u.filter(col("fp").isNotNull)
         .select(col("grp"), col("fp").as("d"), lit(1).as("k")))

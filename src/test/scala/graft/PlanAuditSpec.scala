@@ -775,4 +775,63 @@ class PlanAuditSpec extends SparkSpec {
     assert("Scan parquet".r.findAllIn(p).size <= 2,
       s"per-doc metrics + total scan only:\n${p.take(800)}")
   }
+
+  test("ab_srm: arm counts ride the distinct's exchange, one day agg") {
+    val p = plan(graft.operators.Streaming.abSrm)
+    // distinct (day,user) + day rollup — nothing else may shuffle, and
+    // the arm split must NOT add a second distinct
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2,
+      s"ab_srm grew an extra shuffle:\n${p.take(800)}")
+  }
+
+  test("ab_sequential: nested-loop joins only over post-aggregate frames") {
+    val p = plan(graft.operators.Streaming.abSequential)
+    // the spine x census cumulative join is a broadcast nested loop by
+    // design — over two <=|days|-bounded frames; the corpus may only be
+    // touched by the CACHED user-keyed aggregate (one exchange, rendered
+    // once per consumer — count DISTINCT plan ids) and the day spine
+    assert(!p.contains("CartesianProduct"), p.take(600))
+    val distinctHashExchanges =
+      "Exchange hashpartitioning[^\\[]*\\[plan_id=(\\d+)\\]".r
+        .findAllMatchIn(p).map(_.group(1)).toSet.size
+    assert(distinctHashExchanges <= 3,
+      s"ab_sequential shuffle count grew ($distinctHashExchanges):\n" +
+      p.take(800))
+    assert(p.contains("InMemoryRelation"),
+      "the 3-consumer user aggregate must be cached")
+  }
+
+  test("window_islands: rank window, island agg and rollup share the " +
+       "user-hash exchange") {
+    val p = plan(graft.operators.Windows.windowIslands)
+    // distinct (user,day) partitions by user_id's hash; the window and
+    // both user-keyed aggregates must reuse it — only the final bounded
+    // streak-length aggregate may add one more exchange
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 3,
+      s"window_islands lost exchange reuse:\n${p.take(800)}")
+  }
+
+  test("vector_norm_census: no generator — the HOF fold stays per-row") {
+    val p = plan(graft.operators.Vectors.vectorNormCensus)
+    assert(!p.contains("Generate"),
+      s"norm census must not explode the embedding column:\n${p.take(600)}")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1,
+      s"one bucket aggregate only:\n${p.take(800)}")
+  }
+
+  test("graph_reciprocity: the pair fold adds no self-join") {
+    val p = plan(graft.operators.Streaming.graphReciprocity)
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      s"least/greatest canonicalization must not join:\n${p.take(800)}")
+  }
+
+  test("dq_reconciliation: one lineitem aggregate + one order-key join") {
+    val p = plan(graft.operators.Pipeline.dqReconciliation)
+    // the reconciliation's inherent cost is two key exchanges plus the
+    // bounded bucket rollup — a plan that re-reads or re-shuffles the
+    // fact tables beyond that is wrong at 100 TB
+    assert("Scan parquet".r.findAllIn(p).size == 2, p.take(800))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 4,
+      s"dq_reconciliation shuffle count grew:\n${p.take(800)}")
+  }
 }
