@@ -804,9 +804,13 @@ object TimeSeries {
       .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("bkt"))
       .agg(count(lit(1)).as("x"))
     val w = Window.partitionBy("event_type").orderBy("bkt")
+    // cache: FOUR consumers (three q-diff arms + the base-variance
+    // frame) would each re-run the corpus-sized hourly aggregate
+    // (lazy cache — the ab_sequential/graph_modularity discipline)
     val l = c.select(col("event_type"), col("x"),
       lag(col("x"), 1).over(w).as("x1"), lag(col("x"), 2).over(w).as("x2"),
       lag(col("x"), 4).over(w).as("x4"), lag(col("x"), 8).over(w).as("x8"))
+      .cache()
     def arm(q: Int): DataFrame =
       l.filter(col(s"x$q").isNotNull)
         .select(col("event_type"), lit(q).as("q"),
