@@ -1581,6 +1581,74 @@ object Streaming {
       .orderBy("t_a", "t_b")
   }
 
+  /** COHORT LIFETIME-VALUE curves — the revenue side of the retention
+    * pair: [[retentionCohort]] counts who comes back,
+    * [[retentionSurvivalKm]] models when they stop, and THIS reports
+    * what they are WORTH — per signup-quarter cohort and quarter
+    * offset, the active-customer count, the cohort's cumulative revenue
+    * in exact cents, and the LTV (cumulative cents per cohort member) a
+    * payback model reads off directly. Cohort size needs no extra join:
+    * every member orders in their own first quarter, so it is
+    * first_value(n_active) over the cohort's offset-ordered frame.
+    *
+    * Parity discipline: pure integer — money through DECIMAL(18,2)
+    * cents, quarter numbers as int arithmetic, an exact BIGINT window
+    * sum for the cumulative and one nonnegative floor DIV for the LTV.
+    *
+    * Plan: one orders pass to (customer, quarter, cents), one
+    * customer-keyed first-quarter aggregate joined back (the cohort
+    * assignment — both sides customer-hashed), one (cohort, offset)
+    * aggregate carrying the distinct-active count, then bounded
+    * cohort-partitioned windows over the ≤|quarters|² frame. */
+  val retentionLtv: Q = Q(
+    "retention_ltv",
+    """WITH o AS (SELECT o_custkey,
+      |    (year(o_orderdate) - 1995) * 4 + (quarter(o_orderdate) - 1)
+      |      AS qn,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS cents
+      |  FROM orders),
+      |f AS (SELECT o_custkey, min(qn) AS cq FROM o GROUP BY 1),
+      |a AS (SELECT f.cq AS cohort_q, o.qn - f.cq AS offset_q,
+      |    CAST(count(DISTINCT o.o_custkey) AS BIGINT) AS n_active,
+      |    CAST(sum(o.cents) AS BIGINT) AS rev_cents
+      |  FROM o JOIN f ON o.o_custkey = f.o_custkey
+      |  GROUP BY 1, 2),
+      |c AS (SELECT cohort_q, offset_q, n_active,
+      |    CAST(sum(rev_cents) OVER (PARTITION BY cohort_q ORDER BY offset_q
+      |         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents,
+      |    first_value(n_active) OVER (PARTITION BY cohort_q
+      |         ORDER BY offset_q) AS cohort_size
+      |  FROM a)
+      |SELECT CAST(cohort_q AS INT) AS cohort_q,
+      |  CAST(offset_q AS INT) AS offset_q, n_active, cum_cents,
+      |  cum_cents // cohort_size AS ltv_cents
+      |FROM c ORDER BY cohort_q, offset_q""".stripMargin
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val o = Tables.orders(s, d).select(col("o_custkey"),
+      ((year(col("o_orderdate")) - 1995) * 4
+        + (quarter(col("o_orderdate")) - 1)).as("qn"),
+      (Tables.money(col("o_totalprice")) * 100).cast("long").as("cents"))
+    val f = o.groupBy("o_custkey").agg(min(col("qn")).as("cq"))
+    val a = o.join(f, Seq("o_custkey"))
+      .groupBy(col("cq").as("cohort_q"), (col("qn") - col("cq")).as("offset_q"))
+      .agg(count_distinct(col("o_custkey")).cast("long").as("n_active"),
+           sum(col("cents")).cast("long").as("rev_cents"))
+    val wc = Window.partitionBy("cohort_q").orderBy("offset_q")
+    a.select(col("cohort_q").cast("int").as("cohort_q"),
+        col("offset_q").cast("int").as("offset_q"), col("n_active"),
+        sum(col("rev_cents"))
+          .over(wc.rowsBetween(Window.unboundedPreceding,
+                               Window.currentRow))
+          .cast("long").as("cum_cents"),
+        first(col("n_active")).over(wc).as("cohort_size"))
+      .select(col("cohort_q"), col("offset_q"), col("n_active"),
+        col("cum_cents"),
+        expr("cum_cents div cohort_size").as("ltv_cents"))
+      .orderBy("cohort_q", "offset_q")
+  }
+
   /** SAMPLE-RATIO MISMATCH audit — the pre-test gate every
     * experimentation platform runs BEFORE reading [[abLiftZtest]] /
     * [[abRatioDelta]] / [[abCuped]]: if the observed arm split deviates
@@ -1824,7 +1892,7 @@ object Streaming {
     eventTransitions, ohlcBars, sessionizeGaps, patternSeq,
     attributionLastclick, attributionLinear, attributionTimedecay,
     scd2, joinPit, abLiftZtest, abRatioDelta, abCuped, abSrm,
-    abSequential, retentionSurvivalKm,
+    abSequential, retentionSurvivalKm, retentionLtv,
     sessionConcurrency, markovTwoStep, markovStationary, graphScc,
     graphReciprocity)
 }
