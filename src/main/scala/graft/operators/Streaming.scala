@@ -1581,6 +1581,109 @@ object Streaming {
       .orderBy("t_a", "t_b")
   }
 
+  /** POWER ANALYSIS / sample-size planner — the question every
+    * experimenter asks BEFORE [[abLiftZtest]] runs: how many users per
+    * arm (and how many days at current traffic) to detect a given
+    * relative lift at α = 0.05 two-sided, power 0.8? Anchored on the
+    * OBSERVED funnel: the baseline conversion is the corpus's own
+    * exposed→converted rate and the traffic rate is its exposed users
+    * per active day, so the grid row for "+10%" is this product's real
+    * runway, not a textbook example. n/arm =
+    * (z_{α/2}+z_β)²·(p₁(1−p₁)+p₂(1−p₂))/δ² with the z-sum squared
+    * pre-folded into one literal (7.848878512225001) — no pow() in the
+    * value path.
+    *
+    * Parity discipline: the baseline quantizes ONCE to exact ppm
+    * (floor DIV of exact counts); the per-row formula is one shared
+    * scalar IEEE expression over that integer (÷ × only — correctly
+    * rounded, no transcendental) with a single ceil quantization to
+    * whole users; the day estimate is a pure INTEGER ceiling division
+    * (2n+u−1) DIV u against the floor-DIV'd users-per-day rate, NULL
+    * (mirrored nullif) when traffic is below one user/day.
+    *
+    * Plan: ONE user-keyed aggregate (the abLiftZtest per-user stage,
+    * pooled) to a 1-row sufficient-statistics frame; the MDE grid
+    * explodes from that row — 4 output rows, no second corpus touch. */
+  val abPower: Q = Q(
+    "ab_power",
+    """WITH t AS (SELECT user_id,
+      |    min(CASE WHEN event_type = 'view' THEN epoch_ms(ts) END)
+      |      OVER (PARTITION BY user_id) AS t0,
+      |    epoch_ms(ts) AS ms, event_type, CAST(ts AS DATE) AS day
+      |  FROM events),
+      |u AS (SELECT user_id,
+      |    max(CASE WHEN t0 IS NOT NULL THEN 1 ELSE 0 END) AS v,
+      |    max(CASE WHEN event_type = 'purchase' AND ms > t0
+      |             AND ms <= t0 + 86400000 THEN 1 ELSE 0 END) AS p
+      |  FROM t GROUP BY 1),
+      |s AS (SELECT CAST(sum(v) AS BIGINT) AS n,
+      |    CAST(sum(v * p) AS BIGINT) AS x FROM u),
+      |dd AS (SELECT CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT)
+      |       AS n_days FROM events),
+      |g AS (SELECT s.n, s.x, dd.n_days, (1000000 * s.x) // s.n AS p_ppm,
+      |    m.mde_pm
+      |  FROM s, dd, (VALUES (50), (100), (200), (500)) m(mde_pm)
+      |  WHERE s.n > 0 AND s.x > 0 AND s.x < s.n),
+      |f AS (SELECT mde_pm, p_ppm,
+      |    CAST(ceil(7.848878512225001
+      |        * ((CAST(p_ppm AS DOUBLE) / 1000000)
+      |             * (1 - CAST(p_ppm AS DOUBLE) / 1000000)
+      |           + (CAST(p_ppm AS DOUBLE) / 1000000
+      |              * (1 + CAST(mde_pm AS DOUBLE) / 1000))
+      |             * (1 - CAST(p_ppm AS DOUBLE) / 1000000
+      |                  * (1 + CAST(mde_pm AS DOUBLE) / 1000)))
+      |        / ((CAST(p_ppm AS DOUBLE) / 1000000
+      |            * (CAST(mde_pm AS DOUBLE) / 1000))
+      |           * (CAST(p_ppm AS DOUBLE) / 1000000
+      |              * (CAST(mde_pm AS DOUBLE) / 1000))))
+      |      AS BIGINT) AS n_per_arm,
+      |    n // n_days AS upd
+      |  FROM g)
+      |SELECT CAST(mde_pm AS INT) AS mde_pm, p_ppm AS base_rate_ppm,
+      |  n_per_arm,
+      |  (2 * n_per_arm + nullif(upd, 0) - 1) // nullif(upd, 0)
+      |    AS days_required
+      |FROM f ORDER BY mde_pm""".stripMargin
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id")
+    val t = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"),
+        expr("unix_millis(ts)").as("ms"))
+      .withColumn("t0",
+        min(when(col("event_type") === "view", col("ms"))).over(byUser))
+    val u = t.groupBy(col("user_id"))
+      .agg(max(when(col("t0").isNotNull, 1).otherwise(0)).as("v"),
+           max(when(col("event_type") === "purchase" &&
+               col("ms") > col("t0") &&
+               col("ms") <= col("t0") + 86400000L, 1).otherwise(0))
+             .as("p"))
+    val st = u.agg(sum(col("v")).cast("long").as("n"),
+                   sum(col("v") * col("p")).cast("long").as("x"))
+    val dd = Tables.events(s, d)
+      .agg(count_distinct(to_date(col("ts"))).cast("long").as("n_days"))
+    val g = st.crossJoin(broadcast(dd))
+      .filter(col("n") > 0 && col("x") > 0 && col("x") < col("n"))
+      .select(col("n"), col("x"), col("n_days"),
+        expr("(1000000 * x) div n").as("p_ppm"),
+        explode(array(lit(50), lit(100), lit(200), lit(500)))
+          .as("mde_pm"))
+    val p1 = col("p_ppm").cast("double") / lit(1000000)
+    val mult = lit(1) + col("mde_pm").cast("double") / lit(1000)
+    val delta = p1 * (col("mde_pm").cast("double") / lit(1000))
+    val nArm = ceil(lit(7.848878512225001) *
+        (p1 * (lit(1) - p1) + (p1 * mult) * (lit(1) - p1 * mult)) /
+        (delta * delta)).cast("long")
+    g.select(col("mde_pm").cast("int").as("mde_pm"),
+        col("p_ppm").as("base_rate_ppm"),
+        nArm.as("n_per_arm"),
+        expr("n div n_days").as("upd"))
+      .select(col("mde_pm"), col("base_rate_ppm"), col("n_per_arm"),
+        expr("(2 * n_per_arm + nullif(upd, 0) - 1) div nullif(upd, 0)")
+          .as("days_required"))
+      .orderBy("mde_pm")
+  }
+
   /** COHORT LIFETIME-VALUE curves — the revenue side of the retention
     * pair: [[retentionCohort]] counts who comes back,
     * [[retentionSurvivalKm]] models when they stop, and THIS reports
@@ -1892,7 +1995,7 @@ object Streaming {
     eventTransitions, ohlcBars, sessionizeGaps, patternSeq,
     attributionLastclick, attributionLinear, attributionTimedecay,
     scd2, joinPit, abLiftZtest, abRatioDelta, abCuped, abSrm,
-    abSequential, retentionSurvivalKm, retentionLtv,
+    abSequential, abPower, retentionSurvivalKm, retentionLtv,
     sessionConcurrency, markovTwoStep, markovStationary, graphScc,
     graphReciprocity)
 }
