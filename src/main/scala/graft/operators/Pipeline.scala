@@ -1889,11 +1889,66 @@ object Pipeline {
       .orderBy("bucket")
   }
 
+  /** DOUBLE-CHARGE audit — the duplicate-payment detector every billing
+    * pipeline runs ([[dqUniqueness]] checks KEYS; this checks the
+    * business duplicate a unique key hides): orders by the same
+    * customer for the EXACT same amount, rolled up as a repeat-count
+    * CENSUS — per repeat level, how many (customer, amount) groups sit
+    * there, how many of the multi-order groups cluster within a 7-day
+    * span (the retry/double-submit signature — the same amounts spread
+    * over years are ordinary repeat business), and the tightest span
+    * observed. The census form keeps the query's level-1 row ALWAYS
+    * populated, so a feed with zero duplicates (this fixture: the
+    * generator draws continuous prices that never collide — the
+    * detector correctly reporting a clean feed) still exercises the
+    * whole pipeline, and the first real duplicate shows up as a new
+    * level-2 row, not as silence.
+    *
+    * Parity discipline: pure integer — DECIMAL(18,2) cents, day
+    * numbers from an epoch anchor, exact counts and spans. The plan
+    * avoids the naive self-join entirely: grouping by (customer,
+    * cents) IS the candidate generation (one partial+final aggregate),
+    * span is min/max inside the group — no pair fan-out, no skew cap —
+    * and the census is a second, repeat-level-bounded aggregate. */
+  val dqDoubleCharge: Q = Q(
+    "dq_double_charge",
+    """WITH o AS (SELECT o_custkey,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS cents,
+      |    date_diff('day', DATE '1992-01-01', o_orderdate) AS dn
+      |  FROM orders),
+      |g AS (SELECT o_custkey, cents, CAST(count(*) AS BIGINT) AS n_orders,
+      |    CAST(max(dn) - min(dn) AS BIGINT) AS span_days
+      |  FROM o GROUP BY 1, 2)
+      |SELECT n_orders AS repeat_level,
+      |  CAST(count(*) AS BIGINT) AS n_groups,
+      |  CAST(sum(CASE WHEN n_orders >= 2 AND span_days <= 7
+      |           THEN 1 ELSE 0 END) AS BIGINT) AS n_suspicious,
+      |  CAST(min(CASE WHEN n_orders >= 2 THEN span_days END) AS BIGINT)
+      |    AS min_span_days
+      |FROM g GROUP BY 1 ORDER BY 1""".stripMargin
+  ) { (s, d) =>
+    val o = Tables.orders(s, d).select(col("o_custkey"),
+      (Tables.money(col("o_totalprice")) * 100).cast("long").as("cents"),
+      datediff(col("o_orderdate"), to_date(lit("1992-01-01"))).as("dn"))
+    o.groupBy("o_custkey", "cents")
+      .agg(count(lit(1)).cast("long").as("n_orders"),
+        (max(col("dn")) - min(col("dn"))).cast("long").as("span_days"))
+      .groupBy(col("n_orders").as("repeat_level"))
+      .agg(count(lit(1)).cast("long").as("n_groups"),
+        sum(when(col("n_orders") >= 2 && col("span_days") <= 7, 1)
+          .otherwise(0)).cast("long").as("n_suspicious"),
+        min(when(col("n_orders") >= 2, col("span_days")))
+          .cast("long").as("min_span_days"))
+      .orderBy("repeat_level")
+  }
+
   val all: Seq[Q] = Seq(simplifyFlatten, denormalizePatient, graphEdges,
     graphTwohop, discoverySummary, ingestNdjson, snapshotExport, dqChecks,
     dqSkew, dqDriftKs, dqFreshness, graphPagerank, graphHits, graphLabelProp,
     graphKcore, graphShortestPath, dqReferential, dqUniqueness,
     graphJaccard, graphJaccardHot, graphDegreeDist, storePruningStats,
     graphModularity,
-    dqDriftPsi, dqProfileDrift, dqDriftTtest, dqBenford, dqReconciliation)
+    dqDriftPsi, dqProfileDrift, dqDriftTtest, dqBenford, dqReconciliation,
+    dqDoubleCharge)
 }
