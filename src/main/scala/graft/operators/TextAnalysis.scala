@@ -1438,11 +1438,62 @@ object TextAnalysis {
         slopeMicro.between(-1300000L, -700000L).as("zipfian"))
   }
 
+  /** TOKEN BURSTINESS census — the content-word/function-word separator
+    * keyword extractors and stopword-list builders rely on: a function
+    * word's per-document counts are near-Poisson (Fano factor
+    * variance/mean ≈ 1), a topical content word BURSTS (a document
+    * either ignores it or uses it many times — Fano ≫ 1). Top-30 tokens
+    * by Fano factor over the documents that contain them, with a
+    * support floor so rare tokens' noisy ratios don't crowd the head.
+    * On this fixture the uniform generator produces near-1 factors
+    * across the board — the detector reading the generator's lack of
+    * topicality, the text_zipf_fit finding from the dispersion side.
+    *
+    * Parity discipline: pure integer — Fano = variance/mean =
+    * (df·Σc² − (Σc)²)/(df·Σc) from three exact BIGINT sufficient
+    * statistics, micro-quantized by one nonnegative floor DIV; the
+    * top-30 cut total-orders on (fano DESC, token).
+    *
+    * Plan: one corpus pass to (doc, token) counts, one token-keyed
+    * partial+final aggregate, then a TakeOrdered — the text-family
+    * standard shape, nothing after the first aggregate is
+    * corpus-sized. */
+  val textBurstiness: Q = Q(
+    "text_burstiness",
+    """WITH tf AS (SELECT doc_id, w AS token, count(*) AS c
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+      |        FROM documents)
+      |  WHERE length(w) > 0 GROUP BY 1, 2),
+      |st AS (SELECT token, CAST(count(*) AS BIGINT) AS df,
+      |    CAST(sum(c) AS BIGINT) AS s,
+      |    CAST(sum(c * c) AS BIGINT) AS ss
+      |  FROM tf GROUP BY 1
+      |  HAVING count(*) >= 50)
+      |SELECT token, df, s AS total,
+      |  (1000000 * (df * ss - s * s)) // (df * s) AS fano_micro
+      |FROM st
+      |ORDER BY fano_micro DESC, token LIMIT 30""".stripMargin
+  ) { (s, d) =>
+    val tf = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("c"))
+    tf.groupBy("token")
+      .agg(count(lit(1)).cast("long").as("df"),
+        sum(col("c")).cast("long").as("s"),
+        sum(col("c") * col("c")).cast("long").as("ss"))
+      .filter(col("df") >= 50)
+      .select(col("token"), col("df"), col("s").as("total"),
+        expr("(1000000 * (df * ss - s * s)) div (df * s)")
+          .as("fano_micro"))
+      .orderBy(desc("fano_micro"), col("token")).limit(30)
+  }
+
   val all: Seq[Q] = Seq(textTokens, textQuality, langId, textFingerprint,
     textTfidf, textNormalize, textRepetition, piiRedact, ngramFreq,
     textContamination, textTokenBpe, textPerplexity, spanDedup,
     textHeavyHitters, textQualityClassifier, textCountmin, textCollocations,
     textLangidEval, textBm25, textBoilerplate, textInvertedIndex,
     textIndexDelta, textHashingVec, textVocabGrowth, textRakeKeywords,
-    textZipfFit, textNgramNovelty, textJsDivergence)
+    textZipfFit, textNgramNovelty, textJsDivergence, textBurstiness)
 }
