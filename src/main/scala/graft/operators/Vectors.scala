@@ -2647,6 +2647,62 @@ object Vectors {
       .orderBy("q_id")
   }
 
+  /** COSINE NULL-DISTRIBUTION calibration — the histogram you read
+    * BEFORE setting [[Dedup]]'s cosine threshold or
+    * [[vectorRangeSearch]]'s radius: a "0.8 similarity" only means
+    * something relative to what UNRELATED pairs score, and that null
+    * depends on the embedding geometry (non-centered encoders push all
+    * cosines high; this fixture's do). Disjoint deterministic pairs
+    * (vec 2k vs 2k+1 — an equi-join, no sampling RNG, every vector in
+    * at most one pair) score once, then a 41-bucket histogram over
+    * [−1, 1] with exact min/max per bucket. The threshold that starts
+    * ABOVE this histogram's right tail is the defensible one.
+    *
+    * Parity discipline: the cosine is the long-green float→double
+    * shared kernel ([[cosine]]); it quantizes ONCE per pair to micro
+    * units, and the bucket is a nonnegative floor DIV of the +10⁶
+    * OFFSET value (cosines are signed — the vector_centroid_drift
+    * offset trick keeps the engines' negative-division conventions out
+    * of the value path).
+    *
+    * Plan: one equi-join on the derived pair key (both sides hash on
+    * it — no broadcast needed, no cartesian), one bounded histogram
+    * aggregate. */
+  val vectorCosCalibration: Q = Q(
+    "vector_cos_calibration", {
+      val cos = "list_sum([v[i]*qv[i] FOR i IN range(1, len(v)+1)]) / " +
+        "(sqrt(list_sum([x*x FOR x IN v])) * sqrt(list_sum([x*x FOR x IN qv])))"
+      s"""WITH a AS (SELECT vec_id // 2 AS pk,
+         |    [CAST(x AS DOUBLE) FOR x IN embedding] AS v
+         |  FROM embeddings WHERE vec_id % 2 = 0),
+         |b AS (SELECT vec_id // 2 AS pk,
+         |    [CAST(x AS DOUBLE) FOR x IN embedding] AS qv
+         |  FROM embeddings WHERE vec_id % 2 = 1),
+         |p AS (SELECT CAST(floor(1000000 * ($cos)) AS BIGINT) AS cm
+         |      FROM a JOIN b USING (pk))
+         |SELECT CAST((cm + 1000000) // 50000 AS INT) AS bucket,
+         |  CAST(count(*) AS BIGINT) AS n_pairs,
+         |  min(cm) AS min_cos_micro, max(cm) AS max_cos_micro
+         |FROM p GROUP BY 1 ORDER BY 1""".stripMargin
+    }
+  ) { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    val a = emb.filter(col("vec_id") % 2 === 0)
+      .select(expr("vec_id div 2").as("pk"),
+        toDouble(col("embedding")).as("v"))
+    val b = emb.filter(col("vec_id") % 2 === 1)
+      .select(expr("vec_id div 2").as("pk"),
+        toDouble(col("embedding")).as("qv"))
+    a.join(b, Seq("pk"))
+      .select(floor(lit(1000000) * cosine(col("v"), col("qv")))
+        .cast("long").as("cm"))
+      .groupBy(expr("CAST((cm + 1000000) div 50000 AS INT)").as("bucket"))
+      .agg(count(lit(1)).cast("long").as("n_pairs"),
+        min(col("cm")).as("min_cos_micro"),
+        max(col("cm")).as("max_cos_micro"))
+      .orderBy("bucket")
+  }
+
   val all: Seq[Q] = Seq(vectorTopk, vectorAnnLsh, vectorAnnIvf,
     vectorTopkBatch, vectorQuantize, vectorCentroid, knnJoinLsh,
     sqlVectorTopk, vectorIndexStats, vectorPq, vectorIvfPq,
@@ -2654,5 +2710,5 @@ object Vectors {
     vectorSq8Topk, vectorHammingTopk, vectorMatryoshkaTopk,
     vectorFilteredTopk, vectorRangeSearch, vectorIvfProbeSweep,
     vectorMmrRerank, searchHybridRrf, vectorDimStats, vectorCentroidDrift,
-    vectorDimCorr, vectorPcaPower, vectorNormCensus, vectorRpRecall)
+    vectorDimCorr, vectorPcaPower, vectorNormCensus, vectorRpRecall, vectorCosCalibration)
 }
