@@ -2278,6 +2278,66 @@ object Relational {
       .orderBy("r_score", "f_score", "m_score")
   }
 
+  /** HERFINDAHL–HIRSCHMAN concentration index per nation — the classic
+    * market-concentration readout next to [[aggGini]]'s inequality
+    * curve: each supplier's revenue share within its nation, squared
+    * and summed — 10⁶ micro for a monopoly, →0 for atomized supply —
+    * with the antitrust-convention flags (HHI > 0.25 concentrated,
+    * > 0.15 moderately). The procurement-risk question ("is this
+    * nation's supply one failure away from an outage?") read straight
+    * off a table.
+    *
+    * Parity discipline: pure integer — DECIMAL(18,2) cents, shares as
+    * ppm floor DIVs of exact sums (the deterministic mass-floor both
+    * engines replay), HHI = Σ share_ppm² // 10⁶; the flags compare
+    * integers.
+    *
+    * Plan: one lineitem pass joined to the broadcast supplier dim, one
+    * (nation, supplier) partial+final aggregate; the nation total rides
+    * a window over the supplier-domain frame (post-aggregate, bounded)
+    * and the rollup is per-nation. */
+  val aggHhi: Q = Q(
+    "agg_hhi",
+    """WITH r AS (SELECT s.s_nationkey AS nk, l.l_suppkey AS sk,
+      |    CAST(sum(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100
+      |                  AS BIGINT)) AS BIGINT) AS cents
+      |  FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |  GROUP BY 1, 2),
+      |w AS (SELECT nk, sk, cents,
+      |    CAST(sum(cents) OVER (PARTITION BY nk) AS BIGINT) AS tot
+      |  FROM r),
+      |p AS (SELECT nk, (1000000 * cents) // tot AS share_ppm FROM w)
+      |SELECT nk AS nationkey, CAST(count(*) AS BIGINT) AS n_suppliers,
+      |  CAST(sum(share_ppm * share_ppm) // 1000000 AS BIGINT) AS hhi_micro,
+      |  CAST(sum(share_ppm * share_ppm) // 1000000 AS BIGINT) > 250000
+      |    AS concentrated,
+      |  CAST(sum(share_ppm * share_ppm) // 1000000 AS BIGINT) > 150000
+      |    AS moderate
+      |FROM p GROUP BY 1 ORDER BY 1""".stripMargin
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val r = Tables.lineitem(s, d)
+      .select(col("l_suppkey"),
+        (Tables.money(col("l_extendedprice")) * 100).cast("long")
+          .as("cents0"))
+      .join(broadcast(Tables.supplier(s, d)
+        .select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_nationkey").as("nk"), col("l_suppkey").as("sk"))
+      .agg(sum(col("cents0")).cast("long").as("cents"))
+    val p = r.withColumn("tot",
+        sum(col("cents")).over(Window.partitionBy("nk")).cast("long"))
+      .select(col("nk"), expr("(1000000 * cents) div tot").as("share_ppm"))
+    p.groupBy(col("nk").as("nationkey"))
+      .agg(count(lit(1)).cast("long").as("n_suppliers"),
+        expr("CAST(sum(share_ppm * share_ppm) div 1000000 AS BIGINT)")
+          .as("hhi_micro"))
+      .select(col("nationkey"), col("n_suppliers"), col("hhi_micro"),
+        (col("hhi_micro") > 250000L).as("concentrated"),
+        (col("hhi_micro") > 150000L).as("moderate"))
+      .orderBy("nationkey")
+  }
+
   val all: Seq[Q] = Seq(
     rfmSegmentation,
     countByProject, filterPred, aggGroupBy, aggRollup, aggMoments,
@@ -2296,5 +2356,5 @@ object Relational {
     joinBloom, sampleReservoir, joinIntervalBin, joinIntervalOverlap,
     aggBitmapDistinct,
     aggRegression, skylinePareto, joinFuzzy, aggIncremental, marketBasket,
-    aggGini)
+    aggGini, aggHhi)
 }
