@@ -47,12 +47,27 @@ def main():
             print(f"FAIL {name}: no spark output dir"); n_fail += 1; continue
         try:
             s = con.sql(f"SELECT * FROM '{spark_dir}/*.parquet'")
-            s_cols, s_rows = list(s.columns), s.fetchall()
+            s_cols, s_types = list(s.columns), [str(t) for t in s.types]
+            s_rows = s.fetchall()
             o = con.sql(oracle[name])
-            o_cols, o_rows = list(o.columns), o.fetchall()
+            o_cols, o_types = list(o.columns), [str(t) for t in o.types]
+            o_rows = o.fetchall()
         except Exception as e:
             print(f"FAIL {name}: {e}"); n_fail += 1; continue
         problems = []
+        # Portability invariant (learned round 7): HUGEINT / DECIMAL result
+        # columns hash differently across DuckDB builds — every oracle (and
+        # the Spark twin) must CAST wide-integer outputs to
+        # BIGINT/INT/DOUBLE/VARCHAR/BOOLEAN in the final SELECT.
+        wide = [f"oracle {c}:{t}" for c, t in zip(o_cols, o_types)
+                if "HUGEINT" in t.upper() or "DECIMAL" in t.upper()]
+        wide += [f"spark {c}:{t}" for c, t in zip(s_cols, s_types)
+                 if "HUGEINT" in t.upper() or "DECIMAL" in t.upper()]
+        if wide:
+            problems.append(
+                "non-portable wide-integer output columns ["
+                + ", ".join(wide)
+                + "] — CAST to BIGINT/DOUBLE/VARCHAR in the final SELECT")
         if sorted(s_cols) != sorted(o_cols):
             problems.append(f"schema spark={sorted(s_cols)} oracle={sorted(o_cols)}")
         if len(s_rows) != len(o_rows):

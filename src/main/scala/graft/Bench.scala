@@ -33,14 +33,18 @@ object Bench {
     // noop sink forces full evaluation of every column (count() lets
     // Catalyst prune the projections away). Failed queries get NO time
     // entry and land in `errors` instead (BenchHarness contract).
-    def onePass(): (Seq[(String, Double)], Map[String, String]) =
-      BenchHarness.pass(names,
+    def onePass(): BenchHarness.PassResult =
+      BenchHarness.passDetailed(names,
         n => qs(n)(spark, sfDir).write.format("noop").mode("overwrite").save(),
         "bench")
     val passes = Seq.fill(3)(onePass())
-    val errors = BenchHarness.mergeErrors(passes.map(_._2))
-    val cold = passes.head._1.toMap
-    val results = passes.flatMap(_._1).groupMapReduce(_._1)(_._2)(math.min)
+    val errors = BenchHarness.mergeErrors(passes.map(_.errors))
+    val cold = passes.head.times.toMap
+    val results = passes.flatMap(_.times).groupMapReduce(_._1)(_._2)(math.min)
+    // per-query localCheckpoint wall time, WARM passes' MIN (matches the
+    // `queries` column's semantics) — the iterative-family creep counter
+    val cpSec = passes.drop(1).flatMap(_.checkpointSec)
+      .groupMapReduce(_._1)(_._2)(math.min)
     def jmap(m: Map[String, Double]): String =
       m.toSeq.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + v }
         .mkString("{", ",", "}")
@@ -52,6 +56,7 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},""" +
       s""""total_cold":$totalCold,"errors":$errJson,"heap_max_mb":$heap,""" +
       s""""queries":${jmap(results)},""" +
+      s""""checkpoint_sec":${jmap(cpSec)},""" +
       s""""queries_cold":${jmap(cold)},"sf":"$sfDir"}"""
     // Full per-query artifact goes to a FILE: at 171 queries the JSON is
     // ~10 KB and the driver's bounded tail capture truncates it mid-line

@@ -15,16 +15,34 @@ object BenchHarness {
 
   /** One timing pass over `names`. `run` must fully evaluate the query
     * (noop-sink write). Returns times for the queries that succeeded and
-    * a message per query that threw. */
+    * a message per query that threw. Per-query localCheckpoint wall time
+    * (diffed from [[PlanUtil.checkpointStats]]) is recorded separately —
+    * only for queries where it is non-zero — so a checkpoint-cost creep
+    * in the iterative family is its own line in the artifact instead of
+    * hiding inside warm totals (VERDICT r7 #8). */
   def pass(names: Seq[String], run: String => Unit, tag: String)
-      : (Seq[(String, Double)], Map[String, String]) = {
+      : (Seq[(String, Double)], Map[String, String]) =
+    passDetailed(names, run, tag) match {
+      case PassResult(times, errs, _) => (times, errs)
+    }
+
+  final case class PassResult(times: Seq[(String, Double)],
+                              errors: Map[String, String],
+                              checkpointSec: Map[String, Double])
+
+  def passDetailed(names: Seq[String], run: String => Unit, tag: String)
+      : PassResult = {
     val times = Seq.newBuilder[(String, Double)]
     val errs = Map.newBuilder[String, String]
+    val cps = Map.newBuilder[String, Double]
     names.foreach { name =>
+      val cp0 = PlanUtil.checkpointStats._1
       val t0 = System.nanoTime()
       try {
         run(name)
         times += name -> (System.nanoTime() - t0) / 1e9
+        val cp = PlanUtil.checkpointStats._1 - cp0
+        if (cp > 0) cps += name -> cp
       } catch {
         case e: Throwable =>
           System.err.println(s"[$tag] $name: $e")
@@ -32,7 +50,7 @@ object BenchHarness {
             s"${e.getClass.getName}: ${String.valueOf(e.getMessage).take(300)}"
       }
     }
-    (times.result(), errs.result())
+    PassResult(times.result(), errs.result(), cps.result())
   }
 
   /** Merge per-pass error maps; the FIRST message per query wins (the

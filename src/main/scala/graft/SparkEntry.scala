@@ -16,18 +16,22 @@ object SparkEntry {
     * plan-only tools must skip eager entries or accept the jobs). */
   def catalog: Seq[Q] = modules
 
-  private def modules: Seq[Q] =
-    operators.Relational.all ++
-    operators.Windows.all ++
-    operators.Pipeline.all ++
-    operators.TextAnalysis.all ++
-    operators.Dedup.all ++
-    operators.Corpus.all ++
-    operators.Vectors.all ++
-    operators.Streaming.all ++
-    operators.TimeSeries.all ++
-    operators.Multimodal.all ++
-    operators.Bpe.all
+  /** (module name, its queries) — the per-query provenance the generated
+    * SURVEY.md §2.0 table and docs tooling read. */
+  def moduleCatalog: Seq[(String, Seq[Q])] = Seq(
+    "Relational"   -> operators.Relational.all,
+    "Windows"      -> operators.Windows.all,
+    "Pipeline"     -> operators.Pipeline.all,
+    "TextAnalysis" -> operators.TextAnalysis.all,
+    "Dedup"        -> operators.Dedup.all,
+    "Corpus"       -> operators.Corpus.all,
+    "Vectors"      -> operators.Vectors.all,
+    "Streaming"    -> operators.Streaming.all,
+    "TimeSeries"   -> operators.TimeSeries.all,
+    "Multimodal"   -> operators.Multimodal.all,
+    "Bpe"          -> operators.Bpe.all)
+
+  private def modules: Seq[Q] = moduleCatalog.flatMap(_._2)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * TPC-H Q3-shaped multiway join + agg + top-k (SURVEY §7.2 step 1). */

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.PlanUtil.TimedCheckpoint
 import graft.{Q, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -80,7 +81,7 @@ object Bpe {
   private[graft] def learnMerges(words0: DataFrame, n: Int)
       : (Seq[Merge], DataFrame) = {
     // materialize the reduced word table once; every round re-reads it
-    var words = initialSymbols(words0).localCheckpoint()
+    var words = initialSymbols(words0).timedLocalCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
     var i = 0
     var exhausted = false
@@ -101,7 +102,7 @@ object Bpe {
         words = words.select(col("w"), col("freq"),
           mergePair(col("syms"), l, r).as("syms"))
         // bound lineage/codegen depth across many rounds
-        if ((i + 1) % 8 == 0) words = words.localCheckpoint()
+        if ((i + 1) % 8 == 0) words = words.timedLocalCheckpoint()
         i += 1
       }
     }

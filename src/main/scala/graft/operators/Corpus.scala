@@ -946,8 +946,8 @@ object Corpus {
       |  CAST(arg_min(CASE WHEN pos > 16 THEN doc_id END,
       |               CASE WHEN pos > 16 THEN pos END) AS BIGINT)
       |    AS resume_doc,
-      |  CAST(sum(dh) FILTER (WHERE pos > 16) AS DECIMAL(38,0))
-      |    AS remainder_digest
+      |  CAST(CAST(sum(dh) FILTER (WHERE pos > 16) AS DECIMAL(38,0))
+      |       AS VARCHAR) AS remainder_digest
       |FROM dg GROUP BY 1 ORDER BY shard""".stripMargin
   ) { (s, d) =>
     import graft.functions.TextFns.saltedHash
@@ -968,9 +968,13 @@ object Corpus {
              .as("resume_doc"),
            // DECIMAL(38,0) accumulation: a 40-bit term summed over a
            // 10¹²-doc shard clears int64; wide exact sums on both
-           // engines keep the digest well-defined at any scale
+           // engines keep the digest well-defined at any scale. The
+           // OUTPUT column is the decimal-digit string — wide-integer
+           // result columns hash differently across DuckDB builds
+           // (round-7 red), so digests ship as VARCHAR
            sum(when(rem, col("dh"))
              .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+             .cast("string")
              .as("remainder_digest"))
       .orderBy("shard")
   }
@@ -1010,10 +1014,11 @@ object Corpus {
       |         THEN 1 ELSE 0 END AS capped,
       |    least(target_tokens, 4 * tokens) AS achieved_tokens
       |  FROM a)
-      |SELECT source, tokens, target_tokens, epochs_ppm, capped,
-      |  achieved_tokens,
-      |  (achieved_tokens * 1000000) // sum(achieved_tokens) OVER ()
-      |    AS achieved_share_ppm
+      |SELECT source, tokens, CAST(target_tokens AS BIGINT) AS target_tokens,
+      |  CAST(epochs_ppm AS BIGINT) AS epochs_ppm, capped,
+      |  CAST(achieved_tokens AS BIGINT) AS achieved_tokens,
+      |  CAST((achieved_tokens * 1000000) // sum(achieved_tokens) OVER ()
+      |       AS BIGINT) AS achieved_share_ppm
       |FROM f ORDER BY source""".stripMargin
   ) { (s, d) =>
     val win = org.apache.spark.sql.expressions.Window
@@ -1028,19 +1033,29 @@ object Corpus {
           .cast("long"))
       .withColumn("tot_tokens", sum(col("tokens")).over(win))
       .withColumn("tot_w", sum(col("wt")).over(win))
+      // DECIMAL(38,0) intermediates: 2·Σtokens·wt ≈ 2.5e13 · 5e12 at a
+      // 100 TB corpus — 18 digits past int64. DuckDB promotes to HUGEINT
+      // implicitly; Spark must widen explicitly or wrap silently. The
+      // OUTPUT columns cast back to BIGINT (ppm- and 2×-corpus-bounded),
+      // matching the oracle's final-SELECT casts.
       .withColumn("target_tokens",
-        expr("(2 * tot_tokens * wt) div tot_w"))
+        expr("""(2 * cast(tot_tokens as decimal(38,0)) * wt)
+                div cast(tot_w as decimal(38,0))"""))
       .withColumn("epochs_ppm",
-        expr("(target_tokens * 1000000) div tokens"))
+        expr("(cast(target_tokens as decimal(38,0)) * 1000000) div tokens"))
       .withColumn("capped",
         when(col("epochs_ppm") > 4000000, 1).otherwise(0))
       .withColumn("achieved_tokens",
-        least(col("target_tokens"), col("tokens") * 4))
+        least(col("target_tokens"),
+              col("tokens").cast(org.apache.spark.sql.types
+                .DecimalType(38, 0)) * 4))
       .withColumn("tot_ach", sum(col("achieved_tokens")).over(win))
-      .select(col("source"), col("tokens"), col("target_tokens"),
-        col("epochs_ppm"), col("capped"), col("achieved_tokens"),
+      .select(col("source"), col("tokens"),
+        col("target_tokens").cast("long").as("target_tokens"),
+        col("epochs_ppm").cast("long").as("epochs_ppm"), col("capped"),
+        col("achieved_tokens").cast("long").as("achieved_tokens"),
         expr("(achieved_tokens * 1000000) div tot_ach")
-          .as("achieved_share_ppm"))
+          .cast("long").as("achieved_share_ppm"))
       .orderBy("source")
   }
 

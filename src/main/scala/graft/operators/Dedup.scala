@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.PlanUtil.TimedCheckpoint
 import graft.{Q, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -745,7 +746,7 @@ object Dedup {
     // leak for the session lifetime; localCheckpoint materializes the
     // labels into GC-managed blocks (released when the plan is collected,
     // unlike an explicit cache entry) so the loop cache can be dropped
-    val result = labels.localCheckpoint()
+    val result = labels.timedLocalCheckpoint()
     cached.foreach(_.unpersist(blocking = false))
     result
   }
@@ -846,7 +847,7 @@ object Dedup {
     require(done,
       s"hash-to-min did not converge in $maxRounds rounds")
     val labels = m.select(col("u").as("doc_id"), col("m").as("cluster_id"))
-      .localCheckpoint()
+      .timedLocalCheckpoint()
     (labels, rounds)
   }
 
@@ -908,7 +909,7 @@ object Dedup {
     "dedup_cluster_star",
     clusterOracleSql
   ) { (s, d) =>
-    val pairs = dedupNgram.fn(s, d).select("doc_a", "doc_b").localCheckpoint()
+    val pairs = dedupNgram.fn(s, d).select("doc_a", "doc_b").timedLocalCheckpoint()
     val nodes = Tables.documents(s, d).select("doc_id")
     componentsHashToMin(pairs, nodes)._1.orderBy("doc_id")
   }.copy(eager = true) // convergence loop runs jobs at plan build
@@ -941,7 +942,7 @@ object Dedup {
     val h = substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2)
     val baseIds = Tables.documents(s, d)
       .select(col("doc_id")).filter(h < "cc")
-    val pairs = dedupNgram.fn(s, d).select("doc_a", "doc_b").localCheckpoint()
+    val pairs = dedupNgram.fn(s, d).select("doc_a", "doc_b").timedLocalCheckpoint()
     val basePairs = pairs
       .join(baseIds.withColumnRenamed("doc_id", "doc_a"),
             Seq("doc_a"), "left_semi")
@@ -982,7 +983,7 @@ object Dedup {
       |        JOIN pairs e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b)
       |    AS BIGINT) AS n_triangles""".stripMargin
   ) { (s, d) =>
-    val p = dedupNgram.fn(s, d).select("doc_a", "doc_b").localCheckpoint()
+    val p = dedupNgram.fn(s, d).select("doc_a", "doc_b").timedLocalCheckpoint()
     val nEdges = p.agg(count(lit(1)).as("n_edges"))
     val nNodes = p
       .select(explode(array(col("doc_a"), col("doc_b"))).as("dd"))
@@ -1039,7 +1040,7 @@ object Dedup {
       |  CAST(sum((dg * (dg - 1)) // 2) AS BIGINT) AS sum_wedges
       |FROM cc GROUP BY 1 ORDER BY cc_bucket""".stripMargin
   ) { (s, d) =>
-    val p = dedupNgram.fn(s, d).select("doc_a", "doc_b").localCheckpoint()
+    val p = dedupNgram.fn(s, d).select("doc_a", "doc_b").timedLocalCheckpoint()
     val deg = p.select(explode(array(col("doc_a"), col("doc_b"))).as("u"))
       .groupBy("u").agg(count(lit(1)).as("dg"))
     val tri = p.as("e1")
@@ -1095,7 +1096,7 @@ object Dedup {
       |    AS assortativity
       |FROM e""".stripMargin
   ) { (s, d) =>
-    val p = dedupNgram.fn(s, d).select("doc_a", "doc_b").localCheckpoint()
+    val p = dedupNgram.fn(s, d).select("doc_a", "doc_b").timedLocalCheckpoint()
     val und = p.select(col("doc_a").as("u"), col("doc_b").as("v"))
       .unionByName(p.select(col("doc_b").as("u"), col("doc_a").as("v")))
     val deg = und.groupBy("u").agg(count(lit(1)).as("dg"))
@@ -1380,7 +1381,9 @@ object Dedup {
     "dedup_threshold_sweep",
     s"""WITH $pairsCteSql,
       |mem AS (SELECT jaccard, unnest([doc_a, doc_b]) AS doc FROM pairs),
-      |taus AS (SELECT unnest([0.5, 0.6, 0.7, 0.8, 0.9]) AS tau)
+      |taus AS (SELECT unnest([CAST('0.5' AS DOUBLE), CAST('0.6' AS DOUBLE),
+      |    CAST('0.7' AS DOUBLE), CAST('0.8' AS DOUBLE),
+      |    CAST('0.9' AS DOUBLE)]) AS tau)
       |SELECT tau, CAST(count(*) // 2 AS BIGINT) AS n_pairs,
       |  CAST(count(DISTINCT doc) AS BIGINT) AS n_docs
       |FROM taus JOIN mem ON jaccard >= tau

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.PlanUtil.TimedCheckpoint
 import graft.{Q, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -437,7 +438,7 @@ object Multimodal {
           shiftrightunsigned(col("dhash"), 16 * k)
             .bitwiseAND(lit(0xFFFFL)).cast("int")): _*))
           .as(Seq("band", "mask")))
-      .localCheckpoint() // three consumers (join sides + verify) share it
+      .timedLocalCheckpoint() // three consumers (join sides + verify) share it
     val cand = bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.mask") === col("b.mask") &&

@@ -622,7 +622,8 @@ object Streaming {
       |        AND p.day - c.day <= 19),
       |z AS (SELECT purch_id, sum(w_ppm) AS z FROM pr GROUP BY 1),
       |cr AS (SELECT pr.campaign,
-      |         (pr.cents * 1000000 * pr.w_ppm) // z.z AS credit
+      |         (CAST(pr.cents AS HUGEINT) * 1000000 * pr.w_ppm) // z.z
+      |           AS credit
       |       FROM pr JOIN z USING (purch_id))
       |SELECT campaign, CAST(count(*) AS BIGINT) AS n_pairs,
       |  CAST(sum(credit) AS BIGINT) AS credit_microcents,
@@ -653,7 +654,12 @@ object Streaming {
     val z = pr.groupBy("purch_id").agg(sum(col("w_ppm")).as("z"))
     pr.join(z, Seq("purch_id"))
       .select(col("campaign"),
-        expr("(cents * 1000000 * w_ppm) div z").as("credit"))
+        // HUGEINT/DECIMAL(38,0) numerator on BOTH engines: cents·10⁶·w_ppm
+        // overflows int64 for any purchase above ~$92K — DuckDB would raise,
+        // non-ANSI Spark would wrap silently (ADVICE r7). credit itself is
+        // ≤ cents·10⁶ (w_ppm ≤ z), so the div lands back in BIGINT.
+        expr("(cast(cents as decimal(38,0)) * 1000000 * w_ppm) div z")
+          .as("credit"))
       .groupBy("campaign")
       .agg(count(lit(1)).as("n_pairs"),
         sum(col("credit")).as("credit_microcents"),

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.PlanUtil.TimedCheckpoint
 import graft.{Q, Tables}
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
@@ -665,7 +666,7 @@ object TextAnalysis {
         .select(explode(split(col("text"), " ")).as("token"))
         .filter(length(col("token")) > 0)
         .groupBy("token").agg(count(lit(1)).as("c"))
-        .localCheckpoint()
+        .timedLocalCheckpoint()
       val cms = ex.select(buckets(col("token")).as("rb"), col("c"))
         .groupBy(col("rb.r").as("r"), col("rb.bucket").as("bucket"))
         .agg(sum(col("c")).as("cnt"))
@@ -1232,8 +1233,8 @@ object TextAnalysis {
       |SELECT batch, CAST(count(*) AS BIGINT) AS n_bigrams,
       |  CAST(sum(CASE WHEN batch = fb THEN 1 ELSE 0 END) AS BIGINT)
       |    AS n_new_bigrams,
-      |  (1000000 * sum(CASE WHEN batch = fb THEN 1 ELSE 0 END))
-      |    // count(*) AS novelty_ppm
+      |  CAST((1000000 * sum(CASE WHEN batch = fb THEN 1 ELSE 0 END))
+      |       // count(*) AS BIGINT) AS novelty_ppm
       |FROM w GROUP BY batch ORDER BY batch""".stripMargin
   ) { (s, d) =>
     // cached (lazily): both censuses read the deduped pair frame, and

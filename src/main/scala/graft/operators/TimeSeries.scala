@@ -786,7 +786,7 @@ object TimeSeries {
       |      / (CAST(b.n1 AS DOUBLE) * b.n1) AS v1,
       |    CAST(b.n1 AS BIGINT) AS n1
       |  FROM sq s JOIN b ON s.event_type = b.event_type
-      |  WHERE b.n1 * b.ss1 - b.s1 * b.s1 > 0),
+      |  WHERE CAST(b.n1 AS HUGEINT) * b.ss1 - CAST(b.s1 AS HUGEINT) * b.s1 > 0),
       |z AS (SELECT event_type, q, n_pairs,
       |    vq / (q * v1) AS vr,
       |    (vq / (q * v1) - 1)
@@ -832,7 +832,13 @@ object TimeSeries {
     val v1 = (dbl(col("n1")) * col("ss1") - dbl(col("s1")) * col("s1")) /
       (dbl(col("n1")) * col("n1"))
     val j = sq.join(broadcast(b), Seq("event_type"))
-      .filter(col("n1") * col("ss1") - col("s1") * col("s1") > 0)
+      // zero-variance guard on WIDENED exact integers (ADVICE r7): in raw
+      // BIGINT n1·ss1 can wrap for large hourly counts — DuckDB raises,
+      // Spark wraps silently and the engines would admit different rows
+      .filter(col("n1").cast(org.apache.spark.sql.types.DecimalType(38, 0))
+          * col("ss1")
+        - col("s1").cast(org.apache.spark.sql.types.DecimalType(38, 0))
+          * col("s1") > 0)
       .select(col("event_type"), col("q"),
         col("nq").cast("long").as("n_pairs"),
         vq.as("vq"), v1.as("v1"), col("n1").cast("long").as("n1"))

@@ -64,12 +64,15 @@ object Authz {
 
   /** `project_id` must be `<program>-<project>` (reference asserts and
     * splits on '-', :55-59). STRICT two-part unpack, matching the
-    * reference's `program, project = project_id.split('-')`: a second
-    * dash raises there (too many values to unpack), so `a-b-c` is
-    * rejected here too rather than generalized to (a, b-c). */
+    * reference's `program, project = project_id.split('-')` EXACTLY: a
+    * second dash raises there (too many values to unpack), so `a-b-c`
+    * is rejected here too rather than generalized to (a, b-c) — while
+    * empty parts are ACCEPTED, because Python's `'prog-'.split('-')`
+    * yields `['prog', '']` and unpacks fine (ADVICE r7: the earlier
+    * nonEmpty check was stricter than the reference). */
   def splitProjectId(projectId: String): (String, String) = {
     val parts = projectId.split("-", -1)
-    require(parts.length == 2 && parts(0).nonEmpty && parts(1).nonEmpty,
+    require(parts.length == 2,
       s"project_id must be <program>-<project> (exactly one '-'), " +
       s"got '$projectId'")
     (parts(0), parts(1))

@@ -183,10 +183,18 @@ object GraftExtensions {
     * never-destroyed broadcast per parse: an unbounded driver/executor
     * memory leak in a long-lived SQL session. Broadcasts are therefore
     * memoized by (application, filter-bytes digest) in an access-ordered
-    * LRU whose evicted entries are destroyed. The cap is sized for "many
-    * distinct trained filters live in one session"; SparkContext is a JVM
-    * singleton, so keying by applicationId also invalidates entries across
-    * a context restart instead of serving a dead broadcast. */
+    * LRU. Eviction UNPERSISTs (non-blocking) rather than destroys: a
+    * cached plan or temp view analyzed against an evicted filter still
+    * holds the Broadcast handle, and Spark re-ships an unpersisted
+    * broadcast on next use while a destroyed one throws — eviction must
+    * free executor memory without invalidating still-live plans
+    * (ADVICE r7). Final reclamation is the ContextCleaner's: once the
+    * LRU drops the last strong reference and no plan pins the handle,
+    * the weak-reference cleaner destroys it for real. The cap is sized
+    * for "many distinct trained filters live in one session";
+    * SparkContext is a JVM singleton, so keying by applicationId also
+    * invalidates entries across a context restart instead of serving a
+    * dead broadcast. */
   private val BloomBroadcastCap = 64
   private val bloomBroadcasts =
     new java.util.LinkedHashMap[String, BloomBc](16, 0.75f, true) {
@@ -194,7 +202,8 @@ object GraftExtensions {
           e: java.util.Map.Entry[String, BloomBc]): Boolean =
         (size() > BloomBroadcastCap) && {
           // best-effort: the context owning an old entry may be stopped
-          try e.getValue.destroy() catch { case _: Exception => () }
+          try e.getValue.unpersist(blocking = false)
+          catch { case _: Exception => () }
           true
         }
     }

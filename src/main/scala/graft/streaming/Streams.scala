@@ -123,6 +123,15 @@ case class SrmSeen(day: java.sql.Date, user_id: Long, grp: Int)
   * by the day domain, the RetState discipline). */
 case class SrmState(days: Seq[Int])
 
+/** A user's first exposure (kind 0) or first conversion (kind 1) day for
+  * the streaming sequential-monitoring twin: each (user, kind) emits
+  * EXACTLY ONCE, so the cumulative per-(day, arm) census over emitted
+  * rows IS batch `ab_sequential`'s day frame at every prefix. */
+case class AbFirst(user_id: Long, grp: Int, day: java.sql.Date, kind: Int)
+/** O(1) per-user state: whether the first-event and first-purchase rows
+  * have been emitted yet. */
+case class AbSeqState(fe: Boolean, fp: Boolean)
+
 /** One sweep-line delta instant for [[Streams.concurrencyPeaks]]: at
   * epoch-ms `ms` on epoch-day `di`, the active-session level changes by
   * `d` (+1 start / −1 end, pre-clipped to the day like the batch query). */
@@ -1049,6 +1058,48 @@ object Streams {
                 java.time.LocalDate.ofEpochDay(di.toLong)),
               uid, (uid % 2).toInt)
           }
+      }
+  }
+
+  /** Streaming firsts for the sequential-monitoring dashboard — the
+    * incremental counterpart of batch `ab_sequential`'s user-keyed
+    * aggregate (fe = min event day, fp = min purchase day): per user,
+    * the first event emits a kind-0 row and the first purchase a kind-1
+    * row, each EXACTLY ONCE (Append mode — the [[srmSeenDays]] one-shot
+    * discipline). Under the per-user in-order arrival contract the first
+    * event processed IS min(ts), so the emitted day equals the batch
+    * min at every prefix regardless of micro-batch boundaries. The
+    * daily dashboard downstream — cumulative (n0, n1, x0, x1), z, and
+    * the OBF boundary — is the same day-domain-bounded arithmetic as
+    * the batch query, over counts of these rows. State is two booleans
+    * per user. Day derivation is epoch-ms floor-division (UTC), the
+    * same day `CAST(ts AS DATE)` yields under the session's UTC clock. */
+  def abSeqFirsts(ds: Dataset[AbEvent]): Dataset[AbFirst] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+                              GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[AbEvent], state: GroupState[AbSeqState]) =>
+          var s = state.getOption.getOrElse(AbSeqState(false, false))
+          val out = scala.collection.mutable.ArrayBuffer.empty[AbFirst]
+          def dayOf(e: AbEvent): java.sql.Date =
+            java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(
+              java.lang.Math.floorDiv(e.ts.getTime, 86400000L)))
+          // fe/fp are DAY-granular minima, so only within-batch ts order
+          // matters for correctness of the emitted day — sort to make the
+          // fold independent of iterator order inside a micro-batch
+          rows.toSeq.sortBy(_.ts.getTime).foreach { e =>
+            if (!s.fe) {
+              out += AbFirst(uid, (uid % 2).toInt, dayOf(e), 0)
+              s = s.copy(fe = true)
+            }
+            if (!s.fp && e.event_type == "purchase") {
+              out += AbFirst(uid, (uid % 2).toInt, dayOf(e), 1)
+              s = s.copy(fp = true)
+            }
+          }
+          state.update(s)
+          out.iterator
       }
   }
 

@@ -29,14 +29,17 @@ object Soak {
     })
     spark.sparkContext.setLogLevel("WARN")
     val qs = graft.SparkEntry.queries
-    def onePass(): (Seq[(String, Double)], Map[String, String]) =
-      graft.BenchHarness.pass(names,
+    def onePass(): graft.BenchHarness.PassResult =
+      graft.BenchHarness.passDetailed(names,
         n => qs(n)(spark, sfDir).write.format("noop").mode("overwrite").save(),
         "soak")
     val passes = Seq.fill(2)(onePass())
-    val errors = graft.BenchHarness.mergeErrors(passes.map(_._2))
-    val cold = passes.head._1.toMap
-    val best = passes.flatMap(_._1).groupMapReduce(_._1)(_._2)(math.min)
+    val errors = graft.BenchHarness.mergeErrors(passes.map(_.errors))
+    val cold = passes.head.times.toMap
+    val best = passes.flatMap(_.times).groupMapReduce(_._1)(_._2)(math.min)
+    // warm-pass localCheckpoint seconds (the iterative-family counter)
+    val cpSec = passes.drop(1).flatMap(_.checkpointSec)
+      .groupMapReduce(_._1)(_._2)(math.min)
     def jmap(m: Map[String, Double]): String =
       m.toSeq.sortBy(_._1).map { case (k, v) =>
         s"\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
@@ -44,7 +47,8 @@ object Soak {
       s"""{"sf":"$sfDir","total":${best.values.sum},""" +
       s""""errors":${graft.BenchHarness.errorsJson(errors)},""" +
       s""""heap_max_mb":${graft.BenchHarness.heapMaxMb},""" +
-      s""""queries":${jmap(best)},"queries_cold":${jmap(cold)}}"""
+      s""""queries":${jmap(best)},"checkpoint_sec":${jmap(cpSec)},""" +
+      s""""queries_cold":${jmap(cold)}}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), line + "\n")
     println(line)
     spark.stop()

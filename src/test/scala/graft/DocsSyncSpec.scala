@@ -12,12 +12,20 @@ class DocsSyncSpec extends AnyFunSuite {
   private def read(p: String): String =
     new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)))
 
-  test("every catalog query is listed in SURVEY.md §2.0") {
+  test("SURVEY.md §2.0 table IS the catalog (row-exact, regenerated)") {
     val survey = read("SURVEY.md")
-    val sec = survey.substring(survey.indexOf("### 2.0"))
-    val missing = SparkEntry.queries.keys.filterNot(n => sec.contains(s"`$n`"))
-    assert(missing.isEmpty,
-      s"add to SURVEY.md §2.0: ${missing.toSeq.sorted.mkString(", ")}")
+    val b = survey.indexOf(GenSurveyTable.Begin)
+    val e = survey.indexOf(GenSurveyTable.End)
+    assert(b >= 0 && e > b, "SURVEY.md §2.0 GEN markers missing")
+    val current = survey.substring(b + GenSurveyTable.Begin.length, e).trim
+    val expected = GenSurveyTable.render().trim
+    assert(current == expected,
+      "SURVEY.md §2.0 is stale — run `sbt \"Test/runMain graft.GenSurveyTable\"`")
+    // and one row per catalog query, no extras (belt for the render equality)
+    val rows = "\\| `([a-z0-9_]+)` \\|".r.findAllMatchIn(current)
+      .map(_.group(1)).toSeq
+    assert(rows.sorted == SparkEntry.queries.keys.toSeq.sorted)
+    assert(rows.distinct.size == rows.size)
   }
 
   test("docs/QUERIES.md was regenerated for the current catalog") {

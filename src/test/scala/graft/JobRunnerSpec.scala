@@ -160,8 +160,10 @@ class JobRunnerSpec extends SparkSpec {
     // `program, project = project_id.split('-')` which raises on a
     // second dash (fhir_import_export.py:55-59)
     intercept[IllegalArgumentException](Authz.splitProjectId("aced-my-proj"))
-    intercept[IllegalArgumentException](Authz.splitProjectId("-proj"))
-    intercept[IllegalArgumentException](Authz.splitProjectId("prog-"))
+    // …while EMPTY parts unpack fine in Python ('prog-'.split('-') ==
+    // ['prog','']), so the reference accepts them and so do we
+    assert(Authz.splitProjectId("-proj") === ("", "proj"))
+    assert(Authz.splitProjectId("prog-") === ("prog", ""))
   }
 
   test("runFromEnv: INPUT_DATA in, final [out] JSON line out") {

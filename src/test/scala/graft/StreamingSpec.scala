@@ -1239,4 +1239,56 @@ class StreamingSpec extends SparkSpec {
       "streaming per-day arm counts diverge from batch ab_srm")
     // chi2/srm downstream are one integer expression over these counts
   }
+
+  test("streaming firsts aggregate to the batch ab_sequential day frame") {
+    import graft.streaming.{AbEvent, AbFirst, Streams}
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // batch reference: the daily dashboard's cumulative sufficient stats
+    val batch = graft.operators.Streaming.abSequential.fn(spark, sf0001)
+      .select("day", "n_control", "n_treat", "conv_control", "conv_treat")
+      .collect()
+      .map(r => r.getDate(0).toString ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+    assert(batch.nonEmpty)
+    // global ts order implies the per-user in-order contract; split EARLY
+    // (1/20 of the timeline — at this SF every user is first-seen within
+    // the first half, so a mid split would put all firsts in batch 1)
+    // so some users' first event lands in batch 1 while their first
+    // purchase — and other users entirely — arrive in batch 2, proving
+    // the once-only state carries across the boundary
+    val evs = Tables.events(spark, sf0001)
+      .select("user_id", "ts", "event_type").orderBy("ts").collect()
+      .map(r => AbEvent(r.getLong(0), r.getTimestamp(1), r.getString(2)))
+    val (half1, half2) = evs.splitAt(evs.length / 20)
+    val mem = MemoryStream[AbEvent]
+    val name = s"abseq_${System.nanoTime()}"
+    val q = Streams.abSeqFirsts(mem.toDS()).writeStream
+      .format("memory").queryName(name).outputMode("append").start()
+    val (afterFirst, firsts) = try {
+      mem.addData(half1.toSeq); q.processAllAvailable()
+      val n1 = spark.table(name).count()
+      mem.addData(half2.toSeq); q.processAllAvailable()
+      (n1, spark.table(name).as[AbFirst].collect())
+    } finally q.stop()
+    assert(afterFirst > 0 && afterFirst < firsts.length,
+      "firsts should arrive across micro-batches")
+    // exactly-once per (user, kind)
+    assert(firsts.map(f => (f.user_id, f.kind)).distinct.length ===
+      firsts.length, "a (user, kind) first was emitted more than once")
+    // the cumulative day census over emitted firsts equals the batch
+    // frame on every (non-degenerate) day the batch query reports; the
+    // z / OBF-boundary columns downstream are one shared deterministic
+    // expression over these four integers
+    val diverged = batch.collect {
+      case (day, want) if {
+        def cum(g: Int, k: Int): Long = firsts.count(f =>
+          f.grp == g && f.kind == k && f.day.toString <= day).toLong
+        (cum(0, 0), cum(1, 0), cum(0, 1), cum(1, 1)) != want
+      } => day
+    }
+    assert(diverged.isEmpty,
+      s"cumulative census diverges from batch on: ${diverged.mkString(", ")}")
+  }
 }
