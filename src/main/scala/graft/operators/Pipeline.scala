@@ -1943,6 +1943,74 @@ object Pipeline {
       .orderBy("repeat_level")
   }
 
+  /** K-ANONYMITY CENSUS — the re-identification risk readout a dataset
+    * release (or a training-corpus privacy review) runs over its
+    * quasi-identifiers: group the data by the QI tuple
+    * (event_type, prop-bucket, day), measure each equivalence class's
+    * DISTINCT-USER size, and report the class-size histogram with the
+    * share of users sitting in classes below the k=5 anonymity floor —
+    * the population an attacker joining on those attributes could
+    * single out. The privacy sibling of [[dqUniqueness]] (which audits
+    * KEY uniqueness; here uniqueness is the hazard, not the contract).
+    *
+    * Exactness: class sizes are exact distinct counts, buckets are
+    * integer CASE cuts, the at-risk share is floor-DIV ppm on
+    * nonnegative integers. Plan: one distinct over (QI, user) — the
+    * only corpus-sized exchange, map-side combining — then a QI-keyed
+    * count and a ≤4-row histogram; the global denominator rides a
+    * 1-row broadcast cross (the [[abSequential]] `tot` shape). */
+  val dqKAnonymity: Q = Q(
+    "dq_k_anonymity",
+    """WITH q AS (SELECT DISTINCT event_type,
+      |    CAST(json_extract_string(props, '$.k') AS BIGINT) // 10 AS kb,
+      |    CAST(ts AS DATE) AS day, user_id
+      |  FROM events),
+      |c AS (SELECT event_type, kb, day,
+      |        CAST(count(*) AS BIGINT) AS class_size
+      |      FROM q GROUP BY 1, 2, 3),
+      |tot AS (SELECT CAST(sum(class_size) AS BIGINT) AS n_total FROM c),
+      |b AS (SELECT CASE WHEN class_size = 1 THEN '1'
+      |                  WHEN class_size < 5 THEN '2-4'
+      |                  WHEN class_size < 10 THEN '5-9'
+      |                  ELSE '10+' END AS bucket,
+      |             class_size FROM c)
+      |SELECT bucket, CAST(count(*) AS BIGINT) AS n_classes,
+      |  CAST(sum(class_size) AS BIGINT) AS n_memberships,
+      |  CAST((1000000 * sum(class_size)) // n_total AS BIGINT)
+      |    AS membership_ppm,
+      |  CAST(sum(CASE WHEN class_size < 5 THEN class_size ELSE 0 END)
+      |       AS BIGINT) AS n_below_k
+      |FROM b CROSS JOIN tot
+      |GROUP BY bucket, n_total ORDER BY bucket""".stripMargin
+  ) { (s, d) =>
+    val q = Tables.events(s, d)
+      .select(col("event_type"),
+        expr("cast(get_json_object(props, '$.k') as bigint) div 10")
+          .as("kb"),
+        to_date(col("ts")).as("day"), col("user_id"))
+      .distinct()
+    val c = q.groupBy("event_type", "kb", "day")
+      .agg(count(lit(1)).as("class_size"))
+    val tot = c.agg(sum(col("class_size")).cast("long").as("n_total"))
+    c.select(
+        when(col("class_size") === 1, "1")
+          .when(col("class_size") < 5, "2-4")
+          .when(col("class_size") < 10, "5-9")
+          .otherwise("10+").as("bucket"),
+        col("class_size"))
+      .crossJoin(broadcast(tot))
+      .groupBy("bucket", "n_total")
+      .agg(count(lit(1)).as("n_classes"),
+        sum(col("class_size")).cast("long").as("n_memberships"),
+        sum(when(col("class_size") < 5, col("class_size")).otherwise(0L))
+          .cast("long").as("n_below_k"))
+      .select(col("bucket"), col("n_classes"), col("n_memberships"),
+        expr("(1000000 * n_memberships) div n_total").cast("long")
+          .as("membership_ppm"),
+        col("n_below_k"))
+      .orderBy("bucket")
+  }
+
   val all: Seq[Q] = Seq(simplifyFlatten, denormalizePatient, graphEdges,
     graphTwohop, discoverySummary, ingestNdjson, snapshotExport, dqChecks,
     dqSkew, dqDriftKs, dqFreshness, graphPagerank, graphHits, graphLabelProp,
@@ -1950,5 +2018,5 @@ object Pipeline {
     graphJaccard, graphJaccardHot, graphDegreeDist, storePruningStats,
     graphModularity,
     dqDriftPsi, dqProfileDrift, dqDriftTtest, dqBenford, dqReconciliation,
-    dqDoubleCharge)
+    dqDoubleCharge, dqKAnonymity)
 }

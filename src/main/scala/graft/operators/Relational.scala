@@ -2338,7 +2338,57 @@ object Relational {
       .orderBy("nationkey")
   }
 
+  /** HEAVY-CHANGE DETECTION (the "deltoids" question — Cormode &
+    * Muthukrishnan's *What's new?*): which keys CHANGED frequency most
+    * between two periods, the monitoring query behind traffic-shift,
+    * canary and abuse dashboards. The drift family (`dq_drift_*`)
+    * answers "did the distribution move"; this answers WHICH keys moved,
+    * ranked. Key = (event_type, props.k), periods split on the
+    * [[graft.operators.Pipeline]] drift date; output = top 10 movers by
+    * absolute delta with both period counts and the signed delta.
+    *
+    * Exactness: counts are exact BIGINTs, the ranking key
+    * (|Δ| DESC, event_type, k) is a total order, so the cut is
+    * bit-deterministic. Plan: ONE corpus pass to a (type, k)-keyed
+    * partial+final aggregate with the period split riding as
+    * conditional counts (no join between periods, no second scan),
+    * then a TakeOrderedAndProject at k=10 — the heavy-hitters shape
+    * pointed at deltas. At 100 TB the aggregate output is bounded by
+    * the key domain, not the corpus. */
+  val aggHeavyChange: Q = Q(
+    "agg_heavy_change",
+    """WITH e AS (SELECT event_type,
+      |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+      |    CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 0 ELSE 1 END AS p
+      |  FROM events),
+      |c AS (SELECT event_type, k,
+      |    CAST(count(CASE WHEN p = 0 THEN 1 END) AS BIGINT) AS n_before,
+      |    CAST(count(CASE WHEN p = 1 THEN 1 END) AS BIGINT) AS n_after
+      |  FROM e GROUP BY 1, 2)
+      |SELECT event_type, k, n_before, n_after,
+      |  n_after - n_before AS delta
+      |FROM c
+      |ORDER BY abs(n_after - n_before) DESC, event_type, k
+      |LIMIT 10""".stripMargin
+  ) { (s, d) =>
+    // session-UTC cast, the driftCounts split discipline (a JVM-local
+    // Timestamp literal would follow the default zone, not the session)
+    val split = lit("2024-01-16").cast("timestamp")
+    Tables.events(s, d)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"),
+        when(col("ts") < split, 0).otherwise(1).as("p"))
+      .groupBy("event_type", "k")
+      .agg(count(when(col("p") === 0, 1)).as("n_before"),
+           count(when(col("p") === 1, 1)).as("n_after"))
+      .select(col("event_type"), col("k"), col("n_before"), col("n_after"),
+        (col("n_after") - col("n_before")).as("delta"))
+      .orderBy(abs(col("delta")).desc, col("event_type"), col("k"))
+      .limit(10)
+  }
+
   val all: Seq[Q] = Seq(
+    aggHeavyChange,
     rfmSegmentation,
     countByProject, filterPred, aggGroupBy, aggRollup, aggMoments,
     aggDistinct, topk,

@@ -213,6 +213,97 @@ object Streaming {
       .orderBy("user_id")
   }
 
+  /** MULTI-STEP FUNNEL CENSUS — the 4-stage product-analytics readout
+    * [[funnel]]'s two-step per-user frame doesn't give: how many users
+    * reach each stage of signup → view → click → purchase IN ORDER, the
+    * per-stage drop-off, and the mean signup→purchase latency of full
+    * converters. Ordering semantics are ORDERED FIRSTS (strict): stage k
+    * counts only when the user's FIRST stage-k event is strictly later
+    * than their first stage-(k−1) event — the conservative funnel that
+    * needs only per-stage minima, is tie-stable (equal-ms events fail
+    * the strict chain identically on both engines), and computes in ONE
+    * user-keyed aggregate instead of a per-user sequence scan.
+    *
+    * Plan: one corpus-sized partial+final aggregate (user × 4 minima) →
+    * a ≤5-row max_step census carrying the converter latency sum → the
+    * 4-row stage spine cross-joins THAT (20-row broadcast frame). Exact
+    * integers throughout: epoch-ms minima, floor-DIV ppm drop-offs,
+    * floor-DIV mean latency. At 100 TB the only corpus-sized stage is
+    * the first aggregate — the [[abSequential]] shape. */
+  val funnelMultistep: Q = Q(
+    "funnel_multistep",
+    """WITH u AS (SELECT user_id,
+      |    min(CASE WHEN event_type = 'signup' THEN epoch_ms(ts) END) AS t1,
+      |    min(CASE WHEN event_type = 'view' THEN epoch_ms(ts) END) AS t2,
+      |    min(CASE WHEN event_type = 'click' THEN epoch_ms(ts) END) AS t3,
+      |    min(CASE WHEN event_type = 'purchase' THEN epoch_ms(ts) END) AS t4
+      |  FROM events GROUP BY 1),
+      |s AS (SELECT user_id, t1, t4,
+      |    CASE WHEN t1 IS NULL THEN 0
+      |         WHEN t2 IS NULL OR t2 <= t1 THEN 1
+      |         WHEN t3 IS NULL OR t3 <= t2 THEN 2
+      |         WHEN t4 IS NULL OR t4 <= t3 THEN 3
+      |         ELSE 4 END AS max_step
+      |  FROM u),
+      |c AS (SELECT max_step, count(*) AS n,
+      |    CAST(sum(CASE WHEN max_step = 4 THEN t4 - t1 END) AS BIGINT)
+      |      AS conv_ms
+      |  FROM s GROUP BY 1),
+      |spine AS (SELECT unnest([1, 2, 3, 4]) AS step),
+      |r AS (SELECT sp.step,
+      |    CAST(coalesce(sum(CASE WHEN c.max_step >= sp.step
+      |                           THEN c.n END), 0) AS BIGINT) AS n_reached,
+      |    CAST(coalesce(sum(CASE WHEN c.max_step >= sp.step - 1
+      |                           THEN c.n END), 0) AS BIGINT) AS n_prev,
+      |    CAST(sum(CASE WHEN sp.step = 4 AND c.max_step = 4
+      |                  THEN c.conv_ms END) AS BIGINT) AS conv_ms_sum
+      |  FROM spine sp CROSS JOIN c GROUP BY 1)
+      |SELECT CAST(step AS INT) AS step, n_reached,
+      |  CAST(CASE WHEN n_prev > 0
+      |       THEN (1000000 * n_reached) // n_prev END AS BIGINT)
+      |    AS reach_ppm,
+      |  CAST(CASE WHEN step = 4 AND n_reached > 0
+      |       THEN conv_ms_sum // n_reached END AS BIGINT)
+      |    AS mean_convert_ms
+      |FROM r ORDER BY step""".stripMargin
+  ) { (s, d) =>
+    def tmin(t: String): Column =
+      min(when(col("event_type") === t, unix_millis(col("ts"))))
+    val u = Tables.events(s, d)
+      .groupBy("user_id")
+      .agg(tmin("signup").as("t1"), tmin("view").as("t2"),
+           tmin("click").as("t3"), tmin("purchase").as("t4"))
+    val st = u.select(col("t1"), col("t4"),
+      when(col("t1").isNull, 0)
+        .when(col("t2").isNull || col("t2") <= col("t1"), 1)
+        .when(col("t3").isNull || col("t3") <= col("t2"), 2)
+        .when(col("t4").isNull || col("t4") <= col("t3"), 3)
+        .otherwise(4).as("max_step"))
+    val c = st.groupBy("max_step")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("max_step") === 4, col("t4") - col("t1")))
+          .cast("long").as("conv_ms"))
+    val spine = (1 to 4).map(Tuple1(_))
+    val spineDf = s.createDataFrame(spine).toDF("step")
+    spineDf.crossJoin(broadcast(c))
+      .groupBy("step")
+      .agg(
+        coalesce(sum(when(col("max_step") >= col("step"), col("n"))),
+          lit(0L)).cast("long").as("n_reached"),
+        coalesce(sum(when(col("max_step") >= col("step") - 1, col("n"))),
+          lit(0L)).cast("long").as("n_prev"),
+        sum(when(col("step") === 4 && col("max_step") === 4,
+          col("conv_ms"))).cast("long").as("conv_ms_sum"))
+      .select(col("step").cast("int").as("step"), col("n_reached"),
+        when(col("n_prev") > 0,
+          expr("(1000000 * n_reached) div n_prev")).cast("long")
+          .as("reach_ppm"),
+        when(col("step") === 4 && col("n_reached") > 0,
+          expr("conv_ms_sum div n_reached")).cast("long")
+          .as("mean_convert_ms"))
+      .orderBy("step")
+  }
+
   /** TOP USER JOURNEYS (path analysis, the product-analytics sibling of
     * [[eventTransitions]]' Markov edges): each user's first five events
     * in (ts, event_id) order collapse to a `a>b>c` path string, and the
@@ -1997,7 +2088,8 @@ object Streaming {
   }
 
   val all: Seq[Q] = Seq(streamTumbling, streamHopping, streamSession,
-    resampleGapfill, resampleInterp, funnel, eventPaths, retentionCohort,
+    resampleGapfill, resampleInterp, funnel, funnelMultistep, eventPaths,
+    retentionCohort,
     eventTransitions, ohlcBars, sessionizeGaps, patternSeq,
     attributionLastclick, attributionLinear, attributionTimedecay,
     scd2, joinPit, abLiftZtest, abRatioDelta, abCuped, abSrm,

@@ -855,7 +855,91 @@ object TimeSeries {
       .orderBy("event_type", "q")
   }
 
+  /** SAX SYMBOLIZATION + MOTIF CENSUS — the symbolic time-series mining
+    * primitive (Lin/Keogh SAX) none of the numeric TS operators cover:
+    * per event_type the hourly count series aggregates to 4-hour PAA
+    * frames, frames discretize to a 4-letter alphabet, and the top
+    * recurring 3-symbol MOTIFS are reported — "what shapes does this
+    * series keep repeating", the index behind motif/discord discovery
+    * at scale.
+    *
+    * Parity discipline: classical SAX breakpoints are Gaussian
+    * quantiles of a z-normalized series (two float traps); here
+    * discretization is ntile(4) over the EXACT integer frame sums with
+    * the (s, f) total order — rank-equivalent to quantile breakpoints,
+    * bit-deterministic on both engines, and z-normalization is
+    * unnecessary since ranks are shift/scale-invariant. Missing frames
+    * count as zero via the frame spine (the resample_gapfill rule:
+    * absence of events is data, not absence of data).
+    *
+    * Plan: ONE corpus-sized hourly aggregate; the spine, PAA join,
+    * ntile, motif window and top-3 cut all run on the frame domain
+    * (hours/4 per type — bounded by time span, not data volume). At
+    * 100 TB the hourly aggregate is the only stage that sees the
+    * corpus; a decade more data with the same time span changes ONLY
+    * that stage's input. */
+  val tsSax: Q = Q(
+    "ts_sax",
+    """WITH c AS (SELECT event_type, epoch_ms(ts) // 3600000 AS h,
+      |    count(*) AS x
+      |  FROM events GROUP BY 1, 2),
+      |b AS (SELECT event_type, min(h) AS h0, max(h) AS h1
+      |      FROM c GROUP BY 1),
+      |sp AS (SELECT event_type, h0,
+      |       unnest(range((h1 - h0) // 4 + 1)) AS f FROM b),
+      |pa AS (SELECT sp.event_type, sp.f,
+      |    CAST(coalesce(sum(c.x), 0) AS BIGINT) AS s
+      |  FROM sp LEFT JOIN c ON c.event_type = sp.event_type
+      |    AND (c.h - sp.h0) // 4 = sp.f
+      |  GROUP BY 1, 2),
+      |sym AS (SELECT event_type, f,
+      |    ntile(4) OVER (PARTITION BY event_type ORDER BY s, f) AS q
+      |  FROM pa),
+      |m AS (SELECT event_type,
+      |    CAST(q AS VARCHAR) || CAST(lead(q, 1) OVER w AS VARCHAR)
+      |      || CAST(lead(q, 2) OVER w AS VARCHAR) AS motif
+      |  FROM sym WINDOW w AS (PARTITION BY event_type ORDER BY f)),
+      |mc AS (SELECT event_type, motif, CAST(count(*) AS BIGINT) AS n
+      |       FROM m WHERE motif IS NOT NULL GROUP BY 1, 2)
+      |SELECT event_type, motif, n, CAST(rk AS INT) AS rank
+      |FROM (SELECT event_type, motif, n,
+      |        row_number() OVER (PARTITION BY event_type
+      |                           ORDER BY n DESC, motif) AS rk
+      |      FROM mc)
+      |WHERE rk <= 3 ORDER BY event_type, rank""".stripMargin
+  ) { (s, d) =>
+    val c = Tables.events(s, d)
+      .groupBy(col("event_type"),
+        expr("unix_millis(ts) div 3600000").as("h"))
+      .agg(count(lit(1)).as("x"))
+    val b = c.groupBy("event_type")
+      .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+    val sp = b.select(col("event_type"), col("h0"),
+      explode(sequence(lit(0L), expr("(h1 - h0) div 4"))).as("f"))
+    val pa = sp.join(c.withColumnRenamed("event_type", "et2"),
+        col("et2") === col("event_type") &&
+          expr("(h - h0) div 4") === col("f"), "left")
+      .groupBy(col("event_type"), col("f"))
+      .agg(coalesce(sum(col("x")), lit(0L)).cast("long").as("s"))
+    val wq = Window.partitionBy("event_type").orderBy("s", "f")
+    val wf = Window.partitionBy("event_type").orderBy("f")
+    val sym = pa.select(col("event_type"), col("f"),
+      ntile(4).over(wq).as("q"))
+    val m = sym.select(col("event_type"),
+      concat(col("q").cast("string"),
+        lead(col("q"), 1).over(wf).cast("string"),
+        lead(col("q"), 2).over(wf).cast("string")).as("motif"))
+    val mc = m.filter(col("motif").isNotNull)
+      .groupBy("event_type", "motif").agg(count(lit(1)).as("n"))
+    val wr = Window.partitionBy("event_type").orderBy(desc("n"), asc("motif"))
+    mc.withColumn("rank", row_number().over(wr))
+      .filter(col("rank") <= 3)
+      .select(col("event_type"), col("motif"), col("n"),
+        col("rank").cast("int").as("rank"))
+      .orderBy("event_type", "rank")
+  }
+
   val all: Seq[Q] = Seq(tsAutocorr, tsChangepoint, tsEwma, tsDecompose,
     tsHolt, tsMkTrend, tsAnomaly, tsRollingCorr, tsCrossCorr, tsTheilSen,
-    tsBacktestMae, tsSeasonalStrength, tsVarRatio)
+    tsBacktestMae, tsSeasonalStrength, tsVarRatio, tsSax)
 }

@@ -726,6 +726,100 @@ object Vectors {
       .orderBy("label", "dim")
   }
 
+  /** LABEL-COHERENCE AUDIT via nearest-centroid classification — the
+    * label-quality census a curated embedding corpus runs before
+    * trusting its labels for supervised work (and the evaluation half of
+    * centroid classification): per label, how many member vectors sit
+    * closer to ANOTHER label's centroid than their own, and the mean
+    * own-centroid distance. High misassignment marks label noise or
+    * collapsed classes; this fixture's near-isotropic labels score high
+    * — which is the honest readout, reported per label.
+    *
+    * Exactness: components quantize ONCE to offset milli-units
+    * (floor(1000x) + 1000 — nonnegative, the [[vectorCentroidDrift]]
+    * discipline, so the centroid floor-division agrees between Spark's
+    * truncating `div` and DuckDB's flooring `//`; the offset cancels in
+    * the (vector − centroid) difference). Centroids are micro-unit
+    * integers, distances are exact BIGINT sums of squares, and the
+    * argmin tie-breaks on label — bit-deterministic end to end. The
+    * per-label distance sum widens internally (HUGEINT on DuckDB,
+    * DECIMAL(38,0) on Spark — 1e12 vectors × ~2.6e14 per-vector
+    * distance clears int64) and ships as the floor-div mean, BIGINT;
+    * the division stays in the exact wide-integer domain on both
+    * engines (a DECIMAL `//` would round at scale-0 before flooring).
+    *
+    * Plan: one posexplode → (label, dim) partial+final aggregate (a
+    * |labels|×64-row frame) → centroid ARRAYS rebuilt per label and
+    * broadcast — the corpus then streams through ONE narrow projection
+    * with a 10-row broadcast cross (per-vector work = |labels| codegen
+    * dot-kernels, no shuffle) and a vector-keyed argmin aggregate whose
+    * key count equals the corpus, partial+final. At 100 TB: corpus
+    * touched twice (centroid pass + audit pass), nothing else grows. */
+  val vectorLabelCoherence: Q = Q(
+    "vector_label_coherence",
+    """WITH q AS (SELECT vec_id, label,
+      |    [CAST(floor(1000 * CAST(x AS DOUBLE)) AS BIGINT) + 1000
+      |     FOR x IN embedding] AS qv
+      |  FROM embeddings),
+      |dq AS (SELECT label AS clabel, i AS dim, qv[i] AS v
+      |       FROM q CROSS JOIN range(1, 65) t(i)),
+      |cd AS (SELECT clabel, dim,
+      |         (1000 * CAST(sum(v) AS BIGINT)) // count(*) AS c
+      |       FROM dq GROUP BY 1, 2),
+      |ca AS (SELECT clabel, list(c ORDER BY dim) AS carr
+      |       FROM cd GROUP BY 1),
+      |dist AS (SELECT q.vec_id, q.label, ca.clabel,
+      |    list_sum([(1000 * q.qv[i] - ca.carr[i])
+      |              * (1000 * q.qv[i] - ca.carr[i])
+      |              FOR i IN range(1, 65)]) AS d
+      |  FROM q CROSS JOIN ca),
+      |pv AS (SELECT vec_id, label,
+      |    min(d * 16 + clabel) % 16 AS nearest,
+      |    min(CASE WHEN clabel = label THEN d END) AS own_d
+      |  FROM dist GROUP BY 1, 2)
+      |SELECT label, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(count(CASE WHEN nearest <> label THEN 1 END) AS BIGINT)
+      |    AS n_misassigned,
+      |  CAST((1000000 * count(CASE WHEN nearest <> label THEN 1 END))
+      |       // count(*) AS BIGINT) AS mis_ppm,
+      |  CAST(sum(own_d) // count(*) AS BIGINT) AS mean_own_dist
+      |FROM pv GROUP BY label ORDER BY label""".stripMargin
+  ) { (s, d) =>
+    val q = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+        transform(toDouble(col("embedding")),
+          x => floor(x * 1000).cast("long") + 1000).as("qv"))
+    val cents = q
+      .select(col("label").as("clabel"),
+        posexplode(col("qv")).as(Seq("pos", "v")))
+      .groupBy(col("clabel"), (col("pos") + 1).as("dim"))
+      .agg(expr("(1000 * sum(v)) div count(*)").as("c"))
+      .groupBy("clabel")
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
+        e => e.getField("c")).as("carr"))
+    val dist = q.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("label"), col("clabel"),
+        aggregate(
+          zip_with(col("qv"), col("carr"),
+            (a, b) => (a * 1000 - b) * (a * 1000 - b)),
+          lit(0L), (acc, v) => acc + v).as("d"))
+    // integer-encoded argmin (labels < 16, d < 2^48): min(d*16 + label)
+    // carries the tie-break in the low bits — no struct-ordering
+    // portability surface, same exact answer on both engines
+    val pv = dist.groupBy("vec_id", "label")
+      .agg((min(col("d") * 16 + col("clabel")) % 16).as("nearest"),
+           min(when(col("clabel") === col("label"), col("d"))).as("own_d"))
+    pv.groupBy("label")
+      .agg(count(lit(1)).as("n"),
+        count(when(col("nearest") =!= col("label"), 1)).as("n_misassigned"),
+        sum(col("own_d"))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0)).as("sd"))
+      .select(col("label"), col("n"), col("n_misassigned"),
+        expr("(1000000 * n_misassigned) div n").cast("long").as("mis_ppm"),
+        expr("sd div n").cast("long").as("mean_own_dist"))
+      .orderBy("label")
+  }
+
   /** PRODUCTION centroid path: the same (label, dim, n, m) frame as
     * [[vectorCentroid]] but with a plain `avg` — partial+final hash
     * aggregation, map-side combine, NO per-group collect_list — at the
@@ -2847,7 +2941,8 @@ object Vectors {
   }
 
   val all: Seq[Q] = Seq(vectorTopk, vectorAnnLsh, vectorAnnIvf,
-    vectorTopkBatch, vectorQuantize, vectorCentroid, knnJoinLsh,
+    vectorTopkBatch, vectorQuantize, vectorCentroid, vectorLabelCoherence,
+    knnJoinLsh,
     sqlVectorTopk, vectorIndexStats, vectorPq, vectorIvfPq,
     vectorIndexDelta, vectorMips, vectorMipsAnn, vectorRecallEval,
     vectorRecallEvalMt,

@@ -132,6 +132,16 @@ case class AbFirst(user_id: Long, grp: Int, day: java.sql.Date, kind: Int)
   * have been emitted yet. */
 case class AbSeqState(fe: Boolean, fp: Boolean)
 
+/** Live per-user funnel position for the streaming `funnel_multistep`
+  * twin (Update mode — last row per user is the current answer):
+  * `max_step` under the batch query's ordered-firsts semantics, plus the
+  * signup→purchase latency once step 4 is reached. */
+case class FunnelPos(user_id: Long, max_step: Int, conv_ms: Long)
+/** O(1) per-user state: the first-seen epoch ms of each funnel stage
+  * (−1 = not yet seen). Under per-user in-order arrival each field is
+  * set at most once, so it equals the batch per-stage min. */
+case class FunnelStageState(t1: Long, t2: Long, t3: Long, t4: Long)
+
 /** One sweep-line delta instant for [[Streams.concurrencyPeaks]]: at
   * epoch-ms `ms` on epoch-day `di`, the active-session level changes by
   * `d` (+1 start / −1 end, pre-clipped to the day like the batch query). */
@@ -1100,6 +1110,46 @@ object Streams {
           }
           state.update(s)
           out.iterator
+      }
+  }
+
+  /** Streaming multi-step funnel — the incremental counterpart of batch
+    * `funnel_multistep`: per-user state carries the first-seen epoch ms
+    * of each stage (signup/view/click/purchase); under the per-user
+    * in-order contract each is the stage's global min, so the derived
+    * `max_step` (strict ordered-firsts chain, the batch CASE verbatim)
+    * equals the batch answer at every prefix. Update mode emits the live
+    * position row; the dashboard census downstream is the same ≤5-row
+    * aggregate as the batch query's `c` frame. State is 4 longs. */
+  def funnelPositions(ds: Dataset[AbEvent]): Dataset[FunnelPos] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update,
+                              GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[AbEvent],
+         state: GroupState[FunnelStageState]) =>
+          var s = state.getOption
+            .getOrElse(FunnelStageState(-1L, -1L, -1L, -1L))
+          rows.toSeq.sortBy(_.ts.getTime).foreach { e =>
+            val ms = e.ts.getTime
+            e.event_type match {
+              case "signup"   if s.t1 < 0 => s = s.copy(t1 = ms)
+              case "view"     if s.t2 < 0 => s = s.copy(t2 = ms)
+              case "click"    if s.t3 < 0 => s = s.copy(t3 = ms)
+              case "purchase" if s.t4 < 0 => s = s.copy(t4 = ms)
+              case _ =>
+            }
+          }
+          state.update(s)
+          // the batch query's strict ordered-firsts CASE, verbatim
+          val step =
+            if (s.t1 < 0) 0
+            else if (s.t2 < 0 || s.t2 <= s.t1) 1
+            else if (s.t3 < 0 || s.t3 <= s.t2) 2
+            else if (s.t4 < 0 || s.t4 <= s.t3) 3
+            else 4
+          Iterator(FunnelPos(uid, step,
+            if (step == 4) s.t4 - s.t1 else -1L))
       }
   }
 
