@@ -1112,9 +1112,112 @@ object Corpus {
       .orderBy("doc_id")
   }
 
+  /** EPOCH-SCHEDULE MATERIALIZATION — the step between
+    * [[corpusTokenBudget]]'s plan and an actual training run: a target
+    * of e.g. 2.37 epochs for a source means every doc ships ⌊e⌋ = 2
+    * full times plus a 37%-of-docs PARTIAL epoch, and the partial
+    * epoch's membership must be a deterministic per-doc decision (the
+    * [[corpusSampleWeighted]] salted-threshold discipline: hash slot <
+    * frac_ppm) so resumes, replicas and audits all select the same
+    * docs with no coordination. Output per source: the plan
+    * (full_epochs, frac_ppm from the same √-weighted capped budget
+    * arithmetic as the planner) and the MATERIALIZED partial epoch
+    * (docs selected, their tokens) with the total scheduled tokens.
+    *
+    * Plan: pass 1 is the planner's per-source aggregate (|sources|
+    * rows, window math on that frame); pass 2 streams the corpus once
+    * against the BROADCAST 20-row schedule for the threshold test —
+    * at 100 TB both passes are single corpus scans with map-side
+    * combine, and the schedule never exceeds the source domain. All
+    * arithmetic exact: the HUGEINT/DECIMAL(38,0) widening of the
+    * planner, then BIGINT `//`/`%` splits and one salted-hash compare
+    * per doc. */
+  val corpusEpochSchedule: Q = Q(
+    "corpus_epoch_schedule",
+    s"""WITH s AS (SELECT source,
+      |    CAST(sum(len(string_split(text,' '))) AS BIGINT) AS tokens,
+      |    CAST(count(*) AS BIGINT) AS n_docs
+      |  FROM documents GROUP BY 1),
+      |w AS (SELECT source, tokens, n_docs,
+      |    CAST(floor(1000000 * sqrt(CAST(tokens AS DOUBLE))) AS BIGINT) AS wt
+      |  FROM s),
+      |a AS (SELECT source, tokens, n_docs,
+      |    (2 * sum(tokens) OVER () * wt) // sum(wt) OVER () AS target_tokens
+      |  FROM w),
+      |f AS (SELECT source, tokens, n_docs,
+      |    CAST(least((target_tokens * 1000000) // tokens, 4000000)
+      |         AS BIGINT) AS epochs_ppm
+      |  FROM a),
+      |p AS (SELECT source, tokens, n_docs,
+      |    epochs_ppm // 1000000 AS full_epochs,
+      |    epochs_ppm % 1000000 AS frac_ppm
+      |  FROM f),
+      |d AS (SELECT doc_id, source,
+      |    CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+      |    ${graft.functions.expressions.PortableHash
+               .duckdbSaltedSql("doc_id", ":epoch_frac", 15)} % 1000000
+      |      AS slot
+      |  FROM documents),
+      |m AS (SELECT p.source, p.n_docs, p.tokens, p.full_epochs, p.frac_ppm,
+      |    CAST(sum(CASE WHEN d.slot < p.frac_ppm THEN 1 ELSE 0 END)
+      |         AS BIGINT) AS n_partial_docs,
+      |    CAST(sum(CASE WHEN d.slot < p.frac_ppm THEN d.n_tokens
+      |                  ELSE 0 END) AS BIGINT) AS partial_tokens
+      |  FROM d JOIN p USING (source) GROUP BY 1, 2, 3, 4, 5)
+      |SELECT source, n_docs, tokens, full_epochs, frac_ppm,
+      |  n_partial_docs, partial_tokens,
+      |  full_epochs * tokens + partial_tokens AS sched_tokens
+      |FROM m ORDER BY source""".stripMargin
+  ) { (s, d) =>
+    import graft.functions.TextFns.saltedHash
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy()
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+                   org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val plan = Tables.documents(s, d)
+      .groupBy("source")
+      .agg(sum(size(split(col("text"), " "))).cast("long").as("tokens"),
+           count(lit(1)).as("n_docs"))
+      .withColumn("wt",
+        floor(lit(1000000) * sqrt(col("tokens").cast("double")))
+          .cast("long"))
+      .withColumn("tot_tokens", sum(col("tokens")).over(win))
+      .withColumn("tot_w", sum(col("wt")).over(win))
+      // the planner's DECIMAL(38,0) widening (corpusTokenBudget)
+      .withColumn("target_tokens",
+        expr("""(2 * cast(tot_tokens as decimal(38,0)) * wt)
+                div cast(tot_w as decimal(38,0))"""))
+      .withColumn("epochs_ppm",
+        least(expr("(cast(target_tokens as decimal(38,0)) * 1000000)" +
+                   " div tokens"),
+              lit(4000000L)).cast("long"))
+      .select(col("source"), col("tokens"), col("n_docs"),
+        expr("epochs_ppm div 1000000").as("full_epochs"),
+        expr("epochs_ppm % 1000000").as("frac_ppm"))
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        (saltedHash(col("doc_id"), ":epoch_frac", 15) % 1000000L).as("slot"))
+    docs.join(broadcast(plan), Seq("source"))
+      .groupBy(col("source"), col("n_docs"), col("tokens"),
+        col("full_epochs"), col("frac_ppm"))
+      .agg(
+        sum(when(col("slot") < col("frac_ppm"), 1L).otherwise(0L))
+          .cast("long").as("n_partial_docs"),
+        sum(when(col("slot") < col("frac_ppm"), col("n_tokens"))
+          .otherwise(0L)).cast("long").as("partial_tokens"))
+      .select(col("source"), col("n_docs"), col("tokens"),
+        col("full_epochs"), col("frac_ppm"), col("n_partial_docs"),
+        col("partial_tokens"),
+        (col("full_epochs") * col("tokens") + col("partial_tokens"))
+          .as("sched_tokens"))
+      .orderBy("source")
+  }
+
   val all: Seq[Q] = Seq(corpusSplit, corpusPack, corpusSelect, docChunk,
     corpusDecontaminate, corpusMix, corpusShuffle, trainingManifest,
     corpusEntropy, corpusPipeline, corpusSplitLeakage, corpusSampleWeighted,
     corpusSampleBalanced, corpusMixTemperature, corpusPruneSweep,
-    corpusResumeSkip, corpusInterleave, corpusTokenBudget)
+    corpusResumeSkip, corpusInterleave, corpusTokenBudget,
+    corpusEpochSchedule)
 }

@@ -2387,8 +2387,83 @@ object Relational {
       .limit(10)
   }
 
+  /** CONTRIBUTION BOUNDING — the differential-privacy PRE-AGGREGATION
+    * step (and the abuse-robustness cap behind rate-limited metrics):
+    * before a per-type total can carry a DP noise budget, each user's
+    * contribution must be capped to C events (here C = 8, keeping each
+    * user's FIRST eight by time — the deterministic keep rule a
+    * replayable pipeline needs). The query audits what the cap costs:
+    * raw vs capped event counts and cent totals, how many users hit
+    * the cap, and the clipping loss in ppm — the number that picks C.
+    *
+    * Exactness: money through the DECIMAL(18,2)→cents BIGINT route
+    * (the [[graft.Tables.money]] discipline), the keep rule ranks on
+    * the provably-total (ts, event_id) chain, loss is floor-DIV ppm on
+    * nonnegative integers. Plan: ONE (user, type)-keyed exchange — the
+    * rank window — then a type-keyed partial+final aggregate with the
+    * user-cap census riding a distinct-user conditional count; nothing
+    * after the window exceeds the type domain. */
+  val aggContributionBound: Q = Q(
+    "agg_contribution_bound",
+    """WITH r AS (SELECT event_type, user_id,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+      |    row_number() OVER (PARTITION BY event_type, user_id
+      |                       ORDER BY ts, event_id) AS rn
+      |  FROM events),
+      |u AS (SELECT event_type, user_id, count(*) AS n_u,
+      |    CAST(sum(cents) AS BIGINT) AS cents_u,
+      |    CAST(sum(CASE WHEN rn <= 8 THEN cents ELSE 0 END) AS BIGINT)
+      |      AS kept_cents_u,
+      |    CAST(sum(CASE WHEN rn <= 8 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS kept_u
+      |  FROM r GROUP BY 1, 2)
+      |SELECT event_type,
+      |  CAST(count(*) AS BIGINT) AS n_users,
+      |  CAST(sum(n_u) AS BIGINT) AS n_events,
+      |  CAST(sum(kept_u) AS BIGINT) AS n_kept,
+      |  CAST(count(CASE WHEN n_u > 8 THEN 1 END) AS BIGINT)
+      |    AS n_users_capped,
+      |  CAST(sum(cents_u) AS BIGINT) AS raw_cents,
+      |  CAST(sum(kept_cents_u) AS BIGINT) AS kept_cents,
+      |  CAST((1000000 * (sum(cents_u) - sum(kept_cents_u)))
+      |       // nullif(sum(cents_u), 0) AS BIGINT) AS clip_loss_ppm
+      |FROM u GROUP BY event_type ORDER BY event_type""".stripMargin
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("event_type", "user_id")
+      .orderBy("ts", "event_id")
+    val r = Tables.events(s, d)
+      .select(col("event_type"), col("user_id"), col("ts"), col("event_id"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .withColumn("rn", row_number().over(w))
+    val u = r.groupBy("event_type", "user_id")
+      .agg(count(lit(1)).as("n_u"),
+        sum(col("cents")).cast("long").as("cents_u"),
+        sum(when(col("rn") <= 8, col("cents")).otherwise(0L))
+          .cast("long").as("kept_cents_u"),
+        sum(when(col("rn") <= 8, 1L).otherwise(0L))
+          .cast("long").as("kept_u"))
+    u.groupBy("event_type")
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("n_u")).cast("long").as("n_events"),
+        sum(col("kept_u")).cast("long").as("n_kept"),
+        count(when(col("n_u") > 8, 1)).as("n_users_capped"),
+        sum(col("cents_u")).cast("long").as("raw_cents"),
+        sum(col("kept_cents_u")).cast("long").as("kept_cents"))
+      .select(col("event_type"), col("n_users"), col("n_events"),
+        col("n_kept"), col("n_users_capped"), col("raw_cents"),
+        col("kept_cents"),
+        // DECIMAL(38,0) numerator: 10⁶ × a 100 TB cent total clears
+        // int64 (DuckDB's sum is already HUGEINT; Spark must widen)
+        when(col("raw_cents") > 0,
+          expr("""(1000000 * cast(raw_cents - kept_cents as decimal(38,0)))
+                  div raw_cents"""))
+          .cast("long").as("clip_loss_ppm"))
+      .orderBy("event_type")
+  }
+
   val all: Seq[Q] = Seq(
-    aggHeavyChange,
+    aggHeavyChange, aggContributionBound,
     rfmSegmentation,
     countByProject, filterPred, aggGroupBy, aggRollup, aggMoments,
     aggDistinct, topk,
