@@ -1214,10 +1214,84 @@ object Corpus {
       .orderBy("source")
   }
 
+  /** PROMPT-CONFLICT DETECTION for instruction/SFT-style corpora — the
+    * dedup question pair data adds on top of document dedup: two records
+    * with the SAME prompt but DIFFERENT completions are a label
+    * conflict (they teach the model two answers), while same-prompt
+    * same-completion records are plain duplicates. Here each document
+    * splits into a prompt key (first 8 tokens) and a completion (the
+    * rest); per prompt group the census reports group size, distinct
+    * completions, and the classification — unique / duplicate (n > 1,
+    * one completion) / CONFLICT (n > 1, several completions) — rolled
+    * up per source with the conflicting-record share.
+    *
+    * Exactness: both keys are md5 digests (the [[graft.operators.Dedup]]
+    * `dedup_exact` discipline — content-defined, engine-portable);
+    * counts are exact; the share is floor-DIV ppm. Plan: one
+    * prompt-keyed partial+final aggregate (the only corpus-sized
+    * exchange — digests travel, never text), then a source-keyed
+    * rollup; group classification rides inside the first aggregate as
+    * a distinct count. Grouping carries min(source) so a prompt shared
+    * ACROSS sources attributes once, deterministically. */
+  val corpusPromptConflicts: Q = Q(
+    "corpus_prompt_conflicts",
+    """WITH p AS (SELECT
+      |    md5(array_to_string(string_split(text, ' ')[1:8], ' '))
+      |      AS prompt_key,
+      |    md5(array_to_string(string_split(text, ' ')[9:], ' '))
+      |      AS completion_key,
+      |    source
+      |  FROM documents),
+      |g AS (SELECT prompt_key, min(source) AS source,
+      |    CAST(count(*) AS BIGINT) AS n,
+      |    CAST(count(DISTINCT completion_key) AS BIGINT) AS n_completions
+      |  FROM p GROUP BY 1)
+      |SELECT source,
+      |  CAST(count(*) AS BIGINT) AS n_prompts,
+      |  CAST(count(CASE WHEN n > 1 AND n_completions = 1 THEN 1 END)
+      |       AS BIGINT) AS n_dup_groups,
+      |  CAST(count(CASE WHEN n_completions > 1 THEN 1 END) AS BIGINT)
+      |    AS n_conflict_groups,
+      |  CAST(sum(CASE WHEN n_completions > 1 THEN n ELSE 0 END)
+      |       AS BIGINT) AS n_conflict_records,
+      |  CAST((1000000 * sum(CASE WHEN n_completions > 1 THEN n
+      |                           ELSE 0 END)) // sum(n) AS BIGINT)
+      |    AS conflict_ppm
+      |FROM g GROUP BY source ORDER BY source""".stripMargin
+  ) { (s, d) =>
+    val toks = split(col("text"), " ")
+    val p = Tables.documents(s, d)
+      .select(
+        md5(concat_ws(" ", slice(toks, 1, 8)).cast("binary"))
+          .as("prompt_key"),
+        md5(concat_ws(" ",
+          expr("slice(split(text, ' '), 9, greatest(size(split(text, ' ')) - 8, 0))"))
+          .cast("binary"))
+          .as("completion_key"),
+        col("source"))
+    val g = p.groupBy("prompt_key")
+      .agg(min(col("source")).as("source"),
+        count(lit(1)).as("n"),
+        countDistinct(col("completion_key")).as("n_completions"))
+    g.groupBy("source")
+      .agg(count(lit(1)).as("n_prompts"),
+        count(when(col("n") > 1 && col("n_completions") === 1, 1))
+          .as("n_dup_groups"),
+        count(when(col("n_completions") > 1, 1)).as("n_conflict_groups"),
+        sum(when(col("n_completions") > 1, col("n")).otherwise(0L))
+          .cast("long").as("n_conflict_records"),
+        sum(col("n")).cast("long").as("tot"))
+      .select(col("source"), col("n_prompts"), col("n_dup_groups"),
+        col("n_conflict_groups"), col("n_conflict_records"),
+        expr("(1000000 * n_conflict_records) div tot").cast("long")
+          .as("conflict_ppm"))
+      .orderBy("source")
+  }
+
   val all: Seq[Q] = Seq(corpusSplit, corpusPack, corpusSelect, docChunk,
     corpusDecontaminate, corpusMix, corpusShuffle, trainingManifest,
     corpusEntropy, corpusPipeline, corpusSplitLeakage, corpusSampleWeighted,
     corpusSampleBalanced, corpusMixTemperature, corpusPruneSweep,
     corpusResumeSkip, corpusInterleave, corpusTokenBudget,
-    corpusEpochSchedule)
+    corpusEpochSchedule, corpusPromptConflicts)
 }

@@ -179,6 +179,75 @@ object Relational {
       .limit(20)
   }
 
+  /** SIX-TABLE STAR JOIN (TPC-H Q5 shape) — the deepest join tree in the
+    * catalog and the canonical Catalyst join-reorder / broadcast-mix
+    * exhibit: region→nation→(customer, supplier)→orders→lineitem with
+    * the LOCAL-SUPPLIER constraint c_nationkey = s_nationkey (the
+    * second, non-hierarchical equi edge that makes Q5 a join-ORDER
+    * problem, not a chain). Revenue per nation for ASIA in 1996.
+    *
+    * Plan: the three dimension legs (region⋈nation, then customer and
+    * supplier restricted by it) broadcast — they are region-filtered
+    * and tiny at any scale; the two FACT tables join hash-to-hash on
+    * orderkey (the only corpus-sized exchange pair), and the
+    * local-supplier predicate applies post-join as a filter between
+    * two broadcast lookups, so no fact row is shuffled twice. Money
+    * through the DECIMAL(18,2) route, output as the standard DOUBLE
+    * cast ([[joinMultiway]] discipline). At 100 TB this is exactly the
+    * plan a warehouse wants: one shuffle pair, dimensions riding the
+    * broadcast bus. */
+  val joinStar: Q = Q(
+    "join_star",
+    """SELECT n_name,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+      |           * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+      |    AS revenue,
+      |  CAST(count(*) AS BIGINT) AS n_items
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |             AND c_nationkey = s_nationkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01'
+      |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin
+  ) { (s, d) =>
+    val asiaNations = Tables.nation(s, d)
+      .join(broadcast(Tables.region(s, d)
+          .filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val c = Tables.customer(s, d)
+      .join(broadcast(asiaNations),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_nationkey"))
+    val sup = Tables.supplier(s, d)
+      .join(broadcast(asiaNations),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
+    val o = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val l = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_suppkey"),
+        col("l_extendedprice"), col("l_discount"))
+    val disc1 = lit(1).cast(Tables.Money) - money(col("l_discount"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(sup),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(asDouble(sum(money(col("l_extendedprice")) * disc1))
+             .as("revenue"),
+           count(lit(1)).as("n_items"))
+      .orderBy(desc("revenue"), asc("n_name"))
+  }
+
   /** Left-semi / left-anti joins (EXISTS / NOT EXISTS). */
   val semiAnti: Q = Q(
     "semi_anti",
@@ -2463,7 +2532,7 @@ object Relational {
   }
 
   val all: Seq[Q] = Seq(
-    aggHeavyChange, aggContributionBound,
+    aggHeavyChange, aggContributionBound, joinStar,
     rfmSegmentation,
     countByProject, filterPred, aggGroupBy, aggRollup, aggMoments,
     aggDistinct, topk,
