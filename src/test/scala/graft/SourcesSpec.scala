@@ -61,4 +61,65 @@ class SourcesSpec extends SparkSpec {
     assert(df.schema === patientSchema)
     assert(df.count() === 0)
   }
+
+  test("tar shards: round-trip against the system tar(1) binary") {
+    import graft.sources.TarShards
+    import scala.sys.process._
+    val dir = Files.createTempDirectory("wds").toString
+    val payloadDir = Files.createDirectory(
+      java.nio.file.Paths.get(dir, "samples"))
+    // WebDataset layout: sample key 000000 with two members, 000001 with
+    // one; contents include a >512-byte member to cross a block boundary
+    // and a size not a multiple of 512 to exercise padding
+    val big = ("x" * 700) + "END"
+    val files = Seq(
+      "000000.txt" -> "hello tar world",
+      "000000.cls" -> "7",
+      "000001.txt" -> big)
+    files.foreach { case (n, c) =>
+      Files.writeString(payloadDir.resolve(n), c)
+    }
+    // the INDEPENDENT writer: GNU tar in strict ustar format
+    val rc = Process(Seq("tar", "--format=ustar", "-cf",
+      s"$dir/shard-000.tar", "-C", payloadDir.toString) ++ files.map(_._1)).!
+    assert(rc == 0, "tar(1) failed")
+    val got = TarShards.read(spark, s"$dir/*.tar")
+      .collect().map(r => (r.getAs[String]("sample_key"),
+        r.getAs[String]("ext"),
+        new String(r.getAs[Array[Byte]]("content"), "UTF-8"),
+        r.getAs[Long]("size"), r.getAs[String]("shard")))
+    assert(got.length == 3)
+    assert(got.forall(_._5 == "shard-000.tar"))
+    val byKey = got.map(g => (g._1, g._2) -> g._3).toMap
+    assert(byKey(("000000", "txt")) == "hello tar world")
+    assert(byKey(("000000", "cls")) == "7")
+    assert(byKey(("000001", "txt")) == big)
+    assert(got.find(_._1 == "000001").get._4 == big.length.toLong)
+    // grouping downstream works like a table: one row per sample key
+    val grouped = TarShards.read(spark, s"$dir/*.tar")
+      .groupBy("sample_key")
+      .count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(grouped == Map("000000" -> 2L, "000001" -> 1L))
+  }
+
+  test("tar shards: a torn header fails the read loudly") {
+    import graft.sources.TarShards
+    import scala.sys.process._
+    val dir = Files.createTempDirectory("wds-torn").toString
+    Files.writeString(java.nio.file.Paths.get(dir, "a.txt"), "payload")
+    val tarPath = s"$dir/shard.tar"
+    assert(Process(Seq("tar", "--format=ustar", "-cf", tarPath,
+      "-C", dir, "a.txt")).! == 0)
+    val bytes = Files.readAllBytes(java.nio.file.Paths.get(tarPath))
+    bytes(0) = (bytes(0) ^ 0x7).toByte // corrupt the name; checksum stale
+    Files.write(java.nio.file.Paths.get(tarPath), bytes)
+    val e = intercept[Exception] {
+      TarShards.read(spark, s"$dir/*.tar").collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        String.valueOf(x.getMessage) +: messages(x.getCause))
+    assert(messages(e).exists(_.contains("checksum mismatch")),
+      s"expected a checksum failure, got: ${e.getMessage}")
+  }
 }
