@@ -304,6 +304,71 @@ object Streaming {
       .orderBy("step")
   }
 
+  /** GAP-CONSTRAINED SEQUENTIAL FUNNEL (the ClickHouse `windowFunnel`
+    * semantics) — the strict companion to [[funnelMultistep]]'s
+    * ordered-firsts census: stage k here is the EARLIEST stage-k event
+    * strictly after the user's realized stage-(k−1) instant AND within
+    * a 24 h gap of it, so a user who viewed before signing up still
+    * converts if a later view follows the signup (ordered-firsts says
+    * no — the two operators bracket real funnel behavior, and shipping
+    * both makes the difference a queryable quantity).
+    *
+    * The sequential dependency (t₂ needs t₁'s value) cannot ride one
+    * aggregate; it unrolls as FOUR chained per-user min-aggregates,
+    * each one stage's events joined to the previous stage frame —
+    * every round a user-keyed partial+final aggregate over ONE
+    * event-type slice (partition-prunable at scale), state one BIGINT
+    * per user per round. Exact epoch-ms integers; strict `>` makes
+    * equal-instant chains fail identically on both engines.
+    *
+    * Oracle: the same four stages as chained CTEs — structurally the
+    * plan itself, so the hash match proves the unroll. */
+  val funnelWindowed: Q = Q(
+    "funnel_windowed",
+    """WITH s1 AS (SELECT user_id, min(epoch_ms(ts)) AS t1 FROM events
+      |            WHERE event_type = 'signup' GROUP BY 1),
+      |s2 AS (SELECT e.user_id, min(epoch_ms(e.ts)) AS t2
+      |       FROM events e JOIN s1 ON e.user_id = s1.user_id
+      |       WHERE e.event_type = 'view' AND epoch_ms(e.ts) > s1.t1
+      |         AND epoch_ms(e.ts) <= s1.t1 + 86400000 GROUP BY 1),
+      |s3 AS (SELECT e.user_id, min(epoch_ms(e.ts)) AS t3
+      |       FROM events e JOIN s2 ON e.user_id = s2.user_id
+      |       WHERE e.event_type = 'click' AND epoch_ms(e.ts) > s2.t2
+      |         AND epoch_ms(e.ts) <= s2.t2 + 86400000 GROUP BY 1),
+      |s4 AS (SELECT e.user_id, min(epoch_ms(e.ts)) AS t4
+      |       FROM events e JOIN s3 ON e.user_id = s3.user_id
+      |       WHERE e.event_type = 'purchase' AND epoch_ms(e.ts) > s3.t3
+      |         AND epoch_ms(e.ts) <= s3.t3 + 86400000 GROUP BY 1),
+      |c AS (SELECT 1 AS step, CAST(count(*) AS BIGINT) AS n_reached
+      |        FROM s1
+      |      UNION ALL SELECT 2, CAST(count(*) AS BIGINT) FROM s2
+      |      UNION ALL SELECT 3, CAST(count(*) AS BIGINT) FROM s3
+      |      UNION ALL SELECT 4, CAST(count(*) AS BIGINT) FROM s4)
+      |SELECT CAST(step AS INT) AS step, n_reached
+      |FROM c ORDER BY step""".stripMargin
+  ) { (s, d) =>
+    val G = 86400000L
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"),
+        unix_millis(col("ts")).as("ms"))
+    def stage(prev: DataFrame, tPrev: String, t: String,
+              etype: String): DataFrame =
+      ev.filter(col("event_type") === etype)
+        .join(prev, Seq("user_id"))
+        .filter(col("ms") > col(tPrev) && col("ms") <= col(tPrev) + G)
+        .groupBy("user_id").agg(min(col("ms")).as(t))
+    val s1 = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min(col("ms")).as("t1"))
+    val s2 = stage(s1, "t1", "t2", "view")
+    val s3 = stage(s2, "t2", "t3", "click")
+    val s4 = stage(s3, "t3", "t4", "purchase")
+    def cnt(df: DataFrame, step: Int): DataFrame =
+      df.agg(count(lit(1)).as("n_reached"))
+        .select(lit(step).cast("int").as("step"), col("n_reached"))
+    cnt(s1, 1).union(cnt(s2, 2)).union(cnt(s3, 3)).union(cnt(s4, 4))
+      .orderBy("step")
+  }
+
   /** TOP USER JOURNEYS (path analysis, the product-analytics sibling of
     * [[eventTransitions]]' Markov edges): each user's first five events
     * in (ts, event_id) order collapse to a `a>b>c` path string, and the
@@ -2088,7 +2153,7 @@ object Streaming {
   }
 
   val all: Seq[Q] = Seq(streamTumbling, streamHopping, streamSession,
-    resampleGapfill, resampleInterp, funnel, funnelMultistep, eventPaths,
+    resampleGapfill, resampleInterp, funnel, funnelMultistep, funnelWindowed, eventPaths,
     retentionCohort,
     eventTransitions, ohlcBars, sessionizeGaps, patternSeq,
     attributionLastclick, attributionLinear, attributionTimedecay,
