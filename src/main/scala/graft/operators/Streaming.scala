@@ -304,6 +304,80 @@ object Streaming {
       .orderBy("step")
   }
 
+  /** TOKEN-BUCKET RATE-LIMITER SIMULATION — the capacity-planning query
+    * behind every quota decision: replay the event stream through a
+    * per-user bucket (capacity 3 tokens, refill 1/hour, continuous
+    * accrual) and report, per event_type, how much traffic a proposed
+    * limit would have denied. The per-user fold is the [[TimeSeries]]
+    * ts_ewma SEQUENTIAL-RECURRENCE idiom: one user-keyed exchange, an
+    * in-partition (user, ts, event_id) secondary sort, a mapPartitions
+    * pass carrying O(1) state — here the bucket as exact REFILL-TIME
+    * CREDIT in ms (credit += Δt, capped at 3 h; an allow spends 1 h),
+    * so the whole simulation is integer arithmetic with zero float
+    * surface and the strict (ts, event_id) order makes every decision
+    * bit-deterministic. Oracle: the same recurrence as a RECURSIVE CTE
+    * (the ewma discipline), then the same type census — the hash match
+    * proves the distributed fold equals the sequential definition. */
+  val rateLimitSim: Q = Q(
+    "rate_limit_sim",
+    """WITH RECURSIVE x AS (
+      |  SELECT user_id, event_type, epoch_ms(ts) AS ms,
+      |    row_number() OVER (PARTITION BY user_id
+      |                       ORDER BY ts, event_id) AS rn
+      |  FROM events),
+      |r AS (
+      |  SELECT user_id, event_type, ms, rn,
+      |    CAST(10800000 - 3600000 AS BIGINT) AS credit,
+      |    1 AS allowed
+      |  FROM x WHERE rn = 1
+      |  UNION ALL
+      |  SELECT x.user_id, x.event_type, x.ms, x.rn,
+      |    CASE WHEN least(r.credit + x.ms - r.ms, 10800000) >= 3600000
+      |         THEN least(r.credit + x.ms - r.ms, 10800000) - 3600000
+      |         ELSE least(r.credit + x.ms - r.ms, 10800000) END,
+      |    CASE WHEN least(r.credit + x.ms - r.ms, 10800000) >= 3600000
+      |         THEN 1 ELSE 0 END
+      |  FROM x JOIN r ON x.user_id = r.user_id AND x.rn = r.rn + 1)
+      |SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+      |  CAST(sum(allowed) AS BIGINT) AS n_allowed,
+      |  CAST(count(*) - sum(allowed) AS BIGINT) AS n_denied,
+      |  CAST((1000000 * (count(*) - sum(allowed))) // count(*) AS BIGINT)
+      |    AS denied_ppm
+      |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    val CapMs = 10800000L  // 3 tokens × 1h refill each
+    val CostMs = 3600000L  // one allow spends one hour of credit
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"),
+        unix_millis(col("ts")).as("ms"))
+      .repartition(col("user_id"))
+      .sortWithinPartitions("user_id", "ts", "event_id")
+      .select("user_id", "event_type", "ms")
+      .as[(Long, String, Long)]
+      .mapPartitions { it =>
+        var curUser = Long.MinValue
+        var credit = 0L
+        var lastMs = 0L
+        it.map { case (u, et, ms) =>
+          if (u != curUser) { curUser = u; credit = CapMs; lastMs = ms }
+          else { credit = math.min(credit + (ms - lastMs), CapMs); lastMs = ms }
+          val allowed = credit >= CostMs
+          if (allowed) credit -= CostMs
+          (et, if (allowed) 1L else 0L)
+        }
+      }
+      .toDF("event_type", "allowed")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("allowed")).cast("long").as("n_allowed"))
+      .select(col("event_type"), col("n_events"), col("n_allowed"),
+        (col("n_events") - col("n_allowed")).as("n_denied"),
+        expr("(1000000 * (n_events - n_allowed)) div n_events")
+          .cast("long").as("denied_ppm"))
+      .orderBy("event_type")
+  }
+
   /** GAP-CONSTRAINED SEQUENTIAL FUNNEL (the ClickHouse `windowFunnel`
     * semantics) — the strict companion to [[funnelMultistep]]'s
     * ordered-firsts census: stage k here is the EARLIEST stage-k event
@@ -2153,7 +2227,7 @@ object Streaming {
   }
 
   val all: Seq[Q] = Seq(streamTumbling, streamHopping, streamSession,
-    resampleGapfill, resampleInterp, funnel, funnelMultistep, funnelWindowed, eventPaths,
+    resampleGapfill, resampleInterp, funnel, funnelMultistep, funnelWindowed, rateLimitSim, eventPaths,
     retentionCohort,
     eventTransitions, ohlcBars, sessionizeGaps, patternSeq,
     attributionLastclick, attributionLinear, attributionTimedecay,
