@@ -137,6 +137,20 @@ case class AbSeqState(fe: Boolean, fp: Boolean)
   * `max_step` under the batch query's ordered-firsts semantics, plus the
   * signup→purchase latency once step 4 is reached. */
 case class FunnelPos(user_id: Long, max_step: Int, conv_ms: Long)
+
+/** One admit/deny decision from the streaming token-bucket twin — each
+  * event emits exactly one decision row (Append mode), so any census
+  * over decisions equals the batch `rate_limit_sim` replay. */
+case class RateDecision(user_id: Long, event_id: Long,
+                        event_type: String, ms: Long, allowed: Boolean)
+/** Input event for the rate-limiter twin — carries event_id so the
+  * within-batch sort can reproduce the batch fold's total
+  * (ts, event_id) order on equal-millisecond events. */
+case class RateEvent(user_id: Long, event_id: Long,
+                     ts: java.sql.Timestamp, event_type: String)
+/** O(1) per-user bucket state: refill-credit ms and last event ms —
+  * the batch fold's exact integer state, carried across micro-batches. */
+case class TokenBucketState(credit: Long, lastMs: Long)
 /** O(1) per-user state: the first-seen epoch ms of each funnel stage
   * (−1 = not yet seen). Under per-user in-order arrival each field is
   * set at most once, so it equals the batch per-stage min. */
@@ -1108,6 +1122,39 @@ object Streams {
               s = s.copy(fp = true)
             }
           }
+          state.update(s)
+          out.iterator
+      }
+  }
+
+  /** Streaming token-bucket rate limiter — the LIVE half of the batch
+    * `rate_limit_sim` replay (this is the operator a real quota service
+    * runs; the batch query is its what-if backtest): per-user state is
+    * the same exact integer (credit ms, last ms) pair, each arriving
+    * event emits one admit/deny decision (Append — decisions are
+    * immutable facts), and under the per-user in-order contract every
+    * decision equals the batch fold's at any prefix, regardless of
+    * micro-batch boundaries. */
+  def rateLimit(ds: Dataset[RateEvent]): Dataset[RateDecision] = {
+    import ds.sparkSession.implicits._
+    val CapMs = 10800000L
+    val CostMs = 3600000L
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+                              GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[RateEvent],
+         state: GroupState[TokenBucketState]) =>
+          var s = state.getOption.orNull
+          val out = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            .map { e =>
+              val ms = e.ts.getTime
+              s = if (s == null) TokenBucketState(CapMs, ms)
+                  else TokenBucketState(
+                    math.min(s.credit + (ms - s.lastMs), CapMs), ms)
+              val allowed = s.credit >= CostMs
+              if (allowed) s = s.copy(credit = s.credit - CostMs)
+              RateDecision(uid, e.event_id, e.event_type, ms, allowed)
+            }
           state.update(s)
           out.iterator
       }
