@@ -109,6 +109,55 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** LANGUAGE-ID CONFUSION MATRIX — the evaluation harness over
+    * [[predictLang]] (the recall_eval discipline applied to the text
+    * family): the fixture carries ground-truth `lang`, so the classifier
+    * becomes measurable — per (actual, predicted) cell the count and the
+    * within-actual share (recall on the diagonal, confusion off it).
+    * This is the readout that tunes marker lists: zh/fr have no markers
+    * here, so their rows land in 'und'/'en' — reported, not hidden.
+    *
+    * One corpus pass to the |langs|²-bounded cell aggregate; the
+    * per-actual total rides a window over that tiny frame. Exact counts,
+    * floor-DIV ppm. */
+  val langConfusion: Q = Q(
+    "lang_confusion",
+    """WITH s AS (SELECT lang,
+      |  len(list_filter(string_split(text,' '),
+      |      t -> t IN ('the','a','of'))) AS s_en,
+      |  len(list_filter(string_split(text,' '),
+      |      t -> t IN ('der','die','und'))) AS s_de,
+      |  len(list_filter(string_split(text,' '),
+      |      t -> t IN ('el','los','una'))) AS s_es
+      |FROM documents),
+      |p AS (SELECT lang AS actual,
+      |  CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en > 0 THEN 'en'
+      |       WHEN s_de >= s_es AND s_de > 0 THEN 'de'
+      |       WHEN s_es > 0 THEN 'es'
+      |       ELSE 'und' END AS predicted
+      |  FROM s),
+      |m AS (SELECT actual, predicted, CAST(count(*) AS BIGINT) AS n
+      |      FROM p GROUP BY 1, 2)
+      |SELECT actual, predicted, n,
+      |  CAST((1000000 * n) // sum(n) OVER (PARTITION BY actual)
+      |       AS BIGINT) AS share_ppm,
+      |  actual = predicted AS correct
+      |FROM m ORDER BY actual, predicted""".stripMargin
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val toks = split(col("text"), " ")
+    val m = Tables.documents(s, d)
+      .select(col("lang").as("actual"), predictLang(toks).as("predicted"))
+      .groupBy("actual", "predicted")
+      .agg(count(lit(1)).as("n"))
+    m.withColumn("tot",
+        sum(col("n")).over(Window.partitionBy("actual")))
+      .select(col("actual"), col("predicted"), col("n"),
+        expr("(1000000 * n) div tot").cast("long").as("share_ppm"),
+        (col("actual") === col("predicted")).as("correct"))
+      .orderBy("actual", "predicted")
+  }
+
   /** Content fingerprint: md5 over the sorted distinct token set — a
     * bag-of-words fingerprint that is stable under token reordering (the
     * canonical cheap document fingerprint; a rolling/shingle hash variant
@@ -1490,7 +1539,8 @@ object TextAnalysis {
       .orderBy(desc("fano_micro"), col("token")).limit(30)
   }
 
-  val all: Seq[Q] = Seq(textTokens, textQuality, langId, textFingerprint,
+  val all: Seq[Q] = Seq(textTokens, textQuality, langId, langConfusion,
+    textFingerprint,
     textTfidf, textNormalize, textRepetition, piiRedact, ngramFreq,
     textContamination, textTokenBpe, textPerplexity, spanDedup,
     textHeavyHitters, textQualityClassifier, textCountmin, textCollocations,
