@@ -32,7 +32,14 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// The container locale is POSIX (platform charset ANSI_X3.4-1968): any
+// platform-default decode turns non-ASCII bytes into U+FFFD. Pin UTF-8 at
+// both the compiler (source files carry §/—/→ in scaladoc and literals)
+// and every forked JVM (doc generators read-modify-write SURVEY.md).
+ThisBuild / scalacOptions += "-encoding"
+ThisBuild / scalacOptions += "utf-8"
 javaOptions ++= jdk17AddOpens ++ Seq(
+  "-Dfile.encoding=UTF-8",
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",

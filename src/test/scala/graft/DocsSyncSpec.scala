@@ -10,7 +10,19 @@ import org.scalatest.funsuite.AnyFunSuite
 class DocsSyncSpec extends AnyFunSuite {
 
   private def read(p: String): String =
-    new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)))
+    new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)),
+      java.nio.charset.StandardCharsets.UTF_8)
+
+  test("SURVEY.md carries no U+FFFD (mojibake canary)") {
+    // A platform-default-charset read in GenSurveyTable once turned every
+    // non-ASCII char into U+FFFD and TRIPLED the damage on each rerun
+    // (3.6 MB of replacement chars by the time it was caught). The decode
+    // is pinned to UTF-8 now; this canary makes any recurrence — from any
+    // tool that rewrites the file — a test failure instead of silent rot.
+    val survey = read("SURVEY.md")
+    val bad = survey.count(_ == '�')
+    assert(bad == 0, s"SURVEY.md contains $bad U+FFFD replacement chars")
+  }
 
   test("SURVEY.md §2.0 table IS the catalog (row-exact, regenerated)") {
     val survey = read("SURVEY.md")

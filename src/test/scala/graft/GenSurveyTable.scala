@@ -90,12 +90,22 @@ object GenSurveyTable {
 
   def main(args: Array[String]): Unit = {
     val p = java.nio.file.Paths.get("SURVEY.md")
-    val survey = new String(java.nio.file.Files.readAllBytes(p))
+    // UTF-8 EXPLICITLY on both ends: sbt forks with a non-UTF-8 default
+    // charset here, and the platform-default `new String(bytes)` decoded
+    // every non-ASCII byte (em-dashes, §, →) to U+FFFD while writeString
+    // re-encoded UTF-8 — each regeneration then TRIPLED the replacement
+    // runs (the round-8 SURVEY.md corruption). Read and write must name
+    // the charset; DocsSyncSpec now rejects any U+FFFD in the file.
+    val survey = new String(java.nio.file.Files.readAllBytes(p),
+      java.nio.charset.StandardCharsets.UTF_8)
     val (b, e) = (survey.indexOf(Begin), survey.indexOf(End))
     require(b >= 0 && e > b, "SURVEY.md is missing the §2.0 GEN markers")
+    require(!survey.contains('�'),
+      "SURVEY.md already contains U+FFFD — repair it before regenerating")
     val out = survey.substring(0, b + Begin.length) + "\n\n" +
       render() + "\n" + survey.substring(e)
-    java.nio.file.Files.writeString(p, out)
+    java.nio.file.Files.writeString(p, out,
+      java.nio.charset.StandardCharsets.UTF_8)
     println(s"[gen] SURVEY.md §2.0: ${SparkEntry.catalog.size} query rows")
   }
 }
