@@ -898,6 +898,139 @@ object Streaming {
       .orderBy("campaign")
   }
 
+  /** SHAPLEY-VALUE ATTRIBUTION (Shapley 1953 applied to conversion paths
+    * — the game-theoretic credit rule behind "data-driven attribution"):
+    * each purchase's journey is the SET of channel types the user touched
+    * in the 19-day lookback, the coalition value v(S) is the number of
+    * conversions reachable using only channels in S (v(S) = Σ conversions
+    * whose touch set ⊆ S — monotone by construction), and channel i's
+    * credit is the Shapley value Σ_{S ∌ i} |S|!·(n−1−|S|)!/n! ·
+    * (v(S∪i) − v(S)). Unlike [[attributionLastclick]]/[[attributionLinear]]
+    * /[[attributionTimedecay]] (positional rules), Shapley credits
+    * channels by their marginal contribution over every coalition — the
+    * only rule that is efficient, symmetric, and dummy-free.
+    *
+    * Exactness: the channel domain is the four non-purchase event types
+    * (click=1, error=2, signup=4, view=8 — alphabetical bit order), so
+    * n = 4 and every Shapley weight is |S|!·(3−|S|)!/4! — kept as the
+    * INTEGER numerator (6,2,2,6 by |S|) over the constant 24. Credits
+    * ship as the exact ×24 integer (`shapley_num24`), a milli-unit
+    * floor-div, and a ppm share of attributed conversions; untouched
+    * conversions (empty set) appear in v(∅) and cancel in every marginal,
+    * exactly as the axioms require. The ppm numerator widens to
+    * HUGEINT/DECIMAL(38,0) (10⁶·24·conversions clears int64 past ~4e11
+    * conversions — the [[attributionTimedecay]] overflow discipline).
+    *
+    * Plan: the only corpus-sized work is the same user-keyed
+    * purchase×touch pair join as [[attributionTimedecay]] followed by a
+    * purchase-keyed bit_or — one exchange, one BIGINT of state per
+    * conversion. Everything after operates on the 16-row mask census:
+    * the subset-sum v(S), the 4×8 marginal fold, and the shares are
+    * joins over ≤16-row broadcast frames — constant work at any corpus
+    * size. (A |C|-channel domain grows this tail as 2^|C|; the bounded
+    * event-type domain is what makes exact Shapley tractable — the same
+    * |types|-bounded-state argument as [[markovStationary]].) */
+  val attributionShapley: Q = Q(
+    "attribution_shapley",
+    """WITH p AS (SELECT user_id, event_id AS purch_id, ts AS pts,
+      |        epoch_ms(ts) // 86400000 AS pday
+      |      FROM events WHERE event_type = 'purchase'),
+      |t AS (SELECT user_id, event_id, ts,
+      |        CASE event_type WHEN 'click' THEN 1 WHEN 'error' THEN 2
+      |             WHEN 'signup' THEN 4 WHEN 'view' THEN 8 END AS bit,
+      |        epoch_ms(ts) // 86400000 AS day
+      |      FROM events WHERE event_type <> 'purchase'),
+      |m AS (SELECT p.purch_id,
+      |        CAST(COALESCE(bit_or(t.bit), 0) AS BIGINT) AS mask
+      |      FROM p LEFT JOIN t ON t.user_id = p.user_id
+      |        AND (t.ts < p.pts OR (t.ts = p.pts AND t.event_id < p.purch_id))
+      |        AND p.pday - t.day <= 19
+      |      GROUP BY 1),
+      |cnt AS (SELECT mask, CAST(count(*) AS BIGINT) AS c FROM m GROUP BY 1),
+      |sets AS (SELECT CAST(s AS BIGINT) AS s FROM range(0, 16) t(s)),
+      |v AS (SELECT sets.s, CAST(COALESCE(sum(cnt.c), 0) AS BIGINT) AS v
+      |      FROM sets LEFT JOIN cnt ON (cnt.mask | sets.s) = sets.s
+      |      GROUP BY 1),
+      |ch(bit, channel) AS (VALUES (1, 'click'), (2, 'error'),
+      |                            (4, 'signup'), (8, 'view')),
+      |sh AS (SELECT ch.channel, ch.bit,
+      |         CAST(sum((CASE bit_count(v0.s) WHEN 0 THEN 6 WHEN 1 THEN 2
+      |                   WHEN 2 THEN 2 ELSE 6 END) * (v1.v - v0.v))
+      |           AS BIGINT) AS num
+      |       FROM ch JOIN v v0 ON (v0.s & ch.bit) = 0
+      |               JOIN v v1 ON v1.s = (v0.s | ch.bit)
+      |       GROUP BY 1, 2),
+      |tc AS (SELECT ch.bit, CAST(COALESCE(sum(cnt.c), 0) AS BIGINT)
+      |         AS n_touched
+      |       FROM ch LEFT JOIN cnt ON (cnt.mask & ch.bit) <> 0
+      |       GROUP BY 1),
+      |tot AS (SELECT max(CASE WHEN s = 15 THEN v END)
+      |             - max(CASE WHEN s = 0 THEN v END) AS attributed FROM v)
+      |SELECT sh.channel, tc.n_touched,
+      |  sh.num AS shapley_num24,
+      |  CAST((1000 * sh.num) // 24 AS BIGINT) AS shapley_milli,
+      |  CAST(CASE WHEN tot.attributed > 0
+      |       THEN (1000000 * CAST(sh.num AS HUGEINT))
+      |            // (24 * tot.attributed) ELSE 0 END AS BIGINT)
+      |    AS share_ppm
+      |FROM sh JOIN tc ON tc.bit = sh.bit CROSS JOIN tot
+      |ORDER BY channel""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"),
+        expr("unix_millis(ts) div 86400000").as("day"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purch_id"),
+        col("ts").as("pts"), col("day").as("pday"))
+    val t = ev.filter(col("event_type") =!= "purchase")
+      .select(col("user_id").as("t_user"), col("event_id").as("t_id"),
+        col("ts").as("tts"), col("day").as("tday"),
+        when(col("event_type") === "click", 1L)
+          .when(col("event_type") === "error", 2L)
+          .when(col("event_type") === "signup", 4L)
+          .when(col("event_type") === "view", 8L).as("bit"))
+    val m = p.join(t,
+        col("user_id") === col("t_user") &&
+          (col("tts") < col("pts") ||
+            (col("tts") === col("pts") && col("t_id") < col("purch_id"))) &&
+          col("pday") - col("tday") <= 19, "left")
+      .groupBy("purch_id")
+      .agg(coalesce(expr("bit_or(bit)"), lit(0L)).as("mask"))
+    val cnt = m.groupBy("mask").agg(count(lit(1)).as("c"))
+    val sets = (0L until 16L).toDF("s")
+    val v = sets.join(broadcast(cnt),
+        (col("mask").bitwiseOR(col("s"))) === col("s"), "left")
+      .groupBy("s").agg(coalesce(sum(col("c")), lit(0L)).as("v"))
+    val ch = Seq((1L, "click"), (2L, "error"), (4L, "signup"),
+      (8L, "view")).toDF("bit", "channel")
+    val weight = when(expr("bit_count(s0)").isin(0, 3), 6L).otherwise(2L)
+    val sh = ch
+      .join(broadcast(v.select(col("s").as("s0"), col("v").as("v0"))),
+        col("s0").bitwiseAND(col("bit")) === 0)
+      .join(broadcast(v.select(col("s").as("s1"), col("v").as("v1"))),
+        col("s1") === col("s0").bitwiseOR(col("bit")))
+      .groupBy("bit", "channel")
+      .agg(sum(weight * (col("v1") - col("v0"))).as("num"))
+    val tc = ch.select(col("bit").as("tbit"))
+      .join(broadcast(cnt), col("mask").bitwiseAND(col("tbit")) =!= 0,
+        "left")
+      .groupBy("tbit").agg(coalesce(sum(col("c")), lit(0L)).as("n_touched"))
+    val tot = v.agg(
+      (max(when(col("s") === 15, col("v"))) -
+        max(when(col("s") === 0, col("v")))).as("attributed"))
+    sh.join(tc, col("bit") === col("tbit"))
+      .crossJoin(broadcast(tot))
+      .select(col("channel"), col("n_touched"),
+        col("num").as("shapley_num24"),
+        expr("(1000 * num) div 24").cast("long").as("shapley_milli"),
+        when(col("attributed") > 0,
+          expr("""(1000000 * cast(num as decimal(38,0)))
+                  div (24 * attributed)"""))
+          .otherwise(lit(0L)).cast("long").as("share_ppm"))
+      .orderBy("channel")
+  }
+
   /** Slowly-changing-dimension type-2 build from the event stream: per
     * user, change-capture on event_type (consecutive repeats collapse
     * into one validity interval), then each surviving change becomes a
@@ -2231,6 +2364,7 @@ object Streaming {
     retentionCohort,
     eventTransitions, ohlcBars, sessionizeGaps, patternSeq,
     attributionLastclick, attributionLinear, attributionTimedecay,
+    attributionShapley,
     scd2, joinPit, abLiftZtest, abRatioDelta, abCuped, abSrm,
     abSequential, abPower, retentionSurvivalKm, retentionLtv,
     sessionConcurrency, markovTwoStep, markovStationary, graphScc,

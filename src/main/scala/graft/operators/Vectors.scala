@@ -2940,6 +2940,126 @@ object Vectors {
       .orderBy("bucket")
   }
 
+  /** RANKING-QUALITY EVAL (NDCG@10 + MRR@10) of the exact nearest-neighbor
+    * ranking against same-label relevance — the metric pair every retrieval
+    * eval harness reports next to recall (recall counts hits; NDCG grades
+    * WHERE they landed, MRR grades how soon the first one lands). Queries
+    * are the [[vectorRpRecall]] convention (vec_id < 5), corpus is the
+    * rest; a corpus item is relevant iff it shares the query's label.
+    *
+    * Exactness: components quantize once to milli-units and the ranking
+    * key is the exact BIGINT squared L2 distance with vec_id tie-break —
+    * no float ordering surface. The DCG discount 1/log2(rank+1) is
+    * irrational, so the weights ship as TEN INTEGER LITERALS
+    * (floor(10⁶/log2(i+1)), identical constants in both engines); DCG and
+    * IDCG are then exact integer sums and NDCG one integer division —
+    * the engines cannot disagree in the last ulp because there are no
+    * floats anywhere. IDCG uses the standard ideal ranking: min(10, R)
+    * relevant items stacked on top (R = corpus count of the query's
+    * label), read from a literal prefix-sum array. MRR@10 is
+    * 10⁶ // first-relevant-rank, 0 when no relevant lands in the top 10.
+    *
+    * Plan: the 5-row query frame BROADCASTS across one corpus stream
+    * (per-row work = |Q| codegen distance kernels, no shuffle); the only
+    * exchange is the |Q|-keyed rank window, and everything after the
+    * rn ≤ 10 cut is O(|Q|) rows. At 100 TB the corpus is touched once;
+    * this is an EVAL (like [[vectorRpRecall]]) — the serving paths are
+    * the ANN queries it grades. */
+  val vectorNdcgMrr: Q = Q(
+    "vector_ndcg_mrr",
+    """WITH b AS (SELECT vec_id, label,
+      |    [CAST(floor(1000 * CAST(x AS DOUBLE)) AS BIGINT)
+      |     FOR x IN embedding] AS q
+      |  FROM embeddings),
+      |c AS (SELECT vec_id, label, q FROM b WHERE vec_id >= 5),
+      |qs AS (SELECT vec_id AS q_id, label AS q_label, q AS qq
+      |       FROM b WHERE vec_id < 5),
+      |w(i, wt) AS (VALUES (1, 1000000), (2, 630929), (3, 500000),
+      |  (4, 430676), (5, 386852), (6, 356207), (7, 333333),
+      |  (8, 315464), (9, 301029), (10, 289064)),
+      |lc AS (SELECT label, count(*) AS n_rel FROM c GROUP BY 1),
+      |nr AS (SELECT q_id, q_label, COALESCE(lc.n_rel, 0) AS n_rel
+      |       FROM qs LEFT JOIN lc ON lc.label = qs.q_label),
+      |dd AS (SELECT qs.q_id, qs.q_label, c.vec_id, c.label,
+      |    list_sum([(qs.qq[i] - c.q[i]) * (qs.qq[i] - c.q[i])
+      |              FOR i IN range(1, 65)]) AS d
+      |  FROM qs CROSS JOIN c),
+      |r AS (SELECT q_id, q_label, label,
+      |    row_number() OVER (PARTITION BY q_id ORDER BY d, vec_id) AS rn
+      |  FROM dd),
+      |t AS (SELECT r.q_id, r.q_label,
+      |    CAST(count(CASE WHEN r.label = r.q_label THEN 1 END) AS BIGINT)
+      |      AS n_rel_at10,
+      |    CAST(COALESCE(sum(CASE WHEN r.label = r.q_label THEN w.wt END), 0)
+      |      AS BIGINT) AS dcg_ppm,
+      |    min(CASE WHEN r.label = r.q_label THEN r.rn END) AS first_rel
+      |  FROM r JOIN w ON w.i = r.rn
+      |  WHERE r.rn <= 10 GROUP BY 1, 2),
+      |ic AS (SELECT nr.q_id, nr.q_label, nr.n_rel,
+      |    CAST(COALESCE(sum(w.wt), 0) AS BIGINT) AS idcg_ppm
+      |  FROM nr LEFT JOIN w ON w.i <= least(10, nr.n_rel)
+      |  GROUP BY 1, 2, 3)
+      |SELECT ic.q_id, ic.q_label AS label,
+      |  CAST(ic.n_rel AS BIGINT) AS n_rel, t.n_rel_at10, t.dcg_ppm,
+      |  ic.idcg_ppm,
+      |  CAST(CASE WHEN ic.idcg_ppm > 0
+      |       THEN (1000000 * t.dcg_ppm) // ic.idcg_ppm ELSE 0 END
+      |    AS BIGINT) AS ndcg_ppm,
+      |  CAST(CASE WHEN t.first_rel IS NULL THEN 0
+      |       ELSE 1000000 // t.first_rel END AS BIGINT) AS rr_ppm
+      |FROM ic JOIN t ON t.q_id = ic.q_id
+      |ORDER BY ic.q_id""".stripMargin
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val wts = Seq(1000000L, 630929L, 500000L, 430676L, 386852L,
+      356207L, 333333L, 315464L, 301029L, 289064L)
+    val prefix = wts.scanLeft(0L)(_ + _).tail // prefix[i] = sum of w[1..i]
+    val b = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+        transform(toDouble(col("embedding")),
+          x => floor(x * 1000).cast("long")).as("q"))
+    val c = b.filter(col("vec_id") >= 5)
+    val qs = b.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+        col("q").as("qq"))
+    val lc = c.groupBy(col("label").as("rl"))
+      .agg(count(lit(1)).as("n_rel0"))
+    val nr = qs.select("q_id", "q_label")
+      .join(broadcast(lc), col("q_label") === col("rl"), "left")
+      .select(col("q_id"), col("q_label"),
+        coalesce(col("n_rel0"), lit(0L)).as("n_rel"))
+    val wr = Window.partitionBy("q_id").orderBy(asc("d"), asc("vec_id"))
+    val t = c.crossJoin(broadcast(qs))
+      .select(col("q_id"), col("q_label"), col("vec_id"), col("label"),
+        aggregate(zip_with(col("qq"), col("q"), (a, v) => (a - v) * (a - v)),
+          lit(0L), (acc, v) => acc + v).as("d"))
+      .withColumn("rn", row_number().over(wr)).filter(col("rn") <= 10)
+      .withColumn("wt", element_at(typedlit(wts), col("rn").cast("int")))
+      .groupBy("q_id", "q_label")
+      .agg(count(when(col("label") === col("q_label"), 1)).as("n_rel_at10"),
+        coalesce(sum(when(col("label") === col("q_label"), col("wt"))),
+          lit(0L)).as("dcg_ppm"),
+        min(when(col("label") === col("q_label"), col("rn")))
+          .as("first_rel"))
+    nr.join(t, Seq("q_id", "q_label"))
+      .select(col("q_id"), col("q_label").as("label"), col("n_rel"),
+        col("n_rel_at10"), col("dcg_ppm"),
+        when(col("n_rel") > 0,
+          element_at(typedlit(prefix),
+            least(lit(10L), col("n_rel")).cast("int")))
+          .otherwise(lit(0L)).as("idcg_ppm"),
+        col("first_rel"))
+      .select(col("q_id"), col("label"), col("n_rel"), col("n_rel_at10"),
+        col("dcg_ppm"), col("idcg_ppm"),
+        when(col("idcg_ppm") > 0,
+          expr("(1000000 * dcg_ppm) div idcg_ppm"))
+          .otherwise(lit(0L)).cast("long").as("ndcg_ppm"),
+        when(col("first_rel").isNull, lit(0L))
+          .otherwise(expr("1000000 div first_rel")).cast("long")
+          .as("rr_ppm"))
+      .orderBy("q_id")
+  }
+
   val all: Seq[Q] = Seq(vectorTopk, vectorAnnLsh, vectorAnnIvf,
     vectorTopkBatch, vectorQuantize, vectorCentroid, vectorLabelCoherence,
     knnJoinLsh,
@@ -2949,5 +3069,6 @@ object Vectors {
     vectorSq8Topk, vectorHammingTopk, vectorMatryoshkaTopk,
     vectorFilteredTopk, vectorRangeSearch, vectorIvfProbeSweep,
     vectorMmrRerank, searchHybridRrf, vectorDimStats, vectorCentroidDrift,
-    vectorDimCorr, vectorPcaPower, vectorNormCensus, vectorRpRecall, vectorCosCalibration)
+    vectorDimCorr, vectorPcaPower, vectorNormCensus, vectorRpRecall,
+    vectorCosCalibration, vectorNdcgMrr)
 }
