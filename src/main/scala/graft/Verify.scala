@@ -39,7 +39,11 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // partial runs (local iteration) dump only the selected oracles so
+    // scripts/selfcheck.py can gate a partial output dir without FAILing
+    // every unselected name; the driver's two-arg run dumps all.
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => only.isEmpty || only.contains(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -1288,10 +1288,78 @@ object Corpus {
       .orderBy("source")
   }
 
+  /** Quality-gate attrition funnel — the FIRST report a corpus-cleaning
+    * run produces: documents flow through an ORDERED chain of cheap
+    * quality gates (min length → token-diversity → stopword floor →
+    * token-length ceiling, the standard heuristic ladder) and each doc
+    * is attributed to the FIRST gate that kills it, so the per-gate
+    * counts read as a funnel (what each rule uniquely costs given
+    * everything before it) rather than overlapping per-rule kill rates.
+    * [[corpusPruneSweep]] answers "where should ONE threshold sit";
+    * this answers "what does the shipped CHAIN cost, stage by stage".
+    *
+    * Exactness: every gate is an integer-ppm comparison on per-row token
+    * censuses — no doubles anywhere. Gate labels carry an ordering
+    * prefix so the output sorts in chain order on both engines.
+    *
+    * Plan: ONE corpus pass — all four gates are per-row array
+    * expressions (split / distinct / stopword filter / char count)
+    * fused into the same projection, then a single partial+final
+    * aggregate on the ≤5-value gate key; the token total rides a
+    * 1-row broadcast. Nothing shuffles except ≤5-row partials. */
+  val corpusFilterFunnel: Q = Q(
+    "corpus_filter_funnel",
+    s"""WITH m AS (SELECT doc_id,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+       |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+       |      AS n_uniq,
+       |    CAST(len(list_filter(string_split(text, ' '),
+       |      t -> t IN (${graft.operators.TextAnalysis.stopwords
+                .map("'" + _ + "'").mkString(",")}))) AS BIGINT) AS n_stop,
+       |    CAST(len(replace(text, ' ', '')) AS BIGINT) AS n_chr
+       |  FROM documents),
+       |v AS (SELECT doc_id, n_tok,
+       |    CASE
+       |      WHEN n_tok < 10 THEN 'a_too_short'
+       |      WHEN (1000000 * n_uniq) // n_tok < 400000 THEN 'b_repetitive'
+       |      WHEN (1000000 * n_stop) // n_tok < 50000 THEN 'c_low_stopword'
+       |      WHEN (1000 * n_chr) // n_tok > 12000 THEN 'd_long_tokens'
+       |      ELSE 'e_pass' END AS gate
+       |  FROM m),
+       |tot AS (SELECT CAST(sum(n_tok) AS BIGINT) AS t FROM v)
+       |SELECT gate, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_tok) AS BIGINT) AS tokens,
+       |  CAST((1000000 * CAST(sum(n_tok) AS BIGINT)) // (SELECT t FROM tot)
+       |       AS BIGINT) AS token_share_ppm
+       |FROM v GROUP BY 1 ORDER BY gate""".stripMargin
+  ) { (s, d) =>
+    val toks = split(col("text"), " ")
+    val m = Tables.documents(s, d).select(col("doc_id"),
+      size(toks).cast("long").as("n_tok"),
+      size(array_distinct(toks)).cast("long").as("n_uniq"),
+      size(filter(toks,
+        t => t.isin(graft.operators.TextAnalysis.stopwords: _*)))
+        .cast("long").as("n_stop"),
+      length(translate(col("text"), " ", "")).cast("long").as("n_chr"))
+    val v = m.select(col("n_tok"),
+      when(col("n_tok") < 10, "a_too_short")
+        .when(expr("(1000000 * n_uniq) div n_tok") < 400000, "b_repetitive")
+        .when(expr("(1000000 * n_stop) div n_tok") < 50000, "c_low_stopword")
+        .when(expr("(1000 * n_chr) div n_tok") > 12000, "d_long_tokens")
+        .otherwise("e_pass").as("gate"))
+    val tot = v.agg(sum(col("n_tok")).as("t"))
+    v.groupBy("gate")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tokens"))
+      .crossJoin(broadcast(tot))
+      .select(col("gate"), col("n_docs"), col("tokens"),
+        expr("(1000000 * tokens) div t").as("token_share_ppm"))
+      .orderBy("gate")
+  }
+
   val all: Seq[Q] = Seq(corpusSplit, corpusPack, corpusSelect, docChunk,
     corpusDecontaminate, corpusMix, corpusShuffle, trainingManifest,
     corpusEntropy, corpusPipeline, corpusSplitLeakage, corpusSampleWeighted,
     corpusSampleBalanced, corpusMixTemperature, corpusPruneSweep,
     corpusResumeSkip, corpusInterleave, corpusTokenBudget,
-    corpusEpochSchedule, corpusPromptConflicts)
+    corpusEpochSchedule, corpusPromptConflicts, corpusFilterFunnel)
 }

@@ -2121,6 +2121,108 @@ object Streaming {
       .orderBy("cohort_q", "offset_q")
   }
 
+  /** Rolling DAU / WAU / MAU active-user census + stickiness — the
+    * engagement dashboard every product ships: for each observed day,
+    * distinct users active that day (DAU), in the trailing 7 days (WAU),
+    * in the trailing 28 days (MAU), and DAU/MAU stickiness in ppm.
+    *
+    * Plan shape — why this is a RECENCY aggregate, not three
+    * count-distincts: the naive `count(DISTINCT user) FILTER (...)` ×3
+    * per day makes Spark EXPAND the frame 3× before the distinct
+    * shuffle. Instead activity first reduces to DISTINCT (user, day) —
+    * one exchange, bounded by users×days, never raw events — then each
+    * user-day fans out to its ≤28 trailing target days and a (target
+    * day, user) aggregate keeps only `rec = min(day gap)`, the user's
+    * RECENCY on that day. DAU/WAU/MAU are then plain conditional counts
+    * over recency (rec=0 / rec≤6 / any) in one day-keyed partial+final
+    * aggregate — no distinct expand, no second distinct shuffle, and the
+    * 28× fan-out applies to the already-collapsed user-day frame. The
+    * observed-day dimension is tiny (|calendar days|) and broadcasts.
+    * Stickiness is a nonnegative integer floor-div, exact on both
+    * engines. */
+  val retentionDauMau: Q = Q(
+    "retention_dau_mau",
+    """WITH a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+      |           FROM events),
+      |days AS (SELECT DISTINCT day FROM a),
+      |r AS (SELECT d.day, a.user_id,
+      |        min(datediff('day', a.day, d.day)) AS rec
+      |      FROM days d JOIN a
+      |        ON datediff('day', a.day, d.day) BETWEEN 0 AND 27
+      |      GROUP BY 1, 2)
+      |SELECT day,
+      |  CAST(count(*) FILTER (WHERE rec = 0) AS BIGINT) AS dau,
+      |  CAST(count(*) FILTER (WHERE rec <= 6) AS BIGINT) AS wau,
+      |  CAST(count(*) AS BIGINT) AS mau,
+      |  CAST((1000000 * CAST(count(*) FILTER (WHERE rec = 0) AS BIGINT))
+      |       // count(*) AS BIGINT) AS stickiness_ppm
+      |FROM r GROUP BY 1 ORDER BY day""".stripMargin
+  ) { (s, d) =>
+    val a = Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    val days = a.select(col("day").as("tday")).distinct()
+    val fan = a
+      .select(col("user_id"), col("day"),
+        explode(sequence(lit(0), lit(27))).as("i"))
+      .select(col("user_id"), expr("date_add(day, i)").as("tday"), col("i"))
+    fan.join(broadcast(days), Seq("tday"))
+      .groupBy("tday", "user_id")
+      .agg(min(col("i")).as("rec"))
+      .groupBy(col("tday").as("day"))
+      .agg(count(when(col("rec") === 0, 1)).as("dau"),
+           count(when(col("rec") <= 6, 1)).as("wau"),
+           count(lit(1)).as("mau"))
+      .select(col("day"), col("dau"), col("wau"), col("mau"),
+        expr("(1000000 * dau) div mau").as("stickiness_ppm"))
+      .orderBy("day")
+  }
+
+  /** Burst detection — the bot/abuse screen a rate-limited API runs over
+    * its event log: per user, the maximum number of events inside ANY
+    * trailing 60-minute window (computed exactly by a RANGE frame over
+    * epoch milliseconds — every event's trailing window is a candidate,
+    * so the max is the true sliding-window peak, not an hourly-bucket
+    * approximation that splits bursts across bucket edges), the total
+    * event count, and the burst flag.
+    *
+    * Parity: the RANGE frame is tie-STABLE by construction — all rows
+    * with equal `ms` are frame peers on both engines, so no total-order
+    * tie-break is needed (the agg_weighted_median lesson). Counts are
+    * BIGINT; the flag is a plain comparison.
+    *
+    * Plan: ONE user-keyed exchange feeds the range window, and the
+    * per-user max/count aggregate reuses that partitioning — the event
+    * frame shuffles once. Frame width is bounded by per-user events per
+    * hour; an adversarial hot user concentrates one partition, the same
+    * skew envelope the salted-join family documents. */
+  val eventBurst: Q = Q(
+    "event_burst",
+    """WITH e AS (SELECT user_id, epoch_ms(ts) AS ms FROM events),
+      |b AS (SELECT user_id,
+      |        CAST(count(*) OVER (PARTITION BY user_id ORDER BY ms
+      |          RANGE BETWEEN 3599999 PRECEDING AND CURRENT ROW)
+      |          AS BIGINT) AS burst
+      |      FROM e)
+      |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+      |  CAST(max(burst) AS BIGINT) AS max_burst_1h,
+      |  max(burst) >= 3 AS burst_flag
+      |FROM b GROUP BY 1 ORDER BY user_id""".stripMargin
+  ) { (s, d) =>
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ms")
+      .rangeBetween(-3599999L, 0L)
+    Tables.events(s, d)
+      .select(col("user_id"), unix_millis(col("ts")).as("ms"))
+      .withColumn("burst", count(lit(1)).over(w))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+           max(col("burst")).as("max_burst_1h"))
+      .select(col("user_id"), col("n_events"), col("max_burst_1h"),
+        (col("max_burst_1h") >= 3).as("burst_flag"))
+      .orderBy("user_id")
+  }
+
   /** SAMPLE-RATIO MISMATCH audit — the pre-test gate every
     * experimentation platform runs BEFORE reading [[abLiftZtest]] /
     * [[abRatioDelta]] / [[abCuped]]: if the observed arm split deviates
@@ -2367,6 +2469,7 @@ object Streaming {
     attributionShapley,
     scd2, joinPit, abLiftZtest, abRatioDelta, abCuped, abSrm,
     abSequential, abPower, retentionSurvivalKm, retentionLtv,
+    retentionDauMau, eventBurst,
     sessionConcurrency, markovTwoStep, markovStationary, graphScc,
     graphReciprocity)
 }

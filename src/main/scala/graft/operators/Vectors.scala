@@ -726,6 +726,99 @@ object Vectors {
       .orderBy("label", "dim")
   }
 
+  /** One exact Lloyd (k-means) iteration from deterministic seeds — the
+    * training step IVF coarse quantizers run repeatedly: assign every
+    * vector to its nearest seed, then report the per-cluster census an
+    * index trainer reads before the next iteration — member count,
+    * posting share (the IMBALANCE diagnostic: a skewed share_ppm means
+    * skewed posting lists and ragged probe latency), mean squared
+    * distance (the inertia term k is chosen by), and how far the
+    * recomputed centroid moved from its seed (the convergence signal).
+    * Seeds are the k=8 lowest `vec_id`s — deterministic, no RNG.
+    *
+    * Exactness: the [[vectorCentroidDrift]] discipline — components
+    * quantize ONCE to offset milli-units (floor(1000x)+1000, nonnegative
+    * so floor-div conventions agree), distances are exact BIGINT sums of
+    * squares, the argmin tie-breaks on seed id (min-struct in Spark ≡
+    * the oracle's min-join), and per-cluster sums widen to
+    * DECIMAL(38,0)/HUGEINT before the floor-div means so a 10¹²-vector
+    * cluster cannot wrap int64. All outputs ship as BIGINT.
+    *
+    * Plan: ONE pass builds the (vec_id, dim, q) frame; the seed frame is
+    * 8×64 rows and BROADCASTS to both the assignment join (the O(n·k·d)
+    * kmeans kernel, partial-aggregated on (vec_id, seed) map-side) and
+    * the drift join; everything downstream is keyed by vec_id or seed —
+    * no corpus-sized exchange beyond the two keyed aggregates. */
+  val vectorKmeansStep: Q = Q(
+    "vector_kmeans_step",
+    """WITH q AS (SELECT vec_id, CAST(i AS INT) AS dim,
+      |    CAST(floor(1000 * CAST(embedding[CAST(i AS INT)] AS DOUBLE))
+      |         AS BIGINT) + 1000 AS q
+      |  FROM embeddings CROSS JOIN range(1, 65) t(i)),
+      |sid AS (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8),
+      |sq AS (SELECT q.vec_id AS seed, q.dim, q.q AS sq
+      |       FROM q JOIN sid ON q.vec_id = sid.vec_id),
+      |d AS (SELECT q.vec_id, sq.seed,
+      |        CAST(sum((q.q - sq.sq) * (q.q - sq.sq)) AS BIGINT) AS d2
+      |      FROM q JOIN sq ON q.dim = sq.dim GROUP BY 1, 2),
+      |m AS (SELECT vec_id, min(d2) AS best FROM d GROUP BY 1),
+      |asg AS (SELECT d.vec_id, min(d.seed) AS seed, min(d.d2) AS d2
+      |        FROM d JOIN m ON d.vec_id = m.vec_id AND d.d2 = m.best
+      |        GROUP BY 1),
+      |cm AS (SELECT a.seed, q.dim,
+      |         (1000 * sum(q.q)) // count(*) AS mean_micro
+      |       FROM asg a JOIN q ON q.vec_id = a.vec_id GROUP BY 1, 2),
+      |dr AS (SELECT cm.seed,
+      |         CAST(sum(abs(cm.mean_micro - 1000 * sq.sq)) AS BIGINT)
+      |           AS drift
+      |       FROM cm JOIN sq ON sq.seed = cm.seed AND sq.dim = cm.dim
+      |       GROUP BY 1),
+      |c AS (SELECT seed, CAST(count(*) AS BIGINT) AS n, sum(d2) AS inertia
+      |      FROM asg GROUP BY 1)
+      |SELECT c.seed AS cluster, c.n,
+      |  CAST((1000000 * c.n) // (SELECT count(*) FROM embeddings)
+      |       AS BIGINT) AS share_ppm,
+      |  CAST(c.inertia // c.n AS BIGINT) AS mean_d2,
+      |  dr.drift AS drift_micro
+      |FROM c JOIN dr ON dr.seed = c.seed ORDER BY cluster""".stripMargin
+  ) { (s, d) =>
+    import org.apache.spark.sql.types.DecimalType
+    val emb = Tables.embeddings(s, d)
+    val q = emb
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select(col("vec_id"), (col("pos") + 1).cast("int").as("dim"),
+        (floor(lit(1000) * col("x").cast("double")).cast("long") + 1000)
+          .as("q"))
+    val sid = emb.select(col("vec_id").as("svid")).orderBy("svid").limit(8)
+    val sq = q.join(broadcast(sid), col("vec_id") === col("svid"))
+      .select(col("svid").as("seed"), col("dim"), col("q").as("sq"))
+    val dist = q.join(broadcast(sq), Seq("dim"))
+      .groupBy("vec_id", "seed")
+      .agg(sum((col("q") - col("sq")) * (col("q") - col("sq"))).as("d2"))
+    val asg = dist.groupBy("vec_id")
+      .agg(min(struct(col("d2"), col("seed"))).as("b"))
+      .select(col("vec_id"), col("b.seed").as("seed"), col("b.d2").as("d2"))
+    val c = asg.groupBy("seed")
+      .agg(count(lit(1)).as("n"),
+           sum(col("d2").cast(DecimalType(38, 0))).as("inertia"))
+    val cm = asg.join(q, Seq("vec_id"))
+      .groupBy("seed", "dim")
+      .agg(sum(col("q")).cast(DecimalType(38, 0)).as("sum_q"),
+           count(lit(1)).as("cn"))
+      .select(col("seed"), col("dim"),
+        expr("(1000 * sum_q) div cn").as("mean_micro"))
+    val dr = cm.join(broadcast(sq), Seq("seed", "dim"))
+      .groupBy("seed")
+      .agg(sum(abs(col("mean_micro") - lit(1000) * col("sq"))).as("drift"))
+    val tot = emb.agg(count(lit(1)).as("tot"))
+    c.join(dr, Seq("seed")).crossJoin(broadcast(tot))
+      .select(col("seed").as("cluster"), col("n"),
+        expr("(1000000 * n) div tot").cast("long").as("share_ppm"),
+        expr("inertia div n").cast("long").as("mean_d2"),
+        col("drift").cast("long").as("drift_micro"))
+      .orderBy("cluster")
+  }
+
   /** LABEL-COHERENCE AUDIT via nearest-centroid classification — the
     * label-quality census a curated embedding corpus runs before
     * trusting its labels for supervised work (and the evaluation half of
@@ -3061,7 +3154,8 @@ object Vectors {
   }
 
   val all: Seq[Q] = Seq(vectorTopk, vectorAnnLsh, vectorAnnIvf,
-    vectorTopkBatch, vectorQuantize, vectorCentroid, vectorLabelCoherence,
+    vectorTopkBatch, vectorQuantize, vectorCentroid, vectorKmeansStep,
+    vectorLabelCoherence,
     knnJoinLsh,
     sqlVectorTopk, vectorIndexStats, vectorPq, vectorIvfPq,
     vectorIndexDelta, vectorMips, vectorMipsAnn, vectorRecallEval,

@@ -324,7 +324,55 @@ object Windows {
       .orderBy("streak_len")
   }
 
+  /** Period-over-period growth — the month-over-month revenue delta every
+    * finance/BI dashboard leads with: monthly revenue per order priority,
+    * the prior month's revenue (`lag`), and the growth rate in signed ppm.
+    *
+    * Parity discipline: revenue quantizes to exact cents
+    * ([[graft.Tables.money]] DECIMAL route) so the monthly sums are
+    * BIGINT; the growth division SPLITS SIGN — Spark's `div` truncates
+    * toward zero while DuckDB's `//` floors, and they agree only on
+    * nonnegative operands, so the ppm ratio computes on |Δ| and the sign
+    * reattaches outside (the vector_pca_power discipline).
+    *
+    * Plan: one partial+final aggregate collapses orders to the (priority
+    * × month) frame — bounded by the domain, never by data — then the
+    * lag window rides that tiny frame; the corpus crosses one exchange
+    * total. */
+  val windowGrowthRate: Q = Q(
+    "window_growth_rate",
+    """WITH m AS (SELECT o_orderpriority AS pri,
+      |    date_trunc('month', o_orderdate) AS month,
+      |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+      |                  AS BIGINT)) AS BIGINT) AS cents
+      |  FROM orders GROUP BY 1, 2),
+      |l AS (SELECT pri, month, cents,
+      |        lag(cents) OVER (PARTITION BY pri ORDER BY month) AS prev
+      |      FROM m)
+      |SELECT pri, CAST(month AS DATE) AS month, cents, prev,
+      |  CAST(CASE WHEN cents >= prev THEN (1000000 * (cents - prev)) // prev
+      |       ELSE -((1000000 * (prev - cents)) // prev) END AS BIGINT)
+      |    AS growth_ppm
+      |FROM l WHERE prev IS NOT NULL ORDER BY pri, month""".stripMargin
+  ) { (s, d) =>
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("pri").orderBy("month")
+    Tables.orders(s, d)
+      .groupBy(col("o_orderpriority").as("pri"),
+        trunc(col("o_orderdate"), "month").as("month"))
+      .agg(sum((Tables.money(col("o_totalprice")) * 100).cast("long"))
+        .cast("long").as("cents"))
+      .withColumn("prev", lag(col("cents"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select(col("pri"), col("month"), col("cents"), col("prev"),
+        when(col("cents") >= col("prev"),
+          expr("(1000000 * (cents - prev)) div prev"))
+          .otherwise(-expr("(1000000 * (prev - cents)) div prev"))
+          .as("growth_ppm"))
+      .orderBy("pri", "month")
+  }
+
   val all: Seq[Q] = Seq(windowRank, windowRunning, udafWeighted,
     windowDistribution, windowMoving, windowRangeFrame, windowNavigation,
-    windowCumDistinct, windowIslands)
+    windowCumDistinct, windowIslands, windowGrowthRate)
 }

@@ -156,6 +156,15 @@ case class TokenBucketState(credit: Long, lastMs: Long)
   * set at most once, so it equals the batch per-stage min. */
 case class FunnelStageState(t1: Long, t2: Long, t3: Long, t4: Long)
 
+/** Bounded per-user burst state: event timestamps inside the CURRENT
+  * trailing hour (everything older can never join a future trailing
+  * window under in-order arrival, so it is dropped — state is bounded by
+  * the user's peak events-per-hour), plus the running max and total. */
+case class BurstState(recent: Seq[Long], maxBurst: Long, n: Long)
+/** Live per-user burst census: mirrors batch `event_burst`'s row. */
+case class BurstRow(user_id: Long, n_events: Long, max_burst_1h: Long,
+                    burst_flag: Boolean)
+
 /** One sweep-line delta instant for [[Streams.concurrencyPeaks]]: at
   * epoch-ms `ms` on epoch-day `di`, the active-session level changes by
   * `d` (+1 start / −1 end, pre-clipped to the day like the batch query). */
@@ -1135,6 +1144,39 @@ object Streams {
     * immutable facts), and under the per-user in-order contract every
     * decision equals the batch fold's at any prefix, regardless of
     * micro-batch boundaries. */
+  /** Streaming trailing-hour burst census — the LIVE half of batch
+    * `event_burst` (the abuse screen a rate-limited API watches in real
+    * time): per-user state keeps only the timestamps inside the current
+    * trailing hour — under the per-user in-order contract, older events
+    * can never re-enter a future trailing window, so the drop is lossless
+    * and state stays bounded by the user's peak hourly rate. Each
+    * micro-batch re-emits the user's row (Update mode — a census, not a
+    * fact log). Equal-millisecond peers are counted together whichever
+    * arrives first (the count at the LAST peer includes all of them,
+    * matching the batch RANGE frame's peer semantics on the max). */
+  def burstCensus(ds: Dataset[UserEvent2]): Dataset[BurstRow] = {
+    import ds.sparkSession.implicits._
+    val WindowMs = 3599999L
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update,
+                              GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[UserEvent2],
+         state: GroupState[BurstState]) =>
+          var s = state.getOption.getOrElse(BurstState(Seq.empty, 0L, 0L))
+          var recent = s.recent.toVector
+          var mx = s.maxBurst
+          var n = s.n
+          rows.toSeq.sortBy(_.ts.getTime).foreach { e =>
+            val ms = e.ts.getTime
+            n += 1
+            recent = (recent :+ ms).dropWhile(_ < ms - WindowMs)
+            if (recent.size > mx) mx = recent.size.toLong
+          }
+          state.update(BurstState(recent, mx, n))
+          Iterator(BurstRow(uid, n, mx, mx >= 3))
+      }
+  }
+
   def rateLimit(ds: Dataset[RateEvent]): Dataset[RateDecision] = {
     import ds.sparkSession.implicits._
     val CapMs = 10800000L

@@ -1393,4 +1393,58 @@ class StreamingSpec extends SparkSpec {
     assert(diverged.isEmpty,
       s"cumulative census diverges from batch on: ${diverged.mkString(", ")}")
   }
+
+  test("streaming burst census equals the batch event_burst rows") {
+    import graft.streaming.{BurstRow, Streams, UserEvent2}
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val batch = graft.operators.Streaming.eventBurst.fn(spark, sf0001)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    val evs = Tables.events(spark, sf0001)
+      .select("user_id", "ts").orderBy("ts").collect()
+      .map(r => UserEvent2(r.getLong(0), r.getTimestamp(1)))
+    val (half1, half2) = evs.splitAt(evs.length / 2)
+    val mem = MemoryStream[UserEvent2]
+    val name = s"brst_${System.nanoTime()}"
+    val q = Streams.burstCensus(mem.toDS()).writeStream
+      .format("memory").queryName(name).outputMode("update").start()
+    val live = try {
+      mem.addData(half1.toSeq); q.processAllAvailable()
+      val mid = spark.table(name).count()
+      mem.addData(half2.toSeq); q.processAllAvailable()
+      assert(mid > 0 && mid < spark.table(name).count(),
+        "census rows should arrive across micro-batches")
+      // Update mode: last emitted row per user is the live answer
+      spark.table(name).as[BurstRow].collect().zipWithIndex
+        .groupBy(_._1.user_id).map { case (_, rs) => rs.maxBy(_._2)._1 }
+        .toSeq
+    } finally q.stop()
+    assert(live.map(_.user_id).toSet === batch.keySet)
+    val diverged = live.filterNot { r =>
+      batch(r.user_id) == ((r.n_events, r.max_burst_1h, r.burst_flag))
+    }
+    assert(diverged.isEmpty,
+      s"per-user burst census diverges from batch: ${diverged.take(3)}")
+    // the trailing window must really straddle the micro-batch boundary:
+    // a crafted user bursts 2 events in half 1 and 1 more (same hour) in
+    // half 2 — the live max of 3 is only explicable by carried state
+    val t0 = 1700000000000L
+    def ev(i: Int) = UserEvent2(4242L,
+      new java.sql.Timestamp(t0 + i * 60000L))
+    val mem2 = MemoryStream[UserEvent2]
+    val name2 = s"brstb_${System.nanoTime()}"
+    val q2 = Streams.burstCensus(mem2.toDS()).writeStream
+      .format("memory").queryName(name2).outputMode("update").start()
+    val last = try {
+      mem2.addData(Seq(ev(0), ev(1))); q2.processAllAvailable()
+      mem2.addData(Seq(ev(2))); q2.processAllAvailable()
+      spark.table(name2).as[BurstRow].collect().zipWithIndex
+        .maxBy(_._2)._1
+    } finally q2.stop()
+    assert(last === BurstRow(4242L, 3L, 3L, true),
+      s"cross-batch trailing window broken: $last")
+  }
 }
