@@ -1288,6 +1288,121 @@ object Corpus {
       .orderBy("source")
   }
 
+  /** T5-style span-corruption budget planner — the compute estimate a
+    * denoising-pretraining run makes before launching: with corruption
+    * rate 15% and mean noise-span length 3, each document contributes
+    * `corrupted = (15·n_tok)//100` masked tokens in `spans =
+    * max(1, corrupted//3)` spans (when anything is masked at all), an
+    * encoder input of `n_tok − corrupted + spans` tokens (each span
+    * collapses to one sentinel) and a decoder target of
+    * `corrupted + spans + 1` tokens. The per-source census — total
+    * input/target tokens and the realized corruption ratio — is what
+    * sizes the training job and validates the rate actually achieved on
+    * integer-rounded short documents (always below the nominal 150000
+    * ppm, the readout this query exists to expose).
+    *
+    * Parity: pure nonnegative integer arithmetic end to end. Plan: the
+    * planner is a per-row expression over the token count; ONE
+    * |sources|-bounded partial+final aggregate. */
+  val corpusSpanCorruption: Q = Q(
+    "corpus_span_corruption",
+    """WITH m AS (SELECT source,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      |  FROM documents),
+      |p AS (SELECT source, n_tok, (15 * n_tok) // 100 AS corrupted,
+      |    CASE WHEN (15 * n_tok) // 100 > 0
+      |         THEN greatest(1, ((15 * n_tok) // 100) // 3)
+      |         ELSE 0 END AS spans
+      |  FROM m)
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+      |  CAST(sum(n_tok - corrupted + spans) AS BIGINT) AS input_tokens,
+      |  CAST(sum(corrupted + spans + 1) AS BIGINT) AS target_tokens,
+      |  CAST((1000000 * sum(corrupted)) // sum(n_tok) AS BIGINT)
+      |    AS realized_ppm
+      |FROM p GROUP BY 1 ORDER BY source""".stripMargin
+  ) { (s, d) =>
+    val m = Tables.documents(s, d).select(col("source"),
+      size(split(col("text"), " ")).cast("long").as("n_tok"))
+    val p = m
+      .withColumn("corrupted", expr("(15 * n_tok) div 100"))
+      .withColumn("spans",
+        when(col("corrupted") > 0,
+          greatest(lit(1L), expr("corrupted div 3"))).otherwise(0L))
+    p.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_tok")).as("total_tokens"),
+           sum(col("n_tok") - col("corrupted") + col("spans"))
+             .as("input_tokens"),
+           sum(col("corrupted") + col("spans") + 1).as("target_tokens"),
+           // widened: 10⁶·Σcorrupted clears int64 at ~10¹³ corpus tokens
+           // (DuckDB auto-promotes to HUGEINT; Spark must widen or wrap)
+           expr("""(1000000 * cast(sum(corrupted) as decimal(38,0)))
+                   div sum(n_tok)""").cast("long").as("realized_ppm"))
+      .orderBy("source")
+  }
+
+  /** Padding-waste census under power-of-two length bucketing — the
+    * batching-efficiency readout every training loader with
+    * length-grouped batches is tuned by: each document pads up to its
+    * power-of-two token bucket (16 … 2048, clamped), and the per
+    * (source, bucket) census reports how many tokens of every batch are
+    * PADDING (`waste_ppm` = padded / (padded + real)). A source whose
+    * mass sits just above a bucket boundary wastes ~half its compute on
+    * pad tokens — the signal that drives bucket-boundary tuning or
+    * sequence packing ([[corpusPack]] is the packing alternative this
+    * census justifies).
+    *
+    * Parity: the bucket ladder is a CASE over integer comparisons;
+    * everything downstream is exact nonnegative integer arithmetic with
+    * the ppm numerator widened (10⁶·Σpad clears int64 at ~10¹³ corpus
+    * tokens; DuckDB promotes silently, Spark must widen or wrap).
+    *
+    * Plan: per-row bucket assignment fused into the scan projection,
+    * ONE (source × ≤9 buckets)-bounded partial+final aggregate. */
+  val corpusPadWaste: Q = Q(
+    "corpus_pad_waste",
+    """WITH m AS (SELECT source,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      |  FROM documents),
+      |b AS (SELECT source, n_tok,
+      |    CASE WHEN n_tok <= 16 THEN 16 WHEN n_tok <= 32 THEN 32
+      |         WHEN n_tok <= 64 THEN 64 WHEN n_tok <= 128 THEN 128
+      |         WHEN n_tok <= 256 THEN 256 WHEN n_tok <= 512 THEN 512
+      |         WHEN n_tok <= 1024 THEN 1024 ELSE 2048 END AS bucket
+      |  FROM m)
+      |SELECT source, CAST(bucket AS INT) AS bucket,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(n_tok) AS BIGINT) AS real_tokens,
+      |  CAST(sum(least(bucket, 2048) - least(n_tok, 2048)) AS BIGINT)
+      |    AS pad_tokens,
+      |  CAST((1000000 * CAST(sum(least(bucket, 2048) - least(n_tok, 2048))
+      |         AS HUGEINT))
+      |       // (sum(least(bucket, 2048) - least(n_tok, 2048))
+      |           + sum(least(n_tok, 2048))) AS BIGINT) AS waste_ppm
+      |FROM b GROUP BY 1, 2 ORDER BY source, bucket""".stripMargin
+  ) { (s, d) =>
+    val m = Tables.documents(s, d).select(col("source"),
+      size(split(col("text"), " ")).cast("long").as("n_tok"))
+    val bucket = Seq(16L, 32L, 64L, 128L, 256L, 512L, 1024L)
+      .foldRight(lit(2048L)) { (b, e) =>
+        when(col("n_tok") <= b, b).otherwise(e)
+      }
+    m.select(col("source"), col("n_tok"), bucket.as("bucket"))
+      .groupBy("source", "bucket")
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_tok")).as("real_tokens"),
+           sum(least(col("bucket"), lit(2048L)) -
+               least(col("n_tok"), lit(2048L))).as("pad_tokens"),
+           sum(least(col("n_tok"), lit(2048L))).as("clipped_tokens"))
+      .select(col("source"), col("bucket").cast("int").as("bucket"),
+        col("n_docs"), col("real_tokens"), col("pad_tokens"),
+        expr("""(1000000 * cast(pad_tokens as decimal(38,0)))
+                div (pad_tokens + clipped_tokens)""")
+          .cast("long").as("waste_ppm"))
+      .orderBy("source", "bucket")
+  }
+
   /** Quality-gate attrition funnel — the FIRST report a corpus-cleaning
     * run produces: documents flow through an ORDERED chain of cheap
     * quality gates (min length → token-diversity → stopword floor →
@@ -1352,7 +1467,9 @@ object Corpus {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tokens"))
       .crossJoin(broadcast(tot))
       .select(col("gate"), col("n_docs"), col("tokens"),
-        expr("(1000000 * tokens) div t").as("token_share_ppm"))
+        // widened: 10⁶·tokens clears int64 at ~10¹³ corpus tokens
+        expr("(1000000 * cast(tokens as decimal(38,0))) div t")
+          .cast("long").as("token_share_ppm"))
       .orderBy("gate")
   }
 
@@ -1361,5 +1478,6 @@ object Corpus {
     corpusEntropy, corpusPipeline, corpusSplitLeakage, corpusSampleWeighted,
     corpusSampleBalanced, corpusMixTemperature, corpusPruneSweep,
     corpusResumeSkip, corpusInterleave, corpusTokenBudget,
-    corpusEpochSchedule, corpusPromptConflicts, corpusFilterFunnel)
+    corpusEpochSchedule, corpusPromptConflicts, corpusFilterFunnel,
+    corpusSpanCorruption, corpusPadWaste)
 }

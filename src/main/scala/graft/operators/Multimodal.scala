@@ -809,8 +809,68 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** Dynamic-range / activity census per clip — the one-row-per-asset
+    * summary an audio-curation pass ranks clips by before transcription
+    * (a clip whose loudest frame barely clears its quietest is hum or
+    * silence; one whose active share is tiny is mostly dead air): per
+    * doc, the frame count, the loudest and quietest frame mean
+    * amplitudes, their ratio in ppm (the integer stand-in for dB — no
+    * log in the value path), and the active-frame share against the
+    * same 8600 threshold [[multimodalWavVad]] segments with.
+    *
+    * The signal rides the REAL WAV codec round trip (synthesized PCM16 →
+    * encode → decode, per-row losslessness like the rest of the wav
+    * family), so the oracle's byte arithmetic checks the codec path
+    * end to end. All arithmetic is exact nonnegative integers; the ratio
+    * guards its divisor with nullif (an all-silent clip yields NULL on
+    * both engines, the dq_profile_drift discipline).
+    *
+    * Plan: the shared narrow decode mapPartitions (blobs never shuffle —
+    * only (doc, frame stat) rows do) into ONE doc-keyed partial+final
+    * aggregate; output is one row per clip. */
+  val multimodalWavSnr: Q = Q(
+    "multimodal_wav_snr",
+    """WITH d AS (SELECT doc_id, hex(encode(text)) AS hx,
+      |    octet_length(encode(text)) AS nb
+      |  FROM documents WHERE octet_length(encode(text)) > 0),
+      |s AS (SELECT doc_id, nb, unnest(range(nb)) AS i, hx FROM d),
+      |v AS (SELECT doc_id, CAST(i // 256 AS INT) AS frame_no,
+      |    abs((CAST('0x' || substr(hx, CAST(2*i+1 AS INT), 2) AS INT) - 128)
+      |        * 256) AS a
+      |  FROM s),
+      |f AS (SELECT doc_id, frame_no, count(*) AS n,
+      |        CAST(sum(a) AS BIGINT) AS sum_abs
+      |      FROM v GROUP BY 1, 2),
+      |m AS (SELECT doc_id, frame_no, sum_abs // n AS fm FROM f)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_frames,
+      |  CAST(max(fm) AS BIGINT) AS max_frame_amp,
+      |  CAST(min(fm) AS BIGINT) AS min_frame_amp,
+      |  CAST((1000000 * min(fm)) // nullif(max(fm), 0) AS BIGINT)
+      |    AS dyn_ratio_ppm,
+      |  CAST(count(*) FILTER (WHERE fm >= 8600) AS BIGINT) AS n_active,
+      |  CAST((1000000 * count(*) FILTER (WHERE fm >= 8600)) // count(*)
+      |       AS BIGINT) AS active_ppm
+      |FROM m GROUP BY 1 ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    wavFrameStats(s, d)
+      .select(col("doc_id"), expr("sum_abs DIV n_samples").as("fm"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_frames"),
+           max(col("fm")).as("max_frame_amp"),
+           min(col("fm")).as("min_frame_amp"),
+           count(when(col("fm") >= 8600, 1)).as("n_active"))
+      .select(col("doc_id"), col("n_frames"), col("max_frame_amp"),
+        col("min_frame_amp"),
+        expr("(1000000 * min_frame_amp) div nullif(max_frame_amp, 0)")
+          .as("dyn_ratio_ppm"),
+        col("n_active"),
+        expr("(1000000 * n_active) div n_frames").as("active_ppm"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(multimodalMeta, multimodalFeatures, multimodalDhash,
     multimodalWav, multimodalWavFrames, multimodalWavVad,
     multimodalDhashDedup, multimodalThumbnail, multimodalByteEntropy,
-    multimodalWhash, multimodalWavPitch, multimodalTileVariance)
+    multimodalWhash, multimodalWavPitch, multimodalTileVariance,
+    multimodalWavSnr)
 }

@@ -2011,6 +2011,118 @@ object Pipeline {
       .orderBy("bucket")
   }
 
+  /** Deterministic neighbor sampling (the GraphSAGE/GNN minibatch
+    * primitive): for each customer node of the Q1-1995 customer–supplier
+    * bipartite graph (the [[graphPagerank]] edge set), keep at most K=4
+    * neighbors chosen by SALTED-HASH rank — a fixed pseudo-random
+    * permutation of each adjacency list, so the sample is reproducible
+    * across runs/engines (training-data generation must be replayable),
+    * unbiased by storage order, and consistent under graph growth (a
+    * new edge displaces at most one sampled slot). Output is the
+    * sampled edge list with slot ranks — exactly what a GNN feature
+    * pipeline joins features onto.
+    *
+    * Plan: one distinct on the (customer, supplier) pair, then the rank
+    * window rides a customer-keyed exchange; the filter keeps ≤K rows
+    * per node, so downstream stages see O(K·|nodes|), not O(|edges|) —
+    * the entire point of sampling at 100 TB. Hash ties are impossible
+    * (the hash key is the unique pair), and the window order appends
+    * the supplier key anyway (total order — the round-1 lesson). */
+  val graphSampleNeighbors: Q = Q(
+    "graph_sample_neighbors",
+    s"""WITH pairs AS (
+       |  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       |  WHERE o_orderdate >= DATE '1995-01-01'
+       |    AND o_orderdate < DATE '1995-04-01'),
+       |h AS (SELECT c, s,
+       |    ${graft.functions.expressions.PortableHash
+              .duckdbSaltedSql("c * 1000000000 + s", ":nbr", 15)} AS hv
+       |  FROM pairs),
+       |r AS (SELECT c, s,
+       |        row_number() OVER (PARTITION BY c ORDER BY hv, s) AS rnk
+       |      FROM h)
+       |SELECT CAST(c AS BIGINT) AS src, CAST(s AS BIGINT) AS dst,
+       |  CAST(rnk AS INT) AS slot
+       |FROM r WHERE rnk <= 4 ORDER BY src, slot""".stripMargin
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val pairs = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1995-01-01") &&
+              col("o_orderdate") < lit("1995-04-01"))
+      .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+      .distinct()
+    val hv = graft.functions.TextFns.saltedHash(
+      col("c") * 1000000000L + col("s"), ":nbr", 15)
+    pairs.select(col("c"), col("s"), hv.as("hv"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("c").orderBy(asc("hv"), asc("s"))))
+      .filter(col("rnk") <= 4)
+      .select(col("c").cast("long").as("src"),
+        col("s").cast("long").as("dst"),
+        col("rnk").cast("int").as("slot"))
+      .orderBy("src", "slot")
+  }
+
+  /** Sequence-gap completeness audit — the "did the ingest lose
+    * anything" check every pipeline with a DENSE upstream id space runs
+    * (Kafka offsets, DB autoincrement keys, log line numbers): per day,
+    * the observed row count against the day's id span, the count of
+    * missing ids, and how many contiguous GAP RUNS they form (one lost
+    * batch shows as one long run; scattered single-row losses show as
+    * many runs — different failure modes, same missing count). The
+    * fixture's event_id is dense and time-ordered, so loss is SIMULATED
+    * by a deterministic 2% salted-hash drop — the audit must report
+    * exactly the injected holes, which makes the oracle a true
+    * end-to-end check of the gap arithmetic. Ids lost at day boundaries
+    * sit outside every day's span and are invisible to a per-day span
+    * audit by construction (documented limit of the method, not a bug).
+    *
+    * Plan: ONE day-keyed exchange shared by the in-day lag window and
+    * the day aggregate (the sessionize_gaps sharing); all arithmetic is
+    * exact nonnegative integers. */
+  val dqSequenceGaps: Q = Q(
+    "dq_sequence_gaps",
+    s"""WITH e AS (SELECT event_id, CAST(ts AS DATE) AS day FROM events
+       |  WHERE ${graft.functions.expressions.PortableHash
+                .duckdbSaltedSql("event_id", ":loss", 15)} % 100 >= 2),
+       |g AS (SELECT day, event_id,
+       |        lag(event_id) OVER (PARTITION BY day ORDER BY event_id)
+       |          AS prev
+       |      FROM e)
+       |SELECT day, CAST(count(*) AS BIGINT) AS n_rows,
+       |  CAST(max(event_id) - min(event_id) + 1 AS BIGINT) AS id_span,
+       |  CAST(max(event_id) - min(event_id) + 1 - count(*) AS BIGINT)
+       |    AS n_missing,
+       |  CAST((1000000 * (max(event_id) - min(event_id) + 1 - count(*)))
+       |       // (max(event_id) - min(event_id) + 1) AS BIGINT)
+       |    AS missing_ppm,
+       |  CAST(count(*) FILTER (WHERE prev IS NOT NULL
+       |                        AND event_id - prev > 1) AS BIGINT)
+       |    AS n_gap_runs
+       |FROM g GROUP BY 1 ORDER BY day""".stripMargin
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("day").orderBy("event_id")
+    Tables.events(s, d)
+      .select(col("event_id"), to_date(col("ts")).as("day"))
+      .filter(graft.functions.TextFns
+        .saltedHash(col("event_id"), ":loss", 15) % 100 >= 2)
+      .withColumn("prev", lag(col("event_id"), 1).over(w))
+      .groupBy("day")
+      .agg(count(lit(1)).as("n_rows"),
+           (max(col("event_id")) - min(col("event_id")) + 1).as("id_span"),
+           count(when(col("prev").isNotNull &&
+             col("event_id") - col("prev") > 1, 1)).as("n_gap_runs"))
+      .select(col("day"), col("n_rows"), col("id_span"),
+        (col("id_span") - col("n_rows")).as("n_missing"),
+        expr("(1000000 * (id_span - n_rows)) div id_span")
+          .as("missing_ppm"),
+        col("n_gap_runs"))
+      .orderBy("day")
+  }
+
   val all: Seq[Q] = Seq(simplifyFlatten, denormalizePatient, graphEdges,
     graphTwohop, discoverySummary, ingestNdjson, snapshotExport, dqChecks,
     dqSkew, dqDriftKs, dqFreshness, graphPagerank, graphHits, graphLabelProp,
@@ -2018,5 +2130,5 @@ object Pipeline {
     graphJaccard, graphJaccardHot, graphDegreeDist, storePruningStats,
     graphModularity,
     dqDriftPsi, dqProfileDrift, dqDriftTtest, dqBenford, dqReconciliation,
-    dqDoubleCharge, dqKAnonymity)
+    dqDoubleCharge, dqKAnonymity, dqSequenceGaps, graphSampleNeighbors)
 }

@@ -1549,6 +1549,137 @@ object Relational {
       .orderBy("o_orderstatus", "o_orderkey")
   }
 
+  /** Poisson(1) bootstrap standard error — the ONLINE bootstrap (Oza &
+    * Russell's Poisson trick): resampling-with-replacement is classically
+    * a per-replicate global draw, but for n→∞ the multinomial replicate
+    * weights converge to iid Poisson(1), so each row can draw its own
+    * weight per replicate from a salted hash — NO global coordination,
+    * which is the only bootstrap shape that works on a 100 TB table. 16
+    * replicates of the mean order value, the bootstrap SE of the mean.
+    *
+    * Exactness: the Poisson draw is an integer inverse-CDF walk — a
+    * uniform residue against the fixed cumulative-ppm thresholds of
+    * Poisson(1) (367879 = ⌊10⁶/e⌋, ...) — identical on both engines by
+    * construction. Replicate means quantize to exact micro-cent integers
+    * (wide-int floor-div), the between-replicate variance is exact
+    * wide-int arithmetic, and the only doubles are one VARCHAR-routed
+    * conversion (the DECIMAL→DOUBLE ulp trap) and one correctly-rounded
+    * sqrt.
+    *
+    * Cost discipline: the row seed is a splitmix-style integer mix of
+    * the key (two xor-shift-multiply rounds kept inside 31 bits so every
+    * intermediate is exact BIGINT on both engines — shifts are
+    * nonnegative floor-divs, multiplies peak at 1.6e17), and the 16
+    * per-replicate uniforms come from a 31-bit LCG stream over that
+    * seed. Measured ladder at sf1: 16 portable MD5s/row = 30.8 s warm →
+    * 1 MD5/row + LCG = 12.2 s → pure integer mix + LCG keeps the whole
+    * draw inside whole-stage codegen (no hash-string churn). MD5 remains
+    * the discipline where hash QUALITY is load-bearing (permutations,
+    * shuffles); bootstrap weights only need decorrelation.
+    *
+    * Plan: a 16× narrow fan-out (explode of a constant range) feeding a
+    * 16-group partial+final aggregate — the corpus crosses ONE exchange
+    * as 16 partial states per partition; the 16-row replicate frame and
+    * the 1-row grand mean then combine via broadcast. */
+  val sampleBootstrap: Q = Q(
+    "sample_bootstrap",
+    s"""WITH b AS (SELECT o_orderkey,
+       |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+       |      AS cents
+       |  FROM orders),
+       |s0 AS (SELECT cents, o_orderkey % 2147483648 AS x0 FROM b),
+       |s1 AS (SELECT cents,
+       |    (xor(x0 // 65536, x0) * 73244475) % 2147483648 AS x1 FROM s0),
+       |sd AS (SELECT cents,
+       |    xor(((xor(x1 // 65536, x1) * 73244475) % 2147483648) // 65536,
+       |        (xor(x1 // 65536, x1) * 73244475) % 2147483648)
+       |      % 2147483648 AS seed
+       |  FROM s1),
+       |r AS (SELECT cents, seed, unnest(range(16)) AS rep FROM sd),
+       |h AS (SELECT rep, cents,
+       |    (((seed + rep * 97531) % 2147483648) * 1103515245 + 12345)
+       |      % 2147483648 % 1000000 AS u
+       |  FROM r),
+       |w AS (SELECT rep, cents,
+       |    CASE WHEN u < 367879 THEN 0 WHEN u < 735759 THEN 1
+       |         WHEN u < 919699 THEN 2 WHEN u < 981012 THEN 3
+       |         WHEN u < 996340 THEN 4 WHEN u < 999406 THEN 5
+       |         WHEN u < 999917 THEN 6 WHEN u < 999990 THEN 7
+       |         WHEN u < 999999 THEN 8 ELSE 9 END AS w
+       |  FROM h),
+       |m AS (SELECT rep,
+       |    CAST((1000000 * sum(w * cents)) // sum(w) AS BIGINT) AS mm
+       |  FROM w GROUP BY 1),
+       |s AS (SELECT count(*) AS rn, sum(mm) AS s1,
+       |    sum(CAST(mm AS HUGEINT) * mm) AS s2 FROM m),
+       |g AS (SELECT CAST((1000000 * sum(cents)) // count(*) AS BIGINT)
+       |    AS mean_microcents FROM b)
+       |SELECT CAST(s.rn AS BIGINT) AS n_reps, g.mean_microcents,
+       |  CAST(floor(sqrt(
+       |    CAST(CAST(s.rn * s.s2 - s.s1 * s.s1 AS VARCHAR) AS DOUBLE)
+       |    / (s.rn * (s.rn - 1)))) AS BIGINT) AS boot_se_micro
+       |FROM s, g""".stripMargin
+  ) { (s, d) =>
+    import org.apache.spark.sql.types.DecimalType
+    val wide = DecimalType(38, 0)
+    val b = Tables.orders(s, d)
+      .select(col("o_orderkey"),
+        (money(col("o_totalprice")) * 100).cast("long").as("cents"))
+    val r = b
+      .select(col("cents"), expr("o_orderkey % 2147483648").as("x0"))
+      .select(col("cents"),
+        expr("((x0 div 65536) ^ x0) * 73244475 % 2147483648").as("x1"))
+      .select(col("cents"),
+        expr("((x1 div 65536) ^ x1) * 73244475 % 2147483648").as("x2"))
+      .select(col("cents"),
+        expr("((x2 div 65536) ^ x2) % 2147483648").as("seed"))
+    val thresholds = Seq(367879L -> 0, 735759L -> 1, 919699L -> 2,
+      981012L -> 3, 996340L -> 4, 999406L -> 5, 999917L -> 6,
+      999990L -> 7, 999999L -> 8)
+    // wide-buffer form (the vector_dim_corr rewrite): the 16 replicate
+    // sums are 32 aggregate COLUMNS of one corpus pass — the exploded
+    // (row × replicate) form measured dead-linear at 5.3 s/sf1 ·
+    // 51 s/sf10, all of it row-generation; here no row is ever
+    // replicated and the 16 draws are codegen integer math per row
+    def uExpr(rep: Int) =
+      expr(s"""(((seed + $rep * 97531) % 2147483648) * 1103515245
+               + 12345) % 2147483648 % 1000000""")
+    def drawExpr(rep: Int) = {
+      val u = uExpr(rep)
+      thresholds.tail.foldLeft(when(u < thresholds.head._1,
+          thresholds.head._2)) {
+        case (c, (t, k)) => c.when(u < t, k)
+      }.otherwise(9)
+    }
+    val aggs = (0 until 16).flatMap { rep =>
+      val w = drawExpr(rep)
+      Seq(sum((w * col("cents")).cast(wide)).as(s"swc$rep"),
+          sum(w).as(s"sw$rep"))
+    }
+    val wideRow = r.agg(aggs.head, aggs.tail: _*)
+    val m = wideRow
+      .select(explode(array((0 until 16).map(rep =>
+        struct(lit(rep.toLong).as("rep"),
+          expr(s"(1000000 * swc$rep) div sw$rep").cast("long").as("mm"))
+      ): _*)).as("s"))
+      .select(col("s.rep").as("rep"), col("s.mm").as("mm"))
+    val st = m.agg(count(lit(1)).as("rn"),
+      sum(col("mm")).cast(wide).as("s1"),
+      sum(col("mm").cast(wide) * col("mm")).as("s2"))
+    val g = b.agg(
+      expr("(1000000 * cast(sum(cents) as decimal(38,0))) div count(*)")
+        .cast("long").as("mean_microcents"))
+    // the between-replicate numerator (~1e24) exceeds int64, so the
+    // Spark `div` path would wrap its LONG quotient — the division runs
+    // in DOUBLE instead, entered via the VARCHAR route (exact wide-int
+    // → correctly-rounded strtod on both engines)
+    st.crossJoin(broadcast(g))
+      .select(col("rn").cast("long").as("n_reps"), col("mean_microcents"),
+        floor(sqrt(expr("rn * s2 - s1 * s1").cast("string").cast("double")
+          / (col("rn") * (col("rn") - 1)))).cast("long")
+          .as("boot_se_micro"))
+  }
+
   /** UNPIVOT (wide→long, the inverse of [[aggPivot]]): a per-status
     * priority-bucket revenue matrix melted back to (status, priority,
     * total) rows via `stack` — a generator projection, no shuffle beyond
@@ -2539,6 +2670,7 @@ object Relational {
     joinInner, joinMultiway, semiAnti, setOps, scalarStringDate, jsonExtract,
     arrayOps, joinRange, joinAsof, mapOps, aggApproxDistinct, aggCube,
     joinOuter, aggPivot, aggStats, generatorPosexplode, sampleStratified,
+    sampleBootstrap,
     aggSalted, aggQuantile, aggQuantileSketch, aggWeightedMedian, setopsAll,
     topkPaged, aggCorr,
     aggHistogram, aggStringagg, profileTable, outlierZscore, scalarMath,

@@ -1645,6 +1645,104 @@ object Streaming {
         (abs(zMicro) > 1960000L).as("significant"))
   }
 
+  /** Heterogeneous-treatment-effect readout — [[abLiftZtest]] broken out
+    * by user segment (the "who does the feature actually work for"
+    * analysis every experiment review asks for next): users tier into
+    * light / mid / heavy by total event volume (fixed integer cutoffs —
+    * quantile tiers would make each user's segment depend on a global
+    * sort; fixed cutoffs keep segmentation a PER-ROW function, which is
+    * also what makes it computable in the same aggregate), and each
+    * segment gets the full two-proportion z readout. Degenerate segments
+    * (empty arm, all-or-nothing conversion) are excluded by the same
+    * mirrored predicate as the parent query, so NaN/∞ casts never meet
+    * an engine.
+    *
+    * Plan: the parent's ONE user-keyed exchange — the first-view window
+    * and the per-user (flags + event count) aggregate share it — then a
+    * ≤3-row segment aggregate. Nothing new shuffles. */
+  val abLiftSegmented: Q = Q(
+    "ab_lift_segmented",
+    """WITH t AS (SELECT user_id, user_id % 2 AS grp, event_type,
+      |    epoch_ms(ts) AS ms,
+      |    min(CASE WHEN event_type = 'view' THEN epoch_ms(ts) END)
+      |      OVER (PARTITION BY user_id) AS t0
+      |  FROM events),
+      |u AS (SELECT user_id, grp, count(*) AS n_ev,
+      |    max(CASE WHEN t0 IS NOT NULL THEN 1 ELSE 0 END) AS v,
+      |    max(CASE WHEN event_type = 'purchase' AND ms > t0
+      |             AND ms <= t0 + 86400000 THEN 1 ELSE 0 END) AS p
+      |  FROM t GROUP BY 1, 2),
+      |g AS (SELECT CASE WHEN n_ev < 62 THEN 'light'
+      |             WHEN n_ev <= 70 THEN 'mid'
+      |             ELSE 'heavy' END AS segment, grp, v, p FROM u),
+      |s AS (SELECT segment,
+      |    CAST(sum(CASE WHEN grp = 0 THEN v END) AS BIGINT) AS n0,
+      |    CAST(sum(CASE WHEN grp = 1 THEN v END) AS BIGINT) AS n1,
+      |    CAST(sum(CASE WHEN grp = 0 THEN v * p END) AS BIGINT) AS x0,
+      |    CAST(sum(CASE WHEN grp = 1 THEN v * p END) AS BIGINT) AS x1
+      |  FROM g GROUP BY 1),
+      |z AS (SELECT segment, n0, n1, x0, x1,
+      |    (CAST(x1 AS DOUBLE) / n1 - CAST(x0 AS DOUBLE) / n0)
+      |      / sqrt((CAST(x0 + x1 AS DOUBLE) / (n0 + n1))
+      |             * (1 - CAST(x0 + x1 AS DOUBLE) / (n0 + n1))
+      |             * (1.0 / n0 + 1.0 / n1)) AS zstat
+      |  FROM s WHERE n0 > 0 AND n1 > 0
+      |    AND x0 + x1 > 0 AND x0 + x1 < n0 + n1)
+      |SELECT segment, n0 AS n_control, n1 AS n_treat,
+      |  x0 AS conv_control, x1 AS conv_treat,
+      |  (1000000 * x1) // n1 - (1000000 * x0) // n0 AS lift_ppm,
+      |  CAST(floor(1000000 * zstat) AS BIGINT) AS z_micro,
+      |  abs(CAST(floor(1000000 * zstat) AS BIGINT)) > 1960000
+      |    AS significant
+      |FROM z ORDER BY segment""".stripMargin
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id")
+    val t = Tables.events(s, d)
+      .select(col("user_id"), (col("user_id") % 2).as("grp"),
+        col("event_type"), expr("unix_millis(ts)").as("ms"))
+      .withColumn("t0",
+        min(when(col("event_type") === "view", col("ms"))).over(byUser))
+    val u = t.groupBy(col("user_id"), col("grp"))
+      .agg(count(lit(1)).as("n_ev"),
+           max(when(col("t0").isNotNull, 1).otherwise(0)).as("v"),
+           max(when(col("event_type") === "purchase" &&
+               col("ms") > col("t0") &&
+               col("ms") <= col("t0") + 86400000L, 1).otherwise(0))
+             .as("p"))
+    val st = u
+      .select(when(col("n_ev") < 62, "light")
+          .when(col("n_ev") <= 70, "mid")
+          .otherwise("heavy").as("segment"),
+        col("grp"), col("v"), col("p"))
+      .groupBy("segment")
+      .agg(
+        sum(when(col("grp") === 0, col("v"))).cast("long").as("n0"),
+        sum(when(col("grp") === 1, col("v"))).cast("long").as("n1"),
+        sum(when(col("grp") === 0, col("v") * col("p"))).cast("long")
+          .as("x0"),
+        sum(when(col("grp") === 1, col("v") * col("p"))).cast("long")
+          .as("x1"))
+    val pooled = (col("x0") + col("x1")).cast("double") /
+      (col("n0") + col("n1"))
+    val zstat = (col("x1").cast("double") / col("n1") -
+        col("x0").cast("double") / col("n0")) /
+      sqrt(pooled * (lit(1) - pooled) *
+        (lit(1.0) / col("n0") + lit(1.0) / col("n1")))
+    val zMicro = floor(lit(1000000) * zstat).cast("long")
+    st.filter(col("n0") > 0 && col("n1") > 0 &&
+        col("x0") + col("x1") > 0 &&
+        col("x0") + col("x1") < col("n0") + col("n1"))
+      .select(col("segment"), col("n0").as("n_control"),
+        col("n1").as("n_treat"),
+        col("x0").as("conv_control"), col("x1").as("conv_treat"),
+        expr("(1000000 * x1) div n1 - (1000000 * x0) div n0")
+          .as("lift_ppm"),
+        zMicro.as("z_micro"),
+        (abs(zMicro) > 1960000L).as("significant"))
+      .orderBy("segment")
+  }
+
   /** DELTA-METHOD RATIO-METRIC TEST — [[abLiftZtest]]'s sibling for the
     * metrics experimentation actually ships on: revenue-per-event (any
     * per-user ratio Σx/Σy) has no binomial variance, so the arm variance
@@ -2178,6 +2276,56 @@ object Streaming {
       .orderBy("day")
   }
 
+  /** Traffic-seasonality heatmap — the day-of-week × hour-of-day load
+    * census capacity planning reads (when to schedule maintenance, what
+    * the peak:trough ratio is, whether weekend traffic justifies a
+    * separate fleet): per (dow, hour) cell, the event count, its share
+    * of all traffic in ppm, and the cell's load rank WITHIN its weekday
+    * (rank 1 = that weekday's peak hour). The within-dow rank makes
+    * daily load curves comparable across weekdays with different
+    * volumes.
+    *
+    * Parity: counts are exact; share is a nonnegative integer floor-div
+    * (numerator widened — 10⁶·cell count clears int64 at ~10¹³ events);
+    * the rank orders by (count DESC, hour) — hour breaks count ties
+    * deterministically on both engines.
+    *
+    * Plan: ONE partial+final aggregate to the fixed 168-cell frame;
+    * the total and the rank window ride that bounded frame. */
+  val eventSeasonality: Q = Q(
+    "event_seasonality",
+    """WITH c AS (SELECT CAST(isodow(ts) AS INT) AS dow,
+      |    CAST(hour(ts) AS INT) AS hr, CAST(count(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1, 2),
+      |t AS (SELECT dow, hr, n, sum(n) OVER () AS tot,
+      |    CAST(row_number() OVER (PARTITION BY dow ORDER BY n DESC, hr)
+      |         AS INT) AS rank_in_dow
+      |  FROM c)
+      |SELECT dow, hr, n,
+      |  CAST((1000000 * CAST(n AS HUGEINT)) // tot AS BIGINT)
+      |    AS share_ppm,
+      |  rank_in_dow
+      |FROM t ORDER BY dow, hr""".stripMargin
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    // ISO weekday (Mon=1..Sun=7): Spark's dayofweek is Sunday-first while
+    // DuckDB's is 0-based — weekday()+1 ≡ isodow() is the one aligned pair
+    val c = Tables.events(s, d)
+      .groupBy((weekday(col("ts")) + 1).cast("int").as("dow"),
+        hour(col("ts")).cast("int").as("hr"))
+      .agg(count(lit(1)).as("n"))
+    val tot = Window.partitionBy().rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val rk = Window.partitionBy("dow").orderBy(desc("n"), asc("hr"))
+    c.withColumn("tot", sum(col("n")).over(tot)) // 168-row frame
+      .withColumn("rank_in_dow", row_number().over(rk))
+      .select(col("dow"), col("hr"), col("n"),
+        expr("(1000000 * cast(n as decimal(38,0))) div tot")
+          .cast("long").as("share_ppm"),
+        col("rank_in_dow"))
+      .orderBy("dow", "hr")
+  }
+
   /** Burst detection — the bot/abuse screen a rate-limited API runs over
     * its event log: per user, the maximum number of events inside ANY
     * trailing 60-minute window (computed exactly by a RANGE frame over
@@ -2467,9 +2615,10 @@ object Streaming {
     eventTransitions, ohlcBars, sessionizeGaps, patternSeq,
     attributionLastclick, attributionLinear, attributionTimedecay,
     attributionShapley,
-    scd2, joinPit, abLiftZtest, abRatioDelta, abCuped, abSrm,
+    scd2, joinPit, abLiftZtest, abLiftSegmented, abRatioDelta, abCuped,
+    abSrm,
     abSequential, abPower, retentionSurvivalKm, retentionLtv,
-    retentionDauMau, eventBurst,
+    retentionDauMau, eventBurst, eventSeasonality,
     sessionConcurrency, markovTwoStep, markovStationary, graphScc,
     graphReciprocity)
 }

@@ -1539,7 +1539,69 @@ object TextAnalysis {
       .orderBy(desc("fano_micro"), col("token")).limit(30)
   }
 
+  /** Readability census (Flesch reading-ease, integer milli-points) —
+    * the curriculum/quality feature corpus pipelines bucket documents by
+    * before mixing: per source, the mean score, plus how many documents
+    * clear the "plain English" 60-point bar. The syllable term uses the
+    * standard vowel-group proxy (each maximal `[aeiou]+` run ≈ one
+    * syllable — the heuristic the original readability literature
+    * machine implementations used), and the fixture's one-line documents
+    * count as one sentence, so the formula reduces to
+    * `206835 − 1015·words − 84600·syllables/words` in milli-points.
+    *
+    * Parity: the per-doc syllable ratio is a nonnegative integer
+    * floor-div; per-doc scores are SIGNED BIGINTs, which sum exactly,
+    * and the per-source mean splits sign around the floor-div (Spark
+    * truncates / DuckDB floors — they only agree on nonnegative
+    * operands). The vowel-run count comes from the same regex on both
+    * engines over pure-ASCII text.
+    *
+    * Plan: per-row expressions (token count + one regex scan) fused into
+    * the corpus projection, then ONE |sources|-bounded partial+final
+    * aggregate — nothing else shuffles. */
+  val textReadability: Q = Q(
+    "text_readability",
+    """WITH m AS (SELECT source,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+      |    CAST(len(regexp_extract_all(text, '[aeiou]+')) AS BIGINT)
+      |      AS syl
+      |  FROM documents),
+      |f AS (SELECT source, n_tok,
+      |    206835 - 1015 * n_tok - (84600 * syl) // n_tok AS flesch_milli
+      |  FROM m),
+      |a AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(sum(flesch_milli) AS BIGINT) AS s,
+      |    CAST(count(*) FILTER (WHERE flesch_milli >= 60000) AS BIGINT)
+      |      AS n_readable
+      |  FROM f GROUP BY 1)
+      |SELECT source, n_docs,
+      |  CAST(CASE WHEN s >= 0 THEN s // n_docs
+      |       ELSE -((-s) // n_docs) END AS BIGINT) AS mean_flesch_milli,
+      |  n_readable,
+      |  CAST((1000000 * n_readable) // n_docs AS BIGINT) AS readable_ppm
+      |FROM a ORDER BY source""".stripMargin
+  ) { (s, d) =>
+    val m = Tables.documents(s, d).select(col("source"),
+      size(split(col("text"), " ")).cast("long").as("n_tok"),
+      size(regexp_extract_all(col("text"), lit("[aeiou]+"), lit(0)))
+        .cast("long").as("syl"))
+    val f = m.select(col("source"), col("n_tok"),
+      (lit(206835) - lit(1015) * col("n_tok") -
+        expr("(84600 * syl) div n_tok")).as("flesch_milli"))
+    f.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("flesch_milli")).as("s"),
+           count(when(col("flesch_milli") >= 60000, 1)).as("n_readable"))
+      .select(col("source"), col("n_docs"),
+        when(col("s") >= 0, expr("s div n_docs"))
+          .otherwise(-expr("(-s) div n_docs")).as("mean_flesch_milli"),
+        col("n_readable"),
+        expr("(1000000 * n_readable) div n_docs").as("readable_ppm"))
+      .orderBy("source")
+  }
+
   val all: Seq[Q] = Seq(textTokens, textQuality, langId, langConfusion,
+    textReadability,
     textFingerprint,
     textTfidf, textNormalize, textRepetition, piiRedact, ngramFreq,
     textContamination, textTokenBpe, textPerplexity, spanDedup,

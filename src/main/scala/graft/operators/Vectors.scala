@@ -811,7 +811,7 @@ object Vectors {
       .groupBy("seed")
       .agg(sum(abs(col("mean_micro") - lit(1000) * col("sq"))).as("drift"))
     val tot = emb.agg(count(lit(1)).as("tot"))
-    c.join(dr, Seq("seed")).crossJoin(broadcast(tot))
+    c.join(broadcast(dr), Seq("seed")).crossJoin(broadcast(tot))
       .select(col("seed").as("cluster"), col("n"),
         expr("(1000000 * n) div tot").cast("long").as("share_ppm"),
         expr("inertia div n").cast("long").as("mean_d2"),

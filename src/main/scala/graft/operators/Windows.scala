@@ -365,10 +365,15 @@ object Windows {
       .withColumn("prev", lag(col("cents"), 1).over(w))
       .filter(col("prev").isNotNull)
       .select(col("pri"), col("month"), col("cents"), col("prev"),
+        // widened numerators: 10⁶·|Δcents| clears int64 once a month's
+        // revenue passes ~$92B in cents (DuckDB raises on BIGINT
+        // overflow; non-ANSI Spark would wrap silently)
         when(col("cents") >= col("prev"),
-          expr("(1000000 * (cents - prev)) div prev"))
-          .otherwise(-expr("(1000000 * (prev - cents)) div prev"))
-          .as("growth_ppm"))
+          expr("""(1000000 * cast(cents - prev as decimal(38,0)))
+                  div prev"""))
+          .otherwise(-expr("""(1000000 * cast(prev - cents as
+                  decimal(38,0))) div prev"""))
+          .cast("long").as("growth_ppm"))
       .orderBy("pri", "month")
   }
 

@@ -1,0 +1,62 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.types.StructType
+import java.io.{BufferedReader, ByteArrayInputStream, InputStreamReader}
+import java.nio.charset.StandardCharsets
+import java.util.zip.GZIPInputStream
+
+/** Distributed `.jsonl.gz` ingest — the wire format large text corpora
+  * actually ship in (one gzip member per writer flush, many members
+  * concatenated into one object; RFC 1952 §2.2 makes the concatenation a
+  * valid gzip stream, and corpus distributions rely on it so shards can
+  * be appended without recompression).
+  *
+  * Two things make this a SOURCE rather than a call to Spark's built-in
+  * gzip text codec:
+  *
+  *  - **multi-member streams**: `GZIPInputStream` stops at the first
+  *    member boundary unless the caller keeps pulling — naive use
+  *    silently TRUNCATES a concatenated shard to its first flush (the
+  *    classic corpus-ingest data-loss bug; the constructor here enables
+  *    multi-member mode and the spec proves members past the first are
+  *    read).
+  *  - **per-file parallelism, made explicit**: gzip is not splittable, so
+  *    one FILE is the unit of parallelism no matter what the reader
+  *    does. Reading through `binaryFile` + an executor-side decode makes
+  *    that contract visible (one task per shard — a 10k-shard corpus
+  *    decompresses 10k-wide), instead of hiding it inside a text-codec
+  *    path that also silently disables splitting.
+  *
+  * Like [[ZipNdjson]], whole-file granularity is right because corpus
+  * shards are written bounded (docs-per-shard caps); a single giant .gz
+  * must be re-sharded upstream — no reader can split it.
+  */
+object GzipNdjson {
+
+  /** Read every NDJSON line across all `.gz` files matching `glob`,
+    * parsed with the supplied schema. */
+  def read(spark: SparkSession, glob: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(linesOf(spark, glob))
+
+  /** The raw decompressed lines (one row per NDJSON line), all gzip
+    * members included. */
+  def linesOf(spark: SparkSession, glob: String): Dataset[String] = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(glob)
+      .select("content").as[Array[Byte]]
+      .flatMap { bytes =>
+        // GZIPInputStream reads ALL members when the underlying stream
+        // still has bytes after a member trailer (multi-member mode is
+        // its documented default over a plain InputStream); the 64 KiB
+        // internal buffer keeps per-line reads off the inflater syscall
+        // path
+        val gin = new GZIPInputStream(
+          new ByteArrayInputStream(bytes), 64 * 1024)
+        val r = new BufferedReader(
+          new InputStreamReader(gin, StandardCharsets.UTF_8))
+        Iterator.continually(r.readLine()).takeWhile(_ != null)
+          .filter(_.nonEmpty).toList
+      }
+  }
+}

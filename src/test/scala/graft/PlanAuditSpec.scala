@@ -834,4 +834,40 @@ class PlanAuditSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(p).size <= 4,
       s"dq_reconciliation shuffle count grew:\n${p.take(800)}")
   }
+
+  test("retention_dau_mau: no count-distinct EXPAND; day dim broadcasts") {
+    val p = plan(graft.operators.Streaming.retentionDauMau)
+    // the recency rewrite exists to avoid Spark's multi-count-distinct
+    // Expand (3× the frame before the distinct shuffle) — its return is
+    // the regression this lock guards
+    assert(!p.contains("Expand"),
+      s"recency aggregate replaced by count-distinct Expand:\n${p.take(800)}")
+    assert(p.contains("BroadcastHashJoin"),
+      s"observed-day dimension must broadcast:\n${p.take(800)}")
+  }
+
+  test("vector_kmeans_step: assignment join broadcasts the seed frame") {
+    val p = plan(graft.operators.Vectors.vectorKmeansStep)
+    // O(n·k·d) assignment must fan out against a BROADCAST 8×64 seed
+    // frame; a shuffled join would re-key the exploded corpus by dim —
+    // 64 shuffle groups for the whole corpus, a guaranteed hot-spot
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("SortMergeJoin"),
+      s"seed join degraded to sort-merge:\n${p.take(800)}")
+  }
+
+  test("event_burst: range window and census share one user exchange") {
+    val p = plan(graft.operators.Streaming.eventBurst)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"burst window and per-user aggregate must share the user " +
+      s"partitioning:\n${p.take(800)}")
+  }
+
+  test("sample_bootstrap: the draw stays inside whole-stage codegen") {
+    val p = plan(graft.operators.Relational.sampleBootstrap)
+    // the splitmix+LCG rewrite exists to keep the per-(row×replicate)
+    // draw in codegen integer arithmetic — an md5/conv reappearance in
+    // the hot projection is the 15× regression the ladder measured
+    assert(!p.contains("md5("), s"bootstrap draw re-grew a hash:\n${p.take(800)}")
+  }
 }

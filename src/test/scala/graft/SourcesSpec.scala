@@ -122,4 +122,35 @@ class SourcesSpec extends SparkSpec {
     assert(messages(e).exists(_.contains("checksum mismatch")),
       s"expected a checksum failure, got: ${e.getMessage}")
   }
+
+  test("gzip ndjson: concatenated members are read past the first " +
+       "boundary") {
+    import java.util.zip.GZIPOutputStream
+    val dir = Files.createTempDirectory("gznd")
+    def member(lines: Seq[String]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new GZIPOutputStream(bos)
+      g.write(lines.map(_ + "\n").mkString.getBytes("UTF-8"))
+      g.close(); bos.toByteArray
+    }
+    // two INDEPENDENT gzip members concatenated into one file — the
+    // corpus-shard append pattern; a single-member reader would silently
+    // return only rows 1-2
+    val m1 = member(Seq("""{"project_id":"p-a","id":"1","gender":"f"}""",
+                        """{"project_id":"p-a","id":"2","gender":"m"}"""))
+    val m2 = member(Seq("""{"project_id":"p-b","id":"3","gender":"f"}"""))
+    Files.write(dir.resolve("shard-000.jsonl.gz"), m1 ++ m2)
+    // a second file proves the per-file task fan-out composes with the
+    // multi-member handling
+    Files.write(dir.resolve("shard-001.jsonl.gz"),
+      member(Seq("""{"project_id":"p-c","id":"4","gender":"m"}""")))
+    val df = graft.sources.GzipNdjson.read(
+      spark, dir.toString + "/*.jsonl.gz", patientSchema)
+    val rows = df.orderBy("id").collect()
+    assert(rows.length === 4,
+      s"multi-member gz truncated: ${rows.mkString(", ")}")
+    assert(rows.map(_.getString(1)).toSeq === Seq("1", "2", "3", "4"))
+    assert(rows(2).getString(0) === "p-b",
+      "row from the SECOND member must survive")
+  }
 }
