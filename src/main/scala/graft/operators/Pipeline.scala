@@ -2011,6 +2011,59 @@ object Pipeline {
       .orderBy("bucket")
   }
 
+  /** Hash-collision audit for content-derived ids — the check a corpus
+    * that KEYS ON text hashes (dedup digests, URL ids, cache keys) must
+    * run before trusting joins on them: how many DISTINCT texts share a
+    * 60-bit [[graft.functions.expressions.PortableHash]] value, against
+    * the birthday-bound expectation n(n−1)/2⁶¹ the id scheme was sized
+    * by. Exact-duplicate texts are excluded FIRST (they legitimately
+    * share a hash — counting them as collisions is the classic false
+    * alarm); what remains is true silent-aliasing risk: two different
+    * documents that would MERGE under any hash-keyed dedup or join.
+    *
+    * Parity: the hash is the portable MD5-prefix idiom (identical by
+    * construction); counts are exact; the expectation is micro-quantized
+    * from exact integers through one shared double expression
+    * (n·(n−1) exceeds int64 at ~3e9 docs, so the product widens and
+    * enters the double domain via the VARCHAR route — the DECIMAL→DOUBLE
+    * ulp trap).
+    *
+    * Plan: one distinct on (hash, text-digest) — text itself never
+    * shuffles, only its md5 — then a hash-keyed count; both ride the
+    * same exchange domain and the output is one row. */
+  val dqHashCollision: Q = Q(
+    "dq_hash_collision",
+    s"""WITH t AS (SELECT DISTINCT
+       |    ${graft.functions.expressions.PortableHash.duckdbSql("text")}
+       |      AS hv, md5(text) AS dg
+       |  FROM documents),
+       |c AS (SELECT hv, count(*) AS k FROM t GROUP BY 1),
+       |s AS (SELECT CAST(sum(k) AS BIGINT) AS n_texts,
+       |    CAST(count(*) AS BIGINT) AS n_hashes,
+       |    CAST(sum((k * (k - 1)) // 2) AS BIGINT) AS n_collisions
+       |  FROM c)
+       |SELECT n_texts, n_hashes, n_collisions,
+       |  CAST(floor(1000000 * CAST(CAST(CAST(n_texts AS HUGEINT)
+       |        * (n_texts - 1) AS VARCHAR) AS DOUBLE)
+       |    / 2305843009213693952 / 2) AS BIGINT) AS expected_micro
+       |FROM s""".stripMargin
+  ) { (s, d) =>
+    val t = Tables.documents(s, d)
+      .select(graft.functions.TextFns.saltedHash(col("text"), "", 15)
+        .as("hv"), md5(col("text")).as("dg"))
+      .distinct()
+    t.groupBy("hv").agg(count(lit(1)).as("k"))
+      .agg(sum(col("k")).cast("long").as("n_texts"),
+           count(lit(1)).as("n_hashes"),
+           sum(expr("(k * (k - 1)) div 2")).cast("long")
+             .as("n_collisions"))
+      .select(col("n_texts"), col("n_hashes"), col("n_collisions"),
+        floor(lit(1000000) *
+          expr("cast(n_texts as decimal(38,0)) * (n_texts - 1)")
+            .cast("string").cast("double")
+          / 2305843009213693952.0 / 2).cast("long").as("expected_micro"))
+  }
+
   /** Deterministic neighbor sampling (the GraphSAGE/GNN minibatch
     * primitive): for each customer node of the Q1-1995 customer–supplier
     * bipartite graph (the [[graphPagerank]] edge set), keep at most K=4
@@ -2130,5 +2183,6 @@ object Pipeline {
     graphJaccard, graphJaccardHot, graphDegreeDist, storePruningStats,
     graphModularity,
     dqDriftPsi, dqProfileDrift, dqDriftTtest, dqBenford, dqReconciliation,
-    dqDoubleCharge, dqKAnonymity, dqSequenceGaps, graphSampleNeighbors)
+    dqDoubleCharge, dqKAnonymity, dqSequenceGaps, graphSampleNeighbors,
+    dqHashCollision)
 }

@@ -1645,6 +1645,68 @@ object Streaming {
         (abs(zMicro) > 1960000L).as("significant"))
   }
 
+  /** Attribution-window sensitivity sweep — the analysis that decides
+    * WHICH conversion window ([[abLiftZtest]]'s hardcoded 24 h, or 1 h /
+    * 6 h / 7 d) an experiment platform should standardize on: per
+    * candidate window, how many first-viewers convert within it and the
+    * conversion rate. A rate that keeps climbing at 7 d means the 24 h
+    * readout truncates real conversions; a flat curve past 6 h means the
+    * platform can report days sooner — this query IS that judgment call.
+    *
+    * Plan: the SAME one user-keyed exchange as the parent (first-view
+    * window + per-user min-qualifying-purchase aggregate), then the
+    * 4-window census rides a 4× explode of the per-user 2-column frame —
+    * user rows fan out, never events. All integers exact; the per-user
+    * time-to-convert is a min over qualifying purchases, total-ordered
+    * by definition (min of ms values). */
+  val funnelWindowSweep: Q = Q(
+    "funnel_window_sweep",
+    """WITH t AS (SELECT user_id, event_type, epoch_ms(ts) AS ms,
+      |    min(CASE WHEN event_type = 'view' THEN epoch_ms(ts) END)
+      |      OVER (PARTITION BY user_id) AS t0
+      |  FROM events),
+      |u AS (SELECT user_id,
+      |    max(CASE WHEN t0 IS NOT NULL THEN 1 ELSE 0 END) AS v,
+      |    min(CASE WHEN event_type = 'purchase' AND ms > t0
+      |             THEN ms - t0 END) AS ttc
+      |  FROM t GROUP BY 1),
+      |w AS (SELECT unnest([3600000, 21600000, 86400000, 604800000])
+      |        AS win_ms),
+      |x AS (SELECT w.win_ms, u.v,
+      |    CASE WHEN u.ttc IS NOT NULL AND u.ttc <= w.win_ms
+      |         THEN 1 ELSE 0 END AS c
+      |  FROM u CROSS JOIN w WHERE u.v = 1)
+      |SELECT CAST(win_ms AS BIGINT) AS win_ms,
+      |  CAST(count(*) AS BIGINT) AS n_viewers,
+      |  CAST(sum(c) AS BIGINT) AS n_converted,
+      |  CAST((1000000 * sum(c)) // count(*) AS BIGINT) AS rate_ppm
+      |FROM x GROUP BY 1 ORDER BY win_ms""".stripMargin
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id")
+    val t = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"),
+        expr("unix_millis(ts)").as("ms"))
+      .withColumn("t0",
+        min(when(col("event_type") === "view", col("ms"))).over(byUser))
+    val u = t.groupBy("user_id")
+      .agg(max(when(col("t0").isNotNull, 1).otherwise(0)).as("v"),
+           min(when(col("event_type") === "purchase" &&
+               col("ms") > col("t0"), col("ms") - col("t0"))).as("ttc"))
+    u.filter(col("v") === 1)
+      .select(col("ttc"),
+        explode(typedlit(Seq(3600000L, 21600000L, 86400000L, 604800000L)))
+          .as("win_ms"))
+      .select(col("win_ms"),
+        when(col("ttc").isNotNull && col("ttc") <= col("win_ms"), 1)
+          .otherwise(0).as("c"))
+      .groupBy("win_ms")
+      .agg(count(lit(1)).as("n_viewers"), sum(col("c")).as("n_converted"))
+      .select(col("win_ms"), col("n_viewers"), col("n_converted"),
+        expr("(1000000 * n_converted) div n_viewers").as("rate_ppm"))
+      .orderBy("win_ms")
+  }
+
   /** Heterogeneous-treatment-effect readout — [[abLiftZtest]] broken out
     * by user segment (the "who does the feature actually work for"
     * analysis every experiment review asks for next): users tier into
@@ -2615,8 +2677,8 @@ object Streaming {
     eventTransitions, ohlcBars, sessionizeGaps, patternSeq,
     attributionLastclick, attributionLinear, attributionTimedecay,
     attributionShapley,
-    scd2, joinPit, abLiftZtest, abLiftSegmented, abRatioDelta, abCuped,
-    abSrm,
+    scd2, joinPit, abLiftZtest, abLiftSegmented, funnelWindowSweep,
+    abRatioDelta, abCuped, abSrm,
     abSequential, abPower, retentionSurvivalKm, retentionLtv,
     retentionDauMau, eventBurst, eventSeasonality,
     sessionConcurrency, markovTwoStep, markovStationary, graphScc,
