@@ -1342,6 +1342,93 @@ object Corpus {
       .orderBy("source")
   }
 
+  /** Shuffle-quality audit — does the epoch permutation actually MIX
+    * sources? A bad shuffle feeds the trainer long same-source runs
+    * (gradient correlation, the thing epoch permutations exist to
+    * prevent), and the standard diagnostic is same-source co-occurrence
+    * inside small adjacent windows of the shuffled stream. Computed
+    * scalably: the hash order is cut into SLOTS of expected occupancy 2
+    * (slot = hv // W with W = 2⁶¹/n, the auto-sized-LSH-bands trick —
+    * the width adapts to corpus size from a 1-row count, so slot count
+    * GROWS with the corpus and no slot ever concentrates), and the
+    * audit compares the same-source share of in-slot pairs against the
+    * Σshare² expectation of a perfect mix, per epoch. No global sort,
+    * no window — co-occurrence is a PAIR CENSUS: per (epoch, slot,
+    * source) counts, then C(k,2) sums, all partial-aggregated.
+    *
+    * Parity: the epoch hash matches [[corpusShuffle]]'s salt convention
+    * (`:epoch<e>`); pair counts are exact integer C(k,2) floor-divs;
+    * both ppm outputs widen their numerators (Σc² clears int64 at ~3e9
+    * docs) and guard degenerate denominators with nullif. */
+  val corpusShuffleQuality: Q = Q(
+    "corpus_shuffle_quality",
+    s"""WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+       |e AS (SELECT doc_id, source, unnest([1, 2]) AS epoch
+       |      FROM documents),
+       |h AS (SELECT epoch, source,
+       |    ${graft.functions.expressions.PortableHash.duckdbSaltedSql(
+              "CAST(doc_id AS VARCHAR) || ':epoch' || CAST(epoch AS VARCHAR)",
+              "", 15)}
+       |      // (SELECT greatest(1, 2305843009213693952 // greatest(n // 2, 1))
+       |          FROM nn) AS slot
+       |  FROM e),
+       |c AS (SELECT epoch, slot, source, count(*) AS k
+       |      FROM h GROUP BY 1, 2, 3),
+       |sl AS (SELECT epoch, slot, CAST(sum(k) AS BIGINT) AS m,
+       |    CAST(sum((k * (k - 1)) // 2) AS BIGINT) AS same_p
+       |  FROM c GROUP BY 1, 2),
+       |agg AS (SELECT epoch, CAST(count(*) AS BIGINT) AS n_slots,
+       |    CAST(sum((m * (m - 1)) // 2) AS BIGINT) AS n_pairs,
+       |    CAST(sum(same_p) AS BIGINT) AS same_pairs
+       |  FROM sl GROUP BY 1),
+       |ex AS (SELECT CAST((1000000 * sum(CAST(c2 AS HUGEINT) * c2))
+       |      // ((SELECT n FROM nn) * (SELECT n FROM nn)) AS BIGINT)
+       |      AS expected_ppm
+       |  FROM (SELECT CAST(count(*) AS BIGINT) AS c2 FROM documents
+       |        GROUP BY source))
+       |SELECT CAST(epoch AS INT) AS epoch, (SELECT n FROM nn) AS n_docs,
+       |  n_slots, n_pairs, same_pairs,
+       |  CAST((1000000 * same_pairs) // nullif(n_pairs, 0) AS BIGINT)
+       |    AS clump_ppm,
+       |  (SELECT expected_ppm FROM ex) AS expected_ppm
+       |FROM agg ORDER BY epoch""".stripMargin
+  ) { (s, d) =>
+    import org.apache.spark.sql.types.DecimalType
+    val docs = Tables.documents(s, d)
+    val nn = docs.agg(count(lit(1)).as("n"))
+    val e = docs.select(col("doc_id"), col("source"),
+      explode(typedlit(Seq(1, 2))).as("epoch"))
+    val hv = graft.functions.TextFns.saltedHash(
+      concat(col("doc_id").cast("string"), lit(":epoch"),
+        col("epoch").cast("string")), "", 15)
+    val withHv = e.crossJoin(broadcast(nn)).withColumn("hv", hv)
+      .select(col("epoch"), col("source"),
+        expr("""hv div greatest(1, 2305843009213693952
+                div greatest(n div 2, 1))""").as("slot"))
+    val c = withHv.groupBy("epoch", "slot", "source")
+      .agg(count(lit(1)).as("k"))
+    val sl = c.groupBy("epoch", "slot")
+      .agg(sum(col("k")).as("m"),
+           sum(expr("(k * (k - 1)) div 2")).as("same_p"))
+    val agg = sl.groupBy("epoch")
+      .agg(count(lit(1)).as("n_slots"),
+           sum(expr("(m * (m - 1)) div 2")).as("n_pairs"),
+           sum(col("same_p")).as("same_pairs"))
+    val ex = docs.groupBy("source").agg(count(lit(1)).as("c2"))
+      .crossJoin(broadcast(nn))
+      .agg(expr("""(1000000 * sum(cast(c2 as decimal(38,0)) * c2))
+                   div (first(n) * first(n))""")
+        .cast("long").as("expected_ppm"))
+    agg.crossJoin(broadcast(nn)).crossJoin(broadcast(ex))
+      .select(col("epoch").cast("int").as("epoch"),
+        col("n").as("n_docs"), col("n_slots"), col("n_pairs"),
+        col("same_pairs"),
+        expr("(1000000 * same_pairs) div nullif(n_pairs, 0)")
+          .as("clump_ppm"),
+        col("expected_ppm"))
+      .orderBy("epoch")
+  }
+
   /** Padding-waste census under power-of-two length bucketing — the
     * batching-efficiency readout every training loader with
     * length-grouped batches is tuned by: each document pads up to its
@@ -1479,5 +1566,5 @@ object Corpus {
     corpusSampleBalanced, corpusMixTemperature, corpusPruneSweep,
     corpusResumeSkip, corpusInterleave, corpusTokenBudget,
     corpusEpochSchedule, corpusPromptConflicts, corpusFilterFunnel,
-    corpusSpanCorruption, corpusPadWaste)
+    corpusSpanCorruption, corpusPadWaste, corpusShuffleQuality)
 }
