@@ -165,6 +165,19 @@ case class BurstState(recent: Seq[Long], maxBurst: Long, n: Long)
 case class BurstRow(user_id: Long, n_events: Long, max_burst_1h: Long,
                     burst_flag: Boolean)
 
+/** One surviving ingest row for [[Streams.gapCensus]]: a dense-space id
+  * and its event time (the day key derives from it). */
+case class GapEvent(event_id: Long, ts: java.sql.Timestamp)
+/** O(1) per-day gap state: last id seen (gap detection under in-order
+  * arrival needs only the predecessor), the running min/max/count, and
+  * the gap-run tally. */
+case class GapState(lastId: Long, minId: Long, maxId: Long,
+                    n: Long, runs: Long)
+/** Live per-day completeness census: mirrors batch `dq_sequence_gaps`'s
+  * integer columns. */
+case class GapRow(day: java.sql.Date, n_rows: Long, id_span: Long,
+                  n_missing: Long, n_gap_runs: Long)
+
 /** One sweep-line delta instant for [[Streams.concurrencyPeaks]]: at
   * epoch-ms `ms` on epoch-day `di`, the active-session level changes by
   * `d` (+1 start / −1 end, pre-clipped to the day like the batch query). */
@@ -1144,6 +1157,39 @@ object Streams {
     * immutable facts), and under the per-user in-order contract every
     * decision equals the batch fold's at any prefix, regardless of
     * micro-batch boundaries. */
+  /** Streaming ingest-completeness census — the LIVE half of batch
+    * `dq_sequence_gaps` (this is the monitor a real ingest runs: the
+    * batch query is its end-of-day audit): per event-day, the id-span
+    * census updates as surviving rows arrive. Under in-order arrival,
+    * gap detection needs only the PREDECESSOR id — one comparison per
+    * row against O(1) state (last/min/max/count/runs per day) — and the
+    * emitted census equals the batch audit at every prefix that ends on
+    * a day boundary. Update mode: the census row is re-emitted per
+    * micro-batch, the last row per day is the live answer. */
+  def gapCensus(ds: Dataset[GapEvent]): Dataset[GapRow] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(e => java.lang.Math.floorDiv(e.ts.getTime, 86400000L))
+      .flatMapGroupsWithState(OutputMode.Update,
+                              GroupStateTimeout.NoTimeout) {
+        (di: Long, rows: Iterator[GapEvent], state: GroupState[GapState]) =>
+          var s = state.getOption
+            .getOrElse(GapState(-1L, Long.MaxValue, Long.MinValue, 0L, 0L))
+          var (last, mn, mx, n, runs) =
+            (s.lastId, s.minId, s.maxId, s.n, s.runs)
+          rows.toSeq.sortBy(_.event_id).foreach { e =>
+            if (n > 0 && e.event_id - last > 1) runs += 1
+            last = e.event_id
+            mn = math.min(mn, e.event_id)
+            mx = math.max(mx, e.event_id)
+            n += 1
+          }
+          state.update(GapState(last, mn, mx, n, runs))
+          Iterator(GapRow(
+            java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(di)),
+            n, mx - mn + 1, mx - mn + 1 - n, runs))
+      }
+  }
+
   /** Streaming trailing-hour burst census — the LIVE half of batch
     * `event_burst` (the abuse screen a rate-limited API watches in real
     * time): per-user state keeps only the timestamps inside the current
