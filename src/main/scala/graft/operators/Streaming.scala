@@ -2388,6 +2388,59 @@ object Streaming {
       .orderBy("dow", "hr")
   }
 
+  /** Inter-arrival-time distribution — the burstiness fingerprint
+    * ([[eventBurst]] flags the peaks; this shows the whole shape): for
+    * every consecutive per-user event pair, the gap in milliseconds
+    * log₂-binned, counted per type of the LATER event ("how long was
+    * the user idle before doing X"). A Poisson user shows a geometric
+    * tail; a bot shows mass piled in the bottom bins — the two shapes
+    * this histogram separates at a glance.
+    *
+    * The log₂ bin is the portable-arithmetic trick of the round:
+    * `length(bin(gap))` — both engines' `bin()` renders the minimal
+    * binary string, so its LENGTH is ⌊log₂ gap⌋+1 exactly, with no
+    * float log (and no ln-ulp boundary risk) anywhere.
+    *
+    * Plan: ONE user-keyed exchange for the lag window, a partial+final
+    * aggregate to the (type × ≤41 bins) frame, and the share window
+    * rides that bounded frame; the ppm numerator widens (10⁶·n clears
+    * int64 at ~10¹³ events). */
+  val eventInterarrival: Q = Q(
+    "event_interarrival",
+    """WITH o AS (SELECT user_id, event_type, epoch_ms(ts) AS ms,
+      |    lag(epoch_ms(ts)) OVER (PARTITION BY user_id
+      |                            ORDER BY ts, event_id) AS prev
+      |  FROM events),
+      |g AS (SELECT event_type,
+      |        CAST(length(bin(ms - prev)) AS INT) AS bucket
+      |      FROM o WHERE prev IS NOT NULL),
+      |a AS (SELECT event_type, bucket, CAST(count(*) AS BIGINT) AS n
+      |      FROM g GROUP BY 1, 2)
+      |SELECT event_type, bucket, n,
+      |  CAST((1000000 * CAST(n AS HUGEINT))
+      |       // sum(n) OVER (PARTITION BY event_type) AS BIGINT)
+      |    AS share_ppm
+      |FROM a ORDER BY event_type, bucket""".stripMargin
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val byType = Window.partitionBy("event_type")
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        col("ts"), expr("unix_millis(ts)").as("ms"))
+      .withColumn("prev", lag(col("ms"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select(col("event_type"),
+        length(bin(col("ms") - col("prev"))).cast("int").as("bucket"))
+      .groupBy("event_type", "bucket")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("tot", sum(col("n")).over(byType))
+      .select(col("event_type"), col("bucket"), col("n"),
+        expr("(1000000 * cast(n as decimal(38,0))) div tot")
+          .cast("long").as("share_ppm"))
+      .orderBy("event_type", "bucket")
+  }
+
   /** Burst detection — the bot/abuse screen a rate-limited API runs over
     * its event log: per user, the maximum number of events inside ANY
     * trailing 60-minute window (computed exactly by a RANGE frame over
@@ -2680,7 +2733,7 @@ object Streaming {
     scd2, joinPit, abLiftZtest, abLiftSegmented, funnelWindowSweep,
     abRatioDelta, abCuped, abSrm,
     abSequential, abPower, retentionSurvivalKm, retentionLtv,
-    retentionDauMau, eventBurst, eventSeasonality,
+    retentionDauMau, eventBurst, eventSeasonality, eventInterarrival,
     sessionConcurrency, markovTwoStep, markovStationary, graphScc,
     graphReciprocity)
 }

@@ -1539,6 +1539,68 @@ object TextAnalysis {
       .orderBy(desc("fano_micro"), col("token")).limit(30)
   }
 
+  /** Vocabulary coverage at candidate vocab sizes — the OOV planning
+    * curve a tokenizer budget is set from ([[textVocabGrowth]] shows how
+    * fast NEW types appear; this shows what a FIXED top-K vocabulary
+    * would cover): for each candidate K, the share of all corpus tokens
+    * covered by the K most frequent types, and the OOV remainder — the
+    * number every "how big must the vocab be" decision reads off.
+    *
+    * Parity: the type ranking orders by (count DESC, token) — token
+    * breaks count ties totally on both engines; coverage is an exact
+    * conditional sum with a widened ppm numerator.
+    *
+    * Plan: one corpus explode to the type-count aggregate, then
+    * everything — rank window, K cross join, coverage sums — rides the
+    * VOCAB-bounded frame (Heaps-sublinear in the corpus), never the
+    * token stream. */
+  val textVocabCoverage: Q = Q(
+    "text_vocab_coverage",
+    """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token
+      |             FROM documents),
+      |c AS (SELECT token, CAST(count(*) AS BIGINT) AS c FROM tok
+      |      WHERE length(token) > 0 GROUP BY 1),
+      |r AS (SELECT c, row_number() OVER (ORDER BY c DESC, token) AS rnk
+      |      FROM c),
+      |tot AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM c),
+      |k AS (SELECT unnest([100, 300, 1000, 3000, 10000]) AS vocab_k)
+      |SELECT CAST(k.vocab_k AS INT) AS vocab_k,
+      |  CAST(COALESCE(sum(r.c) FILTER (WHERE r.rnk <= k.vocab_k), 0)
+      |       AS BIGINT) AS covered_tokens,
+      |  CAST((1000000 * CAST(COALESCE(sum(r.c)
+      |         FILTER (WHERE r.rnk <= k.vocab_k), 0) AS HUGEINT))
+      |       // (SELECT t FROM tot) AS BIGINT) AS coverage_ppm,
+      |  CAST(1000000 - (1000000 * CAST(COALESCE(sum(r.c)
+      |         FILTER (WHERE r.rnk <= k.vocab_k), 0) AS HUGEINT))
+      |       // (SELECT t FROM tot) AS BIGINT) AS oov_ppm
+      |FROM r CROSS JOIN k GROUP BY 1 ORDER BY 1""".stripMargin
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val toks = split(col("text"), " ")
+    val c = Tables.documents(s, d)
+      .select(explode(toks).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy("token").agg(count(lit(1)).as("c"))
+    val r = c.withColumn("rnk", row_number().over(
+      Window.partitionBy().orderBy(desc("c"), asc("token"))))
+    val tot = c.agg(sum(col("c")).as("t"))
+    r.select(col("c"), col("rnk"),
+        explode(typedlit(Seq(100, 300, 1000, 3000, 10000)))
+          .as("vocab_k"))
+      .groupBy("vocab_k")
+      .agg(coalesce(sum(when(col("rnk") <= col("vocab_k"), col("c"))),
+        lit(0L)).as("covered_tokens"))
+      .crossJoin(broadcast(tot))
+      .select(col("vocab_k").cast("int").as("vocab_k"),
+        col("covered_tokens"),
+        expr("(1000000 * cast(covered_tokens as decimal(38,0))) div t")
+          .cast("long").as("coverage_ppm"),
+        (lit(1000000) -
+          expr("(1000000 * cast(covered_tokens as decimal(38,0))) div t")
+            .cast("long")).as("oov_ppm"))
+      .orderBy("vocab_k")
+  }
+
   /** Readability census (Flesch reading-ease, integer milli-points) —
     * the curriculum/quality feature corpus pipelines bucket documents by
     * before mixing: per source, the mean score, plus how many documents
@@ -1607,6 +1669,7 @@ object TextAnalysis {
     textContamination, textTokenBpe, textPerplexity, spanDedup,
     textHeavyHitters, textQualityClassifier, textCountmin, textCollocations,
     textLangidEval, textBm25, textBoilerplate, textInvertedIndex,
-    textIndexDelta, textHashingVec, textVocabGrowth, textRakeKeywords,
+    textIndexDelta, textHashingVec, textVocabGrowth, textVocabCoverage,
+    textRakeKeywords,
     textZipfFit, textNgramNovelty, textJsDivergence, textBurstiness)
 }
