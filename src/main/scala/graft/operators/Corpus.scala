@@ -1382,7 +1382,8 @@ object Corpus {
        |    CAST(sum(same_p) AS BIGINT) AS same_pairs
        |  FROM sl GROUP BY 1),
        |ex AS (SELECT CAST((1000000 * sum(CAST(c2 AS HUGEINT) * c2))
-       |      // ((SELECT n FROM nn) * (SELECT n FROM nn)) AS BIGINT)
+       |      // (CAST((SELECT n FROM nn) AS HUGEINT) * (SELECT n FROM nn))
+       |      AS BIGINT)
        |      AS expected_ppm
        |  FROM (SELECT CAST(count(*) AS BIGINT) AS c2 FROM documents
        |        GROUP BY source))
@@ -1417,7 +1418,7 @@ object Corpus {
     val ex = docs.groupBy("source").agg(count(lit(1)).as("c2"))
       .crossJoin(broadcast(nn))
       .agg(expr("""(1000000 * sum(cast(c2 as decimal(38,0)) * c2))
-                   div (first(n) * first(n))""")
+                   div (cast(first(n) as decimal(38,0)) * first(n))""")
         .cast("long").as("expected_ppm"))
     agg.crossJoin(broadcast(nn)).crossJoin(broadcast(ex))
       .select(col("epoch").cast("int").as("epoch"),

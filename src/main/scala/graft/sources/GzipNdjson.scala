@@ -50,13 +50,15 @@ object GzipNdjson {
         // still has bytes after a member trailer (multi-member mode is
         // its documented default over a plain InputStream); the 64 KiB
         // internal buffer keeps per-line reads off the inflater syscall
-        // path
+        // path. Returned lazily — only the compressed bytes (already
+        // held by binaryFile) stay resident; decompressed text is one
+        // line at a time, never a whole-shard copy.
         val gin = new GZIPInputStream(
           new ByteArrayInputStream(bytes), 64 * 1024)
         val r = new BufferedReader(
           new InputStreamReader(gin, StandardCharsets.UTF_8))
         Iterator.continually(r.readLine()).takeWhile(_ != null)
-          .filter(_.nonEmpty).toList
+          .filter(_.nonEmpty)
       }
   }
 }

@@ -160,7 +160,8 @@ case class FunnelStageState(t1: Long, t2: Long, t3: Long, t4: Long)
   * trailing hour (everything older can never join a future trailing
   * window under in-order arrival, so it is dropped — state is bounded by
   * the user's peak events-per-hour), plus the running max and total. */
-case class BurstState(recent: Seq[Long], maxBurst: Long, n: Long)
+case class BurstState(recentMs: Seq[Long], recentCnt: Seq[Long],
+                      maxBurst: Long, n: Long, coarse: Boolean)
 /** Live per-user burst census: mirrors batch `event_burst`'s row. */
 case class BurstRow(user_id: Long, n_events: Long, max_burst_1h: Long,
                     burst_flag: Boolean)
@@ -1192,33 +1193,75 @@ object Streams {
 
   /** Streaming trailing-hour burst census — the LIVE half of batch
     * `event_burst` (the abuse screen a rate-limited API watches in real
-    * time): per-user state keeps only the timestamps inside the current
-    * trailing hour — under the per-user in-order contract, older events
-    * can never re-enter a future trailing window, so the drop is lossless
-    * and state stays bounded by the user's peak hourly rate. Each
-    * micro-batch re-emits the user's row (Update mode — a census, not a
-    * fact log). Equal-millisecond peers are counted together whichever
-    * arrives first (the count at the LAST peer includes all of them,
-    * matching the batch RANGE frame's peer semantics on the max). */
+    * time): per-user state keeps a run-length census of the current
+    * trailing hour — (last-ms-of-run, count) pairs, equal-millisecond
+    * events collapsed — so ordinary users cost O(events-in-hour) pairs
+    * and equal-ms floods cost O(1). Under the per-user in-order
+    * contract, older events can never re-enter a future trailing
+    * window, so the drop is lossless. The adversarial hot user (the
+    * input this screen exists to catch) is explicitly bounded: past
+    * `MaxRlePairs` distinct-ms runs the census coarsens to per-SECOND
+    * buckets keyed at each bucket's last observed ms — at most 3601
+    * pairs thereafter — and boundary events leave the window up to
+    * 999 ms late, so the reported `max_burst_1h` saturates to an UPPER
+    * bound (never an undercount; the `is_burst` flag, thresholded at 3,
+    * is unaffected). Below the cap the census is exact and equals the
+    * batch RANGE frame bit-for-bit: equal-millisecond peers are counted
+    * together whichever arrives first (the count at the LAST peer
+    * includes all of them, matching the frame's peer semantics on the
+    * max). Each micro-batch re-emits the user's row (Update mode — a
+    * census, not a fact log). */
   def burstCensus(ds: Dataset[UserEvent2]): Dataset[BurstRow] = {
     import ds.sparkSession.implicits._
     val WindowMs = 3599999L
+    val MaxRlePairs = 4096
     ds.groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Update,
                               GroupStateTimeout.NoTimeout) {
         (uid: Long, rows: Iterator[UserEvent2],
          state: GroupState[BurstState]) =>
-          var s = state.getOption.getOrElse(BurstState(Seq.empty, 0L, 0L))
-          var recent = s.recent.toVector
+          val s = state.getOption
+            .getOrElse(BurstState(Seq.empty, Seq.empty, 0L, 0L, false))
+          val recent = scala.collection.mutable.ArrayDeque.from(
+            s.recentMs.iterator.zip(s.recentCnt.iterator))
+          var tot = recent.iterator.map(_._2).sum
           var mx = s.maxBurst
           var n = s.n
+          var coarse = s.coarse
           rows.toSeq.sortBy(_.ts.getTime).foreach { e =>
             val ms = e.ts.getTime
             n += 1
-            recent = (recent :+ ms).dropWhile(_ < ms - WindowMs)
-            if (recent.size > mx) mx = recent.size.toLong
+            // in-order per user ⇒ ms is the run's (or bucket's) last ms
+            val sameRun = recent.nonEmpty && (
+              if (coarse) recent.last._1 / 1000 == ms / 1000
+              else recent.last._1 == ms)
+            if (sameRun) {
+              val (_, c) = recent.removeLast()
+              recent.append((ms, c + 1L))
+            } else recent.append((ms, 1L))
+            tot += 1
+            while (recent.nonEmpty && recent.head._1 < ms - WindowMs) {
+              tot -= recent.removeHead()._2
+            }
+            if (tot > mx) mx = tot
+            if (!coarse && recent.size > MaxRlePairs) {
+              // saturate: collapse runs into per-second buckets keyed
+              // at each bucket's LAST ms (conservative — events expire
+              // no earlier than exact, so counts never undershoot)
+              coarse = true
+              val bySec = scala.collection.mutable.LinkedHashMap
+                .empty[Long, (Long, Long)]
+              recent.foreach { case (t, c) =>
+                val k = t / 1000
+                val prev = bySec.getOrElse(k, (t, 0L))
+                bySec.update(k, (math.max(prev._1, t), prev._2 + c))
+              }
+              recent.clear()
+              bySec.valuesIterator.foreach(recent.append(_))
+            }
           }
-          state.update(BurstState(recent, mx, n))
+          state.update(BurstState(recent.iterator.map(_._1).toSeq,
+            recent.iterator.map(_._2).toSeq, mx, n, coarse))
           Iterator(BurstRow(uid, n, mx, mx >= 3))
       }
   }

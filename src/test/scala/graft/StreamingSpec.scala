@@ -1448,6 +1448,41 @@ class StreamingSpec extends SparkSpec {
       s"cross-batch trailing window broken: $last")
   }
 
+  test("burst census bounds hot-user state by coarsening, counts stay") {
+    import graft.streaming.{BurstRow, Streams, UserEvent2}
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the adversarial input the screen exists to catch: one user, 5000
+    // events at 5000 DISTINCT milliseconds inside one hour — past the
+    // 4096-run cap the state coarsens to ≤3601 per-second buckets; the
+    // in-window count is unaffected here (nothing expires), so the max
+    // must stay exact through the coarsening
+    val t0 = 1700000000000L
+    val hot = (0 until 5000).map(i =>
+      UserEvent2(7L, new java.sql.Timestamp(t0 + i)))
+    val mem = MemoryStream[UserEvent2]
+    val name = s"brsth_${System.nanoTime()}"
+    val q = Streams.burstCensus(mem.toDS()).writeStream
+      .format("memory").queryName(name).outputMode("update").start()
+    val (mid, last) = try {
+      mem.addData(hot); q.processAllAvailable()
+      val m = spark.table(name).as[BurstRow].collect()
+        .zipWithIndex.maxBy(_._2)._1
+      // two hours later every coarse bucket is past the window — the
+      // trailing count resets to 1 while the historical max persists
+      mem.addData(Seq(UserEvent2(7L,
+        new java.sql.Timestamp(t0 + 7200000L))))
+      q.processAllAvailable()
+      (m, spark.table(name).as[BurstRow].collect()
+        .zipWithIndex.maxBy(_._2)._1)
+    } finally q.stop()
+    assert(mid === BurstRow(7L, 5000L, 5000L, true),
+      s"hot-user count wrong through coarsening: $mid")
+    assert(last === BurstRow(7L, 5001L, 5000L, true),
+      s"coarse buckets failed to expire: $last")
+  }
+
   test("streaming gap census equals the batch dq_sequence_gaps audit") {
     import graft.streaming.{GapEvent, GapRow, Streams}
     val spark2 = spark
