@@ -1758,6 +1758,64 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** TOKEN-WEIGHTED DEDUP SAVINGS by source — the budget readout that
+    * turns [[dedupExact]]'s pair census into the number the training-run
+    * planner actually spends: for every exact-content group the min
+    * doc_id survives (the catalog-wide survivor rule) and every other
+    * copy's TOKENS are waste, attributed to the copy's OWN source. A
+    * source whose waste_ppm is high is re-crawling content some other
+    * source already contributed — the signal that reprioritizes crawl
+    * frontiers, which doc-count dedup rates miss entirely when dup docs
+    * are systematically longer or shorter than originals.
+    *
+    * Parity: counts and token sums are exact BIGINT; waste_ppm follows
+    * the round-8 wide-integer discipline — the 10⁶-scaled numerator is
+    * widened (HUGEINT / decimal(38,0)) BEFORE the floor division so a
+    * 100 TB source (≳10¹³ tokens) cannot wrap, and the quotient (≤10⁶)
+    * is cast back to BIGINT.
+    *
+    * Plan: one exchange on the content digest (the same partitioning
+    * [[dedupExact]] pays) for the survivor window, then a partial+final
+    * aggregate on the tiny source key. No joins. */
+  val dedupTokenWaste: Q = Q(
+    "dedup_token_waste",
+    """WITH t AS (SELECT doc_id, source, md5(text) AS h,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      |  FROM documents),
+      |k AS (SELECT *, min(doc_id) OVER (PARTITION BY h) AS keep_id FROM t),
+      |a AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(sum(CASE WHEN doc_id <> keep_id THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS dup_docs,
+      |    CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+      |    CAST(sum(CASE WHEN doc_id <> keep_id THEN n_tok ELSE 0 END)
+      |      AS BIGINT) AS wasted_tokens
+      |  FROM k GROUP BY source)
+      |SELECT source, n_docs, dup_docs, total_tokens, wasted_tokens,
+      |  CAST((1000000 * CAST(wasted_tokens AS HUGEINT))
+      |       // nullif(total_tokens, 0) AS BIGINT) AS waste_ppm
+      |FROM a ORDER BY source""".stripMargin
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val t = Tables.documents(s, d).select(col("doc_id"), col("source"),
+      md5(col("text").cast("binary")).as("h"),
+      size(split(col("text"), " ")).cast("long").as("n_tok"))
+    val k = t.withColumn("keep_id",
+      min(col("doc_id")).over(Window.partitionBy("h")))
+    k.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("doc_id") =!= col("keep_id"), 1).otherwise(0))
+          .as("dup_docs"),
+        sum(col("n_tok")).as("total_tokens"),
+        sum(when(col("doc_id") =!= col("keep_id"), col("n_tok"))
+          .otherwise(0L)).as("wasted_tokens"))
+      .select(col("source"), col("n_docs"), col("dup_docs"),
+        col("total_tokens"), col("wasted_tokens"),
+        expr("""(1000000 * cast(wasted_tokens as decimal(38,0)))
+                div nullif(total_tokens, 0)""").cast("long")
+          .as("waste_ppm"))
+      .orderBy("source")
+  }
+
   val all: Seq[Q] = Seq(dedupExact, dedupNgram, dedupMinhash,
     dedupIncremental, dedupSimhash, dedupCosine, dedupCosineLsh,
     dedupCluster, dedupClusterSizes, dedupClusterStar, dedupClusterIncr,
@@ -1765,5 +1823,6 @@ object Dedup {
     graphClusteringCoeff,
     graphAssortativity, dedupSourceSim,
     dedupContainment, dedupSemantic, dedupClusterRep, dedupThresholdSweep,
-    dedupRecallEval, dedupEstimatorEval, dedupKeepfirst, dedupSortedWindow)
+    dedupRecallEval, dedupEstimatorEval, dedupKeepfirst, dedupSortedWindow,
+    dedupTokenWaste)
 }

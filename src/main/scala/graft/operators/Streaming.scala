@@ -1543,6 +1543,103 @@ object Streaming {
       .orderBy("event_type")
   }.copy(eager = true) // skeleton collect + driver Tarjan at plan build
 
+  /** BETWEENNESS CENTRALITY of the dominant-transition skeleton — which
+    * event types are the CHOKEPOINTS every journey routes through (the
+    * funnel-redesign signal: a high-betweenness type is a single point
+    * of failure for every downstream conversion). On the out-degree-1
+    * skeleton (same rank-1 cut as [[graphScc]]) every reachable pair
+    * (s,t) has a UNIQUE path, so betweenness reduces from Brandes'
+    * σ-ratio sums to an exact integer pair count: v lies between s and
+    * t iff d(s,v) + d(v,t) = d(s,t) with all three first-occurrence
+    * walk distances defined — no fractional path-count credit, hence an
+    * exactly hashable output.
+    *
+    * Scale posture: the one corpus-sized stage is the transition count
+    * ([[eventTransitions]]'s user-keyed lead window + aggregate); the
+    * walks run driver-side over the ≤|types| skeleton edges under the
+    * [[MarkovMaxTypes]] bounded-collect guard. The oracle recomputes the
+    * distances from scratch via a depth-bounded recursive-CTE closure
+    * over its own independently-ranked skeleton and counts the d(s,v) +
+    * d(v,t) = d(s,t) triples — so the hash match certifies the skeleton
+    * extraction, the walk distances, AND the betweenness identity. */
+  val graphBetweenness: Q = Q(
+    "graph_betweenness",
+    """WITH RECURSIVE o AS (SELECT user_id, event_type,
+      |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      AS next_type
+      |  FROM events),
+      |c AS (SELECT event_type AS a, next_type AS b, count(*) AS n
+      |      FROM o WHERE next_type IS NOT NULL GROUP BY 1, 2),
+      |rk AS (SELECT a, b,
+      |    row_number() OVER (PARTITION BY a ORDER BY n DESC, b) AS r
+      |  FROM c),
+      |e AS (SELECT a, b FROM rk WHERE r = 1),
+      |ty AS (SELECT DISTINCT event_type AS t FROM events),
+      |walk AS (SELECT a, b, 1 AS dist FROM e
+      |         UNION
+      |         SELECT w.a, e.b, w.dist + 1 FROM walk w JOIN e ON w.b = e.a
+      |         WHERE w.dist < (SELECT count(*) FROM ty)),
+      |d AS (SELECT a, b, min(dist) AS dist FROM walk GROUP BY 1, 2),
+      |bt AS (SELECT sv.b AS v, CAST(count(*) AS BIGINT) AS btw
+      |  FROM d st
+      |  JOIN d sv ON sv.a = st.a
+      |  JOIN d vt ON vt.a = sv.b AND vt.b = st.b
+      |  WHERE st.a <> st.b AND sv.b <> st.a AND sv.b <> st.b
+      |    AND sv.dist + vt.dist = st.dist
+      |  GROUP BY 1)
+      |SELECT ty.t AS event_type,
+      |  CAST(coalesce(bt.btw, 0) AS BIGINT) AS betweenness
+      |FROM ty LEFT JOIN bt ON bt.v = ty.t
+      |ORDER BY ty.t""".stripMargin
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val counts = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("a"), col("next_type").as("b"))
+      .agg(count(lit(1)).as("n"))
+    val nTypes = Tables.events(s, d)
+      .agg(count_distinct(col("event_type"))).head().getLong(0)
+    require(nTypes <= MarkovMaxTypes,
+      s"graph_betweenness collects the dominant-transition skeleton " +
+      s"driver-side (bounded-collect discipline); $nTypes distinct " +
+      s"event_type values exceeds the $MarkovMaxTypes cap. For a " +
+      "high-cardinality state domain run sampled Brandes distributed " +
+      "(per-source BFS fan-out, the graph_shortest_path plan shape).")
+    val rk = Window.partitionBy("a").orderBy(desc("n"), asc("b"))
+    val edges = counts.withColumn("r", row_number().over(rk))
+      .filter(col("r") === 1).select(col("a"), col("b"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val types = Tables.events(s, d).select(col("event_type"))
+      .distinct().collect().map(_.getString(0)).sorted
+    // per-source walk: out-degree ≤1, so the path is unique and first
+    // occurrences are ordered along it — every t at walk index j puts
+    // one betweenness unit on each strictly-interior v (indices 1..j-1)
+    val btw = scala.collection.mutable.Map[String, Long]()
+      .withDefaultValue(0L)
+    for (s0 <- types) {
+      val order = scala.collection.mutable.ArrayBuffer(s0)
+      val seen = scala.collection.mutable.Set(s0)
+      var cur = s0
+      var going = true
+      while (going) edges.get(cur) match {
+        case Some(nxt) if !seen(nxt) =>
+          order += nxt; seen += nxt; cur = nxt
+        case _ => going = false
+      }
+      // order = [s0, v1, .., vm]; vi (1-based, i<m) is interior to
+      // (s0, vj) for every j > i
+      val m = order.length - 1
+      for (i <- 1 until m) btw(order(i)) += (m - i).toLong
+    }
+    import s.implicits._
+    types.map(t => (t, btw(t))).toSeq
+      .toDF("event_type", "betweenness")
+      .orderBy("event_type")
+  }.copy(eager = true) // skeleton collect + driver walks at plan build
+
   /** A/B EXPERIMENT LIFT with a two-proportion z-test — the readout an
     * experimentation platform computes per assignment split: users hash
     * into control/treatment (`user_id % 2`, the deterministic assignment
@@ -2724,6 +2821,102 @@ object Streaming {
       .orderBy("t")
   }
 
+  /** UPLIFT DECILE / QINI CURVE — the targeting readout on top of the
+    * [[abLiftZtest]] experiment: rank every user by a deterministic
+    * targeting score (here pre-treatment engagement — click count — the
+    * proxy an uplift model would replace), cut the ranking into 10
+    * population deciles, and report per-decile and CUMULATIVE
+    * treatment-vs-control conversion lift. A monotonically decaying
+    * qini_ppm curve means the score successfully concentrates
+    * persuadable users at the top — the decision input for "how deep to
+    * target"; a flat curve means the score carries no uplift signal.
+    *
+    * The scale point is the RANKING: the naive plan is a corpus-wide
+    * `row_number() OVER (ORDER BY score DESC, user_id)` — a
+    * single-partition global sort over every user. Here the global rank
+    * is ARITHMETIC (the [[graft.operators.Corpus.corpusInterleave]]
+    * proof pattern): the score domain is small (bounded per-user click
+    * counts), so rank = Σ counts of strictly-higher scores (a broadcast
+    * |scores|-row frame) + rank within the score by user_id (one
+    * exchange keyed by score). The DuckDB oracle USES the naive global
+    * window, so the driver's hash compare proves the distributed
+    * arithmetic equals the global sort. All statistics are exact BIGINT
+    * counts; rates are floor-DIV ppm with nullif guards for empty arms.
+    */
+  val abQiniDecile: Q = Q(
+    "ab_qini_decile",
+    """WITH u AS (SELECT user_id, user_id % 2 AS grp,
+      |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS score,
+      |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+      |  FROM events GROUP BY 1, 2),
+      |r AS (SELECT grp, conv,
+      |    row_number() OVER (ORDER BY score DESC, user_id) AS rn,
+      |    count(*) OVER () AS nu
+      |  FROM u),
+      |c AS (SELECT CAST((10 * (rn - 1)) // nu AS INT) AS decile,
+      |    CAST(sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+      |    CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+      |    CAST(sum(CASE WHEN grp = 0 THEN conv ELSE 0 END) AS BIGINT) AS x0,
+      |    CAST(sum(CASE WHEN grp = 1 THEN conv ELSE 0 END) AS BIGINT) AS x1
+      |  FROM r GROUP BY 1),
+      |q AS (SELECT decile, n0, n1, x0, x1,
+      |    CAST(sum(n0) OVER (ORDER BY decile) AS BIGINT) AS cn0,
+      |    CAST(sum(n1) OVER (ORDER BY decile) AS BIGINT) AS cn1,
+      |    CAST(sum(x0) OVER (ORDER BY decile) AS BIGINT) AS cx0,
+      |    CAST(sum(x1) OVER (ORDER BY decile) AS BIGINT) AS cx1
+      |  FROM c)
+      |SELECT decile, n0 AS n_control, n1 AS n_treat,
+      |  x0 AS conv_control, x1 AS conv_treat,
+      |  (1000000 * x1) // nullif(n1, 0)
+      |    - (1000000 * x0) // nullif(n0, 0) AS uplift_ppm,
+      |  (1000000 * cx1) // nullif(cn1, 0)
+      |    - (1000000 * cx0) // nullif(cn0, 0) AS qini_ppm
+      |FROM q ORDER BY decile""".stripMargin
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val u = Tables.events(s, d)
+      .groupBy(col("user_id"), (col("user_id") % 2).as("grp"))
+      .agg(sum(when(col("event_type") === "click", 1).otherwise(0))
+             .cast("long").as("score"),
+           max(when(col("event_type") === "purchase", 1).otherwise(0))
+             .as("conv"))
+    // arithmetic global rank: offsets from the tiny per-score count
+    // frame (broadcast), within-score rank keyed BY score — no
+    // single-partition corpus sort
+    val sc = u.groupBy(col("score").as("sc")).agg(count(lit(1)).as("cnt"))
+    val wHigher = Window.orderBy(desc("sc"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.orderBy(desc("sc"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val off = sc
+      .withColumn("offset", coalesce(sum(col("cnt")).over(wHigher), lit(0L)))
+      .withColumn("nu", sum(col("cnt")).over(wAll))
+    val wIn = Window.partitionBy("score").orderBy("user_id")
+    val ranked = u.join(broadcast(off), col("score") === col("sc"))
+      .withColumn("rn", col("offset") + row_number().over(wIn))
+      .withColumn("decile", expr("(10 * (rn - 1)) div nu").cast("int"))
+    val c = ranked.groupBy("decile")
+      .agg(sum(when(col("grp") === 0, 1).otherwise(0)).as("n0"),
+           sum(when(col("grp") === 1, 1).otherwise(0)).as("n1"),
+           sum(when(col("grp") === 0, col("conv")).otherwise(0)).as("x0"),
+           sum(when(col("grp") === 1, col("conv")).otherwise(0)).as("x1"))
+    val wCum = Window.orderBy("decile")  // bounded ≤10-row frame
+    val q = c
+      .withColumn("cn0", sum(col("n0")).over(wCum))
+      .withColumn("cn1", sum(col("n1")).over(wCum))
+      .withColumn("cx0", sum(col("x0")).over(wCum))
+      .withColumn("cx1", sum(col("x1")).over(wCum))
+    q.select(col("decile"), col("n0").as("n_control"),
+        col("n1").as("n_treat"), col("x0").as("conv_control"),
+        col("x1").as("conv_treat"),
+        expr("""(1000000 * x1) div nullif(n1, 0)
+                - (1000000 * x0) div nullif(n0, 0)""").as("uplift_ppm"),
+        expr("""(1000000 * cx1) div nullif(cn1, 0)
+                - (1000000 * cx0) div nullif(cn0, 0)""").as("qini_ppm"))
+      .orderBy("decile")
+  }
+
   val all: Seq[Q] = Seq(streamTumbling, streamHopping, streamSession,
     resampleGapfill, resampleInterp, funnel, funnelMultistep, funnelWindowed, rateLimitSim, eventPaths,
     retentionCohort,
@@ -2732,8 +2925,8 @@ object Streaming {
     attributionShapley,
     scd2, joinPit, abLiftZtest, abLiftSegmented, funnelWindowSweep,
     abRatioDelta, abCuped, abSrm,
-    abSequential, abPower, retentionSurvivalKm, retentionLtv,
+    abSequential, abPower, abQiniDecile, retentionSurvivalKm, retentionLtv,
     retentionDauMau, eventBurst, eventSeasonality, eventInterarrival,
     sessionConcurrency, markovTwoStep, markovStationary, graphScc,
-    graphReciprocity)
+    graphBetweenness, graphReciprocity)
 }
