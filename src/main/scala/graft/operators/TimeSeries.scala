@@ -939,7 +939,156 @@ object TimeSeries {
       .orderBy("event_type", "rank")
   }
 
+  /** HURST EXPONENT via rescaled-range (R/S) analysis per event_type —
+    * the long-memory diagnostic that separates trending series (H > 0.5,
+    * shocks persist), mean-reverting series (H < 0.5) and memoryless
+    * ones (H ≈ 0.5): slice each type's value series into disjoint
+    * windows of w ∈ {8,16,32,64}, compute the range of cumulative
+    * mean-deviations over the window stddev, and fit log E[R/S] against
+    * log w — the classic log-log ladder, the [[tsVarRatio]] finding from
+    * the range side.
+    *
+    * Exactness: values quantize to cents (the `Tables.money`
+    * discipline); within a window the deviation prefix is computed at
+    * denominator w — D_i = w·P_i − i·S — so R (max−min of D) and the
+    * variance numerator N = w·Σv² − S² are exact BIGINTs, and R/S =
+    * R/√N needs exactly one sqrt + one division (w cancels). Each
+    * window's ratio floor-quantizes to micro units BEFORE the per-scale
+    * mean (exact integer division — no engine-ordered double sum), and
+    * the 4-point OLS runs on nano-quantized logs with exact
+    * HUGEINT/DECIMAL(38,0) sufficient statistics (the [[graft.operators
+    * .TextAnalysis]] text_zipf_fit pattern). Zero-variance windows and
+    * degenerate fits are excluded by mirrored WHEREs.
+    *
+    * Plan: one type-keyed window sort ranks the series; the ×4 scale
+    * explode carries only (type, cents, rn); window frames partition by
+    * (type, scale, window-index) — bounded by w — and everything after
+    * the per-window aggregate is |types|×4 rows. At 100 TB the one
+    * corpus-sized stage is the series rank, which [[tsSax]] and the
+    * autocorr family already pay identically. */
+  val tsHurst: Q = Q(
+    "ts_hurst",
+    """WITH v AS (SELECT event_type,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+      |    CAST(row_number() OVER (PARTITION BY event_type
+      |                            ORDER BY ts, event_id) AS BIGINT) AS rn
+      |  FROM events),
+      |e AS (SELECT event_type, cents, rn,
+      |    CAST(unnest([8, 16, 32, 64]) AS BIGINT) AS w FROM v),
+      |e2 AS (SELECT event_type, cents, rn, w, (rn - 1) // w AS win,
+      |    rn - w * ((rn - 1) // w) AS i FROM e),
+      |p AS (SELECT event_type, w, win, i, cents,
+      |    CAST(sum(cents) OVER (PARTITION BY event_type, w, win
+      |                          ORDER BY rn) AS BIGINT) AS pre,
+      |    CAST(sum(cents) OVER (PARTITION BY event_type, w, win)
+      |      AS BIGINT) AS s,
+      |    CAST(count(*) OVER (PARTITION BY event_type, w, win)
+      |      AS BIGINT) AS cnt
+      |  FROM e2),
+      |g AS (SELECT event_type, w, win,
+      |    CAST(max(w * pre - i * s) - min(w * pre - i * s) AS BIGINT) AS r,
+      |    CAST(w * sum(cents * cents) - max(s) * max(s) AS BIGINT) AS nvar
+      |  FROM p WHERE cnt = w GROUP BY 1, 2, 3),
+      |rs AS (SELECT event_type, w,
+      |    CAST(floor(1000000 * (CAST(r AS DOUBLE)
+      |      / sqrt(CAST(nvar AS DOUBLE)))) AS BIGINT) AS rs_micro
+      |  FROM g WHERE nvar > 0),
+      |m AS (SELECT event_type, w, CAST(count(*) AS BIGINT) AS n_win,
+      |    CAST(sum(rs_micro) // count(*) AS BIGINT) AS rs_mean
+      |  FROM rs GROUP BY 1, 2),
+      |q AS (SELECT event_type, w, n_win, rs_mean,
+      |    CAST(floor(1000000000 * ln(CAST(w AS DOUBLE))) AS BIGINT) AS x,
+      |    CAST(floor(1000000000 * ln(CAST(rs_mean AS DOUBLE))) AS BIGINT)
+      |      AS y
+      |  FROM m WHERE rs_mean > 0),
+      |st AS (SELECT event_type, CAST(count(*) AS BIGINT) AS k,
+      |    CAST(sum(n_win) AS BIGINT) AS n_windows,
+      |    CAST(max(CASE WHEN w = 8 THEN rs_mean END) AS BIGINT) AS rs8,
+      |    CAST(max(CASE WHEN w = 64 THEN rs_mean END) AS BIGINT) AS rs64,
+      |    CAST(sum(x) AS DECIMAL(38,0)) AS sx,
+      |    CAST(sum(y) AS DECIMAL(38,0)) AS sy,
+      |    sum(CAST(x AS HUGEINT) * y) AS sxy,
+      |    sum(CAST(x AS HUGEINT) * x) AS sxx
+      |  FROM q GROUP BY 1),
+      |c AS (SELECT event_type, k, n_windows, rs8, rs64,
+      |    (CAST(k AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |    / (CAST(k AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope
+      |  FROM st
+      |  WHERE k > 1 AND CAST(k AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0)
+      |SELECT event_type, CAST(k AS INT) AS n_scales, n_windows, rs8, rs64,
+      |  CAST(floor(1000000 * slope) AS BIGINT) AS hurst_micro,
+      |  CAST(floor(1000000 * slope) AS BIGINT) > 600000 AS persistent
+      |FROM c ORDER BY event_type""".stripMargin
+  ) { (s, d) =>
+    import org.apache.spark.sql.types.DecimalType
+    val dec38 = DecimalType(38, 0)
+    val wSeries = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    val v = Tables.events(s, d)
+      .select(col("event_type"),
+        (Tables.money(col("value")) * 100).cast("long").as("cents"),
+        col("ts"), col("event_id"))
+      .withColumn("rn", row_number().over(wSeries).cast("long"))
+      .select(col("event_type"), col("cents"), col("rn"))
+    val e2 = v
+      .withColumn("w", explode(typedlit(Seq(8L, 16L, 32L, 64L))))
+      .withColumn("win", expr("(rn - 1) div w"))
+      .withColumn("i", expr("rn - w * ((rn - 1) div w)"))
+    // materialized (w, win) keys: both frames share one exchange
+    val part = Window.partitionBy("event_type", "w", "win")
+    val p = e2
+      .withColumn("pre", sum(col("cents")).over(part.orderBy("rn")))
+      .withColumn("s", sum(col("cents")).over(
+        part.orderBy("rn").rowsBetween(Window.unboundedPreceding,
+                                       Window.unboundedFollowing)))
+      .withColumn("cnt", count(lit(1)).over(
+        part.orderBy("rn").rowsBetween(Window.unboundedPreceding,
+                                       Window.unboundedFollowing)))
+    val g = p.filter(col("cnt") === col("w"))
+      .withColumn("dev", col("w") * col("pre") - col("i") * col("s"))
+      .groupBy("event_type", "w", "win")
+      .agg((max(col("dev")) - min(col("dev"))).as("r"),
+        sum(expr("cents * cents")).as("ssq"), max(col("s")).as("stot"))
+      .select(col("event_type"), col("w"),
+        col("r"), (col("w") * col("ssq") - col("stot") * col("stot"))
+          .as("nvar"))
+    val rs = g.filter(col("nvar") > 0)
+      .select(col("event_type"), col("w"),
+        floor(lit(1000000) * (col("r").cast("double")
+          / sqrt(col("nvar").cast("double")))).cast("long").as("rs_micro"))
+    val m = rs.groupBy("event_type", "w")
+      .agg(count(lit(1)).as("n_win"),
+           expr("sum(rs_micro) div count(*)").as("rs_mean"))
+    val q = m.filter(col("rs_mean") > 0)
+      .select(col("event_type"), col("w"), col("n_win"), col("rs_mean"),
+        floor(lit(1000000000L) * log(col("w").cast("double")))
+          .cast("long").as("x"),
+        floor(lit(1000000000L) * log(col("rs_mean").cast("double")))
+          .cast("long").as("y"))
+    val st = q.groupBy("event_type")
+      .agg(count(lit(1)).as("k"), sum(col("n_win")).as("n_windows"),
+        max(when(col("w") === 8, col("rs_mean"))).as("rs8"),
+        max(when(col("w") === 64, col("rs_mean"))).as("rs64"),
+        sum(col("x")).cast(dec38).as("sx"),
+        sum(col("y")).cast(dec38).as("sy"),
+        sum(col("x").cast(dec38) * col("y")).as("sxy"),
+        sum(col("x").cast(dec38) * col("x")).as("sxx"))
+    def dbl(c: Column): Column = c.cast("double")
+    val denom = dbl(col("k")) * dbl(col("sxx")) -
+      dbl(col("sx")) * dbl(col("sx"))
+    val slope = (dbl(col("k")) * dbl(col("sxy")) -
+      dbl(col("sx")) * dbl(col("sy"))) / denom
+    val hurst = floor(lit(1000000) * slope).cast("long")
+    st.filter(col("k") > 1 && denom > 0)
+      .select(col("event_type"), col("k").cast("int").as("n_scales"),
+        col("n_windows"), col("rs8"), col("rs64"),
+        hurst.as("hurst_micro"), (hurst > 600000).as("persistent"))
+      .orderBy("event_type")
+  }
+
   val all: Seq[Q] = Seq(tsAutocorr, tsChangepoint, tsEwma, tsDecompose,
     tsHolt, tsMkTrend, tsAnomaly, tsRollingCorr, tsCrossCorr, tsTheilSen,
-    tsBacktestMae, tsSeasonalStrength, tsVarRatio, tsSax)
+    tsBacktestMae, tsSeasonalStrength, tsVarRatio, tsSax, tsHurst)
 }
