@@ -659,4 +659,25 @@ class DedupSpec extends SparkSpec {
     assert(snm.size >= 0.8 * exact.size,
       s"SNM recall too low: ${snm.size}/${exact.size}")
   }
+
+  test("vector_nsw_search: beam contract and recall floors hold") {
+    val rows = Vectors.vectorNswSearch.fn(spark, sf0001).collect()
+    assert(rows.length == 17, s"17 queries expected, got ${rows.length}")
+    // every landed node must really be a base (came through the graph),
+    // and the landed cosine can never exceed the exact best — the beam
+    // only ever sees base vectors
+    rows.foreach { r =>
+      assert(r.getLong(1) % 31 != 0, s"beam landed on a query: $r")
+      assert(r.getDouble(2) <= 1.0 + 1e-12, s"cosine out of range: $r")
+    }
+    // honest floors on the near-isotropic 64-dim fixture (measured
+    // recall@1 ~0.35, recall@10 ~0.95 at ef=8, hops=8; single-greedy
+    // ef=1 measured recall@1 = 0 — the documented local-optimum mode):
+    // the floor guards the routing plumbing, not the geometry
+    val top10 = rows.count(_.getBoolean(5))
+    assert(top10 >= 12, s"NSW recall@10 collapsed: $top10/17")
+    val overlap = rows.map(_.getLong(6)).sum
+    assert(overlap >= 17, s"beam top-10 overlap collapsed: $overlap")
+    assert(rows.forall(_.getLong(6) <= 10), "overlap exceeds top-10")
+  }
 }
