@@ -235,6 +235,20 @@ case class SourceSig(source: String, sig: Seq[Long])
 /** A document arriving on a stream (near-dup candidate detection). */
 case class DocIn(doc_id: Long, text: String)
 /** An LSH band row of a streamed document. */
+/** One token arrival for [[Streams.heavyHitterCandidates]]. */
+case class TokEvent(token: String)
+/** Bounded per-shard Misra–Gries state: ≤ MgCap (token, counter) pairs,
+  * the shard's total token count, and the micro-batch epoch (so readers
+  * of the Update-mode sink can select the LATEST emitted candidate set —
+  * MG counters can drop between batches, and stale rows must lose). */
+case class HhShardState(toks: Seq[String], cnts: Seq[Long],
+                        n: Long, epoch: Long)
+/** One live candidate row: the shard, the surviving token, its MG
+  * counter (an undercount of the true frequency by ≤ shard_n/(cap+1)),
+  * the shard's running total, and the emitting epoch. */
+case class HhCand(shard: Int, token: String, mg_count: Long,
+                  shard_n: Long, epoch: Long)
+
 case class BandRow(doc_id: Long, band: Int, bhash: Long)
 /** Emitted candidate pair, normalized doc_a < doc_b. */
 case class CandPair(doc_a: Long, doc_b: Long)
@@ -1511,6 +1525,55 @@ object Streams {
           }
           state.update(BucketState(members))
           out.result().iterator
+      }
+  }
+
+  /** Streaming heavy-hitter candidates — the LIVE half of batch
+    * `text_heavy_hitters` (the trending-vocabulary monitor a live corpus
+    * intake runs; the batch query is its end-of-corpus exact audit):
+    * tokens shard by portable hash, each shard maintains ONE
+    * Misra–Gries sketch of capacity [[graft.operators.TextAnalysis
+    * .MgCap]] across micro-batches (the same `misraGriesInto` fold the
+    * batch mapPartitions pass runs, carried in ≤cap state), and every
+    * micro-batch re-emits the shard's full candidate set stamped with an
+    * epoch (Update mode — counters can DROP between batches, so only the
+    * latest epoch's rows are the live answer).
+    *
+    * The contract is the MG SUPERSET GUARANTEE, not bit-equality: after
+    * any prefix, each shard's candidates provably contain every token
+    * with true shard frequency > shard_n/(cap+1); a token's shard never
+    * changes, so the union over shards contains every GLOBAL heavy
+    * hitter at threshold 1/200 ≪ cap/(cap+1) — StreamingSpec asserts
+    * containment against the exact batch answer across a two-batch
+    * split, plus the ≤cap state bound. State per shard: ≤[[graft
+    * .operators.TextAnalysis.MgCap]] counters regardless of vocabulary
+    * size — the only streaming-vocabulary shape that survives an
+    * unbounded token domain. */
+  def heavyHitterCandidates(ds: Dataset[TokEvent],
+                            shards: Int = 8): Dataset[HhCand] = {
+    import ds.sparkSession.implicits._
+    val cap = graft.operators.TextAnalysis.MgCap
+    ds.groupByKey(e => java.lang.Math.floorMod(
+        e.token.hashCode, shards))
+      .flatMapGroupsWithState(OutputMode.Update,
+                              GroupStateTimeout.NoTimeout) {
+        (shard: Int, rows: Iterator[TokEvent],
+         state: GroupState[HhShardState]) =>
+          val s = state.getOption
+            .getOrElse(HhShardState(Seq.empty, Seq.empty, 0L, 0L))
+          val m = scala.collection.mutable.HashMap.empty[String, Long]
+          s.toks.iterator.zip(s.cnts.iterator).foreach { case (t, c) =>
+            m(t) = c
+          }
+          var n = s.n
+          val counted = rows.map { e => n += 1; e.token }
+          graft.operators.TextAnalysis.misraGriesInto(m, counted, cap)
+          val epoch = s.epoch + 1
+          state.update(HhShardState(m.keys.toSeq, m.keys.toSeq.map(m),
+            n, epoch))
+          m.iterator.map { case (t, c) =>
+            HhCand(shard, t, c, n, epoch)
+          }.toSeq.iterator
       }
   }
 }

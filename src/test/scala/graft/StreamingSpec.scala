@@ -1529,4 +1529,46 @@ class StreamingSpec extends SparkSpec {
     // across batches — prove at least one day has runs detected at all
     assert(live.map(_.n_gap_runs).sum > 0, "fixture should show gap runs")
   }
+
+  test("streaming MG candidates contain every exact batch heavy hitter") {
+    import graft.streaming.{HhCand, Streams, TokEvent}
+    import org.apache.spark.sql.functions._
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val exact = graft.operators.TextAnalysis.textHeavyHitters
+      .fn(spark, sf0001).select("token").collect()
+      .map(_.getString(0)).toSet
+    assert(exact.nonEmpty, "fixture should have heavy hitters")
+    val toks = Tables.documents(spark, sf0001)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+      .collect().map(r => TokEvent(r.getString(0)))
+    val (half1, half2) = toks.splitAt(toks.length / 2)
+    val mem = MemoryStream[TokEvent]
+    val name = s"hh_${System.nanoTime()}"
+    val q = Streams.heavyHitterCandidates(mem.toDS()).writeStream
+      .format("memory").queryName(name).outputMode("update").start()
+    val finalCands = try {
+      mem.addData(half1.toSeq); q.processAllAvailable()
+      mem.addData(half2.toSeq); q.processAllAvailable()
+      val all = spark.table(name).as[HhCand].collect()
+      // Update mode: only the LATEST epoch per shard is the live set
+      // (MG counters drop between batches — stale rows must lose)
+      val lastEpoch = all.groupBy(_.shard)
+        .map { case (s, rs) => s -> rs.map(_.epoch).max }
+      all.filter(c => c.epoch == lastEpoch(c.shard))
+    } finally q.stop()
+    // the MG bound: per shard ≤ cap survivors
+    finalCands.groupBy(_.shard).foreach { case (s, rs) =>
+      assert(rs.map(_.token).distinct.length <= 1024,
+        s"shard $s exceeds the MG capacity")
+    }
+    // superset guarantee across the batch boundary: every exact global
+    // heavy hitter (freq > n/200 >> shard_n/(cap+1)) must survive
+    val live = finalCands.map(_.token).toSet
+    val missed = exact.diff(live)
+    assert(missed.isEmpty,
+      s"MG candidates lost exact heavy hitters: ${missed.take(5)}")
+  }
 }
