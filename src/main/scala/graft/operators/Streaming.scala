@@ -1278,6 +1278,98 @@ object Streaming {
       .orderBy("from_type", "to_type")
   }
 
+  /** BRANCHING ENTROPY per journey state — the predictability readout of
+    * the transition matrix [[markovTwoStep]] squares and
+    * [[markovStationary]] solves: per event type, the Shannon entropy
+    * (micro-bits) of its successor distribution, the uniform ceiling
+    * log₂(distinct successors), and entropy/ceiling in ppm. A state near
+    * 0 is a deterministic funnel step (its dominant edge IS the journey);
+    * a state near 10⁶ ppm branches uniformly — personalization target,
+    * not funnel.
+    *
+    * Parity: each successor term (c/n)·log₂(n/c) follows the
+    * multimodal_byte_entropy dyadic discipline verbatim — terms whose
+    * n/c is an exact power of two sit ON the floor-quantization boundary
+    * (engines' last-ulp ln drift lands on opposite sides), so they
+    * compute in pure integer arithmetic, while every other term is
+    * irrational and quantizes safely; the ceiling gets the same branch
+    * on the successor count. The per-type entropy is then an exact
+    * BIGINT sum of ≤|types| terms; the ratio is floor-DIV ppm with a
+    * nullif guard for single-successor states.
+    *
+    * Plan: the one corpus-sized stage is the shared transition count
+    * (user-keyed lead window + aggregate); everything after runs on the
+    * ≤|types|² count frame. */
+  val markovEntropy: Q = Q(
+    "markov_entropy",
+    """WITH o AS (SELECT user_id, event_type,
+      |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      AS next_type
+      |  FROM events),
+      |c AS (SELECT event_type AS a, next_type AS b, count(*) AS c
+      |      FROM o WHERE next_type IS NOT NULL GROUP BY 1, 2),
+      |t AS (SELECT a, CAST(sum(c) AS BIGINT) AS n,
+      |             CAST(count(*) AS BIGINT) AS n_succ FROM c GROUP BY 1),
+      |tm AS (SELECT c.a,
+      |    CASE WHEN n % c = 0 AND ((n // c) & (n // c - 1)) = 0
+      |    THEN (1000000 * c * CAST(round(ln(CAST(n // c AS DOUBLE))
+      |           / ln(2)) AS BIGINT)) // n
+      |    ELSE CAST(floor(1000000 * (CAST(c AS DOUBLE) / n)
+      |      * (ln(CAST(n AS DOUBLE)) - ln(CAST(c AS DOUBLE))) / ln(2))
+      |      AS BIGINT) END AS term
+      |  FROM c JOIN t ON c.a = t.a WHERE n > 0),
+      |e AS (SELECT a, CAST(sum(term) AS BIGINT) AS ent FROM tm GROUP BY 1)
+      |SELECT t.a AS event_type, t.n AS n_out, t.n_succ,
+      |  e.ent AS entropy_micro_bits,
+      |  CASE WHEN (t.n_succ & (t.n_succ - 1)) = 0
+      |  THEN 1000000 * CAST(round(ln(CAST(t.n_succ AS DOUBLE))
+      |         / ln(2)) AS BIGINT)
+      |  ELSE CAST(floor(1000000 * ln(CAST(t.n_succ AS DOUBLE)) / ln(2))
+      |    AS BIGINT) END AS max_entropy_micro_bits,
+      |  CAST((1000000 * e.ent) // nullif(
+      |    CASE WHEN (t.n_succ & (t.n_succ - 1)) = 0
+      |    THEN 1000000 * CAST(round(ln(CAST(t.n_succ AS DOUBLE))
+      |           / ln(2)) AS BIGINT)
+      |    ELSE CAST(floor(1000000 * ln(CAST(t.n_succ AS DOUBLE)) / ln(2))
+      |      AS BIGINT) END, 0) AS BIGINT) AS normalized_ppm
+      |FROM t JOIN e ON t.a = e.a ORDER BY event_type""".stripMargin
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val c = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("a"), col("next_type").as("b"))
+      .agg(count(lit(1)).as("c"))
+    val t = c.groupBy("a").agg(sum(col("c")).as("n"),
+      count(lit(1)).as("n_succ"))
+    // SQL-authored exact-integer branch (the byte_entropy discipline:
+    // Spark `div` is the true integral divide the dyadic case needs)
+    val tm = c.join(t, Seq("a"))
+      .select(col("a"), expr(
+        """CASE WHEN n % c = 0 AND ((n div c) & (n div c - 1)) = 0
+          |THEN (1000000 * c * CAST(round(ln(CAST(n div c AS DOUBLE))
+          |       / ln(2)) AS BIGINT)) div n
+          |ELSE CAST(floor(1000000 * (CAST(c AS DOUBLE) / n)
+          |  * (ln(CAST(n AS DOUBLE)) - ln(CAST(c AS DOUBLE))) / ln(2))
+          |  AS BIGINT) END""".stripMargin).as("term"))
+    val e = tm.groupBy("a").agg(sum(col("term")).as("ent"))
+    val maxEnt =
+      """CASE WHEN (n_succ & (n_succ - 1)) = 0
+        |THEN 1000000 * CAST(round(ln(CAST(n_succ AS DOUBLE))
+        |       / ln(2)) AS BIGINT)
+        |ELSE CAST(floor(1000000 * ln(CAST(n_succ AS DOUBLE)) / ln(2))
+        |  AS BIGINT) END""".stripMargin
+    t.join(e, Seq("a"))
+      .select(col("a").as("event_type"), col("n").as("n_out"),
+        col("n_succ"), col("ent").as("entropy_micro_bits"),
+        expr(maxEnt).as("max_entropy_micro_bits"),
+        expr(s"(1000000 * ent) div nullif($maxEnt, 0)").cast("long")
+          .as("normalized_ppm"))
+      .orderBy("event_type")
+  }
+
   // the chain's spectral gap sets the transient length: at ppm
   // resolution a second eigenvalue of ~0.95 needs ~270 rounds to settle,
   // and each round is a |types|²-entry driver-side map — thousands are
@@ -2927,6 +3019,6 @@ object Streaming {
     abRatioDelta, abCuped, abSrm,
     abSequential, abPower, abQiniDecile, retentionSurvivalKm, retentionLtv,
     retentionDauMau, eventBurst, eventSeasonality, eventInterarrival,
-    sessionConcurrency, markovTwoStep, markovStationary, graphScc,
-    graphBetweenness, graphReciprocity)
+    sessionConcurrency, markovTwoStep, markovStationary, markovEntropy,
+    graphScc, graphBetweenness, graphReciprocity)
 }

@@ -3263,6 +3263,71 @@ object Vectors {
        |ORDER BY fb.query_id""".stripMargin
   }
 
+  /** HUBNESS CENSUS of the exact kNN graph — the index-training triage
+    * for THE known high-dimensional pathology (k-occurrence skew): a few
+    * points become HUBS that appear in a large fraction of kNN lists
+    * while anti-hubs (in-degree 0) never appear, which silently degrades
+    * every kNN-graph consumer — [[vectorNswSearch]]'s navigability,
+    * [[knnJoinLsh]]'s pair quality, kNN-classifier calibration. Output:
+    * the in-degree histogram of the same capped-base k=[[NswK]] graph
+    * the NSW index routes on (share in ppm per in-degree) — a long right
+    * tail plus a fat zero bucket is the hubness signature that says
+    * "reduce dimensionality or re-normalize before trusting kNN".
+    *
+    * Parity: the graph is fully deterministic (cosine rank with id
+    * tie-breaks over the SQL-definable base set), so the oracle is
+    * STATIC SQL — no trained-artifact inlining; counts exact BIGINT,
+    * share is floor-DIV ppm off a window total (single-reference frame).
+    * Plan: the pairwise stage is bounded by the base cap (production
+    * would LSH-bucket it, [[knnJoinLsh]]); the census is two tiny
+    * aggregates. */
+  val vectorHubness: Q = Q(
+    "vector_hubness",
+    s"""WITH b AS (SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding]
+       |    AS v
+       |  FROM embeddings WHERE vec_id % 31 <> 0
+       |  ORDER BY vec_id LIMIT $NswBaseCap),
+       |pr AS (SELECT src, dst,
+       |    row_number() OVER (PARTITION BY src ORDER BY cs DESC, dst)
+       |      AS rn
+       |  FROM (SELECT a.vec_id AS src, c.vec_id AS dst,
+       |          ${cosSql("a.v", "c.v")} AS cs
+       |        FROM b a JOIN b c ON a.vec_id <> c.vec_id) p),
+       |e AS (SELECT dst FROM pr WHERE rn <= $NswK),
+       |ind AS (SELECT b.vec_id, CAST(coalesce(d.k, 0) AS BIGINT) AS in_deg
+       |  FROM b LEFT JOIN (SELECT dst, CAST(count(*) AS BIGINT) AS k
+       |                    FROM e GROUP BY 1) d ON d.dst = b.vec_id),
+       |hist AS (SELECT in_deg, CAST(count(*) AS BIGINT) AS n_bases
+       |         FROM ind GROUP BY 1)
+       |SELECT in_deg, n_bases,
+       |  CAST((1000000 * n_bases) // CAST(sum(n_bases) OVER () AS BIGINT)
+       |    AS BIGINT) AS share_ppm
+       |FROM hist ORDER BY in_deg""".stripMargin
+  ) { (s, d) =>
+    val bases = Tables.embeddings(s, d)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      .filter(col("vec_id") % 31 =!= 0)
+      .orderBy("vec_id").limit(NswBaseCap)
+    val a = bases.select(col("vec_id").as("src"), col("v").as("av"))
+    val c = bases.select(col("vec_id").as("dst"), col("v").as("bv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("src").orderBy(desc("cs"), asc("dst"))
+    val e = a.join(c, col("src") =!= col("dst"))
+      .select(col("src"), col("dst"), cosine(col("av"), col("bv")).as("cs"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= NswK)
+      .select(col("dst"))
+    val indeg = e.groupBy("dst").agg(count(lit(1)).as("k"))
+    val ind = bases.select(col("vec_id"))
+      .join(indeg, col("vec_id") === col("dst"), "left")
+      .select(coalesce(col("k"), lit(0L)).as("in_deg"))
+    ind.groupBy("in_deg").agg(count(lit(1)).as("n_bases"))
+      .withColumn("share_ppm",
+        expr("(1000000 * n_bases) div (sum(n_bases) over ())")
+          .cast("long"))
+      .orderBy("in_deg")
+  }
+
   /** GRAPH-BASED ANN (Navigable-Small-World beam search) — the third
     * serving paradigm next to the partition family (IVF) and the hash
     * family (LSH), and the one production vector stores converged on
@@ -3377,5 +3442,5 @@ object Vectors {
     vectorFilteredTopk, vectorRangeSearch, vectorIvfProbeSweep,
     vectorMmrRerank, searchHybridRrf, vectorDimStats, vectorCentroidDrift,
     vectorDimCorr, vectorPcaPower, vectorNormCensus, vectorRpRecall,
-    vectorCosCalibration, vectorNdcgMrr, vectorNswSearch)
+    vectorCosCalibration, vectorNdcgMrr, vectorNswSearch, vectorHubness)
 }

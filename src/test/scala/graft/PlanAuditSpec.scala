@@ -29,7 +29,8 @@ class PlanAuditSpec extends SparkSpec {
           "vector_ivf_probe_sweep", "multimodal_dhash_dedup",
           "vector_mmr_rerank",
           "graph_assortativity", "markov_stationary", "graph_hits",
-          "graph_scc", "vector_pca_power", "corpus_tokenizer_compression"),
+          "graph_scc", "graph_betweenness", "vector_pca_power",
+          "vector_nsw_search", "corpus_tokenizer_compression"),
       "new Q entries that run jobs at plan-build time must set eager=true")
   }
 
