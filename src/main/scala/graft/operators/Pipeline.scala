@@ -2176,6 +2176,66 @@ object Pipeline {
       .orderBy("day")
   }
 
+  /** DAILY-VOLUME ANOMALY control chart per event stream — the ops-grade
+    * "did ingest double or halve overnight?" monitor next to
+    * [[dqFreshness]]'s lag SLA and [[dqSequenceGaps]]'s id-space audit:
+    * each (event_type, day) row-count compares against its TRAILING
+    * ≤7-observed-day window under the Poisson 3σ rule — anomaly iff
+    * (n − mean)² > 9·mean, evaluated in the cleared-denominator integer
+    * form (n·k − Σ)² > 9·k·Σ so no rational mean is ever materialized.
+    * dev_ppm is the signed relative deviation for dashboards; days with
+    * under 4 trailing observations never flag (cold-start discipline).
+    *
+    * Parity: counts are exact BIGINTs; the squared term widens
+    * (HUGEINT / decimal(38,0)) before multiplication so petabyte-scale
+    * daily volumes can't wrap; the flag is a pure integer comparison.
+    *
+    * Plan: one partial+final (type, day) count over a 2-column scan;
+    * the trailing window rides the |types|×days frame, never raw
+    * events. */
+  val dqVolumeAnomaly: Q = Q(
+    "dq_volume_anomaly",
+    """WITH dcount AS (SELECT event_type,
+      |    epoch_ms(ts) // 86400000 AS di,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1, 2),
+      |w AS (SELECT event_type, di, n,
+      |    CAST(count(*) OVER tw AS BIGINT) AS k,
+      |    CAST(coalesce(sum(n) OVER tw, 0) AS BIGINT) AS s
+      |  FROM dcount WINDOW tw AS (PARTITION BY event_type ORDER BY di
+      |    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+      |SELECT event_type, CAST(di AS BIGINT) AS day_index, n, k, s,
+      |  CAST(CASE WHEN s > 0 THEN
+      |    (1000000 * CAST(n * k - s AS HUGEINT)) // s END AS BIGINT)
+      |    AS dev_ppm,
+      |  CASE WHEN k >= 4 AND s > 0 THEN
+      |    CAST(n * k - s AS HUGEINT) * (n * k - s)
+      |      > 9 * CAST(k AS HUGEINT) * s
+      |  ELSE false END AS anomaly
+      |FROM w ORDER BY event_type, day_index""".stripMargin
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val dcount = Tables.events(s, d)
+      .groupBy(col("event_type"),
+        expr("unix_millis(ts) div 86400000").as("di"))
+      .agg(count(lit(1)).as("n"))
+    val tw = Window.partitionBy("event_type").orderBy("di")
+      .rowsBetween(-7, -1)
+    dcount
+      .withColumn("k", count(lit(1)).over(tw))
+      .withColumn("s", coalesce(sum(col("n")).over(tw), lit(0L)))
+      .select(col("event_type"), col("di").as("day_index"), col("n"),
+        col("k"), col("s"),
+        expr("""CASE WHEN s > 0 THEN
+                (1000000 * CAST(n * k - s AS DECIMAL(38,0))) div s
+                END""").cast("long").as("dev_ppm"),
+        expr("""CASE WHEN k >= 4 AND s > 0 THEN
+                CAST(n * k - s AS DECIMAL(38,0)) * (n * k - s)
+                  > 9 * CAST(k AS DECIMAL(38,0)) * s
+                ELSE false END""").as("anomaly"))
+      .orderBy("event_type", "day_index")
+  }
+
   val all: Seq[Q] = Seq(simplifyFlatten, denormalizePatient, graphEdges,
     graphTwohop, discoverySummary, ingestNdjson, snapshotExport, dqChecks,
     dqSkew, dqDriftKs, dqFreshness, graphPagerank, graphHits, graphLabelProp,
@@ -2184,5 +2244,5 @@ object Pipeline {
     graphModularity,
     dqDriftPsi, dqProfileDrift, dqDriftTtest, dqBenford, dqReconciliation,
     dqDoubleCharge, dqKAnonymity, dqSequenceGaps, graphSampleNeighbors,
-    dqHashCollision)
+    dqHashCollision, dqVolumeAnomaly)
 }

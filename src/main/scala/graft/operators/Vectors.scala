@@ -3328,6 +3328,177 @@ object Vectors {
       .orderBy("in_deg")
   }
 
+  private val NswEfSweep = Seq(1, 4, 8)
+
+  /** DuckDB mirror of [[vectorEfSweep]]: three unrolled beam walks (one
+    * per ef) over the same inlined edge list, each aggregated to its
+    * recall row — the [[nswOracleSql]] discipline at sweep width. */
+  private def nswSweepOracleSql(edges: Array[(Long, Long)]): String = {
+    val entry = edges.map(_._1).min
+    val nodes = edges.map(_._1).distinct.sorted
+    val vals = (edges.toSeq ++ nodes.map(n => (n, n)))
+      .map { case (a, b) => s"($a,$b)" }.mkString(",")
+    def chain(pfx: String, ef: Int): String = {
+      val hops = (1 to NswHops).map { i =>
+        s"""${pfx}$i AS (SELECT query_id, nxt AS cur FROM (
+           |  SELECT c.query_id, c.nxt,
+           |    row_number() OVER (PARTITION BY c.query_id
+           |      ORDER BY ${cosSql("bb.v", "q.qv")} DESC, c.nxt) AS rn
+           |  FROM (SELECT DISTINCT h.query_id, eg.nxt
+           |        FROM ${pfx}${i - 1} h JOIN eg ON eg.cur = h.cur) c
+           |  JOIN b bb ON bb.vec_id = c.nxt
+           |  JOIN q ON q.query_id = c.query_id) WHERE rn <= $ef)"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""${pfx}0 AS (SELECT query_id, CAST($entry AS BIGINT) AS cur
+         |  FROM q),
+         |$hops,
+         |${pfx}fb AS (SELECT query_id, cur FROM (
+         |  SELECT x.query_id, x.cur,
+         |    row_number() OVER (PARTITION BY x.query_id
+         |      ORDER BY x.cs DESC, x.cur) AS rn
+         |  FROM (SELECT h.query_id, h.cur, ${cosSql("bb.v", "q.qv")} AS cs
+         |        FROM ${pfx}$NswHops h
+         |        JOIN b bb ON bb.vec_id = h.cur
+         |        JOIN q ON q.query_id = h.query_id) x) WHERE rn = 1),
+         |${pfx}bo AS (SELECT h.query_id, CAST(count(*) AS BIGINT) AS ov
+         |  FROM ${pfx}$NswHops h JOIN ex ON ex.query_id = h.query_id
+         |    AND ex.vec_id = h.cur AND ex.rn <= 10
+         |  GROUP BY 1),
+         |${pfx}res AS (SELECT $ef AS ef,
+         |    CAST(count(*) AS BIGINT) AS n_queries,
+         |    CAST(sum(CASE WHEN fb.cur = e1.vec_id THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS hits_top1,
+         |    CAST(sum(CASE WHEN t10.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS hits_top10,
+         |    CAST(sum(coalesce(bo.ov, 0)) AS BIGINT) AS overlap10_sum
+         |  FROM ${pfx}fb fb
+         |  JOIN ex e1 ON e1.query_id = fb.query_id AND e1.rn = 1
+         |  LEFT JOIN ex t10 ON t10.query_id = fb.query_id
+         |    AND t10.vec_id = fb.cur AND t10.rn <= 10
+         |  LEFT JOIN ${pfx}bo bo ON bo.query_id = fb.query_id)"""
+        .stripMargin
+    }
+    val chains = NswEfSweep.map(e => chain(s"a${e}_", e)).mkString(",\n")
+    val union = NswEfSweep
+      .map(e => s"SELECT * FROM a${e}_res").mkString("\nUNION ALL\n")
+    s"""WITH eg(cur, nxt) AS (SELECT * FROM (VALUES $vals) t(cur, nxt)),
+       |q AS MATERIALIZED (SELECT vec_id AS query_id,
+       |    [CAST(x AS DOUBLE) FOR x IN embedding] AS qv
+       |  FROM embeddings WHERE vec_id % 31 = 0),
+       |b AS MATERIALIZED (SELECT vec_id,
+       |    [CAST(x AS DOUBLE) FOR x IN embedding] AS v
+       |  FROM embeddings
+       |  WHERE vec_id IN (SELECT DISTINCT cur FROM eg)),
+       |ex AS MATERIALIZED (SELECT q.query_id, bb.vec_id,
+       |    row_number() OVER (PARTITION BY q.query_id
+       |      ORDER BY ${cosSql("bb.v", "q.qv")} DESC, bb.vec_id) AS rn
+       |  FROM q CROSS JOIN b bb),
+       |$chains
+       |SELECT ef, n_queries, hits_top1, hits_top10, overlap10_sum,
+       |  CAST((1000000 * hits_top10) // n_queries AS BIGINT)
+       |    AS recall10_ppm
+       |FROM ($union) ORDER BY ef""".stripMargin
+  }
+
+  /** NSW EF SWEEP — the tuning curve behind [[vectorNswSearch]]'s fixed
+    * operating point, the graph-family sibling of
+    * [[vectorIvfProbeSweep]]: the same beam walk at ef ∈ {1, 4, 8},
+    * aggregated to recall@1/@10 and beam/top-10 overlap per ef. This is
+    * the readout that justifies ef=8 (measured: greedy ef=1 lands
+    * recall@10 near zero on the near-isotropic fixture, ef=8 ≈ 0.95) —
+    * and the number an operator trades against the ≤hops·ef·(k+1)
+    * per-query cost when sizing a serving tier.
+    *
+    * Same execution shape as [[vectorNswSearch]]: all three walks run in
+    * ONE broadcast-artifact mapPartitions pass (a query costs 3 beams,
+    * still zero exchanges); the exact ground truth is computed once,
+    * distributed, and shared by the three recall aggregations. Oracle:
+    * three unrolled CTE walks over the same inlined artifact. */
+  val vectorEfSweep: Q = Q.noOracle("vector_ef_sweep") { (s, d) =>
+    import s.implicits._
+    val edges = nswEdges(s, d)
+    val entry = edges.map(_._1).min
+    val nodes = edges.map(_._1).distinct.sorted
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    val bv = emb.join(broadcast(nodes.toSeq.toDF("vec_id")), "vec_id")
+    val q = emb.filter(col("vec_id") % 31 === 0)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val baseVecs: Map[Long, Array[Double]] = bv.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val adj: Map[Long, Array[Long]] = edges.groupBy(_._1)
+      .map { case (k, vs) => k -> vs.map(_._2).sorted }
+    val adjB = s.sparkContext.broadcast(adj)
+    val vecB = s.sparkContext.broadcast(baseVecs)
+    val hops = NswHops
+    val efs = NswEfSweep
+    val walked = q.as[(Long, Seq[Double])].mapPartitions { it =>
+      val adjM = adjB.value
+      val vecM = vecB.value
+      def cos(x: Array[Double], y: Array[Double]): Double = {
+        var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
+        while (i < x.length) {
+          val xi = x(i); val yi = y(i)
+          dot += xi * yi; nx += xi * xi; ny += yi * yi
+          i += 1
+        }
+        dot / (math.sqrt(nx) * math.sqrt(ny))
+      }
+      it.flatMap { case (qid, qvSeq) =>
+        val qv = qvSeq.toArray
+        efs.map { ef =>
+          var frontier: Seq[Long] = Seq(entry)
+          for (_ <- 1 to hops) {
+            frontier = frontier
+              .flatMap(c => c +: adjM(c).toSeq).distinct
+              .map(n => (cos(vecM(n), qv), n))
+              .sortWith((a, b) =>
+                a._1 > b._1 || (a._1 == b._1 && a._2 < b._2))
+              .take(ef).map(_._2)
+          }
+          (ef, qid, frontier.head, frontier)
+        }
+      }
+    }.toDF("ef", "query_id", "nsw_id", "beam")
+    val wEx = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(desc("cs"), asc("vec_id"))
+    val ex = bv.crossJoin(broadcast(q))
+      .select(col("query_id"), col("vec_id"),
+        cosine(col("v"), col("qv")).as("cs"))
+      .withColumn("rn", row_number().over(wEx))
+    val best = ex.filter(col("rn") === 1)
+      .select(col("query_id"), col("vec_id").as("exact_id"))
+    val top10 = ex.filter(col("rn") <= 10)
+      .select(col("query_id").as("t_qid"), col("vec_id").as("t_vid"))
+    val bo = walked.select(col("ef"), col("query_id"),
+        explode(col("beam")).as("m"))
+      .join(top10, col("query_id") === col("t_qid") &&
+        col("m") === col("t_vid"))
+      .groupBy("ef", "query_id").agg(count(lit(1)).as("ov"))
+    walked
+      .join(best, "query_id")
+      .join(top10, col("query_id") === col("t_qid") &&
+        col("nsw_id") === col("t_vid"), "left")
+      .join(bo.select(col("ef").as("b_ef"), col("query_id").as("b_qid"),
+          col("ov")),
+        col("ef") === col("b_ef") && col("query_id") === col("b_qid"),
+        "left")
+      .groupBy("ef")
+      .agg(count(lit(1)).as("n_queries"),
+        sum(when(col("nsw_id") === col("exact_id"), 1).otherwise(0))
+          .as("hits_top1"),
+        sum(when(col("t_vid").isNotNull, 1).otherwise(0))
+          .as("hits_top10"),
+        sum(coalesce(col("ov"), lit(0L))).as("overlap10_sum"))
+      .select(col("ef"), col("n_queries"), col("hits_top1"),
+        col("hits_top10"), col("overlap10_sum"),
+        expr("(1000000 * hits_top10) div n_queries").as("recall10_ppm"))
+      .orderBy("ef")
+  }.copy(
+    eager = true, // shares the memoized NSW edge-list collect
+    oracleGen = Some(() => cachedNswEdges.map(nswSweepOracleSql)))
+
   /** GRAPH-BASED ANN (Navigable-Small-World beam search) — the third
     * serving paradigm next to the partition family (IVF) and the hash
     * family (LSH), and the one production vector stores converged on
@@ -3461,5 +3632,6 @@ object Vectors {
     vectorFilteredTopk, vectorRangeSearch, vectorIvfProbeSweep,
     vectorMmrRerank, searchHybridRrf, vectorDimStats, vectorCentroidDrift,
     vectorDimCorr, vectorPcaPower, vectorNormCensus, vectorRpRecall,
-    vectorCosCalibration, vectorNdcgMrr, vectorNswSearch, vectorHubness)
+    vectorCosCalibration, vectorNdcgMrr, vectorNswSearch, vectorHubness,
+    vectorEfSweep)
 }
