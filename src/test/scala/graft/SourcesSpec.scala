@@ -153,4 +153,33 @@ class SourcesSpec extends SparkSpec {
     assert(rows(2).getString(0) === "p-b",
       "row from the SECOND member must survive")
   }
+
+  test("csv quarantine: malformed rows land in the side lane, raw intact") {
+    val dir = Files.createTempDirectory("csvq")
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType),
+      StructField("qty", IntegerType)))
+    Files.write(dir.resolve("part-0.csv"),
+      ("id,name,qty\n" +
+       "1,alpha,10\n" +
+       "2,beta\n" +              // wrong column count
+       "3,gamma,not_a_number\n" + // type mismatch
+       "4,delta,40\n").getBytes)
+    val (good, quarantined) = graft.sources.CsvQuarantine.readSplit(
+      spark, dir.toString + "/*.csv", schema)
+    val g = good.orderBy("id").collect()
+    assert(g.map(_.getLong(0)).toSeq === Seq(1L, 4L),
+      s"good lane wrong: ${g.mkString(", ")}")
+    val q = quarantined.orderBy("raw_line").collect()
+    assert(q.length === 2, s"quarantine lane wrong: ${q.mkString(", ")}")
+    // the raw bytes survive verbatim — the replay contract
+    assert(q.map(_.getString(0)).toSet ===
+      Set("2,beta", "3,gamma,not_a_number"))
+    assert(q.forall(_.getString(1).contains("part-0.csv")),
+      "provenance file missing")
+    val reasons = q.map(r => r.getString(0).take(1) -> r.getString(2)).toMap
+    assert(reasons("2").startsWith("column_count:"),
+      s"short row should carry the column-count reason: $reasons")
+    assert(reasons("3") === "type_mismatch", reasons.toString)
+  }
 }
