@@ -453,6 +453,38 @@ object Media {
       (flat, minVar)
     }
 
+  /** LETTERBOX / PILLARBOX border widths of a REAL image blob: the
+    * count of consecutive dark rows (every pixel's luma ≤ `thr`) from
+    * the top and bottom, and dark columns from the left and right — the
+    * crop-detection pass a vision-curation pipeline runs so downstream
+    * models never spend capacity on black bars. Fully-dark frames
+    * attribute everything to `top` (bottom = 0) so the four widths
+    * never double-count. Integer arithmetic end to end; None for
+    * non-image blobs. */
+  def borderWidths(content: Array[Byte], thr: Int = 16)
+      : Option[(Int, Int, Int, Int, Int, Int)] =
+    if (!isImageContainer(content)) None
+    else Option(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(content))).map { img =>
+      val (w, h) = (img.getWidth, img.getHeight)
+      def luma(x: Int, y: Int): Int = {
+        val argb = img.getRGB(x, y)
+        (((argb >> 16) & 0xFF) * 299 + ((argb >> 8) & 0xFF) * 587 +
+          (argb & 0xFF) * 114) / 1000
+      }
+      def rowDark(y: Int): Boolean =
+        (0 until w).forall(x => luma(x, y) <= thr)
+      def colDark(x: Int): Boolean =
+        (0 until h).forall(y => luma(x, y) <= thr)
+      val ndRows = (0 until h).filterNot(rowDark)
+      val ndCols = (0 until w).filterNot(colDark)
+      val top = ndRows.headOption.getOrElse(h)
+      val bottom = ndRows.lastOption.map(h - 1 - _).getOrElse(0)
+      val left = ndCols.headOption.getOrElse(w)
+      val right = ndCols.lastOption.map(w - 1 - _).getOrElse(0)
+      (w, h, top, bottom, left, right)
+    }
+
   /** Batched per-partition dHash pass over a media frame — same
     * mapPartitions shape as [[decode]]/[[features]]; null hash for
     * blobs that aren't decodable images. */

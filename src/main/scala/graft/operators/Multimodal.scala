@@ -868,9 +868,122 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** Synth gray BMP with PLANTED letterbox/pillarbox bars: same w/h and
+    * byte→luma mapping as [[synthBmp]], but `nb % 5` rows top+bottom and
+    * `nb % 3` columns left+right are forced to luma 0 — the fixture for
+    * the crop detector, with bar widths varying per doc (including 0,
+    * so the un-cropped case is exercised too). */
+  private def synthLetterboxBmp(bytes: Array[Byte]): Array[Byte] = {
+    val w = 16 + (bytes.length % 17)
+    val h = 16 + (bytes.length % 13)
+    val vpad = bytes.length % 5
+    val hpad = bytes.length % 3
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val bar = y < vpad || y >= h - vpad || x < hpad || x >= w - hpad
+        val b = if (bar) 0 else bytes((y * w + x) % bytes.length) & 0xFF
+        img.setRGB(x, y, (b << 16) | (b << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "bmp", bos)
+    bos.toByteArray
+  }
+
+  /** LETTERBOX / PILLARBOX crop detector — the vision-curation pass that
+    * finds black bars (broadcast padding, aspect-ratio fills) so the
+    * training crop excludes them: per frame, the consecutive dark-row
+    * widths from top and bottom and dark-column widths from left and
+    * right (dark = every pixel luma ≤ 16 — a threshold, not exact 0,
+    * because real bars carry compression noise), the surviving content
+    * area in ppm, and the crop flag. Planted bars of per-doc-varying
+    * width (including none) make the detector's whole range observable.
+    *
+    * Same real-codec discipline as the hash family: bytes → gray BMP
+    * with planted bars → REAL ImageIO decode → border scan in one
+    * narrow mapPartitions ([[graft.multimodal.Media.borderWidths]]);
+    * the gray luma-identity makes the decoded plane SQL-reachable, so
+    * the oracle recomputes the synthesis rule AND the border scan from
+    * the raw bytes — a codec round-trip proof that constant bars
+    * survive encode/decode exactly. All arithmetic integer; `FILTER`
+    * only on plain min/max (the portable subset). */
+  val multimodalLetterbox: Q = Q(
+    "multimodal_letterbox",
+    """WITH d AS (SELECT doc_id, hex(encode(text)) AS hx,
+      |    octet_length(encode(text)) AS nb
+      |  FROM documents WHERE octet_length(encode(text)) > 0),
+      |dim AS (SELECT doc_id, hx, nb,
+      |    16 + nb % 17 AS w, 16 + nb % 13 AS h,
+      |    nb % 5 AS vpad, nb % 3 AS hpad FROM d),
+      |g AS (SELECT doc_id, w, h, ys.y AS y, xs.x AS x,
+      |    CASE WHEN ys.y < vpad OR ys.y >= h - vpad
+      |           OR xs.x < hpad OR xs.x >= w - hpad THEN 0
+      |    ELSE CAST('0x' || substr(hx, 2 * ((ys.y * w + xs.x) % nb) + 1, 2)
+      |           AS INT) END AS lum
+      |  FROM dim JOIN range(0, 32) ys(y) ON ys.y < h
+      |           JOIN range(0, 32) xs(x) ON xs.x < w),
+      |rows_ AS (SELECT doc_id, w, h, y, max(lum) AS m
+      |          FROM g GROUP BY 1, 2, 3, 4),
+      |cols_ AS (SELECT doc_id, x, max(lum) AS m FROM g GROUP BY 1, 2),
+      |rb AS (SELECT doc_id, w, h,
+      |    min(y) FILTER (WHERE m > 16) AS fr,
+      |    max(y) FILTER (WHERE m > 16) AS lr
+      |  FROM rows_ GROUP BY 1, 2, 3),
+      |cb AS (SELECT doc_id,
+      |    min(x) FILTER (WHERE m > 16) AS fc,
+      |    max(x) FILTER (WHERE m > 16) AS lc
+      |  FROM cols_ GROUP BY 1),
+      |b AS (SELECT rb.doc_id, w, h,
+      |    CAST(CASE WHEN fr IS NULL THEN h ELSE fr END AS INT) AS top_rows,
+      |    CAST(CASE WHEN lr IS NULL THEN 0 ELSE h - 1 - lr END AS INT)
+      |      AS bottom_rows,
+      |    CAST(CASE WHEN fc IS NULL THEN w ELSE fc END AS INT) AS left_cols,
+      |    CAST(CASE WHEN lc IS NULL THEN 0 ELSE w - 1 - lc END AS INT)
+      |      AS right_cols
+      |  FROM rb JOIN cb ON rb.doc_id = cb.doc_id)
+      |SELECT doc_id, CAST(w AS INT) AS w, CAST(h AS INT) AS h,
+      |  top_rows, bottom_rows, left_cols, right_cols,
+      |  CAST((1000000 * (h - top_rows - bottom_rows)
+      |        * (w - left_cols - right_cols)) // (w * h) AS BIGINT)
+      |    AS content_ppm,
+      |  top_rows + bottom_rows + left_cols + right_cols > 0 AS cropped
+      |FROM b ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    import graft.multimodal.Media
+    Tables.documents(s, d)
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, text) =>
+          val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val (w, h, top, bottom, left, right) =
+            Media.borderWidths(synthLetterboxBmp(bytes)).get
+          (id, w, h, top, bottom, left, right)
+        }
+      }
+      .toDF("doc_id", "w", "h", "top_rows", "bottom_rows", "left_cols",
+        "right_cols")
+      .select(col("doc_id"), col("w"), col("h"), col("top_rows"),
+        col("bottom_rows"), col("left_cols"), col("right_cols"),
+        expr("""(1000000 * (h - top_rows - bottom_rows)
+                * (w - left_cols - right_cols)) div (w * h)""")
+          .cast("long").as("content_ppm"),
+        (col("top_rows") + col("bottom_rows") + col("left_cols") +
+          col("right_cols") > 0).as("cropped"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(multimodalMeta, multimodalFeatures, multimodalDhash,
     multimodalWav, multimodalWavFrames, multimodalWavVad,
     multimodalDhashDedup, multimodalThumbnail, multimodalByteEntropy,
     multimodalWhash, multimodalWavPitch, multimodalTileVariance,
-    multimodalWavSnr)
+    multimodalWavSnr, multimodalLetterbox)
 }
