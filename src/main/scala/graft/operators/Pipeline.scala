@@ -2236,6 +2236,51 @@ object Pipeline {
       .orderBy("event_type", "day_index")
   }
 
+  /** TABLE CONTENT CHECKSUM per source partition — the replication-diff
+    * primitive every cross-region copy, backfill, and engine migration
+    * is audited with: an ORDER-INDEPENDENT content digest (sum of a
+    * 60-bit md5 prefix over every row's full column tuple) plus the row
+    * count, per source. Two replicas disagree iff some row's CONTENT
+    * differs — the count catches drops, the sum catches silent
+    * mutations, and order-independence means the check never needs a
+    * global sort on either side. This is also the cheap first gate
+    * before [[dqReconciliation]]'s column-level diff.
+    *
+    * Parity: the row key is an explicit chr(1)-joined column tuple (no
+    * engine-specific struct serialization), the 15-hex-digit prefix is
+    * a nonnegative 60-bit BIGINT, and the sum accumulates in
+    * DECIMAL(38,0)/HUGEINT (a 60-bit term over a 10¹²-row source clears
+    * int64); the digest SHIPS as the decimal-digit VARCHAR (the
+    * corpus_resume_skip round-7 lesson — wide-integer output columns
+    * hash differently across DuckDB builds).
+    *
+    * Plan: one narrow scan into a partial+final aggregate on the tiny
+    * source key; map-side combine does almost all the summing. */
+  val dqTableChecksum: Q = Q(
+    "dq_table_checksum",
+    """WITH h AS (SELECT source,
+      |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || chr(1) ||
+      |        text || chr(1) || lang || chr(1) || source || chr(1) ||
+      |        CAST(n_chars AS VARCHAR)), 1, 15) AS BIGINT) AS hv
+      |  FROM documents)
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(CAST(sum(hv) AS DECIMAL(38,0)) AS VARCHAR) AS checksum
+      |FROM h GROUP BY source ORDER BY source""".stripMargin
+  ) { (s, d) =>
+    val tuple = concat_ws("\u0001",
+      col("doc_id").cast("string"), col("text"), col("lang"),
+      col("source"), col("n_chars").cast("string"))
+    Tables.documents(s, d)
+      .select(col("source"),
+        conv(substring(md5(tuple.cast("binary")), 1, 15), 16, 10)
+          .cast("long").as("hv"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("hv").cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+          .cast("string").as("checksum"))
+      .orderBy("source")
+  }
+
   val all: Seq[Q] = Seq(simplifyFlatten, denormalizePatient, graphEdges,
     graphTwohop, discoverySummary, ingestNdjson, snapshotExport, dqChecks,
     dqSkew, dqDriftKs, dqFreshness, graphPagerank, graphHits, graphLabelProp,
@@ -2244,5 +2289,5 @@ object Pipeline {
     graphModularity,
     dqDriftPsi, dqProfileDrift, dqDriftTtest, dqBenford, dqReconciliation,
     dqDoubleCharge, dqKAnonymity, dqSequenceGaps, graphSampleNeighbors,
-    dqHashCollision, dqVolumeAnomaly)
+    dqHashCollision, dqVolumeAnomaly, dqTableChecksum)
 }

@@ -3328,6 +3328,86 @@ object Vectors {
       .orderBy("in_deg")
   }
 
+  /** DuckDB mirror of [[vectorResidualEnergy]]: trained centroids inline
+    * as literals ([[ivfOracleSql]] discipline), assignment is the same
+    * `arg_max` ≡ `max_by`, and the energy ratio is one shared IEEE
+    * expression over three left-fold dot products. */
+  private def residualEnergyOracleSql(cents: Seq[Seq[Double]]): String =
+    s"""WITH cents AS (SELECT j AS cid, pv AS cv FROM (VALUES
+       |    ${planesSql(cents)}) c(j, pv)),
+       |e AS (SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v
+       |      FROM embeddings WHERE vec_id <> 0),
+       |asg AS (SELECT vec_id, arg_max(cid, cs) AS cell, first(v) AS v
+       |        FROM (SELECT vec_id, v, cid, ${cosSql("v", "cv")} AS cs
+       |              FROM e CROSS JOIN cents)
+       |        GROUP BY vec_id),
+       |dots AS (SELECT asg.cell,
+       |    list_sum([x * x FOR x IN v]) AS nx,
+       |    list_sum([v[i] * cv[i] FOR i IN range(1, len(v)+1)]) AS d,
+       |    list_sum([x * x FOR x IN cv]) AS nc
+       |  FROM asg JOIN cents ON cents.cid = asg.cell),
+       |r AS (SELECT cell,
+       |    CAST(floor(1000000 * ((nx - 2 * d + nc) / nx)) AS BIGINT)
+       |      AS ppm
+       |  FROM dots WHERE nx > 0)
+       |SELECT CAST(cell AS INT) AS cell, CAST(count(*) AS BIGINT)
+       |    AS n_members,
+       |  CAST(sum(ppm) // count(*) AS BIGINT) AS mean_residual_ppm,
+       |  CAST(min(ppm) AS BIGINT) AS min_residual_ppm,
+       |  CAST(max(ppm) AS BIGINT) AS max_residual_ppm
+       |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** IVF RESIDUAL-ENERGY census — the quantizer-quality readout that
+    * decides whether a coarse index needs more cells or a finer product
+    * quantizer on top: per cell, how much of its members' energy the
+    * centroid FAILS to explain (‖x − c‖²/‖x‖² in ppm — ~10⁶ means the
+    * centroid removes nothing and PQ codes will burn bits on what the
+    * coarse step should have absorbed; the number IVF-PQ papers size
+    * codebooks by). Reuses [[vectorAnnIvf]]'s trained centroids (same
+    * memoized artifact, same `max_by` cosine assignment), so the census
+    * audits the index the catalog actually serves.
+    *
+    * Parity: the three dot products are the shared left-fold kernels;
+    * the energy ratio is ONE identical IEEE expression, floor-quantized
+    * per row BEFORE the exact-integer per-cell mean (no engine-ordered
+    * double sum); zero-norm rows are excluded by a mirrored WHERE.
+    *
+    * Plan: assignment is the k-broadcast narrow pass the IVF family
+    * pays; the census is one partial+final aggregate on the k-cell key.
+    */
+  val vectorResidualEnergy: Q = Q.noOracle("vector_residual_energy") {
+    (s, d) =>
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"),
+          toDouble(col("embedding")).as("v"))
+        .filter(col("vec_id") =!= 0)
+      val centroids = ivfCentroids(emb,
+        cacheKey = Some(embeddingsFingerprint(s, d)))
+      val dots = assignCells(emb, centroids)
+        .join(broadcast(centroids), col("cell") === col("cid"))
+        .select(col("cell"),
+          dotNative(col("v"), col("v")).as("nx"),
+          dotNative(col("v"), col("cv")).as("d"),
+          dotNative(col("cv"), col("cv")).as("nc"))
+      dots.filter(col("nx") > 0)
+        .select(col("cell"),
+          floor(lit(1000000) * ((col("nx") - lit(2) * col("d") +
+            col("nc")) / col("nx"))).cast("long").as("ppm"))
+        .groupBy("cell")
+        .agg(count(lit(1)).as("n_members"),
+          expr("sum(ppm) div count(*)").as("mean_residual_ppm"),
+          min(col("ppm")).as("min_residual_ppm"),
+          max(col("ppm")).as("max_residual_ppm"))
+        .select(col("cell").cast("int").as("cell"), col("n_members"),
+          col("mean_residual_ppm"), col("min_residual_ppm"),
+          col("max_residual_ppm"))
+        .orderBy("cell")
+  }.copy(
+    eager = true, // shares the memoized IVF training collect
+    oracleGen = Some(() =>
+      cachedIvfCentroids.map(cs =>
+        residualEnergyOracleSql(cs.map(_.toSeq).toSeq))))
+
   private val NswEfSweep = Seq(1, 4, 8)
 
   /** DuckDB mirror of [[vectorEfSweep]]: three unrolled beam walks (one
@@ -3633,5 +3713,5 @@ object Vectors {
     vectorMmrRerank, searchHybridRrf, vectorDimStats, vectorCentroidDrift,
     vectorDimCorr, vectorPcaPower, vectorNormCensus, vectorRpRecall,
     vectorCosCalibration, vectorNdcgMrr, vectorNswSearch, vectorHubness,
-    vectorEfSweep)
+    vectorEfSweep, vectorResidualEnergy)
 }
