@@ -2206,8 +2206,9 @@ object Pipeline {
       |    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
       |SELECT event_type, CAST(di AS BIGINT) AS day_index, n, k, s,
       |  CAST(CASE WHEN s > 0 THEN
-      |    (1000000 * CAST(n * k - s AS HUGEINT)) // s END AS BIGINT)
-      |    AS dev_ppm,
+      |    (CASE WHEN n * k >= s THEN 1 ELSE -1 END) *
+      |    ((1000000 * CAST(abs(n * k - s) AS HUGEINT)) // s)
+      |  END AS BIGINT) AS dev_ppm,
       |  CASE WHEN k >= 4 AND s > 0 THEN
       |    CAST(n * k - s AS HUGEINT) * (n * k - s)
       |      > 9 * CAST(k AS HUGEINT) * s
@@ -2226,8 +2227,12 @@ object Pipeline {
       .withColumn("s", coalesce(sum(col("n")).over(tw), lit(0L)))
       .select(col("event_type"), col("di").as("day_index"), col("n"),
         col("k"), col("s"),
+        // sign-split so the floor-vs-truncate divergence class for
+        // negative integer quotients (docs/ORACLE_PARITY.md,
+        // vector_pca_power) can never arise in any DuckDB build
         expr("""CASE WHEN s > 0 THEN
-                (1000000 * CAST(n * k - s AS DECIMAL(38,0))) div s
+                (CASE WHEN n * k >= s THEN 1 ELSE -1 END) *
+                ((1000000 * CAST(abs(n * k - s) AS DECIMAL(38,0))) div s)
                 END""").cast("long").as("dev_ppm"),
         expr("""CASE WHEN k >= 4 AND s > 0 THEN
                 CAST(n * k - s AS DECIMAL(38,0)) * (n * k - s)
