@@ -235,6 +235,19 @@ case class SourceSig(source: String, sig: Seq[Long])
 /** A document arriving on a stream (near-dup candidate detection). */
 case class DocIn(doc_id: Long, text: String)
 /** An LSH band row of a streamed document. */
+/** One event arrival for [[Streams.volumeCensus]]. */
+case class VolEvent(event_type: String, ts: java.sql.Timestamp)
+/** Bounded per-type volume state: the trailing ≤7 closed-day counts
+  * (day index + count, oldest first) plus the currently-open day's
+  * accumulator — O(1) per stream regardless of volume. */
+case class VolState(days: Seq[Long], counts: Seq[Long],
+                    curDi: Long, curN: Long)
+/** One CLOSED day's volume row — identical columns and arithmetic to
+  * batch `dq_volume_anomaly`. */
+case class VolRow(event_type: String, day_index: Long, n: Long,
+                  k: Long, s: Long, dev_ppm: Option[Long],
+                  anomaly: Boolean)
+
 /** One token arrival for [[Streams.heavyHitterCandidates]]. */
 case class TokEvent(token: String)
 /** Bounded per-shard Misra–Gries state: ≤ MgCap (token, counter) pairs,
@@ -1524,6 +1537,59 @@ object Streams {
             }
           }
           state.update(BucketState(members))
+          out.result().iterator
+      }
+  }
+
+  /** Streaming daily-volume anomaly monitor — the LIVE half of batch
+    * `dq_volume_anomaly` (this is the alert a real ingest pages on; the
+    * batch query is its historical audit): per event_type the state is
+    * the trailing ≤7 CLOSED-day counts plus the open day's accumulator
+    * — O(1) regardless of volume — and each day CLOSES when the first
+    * event of a later day arrives (per-type in-order contract), emitting
+    * exactly one immutable row (Append mode) with the same
+    * cleared-denominator Poisson 3σ arithmetic as the batch query:
+    * anomaly iff (n·k − Σ)² > 9·k·Σ over the trailing window, dev_ppm
+    * sign-split exactly like the batch column. StreamingSpec proves the
+    * emitted rows equal the batch frame on every closed day across a
+    * micro-batch split (the open last day is the one row a live monitor
+    * cannot yet know). */
+  def volumeCensus(ds: Dataset[VolEvent]): Dataset[VolRow] = {
+    import ds.sparkSession.implicits._
+    def close(t: String, di: Long, n: Long,
+              days: Seq[Long], counts: Seq[Long]): VolRow = {
+      val k = counts.length.toLong
+      val s = counts.sum
+      val dev =
+        if (s > 0) {
+          val diff = n * k - s
+          val sign = if (diff >= 0) 1L else -1L
+          Some(sign * ((1000000L * math.abs(diff)) / s))
+        } else None
+      val anomaly = k >= 4 && s > 0 &&
+        BigInt(n * k - s) * BigInt(n * k - s) > BigInt(9) * k * s
+      VolRow(t, di, n, k, s, dev, anomaly)
+    }
+    ds.groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Append,
+                              GroupStateTimeout.NoTimeout) {
+        (t: String, rows: Iterator[VolEvent],
+         state: GroupState[VolState]) =>
+          var s = state.getOption
+            .getOrElse(VolState(Seq.empty, Seq.empty, Long.MinValue, 0L))
+          val out = Seq.newBuilder[VolRow]
+          rows.toSeq.sortBy(_.ts.getTime).foreach { e =>
+            val di = java.lang.Math.floorDiv(e.ts.getTime, 86400000L)
+            if (s.curDi == Long.MinValue) s = s.copy(curDi = di, curN = 1L)
+            else if (di == s.curDi) s = s.copy(curN = s.curN + 1L)
+            else {
+              out += close(t, s.curDi, s.curN, s.days, s.counts)
+              val nd = (s.days :+ s.curDi).takeRight(7)
+              val nc = (s.counts :+ s.curN).takeRight(7)
+              s = VolState(nd, nc, di, 1L)
+            }
+          }
+          state.update(s)
           out.result().iterator
       }
   }

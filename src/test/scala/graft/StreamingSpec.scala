@@ -1530,6 +1530,50 @@ class StreamingSpec extends SparkSpec {
     assert(live.map(_.n_gap_runs).sum > 0, "fixture should show gap runs")
   }
 
+  test("streaming volume census equals batch dq_volume_anomaly on closed days") {
+    import graft.streaming.{Streams, VolEvent, VolRow}
+    import org.apache.spark.sql.functions._
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val batch = graft.operators.Pipeline.dqVolumeAnomaly.fn(spark, sf0001)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4),
+          if (r.isNullAt(5)) None else Some(r.getLong(5)),
+          r.getBoolean(6)))).toMap
+    // a live monitor can't know the still-open last day per type
+    val lastDay = batch.keys.groupBy(_._1)
+      .map { case (t, ks) => t -> ks.map(_._2).max }
+    val closed = batch.filter { case ((t, d), _) => d < lastDay(t) }
+    val evs = Tables.events(spark, sf0001)
+      .select("event_type", "ts").orderBy("ts").collect()
+      .map(r => VolEvent(r.getString(0), r.getTimestamp(1)))
+    val (half1, half2) = evs.splitAt(evs.length / 2)
+    val mem = MemoryStream[VolEvent]
+    val name = s"vol_${System.nanoTime()}"
+    val q = Streams.volumeCensus(mem.toDS()).writeStream
+      .format("memory").queryName(name).outputMode("append").start()
+    val live = try {
+      mem.addData(half1.toSeq); q.processAllAvailable()
+      val mid = spark.table(name).count()
+      mem.addData(half2.toSeq); q.processAllAvailable()
+      assert(mid > 0 && mid < spark.table(name).count(),
+        "closed-day rows should arrive across micro-batches")
+      spark.table(name).as[VolRow].collect()
+    } finally q.stop()
+    val liveMap = live.map(r => (r.event_type, r.day_index) ->
+      ((r.n, r.k, r.s, r.dev_ppm, r.anomaly))).toMap
+    assert(liveMap.keySet === closed.keySet,
+      s"closed-day sets differ: ${liveMap.keySet.diff(closed.keySet).take(3)}" +
+      s" / ${closed.keySet.diff(liveMap.keySet).take(3)}")
+    val diverged = closed.collect {
+      case (k, v) if liveMap(k) != v => (k, v, liveMap(k))
+    }
+    assert(diverged.isEmpty,
+      s"live census diverges from batch: ${diverged.take(3)}")
+  }
+
   test("streaming MG candidates contain every exact batch heavy hitter") {
     import graft.streaming.{HhCand, Streams, TokEvent}
     import org.apache.spark.sql.functions._
