@@ -1561,11 +1561,109 @@ object Corpus {
       .orderBy("gate")
   }
 
+  /** GATE-ABLATION attribution over [[corpusFilterFunnel]]'s quality
+    * battery — the "which gate can we drop / which gate carries the
+    * weight?" readout the funnel's FIRST-FAILING attribution cannot
+    * answer: per gate, how many docs fail it AT ALL (independent
+    * evaluation, no gate ordering), how many fail ONLY it, and how many
+    * tokens re-enter the corpus if that single gate is removed
+    * (`recoverable_ppm` — the curation knob's marginal value). A gate
+    * whose unique-failure mass is ~0 is redundant with the rest of the
+    * battery; one carrying most of the recoverable mass deserves a
+    * threshold sweep before shipping.
+    *
+    * Same gates, thresholds and exact integer metrics as the funnel
+    * (shared constants in spirit — the oracle texts mirror each other);
+    * the per-gate melt is the parallel-unnest zip (the
+    * text_rake_keywords pattern) so no pair join appears. Plan: one
+    * narrow metric scan → a 4×-rows melt of (gate, flag) → one
+    * partial+final aggregate on the 4-key gate; the corpus total rides
+    * a broadcast 1-row frame. */
+  val corpusGateAblation: Q = Q(
+    "corpus_gate_ablation",
+    s"""WITH m AS (SELECT doc_id,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+       |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+       |      AS n_uniq,
+       |    CAST(len(list_filter(string_split(text, ' '),
+       |      t -> t IN (${graft.operators.TextAnalysis.stopwords
+                 .map("'" + _ + "'").mkString(",")}))) AS BIGINT) AS n_stop,
+       |    CAST(len(replace(text, ' ', '')) AS BIGINT) AS n_chr
+       |  FROM documents),
+       |f AS (SELECT doc_id, n_tok,
+       |    CASE WHEN n_tok < 10 THEN 1 ELSE 0 END AS g1,
+       |    CASE WHEN (1000000 * n_uniq) // n_tok < 400000 THEN 1 ELSE 0
+       |      END AS g2,
+       |    CASE WHEN (1000000 * n_stop) // n_tok < 50000 THEN 1 ELSE 0
+       |      END AS g3,
+       |    CASE WHEN (1000 * n_chr) // n_tok > 12000 THEN 1 ELSE 0
+       |      END AS g4
+       |  FROM m),
+       |u AS (SELECT n_tok, g1 + g2 + g3 + g4 AS n_fail,
+       |    unnest(['a_too_short', 'b_repetitive', 'c_low_stopword',
+       |            'd_long_tokens']) AS gate,
+       |    unnest([g1, g2, g3, g4]) AS fails
+       |  FROM f),
+       |tot AS (SELECT CAST(sum(n_tok) AS BIGINT) AS t FROM m)
+       |SELECT gate, CAST(sum(fails) AS BIGINT) AS n_fail_docs,
+       |  CAST(sum(CASE WHEN fails = 1 THEN n_tok ELSE 0 END) AS BIGINT)
+       |    AS fail_tokens,
+       |  CAST(sum(CASE WHEN fails = 1 AND n_fail = 1 THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_unique_fail,
+       |  CAST(sum(CASE WHEN fails = 1 AND n_fail = 1 THEN n_tok ELSE 0
+       |    END) AS BIGINT) AS unique_tokens,
+       |  CAST((1000000 * CAST(sum(CASE WHEN fails = 1 AND n_fail = 1
+       |      THEN n_tok ELSE 0 END) AS HUGEINT)) // (SELECT t FROM tot)
+       |    AS BIGINT) AS recoverable_ppm
+       |FROM u GROUP BY 1 ORDER BY gate""".stripMargin
+  ) { (s, d) =>
+    val toks = split(col("text"), " ")
+    val m = Tables.documents(s, d).select(col("doc_id"),
+      size(toks).cast("long").as("n_tok"),
+      size(array_distinct(toks)).cast("long").as("n_uniq"),
+      size(filter(toks,
+        t => t.isin(graft.operators.TextAnalysis.stopwords: _*)))
+        .cast("long").as("n_stop"),
+      length(translate(col("text"), " ", "")).cast("long").as("n_chr"))
+    val f = m.select(col("n_tok"),
+      when(col("n_tok") < 10, 1).otherwise(0).as("g1"),
+      when(expr("(1000000 * n_uniq) div n_tok") < 400000, 1)
+        .otherwise(0).as("g2"),
+      when(expr("(1000000 * n_stop) div n_tok") < 50000, 1)
+        .otherwise(0).as("g3"),
+      when(expr("(1000 * n_chr) div n_tok") > 12000, 1)
+        .otherwise(0).as("g4"))
+    val u = f
+      .withColumn("n_fail",
+        col("g1") + col("g2") + col("g3") + col("g4"))
+      .select(col("n_tok"), col("n_fail"),
+        explode(map(
+          lit("a_too_short"), col("g1"), lit("b_repetitive"), col("g2"),
+          lit("c_low_stopword"), col("g3"), lit("d_long_tokens"),
+          col("g4"))).as(Seq("gate", "fails")))
+    val tot = m.agg(sum(col("n_tok")).as("t"))
+    u.groupBy("gate")
+      .agg(sum(col("fails")).cast("long").as("n_fail_docs"),
+        sum(when(col("fails") === 1, col("n_tok")).otherwise(0L))
+          .as("fail_tokens"),
+        sum(when(col("fails") === 1 && col("n_fail") === 1, 1)
+          .otherwise(0)).cast("long").as("n_unique_fail"),
+        sum(when(col("fails") === 1 && col("n_fail") === 1, col("n_tok"))
+          .otherwise(0L)).as("unique_tokens"))
+      .crossJoin(broadcast(tot))
+      .select(col("gate"), col("n_fail_docs"), col("fail_tokens"),
+        col("n_unique_fail"), col("unique_tokens"),
+        expr("""(1000000 * cast(unique_tokens as decimal(38,0)))
+                div t""").cast("long").as("recoverable_ppm"))
+      .orderBy("gate")
+  }
+
   val all: Seq[Q] = Seq(corpusSplit, corpusPack, corpusSelect, docChunk,
     corpusDecontaminate, corpusMix, corpusShuffle, trainingManifest,
     corpusEntropy, corpusPipeline, corpusSplitLeakage, corpusSampleWeighted,
     corpusSampleBalanced, corpusMixTemperature, corpusPruneSweep,
     corpusResumeSkip, corpusInterleave, corpusTokenBudget,
     corpusEpochSchedule, corpusPromptConflicts, corpusFilterFunnel,
-    corpusSpanCorruption, corpusPadWaste, corpusShuffleQuality)
+    corpusSpanCorruption, corpusPadWaste, corpusShuffleQuality,
+    corpusGateAblation)
 }

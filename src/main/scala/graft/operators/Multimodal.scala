@@ -981,9 +981,86 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** CLIPPING CENSUS per audio clip — the gain-staging QA gate an audio
+    * curation pass runs before wasting ASR budget on distorted takes:
+    * samples pinned at full scale (±32767/−32768), their share in ppm,
+    * and the RUN structure (count of maximal clipped runs, longest run)
+    * — a few 1-sample clips are transients, long runs are hard limiter
+    * damage. The clip is synthesized HOT (gain 700 with int16 clamp —
+    * a genuinely clipped recording) and travels the REAL WAV codec
+    * round trip, so the census reads DECODED samples and the byte-
+    * arithmetic oracle (clamp(b·700) pins iff |b−128| ≥ 47) checks that
+    * pinned values survive encode/decode exactly. Run grouping is the
+    * window_islands index-minus-rank trick, identical in both engines.
+    *
+    * Plan: the shared narrow decode mapPartitions — the run scan is a
+    * single in-task pass, only the 6-column census row leaves the task;
+    * blobs never shuffle. */
+  val multimodalWavClipping: Q = Q(
+    "multimodal_wav_clipping",
+    """WITH d AS (SELECT doc_id, hex(encode(text)) AS hx,
+      |    octet_length(encode(text)) AS nb
+      |  FROM documents WHERE octet_length(encode(text)) > 0),
+      |s AS (SELECT doc_id, nb, unnest(range(nb)) AS i, hx FROM d),
+      |v AS (SELECT doc_id, i,
+      |    CAST('0x' || substr(hx, CAST(2*i+1 AS INT), 2) AS INT) - 128
+      |      AS b
+      |  FROM s),
+      |r AS (SELECT doc_id, i,
+      |    i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+      |  FROM v WHERE b >= 47 OR b <= -47),
+      |runs AS (SELECT doc_id, grp, CAST(count(*) AS BIGINT) AS run_len
+      |  FROM r GROUP BY 1, 2),
+      |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_runs,
+      |    CAST(max(run_len) AS BIGINT) AS max_run,
+      |    CAST(sum(run_len) AS BIGINT) AS n_clipped
+      |  FROM runs GROUP BY 1)
+      |SELECT d.doc_id, CAST(nb AS BIGINT) AS n_samples,
+      |  CAST(coalesce(a.n_clipped, 0) AS BIGINT) AS n_clipped,
+      |  CAST((1000000 * coalesce(a.n_clipped, 0)) // nb AS BIGINT)
+      |    AS clip_ppm,
+      |  CAST(coalesce(a.n_runs, 0) AS BIGINT) AS n_runs,
+      |  CAST(coalesce(a.max_run, 0) AS BIGINT) AS max_run
+      |FROM d LEFT JOIN agg a ON d.doc_id = a.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    import graft.multimodal.Media
+    Tables.documents(s, d)
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, text) =>
+          val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val rate = 8000 + (bytes.length % 5) * 2000
+          val hot = bytes.map { b =>
+            val v = ((b & 0xFF) - 128) * 700
+            (if (v > 32767) 32767 else if (v < -32768) -32768 else v)
+              .toShort
+          }
+          val pcm = Media.decodeWav(Media.encodeWavPcm16(rate, hot)).get
+          var nClipped = 0L; var nRuns = 0L; var maxRun = 0L
+          var run = 0L
+          pcm.samples.foreach { sm =>
+            if (sm == 32767 || sm == -32768) {
+              if (run == 0L) nRuns += 1L
+              run += 1L; nClipped += 1L
+              if (run > maxRun) maxRun = run
+            } else run = 0L
+          }
+          val n = pcm.samples.length.toLong
+          (id, n, nClipped, 1000000L * nClipped / n, nRuns, maxRun)
+        }
+      }
+      .toDF("doc_id", "n_samples", "n_clipped", "clip_ppm", "n_runs",
+        "max_run")
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(multimodalMeta, multimodalFeatures, multimodalDhash,
     multimodalWav, multimodalWavFrames, multimodalWavVad,
     multimodalDhashDedup, multimodalThumbnail, multimodalByteEntropy,
     multimodalWhash, multimodalWavPitch, multimodalTileVariance,
-    multimodalWavSnr, multimodalLetterbox)
+    multimodalWavSnr, multimodalLetterbox, multimodalWavClipping)
 }

@@ -1064,11 +1064,19 @@ object Streaming {
       |FROM c WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))""".stripMargin
 
   /** The SCD2 history frame (Spark side of [[Scd2Sql]]'s `h`). */
-  private def scd2Frame(s: SparkSession, d: String): DataFrame = {
+  private def scd2Frame(s: SparkSession, d: String): DataFrame =
+    scd2Of(Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        col("event_type")))
+
+  /** Change-extraction + versioning over an arbitrary (user_id,
+    * event_id, ts, event_type) frame — shared by the full rebuild
+    * ([[scd2]]) and the incremental maintainer ([[scd2Incremental]]'s
+    * base-history build). */
+  private def scd2Of(ev: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    Tables.events(s, d)
-      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+    ev
       .withColumn("prev", lag(col("event_type"), 1).over(w))
       .filter(col("prev").isNull || col("prev") =!= col("event_type"))
       .select(col("user_id"), col("event_type").as("attr"),
@@ -1077,6 +1085,89 @@ object Streaming {
         when(lead(col("ts"), 1).over(w).isNull, 1L).otherwise(0L)
           .as("is_current"),
         row_number().over(w).cast("long").as("version"))
+  }
+
+  /** INCREMENTAL SCD2 MAINTENANCE — the daily dimension load a
+    * warehouse actually runs (full rebuilds over a 100 TB fact history
+    * are the thing SCD2 exists to avoid): build the base history from
+    * events up to the data's own midpoint, then MERGE the later batch
+    * in — new change rows seed their change detection against each
+    * user's current attr, versions continue from the user's base max,
+    * and the displaced current rows close at their user's first new
+    * change. The oracle is the FULL REBUILD over all events (the
+    * [[scd2]] CTE verbatim), so the driver's hash compare is exactly
+    * the merge ≡ rebuild theorem — the [[graft.operators.Relational]]
+    * agg_incremental discipline applied to a type-2 dimension.
+    *
+    * Equivalence argument, mirrored in code: the seed attr equals the
+    * last base EVENT's type (events after a user's last base change all
+    * share its attr — that is what "no further change" means), so
+    * boundary change detection matches the rebuild; version numbering
+    * concatenates; and the base current row's valid_to in the rebuild
+    * is precisely the user's first new change ts.
+    *
+    * Plan: two user-keyed window exchanges (base build, new-batch
+    * detection over the seed union) plus broadcast joins of the
+    * users×1 seed/base-version frames — the batch is the only
+    * corpus-sized input touched twice, the base history never rebuilds.
+    */
+  val scd2Incremental: Q = Q(
+    "scd2_incremental",
+    s"""WITH $Scd2Sql
+       |SELECT user_id, attr, valid_from, valid_to, is_current, version
+       |FROM h ORDER BY user_id, version""".stripMargin
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        col("event_type"))
+    val mid = ev.agg(expr(
+      "(min(unix_millis(ts)) + max(unix_millis(ts))) div 2").as("mid"))
+    val withMid = ev.crossJoin(broadcast(mid))
+    val base = scd2Of(withMid
+      .filter(expr("unix_millis(ts) <= mid"))
+      .select(col("user_id"), col("event_id"), col("ts"),
+        col("event_type")))
+    val batch = withMid.filter(expr("unix_millis(ts) > mid"))
+      .select(col("user_id"), col("event_id"), col("ts"),
+        col("event_type"))
+    // seed: each user's current attr, injected as a pseudo-event BELOW
+    // every batch event (base events all precede the batch in ts)
+    val seed = base.filter(col("is_current") === 1)
+      .select(col("user_id"), lit(-1L).as("event_id"),
+        col("valid_from").as("ts"), col("attr").as("event_type"))
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val changes = batch.unionByName(seed)
+      .withColumn("prev", lag(col("event_type"), 1).over(w))
+      .filter(col("event_id") =!= -1L &&
+        (col("prev").isNull || col("prev") =!= col("event_type")))
+    val vbase = base.groupBy(col("user_id").as("vb_user"))
+      .agg(max(col("version")).as("vbase"))
+    val wc = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val newRows = changes
+      .withColumn("rn", row_number().over(wc).cast("long"))
+      .join(broadcast(vbase), col("user_id") === col("vb_user"), "left")
+      .select(col("user_id"), col("event_type").as("attr"),
+        col("ts").as("valid_from"),
+        lead(col("ts"), 1).over(wc).as("valid_to"),
+        when(lead(col("ts"), 1).over(wc).isNull, 1L).otherwise(0L)
+          .as("is_current"),
+        (coalesce(col("vbase"), lit(0L)) + col("rn")).as("version"),
+        col("rn"))
+    val firstNew = newRows.filter(col("rn") === 1)
+      .select(col("user_id").as("fn_user"),
+        col("valid_from").as("first_new"))
+    val baseAdj = base
+      .join(broadcast(firstNew), col("user_id") === col("fn_user"),
+        "left")
+      .select(col("user_id"), col("attr"), col("valid_from"),
+        when(col("is_current") === 1 && col("first_new").isNotNull,
+          col("first_new")).otherwise(col("valid_to")).as("valid_to"),
+        when(col("is_current") === 1 && col("first_new").isNotNull, 0L)
+          .otherwise(col("is_current")).as("is_current"),
+        col("version"))
+    baseAdj.unionByName(newRows.drop("rn"))
+      .orderBy("user_id", "version")
   }
 
   val scd2: Q = Q(
@@ -3015,7 +3106,7 @@ object Streaming {
     eventTransitions, ohlcBars, sessionizeGaps, patternSeq,
     attributionLastclick, attributionLinear, attributionTimedecay,
     attributionShapley,
-    scd2, joinPit, abLiftZtest, abLiftSegmented, funnelWindowSweep,
+    scd2, scd2Incremental, joinPit, abLiftZtest, abLiftSegmented, funnelWindowSweep,
     abRatioDelta, abCuped, abSrm,
     abSequential, abPower, abQiniDecile, retentionSurvivalKm, retentionLtv,
     retentionDauMau, eventBurst, eventSeasonality, eventInterarrival,
