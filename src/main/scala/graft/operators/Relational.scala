@@ -2662,7 +2662,59 @@ object Relational {
       .orderBy("event_type")
   }
 
+  /** CORRELATED SCALAR SUBQUERIES — the one SQL surface class the
+    * catalog had not yet exercised END TO END through Catalyst's
+    * DECORRELATION machinery (RewriteCorrelatedScalarSubquery +
+    * PullupCorrelatedPredicates): "customers strictly above their own
+    * nation's average balance", written exactly the way an analyst
+    * writes it — TWO correlated scalar subqueries in the WHERE — and
+    * authored through `spark.sql` so the optimizer must rewrite them
+    * into aggregate-join form itself (the DataFrame equivalent would
+    * hand-build the join and prove nothing about the rewrite).
+    * PlanAuditSpec locks the decorrelated shape: no nested-loop
+    * per-row subquery execution, no cartesian.
+    *
+    * Parity: the above-average test clears denominators — cents·n >
+    * Σcents, exact BIGINTs via the `Tables.money` cents route — so no
+    * rational mean is ever compared; outputs are exact counts and a
+    * cents max.
+    *
+    * Scale: after decorrelation both subqueries collapse into ONE
+    * per-nation aggregate joined back (nation is a tiny broadcast key);
+    * the naive reading — one aggregate per ROW — is exactly what the
+    * rewrite exists to prevent. */
+  val subqueryCorrelated: Q = Q(
+    "subquery_correlated",
+    """WITH c AS (SELECT c_nationkey,
+      |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS cents
+      |  FROM customer)
+      |SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_above,
+      |  CAST(max(cents) AS BIGINT) AS max_above_cents
+      |FROM c
+      |WHERE cents * (SELECT count(*) FROM c c2
+      |               WHERE c2.c_nationkey = c.c_nationkey)
+      |    > (SELECT CAST(sum(cents) AS BIGINT) FROM c c3
+      |       WHERE c3.c_nationkey = c.c_nationkey)
+      |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
+  ) { (s, d) =>
+    Tables.customer(s, d)
+      .select(col("c_nationkey"),
+        (Tables.money(col("c_acctbal")) * 100).cast("long").as("cents"))
+      .createOrReplaceTempView("graft_cust_cents")
+    s.sql(
+      """SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_above,
+        |  CAST(max(cents) AS BIGINT) AS max_above_cents
+        |FROM graft_cust_cents c
+        |WHERE cents * (SELECT count(*) FROM graft_cust_cents c2
+        |               WHERE c2.c_nationkey = c.c_nationkey)
+        |    > (SELECT CAST(sum(cents) AS BIGINT) FROM graft_cust_cents c3
+        |       WHERE c3.c_nationkey = c.c_nationkey)
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)
+  }
+
   val all: Seq[Q] = Seq(
+    subqueryCorrelated,
     aggHeavyChange, aggContributionBound, joinStar,
     rfmSegmentation,
     countByProject, filterPred, aggGroupBy, aggRollup, aggMoments,

@@ -261,6 +261,17 @@ class PlanAuditSpec extends SparkSpec {
       s"melt should be shuffle-free beyond agg+sort:\n${p.take(800)}")
   }
 
+  test("subquery_correlated decorrelates to aggregate-join, no per-row eval") {
+    val p = plan(Relational.subqueryCorrelated)
+    // Catalyst must rewrite both correlated scalars into ONE per-nation
+    // aggregate joined back — a surviving per-row subquery would show as
+    // a nested-loop/cartesian or an InSubquery/ScalarSubquery exec node
+    assert(!p.contains("CartesianProduct"), p.take(600))
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "expected the decorrelated per-nation aggregate")
+    assert(p.contains("Join"), "expected the aggregate joined back")
+  }
+
   test("join_salted joins on the composite (key, salt) so one hot key spreads") {
     val p = plan(Relational.joinSalted)
     // the invariant is the composite equi-join key — the physical join
