@@ -182,4 +182,41 @@ class SourcesSpec extends SparkSpec {
       s"short row should carry the column-count reason: $reasons")
     assert(reasons("3") === "type_mismatch", reasons.toString)
   }
+
+  test("evolving parquet: generations widen and null-fill, narrowing throws") {
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = Files.createTempDirectory("evolve")
+    // gen1: (id INT, name STRING); gen2 widened id + added score
+    Seq((1, "a"), (2, "b")).toDF("id", "name")
+      .write.parquet(dir.resolve("gen1").toString)
+    Seq((3L, "c", 0.5), (4L, "d", 0.9)).toDF("id", "name", "score")
+      .write.parquet(dir.resolve("gen2").toString)
+    // the case mergeSchema hard-fails on:
+    val merged = intercept[Exception] {
+      spark.read.option("mergeSchema", "true")
+        .parquet(dir.resolve("gen1").toString, dir.resolve("gen2").toString)
+        .collect()
+    }
+    assert(merged.getMessage != null)
+    val target = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType),
+      StructField("score", DoubleType)))
+    val df = graft.sources.EvolvingParquet.read(spark,
+      Seq(dir.resolve("gen1").toString, dir.resolve("gen2").toString),
+      target)
+    assert(df.schema === target)
+    val rows = df.orderBy("id").collect()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L, 4L))
+    assert(rows.take(2).forall(_.isNullAt(2)),
+      "gen1 rows must null-fill the added column")
+    assert(rows(2).getDouble(2) === 0.5)
+    // narrowing (long gen2 id -> int target) is a loud failure
+    val narrow = StructType(Seq(StructField("id", IntegerType)))
+    val e = intercept[IllegalArgumentException] {
+      graft.sources.EvolvingParquet.read(spark,
+        Seq(dir.resolve("gen2").toString), narrow)
+    }
+    assert(e.getMessage.contains("narrowing"), e.getMessage)
+  }
 }
