@@ -1823,6 +1823,89 @@ object Streaming {
       .orderBy("event_type")
   }.copy(eager = true) // skeleton collect + driver walks at plan build
 
+  /** DIAMETER / PATH-LENGTH CENSUS of the dominant-transition skeleton —
+    * the journey-compactness summary closing the skeleton triad
+    * ([[graphScc]] structure, [[graphBetweenness]] chokepoints, this
+    * query reach): over all ordered reachable pairs (s ≠ t), the pair
+    * count, the mean first-occurrence walk distance (milli-steps,
+    * exact-integer floor), and the DIAMETER (longest shortest walk) —
+    * one row. A diameter near |types| is a deep funnel; near 1 is a
+    * hub-and-spoke journey.
+    *
+    * Same bounded-collect discipline and oracle machinery as
+    * [[graphBetweenness]]: driver walks under [[MarkovMaxTypes]], the
+    * oracle recomputes distances via the depth-bounded recursive-CTE
+    * closure and aggregates — corpus-sized work is only the shared
+    * transition count. */
+  val graphDiameter: Q = Q(
+    "graph_diameter",
+    """WITH RECURSIVE o AS (SELECT user_id, event_type,
+      |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      AS next_type
+      |  FROM events),
+      |c AS (SELECT event_type AS a, next_type AS b, count(*) AS n
+      |      FROM o WHERE next_type IS NOT NULL GROUP BY 1, 2),
+      |rk AS (SELECT a, b,
+      |    row_number() OVER (PARTITION BY a ORDER BY n DESC, b) AS r
+      |  FROM c),
+      |e AS (SELECT a, b FROM rk WHERE r = 1),
+      |ty AS (SELECT DISTINCT event_type AS t FROM events),
+      |walk AS (SELECT a, b, 1 AS dist FROM e
+      |         UNION
+      |         SELECT w.a, e.b, w.dist + 1 FROM walk w JOIN e ON w.b = e.a
+      |         WHERE w.dist < (SELECT count(*) FROM ty)),
+      |d AS (SELECT a, b, CAST(min(dist) AS BIGINT) AS dist FROM walk
+      |      WHERE a <> b GROUP BY 1, 2)
+      |SELECT CAST((SELECT count(*) FROM ty) AS BIGINT) AS n_nodes,
+      |  CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
+      |  CAST(count(*) AS BIGINT) AS n_pairs_reachable,
+      |  CAST(coalesce((1000 * CAST(sum(dist) AS BIGINT))
+      |    // nullif(count(*), 0), 0) AS BIGINT) AS avg_dist_milli,
+      |  CAST(coalesce(max(dist), 0) AS BIGINT) AS diameter
+      |FROM d""".stripMargin
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val counts = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("a"), col("next_type").as("b"))
+      .agg(count(lit(1)).as("n"))
+    val nTypes = Tables.events(s, d)
+      .agg(count_distinct(col("event_type"))).head().getLong(0)
+    require(nTypes <= MarkovMaxTypes,
+      s"graph_diameter collects the dominant-transition skeleton " +
+      s"driver-side (bounded-collect discipline); $nTypes types exceed " +
+      s"the $MarkovMaxTypes cap — run distributed BFS instead " +
+      "(graph_shortest_path plan shape).")
+    val rk = Window.partitionBy("a").orderBy(desc("n"), asc("b"))
+    val edges = counts.withColumn("r", row_number().over(rk))
+      .filter(col("r") === 1).select(col("a"), col("b"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val types = Tables.events(s, d).select(col("event_type"))
+      .distinct().collect().map(_.getString(0)).sorted
+    var pairs = 0L; var sumD = 0L; var diam = 0L
+    for (s0 <- types) {
+      val seen = scala.collection.mutable.Set(s0)
+      var cur = s0
+      var dist = 0L
+      var going = true
+      while (going) edges.get(cur) match {
+        case Some(nxt) if !seen(nxt) =>
+          dist += 1; seen += nxt; cur = nxt
+          pairs += 1; sumD += dist
+          if (dist > diam) diam = dist
+        case _ => going = false
+      }
+    }
+    import s.implicits._
+    Seq((nTypes, edges.size.toLong, pairs,
+      if (pairs > 0) 1000L * sumD / pairs else 0L, diam))
+      .toDF("n_nodes", "n_edges", "n_pairs_reachable", "avg_dist_milli",
+        "diameter")
+  }.copy(eager = true) // skeleton collect + driver walks at plan build
+
   /** A/B EXPERIMENT LIFT with a two-proportion z-test — the readout an
     * experimentation platform computes per assignment split: users hash
     * into control/treatment (`user_id % 2`, the deterministic assignment
@@ -3111,5 +3194,5 @@ object Streaming {
     abSequential, abPower, abQiniDecile, retentionSurvivalKm, retentionLtv,
     retentionDauMau, eventBurst, eventSeasonality, eventInterarrival,
     sessionConcurrency, markovTwoStep, markovStationary, markovEntropy,
-    graphScc, graphBetweenness, graphReciprocity)
+    graphScc, graphBetweenness, graphDiameter, graphReciprocity)
 }
