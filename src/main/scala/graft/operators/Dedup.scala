@@ -1816,6 +1816,101 @@ object Dedup {
       .orderBy("source")
   }
 
+  /** Per-pair edit-distance budget: Levenshtein is O(len²), so the
+    * verify stage bounds BOTH sides to a fixed prefix — per-candidate
+    * cost becomes a constant (≤128² DP cells) independent of document
+    * length, the standard bounded-verification trade (prefix similarity
+    * is a proxy; pairs whose divergence is purely beyond the prefix
+    * window read as more similar than they are, which a dedup gate
+    * tolerates because near-dup web text diverges early or not at all). */
+  private val EditPrefix = 128
+
+  /** EDIT-DISTANCE VERIFICATION stage for fuzzy dedup — the
+    * character-level second opinion after set-based candidate
+    * generation: sorted-neighborhood blocking (the [[dedupSortedWindow]]
+    * plan: block by 2-token prefix, window by 4-token sort key, 3
+    * neighbors) proposes (w−1)·n candidate pairs, and each pair is
+    * VERIFIED by Levenshtein distance over a bounded [[EditPrefix]]-char
+    * prefix — the measure that catches char-level perturbations
+    * (typos, entity swaps, boilerplate splices) that shingle Jaccard
+    * over-penalizes and MinHash can only estimate. Output: every
+    * candidate pair with its exact distance, normalized similarity
+    * (ppm, floor-DIV off the longer prefix), and the `verified` gate at
+    * 0.70 — the sweep surface a dedup-threshold owner reads next to
+    * [[dedupThresholdSweep]].
+    *
+    * Parity: both engines' `levenshtein` is the classic
+    * unit-cost-substitution DP over codepoints — exact INTEGER equality,
+    * no float anywhere; sim_ppm is nonneg floor-DIV (Spark `div` ≡
+    * DuckDB `//` on nonnegative operands), nullif-guarded.
+    *
+    * Plan shape at 100 TB: candidates come from the hash exchange on
+    * the block key (no global sort — the SNM discipline); the verify is
+    * a narrow per-row kernel over the candidate frame (never
+    * corpus×corpus), each row costing a CONSTANT ≤128² cells, so the
+    * stage is embarrassingly parallel and CPU-bounded by candidate
+    * count, not corpus bytes. */
+  val dedupEditDistance: Q = Q(
+    "dedup_edit_distance",
+    s"""WITH t AS (SELECT doc_id, text, string_split(text,' ') AS toks
+      |           FROM documents),
+      |seq AS (SELECT doc_id, array_to_string(toks[1:2],' ') AS blk,
+      |               array_to_string(toks[1:4],' ') AS sk FROM t),
+      |nb AS (SELECT doc_id,
+      |        [lead(doc_id,1) OVER w, lead(doc_id,2) OVER w,
+      |         lead(doc_id,3) OVER w] AS nxt
+      |       FROM seq WINDOW w AS (PARTITION BY blk ORDER BY sk, doc_id)),
+      |cand AS (SELECT doc_id AS a, unnest(nxt) AS b FROM nb),
+      |cn AS (SELECT least(a,b) AS doc_a, greatest(a,b) AS doc_b
+      |       FROM cand WHERE b IS NOT NULL),
+      |p AS (SELECT doc_a, doc_b,
+      |        substr(x.text, 1, $EditPrefix) AS pa,
+      |        substr(y.text, 1, $EditPrefix) AS pb
+      |      FROM cn JOIN t x ON cn.doc_a = x.doc_id
+      |               JOIN t y ON cn.doc_b = y.doc_id),
+      |v AS (SELECT doc_a, doc_b,
+      |        CAST(levenshtein(pa, pb) AS BIGINT) AS dist,
+      |        CAST(greatest(length(pa), length(pb)) AS BIGINT) AS ml
+      |      FROM p)
+      |SELECT doc_a, doc_b, dist,
+      |  CAST((1000000 * (ml - dist)) // nullif(ml, 0) AS BIGINT)
+      |    AS sim_ppm,
+      |  ((1000000 * (ml - dist)) // nullif(ml, 0)) >= 700000 AS verified
+      |FROM v ORDER BY doc_a, doc_b""".stripMargin
+  ) { (s, d) =>
+    val WinNbrs = 3
+    val t = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val seq = t.select(col("doc_id"),
+      concat_ws(" ", slice(split(col("text"), " "), 1, 2)).as("blk"),
+      concat_ws(" ", slice(split(col("text"), " "), 1, 4)).as("sk"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("blk").orderBy("sk", "doc_id")
+    val cand = seq
+      .select(col("doc_id").as("a"),
+        array((1 to WinNbrs).map(i =>
+          lead(col("doc_id"), i).over(w)): _*).as("nxt"))
+      .select(col("a"), explode(col("nxt")).as("b"))
+      .filter(col("b").isNotNull)
+      .select(least(col("a"), col("b")).as("doc_a"),
+              greatest(col("a"), col("b")).as("doc_b"))
+    val pfx = t.select(col("doc_id"),
+      substring(col("text"), 1, EditPrefix).as("p"))
+    val simPpm = expr("(1000000 * (ml - dist)) div nullif(ml, 0)")
+    cand
+      .join(pfx.select(col("doc_id").as("doc_a"), col("p").as("pa")),
+        Seq("doc_a"))
+      .join(pfx.select(col("doc_id").as("doc_b"), col("p").as("pb")),
+        Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("pa"), col("pb")).cast("long").as("dist"),
+        greatest(length(col("pa")), length(col("pb")))
+          .cast("long").as("ml"))
+      .select(col("doc_a"), col("doc_b"), col("dist"),
+        simPpm.cast("long").as("sim_ppm"),
+        (simPpm >= 700000L).as("verified"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   val all: Seq[Q] = Seq(dedupExact, dedupNgram, dedupMinhash,
     dedupIncremental, dedupSimhash, dedupCosine, dedupCosineLsh,
     dedupCluster, dedupClusterSizes, dedupClusterStar, dedupClusterIncr,
@@ -1824,5 +1919,5 @@ object Dedup {
     graphAssortativity, dedupSourceSim,
     dedupContainment, dedupSemantic, dedupClusterRep, dedupThresholdSweep,
     dedupRecallEval, dedupEstimatorEval, dedupKeepfirst, dedupSortedWindow,
-    dedupTokenWaste)
+    dedupTokenWaste, dedupEditDistance)
 }

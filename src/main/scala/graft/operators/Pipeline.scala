@@ -2286,6 +2286,75 @@ object Pipeline {
       .orderBy("source")
   }
 
+  /** FUNCTIONAL-DEPENDENCY VIOLATION census — the profiling gate that
+    * turns assumed invariants ("an order has one customer", "a part has
+    * one supplier") into MEASURED ones before a pipeline bakes them into
+    * join cardinality or dedup keys: for each declared candidate FD
+    * lhs → rhs, the number of lhs groups, how many carry >1 distinct
+    * rhs (violations), the violation rate (ppm), and the worst group's
+    * distinct-rhs count. The catalog declares four FDs spanning the
+    * truth spectrum — a key-backed FD that must read 0 (the control
+    * row), and three plausible-but-false ones whose violation counts
+    * are the actual deliverable (Metanome-style FD checking, reduced to
+    * the verification half a production profiler runs on declared
+    * candidates).
+    *
+    * Parity: all statistics are exact BIGINT counts; the rate is nonneg
+    * floor-DIV ppm, nullif-guarded; DuckDB's HUGEINT sum widening is
+    * cast back at the final SELECT (the round-8 wide-output rule).
+    *
+    * Plan: per FD one pruned two-column scan into a partial+final
+    * count-distinct aggregate on the lhs key, then a 1-row summary —
+    * four independent exchanges UNIONed, no joins, no row explosion.
+    * At 100 TB each FD costs one shuffle of (lhs, rhs) pairs; declared
+    * FDs are checked in one pass each, not discovered by the
+    * exponential lattice search. */
+  val dqFdViolations: Q = Q(
+    "dq_fd_violations", {
+      def f(name: String, table: String, lhs: String, rhs: String) =
+        s"""SELECT '$name' AS fd_name,
+           |  CAST(count(*) AS BIGINT) AS lhs_groups,
+           |  CAST(sum(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS violating_groups,
+           |  CAST((1000000 * sum(CASE WHEN k > 1 THEN 1 ELSE 0 END))
+           |    // nullif(count(*), 0) AS BIGINT) AS violation_ppm,
+           |  CAST(max(k) AS BIGINT) AS max_rhs_variants
+           |FROM (SELECT $lhs, count(DISTINCT $rhs) AS k
+           |      FROM $table GROUP BY 1)""".stripMargin
+      Seq(
+        f("customer_nation_to_segment", "customer",
+          "c_nationkey", "c_mktsegment"),
+        f("lineitem_order_to_returnflag", "lineitem",
+          "l_orderkey", "l_returnflag"),
+        f("lineitem_part_to_supp", "lineitem", "l_partkey", "l_suppkey"),
+        f("orders_key_to_custkey", "orders", "o_orderkey", "o_custkey"))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY fd_name")
+    }
+  ) { (s, d) =>
+    def f(name: String, df: DataFrame, lhs: String, rhs: String) =
+      df.select(col(lhs), col(rhs))
+        .groupBy(col(lhs))
+        .agg(count_distinct(col(rhs)).as("k"))
+        .agg(count(lit(1)).as("lhs_groups"),
+          sum(when(col("k") > 1, 1L).otherwise(0L))
+            .as("violating_groups"),
+          max(col("k")).as("max_rhs_variants"))
+        .select(lit(name).as("fd_name"), col("lhs_groups"),
+          col("violating_groups"),
+          expr("(1000000 * violating_groups) div nullif(lhs_groups, 0)")
+            .cast("long").as("violation_ppm"),
+          col("max_rhs_variants"))
+    f("customer_nation_to_segment", Tables.customer(s, d),
+        "c_nationkey", "c_mktsegment")
+      .unionAll(f("lineitem_order_to_returnflag", Tables.lineitem(s, d),
+        "l_orderkey", "l_returnflag"))
+      .unionAll(f("lineitem_part_to_supp", Tables.lineitem(s, d),
+        "l_partkey", "l_suppkey"))
+      .unionAll(f("orders_key_to_custkey", Tables.orders(s, d),
+        "o_orderkey", "o_custkey"))
+      .orderBy("fd_name")
+  }
+
   val all: Seq[Q] = Seq(simplifyFlatten, denormalizePatient, graphEdges,
     graphTwohop, discoverySummary, ingestNdjson, snapshotExport, dqChecks,
     dqSkew, dqDriftKs, dqFreshness, graphPagerank, graphHits, graphLabelProp,
@@ -2294,5 +2363,5 @@ object Pipeline {
     graphModularity,
     dqDriftPsi, dqProfileDrift, dqDriftTtest, dqBenford, dqReconciliation,
     dqDoubleCharge, dqKAnonymity, dqSequenceGaps, graphSampleNeighbors,
-    dqHashCollision, dqVolumeAnomaly, dqTableChecksum)
+    dqHashCollision, dqVolumeAnomaly, dqTableChecksum, dqFdViolations)
 }

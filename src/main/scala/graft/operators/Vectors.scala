@@ -2004,6 +2004,110 @@ object Vectors {
       .orderBy("rank")
   }
 
+  /** Candidate width for the binary-quantization rerank stage. */
+  private val BqCand = 100
+
+  /** COORDINATE-SIGN BINARY QUANTIZATION with exact rerank — the
+    * two-stage serving shape production binary indexes actually run
+    * (prefilter on 1 bit/dim, rerank the survivors at full precision),
+    * and the zero-training counterpoint to [[vectorHammingTopk]]: there
+    * the 48 bits come from TRAINED-ish random projections (48 dot
+    * products per write); here each bit is just `sign(v[i])` — no
+    * codebook, no projection, one comparison per dimension at ingest.
+    * Whether coordinate sign is informative depends on how centered the
+    * corpus is, which is exactly what the inline recall audit measures.
+    * Stage 1 ranks by Hamming distance over the 64 sign bits and keeps
+    * [[BqCand]] candidates; stage 2 reranks ONLY those at full
+    * precision, so the served ranking recovers from quantization error
+    * whenever the true neighbor survives the prefilter.
+    *
+    * Parity: the 64 sign bits live in TWO 32-bit BIGINT halves — bit 63
+    * stays off by construction (DuckDB's `<<` is overflow-checked at the
+    * sign bit; the agg_bitmap_distinct block discipline); Hamming is
+    * pure integer XOR+popcount; the rerank cosine is the shared
+    * left-fold kernel, bit-equal across engines; every ORDER BY carries
+    * the vec_id tie-break.
+    *
+    * Plan: signatures are one narrow codegen projection (64 sign tests,
+    * zero shuffles, 8 B/vec resident); the stage-1 cut is
+    * TakeOrderedAndProject on an INT key; candidates CARRY their full
+    * vector in the top-k payload so the rerank joins nothing back into
+    * the corpus and runs on [[BqCand]] rows. At 100 TB the sign
+    * signature column is ~1.6 TB — the scan that serves every query —
+    * and the full-precision reads are [[BqCand]] point lookups. */
+  val vectorBqRerank: Q = Q(
+    "vector_bq_rerank", {
+      val cosV = "list_sum([v[i]*qv[i] FOR i IN range(1, len(v)+1)]) / " +
+        "(sqrt(list_sum([x*x FOR x IN v])) * sqrt(list_sum([x*x FOR x IN qv])))"
+      def sig(v: String, off: Int) =
+        s"CAST(list_sum([CASE WHEN $v[i + $off] > 0 THEN " +
+          "(CAST(1 AS BIGINT) << (i - 1)) ELSE 0 END " +
+          "FOR i IN range(1, 33)]) AS BIGINT)"
+      s"""WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v
+         |      FROM embeddings WHERE vec_id <> 0),
+         |q AS (SELECT [CAST(x AS DOUBLE) FOR x IN embedding] AS qv
+         |      FROM embeddings WHERE vec_id = 0),
+         |eb AS (SELECT vec_id, v, ${sig("v", 0)} AS s0,
+         |               ${sig("v", 32)} AS s1 FROM e),
+         |qb AS (SELECT ${sig("qv", 0)} AS q0, ${sig("qv", 32)} AS q1
+         |       FROM q),
+         |cand AS (SELECT vec_id, v, hamming FROM (
+         |    SELECT vec_id, v,
+         |      CAST(bit_count(xor(s0, q0)) + bit_count(xor(s1, q1)) AS INT)
+         |        AS hamming
+         |    FROM eb, qb)
+         |  ORDER BY hamming, vec_id LIMIT $BqCand),
+         |rr AS (SELECT vec_id, hamming, cosine,
+         |         row_number() OVER (ORDER BY cosine DESC, vec_id) AS rank
+         |       FROM (SELECT vec_id, hamming, $cosV AS cosine
+         |             FROM cand, q)),
+         |ex AS (SELECT vec_id FROM (
+         |    SELECT e.vec_id, $cosV AS c,
+         |      row_number() OVER (ORDER BY c DESC, e.vec_id) AS rn
+         |    FROM e, q) WHERE rn <= 10)
+         |SELECT CAST(rank AS INT) AS rank, rr.vec_id AS vec_id, hamming,
+         |  cosine, ex.vec_id IS NOT NULL AS in_exact
+         |FROM rr LEFT JOIN ex ON rr.vec_id = ex.vec_id
+         |WHERE rank <= 10 ORDER BY rank""".stripMargin
+    }
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(s, d)
+    val e = emb.filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    val q = emb.filter(col("vec_id") === 0)
+      .select(toDouble(col("embedding")).as("qv"))
+    def sig(v: org.apache.spark.sql.Column, off: Int) =
+      (1 to 32).map { i =>
+        when(element_at(v, i + off) > 0, lit(1L << (i - 1))).otherwise(0L)
+      }.reduce(_ + _)
+    val qb = broadcast(q.select(col("qv"),
+      sig(col("qv"), 0).as("q0"), sig(col("qv"), 32).as("q1")))
+    val cand = e
+      .select(col("vec_id"), col("v"),
+        sig(col("v"), 0).as("s0"), sig(col("v"), 32).as("s1"))
+      .crossJoin(qb)
+      .select(col("vec_id"), col("v"), col("qv"),
+        expr("CAST(bit_count(s0 ^ q0) + bit_count(s1 ^ q1) AS INT)")
+          .as("hamming"))
+      .orderBy(asc("hamming"), asc("vec_id")).limit(BqCand)
+    val rr = cand
+      .select(col("vec_id"), col("hamming"),
+        cosine(col("v"), col("qv")).as("cosine"))
+      .orderBy(desc("cosine"), asc("vec_id")).limit(10)
+      // rank window runs over the already-cut 10 rows, never the corpus
+      .withColumn("rank",
+        row_number().over(Window.orderBy(desc("cosine"), asc("vec_id"))))
+    val ex = e.crossJoin(broadcast(q))
+      .select(col("vec_id"), cosine(col("v"), col("qv")).as("c"))
+      .orderBy(desc("c"), asc("vec_id")).limit(10)
+      .select(col("vec_id"), lit(1).as("hit"))
+    rr.join(ex, Seq("vec_id"), "left")
+      .select(col("rank"), col("vec_id"), col("hamming"), col("cosine"),
+              col("hit").isNotNull.as("in_exact"))
+      .orderBy("rank")
+  }
+
   /** Matryoshka prefix width for the coarse pass (MRL-trained embeddings
     * put most of the signal in the leading dims; Kusupati et al. 2022). */
   private val MrlPrefix = 16
@@ -3708,7 +3812,7 @@ object Vectors {
     sqlVectorTopk, vectorIndexStats, vectorPq, vectorIvfPq,
     vectorIndexDelta, vectorMips, vectorMipsAnn, vectorRecallEval,
     vectorRecallEvalMt,
-    vectorSq8Topk, vectorHammingTopk, vectorMatryoshkaTopk,
+    vectorSq8Topk, vectorHammingTopk, vectorBqRerank, vectorMatryoshkaTopk,
     vectorFilteredTopk, vectorRangeSearch, vectorIvfProbeSweep,
     vectorMmrRerank, searchHybridRrf, vectorDimStats, vectorCentroidDrift,
     vectorDimCorr, vectorPcaPower, vectorNormCensus, vectorRpRecall,
