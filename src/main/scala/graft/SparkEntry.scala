@@ -28,6 +28,7 @@ object SparkEntry {
     "Vectors"      -> operators.Vectors.all,
     "Streaming"    -> operators.Streaming.all,
     "TimeSeries"   -> operators.TimeSeries.all,
+    "MlEval"       -> operators.MlEval.all,
     "Multimodal"   -> operators.Multimodal.all,
     "Bpe"          -> operators.Bpe.all)
 
