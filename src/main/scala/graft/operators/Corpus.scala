@@ -1658,6 +1658,62 @@ object Corpus {
       .orderBy("gate")
   }
 
+  /** QUALITY-SCORE CALIBRATION against duplication — the audit that
+    * decides whether a cheap quality signal is worth gating on: bucket
+    * every document by type-token ratio (TTR milli, exact floor-DIV of
+    * the unique/total token counts — the classic templated-text
+    * detector) and measure, per bucket, the EXACT-DUPLICATE rate (md5
+    * content groups of size > 1, the [[graft.operators.Dedup]] exact
+    * family's definition) and the mean document length. A monotone
+    * dup-rate across buckets validates the score; a flat curve says the
+    * signal is noise for this corpus.
+    *
+    * Plan: one projection pass computes per-doc (hash, n_tok, n_uniq);
+    * the dup flag rides ONE hash-keyed window count (the only corpus
+    * exchange); the bucket aggregate is 10 rows. All ratios are
+    * nonnegative floor-DIVs of exact BIGINTs. */
+  val corpusQualityCalibration: Q = Q(
+    "corpus_quality_calibration",
+    """WITH q AS (SELECT doc_id, md5(text) AS h,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+      |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+      |      AS n_uniq
+      |  FROM documents),
+      |d AS (SELECT doc_id, n_tok,
+      |    least(((1000 * n_uniq) // n_tok) // 100, 9) AS bucket,
+      |    CASE WHEN count(*) OVER (PARTITION BY h) > 1 THEN 1 ELSE 0 END
+      |      AS is_dup
+      |  FROM q)
+      |SELECT CAST(bucket AS BIGINT) AS bucket,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(is_dup) AS BIGINT) AS n_dup,
+      |  CAST((1000000 * sum(is_dup)) // count(*) AS BIGINT) AS dup_ppm,
+      |  CAST((1000 * sum(n_tok)) // count(*) AS BIGINT) AS mean_tok_milli
+      |FROM d GROUP BY 1 ORDER BY 1""".stripMargin
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val q = Tables.documents(s, d).select(col("doc_id"),
+      md5(col("text").cast("binary")).as("h"),
+      size(split(col("text"), " ")).cast("long").as("n_tok"),
+      size(array_distinct(split(col("text"), " "))).cast("long")
+        .as("n_uniq"))
+    val dd = q.select(col("doc_id"), col("n_tok"),
+        least(expr("((1000 * n_uniq) div n_tok) div 100"), lit(9L))
+          .as("bucket"),
+        when(count(lit(1)).over(Window.partitionBy("h")) > 1, 1L)
+          .otherwise(0L).as("is_dup"))
+    dd.groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"), sum(col("is_dup")).as("n_dup"),
+        sum(col("n_tok")).as("sum_tok"))
+      .select(col("bucket").cast("long").as("bucket"),
+        col("n_docs").cast("long").as("n_docs"),
+        col("n_dup").cast("long").as("n_dup"),
+        expr("(1000000 * n_dup) div n_docs").cast("long").as("dup_ppm"),
+        expr("(1000 * sum_tok) div n_docs").cast("long")
+          .as("mean_tok_milli"))
+      .orderBy("bucket")
+  }
+
   val all: Seq[Q] = Seq(corpusSplit, corpusPack, corpusSelect, docChunk,
     corpusDecontaminate, corpusMix, corpusShuffle, trainingManifest,
     corpusEntropy, corpusPipeline, corpusSplitLeakage, corpusSampleWeighted,
@@ -1665,5 +1721,5 @@ object Corpus {
     corpusResumeSkip, corpusInterleave, corpusTokenBudget,
     corpusEpochSchedule, corpusPromptConflicts, corpusFilterFunnel,
     corpusSpanCorruption, corpusPadWaste, corpusShuffleQuality,
-    corpusGateAblation)
+    corpusGateAblation, corpusQualityCalibration)
 }

@@ -279,5 +279,395 @@ object MlEval {
       .orderBy("lang", "rn")
   }
 
-  val all: Seq[Q] = Seq(mlNaiveBayes, mlStumpGini, mlChi2Feature)
+  /** 5-FOLD CROSS-VALIDATION of the [[mlNaiveBayes]] classifier with all
+    * five models trained in ONE corpus pass — the Spark-first trick is
+    * leave-fold-out BY SUBTRACTION: the per-(lang, token, fold) count
+    * frame expands each row to the four folds it trains (a bounded ×5 of
+    * the model-sized frame, never of the corpus), so fold f's train
+    * counts, class totals, vocab and priors all come from the same
+    * aggregate and no per-fold corpus re-scan exists. Same nano-log
+    * weight quantization and argmax discipline as the parent; fold-lang
+    * cells with zero train docs are excluded on both engines (the class
+    * is unobservable in that fold).
+    *
+    * Output: per-fold test size, correct count and accuracy ppm — the
+    * generalization-stability readout a corpus classifier ships with. */
+  val mlNbCrossval: Q = Q(
+    "ml_nb_crossval",
+    """WITH folds AS (SELECT unnest(range(0, 5)) AS fold),
+      |tokf AS (SELECT lang, doc_id % 5 AS df, token FROM
+      |  (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token
+      |   FROM documents) tx),
+      |cf AS (SELECT lang, token, df, CAST(count(*) AS BIGINT) AS c
+      |       FROM tokf GROUP BY 1, 2, 3),
+      |w0 AS (SELECT f.fold, cf.lang, cf.token,
+      |       CAST(sum(cf.c) AS BIGINT) AS ctr
+      |       FROM cf CROSS JOIN folds f WHERE cf.df <> f.fold
+      |       GROUP BY 1, 2, 3),
+      |nlf AS (SELECT fold, lang, CAST(sum(ctr) AS BIGINT) AS n
+      |        FROM w0 GROUP BY 1, 2),
+      |vf AS (SELECT fold, CAST(count(DISTINCT token) AS BIGINT) AS v
+      |       FROM w0 GROUP BY 1),
+      |dcl AS (SELECT lang, doc_id % 5 AS df, CAST(count(*) AS BIGINT) AS c
+      |        FROM documents GROUP BY 1, 2),
+      |dtr AS (SELECT f.fold, dcl.lang, CAST(sum(dcl.c) AS BIGINT) AS dc
+      |        FROM dcl CROSS JOIN folds f WHERE dcl.df <> f.fold
+      |        GROUP BY 1, 2 HAVING sum(dcl.c) > 0),
+      |ttr AS (SELECT fold, CAST(sum(dc) AS BIGINT) AS t FROM dtr
+      |        GROUP BY 1),
+      |cls AS (SELECT dtr.fold, dtr.lang,
+      |    CAST(floor(1000000000 * (ln(dtr.dc) - ln(ttr.t))) AS BIGINT)
+      |      AS prior_nano,
+      |    CAST(floor(-1000000000 * ln(nlf.n + vf.v)) AS BIGINT)
+      |      AS def_nano
+      |  FROM dtr, ttr, nlf, vf
+      |  WHERE ttr.fold = dtr.fold AND nlf.fold = dtr.fold
+      |    AND nlf.lang = dtr.lang AND vf.fold = dtr.fold),
+      |w AS (SELECT w0.fold, w0.lang, w0.token,
+      |    CAST(floor(1000000000 * (ln(w0.ctr + 1.0) - ln(nlf.n + vf.v)))
+      |      AS BIGINT) AS w_nano
+      |  FROM w0, nlf, vf
+      |  WHERE nlf.fold = w0.fold AND nlf.lang = w0.lang
+      |    AND vf.fold = w0.fold),
+      |ttok AS (SELECT doc_id, doc_id % 5 AS fold, token,
+      |    CAST(count(*) AS BIGINT) AS cnt
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      |        FROM documents) tx GROUP BY 1, 2, 3),
+      |sc AS (SELECT tt.doc_id, tt.fold, cl.lang,
+      |    cl.prior_nano
+      |      + sum(tt.cnt * coalesce(w.w_nano, cl.def_nano)) AS score
+      |  FROM ttok tt JOIN cls cl ON cl.fold = tt.fold
+      |  LEFT JOIN w ON w.fold = tt.fold AND w.lang = cl.lang
+      |             AND w.token = tt.token
+      |  GROUP BY 1, 2, 3, cl.prior_nano),
+      |pred AS (SELECT doc_id, fold, lang AS predicted,
+      |    row_number() OVER (PARTITION BY doc_id
+      |                       ORDER BY score DESC, lang ASC) AS rn
+      |  FROM sc),
+      |acc AS (SELECT p.fold, CAST(count(*) AS BIGINT) AS n_test,
+      |    CAST(sum(CASE WHEN t.lang = p.predicted THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_correct
+      |  FROM documents t JOIN pred p
+      |    ON p.doc_id = t.doc_id AND p.rn = 1
+      |  GROUP BY 1)
+      |SELECT CAST(fold AS BIGINT) AS fold, n_test, n_correct,
+      |  CAST((1000000 * n_correct) // n_test AS BIGINT) AS acc_ppm
+      |FROM acc ORDER BY fold""".stripMargin
+  ) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val folds = broadcast(s.range(0, 5).toDF("fold"))
+    val cf = docs
+      .select(col("lang"), (col("doc_id") % 5).as("df"),
+        explode(split(col("text"), " ")).as("token"))
+      .groupBy("lang", "token", "df").agg(count(lit(1)).as("c"))
+    val w0 = cf.crossJoin(folds).filter(col("df") =!= col("fold"))
+      .groupBy("fold", "lang", "token").agg(sum(col("c")).as("ctr"))
+      .cache() // three bounded consumers: class totals, vocab, weights
+    val nlf = w0.groupBy("fold", "lang").agg(sum(col("ctr")).as("n"))
+    val vf = w0.groupBy("fold")
+      .agg(countDistinct(col("token")).as("v"))
+    val dcl = docs.groupBy(col("lang"), (col("doc_id") % 5).as("df"))
+      .agg(count(lit(1)).as("c"))
+    val dtr = dcl.crossJoin(folds).filter(col("df") =!= col("fold"))
+      .groupBy("fold", "lang").agg(sum(col("c")).as("dc"))
+      .filter(col("dc") > 0)
+    val ttr = dtr.groupBy("fold").agg(sum(col("dc")).as("t"))
+    val cls = dtr.join(broadcast(ttr), "fold")
+      .join(broadcast(nlf), Seq("fold", "lang"))
+      .join(broadcast(vf), "fold")
+      .select(col("fold"), col("lang"),
+        floor(lit(1000000000d) * (log(col("dc")) - log(col("t"))))
+          .cast("long").as("prior_nano"),
+        floor(lit(-1000000000d) * log(col("n") + col("v")))
+          .cast("long").as("def_nano"))
+    val w = w0.join(broadcast(nlf), Seq("fold", "lang"))
+      .join(broadcast(vf), "fold")
+      .select(col("fold"), col("lang"), col("token"),
+        floor(lit(1000000000d) *
+            (log(col("ctr") + lit(1.0)) - log(col("n") + col("v"))))
+          .cast("long").as("w_nano"))
+    val ttok = docs
+      .select(col("doc_id"), (col("doc_id") % 5).as("fold"),
+        explode(split(col("text"), " ")).as("token"))
+      .groupBy("doc_id", "fold", "token").agg(count(lit(1)).as("cnt"))
+    val sc = ttok.join(broadcast(cls), Seq("fold"))
+      .join(w, Seq("fold", "lang", "token"), "left")
+      .groupBy("doc_id", "fold", "lang", "prior_nano")
+      .agg(sum(col("cnt") * coalesce(col("w_nano"), col("def_nano")))
+        .as("ssum"))
+      .select(col("doc_id"), col("fold"), col("lang"),
+        (col("prior_nano") + col("ssum")).as("score"))
+    val pred = sc
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("doc_id").orderBy(desc("score"), asc("lang"))))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("fold"), col("lang").as("predicted"))
+    docs.select(col("doc_id"), col("lang").as("actual"))
+      .join(pred, "doc_id")
+      .groupBy("fold")
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(col("actual") === col("predicted"), 1L).otherwise(0L))
+          .as("n_correct"))
+      .select(col("fold").cast("long").as("fold"),
+        col("n_test").cast("long").as("n_test"),
+        col("n_correct").cast("long").as("n_correct"),
+        expr("(1000000 * n_correct) div n_test").cast("long").as("acc_ppm"))
+      .orderBy("fold")
+  }
+
+  /** EXACT AUC via the tie-corrected Mann–Whitney U statistic — the
+    * ranking-quality companion to [[mlStumpGini]] (same feature
+    * `n_chars`, same label lang = 'en'): does the raw feature RANK the
+    * positive class above the negative one at all, before any split is
+    * chosen? The whole statistic is integer-exact: group to the
+    * distinct-score frame (n, pos per value), one cumulative window for
+    * negatives-below, then 2U = Σ_v (2·p_v·negBelow_v + p_v·n_v) — the
+    * ×2 keeps the tie term (p·n/2) integral — and
+    * auc_ppm = 1e6·2U / (2·P·N), floor-divided in the wide-integer
+    * domain. No float ever exists, so no parity surface.
+    *
+    * Plan: one corpus pass to the distinct-value frame; the sweep is
+    * value-bounded. One row out. */
+  val mlAucMannwhitney: Q = Q(
+    "ml_auc_mannwhitney",
+    """WITH lab AS (SELECT n_chars AS sc,
+      |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y FROM documents),
+      |g AS (SELECT sc, CAST(count(*) AS BIGINT) AS n,
+      |      CAST(sum(y) AS BIGINT) AS p FROM lab GROUP BY 1),
+      |c AS (SELECT sc, n, p,
+      |    CAST(coalesce(sum(n - p) OVER (ORDER BY sc
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS BIGINT) AS neg_below,
+      |    CAST(sum(p) OVER () AS BIGINT) AS tp,
+      |    CAST(sum(n - p) OVER () AS BIGINT) AS tn
+      |  FROM g)
+      |SELECT CAST(max(tp) AS BIGINT) AS n_pos,
+      |  CAST(max(tn) AS BIGINT) AS n_neg,
+      |  CAST(sum(2 * p * neg_below + p * (n - p)) AS BIGINT) AS u2,
+      |  CAST((1000000 * CAST(sum(2 * p * neg_below + p * (n - p))
+      |         AS HUGEINT))
+      |       // (2 * max(tp) * max(tn)) AS BIGINT) AS auc_ppm
+      |FROM c WHERE tp > 0 AND tn > 0""".stripMargin
+  ) { (s, d) =>
+    val lab = Tables.documents(s, d).select(col("n_chars").as("sc"),
+      when(col("lang") === "en", 1L).otherwise(0L).as("y"))
+    val g = lab.groupBy("sc")
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("p"))
+    val bySc = Window.orderBy("sc")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val allW = Window.partitionBy()
+    val c = g.select(col("sc"), col("n"), col("p"),
+      coalesce(sum(col("n") - col("p")).over(bySc), lit(0L))
+        .as("neg_below"),
+      sum(col("p")).over(allW).as("tp"),
+      sum(col("n") - col("p")).over(allW).as("tn"))
+    c.filter(col("tp") > 0 && col("tn") > 0)
+      .agg(max(col("tp")).as("n_pos"), max(col("tn")).as("n_neg"),
+        sum(lit(2) * col("p") * col("neg_below")
+          + col("p") * (col("n") - col("p"))).as("u2"))
+      .select(col("n_pos").cast("long").as("n_pos"),
+        col("n_neg").cast("long").as("n_neg"),
+        col("u2").cast("long").as("u2"),
+        (dec(lit(1000000L)) * dec(col("u2"))).as("num"))
+      .withColumn("den", dec(lit(2L)) * dec(col("n_pos")) * dec(col("n_neg")))
+      .select(col("n_pos"), col("n_neg"), col("u2"),
+        expr("num div den").cast("long").as("auc_ppm"))
+  }
+
+  /** PRECISION/RECALL/F1 SWEEP over fixed feature thresholds — the
+    * operating-point table that turns [[mlAucMannwhitney]]'s single
+    * ranking number into deployable cutoffs: predict lang = 'en' when
+    * n_chars ≥ t for t ∈ {100, 150, …, 500}, and report exact counts
+    * plus floor-DIV ppm precision, recall and F1 (F1's half-cancelled
+    * form 2e6·tp / (2·tp + fp + fn) keeps it a pure integer ratio).
+    * Degenerate thresholds (no predictions) emit 0s via a mirrored
+    * nullif-coalesce rather than engine-divergent NaN casts.
+    *
+    * Plan: the corpus reduces to the distinct-value frame once; the 9
+    * thresholds ride a broadcast cross of that bounded frame. */
+  val mlPrCurve: Q = Q(
+    "ml_pr_curve",
+    """WITH lab AS (SELECT n_chars AS sc,
+      |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y FROM documents),
+      |g AS (SELECT sc, CAST(count(*) AS BIGINT) AS n,
+      |      CAST(sum(y) AS BIGINT) AS p FROM lab GROUP BY 1),
+      |th AS (SELECT CAST(100 + 50 * unnest(range(0, 9)) AS BIGINT) AS t),
+      |m AS (SELECT th.t,
+      |    CAST(sum(CASE WHEN g.sc >= th.t THEN g.p ELSE 0 END) AS BIGINT)
+      |      AS tp,
+      |    CAST(sum(CASE WHEN g.sc >= th.t THEN g.n - g.p ELSE 0 END)
+      |      AS BIGINT) AS fp,
+      |    CAST(sum(CASE WHEN g.sc < th.t THEN g.p ELSE 0 END) AS BIGINT)
+      |      AS fn
+      |  FROM th CROSS JOIN g GROUP BY 1)
+      |SELECT t AS threshold, tp, fp, fn,
+      |  CAST(coalesce((1000000 * tp) // nullif(tp + fp, 0), 0) AS BIGINT)
+      |    AS precision_ppm,
+      |  CAST(coalesce((1000000 * tp) // nullif(tp + fn, 0), 0) AS BIGINT)
+      |    AS recall_ppm,
+      |  CAST(coalesce((2000000 * tp) // nullif(2 * tp + fp + fn, 0), 0)
+      |    AS BIGINT) AS f1_ppm
+      |FROM m ORDER BY threshold""".stripMargin
+  ) { (s, d) =>
+    val lab = Tables.documents(s, d).select(col("n_chars").as("sc"),
+      when(col("lang") === "en", 1L).otherwise(0L).as("y"))
+    val g = lab.groupBy("sc")
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("p"))
+    val th = s.range(0, 9).select((lit(100L) + lit(50L) * col("id"))
+      .as("t"))
+    val m = broadcast(th).crossJoin(g)
+      .groupBy("t")
+      .agg(
+        sum(when(col("sc") >= col("t"), col("p")).otherwise(0L)).as("tp"),
+        sum(when(col("sc") >= col("t"), col("n") - col("p")).otherwise(0L))
+          .as("fp"),
+        sum(when(col("sc") < col("t"), col("p")).otherwise(0L)).as("fn"))
+    m.select(col("t").as("threshold"),
+        col("tp").cast("long").as("tp"), col("fp").cast("long").as("fp"),
+        col("fn").cast("long").as("fn"),
+        coalesce(expr("(1000000 * tp) div nullif(tp + fp, 0)"), lit(0L))
+          .cast("long").as("precision_ppm"),
+        coalesce(expr("(1000000 * tp) div nullif(tp + fn, 0)"), lit(0L))
+          .cast("long").as("recall_ppm"),
+        coalesce(expr("(2000000 * tp) div nullif(2 * tp + fp + fn, 0)"),
+          lit(0L)).cast("long").as("f1_ppm"))
+      .orderBy("threshold")
+  }
+
+  /** LEARNING CURVE of the naive-Bayes classifier — accuracy on a FIXED
+    * held-out fold (doc_id % 5 = 4) as the training set grows through
+    * the nested prefixes folds {0}, {0,1}, {0,1,2}, {0,1,2,3} — the
+    * "is more data still buying accuracy" readout that sizes a corpus
+    * acquisition budget. All four nested models train in ONE corpus
+    * pass via the [[mlNbCrossval]] expansion trick run cumulatively:
+    * each (lang, token, fold) count row fans out to every training
+    * prefix k > fold (a bounded ×4 of the model-sized frame), so model
+    * k's counts, class totals, vocab and priors share one aggregate.
+    * Same nano-log quantization, same argmax discipline.
+    *
+    * Output: 4 rows (train_folds, n_train_docs, n_test, acc_ppm). */
+  val mlLearningCurve: Q = Q(
+    "ml_learning_curve",
+    """WITH ks AS (SELECT CAST(1 + unnest(range(0, 4)) AS BIGINT) AS k),
+      |tr AS (SELECT * FROM documents WHERE doc_id % 5 <> 4),
+      |te AS (SELECT * FROM documents WHERE doc_id % 5 = 4),
+      |cf AS (SELECT lang, token, doc_id % 5 AS df,
+      |    CAST(count(*) AS BIGINT) AS c FROM
+      |  (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token
+      |   FROM tr) tx GROUP BY 1, 2, 3),
+      |w0 AS (SELECT ks.k, cf.lang, cf.token,
+      |       CAST(sum(cf.c) AS BIGINT) AS ctr
+      |       FROM cf CROSS JOIN ks WHERE cf.df < ks.k GROUP BY 1, 2, 3),
+      |nlk AS (SELECT k, lang, CAST(sum(ctr) AS BIGINT) AS n
+      |        FROM w0 GROUP BY 1, 2),
+      |vk AS (SELECT k, CAST(count(DISTINCT token) AS BIGINT) AS v
+      |       FROM w0 GROUP BY 1),
+      |dcl AS (SELECT lang, doc_id % 5 AS df, CAST(count(*) AS BIGINT) AS c
+      |        FROM tr GROUP BY 1, 2),
+      |dtr AS (SELECT ks.k, dcl.lang, CAST(sum(dcl.c) AS BIGINT) AS dc
+      |        FROM dcl CROSS JOIN ks WHERE dcl.df < ks.k
+      |        GROUP BY 1, 2 HAVING sum(dcl.c) > 0),
+      |ttk AS (SELECT k, CAST(sum(dc) AS BIGINT) AS t FROM dtr GROUP BY 1),
+      |cls AS (SELECT dtr.k, dtr.lang,
+      |    CAST(floor(1000000000 * (ln(dtr.dc) - ln(ttk.t))) AS BIGINT)
+      |      AS prior_nano,
+      |    CAST(floor(-1000000000 * ln(nlk.n + vk.v)) AS BIGINT)
+      |      AS def_nano
+      |  FROM dtr, ttk, nlk, vk
+      |  WHERE ttk.k = dtr.k AND nlk.k = dtr.k AND nlk.lang = dtr.lang
+      |    AND vk.k = dtr.k),
+      |w AS (SELECT w0.k, w0.lang, w0.token,
+      |    CAST(floor(1000000000 * (ln(w0.ctr + 1.0) - ln(nlk.n + vk.v)))
+      |      AS BIGINT) AS w_nano
+      |  FROM w0, nlk, vk
+      |  WHERE nlk.k = w0.k AND nlk.lang = w0.lang AND vk.k = w0.k),
+      |ttok AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS cnt
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      |        FROM te) tx GROUP BY 1, 2),
+      |sc AS (SELECT tt.doc_id, cl.k, cl.lang,
+      |    cl.prior_nano
+      |      + sum(tt.cnt * coalesce(w.w_nano, cl.def_nano)) AS score
+      |  FROM ttok tt CROSS JOIN cls cl
+      |  LEFT JOIN w ON w.k = cl.k AND w.lang = cl.lang
+      |             AND w.token = tt.token
+      |  GROUP BY 1, 2, 3, cl.prior_nano),
+      |pred AS (SELECT doc_id, k, lang AS predicted,
+      |    row_number() OVER (PARTITION BY doc_id, k
+      |                       ORDER BY score DESC, lang ASC) AS rn
+      |  FROM sc),
+      |acc AS (SELECT p.k, CAST(count(*) AS BIGINT) AS n_test,
+      |    CAST(sum(CASE WHEN t.lang = p.predicted THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_correct
+      |  FROM te t JOIN pred p ON p.doc_id = t.doc_id AND p.rn = 1
+      |  GROUP BY 1)
+      |SELECT CAST(acc.k AS BIGINT) AS train_folds, ttk.t AS n_train_docs,
+      |  acc.n_test, acc.n_correct,
+      |  CAST((1000000 * acc.n_correct) // acc.n_test AS BIGINT) AS acc_ppm
+      |FROM acc JOIN ttk ON ttk.k = acc.k ORDER BY 1""".stripMargin
+  ) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val tr = docs.filter(col("doc_id") % 5 =!= 4)
+    val te = docs.filter(col("doc_id") % 5 === 4)
+    val ks = broadcast(s.range(1, 5).toDF("k"))
+    val cf = tr
+      .select(col("lang"), (col("doc_id") % 5).as("df"),
+        explode(split(col("text"), " ")).as("token"))
+      .groupBy("lang", "token", "df").agg(count(lit(1)).as("c"))
+    val w0 = cf.crossJoin(ks).filter(col("df") < col("k"))
+      .groupBy("k", "lang", "token").agg(sum(col("c")).as("ctr"))
+      .cache() // three bounded consumers: class totals, vocab, weights
+    val nlk = w0.groupBy("k", "lang").agg(sum(col("ctr")).as("n"))
+    val vk = w0.groupBy("k").agg(countDistinct(col("token")).as("v"))
+    val dcl = tr.groupBy(col("lang"), (col("doc_id") % 5).as("df"))
+      .agg(count(lit(1)).as("c"))
+    val dtr = dcl.crossJoin(ks).filter(col("df") < col("k"))
+      .groupBy("k", "lang").agg(sum(col("c")).as("dc"))
+      .filter(col("dc") > 0)
+    val ttk = dtr.groupBy("k").agg(sum(col("dc")).as("t"))
+    val cls = dtr.join(broadcast(ttk), "k")
+      .join(broadcast(nlk), Seq("k", "lang"))
+      .join(broadcast(vk), "k")
+      .select(col("k"), col("lang"),
+        floor(lit(1000000000d) * (log(col("dc")) - log(col("t"))))
+          .cast("long").as("prior_nano"),
+        floor(lit(-1000000000d) * log(col("n") + col("v")))
+          .cast("long").as("def_nano"))
+    val w = w0.join(broadcast(nlk), Seq("k", "lang"))
+      .join(broadcast(vk), "k")
+      .select(col("k"), col("lang"), col("token"),
+        floor(lit(1000000000d) *
+            (log(col("ctr") + lit(1.0)) - log(col("n") + col("v"))))
+          .cast("long").as("w_nano"))
+    val ttok = te
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("cnt"))
+    val sc = ttok.crossJoin(broadcast(cls))
+      .join(w, Seq("k", "lang", "token"), "left")
+      .groupBy("doc_id", "k", "lang", "prior_nano")
+      .agg(sum(col("cnt") * coalesce(col("w_nano"), col("def_nano")))
+        .as("ssum"))
+      .select(col("doc_id"), col("k"), col("lang"),
+        (col("prior_nano") + col("ssum")).as("score"))
+    val pred = sc
+      .withColumn("rn", row_number().over(Window.partitionBy("doc_id", "k")
+        .orderBy(desc("score"), asc("lang"))))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("k"), col("lang").as("predicted"))
+    val acc = te.select(col("doc_id"), col("lang").as("actual"))
+      .join(pred, "doc_id")
+      .groupBy("k")
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(col("actual") === col("predicted"), 1L).otherwise(0L))
+          .as("n_correct"))
+    acc.join(broadcast(ttk), "k")
+      .select(col("k").cast("long").as("train_folds"),
+        col("t").cast("long").as("n_train_docs"),
+        col("n_test").cast("long").as("n_test"),
+        col("n_correct").cast("long").as("n_correct"),
+        expr("(1000000 * n_correct) div n_test").cast("long").as("acc_ppm"))
+      .orderBy("train_folds")
+  }
+
+  val all: Seq[Q] = Seq(mlNaiveBayes, mlStumpGini, mlChi2Feature,
+    mlNbCrossval, mlAucMannwhitney, mlPrCurve, mlLearningCurve)
 }

@@ -2713,6 +2713,81 @@ object Relational {
         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)
   }
 
+  /** ITEM-ITEM COLLABORATIVE-FILTERING NEIGHBOR LISTS over order
+    * baskets — the serving table a "customers also bought" tier reads:
+    * for every part, its top-3 co-occurrence neighbors ranked by
+    * SQUARED cosine over the binary order-incidence vectors,
+    * cos²(a,b) = sup²/(n_a·n_b) — an exact rational of BIGINTs, so the
+    * ranking needs no sqrt and no float (the sqrt-free twist on
+    * [[marketBasket]], which ranks GLOBAL rules by float lift; this
+    * one emits PER-ITEM lists, the CF deliverable).
+    *
+    * Plan: distinct (order, part) incidence; unordered pairs generated
+    * once by an orderkey-equi self-join (per-order fan-out is bounded
+    * by basket size, ~7 in this schema — Σ|basket|², not |items|²),
+    * min-support 2; both directions emitted by a union of projections
+    * (the symmetric-pair rule: compute once, mirror); per-item top-3
+    * via an item-partitioned row_number with an exact-integer total
+    * order (cos2_ppm DESC, sup DESC, neighbor ASC). The ppm divide
+    * rides the wide-integer domain (HUGEINT `//` ≡ DECIMAL(38,0)
+    * `div` on nonnegative operands). */
+  val recItemCooccur: Q = Q(
+    "rec_item_cooccur",
+    """WITH b AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+      |           FROM lineitem),
+      |ic AS (SELECT pk, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY 1),
+      |pr AS (SELECT a.pk AS pa, bb.pk AS pb, CAST(count(*) AS BIGINT) AS sup
+      |       FROM b a JOIN b bb ON a.ok = bb.ok AND a.pk < bb.pk
+      |       GROUP BY 1, 2 HAVING count(*) >= 2),
+      |pr2 AS (SELECT pa, pb, sup FROM pr
+      |        UNION ALL SELECT pb AS pa, pa AS pb, sup FROM pr),
+      |sc AS (SELECT p.pa, p.pb, p.sup, ia.c AS n_a, ib.c AS n_b,
+      |    CAST((1000000 * CAST(p.sup AS HUGEINT) * p.sup)
+      |         // (CAST(ia.c AS HUGEINT) * ib.c) AS BIGINT) AS cos2_ppm
+      |  FROM pr2 p JOIN ic ia ON ia.pk = p.pa JOIN ic ib ON ib.pk = p.pb),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY pa
+      |    ORDER BY cos2_ppm DESC, sup DESC, pb ASC) AS rn FROM sc)
+      |SELECT CAST(pa AS BIGINT) AS item, CAST(pb AS BIGINT) AS neighbor,
+      |  CAST(sup AS BIGINT) AS sup, CAST(n_a AS BIGINT) AS n_a,
+      |  CAST(n_b AS BIGINT) AS n_b, CAST(cos2_ppm AS BIGINT) AS cos2_ppm,
+      |  CAST(rn AS BIGINT) AS rn
+      |FROM r WHERE rn <= 3 ORDER BY item, rn""".stripMargin
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val b = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val ic = b.groupBy("pk").agg(count(lit(1)).as("c"))
+    val pr = b.as("a")
+      .join(b.as("bb"),
+        col("a.ok") === col("bb.ok") && col("a.pk") < col("bb.pk"))
+      .groupBy(col("a.pk").as("pa"), col("bb.pk").as("pb"))
+      .agg(count(lit(1)).as("sup"))
+      .filter(col("sup") >= 2)
+    val pr2 = pr.unionByName(pr.select(col("pb").as("pa"),
+      col("pa").as("pb"), col("sup")))
+    def dec38(c: Column): Column = c.cast("decimal(38,0)")
+    val sc = pr2
+      .join(ic.select(col("pk").as("pa"), col("c").as("n_a")), Seq("pa"))
+      .join(ic.select(col("pk").as("pb"), col("c").as("n_b")), Seq("pb"))
+      .select(col("pa"), col("pb"), col("sup"), col("n_a"), col("n_b"),
+        (dec38(lit(1000000L)) * dec38(col("sup")) * dec38(col("sup")))
+          .as("num"),
+        (dec38(col("n_a")) * dec38(col("n_b"))).as("den"))
+      .withColumn("cos2_ppm", expr("num div den"))
+    sc.withColumn("rn", row_number().over(Window.partitionBy("pa")
+        .orderBy(desc("cos2_ppm"), desc("sup"), asc("pb"))))
+      .filter(col("rn") <= 3)
+      .select(col("pa").cast("long").as("item"),
+        col("pb").cast("long").as("neighbor"),
+        col("sup").cast("long").as("sup"),
+        col("n_a").cast("long").as("n_a"),
+        col("n_b").cast("long").as("n_b"),
+        col("cos2_ppm").cast("long").as("cos2_ppm"),
+        col("rn").cast("long").as("rn"))
+      .orderBy("item", "rn")
+  }
+
   val all: Seq[Q] = Seq(
     subqueryCorrelated,
     aggHeavyChange, aggContributionBound, joinStar,
@@ -2734,5 +2809,6 @@ object Relational {
     joinBloom, sampleReservoir, joinIntervalBin, joinIntervalOverlap,
     aggBitmapDistinct,
     aggRegression, skylinePareto, joinFuzzy, aggIncremental, marketBasket,
-    aggGini, aggHhi)
+    aggGini, aggHhi, recItemCooccur)
+
 }

@@ -1906,6 +1906,90 @@ object Streaming {
         "diameter")
   }.copy(eager = true) // skeleton collect + driver walks at plan build
 
+  /** CLOSENESS CENTRALITY (out-closeness) of every node of the
+    * dominant-transition skeleton — the fourth member of the skeleton
+    * census ([[graphScc]] structure, [[graphBetweenness]] chokepoints,
+    * [[graphDiameter]] reach, this query PER-NODE reach): for each
+    * event_type s, the count of types reachable along the unique
+    * out-degree-1 walk, the total walk distance, and closeness
+    * n_reachable²/Σdist in milli units (the Wasserman–Faust-unnormalized
+    * harmonic-free form; exact floor-DIV of BIGINTs). Nodes that reach
+    * nothing emit zeros rather than dividing by zero — mirrored on both
+    * engines.
+    *
+    * Same bounded-collect discipline as its siblings: corpus-sized work
+    * is only the shared transition count; the walk runs driver-side
+    * under [[MarkovMaxTypes]]; the oracle recomputes distances via the
+    * depth-bounded recursive-CTE closure. */
+  val graphCloseness: Q = Q(
+    "graph_closeness",
+    """WITH RECURSIVE o AS (SELECT user_id, event_type,
+      |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      AS next_type
+      |  FROM events),
+      |c AS (SELECT event_type AS a, next_type AS b, count(*) AS n
+      |      FROM o WHERE next_type IS NOT NULL GROUP BY 1, 2),
+      |rk AS (SELECT a, b,
+      |    row_number() OVER (PARTITION BY a ORDER BY n DESC, b) AS r
+      |  FROM c),
+      |e AS (SELECT a, b FROM rk WHERE r = 1),
+      |ty AS (SELECT DISTINCT event_type AS t FROM events),
+      |walk AS (SELECT a, b, 1 AS dist FROM e
+      |         UNION
+      |         SELECT w.a, e.b, w.dist + 1 FROM walk w JOIN e ON w.b = e.a
+      |         WHERE w.dist < (SELECT count(*) FROM ty)),
+      |d AS (SELECT a, b, CAST(min(dist) AS BIGINT) AS dist FROM walk
+      |      WHERE a <> b GROUP BY 1, 2),
+      |cl AS (SELECT a, CAST(count(*) AS BIGINT) AS n_reach,
+      |       CAST(sum(dist) AS BIGINT) AS sum_dist FROM d GROUP BY 1)
+      |SELECT ty.t AS event_type,
+      |  CAST(coalesce(cl.n_reach, 0) AS BIGINT) AS n_reachable,
+      |  CAST(coalesce(cl.sum_dist, 0) AS BIGINT) AS sum_dist,
+      |  CAST(coalesce((1000 * cl.n_reach * cl.n_reach) // cl.sum_dist, 0)
+      |       AS BIGINT) AS closeness_milli
+      |FROM ty LEFT JOIN cl ON cl.a = ty.t ORDER BY 1""".stripMargin
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val counts = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("a"), col("next_type").as("b"))
+      .agg(count(lit(1)).as("n"))
+    val nTypes = Tables.events(s, d)
+      .agg(count_distinct(col("event_type"))).head().getLong(0)
+    require(nTypes <= MarkovMaxTypes,
+      s"graph_closeness collects the dominant-transition skeleton " +
+      s"driver-side (bounded-collect discipline); $nTypes types exceed " +
+      s"the $MarkovMaxTypes cap — run distributed BFS instead " +
+      "(graph_shortest_path plan shape).")
+    val rk = Window.partitionBy("a").orderBy(desc("n"), asc("b"))
+    val edges = counts.withColumn("r", row_number().over(rk))
+      .filter(col("r") === 1).select(col("a"), col("b"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val types = Tables.events(s, d).select(col("event_type"))
+      .distinct().collect().map(_.getString(0)).sorted
+    val rows = types.map { s0 =>
+      val seen = scala.collection.mutable.Set(s0)
+      var cur = s0
+      var dist = 0L; var nReach = 0L; var sumD = 0L
+      var going = true
+      while (going) edges.get(cur) match {
+        case Some(nxt) if !seen(nxt) =>
+          dist += 1; seen += nxt; cur = nxt
+          nReach += 1; sumD += dist
+        case _ => going = false
+      }
+      (s0, nReach, sumD,
+        if (sumD > 0) 1000L * nReach * nReach / sumD else 0L)
+    }
+    import s.implicits._
+    rows.toSeq
+      .toDF("event_type", "n_reachable", "sum_dist", "closeness_milli")
+      .orderBy("event_type")
+  }.copy(eager = true) // skeleton collect + driver walks at plan build
+
   /** A/B EXPERIMENT LIFT with a two-proportion z-test — the readout an
     * experimentation platform computes per assignment split: users hash
     * into control/treatment (`user_id % 2`, the deterministic assignment
@@ -3194,5 +3278,6 @@ object Streaming {
     abSequential, abPower, abQiniDecile, retentionSurvivalKm, retentionLtv,
     retentionDauMau, eventBurst, eventSeasonality, eventInterarrival,
     sessionConcurrency, markovTwoStep, markovStationary, markovEntropy,
-    graphScc, graphBetweenness, graphDiameter, graphReciprocity)
+    graphScc, graphBetweenness, graphDiameter, graphReciprocity,
+    graphCloseness)
 }

@@ -1088,7 +1088,118 @@ object TimeSeries {
       .orderBy("event_type")
   }
 
+  /** GRANGER-STYLE LAG TEST over every ordered event-type pair — does
+    * type a's hourly series yesterday-hour improve the 1-lag
+    * autoregression of type b beyond b's own lag? The restricted model
+    * y_t ~ [1, y_{t−1}] and the full model y_t ~ [1, y_{t−1}, x_{t−1}]
+    * are both solved in closed form from exact-BIGINT sufficient
+    * statistics (the [[tsAutocorr]] discipline): centered second
+    * moments c·· = n·Σ·· − Σ·Σ· stay integers, and the two SSRs plus
+    * the F statistic are one shared double expression tree evaluated
+    * identically by both engines (int→double conversion and each
+    * subsequent op are correctly rounded — the dq_drift_ttest rule).
+    * Degenerate pairs (constant regressors, singular 2×2 normal matrix,
+    * zero residual) are excluded by mirrored predicates, never cast.
+    *
+    * Plan: events reduce once to the (type, hour, count) series frame;
+    * pairs come from two series-frame self-joins on the hour key (the
+    * [[tsCrossCorr]] shape — observed-bucket pairs, no grid
+    * densification); the output is |types|²-bounded. */
+  val tsGranger: Q = Q(
+    "ts_granger",
+    """WITH c AS (SELECT event_type,
+      |    epoch_ms(time_bucket(INTERVAL '1 hour', ts)) AS ms,
+      |    CAST(count(*) AS BIGINT) AS x
+      |  FROM events GROUP BY 1, 2),
+      |p AS (SELECT la.event_type AS a, tb.event_type AS b,
+      |    tb.x AS y, lb.x AS u, la.x AS v
+      |  FROM c tb
+      |  JOIN c lb ON lb.event_type = tb.event_type
+      |           AND lb.ms = tb.ms - 3600000
+      |  JOIN c la ON la.ms = tb.ms - 3600000
+      |           AND la.event_type <> tb.event_type),
+      |s AS (SELECT a, b, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(u) AS BIGINT) AS su, CAST(sum(v) AS BIGINT) AS sv,
+      |    CAST(sum(y) AS BIGINT) AS sy, CAST(sum(u*u) AS BIGINT) AS suu,
+      |    CAST(sum(v*v) AS BIGINT) AS svv,
+      |    CAST(sum(y*y) AS BIGINT) AS syy,
+      |    CAST(sum(u*v) AS BIGINT) AS suv,
+      |    CAST(sum(u*y) AS BIGINT) AS suy,
+      |    CAST(sum(v*y) AS BIGINT) AS svy
+      |  FROM p GROUP BY 1, 2),
+      |m AS (SELECT a, b, n,
+      |    CAST(n*suu - su*su AS DOUBLE) AS cuu,
+      |    CAST(n*svv - sv*sv AS DOUBLE) AS cvv,
+      |    CAST(n*suv - su*sv AS DOUBLE) AS cuv,
+      |    CAST(n*suy - su*sy AS DOUBLE) AS cuy,
+      |    CAST(n*svy - sv*sy AS DOUBLE) AS cvy,
+      |    CAST(n*syy - sy*sy AS DOUBLE) AS cyy
+      |  FROM s WHERE n >= 10),
+      |f AS (SELECT a, b, n,
+      |    cyy - (cuy * cuy) / cuu AS ssr_r,
+      |    cyy - ((cuy * cuy * cvv - 2 * cuy * cvy * cuv)
+      |           + (cvy * cvy * cuu)) / (cuu * cvv - cuv * cuv) AS ssr_f
+      |  FROM m WHERE cuu > 0 AND cuu * cvv - cuv * cuv > 0)
+      |SELECT a, b, CAST(n AS BIGINT) AS n_hours,
+      |  (ssr_r - ssr_f) * (n - 3) / ssr_f AS f_stat,
+      |  (ssr_r - ssr_f) * (n - 3) / ssr_f > 4.0 AS significant
+      |FROM f WHERE ssr_f > 0 ORDER BY a, b""".stripMargin
+  ) { (s, d) =>
+    val c = Tables.events(s, d)
+      .groupBy(col("event_type"),
+        unix_millis(date_trunc("hour", col("ts"))).as("ms"))
+      .agg(count(lit(1)).as("x"))
+    val tb = c.select(col("event_type").as("b"), col("ms"),
+      col("x").as("y"))
+    val lb = c.select(col("event_type").as("b"),
+      (col("ms") + 3600000L).as("ms"), col("x").as("u"))
+    val la = c.select(col("event_type").as("a"),
+      (col("ms") + 3600000L).as("ms"), col("x").as("v"))
+    val p = tb.join(lb, Seq("b", "ms"))
+      .join(la, Seq("ms")).filter(col("a") =!= col("b"))
+    val st = p.groupBy("a", "b").agg(count(lit(1)).as("n"),
+      sum(col("u")).as("su"), sum(col("v")).as("sv"),
+      sum(col("y")).as("sy"), sum(col("u") * col("u")).as("suu"),
+      sum(col("v") * col("v")).as("svv"),
+      sum(col("y") * col("y")).as("syy"),
+      sum(col("u") * col("v")).as("suv"),
+      sum(col("u") * col("y")).as("suy"),
+      sum(col("v") * col("y")).as("svy"))
+    val m = st.filter(col("n") >= 10).select(col("a"), col("b"), col("n"),
+      (col("n") * col("suu") - col("su") * col("su")).cast("double")
+        .as("cuu"),
+      (col("n") * col("svv") - col("sv") * col("sv")).cast("double")
+        .as("cvv"),
+      (col("n") * col("suv") - col("su") * col("sv")).cast("double")
+        .as("cuv"),
+      (col("n") * col("suy") - col("su") * col("sy")).cast("double")
+        .as("cuy"),
+      (col("n") * col("svy") - col("sv") * col("sy")).cast("double")
+        .as("cvy"),
+      (col("n") * col("syy") - col("sy") * col("sy")).cast("double")
+        .as("cyy"))
+    val f = m
+      .filter(col("cuu") > 0 &&
+        col("cuu") * col("cvv") - col("cuv") * col("cuv") > 0)
+      .select(col("a"), col("b"), col("n"),
+        (col("cyy") - (col("cuy") * col("cuy")) / col("cuu")).as("ssr_r"),
+        (col("cyy") -
+          ((col("cuy") * col("cuy") * col("cvv")
+            - lit(2) * col("cuy") * col("cvy") * col("cuv"))
+            + (col("cvy") * col("cvy") * col("cuu")))
+          / (col("cuu") * col("cvv") - col("cuv") * col("cuv")))
+          .as("ssr_f"))
+    f.filter(col("ssr_f") > 0)
+      .select(col("a"), col("b"), col("n").cast("long").as("n_hours"),
+        ((col("ssr_r") - col("ssr_f")) * (col("n") - 3) / col("ssr_f"))
+          .as("f_stat"),
+        (((col("ssr_r") - col("ssr_f")) * (col("n") - 3) / col("ssr_f"))
+          > 4.0).as("significant"))
+      .orderBy("a", "b")
+  }
+
   val all: Seq[Q] = Seq(tsAutocorr, tsChangepoint, tsEwma, tsDecompose,
     tsHolt, tsMkTrend, tsAnomaly, tsRollingCorr, tsCrossCorr, tsTheilSen,
-    tsBacktestMae, tsSeasonalStrength, tsVarRatio, tsSax, tsHurst)
+    tsBacktestMae, tsSeasonalStrength, tsVarRatio, tsSax, tsHurst,
+    tsGranger)
 }

@@ -3805,6 +3805,90 @@ object Vectors {
     eager = true, // graph build collects the bounded edge list
     oracleGen = Some(() => cachedNswEdges.map(nswOracleSql)))
 
+  /** SIMPLIFIED (centroid-based) SILHOUETTE over the [[vectorKmeansStep]]
+    * seeding — the cluster-quality number that decides whether an IVF
+    * partitioning is worth its nlist: per point, a² = squared distance to
+    * its assigned centroid, b² = min squared distance to any OTHER
+    * centroid, s = (b²−a²)/max(a²,b²) in exact ppm (a² is the global min,
+    * so b² ≥ a² and every quantity is a nonnegative BIGINT — the full
+    * O(n²) pairwise silhouette is replaced by the O(n·k) centroid form,
+    * the only variant that survives a 100 TB corpus). Same integer grid
+    * as the kmeans step (millis + 1000 offset), same first-8 seeds, same
+    * min-seed tie-break, so the assignment is bit-identical to that
+    * query's.
+    *
+    * Plan: one posexplode pass to the (vec, dim) grid; distances via a
+    * dim-keyed join against the 8-seed broadcast frame; everything after
+    * the (vec, seed) distance aggregate is n·k-bounded. Output: per-
+    * cluster silhouette census (k rows). */
+  val vectorSilhouette: Q = Q(
+    "vector_silhouette",
+    """WITH q AS (SELECT vec_id, CAST(i AS INT) AS dim,
+      |    CAST(floor(1000 * CAST(embedding[CAST(i AS INT)] AS DOUBLE))
+      |         AS BIGINT) + 1000 AS q
+      |  FROM embeddings CROSS JOIN range(1, 65) t(i)),
+      |sid AS (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8),
+      |sq AS (SELECT q.vec_id AS seed, q.dim, q.q AS sq
+      |       FROM q JOIN sid ON q.vec_id = sid.vec_id),
+      |d AS (SELECT q.vec_id, sq.seed,
+      |        CAST(sum((q.q - sq.sq) * (q.q - sq.sq)) AS BIGINT) AS d2
+      |      FROM q JOIN sq ON q.dim = sq.dim GROUP BY 1, 2),
+      |m AS (SELECT vec_id, min(d2) AS best FROM d GROUP BY 1),
+      |asg AS (SELECT d.vec_id, min(d.seed) AS seed, min(d.d2) AS a2
+      |        FROM d JOIN m ON d.vec_id = m.vec_id AND d.d2 = m.best
+      |        GROUP BY 1),
+      |b2 AS (SELECT d.vec_id, min(d.d2) AS b2
+      |       FROM d JOIN asg ON d.vec_id = asg.vec_id
+      |                      AND d.seed <> asg.seed
+      |       GROUP BY 1),
+      |s AS (SELECT a.vec_id, a.seed, a.a2, b2.b2,
+      |    coalesce((1000000 * (b2.b2 - a.a2))
+      |             // nullif(greatest(a.a2, b2.b2), 0), 0) AS s_ppm
+      |  FROM asg a JOIN b2 ON b2.vec_id = a.vec_id)
+      |SELECT CAST(seed AS BIGINT) AS cluster, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(s_ppm) // count(*) AS BIGINT) AS mean_sil_ppm,
+      |  CAST(min(s_ppm) AS BIGINT) AS min_sil_ppm,
+      |  CAST(max(s_ppm) AS BIGINT) AS max_sil_ppm
+      |FROM s GROUP BY 1 ORDER BY 1""".stripMargin
+  ) { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    val q = emb
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select(col("vec_id"), (col("pos") + 1).cast("int").as("dim"),
+        (floor(lit(1000) * col("x").cast("double")).cast("long") + 1000)
+          .as("q"))
+    val sid = emb.select(col("vec_id").as("svid")).orderBy("svid").limit(8)
+    val sq = q.join(broadcast(sid), col("vec_id") === col("svid"))
+      .select(col("svid").as("seed"), col("dim"), col("q").as("sq"))
+    val dist = q.join(broadcast(sq), Seq("dim"))
+      .groupBy(col("vec_id"), col("seed"))
+      .agg(sum((col("q") - col("sq")) * (col("q") - col("sq"))).as("d2"))
+    // a² = lexicographic-first (d2, seed) — min d2 with min-seed tie-break,
+    // exactly the oracle's two-step min; b² = the SECOND element's d2 (the
+    // min over other seeds, since seeds are distinct per vector). 8-element
+    // sorted arrays — no self-join, no ambiguous lineage.
+    val sil = dist.groupBy("vec_id")
+      .agg(sort_array(collect_list(struct(col("d2"), col("seed")))).as("ds"))
+      .select(col("vec_id"),
+        col("ds")(0)("seed").as("cluster"),
+        col("ds")(0)("d2").as("a2"),
+        col("ds")(1)("d2").as("b2"))
+      .select(col("cluster"), col("a2"), col("b2"),
+        coalesce(
+          expr("(1000000 * (b2 - a2)) div nullif(greatest(a2, b2), 0)"),
+          lit(0L)).as("s_ppm"))
+    sil.groupBy("cluster")
+      .agg(count(lit(1)).as("n"), sum(col("s_ppm")).as("ssum"),
+        min(col("s_ppm")).as("min_sil_ppm"),
+        max(col("s_ppm")).as("max_sil_ppm"))
+      .select(col("cluster").cast("long").as("cluster"),
+        col("n").cast("long").as("n"),
+        expr("ssum div n").cast("long").as("mean_sil_ppm"),
+        col("min_sil_ppm").cast("long").as("min_sil_ppm"),
+        col("max_sil_ppm").cast("long").as("max_sil_ppm"))
+      .orderBy("cluster")
+  }
+
   val all: Seq[Q] = Seq(vectorTopk, vectorAnnLsh, vectorAnnIvf,
     vectorTopkBatch, vectorQuantize, vectorCentroid, vectorKmeansStep,
     vectorLabelCoherence,
@@ -3817,5 +3901,5 @@ object Vectors {
     vectorMmrRerank, searchHybridRrf, vectorDimStats, vectorCentroidDrift,
     vectorDimCorr, vectorPcaPower, vectorNormCensus, vectorRpRecall,
     vectorCosCalibration, vectorNdcgMrr, vectorNswSearch, vectorHubness,
-    vectorEfSweep, vectorResidualEnergy)
+    vectorEfSweep, vectorResidualEnergy, vectorSilhouette)
 }

@@ -29,7 +29,8 @@ class PlanAuditSpec extends SparkSpec {
           "vector_ivf_probe_sweep", "multimodal_dhash_dedup",
           "vector_mmr_rerank",
           "graph_assortativity", "markov_stationary", "graph_hits",
-          "graph_scc", "graph_betweenness", "graph_diameter", "vector_pca_power",
+          "graph_scc", "graph_betweenness", "graph_diameter",
+          "graph_closeness", "vector_pca_power",
           "vector_nsw_search", "vector_ef_sweep", "vector_residual_energy",
           "corpus_tokenizer_compression"),
       "new Q entries that run jobs at plan-build time must set eager=true")
