@@ -268,6 +268,13 @@ case class CandPair(doc_a: Long, doc_b: Long)
 /** Per-(band, bhash) bucket membership. */
 case class BucketState(ids: Seq[Long])
 
+/** One (order, item) arrival for [[Streams.cooccurPairs]]. */
+case class BasketItem(order_id: Long, item_id: Long)
+/** Emitted co-occurrence increment, normalized item_a < item_b. */
+case class CoPair(item_a: Long, item_b: Long)
+/** Per-order basket membership (bounded by [[Streams.BasketCap]]). */
+case class BasketState(items: Seq[Long])
+
 /** One 8-token segment of a streamed document (keep-first dedup). */
 case class SegRow(doc_id: Long, seg_idx: Int, seg_len: Int, seg_text: String)
 /** The keep/drop decision for one streamed segment. */
@@ -1512,6 +1519,48 @@ object Streams {
             SegDecision(r.doc_id, r.seg_idx, r.seg_len, keep)
           }
           out.iterator
+      }
+  }
+
+  /** Per-order basket items an incremental co-occurrence tier must not
+    * outgrow: real baskets here are ≤7 items; a pathological feed that
+    * streams thousands of distinct items into one order saturates at
+    * this cap (further items are dropped with their pairs — a documented
+    * UPPER-bound contract like [[burstCensus]]'s, not silent state
+    * growth). */
+  val BasketCap = 1024
+
+  /** Streaming item co-occurrence — the LIVE half of batch
+    * `rec_item_cooccur`: as (order, item) rows arrive IN ANY micro-batch
+    * interleaving, per-order state is the basket's item set (bounded by
+    * [[BasketCap]]) and each genuinely-new item emits one increment pair
+    * against every item already in the basket — so summing the emitted
+    * pairs at any point equals the batch pair-support counts over the
+    * data seen so far. Within a micro-batch the group's rows sort by
+    * item_id, mirroring the batch operator's set semantics (duplicate
+    * (order, item) arrivals emit nothing, exactly like the batch
+    * DISTINCT). StreamingSpec proves stream≡batch across a two-batch
+    * split and that the second batch emits against first-batch state. */
+  def cooccurPairs(items: Dataset[BasketItem]): Dataset[CoPair] = {
+    import items.sparkSession.implicits._
+    items
+      .groupByKey(_.order_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, rows: Iterator[BasketItem],
+         state: GroupState[BasketState]) =>
+          var members = state.getOption.map(_.items).getOrElse(Seq.empty)
+          val out = Seq.newBuilder[CoPair]
+          rows.toSeq.sortBy(_.item_id).foreach { r =>
+            if (!members.contains(r.item_id) && members.size < BasketCap) {
+              members.foreach { m =>
+                out += CoPair(math.min(m, r.item_id),
+                  math.max(m, r.item_id))
+              }
+              members = members :+ r.item_id
+            }
+          }
+          state.update(BasketState(members))
+          out.result().iterator
       }
   }
 

@@ -938,6 +938,52 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming co-occurrence pair counts match batch supports across batches") {
+    import graft.streaming.{BasketItem, CoPair, Streams}
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val items = Tables.lineitem(spark, sf0001)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .collect().map(r => BasketItem(r.getLong(0), r.getLong(1)))
+    // batch reference: per-order unordered pair supports, the
+    // rec_item_cooccur `pr` frame before its min-support gate
+    val b = Tables.lineitem(spark, sf0001)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val expected = b.as("a").join(b.as("bb"),
+        col("a.ok") === col("bb.ok") && col("a.pk") < col("bb.pk"))
+      .groupBy(col("a.pk").as("pa"), col("bb.pk").as("pb"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(expected.nonEmpty, "testdata should produce co-occurring pairs")
+
+    // split INSIDE orders too (sorted by item so many orders straddle
+    // the boundary) — the twin must emit second-batch pairs against
+    // first-batch basket state
+    val sorted = items.sortBy(i => (i.item_id, i.order_id))
+    val (half1, half2) = sorted.splitAt(sorted.length / 2)
+    val mem = MemoryStream[BasketItem]
+    val name = s"cooc_${System.nanoTime()}"
+    val q = Streams.cooccurPairs(mem.toDS()).writeStream
+      .format("memory").queryName(name).outputMode("append").start()
+    try {
+      mem.addData(half1.toSeq)
+      q.processAllAvailable()
+      val afterFirst = spark.table(name).count()
+      mem.addData(half2.toSeq)
+      q.processAllAvailable()
+      val got = spark.table(name).as[CoPair].collect()
+        .groupBy(p => (p.item_a, p.item_b))
+        .map { case (k, v) => k -> v.length.toLong }
+      assert(got === expected,
+        s"stream/batch diverge on ${got.size} vs ${expected.size} pairs")
+      assert(afterFirst > 0 && afterFirst < spark.table(name).count(),
+        "pairs should arrive across micro-batches")
+    } finally q.stop()
+  }
+
   test("PQ index serving on a stream: ADC scores bit-equal to the batch scan") {
     // the serving path of vector_pq: train the index ONCE (batch,
     // driver-side artifacts), then score arriving vectors with the same
