@@ -29,6 +29,7 @@ object SparkEntry {
     "Streaming"    -> operators.Streaming.all,
     "TimeSeries"   -> operators.TimeSeries.all,
     "MlEval"       -> operators.MlEval.all,
+    "Geo"          -> operators.Geo.all,
     "Multimodal"   -> operators.Multimodal.all,
     "Bpe"          -> operators.Bpe.all)
 

@@ -32,6 +32,7 @@ class PlanAuditSpec extends SparkSpec {
           "graph_scc", "graph_betweenness", "graph_diameter",
           "graph_closeness", "vector_pca_power",
           "vector_nsw_search", "vector_ef_sweep", "vector_residual_energy",
+          "vector_kmeans_converged",
           "corpus_tokenizer_compression"),
       "new Q entries that run jobs at plan-build time must set eager=true")
   }
