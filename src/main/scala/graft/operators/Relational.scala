@@ -2713,6 +2713,78 @@ object Relational {
         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)
   }
 
+  /** NEYMAN OPTIMAL STRATIFIED ALLOCATION — the sampling-design audit
+    * that turns [[sampleStratified]]'s fixed fractions into a budgeted
+    * plan: per (returnflag, linestatus) stratum, allocate the 10,000-row
+    * budget ∝ N_h·σ_h (Neyman 1934), and report the variance-reduction
+    * ratio (Σ W_hσ_h)² / Σ W_hσ_h² against proportional allocation.
+    * Determinism is the corpus_mix_temperature rule: each stratum's σ is
+    * ONE correctly-rounded sqrt over exact-BIGINT centered moments,
+    * quantized to micro units immediately — every share, allocation and
+    * the ratio is then exact integer arithmetic (the ratio's numerator
+    * rides the wide-integer domain; s² terms pass int64).
+    *
+    * Plan: one scan to per-stratum exact sufficient statistics
+    * (partial+final); everything after is |strata|-bounded windows. */
+  val sampleNeymanAlloc: Q = Q(
+    "sample_neyman_alloc",
+    """WITH x AS (SELECT l_returnflag AS rf, l_linestatus AS ls,
+      |    CAST(floor(l_quantity) AS BIGINT) AS q FROM lineitem),
+      |s AS (SELECT rf, ls, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(q) AS BIGINT) AS sx, CAST(sum(q*q) AS BIGINT) AS sxx
+      |  FROM x GROUP BY 1, 2),
+      |m AS (SELECT rf, ls, n,
+      |    CAST(floor(1000000 * sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) / n)
+      |      AS BIGINT) AS sd_micro
+      |  FROM s),
+      |w AS (SELECT rf, ls, n, sd_micro, n * sd_micro AS wt,
+      |    CAST(sum(n) OVER () AS BIGINT) AS tn,
+      |    CAST(sum(n * sd_micro) OVER () AS BIGINT) AS tw,
+      |    CAST(sum(CAST(n AS HUGEINT) * sd_micro * sd_micro) OVER ()
+      |      AS HUGEINT) AS tv
+      |  FROM m)
+      |SELECT rf, ls, CAST(n AS BIGINT) AS n_rows,
+      |  CAST(sd_micro AS BIGINT) AS sd_micro,
+      |  CAST((1000000 * wt) // tw AS BIGINT) AS neyman_ppm,
+      |  CAST((1000000 * n) // tn AS BIGINT) AS prop_ppm,
+      |  CAST((10000 * wt) // tw AS BIGINT) AS alloc_n,
+      |  CAST((1000000 * CAST(tw AS HUGEINT) * tw) // (CAST(tn AS HUGEINT)
+      |    * tv) AS BIGINT) AS neyman_vs_prop_ppm
+      |FROM w ORDER BY rf, ls""".stripMargin
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val wAll = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    def dec38(c: Column): Column = c.cast("decimal(38,0)")
+    val st = Tables.lineitem(s, d)
+      .select(col("l_returnflag").as("rf"), col("l_linestatus").as("ls"),
+        floor(col("l_quantity")).cast("long").as("q"))
+      .groupBy("rf", "ls")
+      .agg(count(lit(1)).as("n"), sum(col("q")).as("sx"),
+        sum(col("q") * col("q")).as("sxx"))
+    val m = st.select(col("rf"), col("ls"), col("n"),
+      floor(lit(1000000) *
+          sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+            .cast("double")) / col("n"))
+        .cast("long").as("sd_micro"))
+    val w = m.withColumn("wt", col("n") * col("sd_micro"))
+      .withColumn("tn", sum(col("n")).over(wAll))
+      .withColumn("tw", sum(col("wt")).over(wAll))
+      .withColumn("tv",
+        sum(dec38(col("n")) * dec38(col("sd_micro")) * dec38(col("sd_micro")))
+          .over(wAll))
+    w.select(col("rf"), col("ls"), col("n").cast("long").as("n_rows"),
+        col("sd_micro").cast("long").as("sd_micro"),
+        expr("(1000000 * wt) div tw").cast("long").as("neyman_ppm"),
+        expr("(1000000 * n) div tn").cast("long").as("prop_ppm"),
+        expr("(10000 * wt) div tw").cast("long").as("alloc_n"),
+        expr("""(CAST(1000000 AS DECIMAL(38,0)) * CAST(tw AS DECIMAL(38,0))
+                * CAST(tw AS DECIMAL(38,0)))
+               div (CAST(tn AS DECIMAL(38,0)) * tv)""")
+          .cast("long").as("neyman_vs_prop_ppm"))
+      .orderBy("rf", "ls")
+  }
+
   /** ITEM-ITEM COLLABORATIVE-FILTERING NEIGHBOR LISTS over order
     * baskets — the serving table a "customers also bought" tier reads:
     * for every part, its top-3 co-occurrence neighbors ranked by
@@ -2809,6 +2881,6 @@ object Relational {
     joinBloom, sampleReservoir, joinIntervalBin, joinIntervalOverlap,
     aggBitmapDistinct,
     aggRegression, skylinePareto, joinFuzzy, aggIncremental, marketBasket,
-    aggGini, aggHhi, recItemCooccur)
+    aggGini, aggHhi, recItemCooccur, sampleNeymanAlloc)
 
 }

@@ -3907,6 +3907,33 @@ object Vectors {
        |FROM x GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  /** The trained Lloyd artifact for a corpus (training on first use,
+    * memoized) — the serving tier's handle. */
+  private[graft] def lloydCentroids(s: SparkSession, d: String)
+      : Array[Array[Long]] = lloydArtifact(s, d)._1
+
+  /** STATELESS per-row cluster assignment under trained Lloyd centroids
+    * — the serving path of [[vectorKmeansConverged]]: one codegen'd
+    * column over the embedding array (k inlined centroid folds + the
+    * encoded argmin), no shuffle, no state — so the SAME column serves
+    * a batch scan and an arriving stream identically (the PQ-serving
+    * discipline; StreamingSpec proves bit-equality across the two). */
+  private[graft] def lloydAssignCol(cents: Array[Array[Long]],
+                                    emb: Column): Column = {
+    val encs = cents.zipWithIndex.map { case (cv, cid) =>
+      val c = typedLit(cv.toSeq)
+      val d2 = aggregate(
+        zip_with(emb, c, (x, cq) =>
+          ((floor(lit(1000) * x.cast("double")).cast("long") + 1000L)
+            * 1000L - cq) *
+          ((floor(lit(1000) * x.cast("double")).cast("long") + 1000L)
+            * 1000L - cq)),
+        lit(0L), (acc, v) => acc + v)
+      d2 * 8 + cid
+    }
+    encs.reduce((a, b) => least(a, b)) % 8
+  }
+
   /** K-MEANS TRAINED TO CONVERGENCE — the full Lloyd loop
     * [[vectorKmeansStep]] takes one step of, run on the same exact
     * integer grid until the centroid table reaches an integer fixpoint
@@ -3964,6 +3991,82 @@ object Vectors {
     oracleGen = Some(() => lastLloydKey.flatMap(k =>
       Option(lloydCache.get(k)).map { case (c, r, cv) =>
         lloydOracleSql(c, r, cv) })))
+
+  private def oodOracleSql(cents: Array[Array[Long]]): String = {
+    val values = cents.zipWithIndex.flatMap { case (cv, cid) =>
+      cv.zipWithIndex.map { case (v, i) => s"($cid, ${i + 1}, $v)" }
+    }.mkString(",\n    ")
+    s"""WITH cents AS (SELECT c AS cid, d AS dim, v AS cq FROM (VALUES
+       |    $values) t(c, d, v)),
+       |q AS (SELECT vec_id, CAST(i AS INT) AS dim,
+       |    (CAST(floor(1000 * CAST(embedding[CAST(i AS INT)] AS DOUBLE))
+       |          AS BIGINT) + 1000) * 1000 AS q
+       |  FROM embeddings CROSS JOIN range(1, 65) t(i)),
+       |dd AS (SELECT q.vec_id, cents.cid,
+       |    CAST(sum((q.q - cents.cq) * (q.q - cents.cq)) AS BIGINT) AS d2
+       |  FROM q JOIN cents ON cents.dim = q.dim GROUP BY 1, 2),
+       |a AS (SELECT vec_id, min(d2 * 8 + cid) AS enc FROM dd GROUP BY 1),
+       |x AS (SELECT vec_id, enc % 8 AS cell, enc // 8 AS d2 FROM a),
+       |cm AS (SELECT cell, CAST(sum(d2) // count(*) AS BIGINT) AS mean_d2
+       |       FROM x GROUP BY 1),
+       |o AS (SELECT x.vec_id,
+       |    coalesce((1000000 * x.d2) // nullif(cm.mean_d2, 0), 0) AS ood
+       |  FROM x JOIN cm ON cm.cell = x.cell)
+       |SELECT CAST(least(ood // 500000, 9) AS BIGINT) AS bucket,
+       |  CAST(count(*) AS BIGINT) AS n,
+       |  CAST(min(ood) AS BIGINT) AS min_ood_ppm,
+       |  CAST(max(ood) AS BIGINT) AS max_ood_ppm
+       |FROM o GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  /** OUT-OF-DISTRIBUTION CENSUS under the trained Lloyd index — the
+    * serving-time outlier filter an embedding ingest runs: each vector's
+    * squared distance to its assigned centroid, normalized by the
+    * cell's own mean (ood_ppm = 1e6·d²/mean_d² — exact floor-DIV of
+    * BIGINTs), bucketed into 0.5×-wide bands. Vectors landing in the
+    * high bands are the ones an index build quarantines (mis-embedded,
+    * truncated, or genuinely novel). Reuses the memoized
+    * [[vectorKmeansConverged]] artifact — training pays once per
+    * corpus; this query is one assignment pass + two bounded
+    * aggregates. The generated oracle inlines the integer centroids and
+    * recomputes assignment, normalization and the census end to end. */
+  val vectorOodCensus: Q = Q.noOracle("vector_ood_census") { (s, d) =>
+    val cents = lloydArtifact(s, d)._1
+    val spark = s
+    import spark.implicits._
+    val q = Tables.embeddings(s, d)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select(col("vec_id"), (col("pos") + 1).cast("int").as("dim"),
+        ((floor(lit(1000) * col("x").cast("double")).cast("long") + 1000L)
+          * 1000L).as("q"))
+    val cdf = cents.zipWithIndex.flatMap { case (cv, cid) =>
+      cv.zipWithIndex.map { case (v, i) => (cid, i + 1, v) }
+    }.toSeq.toDF("cid", "dim", "cq")
+    val x = q.join(broadcast(cdf), Seq("dim"))
+      .groupBy("vec_id", "cid")
+      .agg(sum((col("q") - col("cq")) * (col("q") - col("cq"))).as("d2"))
+      .groupBy("vec_id")
+      .agg(min(col("d2") * 8 + col("cid")).as("enc"))
+      .select(col("vec_id"), (col("enc") % 8).as("cell"),
+        expr("enc div 8").as("d2"))
+    val cm = x.groupBy("cell")
+      .agg(expr("sum(d2) div count(1)").as("mean_d2"))
+    x.join(broadcast(cm), Seq("cell"))
+      .select(col("vec_id"),
+        coalesce(expr("(1000000 * d2) div nullif(mean_d2, 0)"), lit(0L))
+          .as("ood"))
+      .groupBy(least(expr("ood div 500000"), lit(9L)).as("bucket"))
+      .agg(count(lit(1)).as("n"), min(col("ood")).as("min_ood_ppm"),
+        max(col("ood")).as("max_ood_ppm"))
+      .select(col("bucket").cast("long").as("bucket"),
+        col("n").cast("long").as("n"),
+        col("min_ood_ppm").cast("long").as("min_ood_ppm"),
+        col("max_ood_ppm").cast("long").as("max_ood_ppm"))
+      .orderBy("bucket")
+  }.copy(
+    eager = true, // shares the memoized Lloyd training collect
+    oracleGen = Some(() => lastLloydKey.flatMap(k =>
+      Option(lloydCache.get(k)).map { case (c, _, _) => oodOracleSql(c) })))
 
   /** SIMPLIFIED (centroid-based) SILHOUETTE over the [[vectorKmeansStep]]
     * seeding — the cluster-quality number that decides whether an IVF
@@ -4062,5 +4165,5 @@ object Vectors {
     vectorDimCorr, vectorPcaPower, vectorNormCensus, vectorRpRecall,
     vectorCosCalibration, vectorNdcgMrr, vectorNswSearch, vectorHubness,
     vectorEfSweep, vectorResidualEnergy, vectorSilhouette,
-    vectorKmeansConverged)
+    vectorKmeansConverged, vectorOodCensus)
 }

@@ -32,7 +32,7 @@ class PlanAuditSpec extends SparkSpec {
           "graph_scc", "graph_betweenness", "graph_diameter",
           "graph_closeness", "vector_pca_power",
           "vector_nsw_search", "vector_ef_sweep", "vector_residual_energy",
-          "vector_kmeans_converged",
+          "vector_kmeans_converged", "vector_ood_census",
           "corpus_tokenizer_compression"),
       "new Q entries that run jobs at plan-build time must set eager=true")
   }
@@ -121,6 +121,29 @@ class PlanAuditSpec extends SparkSpec {
     val p = plan(graft.operators.TextAnalysis.textTokens)
     assert(p.contains("Generate explode"))
     assert("HashAggregate".r.findAllIn(p).size >= 2)
+  }
+
+  test("ml_naive_bayes scores through one explode + partial+final aggregates") {
+    val p = plan(graft.operators.MlEval.mlNaiveBayes)
+    assert(p.contains("Generate explode"), "tokenization must be an explode")
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      "model counts and scoring must both aggregate partial+final")
+    assert(!p.contains("CartesianProduct"),
+      "class fan-out must ride broadcasts, never a cartesian")
+  }
+
+  test("geo_radius_join stays a cell-keyed equi-join (never a product)") {
+    val p = plan(graft.operators.Geo.geoRadiusJoin)
+    assert(!p.contains("NestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"grid join regressed to a product:\n${p.take(600)}")
+    assert(p.contains("Generate explode"),
+      "the 3x3 neighborhood probe must be a generator, not a join")
+  }
+
+  test("sample_neyman_alloc reads lineitem exactly once") {
+    val p = plan(graft.operators.Relational.sampleNeymanAlloc)
+    assert("Scan parquet".r.findAllIn(p).size == 1,
+      s"stratum stats + shares must share ONE scan:\n${p.take(600)}")
   }
 
   test("dedup_ngram has no cartesian/nested-loop join anywhere") {

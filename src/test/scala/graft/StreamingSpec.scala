@@ -984,6 +984,48 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("kmeans serving on a stream: assignments equal the batch column and census") {
+    // the serving path of vector_kmeans_converged: train ONCE (memoized
+    // artifact), then assign arriving vectors with the same stateless
+    // codegen'd argmin column — nothing about the scorer knows it's on
+    // a stream, and its census equals the driver query's.
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val cents = graft.operators.Vectors.lloydCentroids(spark, sf0001)
+    def asgCol = graft.operators.Vectors.lloydAssignCol(cents, col("embedding"))
+    val batch = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), asgCol.as("cluster"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val census = graft.operators.Vectors.vectorKmeansConverged
+      .fn(spark, sf0001)
+      .select("cluster", "n").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fromCol = batch.values.groupBy(identity)
+      .map { case (k, v) => k -> v.size.toLong }
+    assert(fromCol === census,
+      "the serving column's census must equal the query's")
+    val vecs = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect().toSeq
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val name = s"km_${System.nanoTime()}"
+    val q = mem.toDS().toDF("vec_id", "embedding")
+      .select(col("vec_id"), asgCol.as("cluster"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      val (h1, h2) = vecs.splitAt(vecs.size / 2)
+      mem.addData(h1)
+      q.processAllAvailable()
+      mem.addData(h2)
+      q.processAllAvailable()
+      val got = spark.table(name).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === batch, "stream assignments must equal batch")
+    } finally q.stop()
+  }
+
   test("PQ index serving on a stream: ADC scores bit-equal to the batch scan") {
     // the serving path of vector_pq: train the index ONCE (batch,
     // driver-side artifacts), then score arriving vectors with the same
