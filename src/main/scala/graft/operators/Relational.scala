@@ -2745,9 +2745,10 @@ object Relational {
       |  FROM m)
       |SELECT rf, ls, CAST(n AS BIGINT) AS n_rows,
       |  CAST(sd_micro AS BIGINT) AS sd_micro,
-      |  CAST((1000000 * wt) // tw AS BIGINT) AS neyman_ppm,
-      |  CAST((1000000 * n) // tn AS BIGINT) AS prop_ppm,
-      |  CAST((10000 * wt) // tw AS BIGINT) AS alloc_n,
+      |  CAST((CAST(1000000 AS HUGEINT) * wt) // tw AS BIGINT)
+      |    AS neyman_ppm,
+      |  CAST((CAST(1000000 AS HUGEINT) * n) // tn AS BIGINT) AS prop_ppm,
+      |  CAST((CAST(10000 AS HUGEINT) * wt) // tw AS BIGINT) AS alloc_n,
       |  CAST((1000000 * CAST(tw AS HUGEINT) * tw) // (CAST(tn AS HUGEINT)
       |    * tv) AS BIGINT) AS neyman_vs_prop_ppm
       |FROM w ORDER BY rf, ls""".stripMargin
@@ -2775,9 +2776,12 @@ object Relational {
           .over(wAll))
     w.select(col("rf"), col("ls"), col("n").cast("long").as("n_rows"),
         col("sd_micro").cast("long").as("sd_micro"),
-        expr("(1000000 * wt) div tw").cast("long").as("neyman_ppm"),
-        expr("(1000000 * n) div tn").cast("long").as("prop_ppm"),
-        expr("(10000 * wt) div tw").cast("long").as("alloc_n"),
+        expr("""(CAST(1000000 AS DECIMAL(38,0)) * wt) div tw""")
+          .cast("long").as("neyman_ppm"),
+        expr("""(CAST(1000000 AS DECIMAL(38,0)) * n) div tn""")
+          .cast("long").as("prop_ppm"),
+        expr("""(CAST(10000 AS DECIMAL(38,0)) * wt) div tw""")
+          .cast("long").as("alloc_n"),
         expr("""(CAST(1000000 AS DECIMAL(38,0)) * CAST(tw AS DECIMAL(38,0))
                 * CAST(tw AS DECIMAL(38,0)))
                div (CAST(tn AS DECIMAL(38,0)) * tv)""")
