@@ -668,6 +668,97 @@ object MlEval {
       .orderBy("train_folds")
   }
 
+  /** POINTWISE MUTUAL-INFORMATION feature ranking — [[mlChi2Feature]]'s
+    * information-theoretic twin over the same document-level 2×2 cells
+    * (the two disagree exactly where it matters: chi² over-weights rare
+    * high-lift tokens, MI weights by mass — shipping both is how a
+    * feature-selection pass is audited): per (class, token) candidate,
+    * MI = Σ_cells (n_ij/N)·ln(n_ij·N / (r_i·c_j)), each cell term
+    * quantized ONCE to nano units (the text_perplexity ln rule; empty
+    * cells contribute an exact 0 via the mirrored CASE — the x·ln x
+    * limit), summed exactly, top-10 per class with the (mi DESC, token)
+    * total order.
+    *
+    * Plan: identical to chi² — one distinct-(doc, lang, token) pass,
+    * then vocab×classes-bounded arithmetic and a class-partitioned
+    * row_number. */
+  val mlMutualInformation: Q = Q(
+    "ml_mutual_information",
+    """WITH dt AS (SELECT DISTINCT doc_id, lang, token FROM
+      |  (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token
+      |   FROM documents) tx),
+      |df AS (SELECT lang, token, CAST(count(*) AS BIGINT) AS a
+      |       FROM dt GROUP BY 1, 2),
+      |dft AS (SELECT token, CAST(sum(a) AS BIGINT) AS dfall FROM df
+      |        GROUP BY 1),
+      |dc AS (SELECT lang, CAST(count(DISTINCT doc_id) AS BIGINT) AS nc
+      |       FROM dt GROUP BY 1),
+      |nn AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n FROM dt),
+      |cand AS (SELECT df.lang, df.token, df.a, dft.dfall, dc.nc, nn.n
+      |  FROM df, dft, dc, nn
+      |  WHERE dft.token = df.token AND dc.lang = df.lang
+      |    AND dft.dfall >= 5 AND dft.dfall <= nn.n - 5),
+      |x AS (SELECT lang, token, a, dfall,
+      |    (CASE WHEN a > 0 THEN CAST(floor(1000000000
+      |       * (CAST(a AS DOUBLE) / n)
+      |       * (ln(a * n) - ln(dfall * nc))) AS BIGINT) ELSE 0 END)
+      |  + (CASE WHEN dfall - a > 0 THEN CAST(floor(1000000000
+      |       * (CAST(dfall - a AS DOUBLE) / n)
+      |       * (ln((dfall - a) * n) - ln(dfall * (n - nc)))) AS BIGINT)
+      |     ELSE 0 END)
+      |  + (CASE WHEN nc - a > 0 THEN CAST(floor(1000000000
+      |       * (CAST(nc - a AS DOUBLE) / n)
+      |       * (ln((nc - a) * n) - ln((n - dfall) * nc))) AS BIGINT)
+      |     ELSE 0 END)
+      |  + (CASE WHEN n - dfall - nc + a > 0 THEN CAST(floor(1000000000
+      |       * (CAST(n - dfall - nc + a AS DOUBLE) / n)
+      |       * (ln((n - dfall - nc + a) * n)
+      |          - ln((n - dfall) * (n - nc)))) AS BIGINT) ELSE 0 END)
+      |    AS mi_nano
+      |  FROM cand),
+      |r AS (SELECT lang, token, a AS df_class, dfall AS df_total, mi_nano,
+      |    row_number() OVER (PARTITION BY lang
+      |                       ORDER BY mi_nano DESC, token ASC) AS rn
+      |  FROM x)
+      |SELECT lang, token, CAST(df_class AS BIGINT) AS df_class,
+      |  CAST(df_total AS BIGINT) AS df_total,
+      |  CAST(mi_nano AS BIGINT) AS mi_nano, CAST(rn AS BIGINT) AS rn
+      |FROM r WHERE rn <= 10 ORDER BY lang, rn""".stripMargin
+  ) { (s, d) =>
+    val dt = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        explode(array_distinct(split(col("text"), " "))).as("token"))
+    val df = dt.groupBy("lang", "token").agg(count(lit(1)).as("a"))
+      .cache() // consumed by dft and the candidate join
+    val dft = df.groupBy("token").agg(sum(col("a")).as("dfall"))
+    val dc = dt.groupBy("lang").agg(countDistinct(col("doc_id")).as("nc"))
+    val nn = dt.agg(countDistinct(col("doc_id")).as("n"))
+    val cand = df.join(dft, "token").join(broadcast(dc), "lang")
+      .crossJoin(broadcast(nn))
+      .filter(col("dfall") >= 5 && col("dfall") <= col("n") - 5)
+    def term(nij: Column, ri: Column, cj: Column): Column =
+      when(nij > 0,
+        floor(lit(1000000000d) * (nij.cast("double") / col("n"))
+          * (log(nij * col("n")) - log(ri * cj))).cast("long"))
+        .otherwise(0L)
+    val x = cand.select(col("lang"), col("token"), col("a"), col("dfall"),
+      (term(col("a"), col("dfall"), col("nc"))
+        + term(col("dfall") - col("a"), col("dfall"), col("n") - col("nc"))
+        + term(col("nc") - col("a"), col("n") - col("dfall"), col("nc"))
+        + term(col("n") - col("dfall") - col("nc") + col("a"),
+            col("n") - col("dfall"), col("n") - col("nc"))).as("mi_nano"))
+    val r = x.withColumn("rn", row_number().over(
+        Window.partitionBy("lang").orderBy(desc("mi_nano"), asc("token"))))
+      .filter(col("rn") <= 10)
+    r.select(col("lang"), col("token"),
+        col("a").cast("long").as("df_class"),
+        col("dfall").cast("long").as("df_total"),
+        col("mi_nano").cast("long").as("mi_nano"),
+        col("rn").cast("long").as("rn"))
+      .orderBy("lang", "rn")
+  }
+
   val all: Seq[Q] = Seq(mlNaiveBayes, mlStumpGini, mlChi2Feature,
-    mlNbCrossval, mlAucMannwhitney, mlPrCurve, mlLearningCurve)
+    mlNbCrossval, mlAucMannwhitney, mlPrCurve, mlLearningCurve,
+    mlMutualInformation)
 }

@@ -2355,6 +2355,80 @@ object Pipeline {
       .orderBy("fd_name")
   }
 
+  /** 1-D WASSERSTEIN (earth-mover) DRIFT over the shared [[driftCounts]]
+    * bin frame — the metric that completes the drift triad: KS reads the
+    * worst single ECDF gap, PSI reads reweighted log-ratios, EMD reads
+    * the AREA between the ECDFs (how far mass must move, in bin units)
+    * — the one that scales with the severity of a shift, not just its
+    * existence. Exact end to end: per bin, |cumA·nB − cumB·nA| weighted
+    * by the gap to the next populated bin (lead(bin) − bin — the ECDF
+    * is constant across empty bins, so the gap weight makes the sum the
+    * EXACT integral, not a populated-bin approximation), summed in the
+    * wide-integer domain (the sample_neyman_alloc lesson: the summand is
+    * a product of products, ppm headroom does not apply), then one
+    * floor-DIV by nA·nB.
+    *
+    * Plan: same one-scan partial+final as the siblings; the cumulative
+    * and lead windows ride ≤ [[DriftBins]] rows per type. */
+  val dqDriftEmd: Q = Q(
+    "dq_drift_emd",
+    s"""WITH e AS (SELECT event_type,
+      |    LEAST(CAST(floor(value) AS BIGINT), ${DriftBins - 1}) AS bin,
+      |    CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END AS a
+      |  FROM events),
+      |c AS (SELECT event_type, bin, CAST(sum(a) AS BIGINT) AS ca,
+      |        CAST(count(*) - sum(a) AS BIGINT) AS cb
+      |      FROM e GROUP BY 1, 2),
+      |cum AS (SELECT event_type, bin,
+      |    lead(bin, 1, bin) OVER (PARTITION BY event_type ORDER BY bin)
+      |      - bin AS gap,
+      |    sum(ca) OVER (PARTITION BY event_type ORDER BY bin
+      |                  ROWS UNBOUNDED PRECEDING) AS cuma,
+      |    sum(cb) OVER (PARTITION BY event_type ORDER BY bin
+      |                  ROWS UNBOUNDED PRECEDING) AS cumb,
+      |    sum(ca) OVER (PARTITION BY event_type) AS na,
+      |    sum(cb) OVER (PARTITION BY event_type) AS nb
+      |  FROM c)
+      |SELECT event_type, CAST(max(na) AS BIGINT) AS n_a,
+      |  CAST(max(nb) AS BIGINT) AS n_b,
+      |  CAST((1000 * sum(CAST(gap AS HUGEINT)
+      |      * abs(CAST(cuma AS HUGEINT) * nb - CAST(cumb AS HUGEINT) * na)))
+      |    // (CAST(max(na) AS HUGEINT) * max(nb)) AS BIGINT)
+      |    AS emd_milli
+      |FROM cum WHERE na > 0 AND nb > 0
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    def dec38(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val wCum = Window.partitionBy("event_type").orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy("event_type")
+    val wLead = Window.partitionBy("event_type").orderBy("bin")
+    val cum = driftCounts(Tables.events(s, d), "2024-01-16")
+      .select(col("event_type"),
+        (lead(col("bin"), 1, null).over(wLead)).as("nxt"), col("bin"),
+        sum(col("ca")).over(wCum).as("cuma"),
+        sum(col("cb")).over(wCum).as("cumb"),
+        sum(col("ca")).over(wTot).as("na"),
+        sum(col("cb")).over(wTot).as("nb"))
+      .select(col("event_type"),
+        (coalesce(col("nxt"), col("bin")) - col("bin")).as("gap"),
+        col("cuma"), col("cumb"), col("na"), col("nb"))
+    cum.filter(col("na") > 0 && col("nb") > 0)
+      .groupBy("event_type")
+      .agg(max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
+        sum(dec38(col("gap")) *
+          abs(dec38(col("cuma")) * dec38(col("nb"))
+            - dec38(col("cumb")) * dec38(col("na"))))
+          .as("w1"))
+      .select(col("event_type"), col("n_a").cast("long").as("n_a"),
+        col("n_b").cast("long").as("n_b"),
+        expr("""(CAST(1000 AS DECIMAL(38,0)) * w1)
+               div (CAST(n_a AS DECIMAL(38,0)) * n_b)""")
+          .cast("long").as("emd_milli"))
+      .orderBy("event_type")
+  }
+
   val all: Seq[Q] = Seq(simplifyFlatten, denormalizePatient, graphEdges,
     graphTwohop, discoverySummary, ingestNdjson, snapshotExport, dqChecks,
     dqSkew, dqDriftKs, dqFreshness, graphPagerank, graphHits, graphLabelProp,
@@ -2363,5 +2437,6 @@ object Pipeline {
     graphModularity,
     dqDriftPsi, dqProfileDrift, dqDriftTtest, dqBenford, dqReconciliation,
     dqDoubleCharge, dqKAnonymity, dqSequenceGaps, graphSampleNeighbors,
-    dqHashCollision, dqVolumeAnomaly, dqTableChecksum, dqFdViolations)
+    dqHashCollision, dqVolumeAnomaly, dqTableChecksum, dqFdViolations,
+    dqDriftEmd)
 }
