@@ -3811,7 +3811,13 @@ object Vectors {
     * function of the corpus — memoized like [[centroidCache]]. */
   private val lloydCache = new java.util.concurrent.ConcurrentHashMap[
     String, (Array[Array[Long]], Int, Boolean)]()
-  @volatile private var lastLloydKey: Option[String] = None
+  // Per-consumer run-time key capture (NOT one shared last-key): two
+  // oracleGen closures consume the Lloyd artifact, and a shared slot
+  // would inline the wrong corpus's centroids if another dataset trains
+  // between one query's run and its oracle generation (e.g. interleaved
+  // Verify over two scale factors).
+  @volatile private var lastLloydKeyConverged: Option[String] = None
+  @volatile private var lastLloydKeyOod: Option[String] = None
   private val LloydK = 8
   private val LloydMaxRounds = 32
 
@@ -3855,8 +3861,8 @@ object Vectors {
         .groupBy("vec_id", "cid")
         .agg(sum((col("q") - col("cq")) * (col("q") - col("cq"))).as("d2"))
         .groupBy("vec_id")
-        .agg(min(col("d2") * 8 + col("cid")).as("enc"))
-        .select(col("vec_id"), (col("enc") % 8).as("cid"))
+        .agg(min(col("d2") * LloydK + col("cid")).as("enc"))
+        .select(col("vec_id"), (col("enc") % LloydK).as("cid"))
       val means = asg.join(q, Seq("vec_id"))
         .groupBy("cid", "dim")
         .agg(expr("sum(q) div count(1)").as("m"))
@@ -3873,13 +3879,12 @@ object Vectors {
     (cents, rounds, converged)
   }
 
+  private def lloydKey(s: SparkSession, d: String): String =
+    embeddingsFingerprint(s, d) + "#lloyd"
+
   private def lloydArtifact(s: SparkSession, d: String)
-      : (Array[Array[Long]], Int, Boolean) = {
-    val key = embeddingsFingerprint(s, d) + "#lloyd"
-    val a = lloydCache.computeIfAbsent(key, _ => lloydTrain(s, d))
-    lastLloydKey = Some(key)
-    a
-  }
+      : (Array[Array[Long]], Int, Boolean) =
+    lloydCache.computeIfAbsent(lloydKey(s, d), _ => lloydTrain(s, d))
 
   private def lloydOracleSql(cents: Array[Array[Long]], rounds: Int,
                              converged: Boolean): String = {
@@ -3895,14 +3900,15 @@ object Vectors {
        |dd AS (SELECT q.vec_id, cents.cid,
        |    CAST(sum((q.q - cents.cq) * (q.q - cents.cq)) AS BIGINT) AS d2
        |  FROM q JOIN cents ON cents.dim = q.dim GROUP BY 1, 2),
-       |a AS (SELECT vec_id, min(d2 * 8 + cid) AS enc FROM dd GROUP BY 1),
-       |x AS (SELECT enc % 8 AS cluster, enc // 8 AS d2 FROM a),
+       |a AS (SELECT vec_id, min(d2 * $LloydK + cid) AS enc FROM dd
+       |      GROUP BY 1),
+       |x AS (SELECT enc % $LloydK AS cluster, enc // $LloydK AS d2 FROM a),
        |tot AS (SELECT CAST(count(*) AS BIGINT) AS t FROM x)
        |SELECT CAST(cluster AS BIGINT) AS cluster,
        |  CAST(count(*) AS BIGINT) AS n,
        |  CAST((1000000 * count(*)) // (SELECT t FROM tot) AS BIGINT)
        |    AS share_ppm,
-       |  CAST(sum(d2) // count(*) AS BIGINT) AS mean_d2,
+       |  CAST(sum(CAST(d2 AS HUGEINT)) // count(*) AS BIGINT) AS mean_d2,
        |  CAST($rounds AS BIGINT) AS rounds, $converged AS converged
        |FROM x GROUP BY 1 ORDER BY 1""".stripMargin
   }
@@ -3929,9 +3935,9 @@ object Vectors {
           ((floor(lit(1000) * x.cast("double")).cast("long") + 1000L)
             * 1000L - cq)),
         lit(0L), (acc, v) => acc + v)
-      d2 * 8 + cid
+      d2 * LloydK + cid
     }
-    encs.reduce((a, b) => least(a, b)) % 8
+    encs.reduce((a, b) => least(a, b)) % LloydK
   }
 
   /** K-MEANS TRAINED TO CONVERGENCE — the full Lloyd loop
@@ -3957,6 +3963,7 @@ object Vectors {
     * the identical plan runs with the grid on disk instead of cache. */
   val vectorKmeansConverged: Q = Q.noOracle("vector_kmeans_converged") {
     (s, d) =>
+    lastLloydKeyConverged = Some(lloydKey(s, d))
     val (cents, rounds, converged) = lloydArtifact(s, d)
     val emb = Tables.embeddings(s, d)
     val q = emb
@@ -3973,11 +3980,17 @@ object Vectors {
       .groupBy("vec_id", "cid")
       .agg(sum((col("q") - col("cq")) * (col("q") - col("cq"))).as("d2"))
       .groupBy("vec_id")
-      .agg(min(col("d2") * 8 + col("cid")).as("enc"))
-      .select((col("enc") % 8).as("cluster"), expr("enc div 8").as("d2"))
+      .agg(min(col("d2") * LloydK + col("cid")).as("enc"))
+      .select((col("enc") % LloydK).as("cluster"),
+        expr(s"enc div $LloydK").as("d2"))
     val tot = x.agg(count(lit(1)).as("t"))
+    // per-cluster d2 sum widens (d2 ≤ 64·(2e6)² ≈ 2.6e14 per vector, so
+    // the sum wraps int64 around 7e4 same-cluster vectors) — the
+    // vectorKmeansStep inertia discipline; DuckDB's sum is HUGEINT-exact
     x.groupBy("cluster")
-      .agg(count(lit(1)).as("n"), sum(col("d2")).as("sd2"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("d2").cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+          .as("sd2"))
       .crossJoin(broadcast(tot))
       .select(col("cluster").cast("long").as("cluster"),
         col("n").cast("long").as("n"),
@@ -3988,7 +4001,7 @@ object Vectors {
       .orderBy("cluster")
   }.copy(
     eager = true, // Lloyd training collects per-round centroid tables
-    oracleGen = Some(() => lastLloydKey.flatMap(k =>
+    oracleGen = Some(() => lastLloydKeyConverged.flatMap(k =>
       Option(lloydCache.get(k)).map { case (c, r, cv) =>
         lloydOracleSql(c, r, cv) })))
 
@@ -4005,12 +4018,17 @@ object Vectors {
        |dd AS (SELECT q.vec_id, cents.cid,
        |    CAST(sum((q.q - cents.cq) * (q.q - cents.cq)) AS BIGINT) AS d2
        |  FROM q JOIN cents ON cents.dim = q.dim GROUP BY 1, 2),
-       |a AS (SELECT vec_id, min(d2 * 8 + cid) AS enc FROM dd GROUP BY 1),
-       |x AS (SELECT vec_id, enc % 8 AS cell, enc // 8 AS d2 FROM a),
-       |cm AS (SELECT cell, CAST(sum(d2) // count(*) AS BIGINT) AS mean_d2
+       |a AS (SELECT vec_id, min(d2 * $LloydK + cid) AS enc FROM dd
+       |      GROUP BY 1),
+       |x AS (SELECT vec_id, enc % $LloydK AS cell, enc // $LloydK AS d2
+       |      FROM a),
+       |cm AS (SELECT cell,
+       |         CAST(sum(CAST(d2 AS HUGEINT)) // count(*) AS BIGINT)
+       |           AS mean_d2
        |       FROM x GROUP BY 1),
        |o AS (SELECT x.vec_id,
-       |    coalesce((1000000 * x.d2) // nullif(cm.mean_d2, 0), 0) AS ood
+       |    coalesce((CAST(1000000 AS HUGEINT) * x.d2)
+       |             // nullif(cm.mean_d2, 0), 0) AS ood
        |  FROM x JOIN cm ON cm.cell = x.cell)
        |SELECT CAST(least(ood // 500000, 9) AS BIGINT) AS bucket,
        |  CAST(count(*) AS BIGINT) AS n,
@@ -4031,6 +4049,7 @@ object Vectors {
     * aggregates. The generated oracle inlines the integer centroids and
     * recomputes assignment, normalization and the census end to end. */
   val vectorOodCensus: Q = Q.noOracle("vector_ood_census") { (s, d) =>
+    lastLloydKeyOod = Some(lloydKey(s, d))
     val cents = lloydArtifact(s, d)._1
     val spark = s
     import spark.implicits._
@@ -4046,15 +4065,24 @@ object Vectors {
       .groupBy("vec_id", "cid")
       .agg(sum((col("q") - col("cq")) * (col("q") - col("cq"))).as("d2"))
       .groupBy("vec_id")
-      .agg(min(col("d2") * 8 + col("cid")).as("enc"))
-      .select(col("vec_id"), (col("enc") % 8).as("cell"),
-        expr("enc div 8").as("d2"))
+      .agg(min(col("d2") * LloydK + col("cid")).as("enc"))
+      .select(col("vec_id"), (col("enc") % LloydK).as("cell"),
+        expr(s"enc div $LloydK").as("d2"))
+    // both the per-cell d2 sum AND the ppm numerator ride the wide
+    // domain: d2 is itself a 64-term product sum (≤ ~2.6e14), so
+    // sum(d2) wraps int64 at ~7e4 same-cell vectors and 1e6·d2 can
+    // reach ~2.6e20 — the 'ppm multiply over a PRODUCT operand' class
+    // (ORACLE_PARITY.md round-9 entry). mean_d2 ships back as BIGINT
+    // (≤ max d2); the quotient 1e6·d2/mean_d2 ≤ 1e6·cell_count fits.
     val cm = x.groupBy("cell")
-      .agg(expr("sum(d2) div count(1)").as("mean_d2"))
+      .agg(sum(col("d2").cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+          .as("sd2"), count(lit(1)).as("cn"))
+      .select(col("cell"), expr("sd2 div cn").as("mean_d2"))
     x.join(broadcast(cm), Seq("cell"))
       .select(col("vec_id"),
-        coalesce(expr("(1000000 * d2) div nullif(mean_d2, 0)"), lit(0L))
-          .as("ood"))
+        coalesce(
+          expr("(1000000 * CAST(d2 AS DECIMAL(38,0))) div nullif(mean_d2, 0)"),
+          lit(0L)).as("ood"))
       .groupBy(least(expr("ood div 500000"), lit(9L)).as("bucket"))
       .agg(count(lit(1)).as("n"), min(col("ood")).as("min_ood_ppm"),
         max(col("ood")).as("max_ood_ppm"))
@@ -4065,7 +4093,7 @@ object Vectors {
       .orderBy("bucket")
   }.copy(
     eager = true, // shares the memoized Lloyd training collect
-    oracleGen = Some(() => lastLloydKey.flatMap(k =>
+    oracleGen = Some(() => lastLloydKeyOod.flatMap(k =>
       Option(lloydCache.get(k)).map { case (c, _, _) => oodOracleSql(c) })))
 
   /** SIMPLIFIED (centroid-based) SILHOUETTE over the [[vectorKmeansStep]]
