@@ -16,6 +16,23 @@ object Bench {
       // 1.14→2.43s — was exactly this churn once the catalog crossed the
       // cache size). Sized to hold the whole catalog with headroom.
       .config("spark.sql.codegen.cache.maxEntries", "4096")
+      // Round-9 drift fixes: shuffle files and broadcast blocks are only
+      // reclaimed when the DRIVER GC collects their references — at this
+      // heap size GC can stay silent for most of a 1,008-execution run,
+      // so MapOutputTracker/BlockManager state grows monotonically and
+      // every later query pays the bookkeeping tax. The periodic-GC
+      // interval (default 30min — longer than the whole run) makes the
+      // ContextCleaner actually fire.
+      .config("spark.cleaner.periodicGC.interval", "2min")
+      // The status stores retain per-execution plan graphs and per-stage
+      // metadata even with the UI off; at 336 queries × 3 passes ×
+      // multiple jobs each, the defaults (1000 executions / 1000 stages)
+      // hold thousands of plan strings on the driver heap for the run's
+      // lifetime. Bench reads none of it — keep a diagnostic stub only.
+      .config("spark.sql.ui.retainedExecutions", "8")
+      .config("spark.ui.retainedJobs", "64")
+      .config("spark.ui.retainedStages", "128")
+      .config("spark.ui.retainedTasks", "1000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Three full passes at the target sf. Reported numbers:
@@ -29,15 +46,57 @@ object Bench {
     //    both columns keeps round-over-round comparisons honest instead
     //    of letting cache order masquerade as a plan win (VERDICT r4).
     val qs = SparkEntry.queries
-    val names = qs.keys.toSeq.sorted
+    // Optional subset (comma-separated names) — the A/B lever for
+    // catalog-growth investigations: bench exactly a prior round's query
+    // set in the current JVM and compare like against like.
+    val names = sys.env.get("SPARK_GRAFT_BENCH_QUERIES") match {
+      case Some(list) =>
+        val want = list.split(",").map(_.trim).filter(_.nonEmpty).toSet
+        val missing = want -- qs.keySet
+        require(missing.isEmpty, s"unknown bench queries: ${missing.toSeq.sorted.mkString(",")}")
+        qs.keys.toSeq.filter(want).sorted
+      case None => qs.keys.toSeq.sorted
+    }
+    // Pass p runs the catalog ROTATED by p·n/3: alphabetical order would
+    // hand every pass the same predecessor set per query, so JVM state
+    // (JIT warmth, page cache, GC phase) lands on the same queries every
+    // round and min-of-3 inherits the bias (VERDICT r9 task 6). Pass 0
+    // stays unrotated — queries_cold keeps its first-ever-execution
+    // meaning.
+    def order(p: Int): Seq[String] = {
+      val off = p * names.size / 3
+      names.drop(off) ++ names.take(off)
+    }
     // noop sink forces full evaluation of every column (count() lets
     // Catalyst prune the projections away). Failed queries get NO time
     // entry and land in `errors` instead (BenchHarness contract).
-    def onePass(): BenchHarness.PassResult =
-      BenchHarness.passDetailed(names,
+    // Between queries (outside the timed window) leaked cache() frames
+    // are dropped — see BenchHarness.passDetailed's scaladoc.
+    def onePass(p: Int): BenchHarness.PassResult =
+      BenchHarness.passDetailed(order(p),
         n => qs(n)(spark, sfDir).write.format("noop").mode("overwrite").save(),
-        "bench")
-    val passes = Seq.fill(3)(onePass())
+        "bench", afterEach = () => spark.catalog.clearCache())
+    // Per-pass residency telemetry (gc_ms is the DELTA accrued during
+    // the pass): a monotone gc_ms or storage_mb climb across passes is
+    // the round-9 drift signature made visible in the artifact itself.
+    val passMeta = Seq.newBuilder[String]
+    val passes = (0 until 3).map { p =>
+      val gc0 = BenchHarness.gcMillis
+      val jit0 = BenchHarness.jitMillis
+      val w0 = System.nanoTime()
+      val r = onePass(p)
+      val wall = (System.nanoTime() - w0) / 1e9
+      val gc = BenchHarness.gcMillis - gc0
+      val jit = BenchHarness.jitMillis - jit0
+      val stor = BenchHarness.storageMb(spark)
+      val arts = ArtifactCaches.entryCount
+      passMeta += f"""{"wall_s":$wall%.1f,"gc_ms":$gc,"jit_ms":$jit,""" +
+        s""""code_cache_mb":${BenchHarness.codeCacheMb},""" +
+        s""""metaspace_mb":${BenchHarness.metaspaceMb},""" +
+        s""""storage_mb_after":$stor,"artifact_entries":$arts,""" +
+        s""""first":"${order(p).headOption.getOrElse("")}"}"""
+      r
+    }
     val errors = BenchHarness.mergeErrors(passes.map(_.errors))
     val cold = passes.head.times.toMap
     val results = passes.flatMap(_.times).groupMapReduce(_._1)(_._2)(math.min)
@@ -52,9 +111,11 @@ object Bench {
     val totalCold = if (cold.nonEmpty) cold.values.sum else 0.0
     val errJson = BenchHarness.errorsJson(errors)
     val heap = BenchHarness.heapMaxMb
+    val passesJson = passMeta.result().mkString("[", ",", "]")
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},""" +
       s""""total_cold":$totalCold,"errors":$errJson,"heap_max_mb":$heap,""" +
+      s""""passes":$passesJson,""" +
       s""""queries":${jmap(results)},""" +
       s""""checkpoint_sec":${jmap(cpSec)},""" +
       s""""queries_cold":${jmap(cold)},"sf":"$sfDir"}"""
@@ -73,6 +134,7 @@ object Bench {
     val short =
       s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},""" +
       s""""total_cold":$totalCold,"errors":$errJson,"heap_max_mb":$heap,""" +
+      s""""passes":$passesJson,""" +
       s""""queries":${jmap(top10)},""" +
       s""""detail":"$outFile","sf":"$sfDir"}"""
     println(short)

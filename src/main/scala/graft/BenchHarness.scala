@@ -30,7 +30,17 @@ object BenchHarness {
                               errors: Map[String, String],
                               checkpointSec: Map[String, Double])
 
-  def passDetailed(names: Seq[String], run: String => Unit, tag: String)
+  /** `afterEach` runs between queries, OUTSIDE the timed window — the
+    * round-9 drift fix hands `spark.catalog.clearCache()` here so a
+    * query's leaked `.cache()` frames (cached inside a returned lazy
+    * plan, where the query closure CANNOT unpersist them — evaluation
+    * happens at the sink write, after the closure returns) stop
+    * accumulating in storage memory across a 1,008-execution bench JVM.
+    * Intentional cross-query artifacts are unaffected: trained models
+    * live in driver-side [[ArtifactCaches]] maps and checkpoint-backed
+    * frames, not in the CacheManager. */
+  def passDetailed(names: Seq[String], run: String => Unit, tag: String,
+                   afterEach: () => Unit = () => ())
       : PassResult = {
     val times = Seq.newBuilder[(String, Double)]
     val errs = Map.newBuilder[String, String]
@@ -49,8 +59,56 @@ object BenchHarness {
           errs += name ->
             s"${e.getClass.getName}: ${String.valueOf(e.getMessage).take(300)}"
       }
+      afterEach()
     }
     PassResult(times.result(), errs.result(), cps.result())
+  }
+
+  /** Cumulative JVM GC wall time — the drift attributor VERDICT r9
+    * asked for: per-pass deltas land in the bench artifact so a
+    * residency tax shows up as a number, not a hypothesis. */
+  def gcMillis: Long = {
+    var t = 0L
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      .forEach(b => if (b.getCollectionTime > 0) t += b.getCollectionTime)
+    t
+  }
+
+  /** Storage memory currently held by cached/checkpointed RDD blocks. */
+  def storageMb(spark: org.apache.spark.sql.SparkSession): Long =
+    spark.sparkContext.getRDDStorageInfo.map(_.memSize).sum >> 20
+
+  /** Cumulative JIT compilation wall time — with ~1,000 codegen units
+    * live in a full-catalog bench JVM, code-cache pressure shows up
+    * here (and in [[codeCacheMb]]) long before it shows in GC. */
+  def jitMillis: Long = {
+    val b = java.lang.management.ManagementFactory.getCompilationMXBean
+    if (b != null && b.isCompilationTimeMonitoringSupported)
+      b.getTotalCompilationTime else -1L
+  }
+
+  /** Used bytes across the CodeHeap/CodeCache memory pools (MB). The
+    * JVM's default reserve is 240 MB; usage at that ceiling means the
+    * sweeper is flushing hot compiled code and queries re-JIT every
+    * pass — the catalog-size-correlated drift mechanism telemetry. */
+  def codeCacheMb: Long = {
+    var used = 0L
+    java.lang.management.ManagementFactory.getMemoryPoolMXBeans.forEach {
+      p =>
+        val n = p.getName
+        if (n.contains("CodeHeap") || n.contains("Code Cache"))
+          used += p.getUsage.getUsed
+    }
+    used >> 20
+  }
+
+  /** Metaspace used MB — ~1,000 generated classes live here. */
+  def metaspaceMb: Long = {
+    var used = 0L
+    java.lang.management.ManagementFactory.getMemoryPoolMXBeans.forEach {
+      p => if (p.getName.contains("Metaspace")) used += p.getUsage.getUsed
+    }
+    used >> 20
   }
 
   /** Merge per-pass error maps; the FIRST message per query wins (the

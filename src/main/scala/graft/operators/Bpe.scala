@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.PlanUtil.TimedCheckpoint
-import graft.{Q, Tables}
+import graft.{ArtifactCaches, Q, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -135,10 +135,10 @@ object Bpe {
 
   private def trained(s: SparkSession, d: String): (Seq[Merge], DataFrame) = {
     val fp = Tables.fingerprint(s, d, "documents")
-    val res = trainCache.computeIfAbsent(
-      s"${s.sparkContext.applicationId}#$fp",
+    val res = ArtifactCaches.memo("bpe.train", trainCache)(
+      s"${s.sparkContext.applicationId}#$fp")(
       _ => learnMerges(wordFreq(s, d), NMerges))
-    refCache.computeIfAbsent(fp, _ => {
+    ArtifactCaches.memo("bpe.ref", refCache)(fp)(_ => {
       // vocabulary-bounded collect (same bound the trainer itself relies
       // on); the merge TRAINING below is the independent implementation
       val freqs = wordFreq(s, d).collect()

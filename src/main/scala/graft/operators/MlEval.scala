@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{Q, Tables}
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -86,9 +86,21 @@ object MlEval {
       |FROM test t JOIN pred p ON p.doc_id = t.doc_id AND p.rn = 1
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   ) { (s, d) =>
-    val docs = Tables.documents(s, d)
-    val train = docs.filter(col("doc_id") % 5 =!= 0)
-    val test = docs.filter(col("doc_id") % 5 === 0)
+    val test = Tables.documents(s, d).filter(col("doc_id") % 5 === 0)
+    test.select(col("doc_id"), col("lang").as("actual"))
+      .join(nbPredFrame(s, d), "doc_id")
+      .groupBy("actual", "predicted")
+      .agg(count(lit(1)).cast("long").as("n"))
+      .orderBy("actual", "predicted")
+  }
+
+  /** The trained NB model's two frames — (class, prior_nano, def_nano)
+    * and the sparse (class, token, w_nano) weight table. Factored out
+    * of [[mlNaiveBayes]] so the streaming serving twin scores with the
+    * IDENTICAL quantized weights the batch plan computes. */
+  private def nbModelFrames(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
+    val train = Tables.documents(s, d).filter(col("doc_id") % 5 =!= 0)
     val c = train
       .select(col("lang"), explode(split(col("text"), " ")).as("token"))
       .groupBy("lang", "token").agg(count(lit(1)).as("c"))
@@ -109,6 +121,14 @@ object MlEval {
         floor(lit(1000000000d) *
             (log(col("c") + lit(1.0)) - log(col("n") + col("v"))))
           .cast("long").as("w_nano"))
+    (cls, w)
+  }
+
+  /** The (doc_id, predicted) frame of [[mlNaiveBayes]]: the batch
+    * scoring plan, also the reference side of the streaming twin. */
+  private[graft] def nbPredFrame(s: SparkSession, d: String): DataFrame = {
+    val (cls, w) = nbModelFrames(s, d)
+    val test = Tables.documents(s, d).filter(col("doc_id") % 5 === 0)
     val ttok = test
       .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
       .groupBy("doc_id", "token").agg(count(lit(1)).as("cnt"))
@@ -119,16 +139,51 @@ object MlEval {
         .as("ssum"))
       .select(col("doc_id"), col("lang"),
         (col("prior_nano") + col("ssum")).as("score"))
-    val pred = sc
-      .withColumn("rn", row_number().over(
+    sc.withColumn("rn", row_number().over(
         Window.partitionBy("doc_id").orderBy(desc("score"), asc("lang"))))
       .filter(col("rn") === 1)
       .select(col("doc_id"), col("lang").as("predicted"))
-    test.select(col("doc_id"), col("lang").as("actual"))
-      .join(pred, "doc_id")
-      .groupBy("actual", "predicted")
-      .agg(count(lit(1)).cast("long").as("n"))
-      .orderBy("actual", "predicted")
+  }
+
+  /** Collected NB model — the (class×vocab)-bounded broadcast artifact
+    * a live scorer ships to executors. Weights come out of the SAME
+    * Spark frames the batch plan scores with, so the stream scorer is
+    * bit-equal by construction, not by re-derivation. */
+  private[graft] final case class NbModel(
+      cls: Seq[(String, Long, Long)], w: Map[(String, String), Long])
+
+  private[graft] def nbModelCollect(s: SparkSession, d: String): NbModel = {
+    val (cls, w) = nbModelFrames(s, d)
+    NbModel(
+      cls.collect().toSeq.map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2))),
+      w.collect().map(r =>
+        (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap)
+  }
+
+  /** STATELESS per-row NB scorer under the collected model — the
+    * serving path of [[mlNaiveBayes]] (the k-means-serving discipline:
+    * nothing about the scorer knows it is on a stream). Tokenization
+    * mirrors the batch plan's `split(text, ' ')` exactly — Spark's
+    * split KEEPS empty tokens, so the local split must too
+    * (`split(" ", -1)`). Exact BIGINT sums, (score DESC, class ASC)
+    * argmax — bit-equal to the batch plan's row_number pick. */
+  private[graft] def nbPredictLocal(m: NbModel, text: String): String = {
+    val counts = scala.collection.mutable.HashMap.empty[String, Long]
+    text.split(" ", -1).foreach(t => counts.update(t,
+      counts.getOrElse(t, 0L) + 1L))
+    var bestLang: String = null
+    var bestScore = Long.MinValue
+    m.cls.sortBy(_._1).foreach { case (lang, prior, defNano) =>
+      var score = prior
+      counts.foreach { case (tok, cnt) =>
+        score += cnt * m.w.getOrElse((lang, tok), defNano)
+      }
+      if (bestLang == null || score > bestScore) {
+        bestLang = lang; bestScore = score
+      }
+    }
+    bestLang
   }
 
   /** EXACT DECISION-STUMP SPLIT SEARCH on `n_chars` predicting the

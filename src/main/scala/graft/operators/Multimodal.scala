@@ -1058,9 +1058,154 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** DC quantization value the JDK JPEG writer uses at compression
+    * quality 0.5 (IJG luma table, quality-50 scaling — Annex K's 16).
+    * The query REQUIRES the parsed DQT to match, so a JDK behavior
+    * change fails the gate loudly instead of silently shifting
+    * predictions; the oracle inlines the same literal. */
+  private val JpegDcQ = 16
+
+  /** Synthesize the constant-8×8-block gray image for a document and
+    * JDK-encode it as a real JPEG at quality 0.5: block i's level is
+    * the document byte at i mod nb. Constant blocks put the whole
+    * lossy chain on the integer-exact DC path (see
+    * [[graft.multimodal.Jpeg]] scaladoc), which is what makes a REAL
+    * JPEG round trip SQL-oracle-able. */
+  private def synthJpeg(bytes: Array[Byte]): (Int, Int, Array[Byte]) = {
+    val bw = 4 + (bytes.length % 5)
+    val bh = 4 + (bytes.length % 3)
+    val img = new java.awt.image.BufferedImage(
+      bw * 8, bh * 8, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val r = img.getRaster
+    var by = 0
+    while (by < bh) {
+      var bx = 0
+      while (bx < bw) {
+        val v = bytes((by * bw + bx) % bytes.length) & 0xFF
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            r.setSample(bx * 8 + x, by * 8 + y, 0, v)
+            x += 1
+          }
+          y += 1
+        }
+        bx += 1
+      }
+      by += 1
+    }
+    val w = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val p = w.getDefaultWriteParam
+    p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    p.setCompressionQuality(0.5f)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    w.setOutput(ios)
+    w.write(null, new javax.imageio.IIOImage(img, null, null), p)
+    ios.close(); w.dispose()
+    (bw, bh, bos.toByteArray)
+  }
+
+  /** REAL JPEG round trip, value-checked end to end — the last codec
+    * family off the stub list (VERDICT r9 task 3): each document's
+    * bytes become a constant-8×8-block gray image, the JDK's native
+    * IJG writer encodes a real baseline JPEG, and the distributed pass
+    * decodes it back through the HAND-WRITTEN T.81 decoder
+    * ([[graft.multimodal.Jpeg]] — markers, DQT/DHT, Huffman, dequant,
+    * IDCT), emitting per-doc integer statistics over the decoded block
+    * levels. Constant blocks make the lossy chain exactly predictable
+    * (quantize round-half-away, dequant, (x+4)>>3 descale), so the
+    * DuckDB oracle recomputes every decoded level from the raw bytes —
+    * a per-row cross-IMPLEMENTATION proof (their encoder, our decoder)
+    * that the entropy decode, DC DPCM chain, dequant and descale are
+    * all bit-correct. `uniform` additionally asserts every pixel of
+    * every block (not just one probe) carries the block level.
+    *
+    * Plan: one narrow batched mapPartitions — blobs never shuffle,
+    * only the 7-column census leaves the task. */
+  val multimodalJpeg: Q = Q(
+    "multimodal_jpeg",
+    s"""WITH d AS (SELECT doc_id, hex(encode(text)) AS hx,
+       |    octet_length(encode(text)) AS nb
+       |  FROM documents WHERE octet_length(encode(text)) > 0),
+       |dim AS (SELECT doc_id, hx, nb,
+       |    4 + nb % 5 AS bw, 4 + nb % 3 AS bh FROM d),
+       |blk AS (SELECT doc_id, bw, bh, bs.i AS i,
+       |    CAST('0x' || substr(hx, 2 * (bs.i % nb) + 1, 2) AS INT) AS v
+       |  FROM dim JOIN range(0, 48) bs(i) ON bs.i < bw * bh),
+       |lvl AS (SELECT doc_id, bw, bh, i,
+       |    CASE WHEN v >= 128 THEN
+       |      LEAST((((8 * (v - 128) + $JpegDcQ // 2) // $JpegDcQ
+       |              * $JpegDcQ + 4) // 8) + 128, 255)
+       |    ELSE
+       |      GREATEST(128 - (((8 * (128 - v) + $JpegDcQ // 2)
+       |                       // $JpegDcQ * $JpegDcQ + 3) // 8), 0)
+       |    END AS lvl
+       |  FROM blk)
+       |SELECT doc_id, CAST(8 * bw AS INT) AS w, CAST(8 * bh AS INT) AS h,
+       |  CAST(bw * bh AS BIGINT) AS n_blocks,
+       |  true AS uniform,
+       |  CAST($JpegDcQ AS INT) AS dc_q,
+       |  CAST(sum(lvl) AS BIGINT) AS sum_level,
+       |  CAST(sum((i + 1) * lvl) AS BIGINT) AS sum_pos_level
+       |FROM lvl GROUP BY 1, 2, 3, 4
+       |ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    import graft.multimodal.Jpeg
+    Tables.documents(s, d)
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, text) =>
+          val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val (bw, bh, jpg) = synthJpeg(bytes)
+          val dec = Jpeg.decode(jpg).getOrElse(
+            sys.error(s"jpeg decode failed for doc $id"))
+          require(dec.dcQuant == JpegDcQ && dec.nComp == 1 &&
+            dec.width == bw * 8 && dec.height == bh * 8,
+            s"JDK encoder drifted: Q=${dec.dcQuant} dims=" +
+              s"${dec.width}x${dec.height} for doc $id")
+          var uniform = true
+          var sumLevel = 0L
+          var sumPos = 0L
+          var by = 0
+          while (by < bh) {
+            var bx = 0
+            while (bx < bw) {
+              val i = by * bw + bx
+              val lvl = dec.pixels((by * 8) * dec.width + bx * 8) & 0xFF
+              var y = 0
+              while (y < 8 && uniform) {
+                var x = 0
+                while (x < 8 && uniform) {
+                  if ((dec.pixels((by * 8 + y) * dec.width +
+                       bx * 8 + x) & 0xFF) != lvl) uniform = false
+                  x += 1
+                }
+                y += 1
+              }
+              sumLevel += lvl
+              sumPos += (i + 1).toLong * lvl
+              bx += 1
+            }
+            by += 1
+          }
+          (id, bw * 8, bh * 8, (bw * bh).toLong, uniform, JpegDcQ,
+            sumLevel, sumPos)
+        }
+      }
+      .toDF("doc_id", "w", "h", "n_blocks", "uniform", "dc_q",
+        "sum_level", "sum_pos_level")
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(multimodalMeta, multimodalFeatures, multimodalDhash,
     multimodalWav, multimodalWavFrames, multimodalWavVad,
     multimodalDhashDedup, multimodalThumbnail, multimodalByteEntropy,
     multimodalWhash, multimodalWavPitch, multimodalTileVariance,
-    multimodalWavSnr, multimodalLetterbox, multimodalWavClipping)
+    multimodalWavSnr, multimodalLetterbox, multimodalWavClipping,
+    multimodalJpeg)
 }

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.PlanUtil.TimedCheckpoint
-import graft.{Q, Tables}
+import graft.{ArtifactCaches, Q, Tables}
 import graft.functions.VectorOps._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -353,7 +353,8 @@ object Vectors {
     }
     cacheKey match {
       case Some(key) =>
-        val c = centroidCache.computeIfAbsent(s"$key#$k", _ => train())
+        val c = ArtifactCaches.memo("vectors.ivf", centroidCache)(
+          s"$key#$k")(_ => train())
         lastIvfKey = Some(s"$key#$k")
         c
       case None => train()
@@ -1016,7 +1017,8 @@ object Vectors {
           sample.map(_.slice(m * PqSub, (m + 1) * PqSub)), PqK, PqIters)
       }
     }
-    val cb = pqCache.computeIfAbsent(cacheKey, _ => train())
+    val cb = ArtifactCaches.memo("vectors.pq", pqCache)(cacheKey)(
+      _ => train())
     lastPqKey = Some(cacheKey)
     cb
   }
@@ -1217,7 +1219,8 @@ object Vectors {
       }
       (coarse, cbs)
     }
-    val idx = ivfPqCache.computeIfAbsent(cacheKey, _ => train())
+    val idx = ArtifactCaches.memo("vectors.ivfpq", ivfPqCache)(cacheKey)(
+      _ => train())
     lastIvfPqKey = Some(cacheKey)
     idx
   }
@@ -3273,7 +3276,7 @@ object Vectors {
 
   private def nswEdges(s: SparkSession, d: String): Array[(Long, Long)] = {
     val key = embeddingsFingerprint(s, d)
-    val e = nswEdgeCache.computeIfAbsent(key, _ => {
+    val e = ArtifactCaches.memo("vectors.nsw", nswEdgeCache)(key)(_ => {
       val bases = Tables.embeddings(s, d)
         .select(col("vec_id"), toDouble(col("embedding")).as("v"))
         .filter(col("vec_id") % 31 =!= 0)
@@ -3884,7 +3887,8 @@ object Vectors {
 
   private def lloydArtifact(s: SparkSession, d: String)
       : (Array[Array[Long]], Int, Boolean) =
-    lloydCache.computeIfAbsent(lloydKey(s, d), _ => lloydTrain(s, d))
+    ArtifactCaches.memo("vectors.lloyd", lloydCache)(lloydKey(s, d))(
+      _ => lloydTrain(s, d))
 
   private def lloydOracleSql(cents: Array[Array[Long]], rounds: Int,
                              converged: Boolean): String = {

@@ -29,10 +29,13 @@ object Soak {
     })
     spark.sparkContext.setLogLevel("WARN")
     val qs = graft.SparkEntry.queries
+    // same between-queries cache hygiene as Bench (outside the timed
+    // window) — a leaked cache() frame from query i must not tax query
+    // i+1's measured decade
     def onePass(): graft.BenchHarness.PassResult =
       graft.BenchHarness.passDetailed(names,
         n => qs(n)(spark, sfDir).write.format("noop").mode("overwrite").save(),
-        "soak")
+        "soak", afterEach = () => spark.catalog.clearCache())
     val passes = Seq.fill(2)(onePass())
     val errors = graft.BenchHarness.mergeErrors(passes.map(_.errors))
     val cold = passes.head.times.toMap

@@ -480,12 +480,36 @@ class DedupSpec extends SparkSpec {
       s"capped doubling should give ~rounds/4 probes, got $probes/$rounds")
   }
 
-  test("dedup_cluster_star equals min-label dedup_cluster on the corpus") {
+  test("dedup_cluster_star (hash-to-min) equals dedup_cluster " +
+       "(large-star/small-star) on the corpus") {
+    // two independent sub-linear-round CC algorithms over the same
+    // near-dup edges must produce identical min-labelings
     val viaStar = Dedup.dedupClusterStar.fn(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val viaLabel = Dedup.dedupCluster.fn(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(viaStar === viaLabel)
+  }
+
+  test("large-star/small-star: 200-deep chain converges in O(log d) " +
+       "rounds with linear-size intermediates") {
+    import spark.implicits._
+    val n = 200
+    val pairs = (0L until n).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+      .localCheckpoint()
+    val nodes = (0L to n).toDF("doc_id")
+    val (labels, rounds) = Dedup.componentsStar(pairs, nodes)
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == n + 1 && got.values.forall(_ == 0L),
+      "every node of the chain must label to the component min 0")
+    assert(rounds <= 12, s"expected logarithmic convergence, took $rounds")
+    assert(Dedup.lastStarRounds.get() == rounds)
+    // isolated docs (never in the edge set) must self-label
+    val iso = Dedup.componentsStar(
+      Seq((1L, 2L)).toDF("doc_a", "doc_b").localCheckpoint(),
+      Seq(1L, 2L, 99L).toDF("doc_id"))._1
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(iso === Map(1L -> 1L, 2L -> 1L, 99L -> 99L))
   }
 
   test("knn_join_lsh: exact cosines, ranked per vector, useful recall@1") {

@@ -1703,4 +1703,84 @@ class StreamingSpec extends SparkSpec {
     assert(missed.isEmpty,
       s"MG candidates lost exact heavy hitters: ${missed.take(5)}")
   }
+
+  test("NB scoring on a stream: predictions bit-equal the batch plan") {
+    // the serving path of ml_naive_bayes: train ONCE (the model frames
+    // are (class×vocab)-bounded aggregates), collect the quantized
+    // weight table, then score arriving docs with the stateless local
+    // scorer — nothing about it knows it's on a stream, and every
+    // prediction equals the batch plan's row_number argmax.
+    import graft.operators.MlEval
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val model = MlEval.nbModelCollect(spark, sf0001)
+    val batch = MlEval.nbPredFrame(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val docs = Tables.documents(spark, sf0001)
+      .filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().toSeq
+    val mem = MemoryStream[(Long, String)]
+    val name = s"nb_${System.nanoTime()}"
+    val q = mem.toDS()
+      .map { case (id, text) => (id, MlEval.nbPredictLocal(model, text)) }
+      .toDF("doc_id", "predicted")
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      val (h1, h2) = docs.splitAt(docs.size / 2)
+      mem.addData(h1); q.processAllAvailable()
+      val mid = spark.table(name).count()
+      mem.addData(h2); q.processAllAvailable()
+      assert(mid > 0 && mid < spark.table(name).count(),
+        "predictions should arrive across micro-batches")
+      val got = spark.table(name).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(got === batch, "stream predictions must equal batch")
+    } finally q.stop()
+  }
+
+  test("geo grid census on a stream equals the batch density query") {
+    // the serving path of geo_grid_density: the cell assignment is a
+    // stateless integer column; streamed per-cell counts (update-mode
+    // streaming aggregation across a micro-batch split) end equal to
+    // the batch census.
+    import graft.operators.Geo
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val batch = Geo.geoGridDensity.fn(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val keys = Tables.table(spark, sf0001, "customer")
+      .select(col("c_custkey")).distinct().as[Long].collect().toSeq
+    val total = keys.size.toLong
+    val mem = MemoryStream[Long]
+    val name = s"geo_${System.nanoTime()}"
+    val (cx, cy) = Geo.cellCols(col("value"))
+    val q = mem.toDS().toDF("value")
+      .select(cx.as("cx"), cy.as("cy"))
+      .groupBy("cx", "cy").count()
+      .writeStream.format("memory").queryName(name)
+      .outputMode("complete").start()
+    try {
+      val (h1, h2) = keys.splitAt(keys.size / 2)
+      mem.addData(h1); q.processAllAvailable()
+      mem.addData(h2); q.processAllAvailable()
+      val cells = spark.table(name).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      // batch query reports the top-20 cells with (n DESC, cx, cy)
+      // order and ppm share — recompute both from the streamed counts
+      val top = cells.sortBy { case ((x, y), n) => (-n, x, y) }.take(20)
+        .map { case (k, n) => k -> n }.toMap
+      assert(top === batch,
+        "streamed top-20 census must equal the batch query's")
+      val ppm = Geo.geoGridDensity.fn(spark, sf0001).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+      top.foreach { case (k, n) =>
+        assert(ppm(k) === 1000000L * n / total,
+          s"share_ppm diverges for cell $k")
+      }
+    } finally q.stop()
+  }
 }
