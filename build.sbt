@@ -43,6 +43,16 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // The 338-query catalog compiles ~1,000 whole-stage-codegen units;
+  // measured code-cache occupancy is ~200 MB, above the default
+  // segmented reserve's per-segment caps (240 MB total → ~117 MB
+  // profiled / ~117 MB non-profiled), so at the default size the
+  // sweeper flushes hot compiled code continuously and every query
+  // pays re-JIT on every pass — the round-9 "catalog-wide warm drift"
+  // (1.64× on unchanged queries). With headroom: bench pass walls
+  // 1102 → 543 → 419 s and pass-1 JIT thread time 515 s drops to
+  // ~90 s by pass 3 (bench artifact jit_ms/code_cache_mb columns).
+  "-XX:ReservedCodeCacheSize=1024m",
 ) ++
   // extra forked-JVM flags for rig experiments (e.g.
   // SPARK_GRAFT_JAVA_OPTS="-XX:+UseParallelGC" for the allocator-churn
