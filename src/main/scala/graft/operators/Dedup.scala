@@ -783,6 +783,10 @@ object Dedup {
     require(done,
       s"large-star/small-star did not converge in $maxRounds rounds")
     lastStarRounds.set(rounds)
+    // operational breadcrumb the scale soaks record (VERDICT r9 #5
+    // asks for the round count in the soak note)
+    System.err.println(s"[dedup] large-star/small-star converged in " +
+      s"$rounds rounds")
     (labelsOf(edges).timedLocalCheckpoint(), rounds)
   }
 
