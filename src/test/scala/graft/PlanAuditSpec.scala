@@ -29,6 +29,7 @@ class PlanAuditSpec extends SparkSpec {
           "vector_ivf_probe_sweep", "multimodal_dhash_dedup",
           "vector_mmr_rerank",
           "graph_assortativity", "markov_stationary", "graph_hits",
+          "graph_pagerank", "graph_label_prop", "graph_modularity",
           "graph_scc", "graph_betweenness", "graph_diameter",
           "graph_closeness", "vector_pca_power",
           "vector_nsw_search", "vector_ef_sweep", "vector_residual_energy",
@@ -773,7 +774,9 @@ class PlanAuditSpec extends SparkSpec {
       "no explode anywhere — the mix is pure aggregate arithmetic")
   }
   test("graph_modularity: labels decorate edges by equi joins; no window") {
-    val p = plan(Pipeline.graphModularity)
+    // eager (shared labelprop artifact trains at build) — explicit run
+    val p = Pipeline.graphModularity.fn(spark, sf0001)
+      .queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct"))
     assert(p.contains("BroadcastExchange"),
       "the 2m scalar and vote argmaxes must broadcast, never shuffle wide")
