@@ -1071,7 +1071,7 @@ object Multimodal {
     * lossy chain on the integer-exact DC path (see
     * [[graft.multimodal.Jpeg]] scaladoc), which is what makes a REAL
     * JPEG round trip SQL-oracle-able. */
-  private def synthJpeg(bytes: Array[Byte]): (Int, Int, Array[Byte]) = {
+  private[graft] def synthJpeg(bytes: Array[Byte]): (Int, Int, Array[Byte]) = {
     val bw = 4 + (bytes.length % 5)
     val bh = 4 + (bytes.length % 3)
     val img = new java.awt.image.BufferedImage(

@@ -1741,6 +1741,49 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("JPEG round trip on a stream: per-doc censuses bit-equal batch") {
+    // the codec path is a pure function of the row (encode via the JDK,
+    // decode via the hand-written T.81 decoder, census over decoded
+    // levels) — the same stateless map on a stream must emit identical
+    // rows across a micro-batch split. Uses the sum_level census shape
+    // of multimodal_jpeg.
+    import graft.operators.Multimodal
+    import graft.multimodal.Jpeg
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def census(text: String): (Int, Int, Long) = {
+      val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val (bw, bh, jpg) = Multimodal.synthJpeg(bytes)
+      val dec = Jpeg.decode(jpg).get
+      var sum = 0L
+      for (by <- 0 until bh; bx <- 0 until bw)
+        sum += (dec.pixels(by * 8 * dec.width + bx * 8) & 0xFF).toLong
+      (dec.width, dec.height, sum)
+    }
+    val docs = Tables.documents(spark, sf0001)
+      .filter(length(col("text")) > 0).limit(60)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().toSeq
+    val batch = docs.map { case (id, t) => id -> census(t) }.toMap
+    val mem = MemoryStream[(Long, String)]
+    val name = s"jpg_${System.nanoTime()}"
+    val q = mem.toDS()
+      .map { case (id, t) => val (w, h, s) = census(t); (id, w, h, s) }
+      .toDF("doc_id", "w", "h", "sum_level")
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      val (h1, h2) = docs.splitAt(30)
+      mem.addData(h1); q.processAllAvailable()
+      mem.addData(h2); q.processAllAvailable()
+      val got = spark.table(name).collect()
+        .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2),
+          r.getLong(3)))).toMap
+      assert(got === batch, "stream codec censuses must equal batch")
+    } finally q.stop()
+  }
+
   test("geo grid census on a stream equals the batch density query") {
     // the serving path of geo_grid_density: the cell assignment is a
     // stateless integer column; streamed per-cell counts (update-mode
