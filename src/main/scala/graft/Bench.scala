@@ -90,7 +90,10 @@ object Bench {
       val jit = BenchHarness.jitMillis - jit0
       val stor = BenchHarness.storageMb(spark)
       val arts = ArtifactCaches.entryCount
-      passMeta += f"""{"wall_s":$wall%.1f,"gc_ms":$gc,"jit_ms":$jit,""" +
+      // locale-pinned: f"%.1f" uses the JVM default locale, which in
+      // comma-decimal locales would emit invalid JSON (ADVICE r10)
+      val wall1 = math.round(wall * 10.0) / 10.0
+      passMeta += s"""{"wall_s":$wall1,"gc_ms":$gc,"jit_ms":$jit,""" +
         s""""code_cache_mb":${BenchHarness.codeCacheMb},""" +
         s""""metaspace_mb":${BenchHarness.metaspaceMb},""" +
         s""""storage_mb_after":$stor,"artifact_entries":$arts,""" +

@@ -319,6 +319,14 @@ object Jpeg {
     val r = new BitReader(buf, start)
     val mcusX = (width + 7) / 8
     val mcusY = (height + 7) / 8
+    // The SOF dimensions are untrusted input: 65535×65535×3 would
+    // allocate ~12 GB of planes before a single entropy bit is read,
+    // and an OutOfMemoryError is an Error the decode() catch cannot
+    // convert to None (ADVICE r10). Cap the raster at 64 MB/component
+    // — far above any corpus blob this engine synthesizes — and reject
+    // oversized declared dimensions as a corrupt stream.
+    val planeBytes = mcusX.toLong * 8L * mcusY.toLong * 8L
+    if (planeBytes <= 0L || planeBytes * nComp > (1L << 26)) return None
     val planes = Array.ofDim[Byte](nComp, mcusX * 8 * mcusY * 8)
     val pred = new Array[Int](nComp)
     val coef = new Array[Int](64)

@@ -731,6 +731,16 @@ object Dedup {
               least(col("doc_a"), col("doc_b")).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct().transform(graft.PlanUtil.checkpointTruncated)
+    // A clean corpus (zero near-dup pairs) has no edges to contract:
+    // the attachment-sum plateau below compares DECIMAL sums and an
+    // empty frame sums to NULL every round, so the plateau check could
+    // never fire (ADVICE r10). Every node is its own component —
+    // return the self-labeling directly, zero rounds.
+    if (edges0.isEmpty) {
+      lastStarRounds.set(0)
+      return (nodes.select(col("doc_id"),
+        col("doc_id").as("cluster_id")).timedLocalCheckpoint(), 0)
+    }
     def decSum(df: DataFrame, c: String): java.math.BigDecimal =
       df.agg(sum(col(c).cast("decimal(38,0)"))).first().getDecimal(0)
     // labels for ALL nodes under the current star forest: attached

@@ -510,6 +510,22 @@ class DedupSpec extends SparkSpec {
       Seq(1L, 2L, 99L).toDF("doc_id"))._1
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(iso === Map(1L -> 1L, 2L -> 1L, 99L -> 99L))
+    // a CLEAN corpus (zero near-dup pairs) must short-circuit: the
+    // attachment-sum plateau sums an empty frame to NULL every round,
+    // so without the guard the loop burned all rounds and threw
+    // (ADVICE r10). Every node self-labels; zero contraction rounds.
+    val (clean, cleanRounds) = Dedup.componentsStar(
+      Seq.empty[(Long, Long)].toDF("doc_a", "doc_b").localCheckpoint(),
+      Seq(5L, 7L, 11L).toDF("doc_id"))
+    assert(clean.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      === Map(5L -> 5L, 7L -> 7L, 11L -> 11L))
+    assert(cleanRounds == 0 && Dedup.lastStarRounds.get() == 0)
+    // self-loop-only pairs reduce to the same empty edge set
+    val selfOnly = Dedup.componentsStar(
+      Seq((3L, 3L)).toDF("doc_a", "doc_b").localCheckpoint(),
+      Seq(3L, 4L).toDF("doc_id"))._1
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(selfOnly === Map(3L -> 3L, 4L -> 4L))
   }
 
   test("knn_join_lsh: exact cosines, ranked per vector, useful recall@1") {

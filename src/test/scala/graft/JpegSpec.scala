@@ -112,6 +112,25 @@ class JpegSpec extends AnyFunSuite {
       val mut = jpg.clone(); mut(i) = (mut(i) ^ 0x5A).toByte
       Jpeg.decode(mut) // Option either way; just must return
     }
+    // hostile SOF dimensions (65535x65535x3 ~ 12 GB of planes) must be
+    // rejected BEFORE allocation — an OutOfMemoryError is an Error the
+    // decode() catch cannot convert to None (ADVICE r10). Patch the
+    // real stream's SOF0 height/width fields to the max.
+    val huge = jpg.clone()
+    var sof = -1
+    var q = 2
+    while (sof < 0 && q + 3 < huge.length) {
+      if ((huge(q) & 0xFF) == 0xFF && (huge(q + 1) & 0xFF) == 0xC0) sof = q
+      else {
+        val len = ((huge(q + 2) & 0xFF) << 8) | (huge(q + 3) & 0xFF)
+        q += 2 + len
+      }
+    }
+    assert(sof > 0, "test stream must contain an SOF0 marker")
+    huge(sof + 5) = 0xFF.toByte; huge(sof + 6) = 0xFF.toByte // height
+    huge(sof + 7) = 0xFF.toByte; huge(sof + 8) = 0xFF.toByte // width
+    assert(Jpeg.decode(huge).isEmpty,
+      "oversized declared dimensions must decode to None, not allocate")
   }
 
   test("restart markers resync the DC predictors") {
