@@ -5,408 +5,210 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
-/** Spatial operators — grid-bucketed density, radius join, and kNN, the
-  * three plan shapes every geo-analytics engine ships. The fixtures
-  * carry no coordinates, so points are SYNTHESIZED deterministically
-  * from keys with pure integer arithmetic (the multimodal synth-from-
-  * table discipline: the synthesis is part of the query and the oracle
-  * recomputes it, so the whole pipeline is value-checked on both
-  * engines): lat/lon in integer MICRO-DEGREES via a Knuth
-  * multiplicative hash of the key, modulo the degree range. Every
-  * distance is the planar squared distance in micro-degrees — exact
-  * BIGINT arithmetic end to end (the metric a production engine swaps
-  * for haversine without touching the plan; transcendental-free keeps
-  * the oracle bit-exact).
+/** Spatial operators — grid-bucketed density, radius join, kNN and a
+  * DBSCAN census, the plan shapes every geo-analytics engine ships.
+  * The fixtures carry no coordinates, so points are SYNTHESIZED
+  * deterministically from keys with pure integer arithmetic (the
+  * multimodal synth-from-table discipline: the synthesis is part of
+  * the query and the oracle recomputes it, so the whole pipeline is
+  * value-checked on both engines). Every distance is the planar
+  * squared distance in micro-degrees — exact BIGINT arithmetic end to
+  * end (the metric a production engine swaps for haversine without
+  * touching the plan; transcendental-free keeps the oracle bit-exact).
   *
-  * Scale posture — the point of the family: the GRID turns the O(n·m)
-  * all-pairs spatial join into a cell-keyed equi-join. Each probe side
-  * explodes to its 3×3 neighborhood (a constant ×9), the build side
-  * partitions by cell, and the radius/kNN filter runs inside matching
-  * cells only. Cell size (2°) is ≥ the radius, so the 3×3 neighborhood
-  * is provably sufficient — no pair can be missed.
+  * TWO synthesis modes, because they stress opposite density regimes:
   *
-  * Round-10 density fix (VERDICT r9 task 2 — the fixed grid was a
-  * quadratic-in-disguise, geo_knn decade 0.95 / geo_dbscan_core 1.03):
-  * coordinates are QUANTIZED (every real pipeline's are — here to the
-  * key mod 1e5 synthesis lattice; production data to a cm/arc-second
-  * grid), so densifying the corpus grows point MULTIPLICITY per
-  * position, not the distinct-position set. All pair-frame operators
-  * therefore collapse to (position, multiplicity) FIRST and run the
-  * pair algebra on positions, weighting by multiplicity:
-  * Σ count(pairs) = Σ multᵃ·multᵇ over position pairs — exact, and the
-  * pair frame now rides |positions|² density (saturating) instead of
-  * |points|² (quadratic). At 10× density the old frame grew ~100×;
-  * the collapsed frame approaches FLAT once the lattice saturates.
-  * [[geoAdaptiveCell]] is the remaining lever for spread-out data:
-  * the parameter-inference pass that derives the cell size from a
-  * per-cell position-budget probe.
+  *  - LATTICE (the classic queries): lat/lon from a Knuth hash of the
+  *    key mod 1e5. Densifying the corpus grows point MULTIPLICITY per
+  *    position, not the distinct-position set, so the [[positionsAt]]
+  *    collapse (pair algebra on (position, multiplicity)) keeps every
+  *    pair frame lattice-bounded.
+  *  - SPREAD (the `_spread` twins, VERDICT r10 task 1): the FULL key
+  *    hashes into a ±10° band — every id is its own position, so
+  *    position-collapse gets zero leverage and the operators stand or
+  *    fall on the ADAPTIVE CELL alone. This is the continuous-
+  *    coordinate dense-urban regime that defeated the fixed 2° grid.
+  *
+  * ADAPTIVE CELL CONSUMPTION (round 11 — closes the last named
+  * scale-killer): the radius join, kNN and DBSCAN census no longer run
+  * on the fixed 2° grid. Each first runs the [[geoAdaptiveCell]]
+  * derivation over its probe corpus (one cheap aggregate over the
+  * base-cell position grid → the number of quad-tree halvings h such
+  * that the P99 per-cell position count fits [[CellBudget]]), then
+  * builds its plan at the derived cell e = 2° / 2^h:
+  *
+  *  - R-defined operators (radius join, DBSCAN) probe the
+  *    ceil(R/e)-ring neighborhood, so coverage is preserved for any e:
+  *    a pair within R differs by ≤ ceil(R/e) in each floor-div cell
+  *    coordinate. The ring is clamped to ≤ [[MaxRing]] cells — beyond
+  *    that, candidate work is Θ(density·R²) regardless of e (the cell
+  *    only tunes the overshoot constant and per-cell skew), while the
+  *    probe explode itself would keep growing.
+  *  - The kNN neighborhood is DEFINED as the 3×3 of the derived cell
+  *    (the bounded-probe serving contract): at high density the
+  *    window shrinks with the data, keeping the per-probe candidate
+  *    set ≈ 9·[[CellBudget]] = O(1). Because the neighborhood is
+  *    semantic, the kNN oracle embeds the SAME integer derivation —
+  *    the data-derived "constant" is itself oracle-checked.
+  *  - DBSCAN additionally applies the DENSE-CELL RULE whenever the
+  *    derived cell satisfies 2e² ≤ R² (cell diagonal ≤ R): every
+  *    position in a cell holding ≥ minPts points is core WITHOUT pair
+  *    enumeration (all same-cell pairs are within R), so only the
+  *    positions in sparse cells (< minPts points each — a vanishing
+  *    fraction at exactly the densities that made enumeration
+  *    quadratic) probe the ring. The rule is an exact rewrite — the
+  *    oracle keeps the naive formulation — and it is what turns the
+  *    R-ball census from output-bound-quadratic into cell-aggregate
+  *    linear on dense data. When the derived cell is too coarse for
+  *    the rule (low density), the plan falls back to plain ring
+  *    enumeration — which is exactly the committed-fixture plan, so
+  *    the lattice fixtures keep their round-10 shape bit-for-bit.
+  *
+  * The derivation collect is ONE row (the established eager-training
+  * discipline: IVF centroids, BPE merges); the consumers are flagged
+  * `eager = true`. Parameter derivation uses the PROBE side's
+  * positions — the density that drives the probe explode; a production
+  * deployment would derive per side and take the max halvings.
   */
 object Geo {
 
-  /** 2° cells in micro-degrees. Radius R = cell, so 3×3 covers R. */
+  /** 2° BASE cell in micro-degrees — the derivation grid, the census
+    * grid, and the classic radius. Derived cells are power-of-2
+    * subdivisions, so all cell edges divide the base exactly. */
   private val Cell = 2000000L
   private val R = 2000000L
 
-  /** Portable integer point synthesis: key → (lat, lon) micro-degrees.
-    * The key is reduced mod 1e5 FIRST so the Knuth multiply stays far
-    * inside int64 in DuckDB's overflow-checked BIGINT domain. */
-  private def latOf(k: Column): Column =
-    ((k % 100000L) * 2654435761L) % 180000001L - 90000000L
-  private def lonOf(k: Column): Column =
-    ((k % 100000L) * 2246822519L) % 360000001L - 180000000L
-  private val latSql =
-    (k: String) => s"((($k % 100000) * 2654435761) % 180000001 - 90000000)"
-  private val lonSql =
-    (k: String) => s"((($k % 100000) * 2246822519) % 360000001 - 180000000)"
+  /** Per-cell position budget for the adaptive derivation: smallest h
+    * with P99(positions per base cell) / 4^h ≤ budget. 64 keeps the
+    * kNN candidate set ≈ 9·64 per probe at any density. */
+  private val CellBudget = 64L
 
-  /** STATELESS grid-cell assignment of a key — the serving column of
-    * the grid census (pure integer arithmetic, no state, no shuffle),
-    * identical on a batch scan and an arriving stream; StreamingSpec
-    * proves the streamed census equals [[geoGridDensity]]'s. Values are
-    * ≤ 3.6e8, far inside double-exactness, so the floor-div via double
-    * floor is exact. */
+  /** R-coverage ring clamp: ceil(R/e) ≤ 8 → ≤ 17² probe cells. */
+  private val MaxRing = 8L
+
+  /** One synthesized point corpus: table/key plus the integer hash
+    * constants mapping a key to (lat, lon) micro-degrees, and the
+    * operator radius. `mod` = Some(lattice modulus) collapses keys to
+    * a quantized position lattice; None spreads every key to its own
+    * position. */
+  private[graft] final case class Synth(
+      table: String, key: String, mod: Option[Long],
+      latMod: Long, latOff: Long, lonMod: Long, lonOff: Long, r: Long)
+
+  /** Classic corpora: global lattice (key mod 1e5), R = 2°. */
+  private val LatCust = Synth("customer", "c_custkey", Some(100000L),
+    180000001L, 90000000L, 360000001L, 180000000L, R)
+  private val LatSupp = Synth("supplier", "s_suppkey", Some(100000L),
+    180000001L, 90000000L, 360000001L, 180000000L, R)
+
+  /** Spread corpora: FULL-key hash into a ±10° band (no lattice —
+    * position-collapse cannot help), R = 0.2°. The dense-urban
+    * regime: at sf1, ~12k positions per 2° base cell. */
+  private val SpreadR = 200000L
+  private val SpOrders = Synth("orders", "o_orderkey", None,
+    20000001L, 10000000L, 20000001L, 10000000L, SpreadR)
+  private val SpCust = Synth("customer", "c_custkey", None,
+    20000001L, 10000000L, 20000001L, 10000000L, SpreadR)
+
+  private def pkCol(t: Synth, id: Column): Column =
+    t.mod.map(m => id % m).getOrElse(id)
+  private def latCol(t: Synth, pk: Column): Column =
+    (pk * 2654435761L) % t.latMod - t.latOff
+  private def lonCol(t: Synth, pk: Column): Column =
+    (pk * 2246822519L) % t.lonMod - t.lonOff
+
+  private def pkSql(t: Synth, k: String): String =
+    t.mod.map(m => s"($k % $m)").getOrElse(k)
+  private def latSqlOf(t: Synth, pk: String): String =
+    s"(($pk * 2654435761) % ${t.latMod} - ${t.latOff})"
+  private def lonSqlOf(t: Synth, pk: String): String =
+    s"(($pk * 2246822519) % ${t.lonMod} - ${t.lonOff})"
+
+  /** STATELESS base-grid cell assignment of a classic key — the
+    * serving column of the grid census (pure integer arithmetic, no
+    * state, no shuffle), identical on a batch scan and an arriving
+    * stream; StreamingSpec proves the streamed census equals
+    * [[geoGridDensity]]'s. Values are ≤ 3.6e8, far inside
+    * double-exactness, so the floor-div via double floor is exact. */
   private[graft] def cellCols(k: Column): (Column, Column) =
-    (floor((lonOf(k) + 180000000L).cast("double") / Cell).cast("long"),
-     floor((latOf(k) + 90000000L).cast("double") / Cell).cast("long"))
+    cellColsAt(k, Cell)
 
-  /** (id, lat, lon, cx, cy) point frame for a key column of a table. */
-  private def points(df: DataFrame, key: String): DataFrame =
-    df.select(col(key).as("id")).distinct()
-      .select(col("id"), latOf(col("id")).as("lat"),
-        lonOf(col("id")).as("lon"))
+  /** [[cellCols]] at an arbitrary cell edge — the adaptive-cell
+    * serving column: once the derivation fixes e, the assignment is
+    * the same stateless integer column on batch and stream. */
+  private[graft] def cellColsAt(k: Column, e: Long): (Column, Column) = {
+    val pk = pkCol(LatCust, k)
+    (floor((lonCol(LatCust, pk) + 180000000L).cast("double") / e)
+       .cast("long"),
+     floor((latCol(LatCust, pk) + 90000000L).cast("double") / e)
+       .cast("long"))
+  }
+
+  /** (id, lat, lon, cx, cy) point frame at the BASE cell (census). */
+  private def points(df: DataFrame, t: Synth): DataFrame =
+    df.select(col(t.key).as("id")).distinct()
+      .select(col("id"), latCol(t, pkCol(t, col("id"))).as("lat"),
+        lonCol(t, pkCol(t, col("id"))).as("lon"))
       .withColumn("cx", expr(s"(lon + 180000000) div $Cell"))
       .withColumn("cy", expr(s"(lat + 90000000) div $Cell"))
 
-  /** POSITION-COLLAPSED frame: one row per distinct synthesis-lattice
-    * position — (pk, mult, lat, lon, cx, cy), mult = distinct ids at
-    * that position. The density fix: every pair-frame operator below
-    * runs its pair algebra on THIS frame and recovers exact point-level
-    * counts as multiplicity products/sums, so the pair frame rides
-    * |positions|² (lattice-bounded, saturating) instead of |points|²
-    * (quadratic in density). Position determines the coordinates, so
-    * the collapse is lossless for any distance predicate. */
-  private def positions(df: DataFrame, key: String): DataFrame =
-    df.select(col(key).as("id")).distinct()
-      .groupBy((col("id") % 100000L).as("pk"))
+  /** POSITION-COLLAPSED frame at cell edge e: one row per distinct
+    * synthesis position — (pk, mult, lat, lon, cx, cy), mult =
+    * distinct ids at that position. On the lattice corpora every
+    * pair-frame operator runs its pair algebra on THIS frame and
+    * recovers exact point-level counts as multiplicity products/sums
+    * (pair frame rides |positions|², saturating). On spread corpora
+    * mult ≡ 1 and the adaptive cell is what bounds the pair frame. */
+  private def positionsAt(df: DataFrame, t: Synth, e: Long): DataFrame =
+    df.select(col(t.key).as("id")).distinct()
+      .groupBy(pkCol(t, col("id")).as("pk"))
       .agg(count(lit(1)).as("mult"))
       .select(col("pk"), col("mult"),
-        ((col("pk") * 2654435761L) % 180000001L - 90000000L).as("lat"),
-        ((col("pk") * 2246822519L) % 360000001L - 180000000L).as("lon"))
-      .withColumn("cx", expr(s"(lon + 180000000) div $Cell"))
-      .withColumn("cy", expr(s"(lat + 90000000) div $Cell"))
+        latCol(t, col("pk")).as("lat"), lonCol(t, col("pk")).as("lon"))
+      .withColumn("cx", expr(s"(lon + 180000000) div $e"))
+      .withColumn("cy", expr(s"(lat + 90000000) div $e"))
 
-  private def pointsSql(table: String, key: String): String =
-    s"""SELECT DISTINCT $key AS id, ${latSql(key)} AS lat,
-       |    ${lonSql(key)} AS lon,
-       |    (${lonSql(key)} + 180000000) // $Cell AS cx,
-       |    (${latSql(key)} + 90000000) // $Cell AS cy
-       |  FROM $table""".stripMargin
+  private def positionsOf(s: SparkSession, d: String, t: Synth,
+                          e: Long): DataFrame =
+    positionsAt(Tables.table(s, d, t.table), t, e)
 
-  /** GRID DENSITY CENSUS over the synthesized customer points — the
-    * "where is the data" heatmap feeding partition sizing and hot-cell
-    * salting decisions: per occupied 2° cell, the point count and its
-    * ppm share, top-20 cells with a total order. One partial+final
-    * aggregate over the cell-keyed frame. */
-  val geoGridDensity: Q = Q(
-    "geo_grid_density",
-    s"""WITH p AS (${pointsSql("customer", "c_custkey")}),
-       |tot AS (SELECT CAST(count(*) AS BIGINT) AS t FROM p)
-       |SELECT CAST(cx AS BIGINT) AS cx, CAST(cy AS BIGINT) AS cy,
-       |  CAST(count(*) AS BIGINT) AS n,
-       |  CAST((1000000 * count(*)) // (SELECT t FROM tot) AS BIGINT)
-       |    AS share_ppm
-       |FROM p GROUP BY 1, 2
-       |ORDER BY n DESC, cx ASC, cy ASC LIMIT 20""".stripMargin
-  ) { (s, d) =>
-    val p = points(Tables.table(s, d, "customer"), "c_custkey")
-    val tot = p.agg(count(lit(1)).as("t"))
-    p.groupBy("cx", "cy").agg(count(lit(1)).as("n"))
-      .crossJoin(broadcast(tot))
-      .select(col("cx").cast("long").as("cx"),
-        col("cy").cast("long").as("cy"),
-        col("n").cast("long").as("n"),
-        expr("(1000000 * n) div t").cast("long").as("share_ppm"))
-      .orderBy(desc("n"), asc("cx"), asc("cy"))
-      .limit(20)
+  /** Point-synthesis SQL at a fixed cell edge (id-level). */
+  private def pointsSqlAt(t: Synth, c: Long): String = {
+    val pk = pkSql(t, t.key)
+    s"""SELECT DISTINCT ${t.key} AS id, ${latSqlOf(t, pk)} AS lat,
+       |    ${lonSqlOf(t, pk)} AS lon,
+       |    (${lonSqlOf(t, pk)} + 180000000) // $c AS cx,
+       |    (${latSqlOf(t, pk)} + 90000000) // $c AS cy
+       |  FROM ${t.table}""".stripMargin
   }
+  private def pointsSql(t: Synth): String = pointsSqlAt(t, Cell)
 
-  /** GRID-BUCKETED RADIUS JOIN customers ↔ suppliers (within R = 2° in
-    * the planar micro-degree metric), reported as the per-cell pair
-    * census: the canonical spatial-join plan — probe points explode to
-    * their 3×3 cell neighborhood (constant ×9), the build side keys by
-    * cell, the exact d² ≤ R² predicate runs inside cell-matched pairs
-    * only. Because Cell ≥ R, the neighborhood is sufficient: a pair
-    * within R differs by ≤1 in each cell coordinate, so no pair
-    * escapes (the count-once guard of join_interval_overlap is not
-    * needed — each pair's cells match exactly once since the build side
-    * is NOT exploded). */
-  val geoRadiusJoin: Q = Q(
-    "geo_radius_join",
-    s"""WITH c AS (${pointsSql("customer", "c_custkey")}),
-       |sup AS (${pointsSql("supplier", "s_suppkey")}),
-       |probe AS (SELECT id, lat, lon,
-       |    cx + dxs.dx AS px, cy + dys.dy AS py
-       |  FROM c, range(-1, 2) dxs(dx), range(-1, 2) dys(dy)),
-       |pr AS (SELECT probe.id AS cid, sup.id AS sid,
-       |    (probe.lat - sup.lat) * (probe.lat - sup.lat)
-       |      + (probe.lon - sup.lon) * (probe.lon - sup.lon) AS d2,
-       |    sup.cx, sup.cy
-       |  FROM probe JOIN sup ON sup.cx = probe.px AND sup.cy = probe.py
-       |  WHERE (probe.lat - sup.lat) * (probe.lat - sup.lat)
-       |      + (probe.lon - sup.lon) * (probe.lon - sup.lon)
-       |      <= ${R * R})
-       |SELECT CAST(cx AS BIGINT) AS cx, CAST(cy AS BIGINT) AS cy,
-       |  CAST(count(*) AS BIGINT) AS n_pairs,
-       |  CAST(count(DISTINCT cid) AS BIGINT) AS n_customers,
-       |  CAST(min(d2) AS BIGINT) AS min_d2
-       |FROM pr GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
-  ) { (s, d) =>
-    // position-collapsed pair algebra: pairs(cell) = Σ cmult·smult,
-    // distinct customers(cell) = Σ cmult over participating customer
-    // POSITIONS (each position's ids all pair identically, and the
-    // per-(cell, cpk) pre-aggregate counts each position once).
-    // Products/sums widen to DECIMAL(38,0) — at 1e12 points a lattice
-    // position carries ~1e7 ids and a cell-level pair sum passes int64.
-    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
-    val c = positions(Tables.table(s, d, "customer"), "c_custkey")
-    val sup = positions(Tables.table(s, d, "supplier"), "s_suppkey")
-      .select(col("pk").as("spk"), col("mult").as("smult"),
-        col("lat").as("slat"), col("lon").as("slon"),
-        col("cx").as("px"), col("cy").as("py"))
-    val probe = c
-      .withColumn("dx", explode(sequence(lit(-1), lit(1))))
-      .withColumn("dy", explode(sequence(lit(-1), lit(1))))
-      .select(col("pk").as("cpk"), col("mult").as("cmult"),
-        col("lat"), col("lon"),
-        (col("cx") + col("dx")).as("px"), (col("cy") + col("dy")).as("py"))
-    val d2 = (col("lat") - col("slat")) * (col("lat") - col("slat")) +
-      (col("lon") - col("slon")) * (col("lon") - col("slon"))
-    probe.join(sup, Seq("px", "py"))
-      .withColumn("d2", d2)
-      .filter(col("d2") <= R * R)
-      .groupBy(col("px"), col("py"), col("cpk"), col("cmult"))
-      .agg(sum((col("cmult") * col("smult")).cast(dec38)).as("np"),
-        min(col("d2")).as("md"))
-      .groupBy(col("px").as("cx"), col("py").as("cy"))
-      .agg(sum(col("np")).as("n_pairs"),
-        sum(col("cmult").cast(dec38)).as("n_customers"),
-        min(col("md")).as("min_d2"))
-      .select(col("cx").cast("long").as("cx"),
-        col("cy").cast("long").as("cy"),
-        col("n_pairs").cast("long").as("n_pairs"),
-        col("n_customers").cast("long").as("n_customers"),
-        col("min_d2").cast("long").as("min_d2"))
-      .orderBy("cx", "cy")
-  }
-
-  /** GRID kNN: each customer's 3 nearest suppliers found INSIDE its 3×3
-    * cell neighborhood (the bounded-probe contract a serving tier uses;
-    * customers with an empty neighborhood emit nothing — at production
-    * density the grid is sized so that case is the exception, and the
-    * row's absence is the honest readout). Ranking is the exact-integer
-    * total order (d², supplier id) — no float, no tie ambiguity. */
-  val geoKnn: Q = Q(
-    "geo_knn",
-    s"""WITH c AS (${pointsSql("customer", "c_custkey")}),
-       |sup AS (${pointsSql("supplier", "s_suppkey")}),
-       |probe AS (SELECT id, lat, lon,
-       |    cx + dxs.dx AS px, cy + dys.dy AS py
-       |  FROM c, range(-1, 2) dxs(dx), range(-1, 2) dys(dy)),
-       |pr AS (SELECT probe.id AS cid, sup.id AS sid,
-       |    (probe.lat - sup.lat) * (probe.lat - sup.lat)
-       |      + (probe.lon - sup.lon) * (probe.lon - sup.lon) AS d2
-       |  FROM probe JOIN sup ON sup.cx = probe.px AND sup.cy = probe.py),
-       |r AS (SELECT cid, sid, d2,
-       |    row_number() OVER (PARTITION BY cid ORDER BY d2 ASC, sid ASC)
-       |      AS rn
-       |  FROM pr)
-       |SELECT CAST(cid AS BIGINT) AS cid, CAST(rn AS BIGINT) AS rn,
-       |  CAST(sid AS BIGINT) AS sid, CAST(d2 AS BIGINT) AS d2
-       |FROM r WHERE rn <= 3 ORDER BY cid, rn""".stripMargin
-  ) { (s, d) =>
-    // position-collapsed ranking: every customer id at a lattice
-    // position has the IDENTICAL candidate set and distances, so the
-    // (d2, sid) top-3 is computed ONCE per customer position (the rank
-    // window partitions on position — lattice-bounded candidates) and
-    // fanned back out to ids by a pk-keyed equi-join. The supplier side
-    // pre-cuts to its 3 smallest sids per position: coincident
-    // suppliers share d2 and tie-break on sid, so a position can never
-    // place more than its 3 smallest sids in any top-3.
-    val cpos = positions(Tables.table(s, d, "customer"), "c_custkey")
-    val sup = positions(Tables.table(s, d, "supplier"), "s_suppkey")
-      .select(col("pk").as("spk"), col("lat").as("slat"),
-        col("lon").as("slon"), col("cx").as("px"), col("cy").as("py"))
-    val s3 = Tables.table(s, d, "supplier")
-      .select(col("s_suppkey").as("sid")).distinct()
-      .withColumn("spk", col("sid") % 100000L)
-      .withColumn("srn", row_number().over(
-        Window.partitionBy("spk").orderBy(asc("sid"))))
-      .filter(col("srn") <= 3)
-      .join(sup, Seq("spk"))
-    val probe = cpos
-      .withColumn("dx", explode(sequence(lit(-1), lit(1))))
-      .withColumn("dy", explode(sequence(lit(-1), lit(1))))
-      .select(col("pk").as("cpk"), col("lat"), col("lon"),
-        (col("cx") + col("dx")).as("px"), (col("cy") + col("dy")).as("py"))
-    val d2 = (col("lat") - col("slat")) * (col("lat") - col("slat")) +
-      (col("lon") - col("slon")) * (col("lon") - col("slon"))
-    val top = probe.join(s3, Seq("px", "py")).withColumn("d2", d2)
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("cpk").orderBy(asc("d2"), asc("sid"))))
-      .filter(col("rn") <= 3)
-      .select(col("cpk"), col("rn"), col("sid"), col("d2"))
-    Tables.table(s, d, "customer")
-      .select(col("c_custkey").as("cid")).distinct()
-      .withColumn("cpk", col("cid") % 100000L)
-      .join(top, Seq("cpk"))
-      .select(col("cid").cast("long").as("cid"),
-        col("rn").cast("long").as("rn"),
-        col("sid").cast("long").as("sid"),
-        col("d2").cast("long").as("d2"))
-      .orderBy("cid", "rn")
-  }
-
-  /** DBSCAN CORE/BORDER/NOISE CENSUS over the customer points — the
-    * density-classification step of DBSCAN (the expensive half; the
-    * flood-fill after it is [[Dedup]]'s connected-components machinery
-    * on the core graph): a point is CORE when its R-ball holds ≥ minPts
-    * points (itself included), BORDER when non-core but within R of a
-    * core point, NOISE otherwise. Both passes ride the same 3×3
-    * grid-bucketed self-join frame (computed once, cached) — the grid
-    * is what keeps the neighbor count sub-quadratic at any density.
-    * One summary row of exact counts + core ppm. */
-  val geoDbscanCore: Q = Q(
-    "geo_dbscan_core",
-    s"""WITH c AS (${pointsSql("customer", "c_custkey")}),
-       |probe AS (SELECT id, lat, lon,
-       |    cx + dxs.dx AS px, cy + dys.dy AS py
-       |  FROM c, range(-1, 2) dxs(dx), range(-1, 2) dys(dy)),
-       |pr AS (SELECT probe.id AS a, b.id AS b
-       |  FROM probe JOIN c b ON b.cx = probe.px AND b.cy = probe.py
-       |  WHERE (probe.lat - b.lat) * (probe.lat - b.lat)
-       |      + (probe.lon - b.lon) * (probe.lon - b.lon) <= ${R * R}),
-       |nc AS (SELECT a AS id, CAST(count(*) AS BIGINT) AS n FROM pr
-       |       GROUP BY 1),
-       |core AS (SELECT id FROM nc WHERE n >= 4),
-       |border AS (SELECT DISTINCT pr.a AS id FROM pr
-       |  JOIN core ON core.id = pr.b
-       |  WHERE pr.a <> pr.b
-       |    AND pr.a NOT IN (SELECT id FROM core)),
-       |tot AS (SELECT CAST(count(*) AS BIGINT) AS t FROM c)
-       |SELECT tot.t AS n_points,
-       |  CAST((SELECT count(*) FROM core) AS BIGINT) AS n_core,
-       |  CAST((SELECT count(*) FROM border) AS BIGINT) AS n_border,
-       |  CAST(tot.t - (SELECT count(*) FROM core)
-       |    - (SELECT count(*) FROM border) AS BIGINT) AS n_noise,
-       |  CAST((1000000 * (SELECT count(*) FROM core)) // tot.t AS BIGINT)
-       |    AS core_ppm
-       |FROM tot""".stripMargin
-  ) { (s, d) =>
-    // position-collapsed DBSCAN: coincident points share their R-ball,
-    // so core-ness is a POSITION property — n(pos) = Σ mult over
-    // positions within R (self included), core iff n ≥ minPts, and all
-    // point-level counts are multiplicity sums. Border positions are
-    // non-core with ≥1 core position within R: a core point at the
-    // SAME position would make the position core, so the original
-    // a≠b guard is implied. The pair frame rides distinct positions.
-    val c = positions(Tables.table(s, d, "customer"), "c_custkey")
-    val b = c.select(col("pk").as("bpk"), col("mult").as("bmult"),
-      col("lat").as("blat"), col("lon").as("blon"),
-      col("cx").as("px"), col("cy").as("py"))
-    val probe = c
-      .withColumn("dx", explode(sequence(lit(-1), lit(1))))
-      .withColumn("dy", explode(sequence(lit(-1), lit(1))))
-      .select(col("pk"), col("mult"), col("lat"), col("lon"),
-        (col("cx") + col("dx")).as("px"), (col("cy") + col("dy")).as("py"))
-    val pr = probe.join(b, Seq("px", "py"))
-      .filter((col("lat") - col("blat")) * (col("lat") - col("blat")) +
-        (col("lon") - col("blon")) * (col("lon") - col("blon")) <= R * R)
-      .select(col("pk"), col("mult"), col("bpk"), col("bmult"))
-      .cache() // two consumers: the neighbor census and the border pass
-    val core = pr.groupBy("pk", "mult").agg(sum(col("bmult")).as("n"))
-      .filter(col("n") >= 4).select(col("pk"), col("mult"))
-    val border = pr
-      .join(core.select(col("pk").as("bpk")), Seq("bpk"))
-      .join(core.select(col("pk")), Seq("pk"), "left_anti")
-      .select(col("pk"), col("mult")).distinct()
-    val tot = c.agg(sum(col("mult")).as("t"))
-    val nCore = core.agg(coalesce(sum(col("mult")), lit(0L)).as("n_core"))
-    val nBorder = border.agg(
-      coalesce(sum(col("mult")), lit(0L)).as("n_border"))
-    tot.crossJoin(broadcast(nCore)).crossJoin(broadcast(nBorder))
-      .select(col("t").cast("long").as("n_points"),
-        col("n_core").cast("long").as("n_core"),
-        col("n_border").cast("long").as("n_border"),
-        (col("t") - col("n_core") - col("n_border")).cast("long")
-          .as("n_noise"),
-        expr("(1000000 * n_core) div t").cast("long").as("core_ppm"))
-  }
+  // ---------------------------------------------------------------
+  // Adaptive cell derivation — shared by geo_adaptive_cell, the
+  // eager consumers, and (as SQL text) the kNN oracles.
+  // ---------------------------------------------------------------
 
   /** Literal (halvings → position budget·4^h) thresholds, inlined
-    * identically into the Spark twin and the oracle SQL. h=16 caps the
-    * table at 1.7e13 — above any possible per-cell count. */
-  private val CellBudget = 256L
+    * identically into the Spark twin and the oracle SQL. h=16 caps
+    * the table at 2.7e11 — above any possible per-cell count. */
   private val halvingRows: Seq[(Int, Long)] =
     (0 to 16).map(h => h -> (CellBudget << (2 * h)))
   private val halvingValuesSql =
     halvingRows.map { case (h, cap) => s"($h, $cap)" }.mkString(", ")
 
-  /** ADAPTIVE CELL SIZING — the parameter-inference pass VERDICT r9
-    * asked for (task 2): one cheap aggregate over the position grid
-    * derives the cell size the OTHER geo queries would use on this
-    * corpus's density. Per occupied 2° base cell, count distinct
-    * lattice positions; take the exact P99 (arithmetic rank over the
-    * value-domain-bounded ≤16,290-cell frame); choose the smallest
-    * number of quad-tree halvings h such that the expected post-split
-    * P99 (p99 / 4^h under a uniform split) fits the per-cell budget of
-    * [[CellBudget]] positions; report the derived cell edge
-    * Cell / 2^h. Both engines compute the identical integer
-    * derivation, so the data-derived "constant" is itself
-    * oracle-checked — the grid parameter stops being a magic number.
-    * When the derived cell is < R, a consumer probes the
-    * ceil(R/cell)-ring neighborhood instead of 3×3 (coverage
-    * re-derivation documented here; the probe stays a constant-factor
-    * explode). */
-  val geoAdaptiveCell: Q = Q(
-    "geo_adaptive_cell",
-    s"""WITH ids AS (SELECT DISTINCT c_custkey AS id FROM customer),
-       |pos AS (SELECT DISTINCT id % 100000 AS pk FROM ids),
-       |pc AS (SELECT ((pk * 2246822519) % 360000001 - 180000000
-       |               + 180000000) // $Cell AS cx,
-       |              ((pk * 2654435761) % 180000001 - 90000000
-       |               + 90000000) // $Cell AS cy
-       |       FROM pos),
-       |cells AS (SELECT cx, cy, CAST(count(*) AS BIGINT) AS npos
-       |          FROM pc GROUP BY 1, 2),
-       |ranked AS (SELECT npos,
-       |    row_number() OVER (ORDER BY npos ASC, cx ASC, cy ASC) AS rn
-       |  FROM cells),
-       |st AS (SELECT CAST((SELECT count(*) FROM pos) AS BIGINT)
-       |           AS n_positions,
-       |         CAST(count(*) AS BIGINT) AS n_cells,
-       |         CAST(max(npos) AS BIGINT) AS max_per_cell
-       |       FROM cells),
-       |p99 AS (SELECT r.npos AS p99_per_cell
-       |        FROM ranked r, st
-       |        WHERE r.rn = (99 * st.n_cells + 99) // 100),
-       |h AS (SELECT min(t.h) AS halvings
-       |      FROM (VALUES $halvingValuesSql) t(h, cap), p99
-       |      WHERE p99.p99_per_cell <= t.cap)
-       |SELECT st.n_positions, st.n_cells,
-       |  CAST(p99.p99_per_cell AS BIGINT) AS p99_per_cell,
-       |  st.max_per_cell,
-       |  CAST(h.halvings AS BIGINT) AS halvings,
-       |  CAST($Cell // (1 << h.halvings) AS BIGINT)
-       |    AS derived_cell_microdeg
-       |FROM st, p99, h""".stripMargin
-  ) { (s, d) =>
+  /** The derivation frame over a base-cell position frame: one row of
+    * (n_positions, n_cells, p99_per_cell, max_per_cell, halvings,
+    * derived_cell_microdeg). Exact P99 by arithmetic rank over the
+    * value-domain-bounded cell frame (≤ 16,471 occupied 2° cells);
+    * halvings = smallest h with expected post-split P99 (p99/4^h
+    * under a uniform split) inside [[CellBudget]]. */
+  private def adaptiveFrame(s: SparkSession, pos: DataFrame): DataFrame = {
     val spark = s
     import spark.implicits._
-    val pos = positions(Tables.table(s, d, "customer"), "c_custkey")
     val cells = pos.groupBy("cx", "cy").agg(count(lit(1)).as("npos"))
-    // exact P99 by rank over the cell frame — value-domain-bounded
-    // (≤ 90×181 occupied 2° cells), so the unpartitioned window is a
-    // constant-size frame at any corpus size
+    // exact P99 by rank over the cell frame — value-domain-bounded,
+    // so the unpartitioned window is a constant-size frame at any
+    // corpus size
     val ranked = cells.withColumn("rn", row_number().over(
       Window.orderBy(asc("npos"), asc("cx"), asc("cy"))))
     val st = cells.agg(count(lit(1)).as("n_cells"),
@@ -428,6 +230,468 @@ object Geo {
           .as("derived_cell_microdeg"))
   }
 
+  /** The eager parameter-inference collect: derived halvings for one
+    * corpus — ONE row (empty corpus → 0). The consumers build their
+    * plans from this literal, the adaptive-query-execution discipline
+    * applied at the operator level. */
+  private[graft] def deriveH(s: SparkSession, d: String, t: Synth): Int = {
+    val r = adaptiveFrame(s, positionsOf(s, d, t, Cell))
+      .select("halvings").collect()
+    if (r.isEmpty) 0 else r.head.getLong(0).toInt
+  }
+
+  /** Largest h ≤ the derived h whose R-coverage ring stays inside
+    * [[MaxRing]] — beyond it, finer cells no longer reduce candidate
+    * work (Θ(density·R²) either way) but keep growing the explode. */
+  private[graft] def clampRing(h: Int, r: Long): Int =
+    (h to 0 by -1).find { hh =>
+      val e = Cell >> hh
+      (r + e - 1) / e <= MaxRing
+    }.getOrElse(0)
+
+  /** The adaptive derivation as SQL CTEs over a corpus — the SAME
+    * integer chain as [[adaptiveFrame]], inlined into the kNN oracles
+    * (their neighborhood is defined by the derived cell) and into
+    * geo_adaptive_cell itself. Exposes `ast`, `ap99`, `ah`, and
+    * `adc(e)` — the derived cell edge. */
+  private def adaptiveSqlCtes(t: Synth): String = {
+    val posSel = t.mod match {
+      case Some(m) => s"SELECT DISTINCT id % $m AS pk FROM gids"
+      case None    => s"SELECT id AS pk FROM gids"
+    }
+    s"""gids AS (SELECT DISTINCT ${t.key} AS id FROM ${t.table}),
+       |gpos AS ($posSel),
+       |apc AS (SELECT (${lonSqlOf(t, "pk")} + 180000000) // $Cell AS cx,
+       |               (${latSqlOf(t, "pk")} + 90000000) // $Cell AS cy
+       |        FROM gpos),
+       |acells AS (SELECT cx, cy, CAST(count(*) AS BIGINT) AS npos
+       |           FROM apc GROUP BY 1, 2),
+       |aranked AS (SELECT npos,
+       |    row_number() OVER (ORDER BY npos ASC, cx ASC, cy ASC) AS rn
+       |  FROM acells),
+       |ast AS (SELECT CAST((SELECT count(*) FROM gpos) AS BIGINT)
+       |            AS n_positions,
+       |          CAST(count(*) AS BIGINT) AS n_cells,
+       |          CAST(max(npos) AS BIGINT) AS max_per_cell
+       |        FROM acells),
+       |ap99 AS (SELECT r.npos AS p99_per_cell
+       |         FROM aranked r, ast
+       |         WHERE r.rn = (99 * ast.n_cells + 99) // 100),
+       |ah AS (SELECT min(t.h) AS halvings
+       |       FROM (VALUES $halvingValuesSql) t(h, cap), ap99
+       |       WHERE ap99.p99_per_cell <= t.cap),
+       |adc AS (SELECT CAST($Cell // (1 << ah.halvings) AS BIGINT) AS e
+       |        FROM ah)""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
+  // Census + derivation queries (lazy — no data-dependent plan).
+  // ---------------------------------------------------------------
+
+  /** GRID DENSITY CENSUS over the synthesized customer points — the
+    * "where is the data" heatmap feeding partition sizing and hot-cell
+    * salting decisions: per occupied 2° cell, the point count and its
+    * ppm share, top-20 cells with a total order. One partial+final
+    * aggregate over the cell-keyed frame. */
+  val geoGridDensity: Q = Q(
+    "geo_grid_density",
+    s"""WITH p AS (${pointsSql(LatCust)}),
+       |tot AS (SELECT CAST(count(*) AS BIGINT) AS t FROM p)
+       |SELECT CAST(cx AS BIGINT) AS cx, CAST(cy AS BIGINT) AS cy,
+       |  CAST(count(*) AS BIGINT) AS n,
+       |  CAST((1000000 * count(*)) // (SELECT t FROM tot) AS BIGINT)
+       |    AS share_ppm
+       |FROM p GROUP BY 1, 2
+       |ORDER BY n DESC, cx ASC, cy ASC LIMIT 20""".stripMargin
+  ) { (s, d) =>
+    val p = points(Tables.table(s, d, "customer"), LatCust)
+    val tot = p.agg(count(lit(1)).as("t"))
+    p.groupBy("cx", "cy").agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(tot))
+      .select(col("cx").cast("long").as("cx"),
+        col("cy").cast("long").as("cy"),
+        col("n").cast("long").as("n"),
+        expr("(1000000 * n) div t").cast("long").as("share_ppm"))
+      .orderBy(desc("n"), asc("cx"), asc("cy"))
+      .limit(20)
+  }
+
+  /** ADAPTIVE CELL SIZING — the parameter-inference pass (VERDICT r9
+    * task 2) that the radius join, kNN and DBSCAN census now CONSUME
+    * (VERDICT r10 task 1): one cheap aggregate over the base-cell
+    * position grid derives the cell size for this corpus's density.
+    * Both engines compute the identical integer derivation, so the
+    * data-derived "constant" is itself oracle-checked — the grid
+    * parameter stops being a magic number. */
+  val geoAdaptiveCell: Q = Q(
+    "geo_adaptive_cell",
+    s"""WITH ${adaptiveSqlCtes(LatCust)}
+       |SELECT ast.n_positions, ast.n_cells,
+       |  CAST(ap99.p99_per_cell AS BIGINT) AS p99_per_cell,
+       |  ast.max_per_cell,
+       |  CAST(ah.halvings AS BIGINT) AS halvings,
+       |  adc.e AS derived_cell_microdeg
+       |FROM ast, ap99, ah, adc""".stripMargin
+  ) { (s, d) => adaptiveFrame(s, positionsOf(s, d, LatCust, Cell)) }
+
+  // ---------------------------------------------------------------
+  // Adaptive consumers (eager — the derivation collect fixes the
+  // cell/ring literals the plan is built from).
+  // ---------------------------------------------------------------
+
+  /** GRID-BUCKETED RADIUS JOIN probe ↔ build (within t.r in the
+    * planar micro-degree metric), reported as the per-BASE-cell pair
+    * census of the build side: the canonical spatial-join plan —
+    * probe positions explode to their ceil(R/e)-ring neighborhood at
+    * the DERIVED cell e, the build side keys by cell, the exact
+    * d² ≤ R² predicate runs inside cell-matched pairs only. Coverage:
+    * a pair within R differs by ≤ ceil(R/e) in each cell coordinate,
+    * so no pair escapes; each pair matches exactly once (the build
+    * side is NOT exploded). The census stays keyed on the FIXED 2°
+    * base cell (computed from the build coordinates), so the derived
+    * cell is an internal plan parameter — output and oracle are
+    * cell-independent.
+    *
+    * Position-collapsed pair algebra: pairs(cell) = Σ cmultᵃ·smultᵇ,
+    * distinct probes(cell) = Σ cmult over participating probe
+    * POSITIONS (each position's ids all pair identically; the
+    * per-(cell, cpk) pre-aggregate counts each position once).
+    * Products/sums widen to DECIMAL(38,0) — at 1e12 points a lattice
+    * position carries ~1e7 ids and a cell-level pair sum passes
+    * int64. */
+  private def radiusJoinPlan(s: SparkSession, d: String,
+                             probeT: Synth, buildT: Synth,
+                             nProbeCol: String): DataFrame = {
+    val h = clampRing(deriveH(s, d, probeT), probeT.r)
+    val e = Cell >> h
+    val ring = ((probeT.r + e - 1) / e).toInt
+    val rr = probeT.r * probeT.r
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val c = positionsOf(s, d, probeT, e)
+    val sup = positionsOf(s, d, buildT, e)
+      .select(col("pk").as("spk"), col("mult").as("smult"),
+        col("lat").as("slat"), col("lon").as("slon"),
+        col("cx").as("px"), col("cy").as("py"))
+    val probe = c
+      .withColumn("dx", explode(sequence(lit(-ring), lit(ring))))
+      .withColumn("dy", explode(sequence(lit(-ring), lit(ring))))
+      .select(col("pk").as("cpk"), col("mult").as("cmult"),
+        col("lat"), col("lon"),
+        (col("cx") + col("dx")).as("px"), (col("cy") + col("dy")).as("py"))
+    val d2 = (col("lat") - col("slat")) * (col("lat") - col("slat")) +
+      (col("lon") - col("slon")) * (col("lon") - col("slon"))
+    probe.join(sup, Seq("px", "py"))
+      .withColumn("d2", d2)
+      .filter(col("d2") <= rr)
+      // census on the build side's BASE cell — derived-cell-independent
+      .withColumn("ox", expr(s"(slon + 180000000) div $Cell"))
+      .withColumn("oy", expr(s"(slat + 90000000) div $Cell"))
+      .groupBy(col("ox"), col("oy"), col("cpk"), col("cmult"))
+      .agg(sum((col("cmult") * col("smult")).cast(dec38)).as("np"),
+        min(col("d2")).as("md"))
+      .groupBy(col("ox").as("cx"), col("oy").as("cy"))
+      .agg(sum(col("np")).as("n_pairs"),
+        sum(col("cmult").cast(dec38)).as(nProbeCol),
+        min(col("md")).as("min_d2"))
+      .select(col("cx").cast("long").as("cx"),
+        col("cy").cast("long").as("cy"),
+        col("n_pairs").cast("long").as("n_pairs"),
+        col(nProbeCol).cast("long").as(nProbeCol),
+        col("min_d2").cast("long").as("min_d2"))
+      .orderBy("cx", "cy")
+  }
+
+  /** Radius-join oracle: the naive cell formulation at a FIXED cell
+    * ≥ R (3×3 sufficient) — exact semantics are cell-independent, so
+    * the oracle needs no derivation. */
+  private def radiusJoinSql(probeT: Synth, buildT: Synth,
+                            nProbeCol: String): String = {
+    val oc = probeT.r // fixed cell = R: 3×3 provably covers R
+    s"""WITH c AS (${pointsSqlAt(probeT, oc)}),
+       |sup AS (${pointsSqlAt(buildT, oc)}),
+       |probe AS (SELECT id, lat, lon,
+       |    cx + dxs.dx AS px, cy + dys.dy AS py
+       |  FROM c, range(-1, 2) dxs(dx), range(-1, 2) dys(dy)),
+       |pr AS (SELECT probe.id AS cid, sup.id AS sid,
+       |    (probe.lat - sup.lat) * (probe.lat - sup.lat)
+       |      + (probe.lon - sup.lon) * (probe.lon - sup.lon) AS d2,
+       |    (sup.lon + 180000000) // $Cell AS ox,
+       |    (sup.lat + 90000000) // $Cell AS oy
+       |  FROM probe JOIN sup ON sup.cx = probe.px AND sup.cy = probe.py
+       |  WHERE (probe.lat - sup.lat) * (probe.lat - sup.lat)
+       |      + (probe.lon - sup.lon) * (probe.lon - sup.lon)
+       |      <= ${probeT.r * probeT.r})
+       |SELECT CAST(ox AS BIGINT) AS cx, CAST(oy AS BIGINT) AS cy,
+       |  CAST(count(*) AS BIGINT) AS n_pairs,
+       |  CAST(count(DISTINCT cid) AS BIGINT) AS $nProbeCol,
+       |  CAST(min(d2) AS BIGINT) AS min_d2
+       |FROM pr GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
+  val geoRadiusJoin: Q = Q(
+    "geo_radius_join", radiusJoinSql(LatCust, LatSupp, "n_customers")
+  ) { (s, d) => radiusJoinPlan(s, d, LatCust, LatSupp, "n_customers") }
+    .copy(eager = true) // derivation collect at plan-build time
+
+  /** The spread twin: orders probe ↔ customer build in the ±10° band,
+    * R = 0.2°. Every id its own position — the adaptive cell alone
+    * bounds the candidate frame. */
+  val geoRadiusSpread: Q = Q(
+    "geo_radius_spread", radiusJoinSql(SpOrders, SpCust, "n_probes")
+  ) { (s, d) => radiusJoinPlan(s, d, SpOrders, SpCust, "n_probes") }
+    .copy(eager = true)
+
+  /** GRID kNN: each probe id's 3 nearest build ids found INSIDE its
+    * 3×3 neighborhood at the DERIVED cell (the bounded-probe contract
+    * a serving tier uses; probes with an empty neighborhood emit
+    * nothing — the row's absence is the honest readout). The
+    * neighborhood is SEMANTIC, so the oracle embeds the identical
+    * derivation. Ranking is the exact-integer total order (d², build
+    * id) — no float, no tie ambiguity.
+    *
+    * Position-collapsed ranking: every probe id at a position has the
+    * IDENTICAL candidate set and distances, so the (d2, sid) top-3 is
+    * computed ONCE per probe position and fanned back out to ids by a
+    * pk-keyed equi-join. The build side pre-cuts to its 3 smallest
+    * ids per position: coincident builds share d2 and tie-break on
+    * id, so a position can never place more than its 3 smallest ids
+    * in any top-3. */
+  private def knnPlan(s: SparkSession, d: String,
+                      probeT: Synth, buildT: Synth): DataFrame = {
+    val e = Cell >> deriveH(s, d, probeT)
+    val cpos = positionsOf(s, d, probeT, e)
+    val sup = positionsOf(s, d, buildT, e)
+      .select(col("pk").as("spk"), col("lat").as("slat"),
+        col("lon").as("slon"), col("cx").as("px"), col("cy").as("py"))
+    val s3 = Tables.table(s, d, buildT.table)
+      .select(col(buildT.key).as("sid")).distinct()
+      .withColumn("spk", pkCol(buildT, col("sid")))
+      .withColumn("srn", row_number().over(
+        Window.partitionBy("spk").orderBy(asc("sid"))))
+      .filter(col("srn") <= 3)
+      .join(sup, Seq("spk"))
+    val probe = cpos
+      .withColumn("dx", explode(sequence(lit(-1), lit(1))))
+      .withColumn("dy", explode(sequence(lit(-1), lit(1))))
+      .select(col("pk").as("cpk"), col("lat"), col("lon"),
+        (col("cx") + col("dx")).as("px"), (col("cy") + col("dy")).as("py"))
+    val d2 = (col("lat") - col("slat")) * (col("lat") - col("slat")) +
+      (col("lon") - col("slon")) * (col("lon") - col("slon"))
+    val top = probe.join(s3, Seq("px", "py")).withColumn("d2", d2)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("cpk").orderBy(asc("d2"), asc("sid"))))
+      .filter(col("rn") <= 3)
+      .select(col("cpk"), col("rn"), col("sid"), col("d2"))
+    Tables.table(s, d, probeT.table)
+      .select(col(probeT.key).as("cid")).distinct()
+      .withColumn("cpk", pkCol(probeT, col("cid")))
+      .join(top, Seq("cpk"))
+      .select(col("cid").cast("long").as("cid"),
+        col("rn").cast("long").as("rn"),
+        col("sid").cast("long").as("sid"),
+        col("d2").cast("long").as("d2"))
+      .orderBy("cid", "rn")
+  }
+
+  /** kNN oracle WITH the inline derivation: both engines compute the
+    * same derived cell, so the neighborhood semantics match. */
+  private def knnSql(probeT: Synth, buildT: Synth): String = {
+    val ppk = pkSql(probeT, probeT.key)
+    val bpk = pkSql(buildT, buildT.key)
+    s"""WITH ${adaptiveSqlCtes(probeT)},
+       |c AS (SELECT DISTINCT ${probeT.key} AS id,
+       |    ${latSqlOf(probeT, ppk)} AS lat,
+       |    ${lonSqlOf(probeT, ppk)} AS lon FROM ${probeT.table}),
+       |cc AS (SELECT id, lat, lon,
+       |    (lon + 180000000) // (SELECT e FROM adc) AS cx,
+       |    (lat + 90000000) // (SELECT e FROM adc) AS cy FROM c),
+       |s0 AS (SELECT DISTINCT ${buildT.key} AS id,
+       |    ${latSqlOf(buildT, bpk)} AS lat,
+       |    ${lonSqlOf(buildT, bpk)} AS lon FROM ${buildT.table}),
+       |sup AS (SELECT id, lat, lon,
+       |    (lon + 180000000) // (SELECT e FROM adc) AS cx,
+       |    (lat + 90000000) // (SELECT e FROM adc) AS cy FROM s0),
+       |probe AS (SELECT id, lat, lon,
+       |    cx + dxs.dx AS px, cy + dys.dy AS py
+       |  FROM cc, range(-1, 2) dxs(dx), range(-1, 2) dys(dy)),
+       |pr AS (SELECT probe.id AS cid, sup.id AS sid,
+       |    (probe.lat - sup.lat) * (probe.lat - sup.lat)
+       |      + (probe.lon - sup.lon) * (probe.lon - sup.lon) AS d2
+       |  FROM probe JOIN sup ON sup.cx = probe.px AND sup.cy = probe.py),
+       |r AS (SELECT cid, sid, d2,
+       |    row_number() OVER (PARTITION BY cid ORDER BY d2 ASC, sid ASC)
+       |      AS rn
+       |  FROM pr)
+       |SELECT CAST(cid AS BIGINT) AS cid, CAST(rn AS BIGINT) AS rn,
+       |  CAST(sid AS BIGINT) AS sid, CAST(d2 AS BIGINT) AS d2
+       |FROM r WHERE rn <= 3 ORDER BY cid, rn""".stripMargin
+  }
+
+  val geoKnn: Q = Q("geo_knn", knnSql(LatCust, LatSupp)) {
+    (s, d) => knnPlan(s, d, LatCust, LatSupp)
+  }.copy(eager = true)
+
+  val geoKnnSpread: Q = Q("geo_knn_spread", knnSql(SpOrders, SpCust)) {
+    (s, d) => knnPlan(s, d, SpOrders, SpCust)
+  }.copy(eager = true)
+
+  /** DBSCAN CORE/BORDER/NOISE CENSUS — the density-classification
+    * step of DBSCAN (the expensive half; the flood-fill after it is
+    * [[Dedup]]'s connected-components machinery on the core graph): a
+    * point is CORE when its R-ball holds ≥ minPts points (itself
+    * included), BORDER when non-core but within R of a core point,
+    * NOISE otherwise. Two exact plans, picked by the derived cell:
+    *
+    *  - DENSE-CELL plan (2e² ≤ R², i.e. cell diagonal ≤ R): a cell
+    *    holding ≥ minPts points makes ALL its positions core with no
+    *    pair enumeration; only sparse-cell positions (< minPts points
+    *    each) ring-probe for their exact R-ball count and for a core
+    *    witness. Exactly the densities that made enumeration
+    *    quadratic are the ones where sparse cells vanish — the census
+    *    becomes cell-aggregate LINEAR.
+    *  - ENUMERATION plan (coarse derived cell = low density): the
+    *    position-collapsed ring enumeration, the committed-fixture
+    *    shape. Coincident points share their R-ball, so core-ness is
+    *    a POSITION property and all point-level counts are
+    *    multiplicity sums. A core point at the SAME position would
+    *    make the position core, so the a≠b guard of the naive
+    *    formulation is implied.
+    *
+    * Both are exact rewrites of the same semantics; the oracle keeps
+    * the naive cell formulation. */
+  private def dbscanPlan(s: SparkSession, d: String, t: Synth,
+                         forcedH: Option[Int] = None,
+                         forceDense: Option[Boolean] = None): DataFrame = {
+    val h = forcedH.getOrElse(clampRing(deriveH(s, d, t), t.r))
+    val e = Cell >> h
+    val ring = ((t.r + e - 1) / e).toInt
+    val rr = t.r * t.r
+    val dense = forceDense.getOrElse(2L * e * e <= rr)
+    // up to four consumers (cell counts, probe, build, total) — one
+    // materialization; Bench/Verify clear caches between queries
+    val c = positionsOf(s, d, t, e).cache()
+    val b = c.select(col("pk").as("bpk"), col("mult").as("bmult"),
+      col("lat").as("blat"), col("lon").as("blon"),
+      col("cx").as("px"), col("cy").as("py"))
+    val d2 = (col("lat") - col("blat")) * (col("lat") - col("blat")) +
+      (col("lon") - col("blon")) * (col("lon") - col("blon"))
+    def ringProbe(df: DataFrame): DataFrame = df
+      .withColumn("dx", explode(sequence(lit(-ring), lit(ring))))
+      .withColumn("dy", explode(sequence(lit(-ring), lit(ring))))
+      .select(col("pk"), col("mult"), col("lat"), col("lon"),
+        (col("cx") + col("dx")).as("px"), (col("cy") + col("dy")).as("py"))
+    val (core, border) =
+      if (dense) {
+        // cell diagonal ≤ R: same-cell pairs are all within R, so a
+        // cell with ≥ minPts points certifies all its positions core
+        val cellCnt = c.groupBy("cx", "cy").agg(sum(col("mult")).as("cn"))
+        val posC = c.join(cellCnt, Seq("cx", "cy"))
+        val densePos = posC.filter(col("cn") >= 4)
+          .select(col("pk"), col("mult"))
+        val sparsePos = posC.filter(col("cn") < 4)
+          .select(col("pk"), col("mult"), col("lat"), col("lon"),
+            col("cx"), col("cy"))
+        // sparse positions enumerate their exact R-ball once; the
+        // frame is reused by the core count and the border witness
+        val pr = ringProbe(sparsePos).join(b, Seq("px", "py"))
+          .filter(d2 <= rr)
+          .select(col("pk"), col("mult"), col("bpk"), col("bmult"))
+          .cache()
+        val coreS = pr.groupBy("pk", "mult")
+          .agg(sum(col("bmult")).as("n"))
+          .filter(col("n") >= 4).select(col("pk"), col("mult"))
+        val core = densePos.unionByName(coreS)
+        // border ⊆ sparse non-core: needs a core witness within R —
+        // its own position is non-core, so q ≠ p is implied
+        val border = pr
+          .join(core.select(col("pk").as("bpk")), Seq("bpk"), "left_semi")
+          .join(coreS.select(col("pk")), Seq("pk"), "left_anti")
+          .select(col("pk"), col("mult")).distinct()
+        (core, border)
+      } else {
+        val pr = ringProbe(c).join(b, Seq("px", "py"))
+          .filter(d2 <= rr)
+          .select(col("pk"), col("mult"), col("bpk"), col("bmult"))
+          .cache() // two consumers: neighbor census and border pass
+        val core = pr.groupBy("pk", "mult").agg(sum(col("bmult")).as("n"))
+          .filter(col("n") >= 4).select(col("pk"), col("mult"))
+        val border = pr
+          .join(core.select(col("pk").as("bpk")), Seq("bpk"), "left_semi")
+          .join(core.select(col("pk")), Seq("pk"), "left_anti")
+          .select(col("pk"), col("mult")).distinct()
+        (core, border)
+      }
+    val tot = c.agg(sum(col("mult")).as("t"))
+    val nCore = core.agg(coalesce(sum(col("mult")), lit(0L)).as("n_core"))
+    val nBorder = border.agg(
+      coalesce(sum(col("mult")), lit(0L)).as("n_border"))
+    tot.crossJoin(broadcast(nCore)).crossJoin(broadcast(nBorder))
+      .select(col("t").cast("long").as("n_points"),
+        col("n_core").cast("long").as("n_core"),
+        col("n_border").cast("long").as("n_border"),
+        (col("t") - col("n_core") - col("n_border")).cast("long")
+          .as("n_noise"),
+        expr("(1000000 * n_core) div t").cast("long").as("core_ppm"))
+  }
+
+  /** DBSCAN oracle: naive cell formulation at a fixed cell ≥ R —
+    * exact semantics are cell-independent. */
+  private def dbscanSql(t: Synth): String = {
+    val oc = t.r // fixed cell = R: 3×3 provably covers R
+    s"""WITH c AS (${pointsSqlAt(t, oc)}),
+       |probe AS (SELECT id, lat, lon,
+       |    cx + dxs.dx AS px, cy + dys.dy AS py
+       |  FROM c, range(-1, 2) dxs(dx), range(-1, 2) dys(dy)),
+       |pr AS (SELECT probe.id AS a, b.id AS b
+       |  FROM probe JOIN c b ON b.cx = probe.px AND b.cy = probe.py
+       |  WHERE (probe.lat - b.lat) * (probe.lat - b.lat)
+       |      + (probe.lon - b.lon) * (probe.lon - b.lon)
+       |      <= ${t.r * t.r}),
+       |nc AS (SELECT a AS id, CAST(count(*) AS BIGINT) AS n FROM pr
+       |       GROUP BY 1),
+       |core AS (SELECT id FROM nc WHERE n >= 4),
+       |border AS (SELECT DISTINCT pr.a AS id FROM pr
+       |  JOIN core ON core.id = pr.b
+       |  WHERE pr.a <> pr.b
+       |    AND pr.a NOT IN (SELECT id FROM core)),
+       |tot AS (SELECT CAST(count(*) AS BIGINT) AS t FROM c)
+       |SELECT tot.t AS n_points,
+       |  CAST((SELECT count(*) FROM core) AS BIGINT) AS n_core,
+       |  CAST((SELECT count(*) FROM border) AS BIGINT) AS n_border,
+       |  CAST(tot.t - (SELECT count(*) FROM core)
+       |    - (SELECT count(*) FROM border) AS BIGINT) AS n_noise,
+       |  CAST((1000000 * (SELECT count(*) FROM core)) // tot.t AS BIGINT)
+       |    AS core_ppm
+       |FROM tot""".stripMargin
+  }
+
+  val geoDbscanCore: Q = Q("geo_dbscan_core", dbscanSql(LatCust)) {
+    (s, d) => dbscanPlan(s, d, LatCust)
+  }.copy(eager = true)
+
+  val geoDbscanSpread: Q = Q("geo_dbscan_spread", dbscanSql(SpOrders)) {
+    (s, d) => dbscanPlan(s, d, SpOrders)
+  }.copy(eager = true)
+
+  /** The derived cell edge for the classic customer corpus — the
+    * scalar the streaming serving twin parameterizes its stateless
+    * cell-assignment column with. */
+  private[graft] def adaptiveCellOf(s: SparkSession, d: String): Long =
+    Cell >> deriveH(s, d, LatCust)
+
+  /** Test hook: both dbscan plans on one corpus, exactness of the
+    * dense-cell rewrite checked by value equality. */
+  private[graft] def dbscanBothPlans(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
+    // force a cell fine enough for the dense rule on the spread corpus
+    val hDense = (0 to 16).find { h =>
+      val e = Cell >> h; 2L * e * e <= SpOrders.r * SpOrders.r
+    }.get
+    (dbscanPlan(s, d, SpOrders, Some(hDense), Some(true)),
+     dbscanPlan(s, d, SpOrders, Some(hDense), Some(false)))
+  }
+
   val all: Seq[Q] = Seq(geoGridDensity, geoRadiusJoin, geoKnn,
-    geoDbscanCore, geoAdaptiveCell)
+    geoDbscanCore, geoAdaptiveCell, geoRadiusSpread, geoKnnSpread,
+    geoDbscanSpread)
 }

@@ -34,7 +34,11 @@ class PlanAuditSpec extends SparkSpec {
           "graph_closeness", "vector_pca_power",
           "vector_nsw_search", "vector_ef_sweep", "vector_residual_energy",
           "vector_kmeans_converged", "vector_ood_census",
-          "corpus_tokenizer_compression"),
+          "corpus_tokenizer_compression",
+          // adaptive-cell consumers: the derivation collect (1 row)
+          // fixes the cell/ring literals at plan-build time
+          "geo_radius_join", "geo_knn", "geo_dbscan_core",
+          "geo_radius_spread", "geo_knn_spread", "geo_dbscan_spread"),
       "new Q entries that run jobs at plan-build time must set eager=true")
   }
 
@@ -133,12 +137,26 @@ class PlanAuditSpec extends SparkSpec {
       "class fan-out must ride broadcasts, never a cartesian")
   }
 
-  test("geo_radius_join stays a cell-keyed equi-join (never a product)") {
-    val p = plan(graft.operators.Geo.geoRadiusJoin)
-    assert(!p.contains("NestedLoopJoin") && !p.contains("CartesianProduct"),
-      s"grid join regressed to a product:\n${p.take(600)}")
-    assert(p.contains("Generate explode"),
-      "the 3x3 neighborhood probe must be a generator, not a join")
+  test("geo family stays cell-keyed equi-joins (never a product)") {
+    // eager queries (the adaptive-cell derivation collect runs at
+    // plan-build) — audited with an explicit build, not plan()
+    for (q <- Seq(graft.operators.Geo.geoRadiusJoin,
+                  graft.operators.Geo.geoKnn,
+                  graft.operators.Geo.geoDbscanCore,
+                  graft.operators.Geo.geoRadiusSpread,
+                  graft.operators.Geo.geoKnnSpread,
+                  graft.operators.Geo.geoDbscanSpread)) {
+      val p = q.fn(spark, sf0001).queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"),
+        s"${q.name}: grid join regressed to a product:\n${p.take(600)}")
+      // the dbscan census ends in broadcast cross-combines of 1-row
+      // scalar aggregates (fine); the pair frame itself must never
+      // ride a nested loop — count the BNLJs and bound them
+      val bnl = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+      assert(bnl <= 2, s"${q.name}: $bnl nested-loop joins:\n${p.take(600)}")
+      assert(p.contains("Generate explode"),
+        s"${q.name}: the ring neighborhood probe must be a generator")
+    }
   }
 
   test("sample_neyman_alloc reads lineitem exactly once") {

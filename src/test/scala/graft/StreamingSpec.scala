@@ -1826,4 +1826,45 @@ class StreamingSpec extends SparkSpec {
       }
     } finally q.stop()
   }
+
+  test("adaptive-cell census on a stream equals the batch census at " +
+       "the derived cell") {
+    // the serving path of the round-11 adaptive consumers: the
+    // DERIVED cell edge is a batch-trained scalar parameter; the cell
+    // assignment at that edge stays a stateless integer column, so a
+    // streamed census at the derived cell must end bit-equal to the
+    // batch one across a micro-batch split.
+    import graft.operators.Geo
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val e = Geo.adaptiveCellOf(spark, sf0001) // the trained parameter
+    assert(e > 0 && 2000000L % e == 0, "derived cell must halve the base")
+    val keys = Tables.table(spark, sf0001, "customer")
+      .select(col("c_custkey")).distinct().as[Long].collect().toSeq
+    val (bx, by) = Geo.cellColsAt(col("c_custkey"), e)
+    val batch = Tables.table(spark, sf0001, "customer")
+      .select(col("c_custkey")).distinct()
+      .select(bx.as("cx"), by.as("cy"))
+      .groupBy("cx", "cy").count()
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    val mem = MemoryStream[Long]
+    val name = s"geo_adaptive_${System.nanoTime()}"
+    val (cx, cy) = Geo.cellColsAt(col("value"), e)
+    val q = mem.toDS().toDF("value")
+      .select(cx.as("cx"), cy.as("cy"))
+      .groupBy("cx", "cy").count()
+      .writeStream.format("memory").queryName(name)
+      .outputMode("complete").start()
+    try {
+      val (h1, h2) = keys.splitAt(keys.size / 2)
+      mem.addData(h1); q.processAllAvailable()
+      mem.addData(h2); q.processAllAvailable()
+      val streamed = spark.table(name).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(streamed === batch,
+        "streamed adaptive-cell census must equal the batch census")
+    } finally q.stop()
+  }
 }
