@@ -16,12 +16,15 @@ import org.apache.spark.sql.functions._
   * AUDIO decode is REAL for WAV/PCM16: [[decodeWav]] is a RIFF chunk
   * walker, with the JDK `javax.sound.sampled` writer as the independent
   * encoder ([[encodeWavPcm16]]) so round trips cross implementations.
-  * Compressed audio/video codecs (mp3/aac/mp4) are NOT in this
-  * container, so those fall back to `decodeStub`, a clearly-marked
-  * deterministic fake that parses our own 8-byte header; everything
-  * around it — schema, encoders, batch shape, partition distribution —
-  * is real and tested (MediaSpec). Swapping the stub for a JNI/ffmpeg
-  * call changes one function.
+  * MP3 metadata is REAL: [[Mp3]] is an independent ISO 11172-3
+  * frame-header walker (sync scan, frame-length stepping, bitrate/
+  * padding census) — a header parser, not a PCM decoder. Full
+  * PCM decode for compressed codecs (mp3 audio data, aac/mp4) needs
+  * codec libraries NOT in this container, so those fall back to
+  * `decodeStub`, a clearly-marked deterministic fake that parses our
+  * own 8-byte header; everything around it — schema, encoders, batch
+  * shape, partition distribution — is real and tested (MediaSpec).
+  * Swapping the stub for a JNI/ffmpeg call changes one function.
   *
   * Scale posture: media blobs are large; all transforms here are
   * narrow (no shuffle), so media never moves between executors — only
@@ -125,9 +128,9 @@ object Media {
     * `multimodal_wav` query, so the round trip crosses two
     * implementations). Walks fmt/data chunks with word alignment,
     * little-endian throughout per RIFF. None for non-WAV blobs,
-    * non-PCM encodings, or non-16-bit depth — compressed audio (mp3,
-    * aac) still falls to [[decodeStub]], which remains the documented
-    * fake for codec-library formats. */
+    * non-PCM encodings, or non-16-bit depth — mp3 metadata routes to
+    * the real [[Mp3]] header walker; only aac/mp4 still fall to
+    * [[decodeStub]], the documented fake for codec-library formats. */
   def decodeWav(content: Array[Byte]): Option[WavPcm] = {
     if (!isWavContainer(content)) return None
     def u16(i: Int): Int = (content(i) & 0xFF) | ((content(i + 1) & 0xFF) << 8)
@@ -202,8 +205,11 @@ object Media {
   /** Decode pass: batched per-partition metadata extraction. The
     * `grouped(BatchSize)` iterator is the mapInPandas batch shape — bounded
     * memory per batch regardless of partition size. Real image containers
-    * (magic-sniffed) decode through [[decodeImage]]; everything else
-    * falls back to the deterministic stub. */
+    * (magic-sniffed) decode through [[decodeImage]], WAV through
+    * [[decodeWav]], MP3 through the [[Mp3]] frame-header walker (frame
+    * count + sample rate, no PCM decode); everything else falls back
+    * to the deterministic stub (now only non-mp3 compressed formats:
+    * aac/mp4). */
   def decode(ds: Dataset[MediaRow]): Dataset[DecodedRow] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions { rows =>
@@ -214,6 +220,11 @@ object Media {
                        .orElse(decodeWav(r.content).map(w =>
                          MediaMeta("audio", 0, 0, w.sampleRate,
                            w.samples.length)))
+                       .orElse(if (Mp3.isMp3(r.content))
+                         Mp3.census(r.content).map(c =>
+                           MediaMeta("audio", 0, 0, c.sampleRateHz,
+                             c.nFrames))
+                       else None)
                        .getOrElse(decodeStub(r.kind, r.content))))
       }
     }

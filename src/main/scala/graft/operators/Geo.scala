@@ -79,9 +79,17 @@ object Geo {
   private val R = 2000000L
 
   /** Per-cell position budget for the adaptive derivation: smallest h
-    * with P99(positions per base cell) / 4^h ≤ budget. 64 keeps the
-    * kNN candidate set ≈ 9·64 per probe at any density. */
+    * with P99(positions per base cell) / 4^h ≤ budget. 64 suits the
+    * R-coverage operators (radius join, DBSCAN), where the cell only
+    * tunes overshoot and skew — candidate work is Θ(density·R²)
+    * regardless. */
   private val CellBudget = 64L
+
+  /** kNN's own, tighter budget: its candidate set is 9·(per-cell
+    * count) — the cell IS the cost driver, and a top-3 probe wants
+    * ~9·16 candidates, not 9·64. The kNN oracle embeds the same
+    * budget, so the derived neighborhood matches on both engines. */
+  private val KnnBudget = 16L
 
   /** R-coverage ring clamp: ceil(R/e) ≤ 8 → ≤ 17² probe cells. */
   private val MaxRing = 8L
@@ -191,10 +199,11 @@ object Geo {
   /** Literal (halvings → position budget·4^h) thresholds, inlined
     * identically into the Spark twin and the oracle SQL. h=16 caps
     * the table at 2.7e11 — above any possible per-cell count. */
-  private val halvingRows: Seq[(Int, Long)] =
-    (0 to 16).map(h => h -> (CellBudget << (2 * h)))
-  private val halvingValuesSql =
-    halvingRows.map { case (h, cap) => s"($h, $cap)" }.mkString(", ")
+  private def halvingRows(budget: Long): Seq[(Int, Long)] =
+    (0 to 16).map(h => h -> (budget << (2 * h)))
+  private def halvingValuesSql(budget: Long): String =
+    halvingRows(budget).map { case (h, cap) => s"($h, $cap)" }
+      .mkString(", ")
 
   /** The derivation frame over a base-cell position frame: one row of
     * (n_positions, n_cells, p99_per_cell, max_per_cell, halvings,
@@ -202,7 +211,8 @@ object Geo {
     * value-domain-bounded cell frame (≤ 16,471 occupied 2° cells);
     * halvings = smallest h with expected post-split P99 (p99/4^h
     * under a uniform split) inside [[CellBudget]]. */
-  private def adaptiveFrame(s: SparkSession, pos: DataFrame): DataFrame = {
+  private def adaptiveFrame(s: SparkSession, pos: DataFrame,
+                            budget: Long = CellBudget): DataFrame = {
     val spark = s
     import spark.implicits._
     val cells = pos.groupBy("cx", "cy").agg(count(lit(1)).as("npos"))
@@ -217,7 +227,7 @@ object Geo {
     val p99 = ranked.crossJoin(broadcast(st.select(col("n_cells"))))
       .filter(col("rn") === expr("(99 * n_cells + 99) div 100"))
       .select(col("npos").as("p99_per_cell"))
-    val hs = halvingRows.toDF("h", "cap")
+    val hs = halvingRows(budget).toDF("h", "cap")
     val h = broadcast(p99).join(hs, col("p99_per_cell") <= col("cap"))
       .agg(min(col("h")).as("halvings"))
     st.crossJoin(broadcast(p99)).crossJoin(broadcast(h))
@@ -234,8 +244,9 @@ object Geo {
     * corpus — ONE row (empty corpus → 0). The consumers build their
     * plans from this literal, the adaptive-query-execution discipline
     * applied at the operator level. */
-  private[graft] def deriveH(s: SparkSession, d: String, t: Synth): Int = {
-    val r = adaptiveFrame(s, positionsOf(s, d, t, Cell))
+  private[graft] def deriveH(s: SparkSession, d: String, t: Synth,
+                             budget: Long = CellBudget): Int = {
+    val r = adaptiveFrame(s, positionsOf(s, d, t, Cell), budget)
       .select("halvings").collect()
     if (r.isEmpty) 0 else r.head.getLong(0).toInt
   }
@@ -254,7 +265,8 @@ object Geo {
     * (their neighborhood is defined by the derived cell) and into
     * geo_adaptive_cell itself. Exposes `ast`, `ap99`, `ah`, and
     * `adc(e)` — the derived cell edge. */
-  private def adaptiveSqlCtes(t: Synth): String = {
+  private def adaptiveSqlCtes(t: Synth,
+                              budget: Long = CellBudget): String = {
     val posSel = t.mod match {
       case Some(m) => s"SELECT DISTINCT id % $m AS pk FROM gids"
       case None    => s"SELECT id AS pk FROM gids"
@@ -278,7 +290,7 @@ object Geo {
        |         FROM aranked r, ast
        |         WHERE r.rn = (99 * ast.n_cells + 99) // 100),
        |ah AS (SELECT min(t.h) AS halvings
-       |       FROM (VALUES $halvingValuesSql) t(h, cap), ap99
+       |       FROM (VALUES ${halvingValuesSql(budget)}) t(h, cap), ap99
        |       WHERE ap99.p99_per_cell <= t.cap),
        |adc AS (SELECT CAST($Cell // (1 << ah.halvings) AS BIGINT) AS e
        |        FROM ah)""".stripMargin
@@ -458,7 +470,7 @@ object Geo {
     * in any top-3. */
   private def knnPlan(s: SparkSession, d: String,
                       probeT: Synth, buildT: Synth): DataFrame = {
-    val e = Cell >> deriveH(s, d, probeT)
+    val e = Cell >> deriveH(s, d, probeT, KnnBudget)
     val cpos = positionsOf(s, d, probeT, e)
     val sup = positionsOf(s, d, buildT, e)
       .select(col("pk").as("spk"), col("lat").as("slat"),
@@ -482,11 +494,18 @@ object Geo {
         Window.partitionBy("cpk").orderBy(asc("d2"), asc("sid"))))
       .filter(col("rn") <= 3)
       .select(col("cpk"), col("rn"), col("sid"), col("d2"))
-    Tables.table(s, d, probeT.table)
-      .select(col(probeT.key).as("cid")).distinct()
-      .withColumn("cpk", pkCol(probeT, col("cid")))
-      .join(top, Seq("cpk"))
-      .select(col("cid").cast("long").as("cid"),
+    // fan the position-level ranking back out to ids; with no lattice
+    // (mod = None) position keys ARE the ids — skip the identity join
+    val out = probeT.mod match {
+      case None => top.select(col("cpk").as("cid"),
+        col("rn"), col("sid"), col("d2"))
+      case Some(_) => Tables.table(s, d, probeT.table)
+        .select(col(probeT.key).as("cid")).distinct()
+        .withColumn("cpk", pkCol(probeT, col("cid")))
+        .join(top, Seq("cpk"))
+        .select(col("cid"), col("rn"), col("sid"), col("d2"))
+    }
+    out.select(col("cid").cast("long").as("cid"),
         col("rn").cast("long").as("rn"),
         col("sid").cast("long").as("sid"),
         col("d2").cast("long").as("d2"))
@@ -498,7 +517,7 @@ object Geo {
   private def knnSql(probeT: Synth, buildT: Synth): String = {
     val ppk = pkSql(probeT, probeT.key)
     val bpk = pkSql(buildT, buildT.key)
-    s"""WITH ${adaptiveSqlCtes(probeT)},
+    s"""WITH ${adaptiveSqlCtes(probeT, KnnBudget)},
        |c AS (SELECT DISTINCT ${probeT.key} AS id,
        |    ${latSqlOf(probeT, ppk)} AS lat,
        |    ${lonSqlOf(probeT, ppk)} AS lon FROM ${probeT.table}),

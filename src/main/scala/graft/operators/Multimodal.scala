@@ -1202,10 +1202,124 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** Deterministic MP3 stream synthesis from document bytes — leading
+    * junk (high bit masked off, so it can never fake a frame sync),
+    * 3–8 MPEG-1 Layer III frames whose bitrate/padding/mode fields
+    * derive from the bytes (even-length docs emit CBR, odd VBR), and a
+    * sub-header trailing remainder. The synthesis arithmetic is the
+    * oracle's prediction surface — every census column is recomputed
+    * in SQL from the same bytes. */
+  private[graft] def synthMp3(bytes: Array[Byte]): Array[Byte] = {
+    import graft.multimodal.Mp3
+    val nb = bytes.length
+    val nf = 3 + nb % 6
+    val srIdx = nb % 3
+    val hz = Mp3.HzByIndex(srIdx)
+    val cbr = nb % 2 == 0
+    val out = new java.io.ByteArrayOutputStream()
+    var j = 0
+    while (j < nb % 7) { // leading junk, sync-proof (< 0x80)
+      out.write(bytes(j % nb) & 0x7F); j += 1
+    }
+    var i = 0
+    while (i < nf) {
+      val brIdx =
+        if (cbr) 1 + nb % 14
+        else 1 + ((bytes(i % nb) & 0xFF) + i) % 14
+      val pad = (bytes((i * 3 + 1) % nb) & 0xFF) % 2
+      val mode = (bytes((i * 5 + 2) % nb) & 0xFF) % 4
+      val len = Mp3.frameLen(Mp3.KbpsByIndex(brIdx), hz, pad == 1)
+      out.write(0xFF); out.write(0xFB) // sync + MPEG-1 + Layer III
+      out.write((brIdx << 4) | (srIdx << 2) | (pad << 1))
+      out.write(mode << 6)
+      var k = 4
+      while (k < len) { out.write(bytes((i + k) % nb) & 0x7F); k += 1 }
+      i += 1
+    }
+    j = 0
+    while (j < nb % 4) { out.write(bytes(j % nb) & 0x7F); j += 1 }
+    out.toByteArray
+  }
+
+  private val mp3KbpsValues = graft.multimodal.Mp3.KbpsByIndex.zipWithIndex
+    .collect { case (k, i) if i >= 1 => s"($i, $k)" }.mkString(", ")
+
+  /** MP3 HEADER CENSUS — retires the compressed-audio `decodeStub`
+    * (VERDICT r10 task 4): each document's bytes become a synthesized
+    * MPEG-1 Layer III stream (junk + frame chain + remainder), and the
+    * distributed pass walks it back through the independent
+    * [[graft.multimodal.Mp3]] bit-stream parser (ISO/IEC 11172-3
+    * header syntax + §2.4.3.1 frame-length stepping, frame-sync
+    * resync over the junk). The DuckDB oracle predicts every census
+    * column — frame count, sample rate, bitrate min/max/distinct,
+    * CBR/VBR verdict, padding count, audio-vs-junk byte split, sample
+    * count — from the raw bytes with the same integer arithmetic, the
+    * multimodal_jpeg discipline: builder and walker are independent
+    * code paths and the oracle checks the walker from first
+    * principles.
+    *
+    * Plan: one narrow batched mapPartitions — blobs never shuffle,
+    * only the 11-column census leaves the task. */
+  val multimodalMp3: Q = Q(
+    "multimodal_mp3",
+    s"""WITH d AS (SELECT doc_id, hex(encode(text)) AS hx,
+       |    octet_length(encode(text)) AS nb
+       |  FROM documents WHERE octet_length(encode(text)) > 0),
+       |p AS (SELECT doc_id, hx, nb, 3 + nb % 6 AS nf, nb % 3 AS sridx,
+       |    (nb % 2 = 0) AS cbrs FROM d),
+       |fr AS (SELECT doc_id, nb, nf, sridx, t.i AS i,
+       |    CASE WHEN cbrs THEN 1 + nb % 14
+       |         ELSE 1 + (CAST('0x' || substr(hx, 2 * (t.i % nb) + 1, 2)
+       |                        AS INT) + t.i) % 14 END AS bridx,
+       |    CAST('0x' || substr(hx, 2 * ((t.i * 3 + 1) % nb) + 1, 2)
+       |         AS INT) % 2 AS pad
+       |  FROM p JOIN range(0, 9) t(i) ON t.i < nf),
+       |fl AS (SELECT fr.doc_id, fr.nb, fr.nf, fr.sridx, fr.bridx,
+       |    fr.pad, kb.kbps,
+       |    (144000 * kb.kbps)
+       |      // (CASE fr.sridx WHEN 0 THEN 44100 WHEN 1 THEN 48000
+       |         ELSE 32000 END) + fr.pad AS flen
+       |  FROM fr JOIN (VALUES $mp3KbpsValues) kb(idx, kbps)
+       |    ON kb.idx = fr.bridx)
+       |SELECT doc_id, CAST(max(nf) AS INT) AS n_frames,
+       |  CAST(CASE max(sridx) WHEN 0 THEN 44100 WHEN 1 THEN 48000
+       |       ELSE 32000 END AS INT) AS sample_rate,
+       |  CAST(min(kbps) AS INT) AS min_kbps,
+       |  CAST(max(kbps) AS INT) AS max_kbps,
+       |  CAST(count(DISTINCT bridx) AS INT) AS n_bitrates,
+       |  (count(DISTINCT bridx) = 1) AS is_cbr,
+       |  CAST(sum(pad) AS BIGINT) AS n_padded,
+       |  CAST(sum(flen) AS BIGINT) AS audio_bytes,
+       |  CAST(max(nb) % 7 + max(nb) % 4 AS BIGINT) AS junk_bytes,
+       |  CAST(1152 * max(nf) AS BIGINT) AS samples
+       |FROM fl GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    import graft.multimodal.Mp3
+    Tables.documents(s, d)
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, text) =>
+          val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val c = Mp3.census(synthMp3(bytes)).getOrElse(
+            sys.error(s"mp3 census found no frames for doc $id"))
+          (id, c.nFrames, c.sampleRateHz, c.minKbps, c.maxKbps,
+            c.nBitrates, c.isCbr, c.nPadded, c.audioBytes, c.junkBytes,
+            c.samples)
+        }
+      }
+      .toDF("doc_id", "n_frames", "sample_rate", "min_kbps", "max_kbps",
+        "n_bitrates", "is_cbr", "n_padded", "audio_bytes", "junk_bytes",
+        "samples")
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(multimodalMeta, multimodalFeatures, multimodalDhash,
     multimodalWav, multimodalWavFrames, multimodalWavVad,
     multimodalDhashDedup, multimodalThumbnail, multimodalByteEntropy,
     multimodalWhash, multimodalWavPitch, multimodalTileVariance,
     multimodalWavSnr, multimodalLetterbox, multimodalWavClipping,
-    multimodalJpeg)
+    multimodalJpeg, multimodalMp3)
 }
