@@ -3041,17 +3041,21 @@ object Vectors {
     import org.apache.spark.sql.expressions.Window
     val qCol = transform(col("embedding"),
       v => floor(lit(1000) * v.cast("double")).cast("long"))
-    // 16 sign-folded exact sums — literal-indexed, no explode
-    def proj(k: Int): Column =
-      (0 until Dim).map { i =>
-        val t = element_at(col("q"), i + 1)
-        if (rpSign(k, i) > 0) t else -t
-      }.reduce(_ + _)
+    // 16 sign-folded exact sums. The sign matrix rides ONE literal
+    // (16×64 longs) consumed by a HOF fold — the unrolled-sum form
+    // was the catalog's largest codegen unit (1024 arithmetic nodes)
+    // and concentrated pass-0 JIT (VERDICT r10 task 5); the fold is
+    // value-identical (exact longs, order-free) at a fraction of the
+    // compiled size.
+    val signs = typedLit((0 until RpDims).map(k =>
+      (0 until Dim).map(i => rpSign(k, i).toLong)))
+    val pCol = transform(signs, srow =>
+      aggregate(zip_with(col("q"), srow, (x, sg) => x * sg),
+        lit(0L), (acc, x) => acc + x))
     val base = Tables.embeddings(s, d)
       .select(col("vec_id"), qCol.as("q"),
         toDouble(col("embedding")).as("fv"))
-      .select(col("vec_id"), col("fv"),
-        array((0 until RpDims).map(k => proj(k)): _*).as("p"))
+      .select(col("vec_id"), col("fv"), pCol.as("p"))
     def pdot(a: Column, b: Column): Column =
       (0 until RpDims).map(k =>
         element_at(a, k + 1) * element_at(b, k + 1)).reduce(_ + _)
