@@ -121,4 +121,35 @@ object Tables {
   val Money: DecimalType = DecimalType(18, 2)
   def money(c: Column): Column = c.cast(Money)
   def asDouble(c: Column): Column = c.cast("double")
+
+  /** Exact decimal Σ with a LONG hot loop — value-identical to
+    * `asDouble(sum(e))` over an exact-decimal `e`, without decimal
+    * arithmetic in the aggregate's accumulate/merge path.
+    *
+    * Why: this rig has a documented per-JVM straggler mode
+    * (docs/SCALE.md round-10) where ONE whole-stage-codegen'd
+    * decimal-sum task runs `Decimal.toPrecision` frames at
+    * interpreter speed for minutes. Quantizing to scaled longs once
+    * per ROW (scan/project stage), summing plain longs, and
+    * converting back per GROUP removes that substrate from every hot
+    * loop; it is also simply faster (a long add vs a checked decimal
+    * add per row) and maps to the same partial+final HashAggregate.
+    *
+    * Exactness: `e·10^digits` is integral (digits ≥ scale of e), the
+    * long sum is exact, and the final decimal division is exact at
+    * the result scale — so the double conversion is the same single
+    * correctly-rounded step the decimal sum produced.
+    * Value bound: |Σ e| < 2^63 / 10^digits — at digits=4 that is
+    * 9.2e14 in money units per group, ~1e10 max-priced lineitem rows
+    * per group (sf ≈ 1500, beyond the 100 TB target); the sf1 soak
+    * is the standing overflow gate for this class. */
+  def sumExactAsDouble(e: Column, digits: Int): Column = {
+    val f = math.pow(10, digits).toLong
+    (F.sum((e * f).cast("long")).cast(DecimalType(38, 0)) / f)
+      .cast("double")
+  }
+
+  /** [[sumExactAsDouble]] for a money column: the drop-in for the
+    * catalog-wide `asDouble(sum(money(c)))` pattern. */
+  def sumMoneyAsDouble(c: Column): Column = sumExactAsDouble(money(c), 2)
 }

@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.{ArtifactCaches, PlanUtil, Q, Tables}
 import graft.PlanUtil.TimedCheckpoint
-import graft.Tables.{asDouble, money}
+import graft.Tables.{asDouble, money, sumExactAsDouble, sumMoneyAsDouble}
 import graft.plans.SchemaFlattener
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -71,7 +71,7 @@ object Pipeline {
       .groupBy(col("o_custkey").as("c_custkey"))
       .agg(
         count(lit(1)).as("n_orders"),
-        asDouble(sum(money(col("o_totalprice")))).as("sum_spend"),
+        sumMoneyAsDouble(col("o_totalprice")).as("sum_spend"),
         max(col("o_orderdate")).as("last_order"),
         array_sort(collect_set(col("o_orderpriority"))).as("priorities"))
     Tables.customer(s, d)

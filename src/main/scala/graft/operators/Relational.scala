@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{Q, Tables}
-import graft.Tables.{asDouble, money}
+import graft.Tables.{asDouble, money, sumExactAsDouble, sumMoneyAsDouble}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -77,10 +77,10 @@ object Relational {
     Tables.lineitem(s, d)
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
-        asDouble(sum(money(col("l_quantity")))).as("sum_qty"),
-        asDouble(sum(money(col("l_extendedprice")))).as("sum_base_price"),
-        asDouble(sum(money(col("l_extendedprice")) * disc1)).as("sum_disc_price"),
-        (asDouble(sum(money(col("l_quantity")))) / count(lit(1))).as("avg_qty"),
+        sumMoneyAsDouble(col("l_quantity")).as("sum_qty"),
+        sumMoneyAsDouble(col("l_extendedprice")).as("sum_base_price"),
+        sumExactAsDouble(money(col("l_extendedprice")) * disc1, 4).as("sum_disc_price"),
+        (sumMoneyAsDouble(col("l_quantity")) / count(lit(1))).as("avg_qty"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
   }
@@ -114,7 +114,7 @@ object Relational {
   ) { (s, d) =>
     Tables.lineitem(s, d)
       .rollup("l_returnflag", "l_linestatus")
-      .agg(asDouble(sum(money(col("l_quantity")))).as("sum_qty"),
+      .agg(sumMoneyAsDouble(col("l_quantity")).as("sum_qty"),
            count(lit(1)).as("n"))
       .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
   }
@@ -173,7 +173,7 @@ object Relational {
       .join(o, c("c_custkey") === o("o_custkey"))
       .join(l, o("o_orderkey") === l("l_orderkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
-      .agg(asDouble(sum(money(col("l_extendedprice")) * disc1)).as("revenue"))
+      .agg(sumExactAsDouble(money(col("l_extendedprice")) * disc1, 4).as("revenue"))
       .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
       .orderBy(desc("revenue"), asc("l_orderkey"))
       .limit(20)
@@ -242,7 +242,7 @@ object Relational {
         col("l_suppkey") === col("s_suppkey") &&
           col("c_nationkey") === col("s_nationkey"))
       .groupBy(col("n_name"))
-      .agg(asDouble(sum(money(col("l_extendedprice")) * disc1))
+      .agg(sumExactAsDouble(money(col("l_extendedprice")) * disc1, 4)
              .as("revenue"),
            count(lit(1)).as("n_items"))
       .orderBy(desc("revenue"), asc("n_name"))
@@ -626,7 +626,7 @@ object Relational {
     Tables.orders(s, d)
       .cube("o_orderstatus", "o_orderpriority")
       .agg(count(lit(1)).as("n"),
-           asDouble(sum(money(col("o_totalprice")))).as("sum_price"))
+           sumMoneyAsDouble(col("o_totalprice")).as("sum_price"))
       .orderBy(asc_nulls_first("o_orderstatus"),
                asc_nulls_first("o_orderpriority"))
   }
@@ -658,7 +658,7 @@ object Relational {
       .agg(grouping(col("l_returnflag")).cast("int").as("g_flag"),
            grouping(col("l_linestatus")).cast("int").as("g_status"),
            count(lit(1)).as("n"),
-           asDouble(sum(money(col("l_quantity")))).as("sum_qty"))
+           sumMoneyAsDouble(col("l_quantity")).as("sum_qty"))
       .orderBy(col("g_flag"), col("g_status"),
                asc_nulls_first("l_returnflag"),
                asc_nulls_first("l_linestatus"))
@@ -769,7 +769,7 @@ object Relational {
     Tables.lineitem(s, d)
       .groupBy("l_linestatus")
       .pivot("l_returnflag", Seq("A", "N", "R"))
-      .agg(asDouble(sum(money(col("l_quantity")))))
+      .agg(sumMoneyAsDouble(col("l_quantity")))
       .withColumnsRenamed(Map("A" -> "qty_A", "N" -> "qty_N", "R" -> "qty_R"))
       .orderBy("l_linestatus")
   }
@@ -1737,7 +1737,7 @@ object Relational {
     SkewOps.saltedJoin(li, o, "jk", 8, col("l_linenumber"))
       .groupBy("o_orderpriority")
       .agg(count(lit(1)).as("n"),
-           asDouble(sum(money(col("l_extendedprice")))).as("revenue"))
+           sumMoneyAsDouble(col("l_extendedprice")).as("revenue"))
       .orderBy("o_orderpriority")
   }
 
@@ -1779,7 +1779,7 @@ object Relational {
         col("l_linenumber"))
       .groupBy((col("jk") % 8).as("bucket"))
       .agg(count(lit(1)).as("n"),
-           asDouble(sum(money(col("l_extendedprice")))).as("revenue"))
+           sumMoneyAsDouble(col("l_extendedprice")).as("revenue"))
       .orderBy("bucket")
   }
 
@@ -1827,7 +1827,7 @@ object Relational {
       .join(dim, col("o_custkey") === col("c_custkey"), "left_semi")
       .groupBy("o_orderpriority")
       .agg(count(lit(1)).as("n_orders"),
-           asDouble(sum(money(col("o_totalprice")))).as("revenue"))
+           sumMoneyAsDouble(col("o_totalprice")).as("revenue"))
       .orderBy("o_orderpriority")
   }.copy(eager = true) // bitmap build runs dim count + aggregate jobs
 
@@ -1967,8 +1967,8 @@ object Relational {
     val agg = Tables.lineitem(s, d)
       .join(sup, col("l_suppkey") === col("s_suppkey"))
       .groupBy("n_name", "s_suppkey")
-      .agg(asDouble(sum(money(col("l_extendedprice")))).as("cost"),
-           asDouble(sum(money(col("l_quantity")))).as("qty"))
+      .agg(sumMoneyAsDouble(col("l_extendedprice")).as("cost"),
+           sumMoneyAsDouble(col("l_quantity")).as("qty"))
     // (1) same-cost dominance: max qty within each (nation, cost)
     val gq = max(col("qty")).over(Window.partitionBy("n_name", "cost"))
     // (2) strictly-cheaper dominance: running max over DISTINCT costs
@@ -2065,9 +2065,12 @@ object Relational {
     // standing state and delta state aggregated SEPARATELY (in
     // production the standing side is a stored table, not a scan), then
     // merged state-to-state
+    // the mergeable money state rides LONG cents end to end (the
+    // Tables.sumExactAsDouble discipline, state-to-state mergeable)
     def state(df: DataFrame, isDelta: Boolean) = df
       .groupBy("event_type")
-      .agg(count(lit(1)).as("n"), sum(money(col("value"))).as("sv"),
+      .agg(count(lit(1)).as("n"),
+           sum((money(col("value")) * 100).cast("long")).as("sv"),
            max(col("ts")).as("mx"))
       .withColumn("is_delta", lit(isDelta))
     state(ev.filter(col("ts") < cut), isDelta = false)
@@ -2076,7 +2079,9 @@ object Relational {
       .agg(sum(col("n")).as("n_events"),
         coalesce(sum(when(col("is_delta"), col("n"))), lit(0L))
           .as("n_from_delta"),
-        asDouble(sum(col("sv"))).as("sum_value"),
+        (sum(col("sv"))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0)) / 100)
+          .cast("double").as("sum_value"),
         max(col("mx")).as("last_ts"))
       .orderBy("event_type")
   }

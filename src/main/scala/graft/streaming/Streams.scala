@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.Tables.{asDouble, money}
+import graft.Tables.{asDouble, money, sumExactAsDouble, sumMoneyAsDouble}
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -306,7 +306,7 @@ object Streams {
   def tumbling(events: DataFrame): DataFrame =
     events
       .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
-      .agg(count(lit(1)).as("n"), asDouble(sum(money(col("value")))).as("sum_value"))
+      .agg(count(lit(1)).as("n"), sumMoneyAsDouble(col("value")).as("sum_value"))
       .select(col("window.start").as("window_start"), col("event_type"),
               col("n"), col("sum_value"))
 
@@ -1446,7 +1446,7 @@ object Streams {
     events
       .groupBy(session_window(col("ts"), "5 minutes"), col("user_id"))
       .agg(count(lit(1)).as("n_events"),
-           asDouble(sum(money(col("value")))).as("sum_value"))
+           sumMoneyAsDouble(col("value")).as("sum_value"))
       .select(col("session_window.start").as("session_start"),
               col("session_window.end").as("session_end"),
               col("user_id"), col("n_events"), col("sum_value"))
