@@ -18,9 +18,12 @@ import org.apache.spark.sql.functions._
   * encoder ([[encodeWavPcm16]]) so round trips cross implementations.
   * MP3 metadata is REAL: [[Mp3]] is an independent ISO 11172-3
   * frame-header walker (sync scan, frame-length stepping, bitrate/
-  * padding census) — a header parser, not a PCM decoder. Full
-  * PCM decode for compressed codecs (mp3 audio data, aac/mp4) needs
-  * codec libraries NOT in this container, so those fall back to
+  * padding census) — a header parser, not a PCM decoder. MP4/ISO-BMFF
+  * structure is REAL: [[Mp4]] is an independent ISO 14496-12 box
+  * walker (size/largesize stepping, container recursion, mvhd
+  * timescale/duration). Full PCM decode of compressed-codec PAYLOADS
+  * (mp3 audio data, aac samples inside mp4) needs codec libraries NOT
+  * in this container, so only that payload step falls back to
   * `decodeStub`, a clearly-marked deterministic fake that parses our
   * own 8-byte header; everything around it — schema, encoders, batch
   * shape, partition distribution — is real and tested (MediaSpec).
@@ -129,8 +132,10 @@ object Media {
     * implementations). Walks fmt/data chunks with word alignment,
     * little-endian throughout per RIFF. None for non-WAV blobs,
     * non-PCM encodings, or non-16-bit depth — mp3 metadata routes to
-    * the real [[Mp3]] header walker; only aac/mp4 still fall to
-    * [[decodeStub]], the documented fake for codec-library formats. */
+    * the real [[Mp3]] header walker and mp4 structure to the real
+    * [[Mp4]] box walker; [[decodeStub]] remains only for the PCM/pixel
+    * PAYLOAD of compressed codecs (the part that genuinely needs a
+    * codec library), never for container/header metadata. */
   def decodeWav(content: Array[Byte]): Option[WavPcm] = {
     if (!isWavContainer(content)) return None
     def u16(i: Int): Int = (content(i) & 0xFF) | ((content(i + 1) & 0xFF) << 8)
@@ -224,6 +229,12 @@ object Media {
                          Mp3.census(r.content).map(c =>
                            MediaMeta("audio", 0, 0, c.sampleRateHz,
                              c.nFrames))
+                       else None)
+                       .orElse(if (Mp4.isMp4(r.content))
+                         Mp4.census(r.content).map(c =>
+                           MediaMeta("video", 0, 0,
+                             math.min(c.timescale, Int.MaxValue).toInt,
+                             c.nBoxes))
                        else None)
                        .getOrElse(decodeStub(r.kind, r.content))))
       }

@@ -1241,6 +1241,107 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** Deterministic ISO-BMFF (mp4) stream synthesis from document
+    * bytes — ftyp + moov(mvhd + n traks(tkhd)) + free + mdat, with the
+    * mvhd version, trak count, mdat largesize use, and every declared
+    * duration/timescale derived from the byte count. The synthesis
+    * arithmetic is the oracle's prediction surface; the walker
+    * ([[graft.multimodal.Mp4]]) re-derives every census column from
+    * the emitted box tree alone. */
+  private[graft] def synthMp4(bytes: Array[Byte]): Array[Byte] = {
+    val nb = bytes.length
+    val ts = 1000L * (1 + nb % 4)
+    val dur = 512L + (nb.toLong * 7) % 4096
+    val nt = 1 + nb % 3
+    val mp = 8 + nb % 50
+    val lg = nb % 5 == 0
+    val fl = nb % 9
+    val mv1 = nb % 2 == 1
+    val out = new java.io.ByteArrayOutputStream()
+    def u32(v: Long): Unit = {
+      out.write(((v >> 24) & 0xFF).toInt); out.write(((v >> 16) & 0xFF).toInt)
+      out.write(((v >> 8) & 0xFF).toInt); out.write((v & 0xFF).toInt)
+    }
+    def u64(v: Long): Unit = { u32(v >>> 32); u32(v & 0xFFFFFFFFL) }
+    def tag(s: String): Unit = { var i = 0; while (i < 4) { out.write(s.charAt(i).toInt); i += 1 } }
+    def zeros(n: Int): Unit = { var i = 0; while (i < n) { out.write(0); i += 1 } }
+    u32(16); tag("ftyp"); tag("isom"); u32(nb % 100)
+    val mvhdSize = if (mv1) 120 else 108
+    u32(8 + mvhdSize + nt * 100); tag("moov")
+    u32(mvhdSize); tag("mvhd")
+    if (mv1) { out.write(1); zeros(3); u64(0); u64(0); u32(ts); u64(dur) }
+    else { zeros(4); u32(0); u32(0); u32(ts); u32(dur) }
+    zeros(80) // rate, volume, reserved, matrix, pre_defined, next_track_ID
+    var t = 0
+    while (t < nt) {
+      u32(100); tag("trak"); u32(92); tag("tkhd"); zeros(84); t += 1
+    }
+    u32(8L + fl); tag("free")
+    var j = 0
+    while (j < fl) { out.write(bytes(j % nb) & 0x7F); j += 1 }
+    if (lg) { u32(1); tag("mdat"); u64(16L + mp) }
+    else { u32(8L + mp); tag("mdat") }
+    j = 0
+    while (j < mp) { out.write(bytes((j * 3 + 1) % nb) & 0x7F); j += 1 }
+    out.toByteArray
+  }
+
+  /** MP4 BOX-STRUCTURE CENSUS — retires the aac/mp4 `decodeStub`
+    * scope, the LAST declared codec fallback: each document's bytes
+    * become a synthesized ISO-BMFF box tree ([[synthMp4]]) and the
+    * distributed pass walks it back through the independent
+    * [[graft.multimodal.Mp4]] structure parser (ISO/IEC 14496-12 §4.2
+    * size/largesize stepping, container recursion, §8.2.2 mvhd v0/v1).
+    * The DuckDB oracle predicts every census column — box/track
+    * counts, tree depth, timescale/duration (+ integer-floor ms),
+    * media-vs-free byte split, largesize use, total size — from the
+    * byte count with the same integer arithmetic (the multimodal_jpeg
+    * /mp3 discipline: builder and walker are independent code paths).
+    *
+    * Plan: one narrow batched mapPartitions — blobs never shuffle,
+    * only the 12-column census leaves the task. */
+  val multimodalMp4: Q = Q(
+    "multimodal_mp4",
+    """WITH d AS (SELECT doc_id, octet_length(encode(text)) AS nb
+      |  FROM documents WHERE octet_length(encode(text)) > 0),
+      |p AS (SELECT doc_id, nb,
+      |    1000 * (1 + nb % 4) AS ts, 512 + (nb * 7) % 4096 AS dur,
+      |    1 + nb % 3 AS nt, 8 + nb % 50 AS mp, (nb % 5 = 0) AS lg,
+      |    nb % 9 AS fl, (nb % 2 = 1) AS mv1 FROM d)
+      |SELECT doc_id, CAST(5 + 2 * nt AS INT) AS n_boxes,
+      |  CAST(4 AS INT) AS n_top, CAST(3 AS INT) AS max_depth,
+      |  CAST(nt AS INT) AS n_traks, CAST(ts AS BIGINT) AS timescale,
+      |  CAST(dur AS BIGINT) AS duration,
+      |  CAST(dur * 1000 // ts AS BIGINT) AS duration_ms,
+      |  CAST(mp AS BIGINT) AS mdat_bytes, CAST(fl AS BIGINT) AS free_bytes,
+      |  lg AS uses_largesize,
+      |  CAST(16 + 8 + (CASE WHEN mv1 THEN 120 ELSE 108 END) + nt * 100
+      |       + 8 + fl + (CASE WHEN lg THEN 16 ELSE 8 END) + mp
+      |       AS BIGINT) AS total_bytes
+      |FROM p ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    import graft.multimodal.Mp4
+    Tables.documents(s, d)
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, text) =>
+          val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val c = Mp4.census(synthMp4(bytes)).getOrElse(
+            sys.error(s"mp4 census rejected the box tree for doc $id"))
+          (id, c.nBoxes, c.nTop, c.maxDepth, c.nTraks, c.timescale,
+            c.duration, c.durationMs, c.mdatBytes, c.freeBytes,
+            c.usesLargesize, c.totalBytes)
+        }
+      }
+      .toDF("doc_id", "n_boxes", "n_top", "max_depth", "n_traks",
+        "timescale", "duration", "duration_ms", "mdat_bytes",
+        "free_bytes", "uses_largesize", "total_bytes")
+      .orderBy("doc_id")
+  }
+
   private val mp3KbpsValues = graft.multimodal.Mp3.KbpsByIndex.zipWithIndex
     .collect { case (k, i) if i >= 1 => s"($i, $k)" }.mkString(", ")
 
@@ -1321,5 +1422,5 @@ object Multimodal {
     multimodalDhashDedup, multimodalThumbnail, multimodalByteEntropy,
     multimodalWhash, multimodalWavPitch, multimodalTileVariance,
     multimodalWavSnr, multimodalLetterbox, multimodalWavClipping,
-    multimodalJpeg, multimodalMp3)
+    multimodalJpeg, multimodalMp3, multimodalMp4)
 }
