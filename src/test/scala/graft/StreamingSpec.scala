@@ -1784,6 +1784,46 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("MP4 box census on a stream: per-doc censuses bit-equal batch") {
+    // the container path is a pure function of the row (synthesize the
+    // ISO-BMFF tree, walk it back through the independent Mp4 box
+    // walker) — the same stateless map on a stream must emit identical
+    // rows across a micro-batch split. Uses the box/trak/duration
+    // census shape of multimodal_mp4.
+    import graft.operators.Multimodal
+    import graft.multimodal.Mp4
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def census(text: String): (Int, Int, Long, Long) = {
+      val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val c = Mp4.census(Multimodal.synthMp4(bytes)).get
+      (c.nBoxes, c.nTraks, c.durationMs, c.totalBytes)
+    }
+    val docs = Tables.documents(spark, sf0001)
+      .filter(length(col("text")) > 0).limit(60)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().toSeq
+    val batch = docs.map { case (id, t) => id -> census(t) }.toMap
+    val mem = MemoryStream[(Long, String)]
+    val name = s"mp4_${System.nanoTime()}"
+    val q = mem.toDS()
+      .map { case (id, t) =>
+        val (nb, nt, ms, tb) = census(t); (id, nb, nt, ms, tb) }
+      .toDF("doc_id", "n_boxes", "n_traks", "duration_ms", "total_bytes")
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      val (h1, h2) = docs.splitAt(30)
+      mem.addData(h1); q.processAllAvailable()
+      mem.addData(h2); q.processAllAvailable()
+      val got = spark.table(name).collect()
+        .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2),
+          r.getLong(3), r.getLong(4)))).toMap
+      assert(got === batch, "stream box censuses must equal batch")
+    } finally q.stop()
+  }
+
   test("geo grid census on a stream equals the batch density query") {
     // the serving path of geo_grid_density: the cell assignment is a
     // stateless integer column; streamed per-cell counts (update-mode
