@@ -48,7 +48,7 @@ object Jpeg {
   // ---- Huffman table: canonical per T.81 C.2 ----------------------
   /** (code lengths histogram BITS[1..16], values HUFFVAL) expanded to
     * flat lookup arrays via the spec's GenerateCodeTable (C.2). */
-  private final class Huff(bits: Array[Int], vals: Array[Byte]) {
+  private[multimodal] final class Huff(bits: Array[Int], vals: Array[Byte]) {
     // mincode/maxcode/valptr per code length, T.81 F.2.2.3 figure F.15
     val minCode = new Array[Int](17)
     val maxCode = new Array[Int](17)
@@ -73,7 +73,7 @@ object Jpeg {
 
   /** Entropy-coded-segment bit reader with byte-stuffing removal
     * (0xFF00 → 0xFF) and marker detection, per F.1.2.3. */
-  private final class BitReader(buf: Array[Byte], var pos: Int) {
+  private[multimodal] final class BitReader(buf: Array[Byte], var pos: Int) {
     private var bitBuf = 0
     private var bitCnt = 0
     var hitMarker = false
@@ -131,7 +131,7 @@ object Jpeg {
     }
   }
 
-  private val ZigZag: Array[Int] = Array(
+  private[multimodal] val ZigZag: Array[Int] = Array(
     0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
     12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
     35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
@@ -145,7 +145,7 @@ object Jpeg {
     * one final round; against the JDK's own reader this sits well
     * inside the T.81 Annex A per-sample conformance window (JpegSpec
     * asserts ≤1). */
-  private def idct8x8(coef: Array[Int], out: Array[Int]): Unit = {
+  private[multimodal] def idct8x8(coef: Array[Int], out: Array[Int]): Unit = {
     var dcOnly = true
     var i = 1
     while (i < 64 && dcOnly) { if (coef(i) != 0) dcOnly = false; i += 1 }

@@ -1072,6 +1072,20 @@ object Multimodal {
     * [[graft.multimodal.Jpeg]] scaladoc), which is what makes a REAL
     * JPEG round trip SQL-oracle-able. */
   private[graft] def synthJpeg(bytes: Array[Byte]): (Int, Int, Array[Byte]) = {
+    val (bw, bh, img) = buildUniformGray(bytes)
+    (bw, bh, jdkEncodeJpeg(img, progressive = false))
+  }
+
+  /** Same synthesized image, JDK-encoded as a PROGRESSIVE JPEG
+    * (`MODE_DEFAULT` — libjpeg's standard 6-scan gray script with
+    * spectral selection and successive approximation). */
+  private[graft] def synthJpegProg(bytes: Array[Byte]): (Int, Int, Array[Byte]) = {
+    val (bw, bh, img) = buildUniformGray(bytes)
+    (bw, bh, jdkEncodeJpeg(img, progressive = true))
+  }
+
+  private def buildUniformGray(bytes: Array[Byte])
+      : (Int, Int, java.awt.image.BufferedImage) = {
     val bw = 4 + (bytes.length % 5)
     val bh = 4 + (bytes.length % 3)
     val img = new java.awt.image.BufferedImage(
@@ -1095,16 +1109,23 @@ object Multimodal {
       }
       by += 1
     }
+    (bw, bh, img)
+  }
+
+  private def jdkEncodeJpeg(img: java.awt.image.BufferedImage,
+                            progressive: Boolean): Array[Byte] = {
     val w = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
     val p = w.getDefaultWriteParam
     p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
     p.setCompressionQuality(0.5f)
+    if (progressive)
+      p.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
     val bos = new java.io.ByteArrayOutputStream()
     val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
     w.setOutput(ios)
     w.write(null, new javax.imageio.IIOImage(img, null, null), p)
     ios.close(); w.dispose()
-    (bw, bh, bos.toByteArray)
+    bos.toByteArray
   }
 
   /** REAL JPEG round trip, value-checked end to end — the last codec
@@ -1342,6 +1363,104 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** PROGRESSIVE JPEG round trip — the last documented image-codec
+    * cut, closed: the same constant-8×8-block gray image as
+    * [[multimodalJpeg]] is JDK-encoded as a PROGRESSIVE stream
+    * (libjpeg's 6-scan gray script: spectral selection + successive
+    * approximation in both DC and AC, EOB runs) and decoded back
+    * through the hand-written Annex G decoder
+    * ([[graft.multimodal.JpegProgressive]]). Because successive
+    * approximation is lossless once all scans complete, the decoded
+    * pixels must be BIT-IDENTICAL to the baseline path's — the row
+    * REQUIREs it against a per-row baseline encode+decode
+    * (`bit_equal`), and the exact-tier oracle predicts the decoded
+    * levels with the same integer arithmetic as `multimodal_jpeg`.
+    * `n_scans` locks the encoder's scan script the way `dc_q` locks
+    * its quant table: a JDK behavior change fails loudly.
+    *
+    * Plan: one narrow batched mapPartitions — blobs never shuffle,
+    * only the 8-column census leaves the task. */
+  val multimodalJpegProg: Q = Q(
+    "multimodal_jpeg_prog",
+    s"""WITH d AS (SELECT doc_id, hex(encode(text)) AS hx,
+       |    octet_length(encode(text)) AS nb
+       |  FROM documents WHERE octet_length(encode(text)) > 0),
+       |dim AS (SELECT doc_id, hx, nb,
+       |    4 + nb % 5 AS bw, 4 + nb % 3 AS bh FROM d),
+       |blk AS (SELECT doc_id, bw, bh, bs.i AS i,
+       |    CAST('0x' || substr(hx, 2 * (bs.i % nb) + 1, 2) AS INT) AS v
+       |  FROM dim JOIN range(0, 48) bs(i) ON bs.i < bw * bh),
+       |lvl AS (SELECT doc_id, bw, bh, i,
+       |    CASE WHEN v >= 128 THEN
+       |      LEAST((((8 * (v - 128) + $JpegDcQ // 2) // $JpegDcQ
+       |              * $JpegDcQ + 4) // 8) + 128, 255)
+       |    ELSE
+       |      GREATEST(128 - (((8 * (128 - v) + $JpegDcQ // 2)
+       |                       // $JpegDcQ * $JpegDcQ + 3) // 8), 0)
+       |    END AS lvl
+       |  FROM blk)
+       |SELECT doc_id, CAST(8 * bw AS INT) AS w, CAST(8 * bh AS INT) AS h,
+       |  CAST(bw * bh AS BIGINT) AS n_blocks,
+       |  CAST($JpegDcQ AS INT) AS dc_q,
+       |  CAST(6 AS INT) AS n_scans,
+       |  true AS bit_equal,
+       |  CAST(sum(lvl) AS BIGINT) AS sum_level
+       |FROM lvl GROUP BY 1, 2, 3, 4
+       |ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    import graft.multimodal.{Jpeg, JpegProgressive}
+    Tables.documents(s, d)
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, text) =>
+          val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val (bw, bh, prog) = synthJpegProg(bytes)
+          require(JpegProgressive.isProgressive(prog),
+            s"JDK writer stopped emitting SOF2 for doc $id")
+          val dec = JpegProgressive.decode(prog).getOrElse(
+            sys.error(s"progressive decode failed for doc $id"))
+          require(dec.dcQuant == JpegDcQ && dec.nComp == 1 &&
+            dec.width == bw * 8 && dec.height == bh * 8,
+            s"JDK encoder drifted: Q=${dec.dcQuant} dims=" +
+              s"${dec.width}x${dec.height} for doc $id")
+          // scan-script lock: count SOS markers (byte stuffing
+          // guarantees FF DA never occurs inside entropy data)
+          var nScans = 0
+          var p = 0
+          while (p + 1 < prog.length) {
+            if ((prog(p) & 0xFF) == 0xFF &&
+                (prog(p + 1) & 0xFF) == 0xDA) nScans += 1
+            p += 1
+          }
+          // the successive-approximation chain is lossless once all
+          // scans land: progressive pixels ≡ baseline pixels, bit-equal
+          val base = Jpeg.decode(synthJpeg(bytes)._3).getOrElse(
+            sys.error(s"baseline decode failed for doc $id"))
+          val bitEqual = java.util.Arrays.equals(dec.pixels, base.pixels)
+          require(bitEqual, s"progressive != baseline pixels for doc $id")
+          var sumLevel = 0L
+          var by = 0
+          while (by < bh) {
+            var bx = 0
+            while (bx < bw) {
+              sumLevel +=
+                (dec.pixels((by * 8) * dec.width + bx * 8) & 0xFF).toLong
+              bx += 1
+            }
+            by += 1
+          }
+          (id, bw * 8, bh * 8, (bw * bh).toLong, JpegDcQ, nScans,
+            bitEqual, sumLevel)
+        }
+      }
+      .toDF("doc_id", "w", "h", "n_blocks", "dc_q", "n_scans",
+        "bit_equal", "sum_level")
+      .orderBy("doc_id")
+  }
+
   private val mp3KbpsValues = graft.multimodal.Mp3.KbpsByIndex.zipWithIndex
     .collect { case (k, i) if i >= 1 => s"($i, $k)" }.mkString(", ")
 
@@ -1422,5 +1541,5 @@ object Multimodal {
     multimodalDhashDedup, multimodalThumbnail, multimodalByteEntropy,
     multimodalWhash, multimodalWavPitch, multimodalTileVariance,
     multimodalWavSnr, multimodalLetterbox, multimodalWavClipping,
-    multimodalJpeg, multimodalMp3, multimodalMp4)
+    multimodalJpeg, multimodalJpegProg, multimodalMp3, multimodalMp4)
 }
