@@ -1435,6 +1435,94 @@ object Pipeline {
     }
   }.copy(eager = true)
 
+  private val footerTables: Seq[(String, String)] = Seq(
+    "customer" -> "c_custkey", "documents" -> "doc_id",
+    "lineitem" -> "l_orderkey", "nation" -> "n_nationkey",
+    "orders" -> "o_orderkey", "part" -> "p_partkey",
+    "region" -> "r_regionkey", "supplier" -> "s_suppkey")
+
+  /** PARQUET FOOTER CENSUS via the HAND-WRITTEN Thrift compact-protocol
+    * parser ([[graft.sources.ParquetFooter]]) — the metadata-only half
+    * of scan planning, cross-checked against the data it summarizes:
+    * for each fixture table the executors read ONLY the footer bytes
+    * (O(footer), never a data page), hand-parse FileMetaData (schema
+    * width from the root's num_children, per-row-group rows, the key
+    * column's chunk statistics: null_count + min/max), and merge across
+    * files/row groups. The DuckDB oracle recomputes every census column
+    * from the DATA — count(*), DESCRIBE width, min/max/null-count of
+    * the key — so a pass proves the hand-parsed statistics agree with
+    * the ground truth a pruning planner implicitly trusts. A per-file
+    * `require` additionally pins FileMetaData.num_rows ≡ Σ row-group
+    * rows (the footer_rows_match claim of [[storePruningStats]], here
+    * re-proven by an independent parser; parquet-mr and DuckDB's scan
+    * are the cross-implementations).
+    *
+    * Plan: the file listing parallelizes over executors; per file the
+    * work is two seeks + a few-KB parse, so the query costs O(files),
+    * not O(bytes) — exactly the planner's scaling at 100 TB. */
+  val storeFooterCensus: Q = Q(
+    "store_footer_census",
+    footerTables.map { case (t, k) =>
+      s"""SELECT '$t' AS tbl, CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST((SELECT count(*) FROM (DESCRIBE SELECT * FROM $t))
+         |       AS INT) AS n_cols,
+         |  CAST(min($k) AS BIGINT) AS key_min,
+         |  CAST(max($k) AS BIGINT) AS key_max,
+         |  CAST(count(*) - count($k) AS BIGINT) AS key_nulls
+         |FROM $t""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY tbl")
+  ) { (s, d) =>
+    import s.implicits._
+    import graft.sources.ParquetFooter
+    val files: Seq[(String, String, String)] = footerTables.flatMap {
+      case (t, k) =>
+        val f = new java.io.File(d, s"$t.parquet")
+        val parts =
+          if (f.isDirectory)
+            f.listFiles().filter(_.getName.endsWith(".parquet"))
+              .map(_.getAbsolutePath).sorted.toSeq
+          else Seq(f.getAbsolutePath)
+        parts.map(p => (t, k, p))
+    }
+    s.createDataset(files)
+      .repartition(math.min(files.size, 32))
+      .mapPartitions { it =>
+        it.map { case (t, k, p) =>
+          val fm = ParquetFooter.parseFile(p).getOrElse(
+            sys.error(s"unparseable parquet footer: $p"))
+          var rows = 0L; var nulls = 0L
+          var mn = Long.MaxValue; var mx = Long.MinValue
+          fm.rowGroups.foreach { rg =>
+            rows += rg.numRows
+            val c = rg.columns.find(_.pathInSchema == k).getOrElse(
+              sys.error(s"no column chunk for $k in $p"))
+            val nc = c.nullCount.getOrElse(
+              sys.error(s"writer omitted null_count for $k in $p"))
+            nulls += nc
+            if (rg.numRows > nc) { // all-null groups carry no min/max
+              val lo = c.minValue
+                .flatMap(b => ParquetFooter.statLong(b, c.physicalType))
+                .getOrElse(sys.error(s"no decodable min for $k in $p"))
+              val hi = c.maxValue
+                .flatMap(b => ParquetFooter.statLong(b, c.physicalType))
+                .getOrElse(sys.error(s"no decodable max for $k in $p"))
+              if (lo < mn) mn = lo
+              if (hi > mx) mx = hi
+            }
+          }
+          require(rows == fm.numRows,
+            s"footer num_rows=${fm.numRows} != sum of row groups $rows in $p")
+          (t, rows, fm.rootFieldCount, mn, mx, nulls)
+        }
+      }
+      .toDF("tbl", "rows", "cols", "mn", "mx", "nulls")
+      .groupBy("tbl")
+      .agg(sum("rows").as("n_rows"), max("cols").as("n_cols"),
+        min("mn").as("key_min"), max("mx").as("key_max"),
+        sum("nulls").as("key_nulls"))
+      .orderBy("tbl")
+  }
+
   /** FRESHNESS / SLA-LAG census per event stream — the fourth data-quality
     * pillar next to rules ([[dqChecks]]), distribution ([[dqSkew]],
     * [[dqDriftKs]]) and row-level integrity ([[dqReferential]]): per
@@ -2468,6 +2556,7 @@ object Pipeline {
     dqSkew, dqDriftKs, dqFreshness, graphPagerank, graphHits, graphLabelProp,
     graphKcore, graphShortestPath, dqReferential, dqUniqueness,
     graphJaccard, graphJaccardHot, graphDegreeDist, storePruningStats,
+    storeFooterCensus,
     graphModularity,
     dqDriftPsi, dqProfileDrift, dqDriftTtest, dqBenford, dqReconciliation,
     dqDoubleCharge, dqKAnonymity, dqSequenceGaps, graphSampleNeighbors,
