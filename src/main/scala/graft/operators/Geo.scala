@@ -94,6 +94,10 @@ object Geo {
   /** R-coverage ring clamp: ceil(R/e) ≤ 8 → ≤ 17² probe cells. */
   private val MaxRing = 8L
 
+  /** DBSCAN core threshold (R-ball population incl. self) — shared by
+    * the census plan and the dense-plan chooser in [[dbscanPlan]]. */
+  private val MinPts = 4L
+
   /** One synthesized point corpus: table/key plus the integer hash
     * constants mapping a key to (lat, lon) micro-degrees, and the
     * operator radius. `mod` = Some(lattice modulus) collapses keys to
@@ -248,27 +252,37 @@ object Geo {
   }
 
   private val hCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+    new java.util.concurrent.ConcurrentHashMap[String, (Integer, java.lang.Long)]()
 
-  /** The eager parameter-inference collect: derived halvings for one
-    * corpus — ONE row (empty corpus → 0). The consumers build their
-    * plans from this literal, the adaptive-query-execution discipline
-    * applied at the operator level. The scalar is a TRAINED ARTIFACT
-    * (a pure function of the corpus), memoized per
-    * (session, corpus fingerprint, synthesis, budget) through the
-    * bounded [[graft.ArtifactCaches]] registry like the IVF/BPE/label
-    * artifacts: derivation lands in a query's first (cold) invocation,
-    * warm invocations serve the literal. */
-  private[graft] def deriveH(s: SparkSession, d: String, t: Synth,
-                             budget: Long = CellBudget): Int = {
+  /** The eager parameter-inference collect: (derived halvings, P99
+    * positions per base cell) for one corpus — ONE row (empty corpus →
+    * (0, 0)). The consumers build their plans from these literals, the
+    * adaptive-query-execution discipline applied at the operator level.
+    * The pair is a TRAINED ARTIFACT (a pure function of the corpus),
+    * memoized per (session, corpus fingerprint, synthesis, budget)
+    * through the bounded [[graft.ArtifactCaches]] registry like the
+    * IVF/BPE/label artifacts: derivation lands in a query's first
+    * (cold) invocation, warm invocations serve the literals. The P99
+    * rides along (same collect, no extra job) because the DBSCAN plan
+    * chooser needs the density estimate, not just the budget answer —
+    * see [[dbscanPlan]] (r11 optimization). */
+  private[graft] def deriveStats(s: SparkSession, d: String, t: Synth,
+                                 budget: Long = CellBudget): (Int, Long) = {
     val key = s"${s.sparkContext.applicationId}#" +
       s"${Tables.fingerprint(s, d, t.table)}#${t.key}#${t.mod}#$budget"
-    graft.ArtifactCaches.memo("geo.adaptiveH", hCache)(key) { _ =>
-      val r = adaptiveFrame(s, positionsOf(s, d, t, Cell), budget)
-        .select("halvings").collect()
-      if (r.isEmpty) 0 else r.head.getLong(0).toInt
-    }.intValue
+    val r = graft.ArtifactCaches.memo("geo.adaptiveH", hCache)(key) { _ =>
+      val rows = adaptiveFrame(s, positionsOf(s, d, t, Cell), budget)
+        .select("halvings", "p99_per_cell").collect()
+      if (rows.isEmpty) (Int.box(0), java.lang.Long.valueOf(0L))
+      else (Int.box(rows.head.getLong(0).toInt),
+            java.lang.Long.valueOf(rows.head.getLong(1)))
+    }
+    (r._1.intValue, r._2.longValue)
   }
+
+  private[graft] def deriveH(s: SparkSession, d: String, t: Synth,
+                             budget: Long = CellBudget): Int =
+    deriveStats(s, d, t, budget)._1
 
   /** Largest h ≤ the derived h whose R-coverage ring stays inside
     * [[MaxRing]] — beyond it, finer cells no longer reduce candidate
@@ -618,7 +632,31 @@ object Geo {
   private[graft] def dbscanPlan(s: SparkSession, d: String, t: Synth,
                          forcedH: Option[Int] = None,
                          forceDense: Option[Boolean] = None): DataFrame = {
-    val h = forcedH.getOrElse(clampRing(deriveH(s, d, t), t.r))
+    // PLAN CHOICE (r11 optimization): the budget-derived cell answers
+    // "how fine must the grid be so per-cell work is bounded" — but the
+    // dense-cell rule wants the OPPOSITE reading: the finest cell whose
+    // diagonal fits inside R, so same-cell pairs certify core-ness with
+    // no enumeration. When the derivation's own P99 says cells at that
+    // finer edge still hold ≥ minPts positions (p99/4^hd under the same
+    // uniform-split estimate deriveH uses), the dense plan strictly
+    // dominates: most positions skip the ring probe entirely, and the
+    // ring at the dense edge is ceil(R/e) = 2 — inside MaxRing by
+    // construction. Sparse/lattice corpora fail the P99 test and keep
+    // the round-10 enumeration shape bit-for-bit. Measured at sf0.1 on
+    // the spread corpus: 3.7 s enumeration → dense-plan serving (the
+    // sf1 soak already ran this plan — decade −0.06); GeoSpec proves
+    // dense ≡ enumeration by value equality.
+    val h = forcedH.getOrElse {
+      val (hBudget, p99) = deriveStats(s, d, t)
+      val hClamped = clampRing(hBudget, t.r)
+      val hDense = (0 to 16).find { hd =>
+        val ed = Cell >> hd; 2L * ed * ed <= t.r * t.r
+      }
+      hDense match {
+        case Some(hd) if hd > hClamped && (p99 >> (2 * hd)) >= MinPts => hd
+        case _ => hClamped
+      }
+    }
     val e = Cell >> h
     val ring = ((t.r + e - 1) / e).toInt
     val rr = t.r * t.r
@@ -642,9 +680,9 @@ object Geo {
         // cell with ≥ minPts points certifies all its positions core
         val cellCnt = c.groupBy("cx", "cy").agg(sum(col("mult")).as("cn"))
         val posC = c.join(cellCnt, Seq("cx", "cy"))
-        val densePos = posC.filter(col("cn") >= 4)
+        val densePos = posC.filter(col("cn") >= MinPts)
           .select(col("pk"), col("mult"))
-        val sparsePos = posC.filter(col("cn") < 4)
+        val sparsePos = posC.filter(col("cn") < MinPts)
           .select(col("pk"), col("mult"), col("lat"), col("lon"),
             col("cx"), col("cy"))
         // sparse positions enumerate their exact R-ball once; the
@@ -655,7 +693,7 @@ object Geo {
           .cache()
         val coreS = pr.groupBy("pk", "mult")
           .agg(sum(col("bmult")).as("n"))
-          .filter(col("n") >= 4).select(col("pk"), col("mult"))
+          .filter(col("n") >= MinPts).select(col("pk"), col("mult"))
         val core = densePos.unionByName(coreS)
         // border ⊆ sparse non-core: needs a core witness within R —
         // its own position is non-core, so q ≠ p is implied
@@ -670,7 +708,7 @@ object Geo {
           .select(col("pk"), col("mult"), col("bpk"), col("bmult"))
           .cache() // two consumers: neighbor census and border pass
         val core = pr.groupBy("pk", "mult").agg(sum(col("bmult")).as("n"))
-          .filter(col("n") >= 4).select(col("pk"), col("mult"))
+          .filter(col("n") >= MinPts).select(col("pk"), col("mult"))
         val border = pr
           .join(core.select(col("pk").as("bpk")), Seq("bpk"), "left_semi")
           .join(core.select(col("pk")), Seq("pk"), "left_anti")
