@@ -1200,28 +1200,45 @@ object Pipeline {
     * the degree), re-melted, per-part posting lists capped at `cap`,
     * pairs streamed by the native OrderedPairs generator, one pair
     * aggregate. `pExpr` maps the raw part key (identity for
-    * [[graphJaccard]], hub-collapsing for [[graphJaccardHot]]). */
+    * [[graphJaccard]], hub-collapsing for [[graphJaccardHot]]).
+    *
+    * Degrees are joined AFTER the pair aggregate (r11 optimization —
+    * the oracle's own shape): the round-10 plan carried (dg_a, dg_b)
+    * through the posting lists and the pair stream "to avoid
+    * post-joins", but the degree is a function of the supplier id, so
+    * riding it through the two heaviest exchanges (the posting lists
+    * and the ~9M-row generated pair stream, guide §2.3 "project before
+    * the exchange") paid 2 extra longs per row on every shuffled byte
+    * to save two broadcast joins of a |suppliers|-row frame at the very
+    * end. The degree frame reuses the supplier-keyed aggregate's
+    * exchange (same subtree → ReusedExchange, and the post-aggregation
+    * count is exchange-free because the child is already partitioned by
+    * s), so the lineitem scan still happens once. */
   private[graft] def jaccardTop30(s: SparkSession, d: String,
                                   pExpr: org.apache.spark.sql.Column,
                                   cap: Int): DataFrame = {
-    val adj = Tables.lineitem(s, d)
+    val sets = Tables.lineitem(s, d)
       .groupBy(col("l_suppkey").as("s"))
       .agg(collect_set(pExpr).as("parts"))
-      .select(col("s"), size(col("parts")).as("dg"),
-        explode(col("parts")).as("p"))
+    val adj = sets.select(col("s"), explode(col("parts")).as("p"))
+    val deg = sets.select(col("s"), size(col("parts")).as("dg"))
     val posting = adj
       .groupBy("p")
-      .agg(array_sort(collect_list(struct(col("s"), col("dg")))).as("sups"))
+      .agg(array_sort(collect_list(struct(col("s")))).as("sups"))
       .filter(size(col("sups")).between(2, cap))
     val pairGen = {
       import org.apache.spark.sql.graft.Bridge
       Bridge.column(graft.functions.expressions.OrderedPairs(
         Bridge.expression(col("sups"))))
     }
-    posting.select(pairGen.as(Seq("s_a", "da", "s_b", "db")))
-      .groupBy("s_a", "s_b", "da", "db")
+    posting.select(pairGen.as(Seq("s_a", "s_b")))
+      .groupBy("s_a", "s_b")
       .agg(count(lit(1)).as("inter"))
       .filter(col("inter") >= 2)
+      .join(broadcast(deg.select(col("s").as("s_a"), col("dg").as("da"))),
+        Seq("s_a"))
+      .join(broadcast(deg.select(col("s").as("s_b"), col("dg").as("db"))),
+        Seq("s_b"))
       .select(col("s_a"), col("s_b"), col("inter"),
         (col("inter").cast("double") /
           (col("da") + col("db") - col("inter"))).as("jaccard"))
