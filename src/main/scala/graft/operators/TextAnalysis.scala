@@ -1359,35 +1359,46 @@ object TextAnalysis {
       |SELECT src_a, src_b, CAST(sum(term) AS BIGINT) AS js_nano
       |FROM u GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   ) { (s, d) =>
+    // r11 optimization — the round-10 plan built the co-occurring terms
+    // by a token-keyed SELF-JOIN of the (source, token) frame and the
+    // single-source terms by a |sources|-way cross explode ANTI-JOINED
+    // back against it (≈(S−1)·|vocab| probe rows). Both joins exist only
+    // to line up per-source counts of the SAME token — which one pivot
+    // does outright: per token, a source→count map (|sources| is the
+    // tiny dimension), crossed with the broadcast (src_a, src_b, na, nb)
+    // pair frame, and EVERY term class — both-present, only-a, only-b —
+    // falls out of one map-side CASE. The pair aggregate then compresses
+    // to |sources|² rows in the partial stage (guide §2.3 "aggregate
+    // before you shuffle"). The term expressions mirror the round-10
+    // columns literally, so every emitted nano value is bit-identical.
     val c = Tables.documents(s, d)
       .select(col("source"), explode(split(col("text"), " ")).as("token"))
       .groupBy("source", "token").agg(count(lit(1)).as("c"))
-      .cache() // three consumers below (pagerank shared-frame posture)
+      .cache() // two consumers: per-source totals, per-token pivot
     val n = c.groupBy("source").agg(sum(col("c")).as("n"))
-    val cn = c.join(broadcast(n), Seq("source"))
-      .select(col("source"), col("token"),
-        (col("c").cast("double") / col("n")).as("p"))
-    val a = cn.select(col("source").as("src_a"), col("token"),
-      col("p").as("pa"))
-    val b = cn.select(col("source").as("src_b"), col("token"),
-      col("p").as("pb"))
-    val both = a.join(b,
-      a("token") === b("token") && col("src_a") < col("src_b"))
-    val tBoth = both.select(col("src_a"), col("src_b"),
-      floor(lit(1000000000d) * lit(0.5) * (
-          col("pa") * (log(lit(2) * col("pa")) - log(col("pa") + col("pb")))
-        + col("pb") * (log(lit(2) * col("pb")) - log(col("pa") + col("pb"))))
-        / log(lit(2.0))).cast("long").as("term"))
-    val sources = c.select(col("source").as("src_b")).distinct()
-    val onlyA = a.crossJoin(broadcast(sources))
-      .filter(col("src_b") =!= col("src_a"))
-      .join(cn.select(col("source").as("src_b"), col("token")),
-        Seq("src_b", "token"), "left_anti")
-      .select(least(col("src_a"), col("src_b")).as("src_a"),
-        greatest(col("src_a"), col("src_b")).as("src_b"),
-        floor(lit(1000000000d) * lit(0.5) * col("pa")).cast("long")
-          .as("term"))
-    tBoth.unionByName(onlyA)
+    val pairs = n.select(col("source").as("src_a"), col("n").as("na"))
+      .crossJoin(n.select(col("source").as("src_b"), col("n").as("nb")))
+      .filter(col("src_a") < col("src_b"))
+    val tokMap = c.groupBy("token")
+      .agg(map_from_entries(collect_list(struct(col("source"), col("c"))))
+        .as("m"))
+    val pa = col("ca").cast("double") / col("na")
+    val pb = col("cb").cast("double") / col("nb")
+    tokMap.crossJoin(broadcast(pairs))
+      .select(col("src_a"), col("src_b"),
+        try_element_at(col("m"), col("src_a")).as("ca"),
+        try_element_at(col("m"), col("src_b")).as("cb"),
+        col("na"), col("nb"))
+      .filter(col("ca").isNotNull || col("cb").isNotNull)
+      .select(col("src_a"), col("src_b"),
+        when(col("ca").isNotNull && col("cb").isNotNull,
+          floor(lit(1000000000d) * lit(0.5) * (
+              pa * (log(lit(2) * pa) - log(pa + pb))
+            + pb * (log(lit(2) * pb) - log(pa + pb)))
+            / log(lit(2.0))).cast("long"))
+        .otherwise(floor(lit(1000000000d) * lit(0.5) *
+          when(col("ca").isNotNull, pa).otherwise(pb)).cast("long"))
+        .as("term"))
       .groupBy("src_a", "src_b").agg(sum(col("term")).cast("long")
         .as("js_nano"))
       .orderBy("src_a", "src_b")
