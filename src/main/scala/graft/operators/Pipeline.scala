@@ -1084,19 +1084,28 @@ object Pipeline {
     // under one shuffle), and the parent side is the per-edge distinct
     // PKs unioned with their edge label — the join runs once at key
     // cardinality for all seven edges together.
+    // r11 opt (guide §2.3/§2.4): edge IDs (4-byte int) ride the two big
+    // exchanges instead of label strings, and the parent side melts to
+    // ONE (eid, pk) distinct instead of seven per-parent distinct chains
+    // (same key volume, one exchange + one AQE barrier instead of
+    // seven); labels attach on the 7-row tail.
+    val eid = FkEdges.map(_._1).zipWithIndex.toMap
     val ck = FkEdges.groupBy(_._2).toSeq.map { case (child, edges) =>
       Tables.table(s, d, child).select(
         explode(array(edges.map { case (label, _, fk, _, _) =>
-          struct(lit(label).as("edge"), col(fk).cast("long").as("fk"))
+          struct(lit(eid(label)).as("edge"), col(fk).cast("long").as("fk"))
         }: _*)).as("e"))
         .select(col("e.edge").as("edge"), col("e.fk").as("fk"))
     }.reduce(_.unionAll(_))
       .groupBy("edge", "fk").agg(count(lit(1)).as("c"))
     val pks = FkEdges.map { case (label, _, _, parent, pk) =>
       Tables.table(s, d, parent)
-        .select(col(pk).cast("long").as("pk")).distinct()
-        .select(lit(label).as("pedge"), col("pk"))
-    }.reduce(_.unionAll(_))
+        .select(lit(eid(label)).as("pedge"), col(pk).cast("long").as("pk"))
+    }.reduce(_.unionAll(_)).distinct()
+    val label = FkEdges.map(_._1)
+      .foldLeft(lit(null).cast("string")) { case (acc, l) =>
+        when(col("edge") === eid(l), lit(l)).otherwise(acc)
+      }
     ck.join(pks, col("edge") === col("pedge") && col("fk") === col("pk"),
             "left")
       .groupBy("edge")
@@ -1107,6 +1116,8 @@ object Pipeline {
           col("c"))), lit(0L)).as("n_orphan_rows"),
         count(when(col("fk").isNotNull && col("pk").isNull, lit(1)))
           .as("n_orphan_keys"))
+      .select(label.as("edge"), col("n_rows"), col("n_null_rows"),
+        col("n_orphan_rows"), col("n_orphan_keys"))
       .orderBy("edge")
   }
 
@@ -1156,19 +1167,37 @@ object Pipeline {
          |      GROUP BY ${cols.mkString(", ")}) g""".stripMargin
     }.mkString("", "\nUNION ALL\n", "\nORDER BY key_name")
   ) { (s, d) =>
-    UniqKeys.map { case (label, table, cols) =>
-      val t = if (table == "events") Tables.events(s, d)
-              else Tables.table(s, d, table)
-      t.groupBy(cols.map(col): _*)
-        .agg(count(lit(1)).as("c"))
-        .agg(sum(col("c")).as("n_rows"),
-             count(lit(1)).as("n_keys"),
-             coalesce(sum(when(col("c") > 1, col("c"))), lit(0L))
-               .as("n_dup_rows"),
-             max(col("c")).as("max_multiplicity"))
-        .select(lit(label).as("key_name"), col("n_rows"), col("n_keys"),
-                col("n_dup_rows"), col("max_multiplicity"))
-    }.reduce(_.unionAll(_)).orderBy("key_name")
+    // r11 opt (guide §2.4): one melted key-count exchange for all ten
+    // tables instead of ten per-table aggregate chains (each chain was
+    // its own exchange + single-row fold + AQE materialization barrier;
+    // the union'd melt carries the same key-count volume through ONE
+    // partial+final aggregate). Keys are all integral in this schema —
+    // cast to LONG is injective, so (kid, k1, k2) grouping is exactly
+    // the per-table key grouping; the 4-byte kid replaces the label
+    // string in the exchange, labels attach on the 10-row tail.
+    val melted = UniqKeys.zipWithIndex.map {
+      case ((_, table, cols), kid) =>
+        val t = if (table == "events") Tables.events(s, d)
+                else Tables.table(s, d, table)
+        val k2 = if (cols.size > 1) col(cols(1)).cast("long")
+                 else lit(null).cast("long")
+        t.select(lit(kid).as("kid"), col(cols.head).cast("long").as("k1"),
+                 k2.as("k2"))
+    }.reduce(_.unionAll(_))
+    val label = UniqKeys.map(_._1).zipWithIndex
+      .foldLeft(lit(null).cast("string")) { case (acc, (l, kid)) =>
+        when(col("kid") === kid, lit(l)).otherwise(acc)
+      }
+    melted.groupBy("kid", "k1", "k2").agg(count(lit(1)).as("c"))
+      .groupBy("kid")
+      .agg(sum(col("c")).as("n_rows"),
+           count(lit(1)).as("n_keys"),
+           coalesce(sum(when(col("c") > 1, col("c"))), lit(0L))
+             .as("n_dup_rows"),
+           max(col("c")).as("max_multiplicity"))
+      .select(label.as("key_name"), col("n_rows"), col("n_keys"),
+              col("n_dup_rows"), col("max_multiplicity"))
+      .orderBy("key_name")
   }
 
   /** NODE SIMILARITY via neighbor-set Jaccard (the link-prediction /

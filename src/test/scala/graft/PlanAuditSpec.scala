@@ -558,9 +558,13 @@ class PlanAuditSpec extends SparkSpec {
 
   test("dq_referential joins key-count frames, not raw child rows") {
     val p = plan(Pipeline.dqReferential)
-    // each of the 7 edges: child keys aggregate (partial+final) BEFORE
-    // the parent join, so HashAggregates outnumber joins
-    assert("HashAggregate".r.findAllIn(p).size >= 14, p.take(800))
+    // r11 melt: ONE (edge, fk) key-count aggregate for all 7 edges and
+    // ONE (edge, pk) distinct for all 7 parents feed the join — child
+    // keys still aggregate (partial+final) BEFORE the parent join, and
+    // the exchange count is edge-count-independent
+    assert("HashAggregate".r.findAllIn(p).size >= 4, p.take(800))
+    assert("Exchange hashpartitioning\\(edge".r.findAllIn(p).size <= 2,
+      s"the melted child side must ride one (edge, fk) exchange:\n${p.take(800)}")
     assert(!p.contains("CartesianProduct"))
   }
 
