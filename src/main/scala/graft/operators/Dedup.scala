@@ -1583,11 +1583,21 @@ object Dedup {
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
-    val h = truth
-      .join(cand.withColumn("is_cand", lit(1)), Seq("doc_a", "doc_b"), "left")
-      .agg(count(lit(1)).as("n_truth"), count(col("is_cand")).as("n_hit"))
-    val nc = cand.agg(count(lit(1)).as("n_cand"))
-    h.crossJoin(broadcast(nc))
+    // r11 opt: ONE full-outer pass folds n_truth / n_cand / n_hit
+    // together — the old (truth LEFT JOIN cand) + separate cand count
+    // evaluated the whole signature->band-join->dedup candidate subtree
+    // TWICE (no ReusedExchange across the two consumers; 10 parquet
+    // scans in the before plan). Both sides are distinct pair sets, so
+    // every row of each side appears exactly once in the full outer and
+    // the three counts are unchanged.
+    val h = truth.withColumn("is_truth", lit(1))
+      .join(cand.withColumn("is_cand", lit(1)), Seq("doc_a", "doc_b"),
+        "full_outer")
+      .agg(count(col("is_truth")).as("n_truth"),
+        count(col("is_cand")).as("n_cand"),
+        count(when(col("is_truth").isNotNull && col("is_cand").isNotNull,
+          lit(1))).as("n_hit"))
+    h
       .select(col("n_truth"), col("n_cand"), col("n_hit"),
         (col("n_hit").cast("double") / col("n_truth")).as("recall"),
         (col("n_hit").cast("double") / col("n_cand")).as("cand_precision"))
