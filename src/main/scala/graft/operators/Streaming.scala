@@ -1302,13 +1302,19 @@ object Streaming {
                                lit(-1).as("d")))
     val wDay = Window.partitionBy("di").orderBy("ms")
       .rowsBetween(Long.MinValue, 0)
-    val conc = delta.groupBy("di", "ms").agg(sum(col("d")).as("dd"))
+    // r11 opt: n_sessions(di) = #sd rows = #(+1 deltas) per day, so it
+    // rides the SAME (di, ms) aggregate and day partition as the sweep
+    // (one more window sum over the existing exchange+sort) — the old
+    // separate sd.groupBy + join re-ran the whole sessionization chain
+    // (events window sort included) a second time.
+    val conc = delta.groupBy("di", "ms").agg(sum(col("d")).as("dd"),
+        sum(when(col("d") === 1, 1L).otherwise(0L)).as("dp"))
       .withColumn("c", sum(col("dd")).over(wDay))
+      .withColumn("n_sessions", sum(col("dp")).over(Window.partitionBy("di")))
       .withColumn("rn", row_number().over(
         Window.partitionBy("di").orderBy(desc("c"), asc("ms"))))
       .filter(col("rn") === 1)
-    val ns = sd.groupBy("di").agg(count(lit(1)).as("n_sessions"))
-    conc.join(ns, Seq("di"))
+    conc
       .select(date_add(lit("1970-01-01").cast("date"), col("di").cast("int"))
           .as("day"),
         col("n_sessions"), col("c").as("peak_concurrency"),
