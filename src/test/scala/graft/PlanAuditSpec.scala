@@ -14,6 +14,12 @@ class PlanAuditSpec extends SparkSpec {
     // inspection: eager queries run Spark jobs at plan-build time and
     // must not be audited through this plan-only helper
     assert(!q.eager, s"${q.name} is eager — audit it with an explicit run")
+    // plan locks must not depend on suite ORDER: a cache() left behind
+    // by another suite in the shared test JVM substitutes an
+    // InMemoryRelation into the audited plan and shifts its exchange
+    // counts (seen: StreamingSpec before this suite grew ab_sequential
+    // 3 → 4 exchanges). Audit the uncached plan.
+    spark.catalog.clearCache()
     q.fn(spark, sf0001).queryExecution.executedPlan.toString
   }
 
