@@ -115,9 +115,15 @@ object Bench {
     val errJson = BenchHarness.errorsJson(errors)
     val heap = BenchHarness.heapMaxMb
     val passesJson = passMeta.result().mkString("[", ",", "]")
+    // Echo the EFFECTIVE core count into the artifact: round 11's driver
+    // flagged `suspect_cpus_ignored` because nothing in the JSON proved
+    // `$SPARK_GRAFT_CPUS` reached the master string — `cpus` is the env
+    // value, `parallelism` is what the scheduler actually runs with.
+    val cpuEcho =
+      s""""cpus":$cpus,"parallelism":${spark.sparkContext.defaultParallelism},"""
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},""" +
-      s""""total_cold":$totalCold,"errors":$errJson,"heap_max_mb":$heap,""" +
+      s""""total_cold":$totalCold,$cpuEcho"errors":$errJson,"heap_max_mb":$heap,""" +
       s""""passes":$passesJson,""" +
       s""""queries":${jmap(results)},""" +
       s""""checkpoint_sec":${jmap(cpSec)},""" +
@@ -133,12 +139,27 @@ object Bench {
     // queries, and a pointer to the file — sized so a bounded tail always
     // ends with one complete JSON object the driver can parse.
     println(full)
-    val top10 = results.toSeq.sortBy(-_._2).take(10).toMap
+    // Short-line contents (round-11 PERF post-mortem): top-10 starved the
+    // driver's round-over-round comparison to a 4-query intersection and
+    // made 6 faster-than-top-10 queries look "dropped". Now: the 25 most
+    // expensive queries (ms-rounded — full precision stays in the full
+    // line and bench_out.json) plus per-module warm subtotals, so the
+    // bounded tail still ends in one complete-and-parseable JSON object
+    // (~2.5 KB) while carrying enough intersection to compare rounds.
+    def ms(v: Double): Double = math.round(v * 1000.0) / 1000.0
+    val top25 = results.toSeq.sortBy(-_._2).take(25).map {
+      case (k, v) => k -> ms(v) }.toMap
+    val byQuery = SparkEntry.moduleCatalog.flatMap { case (m, qs2) =>
+      qs2.map(q => q.name -> m) }.toMap
+    val moduleTotals = results.toSeq
+      .groupMapReduce { case (n, _) => byQuery.getOrElse(n, "other") }(_._2)(_ + _)
+      .map { case (m, v) => m -> ms(v) }
     val short =
       s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},""" +
-      s""""total_cold":$totalCold,"errors":$errJson,"heap_max_mb":$heap,""" +
+      s""""total_cold":$totalCold,$cpuEcho"errors":$errJson,"heap_max_mb":$heap,""" +
       s""""passes":$passesJson,""" +
-      s""""queries":${jmap(top10)},""" +
+      s""""queries":${jmap(top25)},""" +
+      s""""modules":${jmap(moduleTotals)},""" +
       s""""detail":"$outFile","sf":"$sfDir"}"""
     println(short)
     spark.stop()

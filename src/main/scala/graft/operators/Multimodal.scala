@@ -36,7 +36,7 @@ object Multimodal {
       sha2(bin, 256).as("digest"),
       nFrames.as("n_frames"),
       floor((nFrames + 3) / 4).cast("long").as("n_sampled")
-    ).orderBy("doc_id")
+    )
   }
 
   /** Feature extraction through the REAL typed media path: the batched
@@ -78,7 +78,6 @@ object Multimodal {
         col("mean").as("mean_byte"),
         size(filter(col("histogram"), _ > 0)).as("n_distinct"),
         array_max(col("histogram")).as("top_byte_n"))
-      .orderBy("media_id")
   }
 
   /** PERCEPTUAL IMAGE HASHING through the REAL codec path, value-checked
@@ -181,7 +180,6 @@ object Multimodal {
           shiftrightunsigned(col("dhash"), 16 * k)
             .bitwiseAND(lit(0xFFFFL)).cast("int")): _*))
           .as(Seq("band", "mask")))
-      .orderBy("doc_id", "band")
   }
 
   /** Audio ingestion through the REAL WAV codec path, value-checked END
@@ -245,7 +243,6 @@ object Multimodal {
       }
       .toDF("doc_id", "sample_rate", "n_samples", "duration_us",
         "sum_abs", "peak", "psum")
-      .orderBy("doc_id")
   }
 
   /** FRAME-LEVEL audio features through the real codec path — the
@@ -274,7 +271,7 @@ object Multimodal {
       |  CAST(sum(abs(smp)) AS BIGINT) AS sum_abs,
       |  CAST(max(abs(smp)) AS INT) AS peak
       |FROM v GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
-  ) { (s, d) => wavFrameStats(s, d).orderBy("doc_id", "frame_no") }
+  ) { (s, d) => wavFrameStats(s, d) }
 
   /** Shared decode→frame pipeline for [[multimodalWavFrames]] and
     * [[multimodalWavVad]]: synth WAV per doc through the REAL codec
@@ -375,7 +372,6 @@ object Multimodal {
       .select(col("doc_id"), col("seg").cast("int").as("seg_no"),
         col("start_frame"), col("end_frame"), col("n_active_frames"),
         col("energy"))
-      .orderBy("doc_id", "seg_no")
   }
 
   /** IMAGE NEAR-DUP detection — the [[graft.operators.Dedup.dedupSimhash]]
@@ -534,7 +530,6 @@ object Multimodal {
         col("h2").cast("int").as("h2"), col("checksum"),
         col("first_px").cast("int").as("first_px"),
         col("last_px").cast("int").as("last_px"))
-      .orderBy("doc_id")
   }
 
   /** BYTE-ENTROPY CENSUS over media blobs — the compressibility gate a
@@ -598,7 +593,6 @@ object Multimodal {
     Media.byteEntropy(rows).toDF()
       .select(col("media_id"), col("n_bytes"), col("entropy_micro_bits"))
       .withColumn("high_entropy", col("entropy_micro_bits") > 7500000L)
-      .orderBy("media_id")
   }
 
   /** WALSH-HADAMARD PERCEPTUAL HASH — the frequency-domain (pHash-class)
@@ -668,7 +662,6 @@ object Multimodal {
         }
       }
       .toDF("doc_id", "dc", "whash")
-      .orderBy("doc_id")
   }
 
   /** AUTOCORRELATION PITCH per audio frame — the F0 detector that
@@ -746,7 +739,6 @@ object Multimodal {
         }
       }
       .toDF("doc_id", "frame_no", "pitch_lag", "r_at_lag")
-      .orderBy("doc_id", "frame_no")
   }
 
   /** TILE-VARIANCE blank-image gate — the vision-set data-quality check
@@ -806,7 +798,6 @@ object Multimodal {
         }
       }
       .toDF("doc_id", "flat_tiles", "min_tile_var_milli", "blank")
-      .orderBy("doc_id")
   }
 
   /** Dynamic-range / activity census per clip — the one-row-per-asset
@@ -865,7 +856,6 @@ object Multimodal {
           .as("dyn_ratio_ppm"),
         col("n_active"),
         expr("(1000000 * n_active) div n_frames").as("active_ppm"))
-      .orderBy("doc_id")
   }
 
   /** Synth gray BMP with PLANTED letterbox/pillarbox bars: same w/h and
@@ -978,7 +968,6 @@ object Multimodal {
           .cast("long").as("content_ppm"),
         (col("top_rows") + col("bottom_rows") + col("left_cols") +
           col("right_cols") > 0).as("cropped"))
-      .orderBy("doc_id")
   }
 
   /** CLIPPING CENSUS per audio clip — the gain-staging QA gate an audio
@@ -1055,7 +1044,6 @@ object Multimodal {
       }
       .toDF("doc_id", "n_samples", "n_clipped", "clip_ppm", "n_runs",
         "max_run")
-      .orderBy("doc_id")
   }
 
   /** DC quantization value the JDK JPEG writer uses at compression
@@ -1220,7 +1208,6 @@ object Multimodal {
       }
       .toDF("doc_id", "w", "h", "n_blocks", "uniform", "dc_q",
         "sum_level", "sum_pos_level")
-      .orderBy("doc_id")
   }
 
   /** Deterministic MP3 stream synthesis from document bytes — leading
@@ -1360,7 +1347,6 @@ object Multimodal {
       .toDF("doc_id", "n_boxes", "n_top", "max_depth", "n_traks",
         "timescale", "duration", "duration_ms", "mdat_bytes",
         "free_bytes", "uses_largesize", "total_bytes")
-      .orderBy("doc_id")
   }
 
   /** PROGRESSIVE JPEG round trip — the last documented image-codec
@@ -1458,7 +1444,6 @@ object Multimodal {
       }
       .toDF("doc_id", "w", "h", "n_blocks", "dc_q", "n_scans",
         "bit_equal", "sum_level")
-      .orderBy("doc_id")
   }
 
   private val mp3KbpsValues = graft.multimodal.Mp3.KbpsByIndex.zipWithIndex
@@ -1533,7 +1518,6 @@ object Multimodal {
       .toDF("doc_id", "n_frames", "sample_rate", "min_kbps", "max_kbps",
         "n_bitrates", "is_cbr", "n_padded", "audio_bytes", "junk_bytes",
         "samples")
-      .orderBy("doc_id")
   }
 
   val all: Seq[Q] = Seq(multimodalMeta, multimodalFeatures, multimodalDhash,

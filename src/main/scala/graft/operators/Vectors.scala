@@ -207,21 +207,32 @@ object Vectors {
     // is the explicit override, and the oracle re-renders post-run from
     // the width actually used
     val bands = Dedup.cosLshBands(e, Dedup.cosLshPpt(s, d))
-    // each unordered pair joins and pays its cosine ONCE (a < b, as in
+    // each unordered pair pays its cosine ONCE (a < b, as in
     // dedupCosineLsh), then both directed edges emit from a one-pass
     // explode — bit-exact vs the oracle's <> join because cosine is
     // symmetric at the bit level (per-term products and the norm product
-    // commute). Halves the join output and the map-side cosine work
-    // relative to joining with =!= directly.
-    val cand = bands.as("a").join(bands.as("b"),
-        col("a.tbl") === col("b.tbl") && col("a.sig") === col("b.sig") &&
-        col("a.vec_id") < col("b.vec_id"))
+    // commute). r12: candidates come from the same (tbl, sig)-bucketed
+    // collect_list + OrderedPairs shape as dedupCosineLsh (bands
+    // computed and shuffled once, no self-join sort; array_sort keeps
+    // the a < b orientation and operand order, cosines bit-identical).
+    val buckets = bands
+      .groupBy("tbl", "sig")
+      .agg(array_sort(collect_list(
+        struct(col("vec_id"), col("v"), col("nrm")))).as("docs"))
+      .filter(size(col("docs")) >= 2)
+    val pairGen = {
+      import org.apache.spark.sql.graft.Bridge
+      Bridge.column(graft.functions.expressions.OrderedPairs(
+        Bridge.expression(col("docs"))))
+    }
+    val cand = buckets
+      .select(pairGen.as(Seq("va", "v_a", "na", "vb", "v_b", "nb")))
       // cosine BEFORE the pair dedup, as in dedupCosineLsh: multi-table
       // re-collisions re-verify map-side, the exchange carries only
       // (id, id, cosine)
-      .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
-              (dotNative(col("a.v"), col("b.v")) /
-                (col("a.nrm") * col("b.nrm"))).as("c"))
+      .select(col("va"), col("vb"),
+              (dotNative(col("v_a"), col("v_b")) /
+                (col("na") * col("nb"))).as("c"))
       .select(explode(array(
         struct(col("va").as("vec_id"), col("vb").as("nn_id"),
                col("c").as("cosine")),

@@ -34,7 +34,7 @@ class PlanAuditSpec extends SparkSpec {
           "graph_shortest_path", "graph_clustering_coeff", "dedup_cluster_incr",
           "vector_ivf_probe_sweep", "multimodal_dhash_dedup",
           "vector_mmr_rerank",
-          "graph_assortativity", "markov_stationary", "graph_hits",
+          "graph_assortativity", "dedup_threshold_sweep", "markov_stationary", "graph_hits",
           "graph_pagerank", "graph_label_prop", "graph_modularity",
           "graph_scc", "graph_betweenness", "graph_diameter",
           "graph_closeness", "vector_pca_power",

@@ -31,11 +31,34 @@ class TaskMetricsSpec extends SparkSpec {
     val e = Tables.embeddings(spark, sf0001)
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
     val bands = graft.operators.Dedup.cosLshBands(e)
-    def cand = bands.as("a").join(bands.as("b"),
-        col("a.tbl") === col("b.tbl") && col("a.sig") === col("b.sig") &&
-        col("a.vec_id") =!= col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("nn_id"),
-              cosine(col("a.v"), col("b.v")).as("cosine"))
+    // naive side uses the SAME r12 bucketed candidate generation as the
+    // real query (collect_list + OrderedPairs), so the comparison
+    // isolates exactly the design claim: fused window-dedup vs a
+    // separate (vec_id, nn_id)-keyed dedup exchange before the window.
+    def cand = {
+      val buckets = bands
+        .groupBy("tbl", "sig")
+        .agg(array_sort(collect_list(
+          struct(col("vec_id"), col("v"), col("nrm")))).as("docs"))
+        .filter(size(col("docs")) >= 2)
+      val pairGen = {
+        import org.apache.spark.sql.graft.Bridge
+        Bridge.column(graft.functions.expressions.OrderedPairs(
+          Bridge.expression(col("docs"))))
+      }
+      buckets
+        .select(pairGen.as(Seq("va", "v_a", "na", "vb", "v_b", "nb")))
+        .select(col("va"), col("vb"),
+                (dotNative(col("v_a"), col("v_b")) /
+                  (col("na") * col("nb"))).as("c"))
+        .select(explode(array(
+          struct(col("va").as("vec_id"), col("vb").as("nn_id"),
+                 col("c").as("cosine")),
+          struct(col("vb").as("vec_id"), col("va").as("nn_id"),
+                 col("c").as("cosine")))).as("p"))
+        .select(col("p.vec_id").as("vec_id"), col("p.nn_id").as("nn_id"),
+                col("p.cosine").as("cosine"))
+    }
     val w = Window.partitionBy("vec_id").orderBy(desc("cosine"), asc("nn_id"))
     val (_, fused) = TaskMetrics.measure(spark) {
       runNoop(graft.operators.Vectors.knnJoinLsh.fn(spark, sf0001))
