@@ -252,7 +252,6 @@ object Corpus {
           .as("n_chunk_tokens"),
         concat_ws(" ", slice(col("toks"), col("start") + 1, lit(ChunkSize)))
           .as("chunk_text"))
-      .orderBy("doc_id", "chunk_id")
   }
 
   /** The decontaminated corpus select — [[corpusSelect]]'s survivorship ×
@@ -398,7 +397,6 @@ object Corpus {
       .withColumn("shard", (col("hv") % 8).cast("int"))
       .withColumn("pos", row_number().over(w))
       .select(col("doc_id"), col("shard"), col("pos"))
-      .orderBy("shard", "pos")
   }
 
   /** The WHOLE last mile as one declarative query — the flagship
@@ -601,7 +599,6 @@ object Corpus {
     Seq("exact_dup", "near_dup", "low_quality", "retained").toDF("stage")
       .join(census, Seq("stage"), "left")
       .select(col("stage"), coalesce(col("n"), lit(0L)).as("n_docs"))
-      .orderBy("stage")
   }
 
   /** Train/test LEAKAGE audit — the evaluation-integrity census a
@@ -790,7 +787,6 @@ object Corpus {
            min(col("doc_id")).as("kept_id_min"),
            max(col("doc_id")).as("kept_id_max"),
            sum(col("n_chars")).as("kept_chars"))
-      .orderBy("lang")
   }
 
   /** TEMPERATURE-SCALED language mix — the multilingual sampling dial
@@ -976,7 +972,6 @@ object Corpus {
              .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
              .cast("string")
              .as("remainder_digest"))
-      .orderBy("shard")
   }
 
   /** Token-budget mixture planning with EPOCH CAPS — the arithmetic a
@@ -1109,7 +1104,6 @@ object Corpus {
       .select(col("doc_id"), col("source"),
         col("src_pos").cast("int").as("src_pos"),
         (col("before") + 1).cast("long").as("pos"))
-      .orderBy("doc_id")
   }
 
   /** EPOCH-SCHEDULE MATERIALIZATION — the step between

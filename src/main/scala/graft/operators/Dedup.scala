@@ -1308,7 +1308,6 @@ object Dedup {
           (col("n_a") + col("n_b") - col("n_common"))).as("jaccard"),
         agree.cast("int").as("sig_agree"),
         (agree.cast("double") / MinhashK).as("est_jaccard"))
-      .orderBy("source_a", "source_b")
   }
 
   /** Asymmetric CONTAINMENT dedup: C(A,B) = |A∩B| / min(|A|,|B|) ≥ 0.8 —
@@ -1451,7 +1450,6 @@ object Dedup {
     ec.join(dups.withColumn("dup", lit(true)), Seq("vec_id"), "left")
       .select(col("vec_id"), col("cell"),
               (!coalesce(col("dup"), lit(false))).as("keep"))
-      .orderBy("vec_id")
   }.copy(
     eager = true, // shares the trained-centroid cache with vector_ann_ivf
     oracleGen = Some(() =>
@@ -1568,7 +1566,6 @@ object Dedup {
       .select(col("cluster_id"), col("n_members"),
         col("doc_id").as("rep_doc"), col("n_tokens").as("rep_tokens"),
         (col("n_members") - 1).as("n_dropped"))
-      .orderBy("cluster_id")
   }.copy(eager = true) // composes dedup_cluster's convergence loop
 
   /** INDEX-QUALITY EVALUATION for the banding index — the
@@ -1798,7 +1795,6 @@ object Dedup {
         col("n_tokens_kept"),
         when(col("n_kept") > 0, md5(col("kept_text").cast("binary")))
           .as("kept_digest"))
-      .orderBy("doc_id")
   }
 
   /** Sorted-neighborhood near-dup join (SNM — the third classic blocking

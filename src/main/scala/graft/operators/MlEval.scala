@@ -331,7 +331,6 @@ object MlEval {
         col("dfall").cast("long").as("df_total"),
         col("chi2_milli").cast("long").as("chi2_milli"),
         col("rn").cast("long").as("rn"))
-      .orderBy("lang", "rn")
   }
 
   /** 5-FOLD CROSS-VALIDATION of the [[mlNaiveBayes]] classifier with all
@@ -810,7 +809,6 @@ object MlEval {
         col("dfall").cast("long").as("df_total"),
         col("mi_nano").cast("long").as("mi_nano"),
         col("rn").cast("long").as("rn"))
-      .orderBy("lang", "rn")
   }
 
   val all: Seq[Q] = Seq(mlNaiveBayes, mlStumpGini, mlChi2Feature,

@@ -165,7 +165,6 @@ object Pipeline {
            min(col("c_name")).as("description"),
            array_join(array_sort(collect_set(col("c_mktsegment"))), "|")
              .as("identifier_coding"))
-      .orderBy("project_id")
   }
 
   /** NDJSON ingest path in-plan — serialize each row to a JSON line, parse
@@ -357,7 +356,6 @@ object Pipeline {
         (col("ks_stat") > lit(1.358) *
           sqrt((col("n_a") + col("n_b")).cast("double") /
                (col("n_a").cast("double") * col("n_b")))).as("drift"))
-      .orderBy("event_type")
   }
 
   val dqDriftKs: Q = Q(
@@ -2283,7 +2281,6 @@ object Pipeline {
       .select(col("c").cast("long").as("src"),
         col("s").cast("long").as("dst"),
         col("rnk").cast("int").as("slot"))
-      .orderBy("src", "slot")
   }
 
   /** Sequence-gap completeness audit — the "did the ingest lose
@@ -2341,7 +2338,6 @@ object Pipeline {
         expr("(1000000 * (id_span - n_rows)) div id_span")
           .as("missing_ppm"),
         col("n_gap_runs"))
-      .orderBy("day")
   }
 
   /** DAILY-VOLUME ANOMALY control chart per event stream — the ops-grade
@@ -2406,7 +2402,6 @@ object Pipeline {
                 CAST(n * k - s AS DECIMAL(38,0)) * (n * k - s)
                   > 9 * CAST(k AS DECIMAL(38,0)) * s
                 ELSE false END""").as("anomaly"))
-      .orderBy("event_type", "day_index")
   }
 
   /** TABLE CONTENT CHECKSUM per source partition — the replication-diff
@@ -2594,7 +2589,6 @@ object Pipeline {
         expr("""(CAST(1000 AS DECIMAL(38,0)) * w1)
                div (CAST(n_a AS DECIMAL(38,0)) * n_b)""")
           .cast("long").as("emd_milli"))
-      .orderBy("event_type")
   }
 
   val all: Seq[Q] = Seq(simplifyFlatten, denormalizePatient, graphEdges,

@@ -461,7 +461,6 @@ object Relational {
       .filter(col("event_type") === "purchase")
       .select(col("event_id"), col("user_id"), col("ts").as("purchase_ts"),
               col("signup_ts"))
-      .orderBy("event_id")
   }
 
   /** As-of join WITH TOLERANCE (the pandas `merge_asof(tolerance=...)`
@@ -492,7 +491,6 @@ object Relational {
         when(unix_millis(col("purchase_ts")) - unix_millis(col("signup_ts"))
                <= TolMs,
              col("signup_ts")).as("signup_ts"))
-      .orderBy("event_id")
   }
 
   /** FORWARD as-of join (pandas `merge_asof(direction='forward')`) —
@@ -529,7 +527,6 @@ object Relational {
       .filter(col("event_type") === "purchase")
       .select(col("event_id"), col("user_id"), col("ts").as("purchase_ts"),
               col("signup_ts"))
-      .orderBy("event_id")
   }
 
   /** NEAREST as-of join (pandas `merge_asof(direction='nearest')`) —
@@ -588,7 +585,6 @@ object Relational {
                   <= unix_millis(col("fts")) - unix_millis(col("ts")),
                 col("bts"))
           .otherwise(col("fts")).as("signup_ts"))
-      .orderBy("event_id")
   }
 
   /** NULL-preserving generator (`explode_outer`): documents whose filter
@@ -613,7 +609,6 @@ object Relational {
       .select(col("doc_id"),
         explode_outer(filter(split(col("text"), " "),
                              x => length(x) >= 8)).as("token"))
-      .orderBy(col("doc_id"), col("token").asc_nulls_first)
   }
 
   /** CUBE grouping sets (all 4 combinations of the two keys). */
@@ -684,7 +679,6 @@ object Relational {
     o.as("o").join(l.as("l"), col("o.d") === col("l.d"), "full")
       .select(coalesce(col("o.d"), col("l.d")).as("day"),
               col("n_orders"), col("n_ship"))
-      .orderBy("day")
   }
 
   /** Map-typed column ops (SURVEY §2.9): JSON envelope → map<string,string>,
@@ -834,7 +828,6 @@ object Relational {
       .filter(col("rn") === 1)
       .select(col("o_orderstatus"), col("o_orderpriority").as("mode_priority"),
               col("c").as("n"))
-      .orderBy("o_orderstatus")
   }
 
   /** Numeric histogram: explicit floor bucketing (identical arithmetic in
@@ -868,7 +861,6 @@ object Relational {
       .groupBy("o_orderstatus")
       .agg(array_join(array_sort(collect_set(col("o_orderpriority"))), "|")
         .as("priorities"))
-      .orderBy("o_orderstatus")
   }
 
   /** Pearson correlation & covariance from EXACT decimal sums (same
@@ -913,7 +905,6 @@ object Relational {
       .filter(col("doc_id") < 50)
       .select(col("doc_id"),
               posexplode(split(col("text"), " ")).as(Seq("pos", "token")))
-      .orderBy("doc_id", "pos")
   }
 
   /** Exact continuous quantiles (median/p90) — Spark `percentile` and
@@ -934,7 +925,6 @@ object Relational {
         expr("percentile(l_quantity, 0.5)").as("median_qty"),
         expr("percentile(l_quantity, 0.9)").as("p90_qty"),
         expr("percentile(l_extendedprice, 0.5)").as("median_price"))
-      .orderBy("l_returnflag")
   }
 
   /** WEIGHTED MEDIAN per group (the warehouse "median price weighted by
@@ -978,7 +968,6 @@ object Relational {
       .groupBy("flag")
       .agg(max(col("total")).as("total_weight"),
            min(col("price")).as("weighted_median"))
-      .orderBy("flag")
   }
 
   /** The 100 TB quantile path named in [[aggQuantile]]: GK-sketch
@@ -1548,7 +1537,6 @@ object Relational {
         Window.partitionBy("o_orderstatus").orderBy(asc("hv"), asc("o_orderkey"))))
       .filter(col("rn") <= 20)
       .select("o_orderstatus", "o_orderkey", "o_totalprice")
-      .orderBy("o_orderstatus", "o_orderkey")
   }
 
   /** Poisson(1) bootstrap standard error — the ONLINE bootstrap (Oza &
@@ -1713,7 +1701,6 @@ object Relational {
       .select(col("o_orderstatus"),
         expr("stack(3, '1-URGENT', u, '3-MEDIUM', m, '5-LOW', l) " +
              "AS (priority, total)"))
-      .orderBy("o_orderstatus", "priority")
   }
 
   /** Salted fact-fact JOIN as a driver-visible query: lineitem joined to
@@ -1984,7 +1971,6 @@ object Relational {
       .filter(col("qty") === col("gq") &&
               (col("prevmax").isNull || col("qty") > col("prevmax")))
       .select(col("n_name"), col("s_suppkey"), col("cost"), col("qty"))
-      .orderBy("n_name", "s_suppkey")
   }
 
   /** Fuzzy join / entity resolution (SURVEY §2.3 extension): customer
@@ -2243,7 +2229,6 @@ object Relational {
             (col("n") + 1).cast(dec38) * col("sx").cast(dec38))
            .cast("double") /
           (col("n").cast("double") * col("sx"))).as("gini"))
-      .orderBy("priority")
   }
 
   /** MARKET-BASKET ASSOCIATION RULES — support / confidence / lift over
@@ -2557,7 +2542,6 @@ object Relational {
       .select(col("nationkey"), col("n_suppliers"), col("hhi_micro"),
         (col("hhi_micro") > 250000L).as("concentrated"),
         (col("hhi_micro") > 150000L).as("moderate"))
-      .orderBy("nationkey")
   }
 
   /** HEAVY-CHANGE DETECTION (the "deltoids" question — Cormode &

@@ -690,7 +690,6 @@ object Streaming {
       .filter(col("event_type") === "purchase" && col("click_ts").isNotNull)
       .select(col("user_id"), col("event_id"), col("ts").as("purchase_ts"),
               col("click_ts"), col("view_ts"))
-      .orderBy("user_id", "event_id")
   }
 
   /** LAST-TOUCH ATTRIBUTION (the marketing-analytics staple): each
@@ -1026,7 +1025,6 @@ object Streaming {
           expr("""(1000000 * cast(num as decimal(38,0)))
                   div (24 * attributed)"""))
           .otherwise(lit(0L)).cast("long").as("share_ppm"))
-      .orderBy("channel")
   }
 
   /** Slowly-changing-dimension type-2 build from the event stream: per
@@ -1319,7 +1317,6 @@ object Streaming {
           .as("day"),
         col("n_sessions"), col("c").as("peak_concurrency"),
         col("ms").as("peak_ms"))
-      .orderBy("day")
   }
 
   /** TWO-STEP MARKOV CLOSURE of the [[eventTransitions]] chain — "where
@@ -2729,7 +2726,6 @@ object Streaming {
       .select(col("cohort_q"), col("offset_q"), col("n_active"),
         col("cum_cents"),
         expr("cum_cents div cohort_size").as("ltv_cents"))
-      .orderBy("cohort_q", "offset_q")
   }
 
   /** Rolling DAU / WAU / MAU active-user census + stickiness — the
@@ -2889,7 +2885,6 @@ object Streaming {
       .select(col("event_type"), col("bucket"), col("n"),
         expr("(1000000 * cast(n as decimal(38,0))) div tot")
           .cast("long").as("share_ppm"))
-      .orderBy("event_type", "bucket")
   }
 
   /** Burst detection — the bot/abuse screen a rate-limited API runs over
@@ -2934,7 +2929,6 @@ object Streaming {
            max(col("burst")).as("max_burst_1h"))
       .select(col("user_id"), col("n_events"), col("max_burst_1h"),
         (col("max_burst_1h") >= 3).as("burst_flag"))
-      .orderBy("user_id")
   }
 
   /** SAMPLE-RATIO MISMATCH audit — the pre-test gate every

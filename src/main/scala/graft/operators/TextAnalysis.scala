@@ -155,7 +155,6 @@ object TextAnalysis {
       .select(col("actual"), col("predicted"), col("n"),
         expr("(1000000 * n) div tot").cast("long").as("share_ppm"),
         (col("actual") === col("predicted")).as("correct"))
-      .orderBy("actual", "predicted")
   }
 
   /** Content fingerprint: md5 over the sorted distinct token set — a
@@ -848,7 +847,6 @@ object TextAnalysis {
       .withColumn("share_of_actual",
         col("n_docs").cast("double") /
           sum(col("n_docs")).over(Window.partitionBy("actual")))
-      .orderBy("actual", "predicted")
   }
 
   /** BM25 ranked retrieval for a fixed 3-term query over the corpus —
@@ -972,7 +970,6 @@ object TextAnalysis {
           array_sort(collect_list(when(col("df") < 2,
             struct(col("seg_pos"), col("seg"))))),
           x => x.getField("seg")), " ").as("clean_text"))
-      .orderBy("doc_id")
   }
 
   /** Inverted-index build: token → document frequency, collection

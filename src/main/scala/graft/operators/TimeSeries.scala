@@ -84,7 +84,6 @@ object TimeSeries {
           expr("""nullif(sqrt(CAST(n*sxx - sx*sx AS DOUBLE)
                             * CAST(n*syy - sy*sy AS DOUBLE)), 0)"""))
           .as("acf"))
-      .orderBy("event_type", "lag_k")
   }
 
   /** CUSUM CHANGEPOINT location over the daily event-count series per
@@ -140,7 +139,6 @@ object TimeSeries {
       .select(col("event_type"), col("nd").as("n_days"),
         col("day").as("cp_day"), col("a").as("max_abs_cusum"),
         (col("a").cast("double") / (col("nd") * col("s"))).as("cusum_norm"))
-      .orderBy("event_type")
   }
 
   /** EWMA — the per-key SEQUENTIAL RECURRENCE pattern (y_i = αx_i +
@@ -239,7 +237,6 @@ object TimeSeries {
         (Tables.asDouble(col("sv")) / col("n")).as("hourly_mean"),
         (Tables.asDouble(col("sv")) / col("n") -
           Tables.asDouble(col("tsv")) / col("tn")).as("seasonal_dev"))
-      .orderBy("event_type", "hod")
   }
 
   /** HOLT double-exponential smoothing (level + trend) — the forecasting
@@ -393,7 +390,6 @@ object TimeSeries {
         greatest(lit(3) * col("mad"), lit(1.5)))
       .select(col("event_type"), col("bkt"), col("x"), col("med"),
         col("mad"))
-      .orderBy("event_type", "bkt")
   }
 
   /** ROLLING CORRELATION between two event streams (clicks vs views,
@@ -580,7 +576,6 @@ object TimeSeries {
         avg(when(col("rn") === expr("(n + 1) DIV 2") ||
                  col("rn") === expr("(n + 2) DIV 2"), col("slope")))
           .as("sen_slope"))
-      .orderBy("event_type")
   }
 
   /** FORECAST BACKTEST — [[tsHolt]] graded on its own data: the one-step-
@@ -937,7 +932,6 @@ object TimeSeries {
       .filter(col("rank") <= 3)
       .select(col("event_type"), col("motif"), col("n"),
         col("rank").cast("int").as("rank"))
-      .orderBy("event_type", "rank")
   }
 
   /** HURST EXPONENT via rescaled-range (R/S) analysis per event_type —
@@ -1086,7 +1080,6 @@ object TimeSeries {
       .select(col("event_type"), col("k").cast("int").as("n_scales"),
         col("n_windows"), col("rs8"), col("rs64"),
         hurst.as("hurst_micro"), (hurst > 600000).as("persistent"))
-      .orderBy("event_type")
   }
 
   /** GRANGER-STYLE LAG TEST over every ordered event-type pair — does

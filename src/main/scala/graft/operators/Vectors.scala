@@ -258,7 +258,6 @@ object Vectors {
       .withColumn("nn_rank", row_number().over(w))
       .filter(col("nn_rank") <= 3)
       .select(col("vec_id"), col("nn_rank"), col("nn_id"), col("cosine"))
-      .orderBy("vec_id", "nn_rank")
   }.copy(oracleGen = Some(() => Some(knnLshOracleSql(
     Dedup.lastCosLshPpt.get().getOrElse(6)))))
 
@@ -557,7 +556,6 @@ object Vectors {
       .select(col("q_id"), col("vec_id"), cosine(col("v"), col("qv")).as("cosine"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3)
-      .orderBy("q_id", "rn")
   }
 
   /** Symmetric int8 quantization of the embedding column — the standard
@@ -735,7 +733,6 @@ object Vectors {
       .select(col("label"), col("dim").cast("int").as("dim"), col("n"),
         (aggregate(col("xs"), lit(0.0), (acc, v) => acc + v) / col("n"))
           .as("m"))
-      .orderBy("label", "dim")
   }
 
   /** One exact Lloyd (k-means) iteration from deterministic seeds — the
@@ -2298,7 +2295,6 @@ object Vectors {
       .select(col("query_id"), col("rnk").cast("int").as("rnk"),
         col("vec_id"), col("label"), col("cosine"), col("n_within"),
         col("min_cos"), col("max_cos"))
-      .orderBy("query_id", "rnk")
   }
 
   /** DuckDB mirror of [[vectorIvfProbeSweep]]: trained centroids inlined
@@ -2405,7 +2401,6 @@ object Vectors {
         expr("(1000000 * n_scanned) DIV nc").as("scan_ppm"),
         col("n_hit"),
         (col("n_hit").cast("double") / lit(20)).as("recall"))
-      .orderBy("nprobe")
   }.copy(
     eager = true, // shares the memoized IVF training collect
     oracleGen = Some(() =>
@@ -3818,7 +3813,6 @@ object Vectors {
         col("t_vid").isNotNull.as("hit_top10"),
         coalesce(col("ov"), lit(0L)).as("beam_overlap10"),
         col("converged"))
-      .orderBy("query_id")
   }.copy(
     eager = true, // graph build collects the bounded edge list
     oracleGen = Some(() => cachedNswEdges.map(nswOracleSql)))

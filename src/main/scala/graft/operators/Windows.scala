@@ -104,7 +104,6 @@ object Windows {
     Tables.lineitem(s, d)
       .groupBy("l_returnflag")
       .agg(wm.as("w_mean"), count(lit(1)).as("n"))
-      .orderBy("l_returnflag")
   }
 
   /** Distribution window functions: ntile / percent_rank / cume_dist /
@@ -378,7 +377,6 @@ object Windows {
           .otherwise(-expr("""(1000000 * cast(prev - cents as
                   decimal(38,0))) div prev"""))
           .cast("long").as("growth_ppm"))
-      .orderBy("pri", "month")
   }
 
   val all: Seq[Q] = Seq(windowRank, windowRunning, udafWeighted,
