@@ -217,7 +217,6 @@ object Bpe {
       .agg(count(lit(1)).as("n_words"), sum(col("n_sym")).as("n_pieces"),
            (sum(col("n_sym")).cast("double") / count(lit(1)))
              .as("fertility"))
-      .orderBy("doc_id")
   }.copy(
     eager = true,
     oracleGen = Some(() =>
@@ -285,7 +284,6 @@ object Bpe {
           col("n_bytes"), col("n_pieces"),
           expr("(1000 * n_bytes) div n_pieces").as("bpt_milli"),
           expr("(1000 * n_pieces) div n_words").as("fertility_milli"))
-        .orderBy("source")
     }.copy(
       eager = true, // vocab training at plan build (the bpeEncode cache)
       oracleGen = Some(() =>

@@ -56,7 +56,6 @@ object Corpus {
            sum(col("n_tokens")).as("sum_tokens"),
            min(col("doc_id")).as("first_doc"),
            max(col("doc_id")).as("last_doc"))
-      .orderBy("split")
   }
 
   /** Token-budget shard packing ("concat and chop", the pretraining
@@ -137,7 +136,6 @@ object Corpus {
            sum(col("n_tokens")).as("sum_tokens"),
            min(col("doc_id")).as("first_doc"),
            max(col("doc_id")).as("last_doc"))
-      .orderBy("shard_id")
   }
 
   // ---- shared select pipeline (corpus_select / corpus_decontaminate) --
@@ -174,7 +172,6 @@ object Corpus {
   private def langRollup(sel: DataFrame): DataFrame =
     sel.groupBy(col("predicted").as("lang"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
-      .orderBy("lang")
 
   /** The surv/q/sel oracle CTEs over `documents` with an optional base
     * WHERE (e.g. holding out the benchmark slice) and extra `sel`
@@ -445,7 +442,6 @@ object Corpus {
       .groupBy("shard")
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"),
            countDistinct(col("source")).cast("int").as("n_sources"))
-      .orderBy("shard")
   }
 
   /** Per-source unigram-distribution census: Shannon entropy of each
@@ -660,7 +656,6 @@ object Corpus {
       .groupBy(least(col("sp_a"), col("sp_b")).as("split_a"),
                greatest(col("sp_a"), col("sp_b")).as("split_b"))
       .agg(count(lit(1)).as("n_pairs"))
-      .orderBy("split_a", "split_b")
   }
 
   /** QUALITY-WEIGHTED Bernoulli subsampling — the data-reweighting step
@@ -726,7 +721,6 @@ object Corpus {
           (col("n_kept").cast("double") / col("n_docs")).as("kept_rate"),
           (col("sum_ppm").cast("double") / (lit(1000000L) * col("n_docs")))
             .as("expected_rate"))
-        .orderBy("source")
     }
   }
 
@@ -901,7 +895,6 @@ object Corpus {
       .crossJoin(broadcast(tot))
       .select(col("tau").as("tau_ppm"), col("n_kept"), col("kept_tokens"),
         expr("(1000000 * kept_tokens) DIV t").as("kept_share_ppm"))
-      .orderBy("tau_ppm")
   }
 
   /** MID-EPOCH RESUME of the deterministic shuffle — the property that
@@ -1205,7 +1198,6 @@ object Corpus {
         col("partial_tokens"),
         (col("full_epochs") * col("tokens") + col("partial_tokens"))
           .as("sched_tokens"))
-      .orderBy("source")
   }
 
   /** PROMPT-CONFLICT DETECTION for instruction/SFT-style corpora — the
@@ -1279,7 +1271,6 @@ object Corpus {
         col("n_conflict_groups"), col("n_conflict_records"),
         expr("(1000000 * n_conflict_records) div tot").cast("long")
           .as("conflict_ppm"))
-      .orderBy("source")
   }
 
   /** T5-style span-corruption budget planner — the compute estimate a
@@ -1333,7 +1324,6 @@ object Corpus {
            // (DuckDB auto-promotes to HUGEINT; Spark must widen or wrap)
            expr("""(1000000 * cast(sum(corrupted) as decimal(38,0)))
                    div sum(n_tok)""").cast("long").as("realized_ppm"))
-      .orderBy("source")
   }
 
   /** Shuffle-quality audit — does the epoch permutation actually MIX
@@ -1421,7 +1411,6 @@ object Corpus {
         expr("(1000000 * same_pairs) div nullif(n_pairs, 0)")
           .as("clump_ppm"),
         col("expected_ppm"))
-      .orderBy("epoch")
   }
 
   /** Padding-waste census under power-of-two length bucketing — the
@@ -1482,7 +1471,6 @@ object Corpus {
         expr("""(1000000 * cast(pad_tokens as decimal(38,0)))
                 div (pad_tokens + clipped_tokens)""")
           .cast("long").as("waste_ppm"))
-      .orderBy("source", "bucket")
   }
 
   /** Quality-gate attrition funnel — the FIRST report a corpus-cleaning
@@ -1552,7 +1540,6 @@ object Corpus {
         // widened: 10⁶·tokens clears int64 at ~10¹³ corpus tokens
         expr("(1000000 * cast(tokens as decimal(38,0))) div t")
           .cast("long").as("token_share_ppm"))
-      .orderBy("gate")
   }
 
   /** GATE-ABLATION attribution over [[corpusFilterFunnel]]'s quality
@@ -1649,7 +1636,6 @@ object Corpus {
         col("n_unique_fail"), col("unique_tokens"),
         expr("""(1000000 * cast(unique_tokens as decimal(38,0)))
                 div t""").cast("long").as("recoverable_ppm"))
-      .orderBy("gate")
   }
 
   /** QUALITY-SCORE CALIBRATION against duplication — the audit that
@@ -1705,7 +1691,6 @@ object Corpus {
         expr("(1000000 * n_dup) div n_docs").cast("long").as("dup_ppm"),
         expr("(1000 * sum_tok) div n_docs").cast("long")
           .as("mean_tok_milli"))
-      .orderBy("bucket")
   }
 
   val all: Seq[Q] = Seq(corpusSplit, corpusPack, corpusSelect, docChunk,

@@ -117,7 +117,6 @@ object Dedup {
     Tables.documents(s, d)
       .groupBy(md5(col("text").cast("binary")).as("content_hash"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
-      .orderBy("content_hash")
   }
 
   /** Shared DuckDB CTE chain producing the near-dup pair list (3-shingle
@@ -150,7 +149,7 @@ object Dedup {
     s"""WITH $pairsCteSql
       |SELECT doc_a, doc_b, jaccard FROM pairs
       |ORDER BY doc_a, doc_b""".stripMargin
-  ) { (s, d) => ngramPairsPlan(s, d).orderBy("doc_a", "doc_b") }
+  ) { (s, d) => ngramPairsPlan(s, d) }
 
   /** The near-dup pair pipeline (doc_a, doc_b, jaccard at τ ≥ 0.5),
     * unsorted — [[dedupNgram]]'s body, shared so the memoized
@@ -367,7 +366,6 @@ object Dedup {
                       col("shingles").as("sh_b")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"), jac.as("jaccard"))
       .filter(col("jaccard") >= 0.8)
-      .orderBy("doc_a", "doc_b")
   }
 
   /** MinHash + LSH banding near-dup: candidates from an equi-join on
@@ -474,7 +472,6 @@ object Dedup {
           .as("hamming"))
       .dropDuplicates("doc_a", "doc_b")
       .filter(col("hamming") <= 3)
-      .orderBy("doc_a", "doc_b")
   }
 
   /** Embedding-cosine near-dup pairs at τ=0.45 (testdata margin: no pair
@@ -497,7 +494,6 @@ object Dedup {
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
               VectorOps.cosine(col("a.v"), col("b.v")).as("cosine"))
       .filter(col("cosine") >= 0.45)
-      .orderBy("vec_a", "vec_b")
   }
 
   private val CosLshTables = 8        // OR: candidate if ANY table collides
@@ -670,7 +666,6 @@ object Dedup {
                 (col("na") * col("nb"))).as("cosine"))
       .filter(col("cosine") >= 0.45)
       .dropDuplicates("vec_a", "vec_b")
-      .orderBy("vec_a", "vec_b")
   }.copy(oracleGen = Some(() => Some(cosineLshOracleSql(
     // render from the auto-sized width the query actually used (floor 6
     // = the static oracle, so pre-run consumers see today's SQL)
@@ -726,7 +721,7 @@ object Dedup {
   val dedupCluster: Q = Q(
     "dedup_cluster",
     clusterOracleSql
-  ) { (s, d) => clusterLabels(s, d).orderBy("doc_id") }
+  ) { (s, d) => clusterLabels(s, d) }
     .copy(eager = true) // convergence loop runs jobs at plan-build time
 
   /** Rounds the last [[componentsStar]] run took — the observable the
@@ -990,7 +985,6 @@ object Dedup {
       .select(col("csize").as("cluster_size"), col("n_clusters"),
         (col("csize") * col("n_clusters")).as("n_docs"),
         ((col("csize") - 1) * col("n_clusters")).as("n_removable"))
-      .orderBy("cluster_size")
   }.copy(eager = true) // shares the cached convergence run
 
   /** [[dedupCluster]]'s output computed by [[componentsHashToMin]] —
@@ -1003,7 +997,7 @@ object Dedup {
   ) { (s, d) =>
     val pairs = ngramPairs(s, d).select("doc_a", "doc_b")
     val nodes = Tables.documents(s, d).select("doc_id")
-    componentsHashToMin(pairs, nodes)._1.orderBy("doc_id")
+    componentsHashToMin(pairs, nodes)._1
   }.copy(eager = true) // convergence loop runs jobs at plan build
 
   /** INCREMENTAL cluster maintenance — the daily-ingest counterpart of
@@ -1046,7 +1040,7 @@ object Dedup {
       .select(col("doc_id").as("doc_a"), col("cluster_id").as("doc_b"))
     val (labels, _) =
       componentsHashToMin(newPairs.unionByName(starEdges), docs)
-    labels.orderBy("doc_id")
+    labels
   }.copy(eager = true) // two convergence loops run at plan build
 
   /** Triangle census of the near-dup pair graph — the structural health
@@ -1150,7 +1144,6 @@ object Dedup {
       .groupBy("cc_bucket")
       .agg(count(lit(1)).as("n_nodes"), sum(col("t")).as("sum_tri"),
            sum(expr("(dg * (dg - 1)) DIV 2")).as("sum_wedges"))
-      .orderBy("cc_bucket")
   }.copy(eager = true) // pair-list materialization runs at plan build
 
   /** DEGREE ASSORTATIVITY of the near-dup pair graph — Pearson r between
@@ -1380,7 +1373,6 @@ object Dedup {
           .otherwise(greatest(col("doc_a"), col("doc_b"))).as("doc_of"),
         containment.as("containment"), jac.as("jaccard"))
       .filter(col("containment") >= 0.8)
-      .orderBy("doc_in", "doc_of")
   }
 
   /** DuckDB mirror of [[dedupSemantic]] with the trained centroids
@@ -1507,7 +1499,6 @@ object Dedup {
       .select(col("r.tau").as("tau"), col("r.n_pairs").as("n_pairs"),
               col("r.n_docs").as("n_docs"))
       .filter(col("n_pairs") > 0)
-      .orderBy("tau")
   }.copy(eager = true) // consumes the memoized pair artifact (jobs at build)
 
   /** REPRESENTATIVE SELECTION — the step a dedup pipeline actually ends
@@ -1718,7 +1709,6 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("est_j"),
         exactJ.as("exact_j"),
         abs(col("est_j") - exactJ).as("abs_err"))
-      .orderBy("doc_a", "doc_b")
   }
 
   /** C4-style keep-first SEGMENT dedup — the REWRITE decision that
@@ -1871,7 +1861,6 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"),
         (inter.cast("double") / uni).as("jaccard"))
       .filter(col("jaccard") >= 0.5)
-      .orderBy("doc_a", "doc_b")
   }
 
   /** TOKEN-WEIGHTED DEDUP SAVINGS by source — the budget readout that
@@ -1929,7 +1918,6 @@ object Dedup {
         expr("""(1000000 * cast(wasted_tokens as decimal(38,0)))
                 div nullif(total_tokens, 0)""").cast("long")
           .as("waste_ppm"))
-      .orderBy("source")
   }
 
   /** Per-pair edit-distance budget: Levenshtein is O(len²), so the
@@ -2028,7 +2016,6 @@ object Dedup {
     // candidate rows first and projecting the kernel above the sort keeps
     // the declared output order and runs the DP once.
     cand
-      .orderBy("doc_a", "doc_b")
       .select(col("doc_a"), col("doc_b"),
         levenshtein(col("pa"), col("pb")).cast("long").as("dist"),
         greatest(length(col("pa")), length(col("pb")))

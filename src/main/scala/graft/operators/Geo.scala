@@ -443,7 +443,6 @@ object Geo {
         col("n_pairs").cast("long").as("n_pairs"),
         col(nProbeCol).cast("long").as(nProbeCol),
         col("min_d2").cast("long").as("min_d2"))
-      .orderBy("cx", "cy")
   }
 
   /** Radius-join oracle: the naive cell formulation at a FIXED cell
@@ -559,7 +558,7 @@ object Geo {
       case None => res
       // lattice: ~10⁴-row output — the presentation sort is cheap
       // (and keeps the full ranking plan visible to the plan audits)
-      case Some(_) => res.orderBy("cid", "rn")
+      case Some(_) => res
     }
   }
 

@@ -91,7 +91,6 @@ object MlEval {
       .join(nbPredFrame(s, d), "doc_id")
       .groupBy("actual", "predicted")
       .agg(count(lit(1)).cast("long").as("n"))
-      .orderBy("actual", "predicted")
   }
 
   /** The trained NB model's two frames — (class, prior_nano, def_nano)
@@ -466,7 +465,6 @@ object MlEval {
         col("n_test").cast("long").as("n_test"),
         col("n_correct").cast("long").as("n_correct"),
         expr("(1000000 * n_correct) div n_test").cast("long").as("acc_ppm"))
-      .orderBy("fold")
   }
 
   /** EXACT AUC via the tie-corrected Mann–Whitney U statistic — the
@@ -585,7 +583,6 @@ object MlEval {
           .cast("long").as("recall_ppm"),
         coalesce(expr("(2000000 * tp) div nullif(2 * tp + fp + fn, 0)"),
           lit(0L)).cast("long").as("f1_ppm"))
-      .orderBy("threshold")
   }
 
   /** LEARNING CURVE of the naive-Bayes classifier — accuracy on a FIXED
@@ -719,7 +716,6 @@ object MlEval {
         col("n_test").cast("long").as("n_test"),
         col("n_correct").cast("long").as("n_correct"),
         expr("(1000000 * n_correct) div n_test").cast("long").as("acc_ppm"))
-      .orderBy("train_folds")
   }
 
   /** POINTWISE MUTUAL-INFORMATION feature ranking — [[mlChi2Feature]]'s

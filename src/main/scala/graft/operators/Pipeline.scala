@@ -44,7 +44,7 @@ object Pipeline {
         struct(col("c_name").as("name"),
                col("c_mktsegment").as("segment")).as("meta"),
         col("c_acctbal").as("acctbal")).as("object"))
-    SchemaFlattener.flatten(nested).orderBy("c_custkey")
+    SchemaFlattener.flatten(nested)
   }
 
   /** Denormalization join — `denormalize_patient`
@@ -85,7 +85,6 @@ object Pipeline {
         // crash the driver's pandas sort in the oracle compare
         array_join(coalesce(col("priorities"), typedLit(Seq.empty[String])), "|")
           .as("priorities"))
-      .orderBy("c_custkey")
   }
 
   /** Graph edge resolution — `meta_upload`'s node/edge load
@@ -118,7 +117,6 @@ object Pipeline {
       .join(v.as("dv"), col("dst") === col("dv.vid"))
       .groupBy(col("dv.vname").as("dst_name"), col("dv.vlabel").as("dst_label"))
       .agg(count(lit(1)).as("n_edges"))
-      .orderBy("dst_name")
   }
 
   /** Two-hop graph traversal: customer —member_of→ nation —in_region→
@@ -142,7 +140,6 @@ object Pipeline {
       .groupBy(col("r_name").as("region_name"))
       .agg(count(lit(1)).as("n_customers"),
            countDistinct(col("n_name")).as("n_nations"))
-      .orderBy("region_name")
   }
 
   /** Discovery summary — the per-project materialized view
@@ -183,7 +180,6 @@ object Pipeline {
     lines
       .select(from_json(col("line"), c.schema).as("object"))
       .select(col("object.*"))
-      .orderBy("c_custkey")
   }
 
   /** Snapshot export — `fhir_get` + zip (fhir_import_export.py:317-357):
@@ -202,7 +198,6 @@ object Pipeline {
         col("c_custkey").as("id"),
         to_json(struct(col("c_custkey"), col("c_name"), col("c_mktsegment")))
           .as("resource_json"))
-      .orderBy("id")
   }
 
   /** Data-quality validation (the Deequ/dbt-tests operator family): a
@@ -295,7 +290,6 @@ object Pipeline {
         (col("top_count").cast("double") / col("n_rows")).as("top_share"),
         ((col("top_count") * col("n_distinct")).cast("double") /
           col("n_rows")).as("skew_ratio"))
-      .orderBy("key_col")
   }
 
   /** DISTRIBUTION-DRIFT census (two-sample Kolmogorov–Smirnov over binned
@@ -492,7 +486,7 @@ object Pipeline {
         val out = pr.timedLocalCheckpoint()
         ewd.unpersist(blocking = false)
         out
-      }.orderBy("vid")
+      }
     }.copy(eager = true) // converged-artifact training runs at build
   }
 
@@ -602,7 +596,7 @@ object Pipeline {
           .timedLocalCheckpoint()
         e.unpersist(blocking = false)
         out
-      }.orderBy(col("side"), desc("score"), col("vid"))
+      }
     }.copy(eager = true) // per-half-round localCheckpoint runs at build
   }
 
@@ -907,7 +901,6 @@ object Pipeline {
       .agg(count(lit(1)).as("n_core"),
            sum(col("d")).as("core_degree_sum"),
            min(col("d")).as("min_degree"))
-      .orderBy("side")
   }.copy(
     eager = true, // per-round localCheckpoint + count probes run at build
     oracleGen = Some(() => kcoreMeasuredRounds.get().map(kcoreOracleSql)))
@@ -1029,7 +1022,6 @@ object Pipeline {
                  .as("side"),
                col("dist"))
       .agg(count(lit(1)).as("n"))
-      .orderBy("side", "dist")
   }.copy(
     eager = true, // per-round localCheckpoint + sig probes run at build
     oracleGen = Some(() => bfsMeasuredRounds.get().map(bfsOracleSql)))
@@ -1116,7 +1108,6 @@ object Pipeline {
           .as("n_orphan_keys"))
       .select(label.as("edge"), col("n_rows"), col("n_null_rows"),
         col("n_orphan_rows"), col("n_orphan_keys"))
-      .orderBy("edge")
   }
 
   /** Candidate keys under audit: (label, table, key columns). One spec
@@ -1195,7 +1186,6 @@ object Pipeline {
            max(col("c")).as("max_multiplicity"))
       .select(label.as("key_name"), col("n_rows"), col("n_keys"),
               col("n_dup_rows"), col("max_multiplicity"))
-      .orderBy("key_name")
   }
 
   /** NODE SIMILARITY via neighbor-set Jaccard (the link-prediction /
@@ -1360,7 +1350,6 @@ object Pipeline {
     degS.unionAll(degP)
       .groupBy("side", "degree")
       .agg(count(lit(1)).as("n_nodes"))
-      .orderBy("side", "degree")
   }
 
   /** STORE-MAINTENANCE WIN as driver-visible evidence — the
@@ -1471,7 +1460,6 @@ object Pipeline {
       }.toDF("probe_id", "lo_cents", "hi_cents", "total_rows", "exact_rows",
              "footer_rows_match", "clustered_sorted", "pruning_sound",
              "pruning_effective", "beats_scattered")
-        .orderBy("probe_id")
     } finally {
       val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
         s.sparkContext.hadoopConfiguration)
@@ -1564,7 +1552,6 @@ object Pipeline {
       .agg(sum("rows").as("n_rows"), max("cols").as("n_cols"),
         min("mn").as("key_min"), max("mx").as("key_max"),
         sum("nulls").as("key_nulls"))
-      .orderBy("tbl")
   }
 
   /** FRESHNESS / SLA-LAG census per event stream — the fourth data-quality
@@ -1603,7 +1590,6 @@ object Pipeline {
         expr("(unix_millis(now_ts) - unix_millis(last_ts)) DIV 3600000"))
       .select(col("event_type"), col("n_events"), col("last_ts"),
               col("lag_hours"), (col("lag_hours") >= 24).as("stale"))
-      .orderBy("event_type")
   }
 
   /** PSI DRIFT between the first and second half of the stream — the
@@ -1682,7 +1668,6 @@ object Pipeline {
       .select(col("event_type"), col("na").as("n_first"),
         col("nb").as("n_second"), col("psi_nano"),
         (col("psi_nano") > 100000000L).as("drifted"))
-      .orderBy("event_type")
   }
 
   /** The profiled columns: one spec row drives BOTH the Spark melt and
@@ -1771,7 +1756,6 @@ object Pipeline {
         expr("(1000000 * (nc - vc)) DIV nullif(nc, 0)").as("null_ppm_cur"),
         col("dr").as("distinct_ref"), col("dc").as("distinct_cur"),
         (col("dc") - col("dr")).as("distinct_delta"))
-      .orderBy("column_name")
   }
 
   /** WELCH T-TEST mean-shift drift per event type between the stream's
@@ -1882,7 +1866,6 @@ object Pipeline {
         m1.as("mean_first_cents"), m2.as("mean_second_cents"),
         tMicro.as("t_micro"),
         (abs(tMicro) > 3000000L).as("mean_shifted"))
-      .orderBy("event_type")
   }
 
   /** The nine Benford first-digit probabilities in exact ppm — they sum
@@ -2052,7 +2035,6 @@ object Pipeline {
           .as("bucket"))
       .agg(count(lit(1)).cast("long").as("n_orders"),
         max(col("cd")).as("max_diff_cents"))
-      .orderBy("bucket")
   }
 
   /** DOUBLE-CHARGE audit — the duplicate-payment detector every billing
@@ -2106,7 +2088,6 @@ object Pipeline {
           .otherwise(0)).cast("long").as("n_suspicious"),
         min(when(col("n_orders") >= 2, col("span_days")))
           .cast("long").as("min_span_days"))
-      .orderBy("repeat_level")
   }
 
   /** K-ANONYMITY CENSUS — the re-identification risk readout a dataset
@@ -2174,7 +2155,6 @@ object Pipeline {
         expr("(1000000 * n_memberships) div n_total").cast("long")
           .as("membership_ppm"),
         col("n_below_k"))
-      .orderBy("bucket")
   }
 
   /** Hash-collision audit for content-derived ids — the check a corpus
@@ -2446,7 +2426,6 @@ object Pipeline {
       .agg(count(lit(1)).as("n_rows"),
         sum(col("hv").cast(org.apache.spark.sql.types.DecimalType(38, 0)))
           .cast("string").as("checksum"))
-      .orderBy("source")
   }
 
   /** FUNCTIONAL-DEPENDENCY VIOLATION census — the profiling gate that

@@ -33,7 +33,6 @@ object Relational {
     Tables.customer(s, d)
       .groupBy(col("c_nationkey").as("project_key"))
       .agg(count(lit(1)).as("patient_count"))
-      .orderBy("project_key")
   }
 
   /** Comparison / boolean / between predicates (SURVEY §2.4) — all pushed
@@ -56,7 +55,6 @@ object Relational {
         (col("l_returnflag") === "A" || col("l_linestatus") === "O") &&
         col("l_discount") < 0.05)
       .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
-      .orderBy("l_orderkey", "l_linenumber")
   }
 
   /** TPC-H Q1-shaped hash aggregation: partial+final HashAggregate with
@@ -82,7 +80,6 @@ object Relational {
         sumExactAsDouble(money(col("l_extendedprice")) * disc1, 4).as("sum_disc_price"),
         (sumMoneyAsDouble(col("l_quantity")) / count(lit(1))).as("avg_qty"),
         count(lit(1)).as("count_order"))
-      .orderBy("l_returnflag", "l_linestatus")
   }
 
   /** Exact distinct aggregation (expand + two-phase agg under the hood). */
@@ -98,7 +95,6 @@ object Relational {
         countDistinct(col("o_custkey")).as("n_cust"),
         countDistinct(col("o_orderpriority")).as("n_prio"),
         count(lit(1)).as("n_orders"))
-      .orderBy("o_orderstatus")
   }
 
   /** ROLLUP grouping sets. NULLS FIRST is explicit in the oracle because
@@ -116,7 +112,6 @@ object Relational {
       .rollup("l_returnflag", "l_linestatus")
       .agg(sumMoneyAsDouble(col("l_quantity")).as("sum_qty"),
            count(lit(1)).as("n"))
-      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
   }
 
   /** Global top-k → Catalyst TakeOrderedAndProject (no full sort at scale:
@@ -144,7 +139,6 @@ object Relational {
     val n = Tables.nation(s, d)
     c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .select("c_custkey", "c_name", "n_name")
-      .orderBy("c_custkey")
   }
 
   /** TPC-H Q3-shaped 3-way join + agg + top-k. customer is the small side
@@ -245,7 +239,6 @@ object Relational {
       .agg(sumExactAsDouble(money(col("l_extendedprice")) * disc1, 4)
              .as("revenue"),
            count(lit(1)).as("n_items"))
-      .orderBy(desc("revenue"), asc("n_name"))
   }
 
   /** Left-semi / left-anti joins (EXISTS / NOT EXISTS). */
@@ -381,7 +374,6 @@ object Relational {
     Tables.events(s, d)
       .groupBy("event_type")
       .agg(sum(k).as("sum_k"), max(k).as("max_k"), count(lit(1)).as("n"))
-      .orderBy("event_type")
   }
 
   /** Array ops + higher-order functions over the embedding column
@@ -406,7 +398,7 @@ object Relational {
       try_element_at(col("embedding"), lit(1)).cast("double").as("first_val"),
       try_element_at(col("embedding"), lit(64)).cast("double").as("last_val"),
       col("label")
-    ).orderBy("vec_id")
+    )
   }
 
   /** Range (interval) join: event pairs per user within 60s. Equi on
@@ -427,7 +419,6 @@ object Relational {
               col("ts_b") <= col("ts_a") + expr("INTERVAL 60 SECONDS"))
       .groupBy("user_id")
       .agg(count(lit(1)).as("n_pairs"))
-      .orderBy("user_id")
   }
 
   /** As-of join (nearest signup at-or-before each purchase, per user).
@@ -624,8 +615,6 @@ object Relational {
       .cube("o_orderstatus", "o_orderpriority")
       .agg(count(lit(1)).as("n"),
            sumMoneyAsDouble(col("o_totalprice")).as("sum_price"))
-      .orderBy(asc_nulls_first("o_orderstatus"),
-               asc_nulls_first("o_orderpriority"))
   }
 
   /** Explicit GROUPING SETS (completes §2.5 alongside rollup/cube) —
@@ -656,9 +645,6 @@ object Relational {
            grouping(col("l_linestatus")).cast("int").as("g_status"),
            count(lit(1)).as("n"),
            sumMoneyAsDouble(col("l_quantity")).as("sum_qty"))
-      .orderBy(col("g_flag"), col("g_status"),
-               asc_nulls_first("l_returnflag"),
-               asc_nulls_first("l_linestatus"))
   }
 
   /** Full-outer join (completes the equi-join family: inner/left via
@@ -748,7 +734,6 @@ object Relational {
       .select(col("o_orderstatus"), col("exact_cust"),
         (abs(col("approx_cust") - col("exact_cust")).cast("double") /
           col("exact_cust") <= 0.05).as("approx_within_5pct"))
-      .orderBy("o_orderstatus")
   }
 
   /** Pivot (wide conditional aggregation): returnflag columns per
@@ -767,7 +752,6 @@ object Relational {
       .pivot("l_returnflag", Seq("A", "N", "R"))
       .agg(sumMoneyAsDouble(col("l_quantity")))
       .withColumnsRenamed(Map("A" -> "qty_A", "N" -> "qty_N", "R" -> "qty_R"))
-      .orderBy("l_linestatus")
   }
 
   /** Moment statistics with deterministic results: variance/stddev derived
@@ -797,7 +781,6 @@ object Relational {
         ((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1))
           .as("var_qty"),
         col("min_qty"), col("max_qty"))
-      .orderBy("l_returnflag")
   }
 
   /** Mode (most frequent value) per group with a DETERMINISTIC tie-break
@@ -846,7 +829,6 @@ object Relational {
       .agg(count(lit(1)).as("n"),
            min(col("o_totalprice")).cast("double").as("lo"),
            max(col("o_totalprice")).cast("double").as("hi"))
-      .orderBy("bucket")
   }
 
   /** Ordered string aggregation (listagg family): sorted distinct values
@@ -886,7 +868,6 @@ object Relational {
       .select(col("l_returnflag"), col("n"),
         ((col("sxy") - col("sx") * col("sy") / col("n")) / (col("n") - 1))
           .as("covar_qty_price"))
-      .orderBy("l_returnflag")
   }
 
   /** Generator / UDTF surface (SURVEY §2.11): posexplode over the token
@@ -1109,7 +1090,6 @@ object Relational {
          col("le50") >= (lit(0.5) - eps) * col("n")).as("q50_rank_ok"),
         (col("lt90") <= (lit(0.9) + eps) * col("n") &&
          col("le90") >= (lit(0.9) - eps) * col("n")).as("q90_rank_ok"))
-      .orderBy("l_returnflag")
   }
 
   /** Math + bitwise scalar family (SURVEY §2.9). Function picks are
@@ -1247,7 +1227,6 @@ object Relational {
            count(col("pr")).as("n_pr"),
            sum(when(col("st") <=> col("pr"), 1).otherwise(0)).as("n_nullsafe_eq"),
            coalesce(min(col("pr")), lit("none")).as("first_pr"))
-      .orderBy(col("st").asc_nulls_first)
   }
 
   /** Data-profiling pass over `orders` ("ANALYZE TABLE" shape — the data
@@ -1328,7 +1307,6 @@ object Relational {
       .groupBy("bucket")
       .agg(count(lit(1)).as("n"),
            min(col("value")).as("lo"), max(col("value")).as("hi"))
-      .orderBy("bucket")
   }
 
   /** Robust outlier detection via MEDIAN absolute deviation — the
@@ -1368,7 +1346,6 @@ object Relational {
            count(lit(1)).as("n"),
            sum(when(col("adev") > lit(4.4478) * col("mad"), 1).otherwise(0))
              .as("n_outliers"))
-      .orderBy("event_type")
   }
 
   val outlierZscore: Q = Q(
@@ -1403,7 +1380,6 @@ object Relational {
       .groupBy(col("l_returnflag"), col("n"))
       .agg(sum(when(z > 1.5, 1).otherwise(0)).as("n_outliers"),
            max(z).as("max_abs_z"))
-      .orderBy("l_returnflag")
   }
 
   /** Skew-safe salted aggregation (SURVEY §4 / salting note): two-phase
@@ -1424,7 +1400,6 @@ object Relational {
         n = 16,
         saltSource = col("l_orderkey"), col("l_linenumber"))
       .select(col("k"), asDouble(col("total")).as("total"), col("n"))
-      .orderBy("k")
   }
 
   /** Stratified sampling (training-data pipeline staple): per-stratum
@@ -1452,7 +1427,6 @@ object Relational {
     Tables.orders(s, d)
       .filter(slot < keep)
       .groupBy("o_orderstatus").agg(count(lit(1)).as("n_sampled"))
-      .orderBy("o_orderstatus")
   }
 
   /** KEYLESS interval-overlap join via time-bucket binning — the join
@@ -1495,7 +1469,6 @@ object Relational {
               col("ts_b") <= col("ts_a") + expr("INTERVAL 60 SECONDS"))
       .groupBy("type_a", "type_b")
       .agg(count(lit(1)).as("n_pairs"))
-      .orderBy("type_a", "type_b")
   }
 
   /** Exact-k-per-group sample ("reservoir sampling's output, without the
@@ -1727,7 +1700,6 @@ object Relational {
       .groupBy("o_orderpriority")
       .agg(count(lit(1)).as("n"),
            sumMoneyAsDouble(col("l_extendedprice")).as("revenue"))
-      .orderBy("o_orderpriority")
   }
 
   /** ADVERSARIAL-skew salted join — [[joinSalted]] exercised on a
@@ -1769,7 +1741,6 @@ object Relational {
       .groupBy((col("jk") % 8).as("bucket"))
       .agg(count(lit(1)).as("n"),
            sumMoneyAsDouble(col("l_extendedprice")).as("revenue"))
-      .orderBy("bucket")
   }
 
   /** Bloom-filter pre-filtered fact join (the explicit form of runtime
@@ -1817,7 +1788,6 @@ object Relational {
       .groupBy("o_orderpriority")
       .agg(count(lit(1)).as("n_orders"),
            sumMoneyAsDouble(col("o_totalprice")).as("revenue"))
-      .orderBy("o_orderpriority")
   }.copy(eager = true) // bitmap build runs dim count + aggregate jobs
 
   /** EXACT distinct counting via BITMAP OR-aggregation (the roaring /
@@ -1853,7 +1823,6 @@ object Relational {
       .groupBy("event_type")
       .agg(count(lit(1)).as("n_blocks"),
            sum(bit_count(col("mask"))).as("n_users"))
-      .orderBy("event_type")
   }
 
   /** Per-group ordinary least squares (SURVEY §2.5 extension): slope /
@@ -1914,7 +1883,6 @@ object Relational {
          (col("n") * col("sxy") - col("sx") * col("sy")) /
          ((col("n") * col("sxx") - col("sx") * col("sx")) *
           (col("n") * col("syy") - col("sy") * col("sy")))).as("r2"))
-      .orderBy("l_returnflag")
   }
 
   /** Pareto frontier / skyline operator (SURVEY §2.7 extension): per
@@ -2019,7 +1987,6 @@ object Relational {
       .filter(levenshtein(col("dig"), col("dig_b")) === 1)
       .groupBy("pos")
       .agg(count(lit(1)).as("n_pairs"))
-      .orderBy("pos")
   }
 
   /** Materialized-view maintenance (the incremental-rollup shape a
@@ -2071,7 +2038,6 @@ object Relational {
           .cast(org.apache.spark.sql.types.DecimalType(38, 0)) / 100)
           .cast("double").as("sum_value"),
         max(col("mx")).as("last_ts"))
-      .orderBy("event_type")
   }
 
   /** INTERVAL × INTERVAL OVERLAP JOIN — the missing member of the
@@ -2166,7 +2132,6 @@ object Relational {
                  expr("os DIV 86400000").cast("int")).as("day"))
       .agg(count(lit(1)).as("n_pairs"),
            sum(col("oe") - col("os") + 1).as("overlap_ms"))
-      .orderBy("day")
   }
 
   /** GINI CONCENTRATION of order value per priority class — the
@@ -2380,7 +2345,6 @@ object Relational {
         (col("m3") / expr("nullif(m2 * sqrt(m2), 0)")).as("skewness"),
         (col("m4") / expr("nullif(m2 * m2, 0)") - lit(3))
           .as("kurtosis_excess"))
-      .orderBy("l_returnflag")
   }
 
   /** RFM CUSTOMER SEGMENTATION — the classic warehouse marketing
@@ -2482,7 +2446,6 @@ object Relational {
           .when(col("r_score") <= 2 && col("f_score") <= 2, "hibernating")
           .otherwise("other").as("segment"),
         col("n_customers"), col("monetary_cents"))
-      .orderBy("r_score", "f_score", "m_score")
   }
 
   /** HERFINDAHL–HIRSCHMAN concentration index per nation — the classic
@@ -2665,7 +2628,6 @@ object Relational {
           expr("""(1000000 * cast(raw_cents - kept_cents as decimal(38,0)))
                   div raw_cents"""))
           .cast("long").as("clip_loss_ppm"))
-      .orderBy("event_type")
   }
 
   /** CORRELATED SCALAR SUBQUERIES — the one SQL surface class the
@@ -2716,7 +2678,7 @@ object Relational {
         |               WHERE c2.c_nationkey = c.c_nationkey)
         |    > (SELECT CAST(sum(cents) AS BIGINT) FROM graft_cust_cents c3
         |       WHERE c3.c_nationkey = c.c_nationkey)
-        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)
+        |GROUP BY c_nationkey""".stripMargin)
   }
 
   /** NEYMAN OPTIMAL STRATIFIED ALLOCATION — the sampling-design audit

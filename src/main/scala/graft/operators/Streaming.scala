@@ -209,7 +209,6 @@ object Streaming {
     signup.join(purchase, Seq("user_id"), "left")
       .select(col("user_id"), col("signup_ts"), col("purchase_ts"),
               col("purchase_ts").isNotNull.as("converted"))
-      .orderBy("user_id")
   }
 
   /** MULTI-STEP FUNNEL CENSUS — the 4-stage product-analytics readout
@@ -300,7 +299,6 @@ object Streaming {
         when(col("step") === 4 && col("n_reached") > 0,
           expr("conv_ms_sum div n_reached")).cast("long")
           .as("mean_convert_ms"))
-      .orderBy("step")
   }
 
   /** TOKEN-BUCKET RATE-LIMITER SIMULATION — the capacity-planning query
@@ -374,7 +372,6 @@ object Streaming {
         (col("n_events") - col("n_allowed")).as("n_denied"),
         expr("(1000000 * (n_events - n_allowed)) div n_events")
           .cast("long").as("denied_ppm"))
-      .orderBy("event_type")
   }
 
   /** GAP-CONSTRAINED SEQUENTIAL FUNNEL (the ClickHouse `windowFunnel`
@@ -520,7 +517,6 @@ object Streaming {
       .filter(col("day_offset") <= 7)
       .groupBy("cohort_day", "day_offset")
       .agg(count(lit(1)).as("n_users"))
-      .orderBy("cohort_day", "day_offset")
   }
 
   /** Markov transition census over the event stream: for every ordered
@@ -558,7 +554,6 @@ object Streaming {
            sum(col("next_ms") - col("ms")).as("sum_gap_ms"),
            (sum(col("next_ms") - col("ms")).cast("double") / count(lit(1)))
              .as("avg_gap_ms"))
-      .orderBy("event_type", "next_type")
   }
 
   /** OHLC bars (time-series downsampling staple): per (user, hour), the
@@ -735,7 +730,6 @@ object Streaming {
       .groupBy((col("lck") % 1000 % 4).as("campaign"))
       .agg(count(lit(1)).as("n_purchases"),
         sum(col("value").cast("decimal(18,2)")).cast("double").as("revenue"))
-      .orderBy("campaign")
   }
 
   /** LINEAR (multi-touch) attribution — [[attributionLastclick]]'s
@@ -809,7 +803,6 @@ object Streaming {
         sum(col("credit")).as("credit_microcents"),
         (sum(col("credit")).cast("double") / lit(100000000))
           .as("credit_usd"))
-      .orderBy("campaign")
   }
 
   /** TIME-DECAY attribution — the triad's third member after last-touch
@@ -892,7 +885,6 @@ object Streaming {
         sum(col("credit")).as("credit_microcents"),
         (sum(col("credit")).cast("double") / lit(100000000))
           .as("credit_usd"))
-      .orderBy("campaign")
   }
 
   /** SHAPLEY-VALUE ATTRIBUTION (Shapley 1953 applied to conversion paths
@@ -1216,7 +1208,6 @@ object Streaming {
         (col("valid_to").isNull || col("ts") < col("valid_to")))
       .select(col("event_id"), col("user_id"), col("ts"), col("attr"),
               col("version"), col("is_current"))
-      .orderBy("event_id")
   }
 
   /** CONCURRENCY SWEEP-LINE over the [[sessionizeGaps]] sessions — peak
@@ -1367,7 +1358,6 @@ object Streaming {
       .groupBy(col("p1.a").as("from_type"), col("p2.b").as("to_type"))
       .agg(expr("CAST(sum(p1.ppm * p2.ppm) DIV 1000000 AS BIGINT)")
         .as("p2_ppm"))
-      .orderBy("from_type", "to_type")
   }
 
   /** BRANCHING ENTROPY per journey state — the predictability readout of
@@ -1459,7 +1449,6 @@ object Streaming {
         expr(maxEnt).as("max_entropy_micro_bits"),
         expr(s"(1000000 * ent) div nullif($maxEnt, 0)").cast("long")
           .as("normalized_ppm"))
-      .orderBy("event_type")
   }
 
   // the chain's spectral gap sets the transient length: at ppm
@@ -1724,7 +1713,6 @@ object Streaming {
     import s.implicits._
     types.map(t => (t, sccOf(t), sizes(sccOf(t)))).toSeq
       .toDF("event_type", "scc_id", "scc_size")
-      .orderBy("event_type")
   }.copy(eager = true) // skeleton collect + driver Tarjan at plan build
 
   /** BETWEENNESS CENTRALITY of the dominant-transition skeleton — which
@@ -1821,7 +1809,6 @@ object Streaming {
     import s.implicits._
     types.map(t => (t, btw(t))).toSeq
       .toDF("event_type", "betweenness")
-      .orderBy("event_type")
   }.copy(eager = true) // skeleton collect + driver walks at plan build
 
   /** DIAMETER / PATH-LENGTH CENSUS of the dominant-transition skeleton —
@@ -1988,7 +1975,6 @@ object Streaming {
     import s.implicits._
     rows.toSeq
       .toDF("event_type", "n_reachable", "sum_dist", "closeness_milli")
-      .orderBy("event_type")
   }.copy(eager = true) // skeleton collect + driver walks at plan build
 
   /** A/B EXPERIMENT LIFT with a two-proportion z-test — the readout an
@@ -2152,7 +2138,6 @@ object Streaming {
       .agg(count(lit(1)).as("n_viewers"), sum(col("c")).as("n_converted"))
       .select(col("win_ms"), col("n_viewers"), col("n_converted"),
         expr("(1000000 * n_converted) div n_viewers").as("rate_ppm"))
-      .orderBy("win_ms")
   }
 
   /** Heterogeneous-treatment-effect readout — [[abLiftZtest]] broken out
@@ -2250,7 +2235,6 @@ object Streaming {
           .as("lift_ppm"),
         zMicro.as("z_micro"),
         (abs(zMicro) > 1960000L).as("significant"))
-      .orderBy("segment")
   }
 
   /** DELTA-METHOD RATIO-METRIC TEST — [[abLiftZtest]]'s sibling for the
@@ -2555,7 +2539,6 @@ object Streaming {
       .select(col("t_a"), col("t_b"), col("n_ab"), col("n_ba"),
         expr("(2000000 * least(n_ab, n_ba)) div (n_ab + n_ba)")
           .as("recip_ppm"))
-      .orderBy("t_a", "t_b")
   }
 
   /** POWER ANALYSIS / sample-size planner — the question every
@@ -2782,7 +2765,6 @@ object Streaming {
            count(lit(1)).as("mau"))
       .select(col("day"), col("dau"), col("wau"), col("mau"),
         expr("(1000000 * dau) div mau").as("stickiness_ppm"))
-      .orderBy("day")
   }
 
   /** Traffic-seasonality heatmap — the day-of-week × hour-of-day load
@@ -2988,7 +2970,6 @@ object Streaming {
       " * (n_control - n_treat) DIV (n_control + n_treat) AS BIGINT)")
     c.select(col("day"), col("n_control"), col("n_treat"),
         chi2.as("chi2_micro"), (chi2 > 10827600L).as("srm"))
-      .orderBy("day")
   }
 
   /** SEQUENTIAL MONITORING scan with an O'Brien-Fleming-shaped boundary —
@@ -3100,7 +3081,6 @@ object Streaming {
         expr("(1000000 * (n0 + n1)) div nn").as("info_ppm"),
         zMicro.as("z_micro"), bMicro.as("obf_boundary_micro"),
         (abs(zMicro) > bMicro).as("crossed"))
-      .orderBy("day")
   }
 
   /** KAPLAN-MEIER SURVIVAL curve over customer lifetimes — the

@@ -61,7 +61,7 @@ object TextAnalysis {
         .as("avg_token_len"),
       (size(filter(toks, t => t.isin(stopwords: _*))).cast("double") / size(toks))
         .as("stopword_ratio")
-    ).orderBy("doc_id")
+    )
   }
 
   /** Marker-score argmax as a reusable Column over a token array — shared
@@ -106,7 +106,6 @@ object TextAnalysis {
         score("the", "a", "of").as("s_en"),
         score("der", "die", "und").as("s_de"),
         score("el", "los", "una").as("s_es"))
-      .orderBy("doc_id")
   }
 
   /** LANGUAGE-ID CONFUSION MATRIX — the evaluation harness over
@@ -171,7 +170,6 @@ object TextAnalysis {
       col("doc_id"),
       md5(concat_ws(" ", array_sort(array_distinct(split(col("text"), " "))))
         .cast("binary")).as("fingerprint"))
-      .orderBy("doc_id")
   }
 
   /** TF-IDF-style term weighting, log-free for exact cross-engine parity:
@@ -226,7 +224,7 @@ object TextAnalysis {
       norm.as("norm_text"),
       size(split(col("text"), " ")).as("n_tokens_raw"),
       size(split(norm, " ")).as("n_tokens_norm")
-    ).orderBy("doc_id")
+    )
   }
 
   /** One row per word bigram (with multiplicity) via the native
@@ -286,7 +284,6 @@ object TextAnalysis {
         col("n_bigrams"), col("top_bigram_frac"),
         (lit(1.0) - col("n_uniq").cast("double") / col("n_tokens"))
           .as("dup_token_frac"))
-      .orderBy("doc_id")
   }
 
   /** PII redaction: scrub email/phone patterns and count what was
@@ -320,7 +317,6 @@ object TextAnalysis {
         regexp_replace(
           regexp_replace(col("raw"), "[a-z0-9.]+@[a-z][a-z0-9.]+", "<EMAIL>"),
           "555-[0-9]{4}", "<PHONE>").as("redacted"))
-      .orderBy("doc_id")
   }
 
   /** Corpus-level bigram frequency top-30 (n-gram LM counting — the same
@@ -384,7 +380,6 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_cont"))
       .select(col("doc_id"), col("n_sgl"), col("n_cont"),
         (col("n_cont").cast("double") / col("n_sgl")).as("contamination"))
-      .orderBy("doc_id")
   }
 
   /** BPE-style pre-tokenization counting (the token-budget estimate a
@@ -412,7 +407,6 @@ object TextAnalysis {
       Tables.documents(s, d).select(col("doc_id"),
         ws.as("n_ws"), bpe.as("n_bpe"),
         (bpe.cast("double") / ws).as("fertility"))
-        .orderBy("doc_id")
     }
   }
 
@@ -468,7 +462,6 @@ object TextAnalysis {
            sum(col("cost_milli")).as("nll_milli"),
            (sum(col("cost_milli")).cast("double") / count(lit(1)))
              .as("avg_nll_milli"))
-      .orderBy("doc_id")
   }
 
   /** Cross-document repeated-SPAN census (the C4/RefinedWeb span-dedup
@@ -504,7 +497,6 @@ object TextAnalysis {
            sum(when(col("df") >= 2, 1).otherwise(0)).as("n_dup_spans"))
       .select(col("doc_id"), col("n_spans"), col("n_dup_spans"),
         (col("n_dup_spans").cast("double") / col("n_spans")).as("dup_frac"))
-      .orderBy("doc_id")
   }
 
   /** Misra–Gries summary of one partition's token stream: at most `cap`
@@ -585,7 +577,6 @@ object TextAnalysis {
       .filter(col("c") * HhThreshold > col("n_total"))
       .select(col("token"), col("c"),
         (col("c").cast("double") / col("n_total")).as("share"))
-      .orderBy(desc("c"), asc("token"))
   }
 
   /** Hashed-feature buckets of the linear quality model: 256 weights in
@@ -647,7 +638,6 @@ object TextAnalysis {
              sum(col("w")).as("margin_micro"))
         .select(col("doc_id"), col("n_tokens"), col("margin_micro"),
                 (col("margin_micro") > 0).as("keep"))
-        .orderBy("doc_id")
     }
   }
 
@@ -731,7 +721,6 @@ object TextAnalysis {
         .agg(min(col("cnt")).as("cms_est"))
         .select(col("token"), col("c").as("exact_c"), col("cms_est"),
                 (col("cms_est") - col("c")).as("overestimate"))
-        .orderBy("token")
     }.copy(eager = true) // vocabulary checkpoint runs the corpus pass
   }
 
@@ -1133,7 +1122,6 @@ object TextAnalysis {
         .withColumn("hv", hvCol)
         .groupBy("doc_id")
         .agg(feats.head, feats.tail: _*)
-        .orderBy("doc_id")
     }
   }
 
@@ -1297,7 +1285,6 @@ object TextAnalysis {
         coalesce(col("nn"), lit(0L)).as("n_new_bigrams"))
       .select(col("batch"), col("n_bigrams"), col("n_new_bigrams"),
         expr("(1000000 * n_new_bigrams) div n_bigrams").as("novelty_ppm"))
-      .orderBy("batch")
   }
 
   /** JENSEN-SHANNON DIVERGENCE between every source pair's unigram
@@ -1398,7 +1385,6 @@ object TextAnalysis {
         .as("term"))
       .groupBy("src_a", "src_b").agg(sum(col("term")).cast("long")
         .as("js_nano"))
-      .orderBy("src_a", "src_b")
   }
 
   /** ZIPF RANK-FREQUENCY FIT over the corpus vocabulary — the text-side
@@ -1667,7 +1653,6 @@ object TextAnalysis {
           .otherwise(-expr("(-s) div n_docs")).as("mean_flesch_milli"),
         col("n_readable"),
         expr("(1000000 * n_readable) div n_docs").as("readable_ppm"))
-      .orderBy("source")
   }
 
   val all: Seq[Q] = Seq(textTokens, textQuality, langId, langConfusion,

@@ -336,7 +336,6 @@ object TimeSeries {
       .groupBy("event_type")
       .agg(count(lit(1)).as("n_pairs"), sum(col("sgn")).as("s_stat"),
         (sum(col("sgn")).cast("double") / count(lit(1))).as("tau"))
-      .orderBy("event_type")
   }
 
   /** SEASONAL-PROFILE ANOMALY CENSUS: which hours deviate from what is
@@ -515,7 +514,6 @@ object TimeSeries {
           expr("""nullif(sqrt(CAST(n*sxx - sx*sx AS DOUBLE)
                             * CAST(n*syy - sy*sy AS DOUBLE)), 0)"""))
           .as("r"))
-      .orderBy("lag_k")
   }
 
   /** THEIL–SEN robust slope of the daily event-count series per
@@ -648,7 +646,6 @@ object TimeSeries {
            sum(col("err_micro")).as("sum_abs_err_micro"))
       .select(col("user_id"), col("n_preds"), col("sum_abs_err_micro"),
         expr("sum_abs_err_micro DIV n_preds").as("mae_micro"))
-      .orderBy("user_id")
   }
 
   /** SEASONALITY STRENGTH — the one-number readout of [[tsDecompose]]'s
@@ -728,7 +725,6 @@ object TimeSeries {
         sstQ.as("sst_norm_micro"))
       .withColumn("eta2",
         col("ssb_norm_micro").cast("double") / col("sst_norm_micro"))
-      .orderBy("event_type")
   }
 
   /** VARIANCE-RATIO random-walk test (Lo–MacKinlay) over each event
@@ -848,7 +844,6 @@ object TimeSeries {
         floor(lit(1000000) * vr).cast("long").as("vr_micro"),
         zMicro.as("z_micro"),
         (abs(zMicro) <= 1960000L).as("random_walk"))
-      .orderBy("event_type", "q")
   }
 
   /** SAX SYMBOLIZATION + MOTIF CENSUS — the symbolic time-series mining
@@ -1189,7 +1184,6 @@ object TimeSeries {
           .as("f_stat"),
         (((col("ssr_r") - col("ssr_f")) * (col("n") - 3) / col("ssr_f"))
           > 4.0).as("significant"))
-      .orderBy("a", "b")
   }
 
   val all: Seq[Q] = Seq(tsAutocorr, tsChangepoint, tsEwma, tsDecompose,

@@ -519,7 +519,6 @@ object Vectors {
            (sum(col("mc")).cast("double") / count(lit(1))).as("mean_mcos"))
       .select(col("cell").cast("int").as("cell"), col("n_vectors"),
               col("min_mcos"), col("max_mcos"), col("mean_mcos"))
-      .orderBy("cell")
   }.copy(
     eager = true, // shares the trained-centroid cache with vectorAnnIvf
     oracleGen = Some(() =>
@@ -596,7 +595,7 @@ object Vectors {
       array_join(col("q8"), "|").as("q8"),
       array_max(zip_with(col("q8"), col("v"),
         (q, x) => abs(q * col("scale") - x))).as("max_err")
-    ).orderBy("vec_id")
+    )
   }
 
   /** Per-DIMENSION embedding health census — the pre-indexing audit a
@@ -639,7 +638,6 @@ object Vectors {
         sum(col("q") * col("q")).as("sumsq_milli"),
         min(col("q")).as("min_milli"), max(col("q")).as("max_milli"),
         sum(when(abs(col("q")) <= 10, 1).otherwise(0)).as("n_near_zero"))
-      .orderBy("dim")
   }
 
   /** Embedding-distribution DRIFT between two index generations — the
@@ -698,7 +696,6 @@ object Vectors {
         (m0 - 1000000).as("mean0_micro"),
         (m1 - 1000000).as("mean1_micro"),
         abs(m0 - m1).as("drift_micro"))
-      .orderBy("dim")
   }
 
   /** Per-label embedding centroid (class prototypes — the building block
@@ -825,7 +822,6 @@ object Vectors {
         expr("(1000000 * n) div tot").cast("long").as("share_ppm"),
         expr("inertia div n").cast("long").as("mean_d2"),
         col("drift").cast("long").as("drift_micro"))
-      .orderBy("cluster")
   }
 
   /** LABEL-COHERENCE AUDIT via nearest-centroid classification — the
@@ -919,7 +915,6 @@ object Vectors {
       .select(col("label"), col("n"), col("n_misassigned"),
         expr("(1000000 * n_misassigned) div n").cast("long").as("mis_ppm"),
         expr("sd div n").cast("long").as("mean_own_dist"))
-      .orderBy("label")
   }
 
   /** PRODUCTION centroid path: the same (label, dim, n, m) frame as
@@ -1441,7 +1436,6 @@ object Vectors {
           .as("mcos_old"),
         when(col("n_new") > 0, col("sn").cast("double") / col("n_new"))
           .as("mcos_new"))
-      .orderBy("cell")
   }.copy(
     eager = true, // standing-index training at plan-build
     oracleGen = Some(() =>
@@ -1625,7 +1619,6 @@ object Vectors {
         coalesce(sum(col("hit")), lit(0)).cast("long").as("n_hit"))
       .select(col("q_id"), col("n_exact"), col("n_hit"),
         (col("n_hit").cast("double") / col("n_exact")).as("recall"))
-      .orderBy("q_id")
   }
 
   /** INDEX-QUALITY EVALUATION as a first-class query (the recall@k
@@ -1714,7 +1707,6 @@ object Vectors {
         coalesce(sum(col("hit")), lit(0)).cast("long").as("n_hit"))
       .select(col("q_id"), col("n_exact"), col("n_hit"),
         (col("n_hit").cast("double") / col("n_exact")).as("recall"))
-      .orderBy("q_id")
   }
 
   /** The TUNING RESPONSE to [[vectorRecallEval]]'s measurement: the
@@ -1838,7 +1830,6 @@ object Vectors {
         coalesce(sum(col("hit")), lit(0)).cast("long").as("n_hit"))
       .select(col("q_id"), col("n_exact"), col("n_hit"),
         (col("n_hit").cast("double") / col("n_exact")).as("recall"))
-      .orderBy("q_id")
   }
 
   /** SQ8-QUANTIZED top-k search with inline recall audit — the
@@ -2490,7 +2481,6 @@ object Vectors {
       }
       sel.select(col("rnk").cast("int").as("rnk"), col("vec_id"),
                  col("rel"), col("pen"), col("mmr"))
-        .orderBy("rnk")
     }.copy(eager = true) // pool checkpoint + greedy rounds run at build
   }
 
@@ -2911,7 +2901,6 @@ object Vectors {
     pcaMeasuredRounds.set(Some(rounds))
     import s.implicits._
     (1 to dims).map(i => (i, v(i - 1).toLong)).toDF("dim", "loading_micro")
-      .orderBy("dim")
   }.copy(
     eager = true, // sufficient-stat collect + driver iteration at build
     oracleGen = Some(() => pcaMeasuredRounds.get().map(pcaOracleSql)))
@@ -2961,7 +2950,6 @@ object Vectors {
       .agg(count(lit(1)).cast("long").as("n"),
         min(col("norm_milli")).as("min_norm_milli"),
         max(col("norm_milli")).as("max_norm_milli"))
-      .orderBy("bucket")
   }
 
   /** Deterministic ±1 sign for the JL projection cell (k, i) — modular
@@ -3091,7 +3079,6 @@ object Vectors {
         coalesce(sum(col("hit")), lit(0)).cast("long").as("n_hit"))
       .select(col("q_id"), col("n_exact"), col("n_hit"),
         (col("n_hit").cast("double") / col("n_exact")).as("recall"))
-      .orderBy("q_id")
   }
 
   /** COSINE NULL-DISTRIBUTION calibration — the histogram you read
@@ -3147,7 +3134,6 @@ object Vectors {
       .agg(count(lit(1)).cast("long").as("n_pairs"),
         min(col("cm")).as("min_cos_micro"),
         max(col("cm")).as("max_cos_micro"))
-      .orderBy("bucket")
   }
 
   /** RANKING-QUALITY EVAL (NDCG@10 + MRR@10) of the exact nearest-neighbor
@@ -3267,7 +3253,6 @@ object Vectors {
         when(col("first_rel").isNull, lit(0L))
           .otherwise(expr("1000000 div first_rel")).cast("long")
           .as("rr_ppm"))
-      .orderBy("q_id")
   }
 
   // ---- graph-based ANN (NSW greedy routing) ------------------------------
@@ -3518,7 +3503,6 @@ object Vectors {
         .select(col("cell").cast("int").as("cell"), col("n_members"),
           col("mean_residual_ppm"), col("min_residual_ppm"),
           col("max_residual_ppm"))
-        .orderBy("cell")
   }.copy(
     eager = true, // shares the memoized IVF training collect
     oracleGen = Some(() =>
@@ -3691,7 +3675,6 @@ object Vectors {
       .select(col("ef"), col("n_queries"), col("hits_top1"),
         col("hits_top10"), col("overlap10_sum"),
         expr("(1000000 * hits_top10) div n_queries").as("recall10_ppm"))
-      .orderBy("ef")
   }.copy(
     eager = true, // shares the memoized NSW edge-list collect
     oracleGen = Some(() => cachedNswEdges.map(nswSweepOracleSql)))
@@ -4011,7 +3994,6 @@ object Vectors {
         expr("sd2 div n").cast("long").as("mean_d2"),
         lit(rounds.toLong).as("rounds"),
         lit(converged).as("converged"))
-      .orderBy("cluster")
   }.copy(
     eager = true, // Lloyd training collects per-round centroid tables
     oracleGen = Some(() => lastLloydKeyConverged.flatMap(k =>
@@ -4103,7 +4085,6 @@ object Vectors {
         col("n").cast("long").as("n"),
         col("min_ood_ppm").cast("long").as("min_ood_ppm"),
         col("max_ood_ppm").cast("long").as("max_ood_ppm"))
-      .orderBy("bucket")
   }.copy(
     eager = true, // shares the memoized Lloyd training collect
     oracleGen = Some(() => lastLloydKeyOod.flatMap(k =>
@@ -4190,7 +4171,6 @@ object Vectors {
         expr("ssum div n").cast("long").as("mean_sil_ppm"),
         col("min_sil_ppm").cast("long").as("min_sil_ppm"),
         col("max_sil_ppm").cast("long").as("max_sil_ppm"))
-      .orderBy("cluster")
   }
 
   val all: Seq[Q] = Seq(vectorTopk, vectorAnnLsh, vectorAnnIvf,

@@ -324,7 +324,6 @@ object Windows {
     u.groupBy(col("longest").as("streak_len"))
       .agg(count(lit(1)).cast("long").as("n_users"),
            max(col("islands")).as("max_islands"))
-      .orderBy("streak_len")
   }
 
   /** Period-over-period growth — the month-over-month revenue delta every

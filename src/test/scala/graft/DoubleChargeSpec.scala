@@ -31,6 +31,6 @@ class DoubleChargeSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     // level 1: two singleton groups, none suspicious; level 2: two
     // repeat groups, exactly ONE within the 7-day window
-    assert(rows.toSeq === Seq((1L, 2L, 0L), (2L, 2L, 1L)))
+    assert(rows.toSeq.sortBy(_._1) === Seq((1L, 2L, 0L), (2L, 2L, 1L)))
   }
 }

@@ -15,11 +15,14 @@ import graft.plans.GraftExtensions
   */
 class SqlSurfaceSpec extends SparkSpec {
 
+  // sorted canonically: the engine dropped presentation sorts (the
+  // driver compare is row-order-insensitive), so plan-equality specs
+  // must compare row SETS, not arrival order
   private def rows(df: DataFrame): Seq[Seq[Any]] =
     df.collect().toSeq.map(_.toSeq.map {
       case d: Double => java.lang.Double.doubleToLongBits(d) // bit equality
       case x => x
-    })
+    }).sortBy(_.mkString("\u0001"))
 
   private def init(): Unit = {
     GraftExtensions.register(spark)

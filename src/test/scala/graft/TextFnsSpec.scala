@@ -43,6 +43,7 @@ class TextFnsSpec extends SparkSpec {
     import graft.operators.TextAnalysis
     val got = TextAnalysis.textHeavyHitters.fn(spark, sf0001).collect()
       .map(r => (r.getString(0), r.getLong(1)))
+      .sortBy { case (t, c) => (-c, t) } // query no longer presentation-sorts
     val toks = Tables.documents(spark, sf0001)
       .select(explode(split(col("text"), " ")).as("token"))
       .filter(length(col("token")) > 0)
